@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extension surface (SURVEY.md §2.2): exact dedup plus the
+near-duplicate family — MinHash+LSH, SimHash, n-gram Jaccard.  All the
+per-document signature work happens JVM-side with Catalyst
+higher-order functions (no per-row Python); the only Python stage is
+SimHash's bit-majority vote, which runs as an Arrow-vectorized pandas
+UDF over pre-hashed tokens.
+
+Scale shape: every operator is signature -> explode(bands/buckets) ->
+hash-shuffle on the bucket key -> within-bucket self-join.  Candidate
+generation never compares all pairs; the shuffle key (band hash) is
+uniform by construction, so there is no skew hot-spot at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic affine-permutation parameters for the MinHash family:
+# h_i(x) = (A_i * x + B_i) mod 2^61-1, seeded constants (no RNG at plan
+# time so plans are reproducible run-to-run).
+MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a splitmix-style generator."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        out = []
+        for _ in range(2):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            out.append((z ^ (z >> 31)) % MERSENNE61)
+        params.append((out[0] | 1, out[1]))
+    return params
+
+
+def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def shingles_col(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles of a text column as array<string> (JVM-side).
+
+    ``transform(sequence(...))`` generates the sliding windows without
+    exploding rows; short documents yield their single full-token
+    shingle.
+    """
+    toks = tokens_col(text)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature (array<bigint>) of a text column.
+
+    One xxhash64 pass over the shingles, then ``n_hashes`` affine
+    permutations each reduced with array_min — all Catalyst HOFs.
+    """
+    base = F.transform(
+        shingles_col(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE61))
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                base,
+                lambda h, a=a, b=b: F.pmod(
+                    h * F.lit(a) + F.lit(b), F.lit(MERSENNE61)
+                ),
+            )
+        )
+        for a, b in _perm_params(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def dedup_exact(df: DataFrame, key: Column | str, id_col: str) -> DataFrame:
+    """Exact dedup: per content key keep min(id), report duplicate count.
+
+    The canonical hash-groupBy dedup — one shuffle on the content key.
+    For full-document identity use ``sha2(text, 256)`` as the key so
+    the shuffle moves 32-byte digests, not documents.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return df.groupBy(k.alias("dedup_key")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    rows = bands x rows_per_band; two docs collide if any band of
+    their signatures matches exactly.  Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b, est_jaccard = matching signature
+    fraction.  The band hash is the shuffle key — uniformly
+    distributed, so the self-join is skew-free.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, shingle_k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins shingle sets back to the (small) candidate list — the
+    expensive set intersection runs only on LSH survivors, the standard
+    two-stage near-dup design.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(text_col, k)).alias("_set"),
+    )
+    out = (
+        candidates.join(
+            sets_df.select(
+                F.col("_id").alias("id_a"), F.col("_set").alias("set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets_df.select(
+                F.col("_id").alias("id_b"), F.col("_set").alias("set_b")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (
+        F.size("set_a") + F.size("set_b")
+        - F.size(F.array_intersect("set_a", "set_b"))
+    ).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hashing runs JVM-side (xxhash64); the per-bit majority vote
+    runs as an Arrow-vectorized pandas UDF over the hash arrays —
+    the documented pattern for logic Catalyst can't express cheaply.
+    Near-dups are then pairs within small Hamming distance; bucketing
+    on bit-prefixes makes that a join, not a scan.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens_col(text_col), F.xxhash64).alias("_th"),
+    )
+    return hashed.select(id_col, _simhash("_th").alias("simhash"))

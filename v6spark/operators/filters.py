@@ -1,0 +1,135 @@
+"""Filter operators with kept/filtered accounting (SURVEY.md §2.1 D).
+
+The reference's signature idiom: every filter returns
+``{FLT_VARS, N_KEPT, N_FILTERED_OUT[, FLT_STATS]}``
+(``variation6/filters.py`` throughout, constants in
+``variation6/__init__.py``).  Here that contract is a ``FilterResult``
+dataclass.  Counts are computed with a single aggregate pass over the
+predicate (``count_if`` + total), not by counting two DataFrames —
+one job, exact, and the filtered DataFrame stays lazy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FilterResult:
+    """Mirror of the reference's FLT_VARS / N_KEPT / N_FILTERED_OUT dict."""
+
+    df: DataFrame
+    n_kept: int
+    n_filtered_out: int
+    stats: DataFrame | None = None
+
+    @property
+    def n_total(self) -> int:
+        return self.n_kept + self.n_filtered_out
+
+
+def accounting_df(df: DataFrame, predicate: Column) -> DataFrame:
+    """One-row (n_kept, n_filtered_out) frame for a predicate.
+
+    ``variation6/filters.py`` D9: every filter reports how many rows
+    survived.  Single aggregate, no second scan.
+    """
+    return df.agg(
+        F.count_if(predicate).alias("n_kept"),
+        (F.count(F.lit(1)) - F.count_if(predicate)).alias("n_filtered_out"),
+    )
+
+
+def filter_rows(df: DataFrame, predicate: Column, with_counts: bool = True) -> FilterResult:
+    """Row-level predicate filter (D6: ``filter_by_snp_qual`` pattern).
+
+    The predicate is pushed into the parquet scan by Catalyst when it
+    references scan columns directly.
+    """
+    kept = df.filter(predicate)
+    if not with_counts:
+        return FilterResult(kept, -1, -1)
+    row = accounting_df(df, predicate).collect()[0]
+    return FilterResult(kept, row["n_kept"], row["n_filtered_out"])
+
+
+def filter_by_group_rate(
+    df: DataFrame,
+    key: str,
+    indicator: Column,
+    min_rate: float | None = None,
+    max_rate: float | None = None,
+    rate_alias: str = "rate",
+    scale: int = 6,
+) -> DataFrame:
+    """Keep groups whose indicator-rate is inside [min_rate, max_rate].
+
+    The shared shape of the reference's stat-threshold filters:
+    ``remove_low_call_rate_vars`` (D1), ``filter_by_maf`` (D2),
+    ``filter_by_obs_het`` (D5) — aggregate per group, then HAVING.
+    Returns (key, rate) for surviving groups.
+    """
+    ind = F.when(indicator, F.lit(1.0)).otherwise(F.lit(0.0))
+    grouped = df.groupBy(key).agg(F.round(F.avg(ind), scale).alias(rate_alias))
+    cond = F.lit(True)
+    if min_rate is not None:
+        cond = cond & (F.col(rate_alias) >= min_rate)
+    if max_rate is not None:
+        cond = cond & (F.col(rate_alias) <= max_rate)
+    return grouped.filter(cond)
+
+
+def filter_in_ranges(
+    df: DataFrame,
+    ranges: DataFrame,
+    value: Column | str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Keep rows whose ``value`` falls in any [lo, hi) range.
+
+    ``variation6/filters.py::filter_variations_in_regions`` (D7): keep
+    variants inside genomic regions.  Implemented as a non-equi join;
+    with a small range table Spark plans a broadcast nested-loop join —
+    the right physical choice (ranges are tiny dimension data), and at
+    100 TB the fact side still streams with no shuffle.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    return df.join(
+        F.broadcast(ranges),
+        (v >= F.col(lo_col)) & (v < F.col(hi_col)),
+        "inner",
+    )
+
+
+def variable_groups(
+    df: DataFrame, key: str, category: str, min_distinct: int = 2
+) -> DataFrame:
+    """Groups with at least ``min_distinct`` distinct categories.
+
+    ``variation6/filters.py::keep_variable_variations`` (D8): drop
+    invariant sites (a single observed allele).
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.countDistinct(category).alias("n_categories"))
+        .filter(F.col("n_categories") >= min_distinct)
+    )
+
+
+def exactly_k_groups(
+    df: DataFrame, key: str, category: str, k: int = 2
+) -> DataFrame:
+    """Groups with exactly ``k`` distinct categories.
+
+    ``variation6/filters.py::keep_biallelic`` (D8): keep biallelic
+    sites (exactly two observed alleles).
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.countDistinct(category).alias("n_categories"))
+        .filter(F.col("n_categories") == k)
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (north star, SURVEY.md §2.2).
+
+Two tiers:
+
+- ``cosine_pairs_bruteforce`` / ``cosine_topk_query``: exact cosine,
+  the correctness baseline.  Pairwise form is O(n^2) and only for
+  bounded subsets; query form is a single scan (linear) and scales.
+- ``ann_lsh_topk``: random-hyperplane LSH — sign-bit signatures bucket
+  vectors so candidate generation is a hash join on the bucket key.
+  This is the 100 TB path: the full pairwise join never happens, and
+  the bucket key is uniform so the shuffle has no skew.
+
+All vector math is Catalyst higher-order functions in DOUBLE
+(functions/arrays.py) — JVM-side, codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from v6spark.functions.arrays import arr_dot, arr_norm_sq, cosine_similarity
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine similarity (id_a < id_b), optionally top-k.
+
+    Pre-computes each vector's squared norm once before the join so
+    the pair loop does one dot product, not three reductions.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        arr_norm_sq(vec_col).alias("_n2"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    sim = arr_dot(F.col("a._v"), F.col("b._v")) / (
+        F.sqrt(F.col("a._n2")) * F.sqrt(F.col("b._n2"))
+    )
+    out = pairs.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(sim, 6).alias("cosine"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(top_k)
+    return out
+
+
+def cosine_topk_query(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest to a literal query vector — one scan,
+    TakeOrderedAndProject, linear at any scale."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy RNG state
+    at plan time — reproducible plans)."""
+    import math
+
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u = ((state >> 11) / float(1 << 53)) * 2.0 - 1.0
+            v.append(u)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket_col(vec_col: str, n_planes: int, dim: int, seed: int = 7):
+    """Sign-bit LSH bucket id (long) for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(arr_dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+    return bucket
+
+
+def ann_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: exact cosine computed only
+    within LSH buckets (vectors sharing all sign bits)."""
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        arr_norm_sq(vec_col).alias("_n2"),
+        lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = arr_dot(F.col("a._v"), F.col("b._v")) / (
+        F.sqrt(F.col("a._n2")) * F.sqrt(F.col("b._n2"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

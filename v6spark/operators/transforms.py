@@ -1,0 +1,64 @@
+"""Row-wise transforms (SURVEY.md §2.1 B3-B6).
+
+All pure Catalyst expressions (CASE WHEN / map literals) — narrow ops
+that fuse into whole-stage codegen with the scan; zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import when
+
+
+def mask_low(df: DataFrame, value: str, threshold: float, out: str | None = None) -> DataFrame:
+    """Set ``value`` to NULL where it is below ``threshold``.
+
+    ``variation6/filters.py::min_depth_gt_to_missing`` (B4) /
+    ``min_qual_gt_to_missing`` (B5): genotypes backed by low
+    depth/quality become missing.  Sentinel (-1) encoding from the
+    reference is normalized to native NULL (SURVEY.md §1.1).
+    """
+    out = out or value
+    v = F.col(value)
+    return df.withColumn(out, when(v < threshold, F.lit(None)).otherwise(v))
+
+
+def recode(
+    df: DataFrame, col: str, mapping: Mapping[str, int], out: str
+) -> DataFrame:
+    """Map a categorical column through a small code table.
+
+    ``variation6::gts_as_mat012`` (B6): genotypes to {0,1,2} dosage.
+    Emitted as a CASE expression so Catalyst constant-folds it; a join
+    against a broadcast code table would also work but is overkill for
+    literal maps.
+    """
+    expr: Column = F.lit(None)
+    for k, v in mapping.items():
+        expr = when(F.col(col) == k, F.lit(v)).otherwise(expr)
+    return df.withColumn(out, expr.cast("int"))
+
+
+def subset_entities(
+    df: DataFrame, key: str, keep: Iterable[int | str], reverse: bool = False
+) -> DataFrame:
+    """Keep (or drop) rows whose ``key`` is in the literal set.
+
+    ``variation6/filters.py::filter_samples`` (B3): sample subsetting.
+    For literal lists an IN predicate pushes to the parquet scan; for a
+    large keep-set use a broadcast semi-join instead (see
+    ``subset_entities_df``).
+    """
+    cond = F.col(key).isin(list(keep))
+    return df.filter(~cond if reverse else cond)
+
+
+def subset_entities_df(
+    df: DataFrame, key: str, keep: DataFrame, reverse: bool = False
+) -> DataFrame:
+    """Semi/anti-join form of sample subsetting for non-literal sets."""
+    how = "left_anti" if reverse else "left_semi"
+    return df.join(F.broadcast(keep), on=key, how=how)

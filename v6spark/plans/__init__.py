@@ -1,0 +1,15 @@
+"""Declared-query registry (SURVEY.md §2.3 — the judged contract).
+
+Importing this package registers every declared query; each entry
+pairs a Spark plan builder with the equivalent DuckDB oracle SQL.
+"""
+
+from v6spark.plans.registry import REGISTRY, QuerySpec, register
+
+# Importing the tier modules populates REGISTRY.
+from v6spark.plans import m1_core  # noqa: F401,E402
+from v6spark.plans import m2_stats  # noqa: F401,E402
+from v6spark.plans import m3_relational  # noqa: F401,E402
+from v6spark.plans import m4_northstar  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,287 @@
+"""M2 tier — the reference's genomic statistics core (SURVEY.md §2.1 C/D).
+
+Allele-frequency-family reductions (shares, major/minor frequency,
+observed/expected heterozygosity), stat-threshold filters, and the
+array-column reductions that stand in for per-sample depth vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from v6spark.functions.arrays import arr_abs_sum
+from v6spark.operators import stats
+from v6spark.operators.filters import (
+    exactly_k_groups,
+    filter_by_group_rate,
+    variable_groups,
+)
+from v6spark.plans.registry import register
+from v6spark.sources.tables import load_table
+
+TIER = "m2_stats"
+
+
+@register(
+    "q_category_shares",
+    TIER,
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           round(n / sum(n) OVER (PARTITION BY c_nationkey), 6) AS share
+    FROM c
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_category_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allele frequencies (C3: calc_allele_freq) — counts / row total."""
+    cust = load_table(spark, sf_dir, "customer")
+    return stats.category_shares(cust, "c_nationkey", "c_mktsegment").orderBy(
+        "c_nationkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_maf_gt",
+    TIER,
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, round(max(n) / sum(n), 6) AS maf
+    FROM c GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_maf_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major-frequency from category counts (C4: calc_maf_by_gt)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats.major_category_freq(
+        orders, "o_orderpriority", "o_orderstatus"
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q_maf_depth",
+    TIER,
+    """
+    WITH s AS (
+      SELECT label,
+             list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT label, round(max(s) / sum(s), 6) AS maf
+    FROM s GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_maf_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-evidence major frequency (C5: calc_maf_by_allele_count).
+
+    The per-row vector reduction (abs-sum over the embedding, standing
+    in for the AD depth vector) runs as a Catalyst ``aggregate`` HOF —
+    JVM-side, sequential left fold in DOUBLE, bitwise-reproducible.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    per_row = emb.select("label", arr_abs_sum("embedding").alias("s"))
+    return (
+        per_row.groupBy("label")
+        .agg(F.round(F.max("s") / F.sum("s"), 6).alias("maf"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_mac",
+    TIER,
+    """
+    WITH c AS (
+      SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY 1, 2
+    )
+    SELECT p_brand, CAST(sum(n) - max(n) AS BIGINT) AS mac
+    FROM c GROUP BY p_brand
+    HAVING CAST(sum(n) - max(n) AS BIGINT) >= 1
+    ORDER BY p_brand
+    """,
+)
+def q_mac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor-category count (C6: calc_mac, D4: filter_by_mac)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        stats.minor_category_count(part, "p_brand", "p_type")
+        .filter(F.col("mac") >= 1)
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q_obs_het",
+    TIER,
+    """
+    SELECT user_id,
+           round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS het_rate
+    FROM events GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_obs_het(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed heterozygosity analog (C7: calc_obs_het)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.rate_of(
+        ev, ["user_id"], F.col("event_type") == "click", alias="het_rate"
+    ).orderBy("user_id")
+
+
+@register(
+    "q_obs_het_filter",
+    TIER,
+    """
+    SELECT user_id,
+           round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS het_rate
+    FROM events GROUP BY user_id
+    HAVING round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6)
+             BETWEEN 0.15 AND 0.25
+    ORDER BY user_id
+    """,
+)
+def q_obs_het_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Het-rate band filter (D5: filter_by_obs_het)."""
+    ev = load_table(spark, sf_dir, "events")
+    return filter_by_group_rate(
+        ev,
+        "user_id",
+        F.col("event_type") == "click",
+        min_rate=0.15,
+        max_rate=0.25,
+        rate_alias="het_rate",
+    ).orderBy("user_id")
+
+
+@register(
+    "q_exp_het",
+    TIER,
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), e AS (
+      SELECT c_nationkey,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           round((1.0 - CAST(sum_sq AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+                 * (CAST(n_total AS DOUBLE) / CAST(n_total - 1 AS DOUBLE)), 6) AS exp_het
+    FROM e
+    ORDER BY c_nationkey
+    """,
+)
+def q_exp_het(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nei's unbiased expected heterozygosity (C8: calc_unbiased_exp_het).
+
+    Computed from exact integer counts (sum n, sum n^2) so the double
+    arithmetic sequence is identical across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return stats.expected_het_unbiased(
+        cust, "c_nationkey", "c_mktsegment"
+    ).orderBy("c_nationkey")
+
+
+@register(
+    "q_callrate_filter",
+    TIER,
+    """
+    SELECT l_partkey,
+           round(avg(CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END), 6) AS call_rate
+    FROM lineitem GROUP BY l_partkey
+    HAVING round(avg(CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END), 6) >= 0.5
+    ORDER BY l_partkey
+    """,
+)
+def q_callrate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-rate threshold filter (D1: remove_low_call_rate_vars).
+
+    Aggregate-then-HAVING over the grouping key; one shuffle, and the
+    HAVING predicate runs post-aggregation on the (small) grouped set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return filter_by_group_rate(
+        li,
+        "l_partkey",
+        F.col("l_discount") >= 0.05,
+        min_rate=0.5,
+        rate_alias="call_rate",
+    ).orderBy("l_partkey")
+
+
+@register(
+    "q_variable_only",
+    TIER,
+    """
+    SELECT p_brand, count(DISTINCT p_type) AS n_categories
+    FROM part GROUP BY p_brand
+    HAVING count(DISTINCT p_type) >= 2
+    ORDER BY p_brand
+    """,
+)
+def q_variable_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-sites filter (D8: keep_variable_variations)."""
+    part = load_table(spark, sf_dir, "part")
+    return variable_groups(part, "p_brand", "p_type", min_distinct=2).orderBy(
+        "p_brand"
+    )
+
+
+@register(
+    "q_biallelic_only",
+    TIER,
+    """
+    SELECT l_partkey, count(DISTINCT l_returnflag) AS n_categories
+    FROM lineitem WHERE l_quantity >= 44
+    GROUP BY l_partkey
+    HAVING count(DISTINCT l_returnflag) = 2
+    ORDER BY l_partkey
+    """,
+)
+def q_biallelic_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biallelic-sites filter (D8: keep_biallelic) — exactly 2 observed
+    categories among high-quantity lineitems."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 44)
+    return exactly_k_groups(li, "l_partkey", "l_returnflag", k=2).orderBy(
+        "l_partkey"
+    )
+
+
+@register(
+    "q_array_funcs",
+    TIER,
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS abs_sum
+    FROM embeddings WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface (ext): size / element_at / aggregate HOF.
+
+    The reference's per-variant AD vector ops (C5) expressed with
+    Catalyst higher-order functions — all JVM-side, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(arr_abs_sum("embedding"), 6).alias("abs_sum"),
+    ).orderBy("vec_id")

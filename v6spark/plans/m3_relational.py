@@ -1,0 +1,563 @@
+"""M3 tier — the general relational surface (SURVEY.md §2.2).
+
+Joins (inner/multi/left/semi/anti/range/as-of), distinct and rollup
+aggregation, ranking/analytic/frame windows, top-k, set ops, and the
+scalar-function families (string/date/math/json).  The reference has
+none of these beyond the D7 range-intersection; they are what makes
+the engine a general query engine rather than a stats library.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from v6spark.functions.determinism import davg, dsum, o_davg, o_dsum
+from v6spark.operators.asof import asof_join_latest
+from v6spark.operators.filters import filter_in_ranges
+from v6spark.plans.registry import register
+from v6spark.sources.tables import load_table
+
+TIER = "m3_relational"
+
+def _revenue():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+O_REVENUE = "l_extendedprice * (1.0 - l_discount)"
+
+
+@register(
+    "q_join_inner",
+    TIER,
+    f"""
+    SELECT c_mktsegment, count(*) AS n, {o_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join fact->dim + aggregate.
+
+    customer is dimension-sized: Spark's AQE picks a broadcast hash
+    join (no shuffle of orders); at 100 TB the same plan holds as long
+    as the dim fits the broadcast threshold, else AQE falls back to
+    shuffled hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_join_multi",
+    TIER,
+    f"""
+    SELECT r_name, count(*) AS n, {o_dsum(O_REVENUE)} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 5-way star join (TPC-H Q5 shape) — revenue per region.
+
+    Join order follows the star: the big fact (lineitem) joins orders
+    (shuffle or broadcast per AQE stats), then the shrinking dimension
+    chain customer -> nation -> region rides broadcast joins.  nation
+    and region are hinted broadcast explicitly — they are tiny at any
+    scale factor and must never shuffle the fact side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q_join_left",
+    TIER,
+    """
+    SELECT c_nationkey,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — customers without orders still counted."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q_join_semi",
+    TIER,
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) — left_semi never duplicates or widens rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_join_anti",
+    TIER,
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ORDER BY p_partkey
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — parts never shipped."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_region_range_join",
+    TIER,
+    f"""
+    SELECT range_name, count(*) AS n, {o_dsum(O_REVENUE)} AS revenue
+    FROM lineitem
+    JOIN (VALUES ('early', DATE '1995-01-01', DATE '1997-06-01'),
+                 ('mid',   DATE '1997-06-01', DATE '1999-06-01'),
+                 ('late',  DATE '1999-06-01', DATE '2002-01-01'))
+         AS ranges(range_name, lo, hi)
+      ON CAST(l_shipdate AS DATE) >= lo AND CAST(l_shipdate AS DATE) < hi
+    GROUP BY range_name
+    ORDER BY range_name
+    """,
+)
+def q_region_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genomic-region range join (D7: filter_variations_in_regions).
+
+    Non-equi join against a 3-row literal range table: Spark plans a
+    broadcast nested-loop join — the fact side streams once, no
+    shuffle, which is exactly what survives a 100x scale-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ranges = spark.createDataFrame(
+        [
+            ("early", datetime.date(1995, 1, 1), datetime.date(1997, 6, 1)),
+            ("mid", datetime.date(1997, 6, 1), datetime.date(1999, 6, 1)),
+            ("late", datetime.date(1999, 6, 1), datetime.date(2002, 1, 1)),
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("range_name", T.StringType()),
+                T.StructField("lo", T.DateType()),
+                T.StructField("hi", T.DateType()),
+            ]
+        ),
+    )
+    joined = filter_in_ranges(
+        li.withColumn("ship_date", F.to_date("l_shipdate")), ranges, "ship_date"
+    )
+    return (
+        joined.groupBy("range_name")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
+        .orderBy("range_name")
+    )
+
+
+@register(
+    "q_join_asof",
+    TIER,
+    """
+    SELECT p.event_id AS p_event_id,
+           p.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY p_event_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior 'click' for each 'purchase' per user.
+
+    Uses the union+window implementation (operators/asof.py) — one
+    shuffle, linear cost.  The oracle states the same semantics as a
+    correlated LIMIT-1 subquery.  Timestamps compare as exact int64
+    nanoseconds on the Spark side (ts_ns), raw ns timestamps in DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts_ns"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_ns"
+    )
+    joined = asof_join_latest(
+        purchases, clicks, key="user_id", ts="ts_ns", payload="click_id"
+    )
+    return joined.select(
+        "p_event_id", "user_id", F.col("asof_click_id")
+    ).orderBy("p_event_id")
+
+
+@register(
+    "q_agg_distinct",
+    TIER,
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_agg_rollup",
+    TIER,
+    """
+    SELECT n_name, c_mktsegment, count(*) AS n,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           CAST(grouping(c_mktsegment) AS INT) AS g_segment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY g_nation, g_segment, n_name, c_mktsegment
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() flags disambiguating the NULL markers."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        )
+        .select("n_name", "c_mktsegment", "n", "g_nation", "g_segment")
+        .orderBy("g_nation", "g_segment", "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q_window_rank",
+    TIER,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer, total-order tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q_window_running",
+    TIER,
+    """
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 6) AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over an unbounded-preceding frame.
+
+    The accumulator is DECIMAL so the prefix sums are exact and
+    independent of each engine's frame-evaluation strategy (DuckDB
+    uses segment trees, Spark a running accumulator).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_window_lag",
+    TIER,
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag: per-user value delta, NULL on each first event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_sort_topk",
+    TIER,
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q_set_ops",
+    TIER,
+    """
+    SELECT 'except' AS op, custkey FROM (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      EXCEPT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+    ORDER BY op, custkey
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: EXCEPT and INTERSECT (distinct semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    negative = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ex = with_orders.subtract(negative).withColumn("op", F.lit("except"))
+    inter = with_orders.intersect(negative).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(inter).select("op", "custkey").orderBy("op", "custkey")
+
+
+@register(
+    "q_string_funcs",
+    TIER,
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           substring(p_name, 1, 8) AS name_pfx,
+           CAST(length(p_name) AS INT) AS name_len,
+           p_brand || '#' || p_type AS brand_type
+    FROM part
+    WHERE p_type LIKE 'S%'
+    ORDER BY p_partkey
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: upper/substring/length/concat/LIKE."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("S%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.substring("p_name", 1, 8).alias("name_pfx"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
+                "brand_type"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_date_funcs",
+    TIER,
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+           count(*) AS n,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_month
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions: date_trunc / extract, emitted as DATE/INT."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "q_math_funcs",
+    TIER,
+    f"""
+    SELECT l_returnflag,
+           {o_davg('sqrt(l_extendedprice)')} AS avg_sqrt_price,
+           round(avg(ln(l_extendedprice + 1.0)), 6) AS avg_ln_price,
+           {o_davg('abs(l_discount - 0.05)')} AS avg_absdev_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions: sqrt/ln/abs under aggregation.
+
+    sqrt and abs are IEEE-exact so they go through the decimal-exact
+    mean; ln is only faithfully rounded (engine libms may differ in the
+    last ULP) so it uses a plain double mean where per-row ULP noise
+    averages out far below the 1e-6 rounding grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            davg(F.sqrt(F.col("l_extendedprice"))).alias("avg_sqrt_price"),
+            F.round(F.avg(F.log(F.col("l_extendedprice") + 1.0)), 6).alias(
+                "avg_ln_price"
+            ),
+            davg(F.abs(F.col("l_discount") - 0.05)).alias("avg_absdev_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_json_funcs",
+    TIER,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: get_json_object -> typed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

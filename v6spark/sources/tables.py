@@ -1,0 +1,61 @@
+"""Parquet table loader for the test corpus (TESTDATA.md).
+
+Mirrors ``variation6/in_out/zarr.py::load_zarr`` (SURVEY.md §2.1 A1):
+the reference opens a chunked columnar store lazily; here each table is
+a lazy parquet scan — Catalyst handles column pruning and predicate
+pushdown, parquet row groups play the role of Zarr chunks.
+
+Special case: ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which
+Spark's TimestampType (microseconds) cannot represent natively.  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as raw
+int64 nanoseconds; the loader exposes BOTH:
+
+- ``ts``     TimestampType, microsecond precision.  The conversion uses
+  integer division (``ts DIV 1000``) — float division would lose
+  precision because 2024 epoch-nanos (~1.7e18) exceeds a double's 53-bit
+  integer range.  The corpus has zero sub-microsecond components, so the
+  conversion is lossless (verified at sf0.01).
+- ``ts_ns``  the raw int64 nanoseconds — the canonical ordering /
+  arithmetic key for windows, sessionization and as-of joins (exact,
+  timezone-free, cheap to compare).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from v6spark.session import ensure_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one corpus table; see module docstring."""
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every corpus table as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
