@@ -1,0 +1,115 @@
+"""Unit tests: near-duplicate family (MinHash-LSH, SimHash, n-gram
+Jaccard) and similarity search (brute force vs LSH-bucketed ANN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.operators import dedup, similarity
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"  # 1 token diff
+DOC_B = "completely different content about spark query engines and shuffles everywhere"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A)],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_prefix_key(docs):
+    out = dedup.dedup_exact(docs, F.col("text"), "doc_id")
+    got = {r["dedup_key"]: (r["keeper_id"], r["dup_count"]) for r in out.collect()}
+    assert got[DOC_A] == (1, 2)  # docs 1 and 4 identical, min id kept
+    assert got[DOC_B] == (3, 1)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(dedup.shingles_col("text", 3).alias("s")).collect()[0]
+    assert row["s"] == ["a b c", "b c d"]
+
+
+def test_minhash_identical_and_near(docs):
+    sig = docs.select(
+        "doc_id", dedup.minhash_signature("text", n_hashes=32).alias("sig")
+    )
+    got = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert got[1] == got[4]  # identical text -> identical signature
+    same_near = sum(a == b for a, b in zip(got[1], got[2]))
+    same_far = sum(a == b for a, b in zip(got[1], got[3]))
+    assert same_near > same_far  # near-dup agrees on more hashes
+
+
+def test_lsh_candidates_find_near_dup(docs):
+    cands = dedup.minhash_lsh_candidates(docs, n_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs  # unrelated docs don't collide
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(docs, cands, k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # 14 tokens -> 12 shingles each; docs 1/2 differ only in the last
+    # token, so exactly one shingle differs: |inter|=11, |union|=13
+    assert got[(1, 2)] == pytest.approx(11 / 13, abs=1e-6)
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash(docs):
+    out = dedup.simhash_signature(docs)
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert got[1] == got[4]
+    ham_near = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_bruteforce_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 2.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_pairs_bruteforce(df)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert got[(1, 2)] == 0.0
+    assert got[(3, 4)] == 1.0
+    assert got[(1, 3)] == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_cosine_topk_query(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = similarity.cosine_topk_query(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
+    from v6spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_bruteforce(emb).collect()
+    }
+    ann = similarity.ann_lsh_pairs(emb, n_planes=4, dim=64).collect()
+    assert len(ann) > 0
+    for r in ann:  # every ANN pair exists in brute force with same cosine
+        assert brute[(r["id_a"], r["id_b"])] == r["cosine"]
+    # identical vectors always share every bucket: self-consistency
+    dup = emb.limit(1).collect()[0]
+    dup_df = spark.createDataFrame(
+        [(999, dup["embedding"]), (1000, dup["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    pair = similarity.ann_lsh_pairs(dup_df, n_planes=8, dim=64).collect()
+    assert len(pair) == 1 and pair[0]["cosine"] == 1.0

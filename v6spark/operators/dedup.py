@@ -15,13 +15,17 @@ uniform by construction, so there is no skew hot-spot at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic affine-permutation parameters for the MinHash family:
-# h_i(x) = (A_i * x + B_i) mod 2^61-1, seeded constants (no RNG at plan
-# time so plans are reproducible run-to-run).
-MERSENNE61 = (1 << 61) - 1
+# h_i(x) = (A_i * x + B_i) mod 2^31-1, seeded constants (no RNG at plan
+# time so plans are reproducible run-to-run).  The modulus is 31-bit so
+# a*x stays inside int64 — Spark 4 runs ANSI mode by default and a
+# 61-bit modulus would overflow LongType multiplication.
+MERSENNE31 = (1 << 31) - 1
 
 
 def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -35,7 +39,7 @@ def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
             z = state
             z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
             z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            out.append((z ^ (z >> 31)) % MERSENNE61)
+            out.append((z ^ (z >> 31)) % MERSENNE31)
         params.append((out[0] | 1, out[1]))
     return params
 
@@ -69,17 +73,16 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Col
     permutations each reduced with array_min — all Catalyst HOFs.
     """
     base = F.transform(
-        shingles_col(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE61))
+        shingles_col(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
     )
+
+    def perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the lambda
+        # arity PySpark infers for the higher-order function
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                base,
-                lambda h, a=a, b=b: F.pmod(
-                    h * F.lit(a) + F.lit(b), F.lit(MERSENNE61)
-                ),
-            )
-        )
+        F.array_min(F.transform(base, perm(a, b)))
         for a, b in _perm_params(n_hashes)
     ]
     return F.array(*sigs)
@@ -218,7 +221,6 @@ def simhash_signature(
     Near-dups are then pairs within small Hamming distance; bucketing
     on bit-prefixes makes that a join, not a scan.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -229,7 +231,9 @@ def simhash_signature(
         for i, hs in enumerate(hashes):
             if hs is None or len(hs) == 0:
                 continue
-            arr = np.asarray(hs, dtype=np.uint64)
+            # xxhash64 emits signed int64; reinterpret the bits as
+            # uint64 (a direct uint64 cast of negatives raises in numpy)
+            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
             bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                 np.int64
             )
@@ -242,6 +246,6 @@ def simhash_signature(
 
     hashed = df.select(
         F.col(id_col),
-        F.transform(tokens_col(text_col), F.xxhash64).alias("_th"),
+        F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
     )
     return hashed.select(id_col, _simhash("_th").alias("simhash"))

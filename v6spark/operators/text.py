@@ -121,10 +121,11 @@ def doc_fingerprint(text: Column | str, out: str = "fingerprint") -> Column:
     """Order-sensitive 61-bit rolling hash over tokens.
 
     Polynomial rolling hash: acc = acc*131 + xxhash64(token) (mod
-    2^61-1) — a content fingerprint that, unlike a set hash, changes
-    when token order changes.  Pure Catalyst ``aggregate`` fold.
+    2^31-1) — a content fingerprint that, unlike a set hash, changes
+    when token order changes.  Pure Catalyst ``aggregate`` fold.  The
+    31-bit modulus keeps acc*131 + h inside int64 under ANSI mode.
     """
-    m = (1 << 61) - 1
+    m = (1 << 31) - 1
     return F.aggregate(
         tokens_col(text),
         F.lit(0).cast("long"),
