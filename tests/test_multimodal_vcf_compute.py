@@ -1,0 +1,127 @@
+"""Tests: multimodal plumbing (fake-decode path + stub contract),
+VCF ingest parser, and the compute() materialization helper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.compute import compute
+from v6spark.operators import multimodal as mm
+from v6spark.operators.filters import filter_rows
+from v6spark.sources.vcf import read_vcf, vcf_sample_names
+
+VCF_TEXT = """\
+##fileformat=VCFv4.2
+##INFO=<ID=NS,Number=1,Type=Integer,Description="n">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2\tNA3
+chr1\t100\trs1\tA\tT\t50.0\tPASS\tNS=3\tGT:DP:GQ\t0/0:10:99\t0/1:20:80\t./.:.:.
+chr1\t200\t.\tG\tC,T\t.\tPASS\tNS=3\tGT:DP\t1|2:5\t0/0:7\t0/1:.
+chr2\t300\trs3\tC\tG\t9.5\tq10\tNS=2\tDP:GT\t4:0/0\t8:1/1\t.:./1
+"""
+
+
+@pytest.fixture(scope="module")
+def vcf_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vcf") / "tiny.vcf"
+    p.write_text(VCF_TEXT)
+    return str(p)
+
+
+def test_vcf_sample_names(spark, vcf_path):
+    assert vcf_sample_names(spark, vcf_path) == ["NA1", "NA2", "NA3"]
+
+
+def test_vcf_variants(spark, vcf_path):
+    variants, _ = read_vcf(spark, vcf_path)
+    rows = {r["variant_id"]: r for r in variants.collect()}
+    assert len(rows) == 3
+    v1 = rows["chr1:100"]
+    assert (v1["chrom"], v1["pos"], v1["vcf_id"], v1["ref"]) == ("chr1", 100, "rs1", "A")
+    assert v1["alt"] == ["T"] and v1["qual"] == 50.0
+    v2 = rows["chr1:200"]
+    assert v2["vcf_id"] is None and v2["qual"] is None  # '.' -> NULL
+    assert v2["alt"] == ["C", "T"]  # multi-allelic
+
+
+def test_vcf_calls_long_format(spark, vcf_path):
+    _, calls = read_vcf(spark, vcf_path)
+    got = {(r["variant_id"], r["sample_id"]): r for r in calls.collect()}
+    assert len(got) == 9  # 3 variants x 3 samples
+    assert got[("chr1:100", "NA1")]["gt"] == [0, 0]
+    assert got[("chr1:100", "NA1")]["dp"] == 10
+    assert got[("chr1:100", "NA3")]["gt"] == [None, None]  # ./. -> NULLs
+    assert got[("chr1:100", "NA3")]["dp"] is None
+    assert got[("chr1:200", "NA1")]["gt"] == [1, 2]  # phased | separator
+    assert got[("chr1:200", "NA1")]["gq"] is None  # GQ absent from FORMAT
+    # FORMAT order differs on chr2 (DP:GT) — field lookup is positional
+    assert got[("chr2:300", "NA1")]["gt"] == [0, 0]
+    assert got[("chr2:300", "NA1")]["dp"] == 4
+    assert got[("chr2:300", "NA3")]["gt"] == [None, 1]
+
+
+def test_vcf_feeds_stats(spark, vcf_path):
+    # the ingest output flows straight into the genomic operators
+    from v6spark.operators.stats import rate_of
+
+    _, calls = read_vcf(spark, vcf_path)
+    miss = rate_of(
+        calls,
+        ["variant_id"],
+        F.col("gt")[0].isNull() & F.col("gt")[1].isNull(),
+        "miss_rate",
+    )
+    got = {r["variant_id"]: r["miss_rate"] for r in miss.collect()}
+    assert got["chr1:100"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["chr1:200"] == 0.0
+
+
+def test_multimodal_fake_decode(spark):
+    media = mm.synth_media(spark, 30)
+    decoded = mm.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    assert all(16 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 3 for r in rows)
+    # determinism: second run identical
+    again = mm.decode_media(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_path_is_stubbed(spark):
+    media = mm.synth_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
+        mm.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_features_compose_with_similarity(spark):
+    from v6spark.operators.similarity import cosine_pairs_bruteforce
+
+    media = mm.synth_media(spark, 20)
+    feats = mm.extract_features(media, fake=True).withColumnRenamed(
+        "media_id", "vec_id"
+    ).withColumnRenamed("feature", "embedding")
+    pairs = cosine_pairs_bruteforce(feats)
+    assert pairs.count() == 20 * 19 // 2
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in pairs.collect())
+
+
+def test_frame_sample(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.frame_sample(media, every_n=10, fake=True)
+    rows = frames.collect()
+    assert len(rows) > 0
+    assert all(r["frame_idx"] % 10 == 0 for r in rows)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len({r["media_id"] for r in rows}) == n_videos
+
+
+def test_compute_nested_and_filterresult(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], "v int")
+    fr = filter_rows(df, F.col("v") >= 3)
+    out = compute(
+        {"all": df, "nested": {"kept": fr}, "scalar": 42},
+        shared=[df],
+    )
+    assert len(out["all"]) == 6
+    assert out["nested"]["kept"]["n_kept"] == 3
+    assert out["scalar"] == 42

@@ -1,0 +1,111 @@
+"""Structured Streaming variants of the event-table operators.
+
+The judged queries run the batch analogs (SURVEY.md §2.3
+q_event_tumbling / q_event_session — no deterministic oracle exists
+for streaming emission timing); these transformations are the
+streaming-native forms.  Every function takes a DataFrame that may be
+BATCH or STREAMING — the same logical plan serves both, which is the
+point of the unified API (and how the tests pin streaming semantics:
+run the identical transformation in batch and compare).
+
+Event-time correctness: watermarks bound state for late data;
+``session_window`` implements the same 30-minute-gap rule as the
+batch gaps-and-islands operator (operators/sessionize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from v6spark.functions.determinism import dsum
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over an events directory (parquet parts).
+
+    ``maxFilesPerTrigger`` paces micro-batches so watermarks advance
+    between files — the local stand-in for a Kafka-style source.
+    """
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def tumbling(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window: count + exact sum per bucket."""
+    src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
+    return src.groupBy(F.window("ts", window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+
+
+def sliding(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window — each event lands in window/slide buckets."""
+    src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
+    return src.groupBy(F.window("ts", window, slide).alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+    )
+
+
+def sessionized(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation via ``session_window`` (dynamic-gap
+    event-time sessions — the streaming twin of
+    ``operators.sessionize.sessionize``)."""
+    src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
+    return src.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    ).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a (finite) file-source stream into an in-memory table —
+    the test/demo runner.  Uses availableNow so the query terminates
+    after consuming existing files."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
