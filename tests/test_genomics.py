@@ -1,0 +1,150 @@
+"""Golden tests for the Variations facade — the reference's own test
+pattern (tiny fixture, hand-computed expectations; SURVEY.md §5.1),
+including the reference's composed-pipeline example (§3.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark import genomics as g
+from v6spark.genomics import FLT_VARS, N_FILTERED_OUT, N_KEPT, Variations
+
+VCF_TEXT = """\
+##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3\ts4
+chr1\t100\trs1\tA\tT\t50\tPASS\t.\tGT:DP:GQ\t0/0:10:99\t0/1:20:90\t1/1:30:85\t./.:.:.
+chr1\t200\trs2\tG\tC\t90\tPASS\t.\tGT:DP:GQ\t0/0:4:99\t0/0:50:99\t0/0:50:99\t0/0:50:99
+chr2\t300\trs3\tC\tG\t10\tPASS\t.\tGT:DP:GQ\t0/1:15:50\t0/1:15:50\t1/1:15:99\t0/0:15:99
+chr2\t400\trs4\tT\tA\t99\tPASS\t.\tGT:DP:GQ\t./.:.:.\t./.:.:.\t./.:.:.\t0/1:9:99
+"""
+
+
+@pytest.fixture(scope="module")
+def vs(spark, tmp_path_factory) -> Variations:
+    p = tmp_path_factory.mktemp("gvcf") / "g.vcf"
+    p.write_text(VCF_TEXT)
+    return Variations.from_vcf(spark, str(p))
+
+
+def by_var(df, col):
+    return {r["variant_id"]: r[col] for r in df.collect()}
+
+
+def test_container_surface(vs):
+    assert vs.samples == ["s1", "s2", "s3", "s4"]
+    assert vs.num_variations == 4
+    assert g.GT_FIELD in vs.keys()
+    assert vs[g.QUAL_FIELD].columns == ["variant_id", "qual"]
+    assert vs[g.GT_FIELD].count() == 16
+
+
+def test_calc_missing_and_called(vs):
+    miss = by_var(g.calc_missing_gt(vs), "missing_rate")
+    assert miss == {"chr1:100": 0.25, "chr1:200": 0.0, "chr2:300": 0.0, "chr2:400": 0.75}
+    n_called = by_var(g.calc_called_gt(vs, rates=False), "n_called")
+    assert n_called["chr2:400"] == 1
+
+
+def test_maf_mac_het(vs):
+    maf = by_var(g.calc_maf_by_gt(vs), "maf")
+    # chr1:100 called alleles: 0,0,0,1,1,1 -> maf 0.5
+    assert maf["chr1:100"] == 0.5
+    assert maf["chr1:200"] == 1.0
+    # chr2:300: alleles 0,1,0,1,1,1,0,0 -> 4/8
+    assert maf["chr2:300"] == 0.5
+    mac = by_var(g.calc_mac(vs), "mac")
+    assert mac == {"chr1:100": 3, "chr1:200": 0, "chr2:300": 4, "chr2:400": 1}
+    het = by_var(g.calc_obs_het(vs), "obs_het")
+    assert het["chr1:100"] == pytest.approx(1 / 3, abs=1e-6)
+    assert het["chr1:200"] == 0.0
+    assert het["chr2:300"] == 0.5
+    assert het["chr2:400"] == 1.0
+
+
+def test_exp_het(vs):
+    # chr1:100: counts (3,3), n=6 -> (1 - 0.5)*6/5 = 0.6
+    exp = by_var(g.calc_unbiased_exp_het(vs), "exp_het")
+    assert exp["chr1:100"] == pytest.approx(0.6, abs=1e-6)
+    assert exp["chr1:200"] == 0.0
+
+
+def test_allele_freq_and_counts(vs):
+    counts = g.count_alleles(vs)
+    got = {(r["variant_id"], r["allele"]): r["n"] for r in counts.collect()}
+    assert got[("chr1:100", 0)] == 3 and got[("chr1:100", 1)] == 3
+    freq = g.calc_allele_freq(vs)
+    fget = {(r["variant_id"], r["allele"]): r["freq"] for r in freq.collect()}
+    assert fget[("chr2:300", 1)] == 0.5
+
+
+def test_mat012(vs):
+    dosage = {
+        (r["variant_id"], r["sample_id"]): r["dosage"]
+        for r in g.gts_as_mat012(vs).collect()
+    }
+    assert dosage[("chr1:100", "s1")] == 0
+    assert dosage[("chr1:100", "s2")] == 1
+    assert dosage[("chr1:100", "s3")] == 2
+    assert dosage[("chr1:100", "s4")] is None
+
+
+def test_depth_masking(vs):
+    masked = g.min_depth_gt_to_missing(vs, min_depth=10)
+    miss = by_var(g.calc_missing_gt(masked), "missing_rate")
+    # chr1:200 s1 has DP=4 -> masked; chr2:400 s4 DP=9 -> masked (now all 4 missing)
+    assert miss["chr1:200"] == 0.25
+    assert miss["chr2:400"] == 1.0
+
+
+def test_filter_samples(vs):
+    sub = g.filter_samples(vs, ["s1", "s2"])
+    assert sub.samples == ["s1", "s2"]
+    rev = g.filter_samples(vs, ["s1"], reverse=True)
+    assert rev.samples == ["s2", "s3", "s4"]
+
+
+def test_call_rate_filter_contract(vs):
+    res = g.remove_low_call_rate_vars(vs, min_call_rate=0.5)
+    assert set(res) == {FLT_VARS, N_KEPT, N_FILTERED_OUT}
+    assert res[N_KEPT] == 3 and res[N_FILTERED_OUT] == 1
+    kept_ids = {r["variant_id"] for r in res[FLT_VARS].variants.collect()}
+    assert "chr2:400" not in kept_ids
+    # calls pruned consistently
+    assert res[FLT_VARS].calls.filter(F.col("variant_id") == "chr2:400").count() == 0
+
+
+def test_maf_and_qual_filters(vs):
+    res = g.filter_by_maf(vs, max_allowable_maf=0.95)
+    assert res[N_KEPT] == 3  # chr1:200 (maf 1.0) dropped
+    res2 = g.filter_by_snp_qual(vs, min_qual=50)
+    assert res2[N_KEPT] == 3  # chr2:300 qual 10 dropped
+
+
+def test_region_filter(vs):
+    res = g.filter_variations_in_regions(vs, [("chr1", 100, 200)])
+    assert {r["variant_id"] for r in res[FLT_VARS].variants.collect()} == {"chr1:100"}
+    rev = g.filter_variations_in_regions(vs, [("chr1", 100, 200)], reverse=True)
+    assert rev[N_KEPT] == 3
+
+
+def test_variable_and_biallelic(vs):
+    assert g.keep_variable_variations(vs)[N_KEPT] == 3  # chr1:200 invariant
+    assert g.keep_biallelic(vs)[N_KEPT] == 3
+
+
+def test_reference_pipeline_composition(vs, spark):
+    """The reference's §3.2 composed pipeline, verbatim shape."""
+    from v6spark.compute import compute
+
+    r1 = g.remove_low_call_rate_vars(vs, min_call_rate=0.5)
+    r2 = g.filter_by_maf(r1[FLT_VARS], max_allowable_maf=0.95)
+    r3 = g.filter_samples(r2[FLT_VARS], ["s1", "s2", "s3"])
+    result = compute(
+        {
+            "vars": r3.variants,
+            "counts": {"cr": r1[N_KEPT], "maf": r2[N_KEPT]},
+        }
+    )
+    assert result["counts"] == {"cr": 3, "maf": 2}
+    assert {r["variant_id"] for r in result["vars"]} == {"chr1:100", "chr2:300"}
