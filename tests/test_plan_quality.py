@@ -1,0 +1,90 @@
+"""Physical-plan regression tests — the 100 TB design gate.
+
+Correctness says the answer is right at sf0.01; these assertions say
+the PLAN would still be right at 1000x: predicates reach the parquet
+scan, scans read only needed columns, dimension joins broadcast
+instead of shuffling the fact side, top-k never global-sorts, and no
+declared query falls back to row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from v6spark.plans import REGISTRY
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return [l.split("ReadSchema:", 1)[1] for l in plan.splitlines() if "ReadSchema:" in l]
+
+
+def test_predicates_push_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_filter_pred", sf_dir)
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # 5 of 11 lineitem columns — the scan must not read the rest
+    (schema,) = read_schemas(plan_of(spark, "q_scan_project", sf_dir))
+    assert "l_orderkey" in schema and "l_discount" not in schema
+    assert schema.count(":") == 5
+
+
+def test_flagship_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "q_join_multi", sf_dir)
+    # every dim side broadcast: the fact table is never shuffled for a
+    # join (tree lines only — the detail section repeats node names)
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 4
+    assert "SortMergeJoin" not in plan
+    # fact scan pruned to join key + revenue inputs
+    fact_schema = read_schemas(plan)[0]
+    assert fact_schema.count(":") == 3
+
+
+def test_in_list_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "q_sample_subset", sf_dir)
+    assert "In(user_id" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "q_sort_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = plan_of(spark, "q_join_semi", sf_dir)
+    anti = plan_of(spark, "q_join_anti", sf_dir)
+    assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_range_join_broadcasts_ranges(spark, sf_dir):
+    plan = plan_of(spark, "q_region_range_join", sf_dir)
+    # tiny literal range table must broadcast (nested-loop), fact streams
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_in_declared_plans(name, spark, sf_dir):
+    # the judged queries must stay JVM-side end-to-end (SURVEY.md §2.1:
+    # no UDFs in the declared set); Pandas UDFs are allowed only in the
+    # non-judged operator library (simhash, multimodal)
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_single_window_shuffle(spark, sf_dir):
+    # union+window as-of: exactly one hashpartitioning exchange for the
+    # window (plus the final output ordering) — never a pairwise join
+    plan = plan_of(spark, "q_join_asof", sf_dir)
+    assert "Window" in plan
+    assert "Join" not in plan  # no O(n x m) fallback
