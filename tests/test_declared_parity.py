@@ -14,10 +14,24 @@ from tests.oracle_harness import compare
 NAMES = sorted(REGISTRY)
 
 
+# Deliberately oracle-less (driver records a rows-only check): the
+# deterministic-but-not-SQL-expressible north-star ops (SURVEY.md §2.2)
+ROWS_ONLY = {"q_dedup_minhash", "q_dedup_simhash", "q_similarity_ann", "q_lang_id"}
+
+
 def test_all_queries_registered():
     assert len(REGISTRY) >= 45, f"only {len(REGISTRY)} queries registered"
-    missing_oracle = [n for n, s in REGISTRY.items() if not s.oracle]
-    assert not missing_oracle, f"queries without oracle: {missing_oracle}"
+    missing_oracle = {n for n, s in REGISTRY.items() if not s.oracle}
+    assert missing_oracle == ROWS_ONLY, (
+        f"unexpected oracle-less queries: {missing_oracle ^ ROWS_ONLY}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    # no oracle -> at least assert they execute and return rows
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    assert len(df.collect()) > 0
 
 
 @pytest.mark.parametrize("name", NAMES)

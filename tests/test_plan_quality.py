@@ -73,13 +73,24 @@ def test_range_join_broadcasts_ranges(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+)
 def test_no_python_in_declared_plans(name, spark, sf_dir):
-    # the judged queries must stay JVM-side end-to-end (SURVEY.md §2.1:
-    # no UDFs in the declared set); Pandas UDFs are allowed only in the
-    # non-judged operator library (simhash, multimodal)
+    # oracle-checked queries must stay JVM-side end-to-end (SURVEY.md
+    # §2.1: no UDFs in the declared set); Arrow-batched Python is
+    # allowed only in the rows-only extras (SimHash bit votes) and the
+    # multimodal kernels
     plan = plan_of(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_python_is_arrow_batched(spark, sf_dir):
+    # the one Python stage in the query surface must be vectorized,
+    # never row-at-a-time
+    plan = plan_of(spark, "q_dedup_simhash", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_asof_single_window_shuffle(spark, sf_dir):

@@ -14,9 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import dsum, o_dsum
-from v6spark.operators.dedup import dedup_exact
+from v6spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    simhash_signature,
+)
 from v6spark.operators.sessionize import session_counts
-from v6spark.operators.similarity import cosine_pairs_bruteforce
+from v6spark.operators.similarity import ann_lsh_pairs, cosine_pairs_bruteforce
+from v6spark.operators.text import lang_id, quality_features
 from v6spark.plans.registry import register
 from v6spark.sources.tables import load_table
 
@@ -167,3 +172,96 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return session_counts(ev, gap_minutes=30).orderBy("user_id")
+
+
+@register(
+    "q_text_quality",
+    TIER,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x IN ('the','and','of','to','in','is','that','for')))
+               AS stop_hits,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             greatest(length(text), 1) AS n_chars
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5, 6)
+             AS quality_score
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (north star: quality scoring).
+
+    Length / punctuation-ratio / stopword-ratio heuristics — the cheap
+    pre-model quality pass of a pretraining pipeline, all Catalyst
+    expressions (operators/text.py::quality_features).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    ).orderBy("doc_id")
+
+
+@register("q_dedup_minhash", TIER, None)  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates (north star: near-dedup).
+
+    Deterministic (seeded affine permutations) but not SQL-oracle-
+    expressible — DuckDB lacks xxhash64 — so the driver records the
+    rows-only check (SURVEY.md §2.2).  Scale shape: signature ->
+    band-explode -> hash-shuffle on uniform band buckets; the all-pairs
+    join never materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, n_hashes=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("q_dedup_simhash", TIER, None)  # rows-only: Arrow-UDF bit votes
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (north star: near-dedup family).
+
+    JVM-side token hashing + Arrow-batched majority vote — the
+    documented Pandas-UDF slow path, used because 64 per-bit votes is
+    the one kernel Catalyst can't express cheaply.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signature(docs).orderBy("doc_id")
+
+
+@register("q_similarity_ann", TIER, None)  # rows-only: LSH bucket assignment
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate near-neighbor pairs (north star: the
+    scale path for similarity search).
+
+    Exact cosine is computed only within sign-bit buckets; tested for
+    consistency against brute force in tests/test_dedup_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_pairs(emb, n_planes=6, dim=64, min_cosine=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("q_lang_id", TIER, None)  # rows-only: profile argmax, no SQL twin kept
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by stopword-profile argmax (north star:
+    language-ID heuristic) — per (lang, pred_lang) confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
