@@ -1,0 +1,87 @@
+"""Tests: IVF ANN self-consistency and the stateful streaming operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.operators.similarity import (
+    ann_ivf_topk,
+    cosine_topk_query,
+    deterministic_centroids,
+    ivf_assign_cells,
+)
+from v6spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+
+
+def test_ivf_cells_partition_dataset(spark, emb):
+    cents = deterministic_centroids(emb, n_cells=8)
+    assigned = ivf_assign_cells(emb, cents)
+    assert assigned.count() == emb.count()  # total preserved
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_ivf_query_matches_bruteforce_on_probed_cells(spark, emb):
+    cents = deterministic_centroids(emb, n_cells=8)
+    query = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    got = ann_ivf_topk(emb, query, cents, k=5, n_probe=3).collect()
+    # self-consistency: identical to exact top-k restricted to probed cells
+    assigned = ivf_assign_cells(emb, cents)
+    probed_cells = {r["cell"] for r in assigned.join(
+        ann_ivf_topk(emb, query, cents, k=200, n_probe=3).select("vec_id"),
+        "vec_id", "left_semi").select("cell").distinct().collect()}
+    restricted = assigned.filter(F.col("cell").isin(list(probed_cells)))
+    want = cosine_topk_query(restricted, query, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # the query vector is in the dataset -> must find itself at cosine 1
+    assert got[0]["cosine"] == 1.0
+
+
+def test_ivf_probe_all_equals_bruteforce(spark, emb):
+    cents = deterministic_centroids(emb, n_cells=4)
+    query = [float(x) for x in emb.orderBy(F.col("vec_id").desc()).limit(1).collect()[0]["embedding"]]
+    full = cosine_topk_query(emb, query, k=10).collect()
+    ivf_all = ann_ivf_topk(emb, query, cents, k=10, n_probe=4).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in ivf_all]
+
+
+def test_stateful_session_counts_single_batch(spark, sf_dir, tmp_path_factory):
+    """One micro-batch over the whole corpus: the stateful operator's
+    final counts must equal the batch gaps-and-islands operator."""
+    from v6spark.operators.sessionize import session_counts
+    from v6spark.streaming.stateful import stateful_session_counts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
+    out_dir = str(tmp_path_factory.mktemp("stateful_src"))
+    ev.coalesce(1).write.mode("overwrite").parquet(out_dir)  # one file -> one batch
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ns long, event_id long")
+        .parquet(out_dir)
+    )
+    q = (
+        stateful_session_counts(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    want = {
+        r["user_id"]: r["n_sessions"]
+        for r in session_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want

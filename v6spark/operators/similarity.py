@@ -134,3 +134,81 @@ def ann_lsh_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# ---- IVF (inverted-file) ANN — the cell-probing scale path ----------
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin).
+
+    Centroids are a literal broadcast structure; the argmin is an
+    ``array_min`` over (distance, cell) structs — pure Catalyst, one
+    narrow pass.  At scale this column becomes the partition key of the
+    stored index, so a query touches only probed cells' files.
+    """
+    cells = []
+    for idx, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                cvec,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cells.append(F.struct(dist.alias("dist"), F.lit(idx).alias("cell")))
+    best = F.array_min(F.array(*cells))
+    return df.select(
+        F.col(id_col), F.col(vec_col), best["cell"].alias("cell")
+    )
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse quantizer without an iterative trainer: the n_cells
+    lowest-id vectors serve as seeds (deterministic, library-free).
+    A production build would run k-means (Spark MLlib) here; every
+    downstream step is identical either way.
+    """
+    rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: probe the n_probe nearest cells, exact cosine within.
+
+    The driver computes the query's cell ranking (tiny, pure Python);
+    the cluster-side work is a cell-pruned scan + TakeOrderedAndProject
+    — cost ~ n_probe/n_cells of brute force.
+    """
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = ranked[:n_probe]
+    assigned = ivf_assign_cells(df, centroids, id_col, vec_col)
+    return cosine_topk_query(
+        assigned.filter(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
+    )
