@@ -57,6 +57,7 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
+        print(f"[bench] {name}: {per_query[name]}s", file=sys.stderr)
 
     total = round(sum(per_query.values()), 4)
     qs = sorted(per_query.values())
