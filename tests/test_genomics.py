@@ -148,3 +148,24 @@ def test_reference_pipeline_composition(vs, spark):
     )
     assert result["counts"] == {"cr": 3, "maf": 2}
     assert {r["variant_id"] for r in result["vars"]} == {"chr1:100", "chr2:300"}
+
+
+def test_setitem_variant_field(vs):
+    maf = g.calc_maf_by_gt(vs)
+    vs2 = Variations(vs.variants, vs.calls)
+    vs2["/variations/maf"] = maf
+    back = vs2["/variations/maf"]
+    assert set(back.columns) == {"variant_id", "maf"}
+    got = {r["variant_id"]: r["maf"] for r in back.collect()}
+    assert got["chr1:100"] == 0.5
+    assert "/variations/maf" in vs2.keys()
+
+
+def test_setitem_call_field_and_shape_check(vs):
+    vs2 = Variations(vs.variants, vs.calls)
+    vs2["/calls/dosage"] = g.gts_as_mat012(vs2)
+    assert vs2["/calls/dosage"].count() == 16
+    with pytest.raises(ValueError, match="exactly one"):
+        vs2["/calls/bad"] = vs2.calls  # too many value columns
+    with pytest.raises(KeyError):
+        vs2["elsewhere/x"] = g.calc_maf_by_gt(vs2)

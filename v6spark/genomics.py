@@ -101,16 +101,54 @@ class Variations:
         self.calls.write.mode(mode).parquet(f"{dir_path}/calls.parquet")
 
     def __getitem__(self, field: str) -> DataFrame:
-        if field in _VARIANT_FIELDS:
+        if field in _VARIANT_FIELDS and _VARIANT_FIELDS[field] in self.variants.columns:
             return self.variants.select("variant_id", _VARIANT_FIELDS[field])
-        if field in _CALL_FIELDS:
+        if field in _CALL_FIELDS and _CALL_FIELDS[field] in self.calls.columns:
             return self.calls.select(
                 "variant_id", "sample_id", _CALL_FIELDS[field]
             )
+        name = field.rsplit("/", 1)[-1]
+        if field.startswith("/variations/") and name in self.variants.columns:
+            return self.variants.select("variant_id", name)
+        if field.startswith("/calls/") and name in self.calls.columns:
+            return self.calls.select("variant_id", "sample_id", name)
         raise KeyError(field)
 
+    def __setitem__(self, field: str, df: DataFrame) -> None:
+        """Field assignment with shape conformance (B2:
+        ``Variations.__setitem__``): a ``/variations/*`` field must be
+        keyed by variant_id, a ``/calls/*`` field by (variant_id,
+        sample_id), carrying exactly one value column; the reference's
+        (n_variants, n_samples) array-shape check becomes a key-schema
+        check plus a join-assign.
+        """
+        name = field.rsplit("/", 1)[-1]
+        if field.startswith("/variations/"):
+            keys = ["variant_id"]
+        elif field.startswith("/calls/"):
+            keys = ["variant_id", "sample_id"]
+        else:
+            raise KeyError(f"field path must start /variations/ or /calls/: {field}")
+        value_cols = [c for c in df.columns if c not in keys]
+        if sorted(set(keys) & set(df.columns)) != sorted(keys) or len(value_cols) != 1:
+            raise ValueError(
+                f"assigning {field} requires columns {keys} + exactly one "
+                f"value column, got {df.columns}"
+            )
+        payload = df.select(*keys, F.col(value_cols[0]).alias(name))
+        if keys == ["variant_id"]:
+            self.variants = self.variants.drop(name).join(payload, keys, "left")
+        else:
+            self.calls = self.calls.drop(name).join(payload, keys, "left")
+
     def keys(self) -> list[str]:
-        return [*_VARIANT_FIELDS, *_CALL_FIELDS]
+        known = [*_VARIANT_FIELDS, *_CALL_FIELDS]
+        std_variant = set(_VARIANT_FIELDS.values()) | {"variant_id"}
+        std_call = set(_CALL_FIELDS.values()) | {"variant_id", "sample_id"}
+        extra = [
+            f"/variations/{c}" for c in self.variants.columns if c not in std_variant
+        ] + [f"/calls/{c}" for c in self.calls.columns if c not in std_call]
+        return known + extra
 
     @property
     def samples(self) -> list[str]:

@@ -561,3 +561,73 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_window_moving_avg",
+    TIER,
+    """
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / CAST(count(*)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE), 6) AS moving_avg
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user 1-hour trailing mean.
+
+    The frame is a VALUE range over exact epoch nanoseconds (not N
+    rows), so rows with sparse timestamps see only their true trailing
+    hour.  Decimal accumulator + explicit sum/count keeps the mean
+    bit-identical across engines regardless of frame-evaluation
+    strategy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-3_600_000_000_000, Window.currentRow)
+    )
+    moving = F.round(
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double"),
+        6,
+    )
+    return ev.select("user_id", "event_id", moving.alias("moving_avg")).orderBy(
+        "user_id", "event_id"
+    )
+
+
+@register(
+    "q_agg_cube",
+    TIER,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping() flags — all four
+    grouping sets in one pass (Expand + single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "g_status", "g_priority")
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
