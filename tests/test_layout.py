@@ -1,0 +1,54 @@
+"""Physical-layout tests: bucketed joins elide exchanges; partitioned
+stores prune directories at scan time."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.sources.layout import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+from v6spark.sources.tables import load_table
+
+
+def formatted_plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "t_orders_b", "o_custkey", n_buckets=8)
+    write_bucketed(customer, "t_customer_b", "o_custkey", n_buckets=8)
+    joined = bucketed_join(spark, "t_orders_b", "t_customer_b", "o_custkey")
+    plan = formatted_plan(joined)
+    # co-located layout: a merge join with ZERO shuffle exchanges
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+    # and it computes the same result as the plain join
+    plain = orders.join(customer, "o_custkey").count()
+    assert joined.count() == plain
+
+
+def test_partitioned_store_prunes(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part_store"))
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    write_partitioned(li, out, "ship_year")
+    back = spark.read.parquet(out).filter(F.col("ship_year") == 1997)
+    plan = formatted_plan(back)
+    assert re.search(r"PartitionFilters: \[isnotnull\(ship_year#\d+\), \(ship_year#\d+ = 1997\)\]", plan)
+    want = li.filter(F.col("ship_year") == 1997).count()
+    assert back.count() == want
