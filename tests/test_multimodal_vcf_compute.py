@@ -125,3 +125,23 @@ def test_compute_nested_and_filterresult(spark):
     assert len(out["all"]) == 6
     assert out["nested"]["kept"]["n_kept"] == 3
     assert out["scalar"] == 42
+
+
+def test_events_loader_contract_any_timestamp_width(spark, sf_dir, tmp_path_factory):
+    """events must expose (ts timestamp, ts_ns bigint) whether the
+    parquet stores INT64 nanos or a standard µs timestamp."""
+    from v6spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path_factory.mktemp("ev_us"))
+    ev.drop("ts_ns").write.mode("overwrite").parquet(f"{out}/events.parquet")
+    back = load_table(spark, out, "events")
+    assert dict(back.dtypes)["ts_ns"] == "bigint"
+    a = {r["event_id"]: r["ts_ns"] for r in ev.select("event_id", "ts_ns").collect()}
+    b = {r["event_id"]: r["ts_ns"] for r in back.select("event_id", "ts_ns").collect()}
+    # roundtrip through a µs timestamp truncates sub-µs (source data has
+    # them); the µs comparison key is preserved exactly
+    assert b == {k: (v // 1000) * 1000 for k, v in a.items()}
+    au = {r["event_id"]: r["ts_us"] for r in ev.select("event_id", "ts_us").collect()}
+    bu = {r["event_id"]: r["ts_us"] for r in back.select("event_id", "ts_us").collect()}
+    assert au == bu

@@ -21,18 +21,20 @@ def sessionize(
     user_col: str = "user_id",
     ts_ns_col: str = "ts_ns",
     gap_minutes: int = 30,
+    gap_units_per_min: int = NS_PER_MIN,
 ) -> DataFrame:
     """Assign a session id per (user, burst-of-activity).
 
     A new session starts when the gap since the user's previous event
-    exceeds ``gap_minutes``.  Timestamps are exact int64 nanoseconds —
-    no timezone or precision hazards in the gap arithmetic.
+    exceeds ``gap_minutes``.  Timestamps are exact integers (default
+    nanoseconds; pass ``gap_units_per_min`` to match a µs column) —
+    no timezone or float hazards in the gap arithmetic.
     """
     order = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
-    gap_ns = gap_minutes * NS_PER_MIN
+    gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)
     is_start = F.when(
-        prev.isNull() | ((F.col(ts_ns_col) - prev) > gap_ns), 1
+        prev.isNull() | ((F.col(ts_ns_col) - prev) > gap), 1
     ).otherwise(0)
     running = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -47,6 +49,7 @@ def session_counts(
     user_col: str = "user_id",
     ts_ns_col: str = "ts_ns",
     gap_minutes: int = 30,
+    gap_units_per_min: int = NS_PER_MIN,
 ) -> DataFrame:
     """Per-user session count under the gap rule.
 
@@ -54,10 +57,10 @@ def session_counts(
     single window pass + hash-agg.
     """
     order = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
-    gap_ns = gap_minutes * NS_PER_MIN
+    gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)
     is_start = F.when(
-        prev.isNull() | ((F.col(ts_ns_col) - prev) > gap_ns), 1
+        prev.isNull() | ((F.col(ts_ns_col) - prev) > gap), 1
     ).otherwise(0)
     return (
         df.withColumn("_start", is_start)

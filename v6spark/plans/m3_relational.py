@@ -237,17 +237,19 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the union+window implementation (operators/asof.py) — one
     shuffle, linear cost.  The oracle states the same semantics as a
     correlated LIMIT-1 subquery.  Timestamps compare as exact int64
-    nanoseconds on the Spark side (ts_ns), raw ns timestamps in DuckDB.
+    microseconds on the Spark side (ts_us) — ALIGNED with the oracle:
+    DuckDB truncates the ns parquet timestamps to µs at scan time, so
+    comparing at ns precision would diverge on sub-µs near-ties.
     """
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_event_id"), "user_id", "ts_ns"
+        F.col("event_id").alias("p_event_id"), "user_id", "ts_us"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts_ns"
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
     )
     joined = asof_join_latest(
-        purchases, clicks, key="user_id", ts="ts_ns", payload="click_id"
+        purchases, clicks, key="user_id", ts="ts_us", payload="click_id"
     )
     return joined.select(
         "p_event_id", "user_id", F.col("asof_click_id")
@@ -358,7 +360,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -384,7 +386,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic lag: per-user value delta, NULL on each first event."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return ev.select(
         "user_id",
         "event_id",
@@ -569,12 +571,12 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id,
            round(CAST(sum(CAST(value AS DECIMAL(18,6)))
-                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                       AS DOUBLE)
                  / CAST(count(*)
-                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
-                              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                         AS DOUBLE), 6) AS moving_avg
     FROM events
     ORDER BY user_id, event_id
@@ -592,8 +594,8 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns")
-        .rangeBetween(-3_600_000_000_000, Window.currentRow)
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     moving = F.round(
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")

@@ -123,7 +123,7 @@ def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_event_tumbling",
     TIER,
     f"""
-    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
            count(*) AS n,
            {o_dsum('value')} AS sum_value
     FROM events
@@ -134,14 +134,15 @@ def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate (batch analog).
 
-    The bucket is exact integer arithmetic on epoch nanoseconds —
-    timezone- and precision-free.  The Structured Streaming twin
+    The bucket is exact integer arithmetic on epoch microseconds
+    (oracle-aligned: DuckDB truncates ns parquet timestamps to µs at
+    scan) — timezone- and float-free.  The Structured Streaming twin
     (window(ts, '1 hour') + watermark) is v6spark.streaming.events.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.expr("ts_ns DIV 3600000000000").alias("hour_bucket")
+            F.expr("ts_us DIV 3600000000").alias("hour_bucket")
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
         .orderBy("hour_bucket")
@@ -167,11 +168,14 @@ def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute gap rule (batch gaps-and-islands).
 
-    Gap arithmetic runs on exact int64 nanoseconds; the oracle states
-    the identical rule with INTERVAL arithmetic on ns timestamps.
+    Gap arithmetic runs on exact int64 microseconds (oracle-aligned —
+    DuckDB's scanned timestamps are µs); the oracle states the
+    identical rule with INTERVAL arithmetic.
     """
     ev = load_table(spark, sf_dir, "events")
-    return session_counts(ev, gap_minutes=30).orderBy("user_id")
+    return session_counts(
+        ev, ts_ns_col="ts_us", gap_minutes=30, gap_units_per_min=60_000_000
+    ).orderBy("user_id")
 
 
 @register(

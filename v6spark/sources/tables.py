@@ -13,11 +13,13 @@ int64 nanoseconds; the loader exposes BOTH:
 - ``ts``     TimestampType, microsecond precision.  The conversion uses
   integer division (``ts DIV 1000``) — float division would lose
   precision because 2024 epoch-nanos (~1.7e18) exceeds a double's 53-bit
-  integer range.  The corpus has zero sub-microsecond components, so the
-  conversion is lossless (verified at sf0.01).
-- ``ts_ns``  the raw int64 nanoseconds — the canonical ordering /
-  arithmetic key for windows, sessionization and as-of joins (exact,
-  timezone-free, cheap to compare).
+  integer range.  The corpus DOES carry sub-microsecond components
+  (verified via pyarrow at every SF), so this column is truncated —
+  exact ordering/arithmetic uses ``ts_ns``.
+- ``ts_ns``  the raw int64 nanoseconds — exact, timezone-free.
+- ``ts_us``  ``ts_ns DIV 1000`` — the ORACLE-ALIGNED comparison key
+  (DuckDB 1.0 truncates ns parquet timestamps to µs at scan time);
+  declared queries order/compare on this with event_id tie-breaks.
 """
 
 from __future__ import annotations
@@ -46,13 +48,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one corpus table; see module docstring."""
+    """Lazy parquet scan of one corpus table; see module docstring.
+
+    The events contract is that BOTH ``ts`` (TimestampType) and
+    ``ts_ns`` (int64 epoch nanoseconds) exist regardless of the
+    file's physical timestamp width — nanos-as-long sources get ts
+    derived from ts_ns, and micro/milli-timestamp sources (e.g. a
+    re-written events table) get ts_ns derived from ts.
+    """
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif "ts_ns" not in df.columns:
+            ts = F.col("ts")
+            if ts_type == "timestamp_ntz":
+                ts = ts.cast("timestamp")
+            df = df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000))
+        # ts_us is the ORACLE-ALIGNED comparison key: DuckDB 1.0
+        # truncates ns parquet timestamps to µs at scan, so declared
+        # queries order/compare on µs (with event_id tie-breaks) to be
+        # bit-identical with the oracle even on sub-µs near-ties.
+        df = df.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
     return df
 
 
