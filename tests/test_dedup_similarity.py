@@ -113,3 +113,17 @@ def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
     )
     pair = similarity.ann_lsh_pairs(dup_df, n_planes=8, dim=64).collect()
     assert len(pair) == 1 and pair[0]["cosine"] == 1.0
+
+
+def test_zero_norm_vector_never_tops_topk(spark):
+    """A zero embedding yields NULL cosine (sorted last), never the
+    NaN that Spark would rank above every real match."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    top = similarity.cosine_topk_query(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [2, 3, 1]
+    assert top[-1]["cosine"] is None
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in similarity.cosine_pairs_bruteforce(df).collect()}
+    assert pairs[(1, 2)] is None  # degenerate pair: NULL, not NaN

@@ -41,41 +41,41 @@ def test_container_surface(vs):
 
 def test_calc_missing_and_called(vs):
     miss = by_var(g.calc_missing_gt(vs), "missing_rate")
-    assert miss == {"chr1:100": 0.25, "chr1:200": 0.0, "chr2:300": 0.0, "chr2:400": 0.75}
+    assert miss == {"chr1:100:A:T": 0.25, "chr1:200:G:C": 0.0, "chr2:300:C:G": 0.0, "chr2:400:T:A": 0.75}
     n_called = by_var(g.calc_called_gt(vs, rates=False), "n_called")
-    assert n_called["chr2:400"] == 1
+    assert n_called["chr2:400:T:A"] == 1
 
 
 def test_maf_mac_het(vs):
     maf = by_var(g.calc_maf_by_gt(vs), "maf")
     # chr1:100 called alleles: 0,0,0,1,1,1 -> maf 0.5
-    assert maf["chr1:100"] == 0.5
-    assert maf["chr1:200"] == 1.0
+    assert maf["chr1:100:A:T"] == 0.5
+    assert maf["chr1:200:G:C"] == 1.0
     # chr2:300: alleles 0,1,0,1,1,1,0,0 -> 4/8
-    assert maf["chr2:300"] == 0.5
+    assert maf["chr2:300:C:G"] == 0.5
     mac = by_var(g.calc_mac(vs), "mac")
-    assert mac == {"chr1:100": 3, "chr1:200": 0, "chr2:300": 4, "chr2:400": 1}
+    assert mac == {"chr1:100:A:T": 3, "chr1:200:G:C": 0, "chr2:300:C:G": 4, "chr2:400:T:A": 1}
     het = by_var(g.calc_obs_het(vs), "obs_het")
-    assert het["chr1:100"] == pytest.approx(1 / 3, abs=1e-6)
-    assert het["chr1:200"] == 0.0
-    assert het["chr2:300"] == 0.5
-    assert het["chr2:400"] == 1.0
+    assert het["chr1:100:A:T"] == pytest.approx(1 / 3, abs=1e-6)
+    assert het["chr1:200:G:C"] == 0.0
+    assert het["chr2:300:C:G"] == 0.5
+    assert het["chr2:400:T:A"] == 1.0
 
 
 def test_exp_het(vs):
     # chr1:100: counts (3,3), n=6 -> (1 - 0.5)*6/5 = 0.6
     exp = by_var(g.calc_unbiased_exp_het(vs), "exp_het")
-    assert exp["chr1:100"] == pytest.approx(0.6, abs=1e-6)
-    assert exp["chr1:200"] == 0.0
+    assert exp["chr1:100:A:T"] == pytest.approx(0.6, abs=1e-6)
+    assert exp["chr1:200:G:C"] == 0.0
 
 
 def test_allele_freq_and_counts(vs):
     counts = g.count_alleles(vs)
     got = {(r["variant_id"], r["allele"]): r["n"] for r in counts.collect()}
-    assert got[("chr1:100", 0)] == 3 and got[("chr1:100", 1)] == 3
+    assert got[("chr1:100:A:T", 0)] == 3 and got[("chr1:100:A:T", 1)] == 3
     freq = g.calc_allele_freq(vs)
     fget = {(r["variant_id"], r["allele"]): r["freq"] for r in freq.collect()}
-    assert fget[("chr2:300", 1)] == 0.5
+    assert fget[("chr2:300:C:G", 1)] == 0.5
 
 
 def test_mat012(vs):
@@ -83,18 +83,18 @@ def test_mat012(vs):
         (r["variant_id"], r["sample_id"]): r["dosage"]
         for r in g.gts_as_mat012(vs).collect()
     }
-    assert dosage[("chr1:100", "s1")] == 0
-    assert dosage[("chr1:100", "s2")] == 1
-    assert dosage[("chr1:100", "s3")] == 2
-    assert dosage[("chr1:100", "s4")] is None
+    assert dosage[("chr1:100:A:T", "s1")] == 0
+    assert dosage[("chr1:100:A:T", "s2")] == 1
+    assert dosage[("chr1:100:A:T", "s3")] == 2
+    assert dosage[("chr1:100:A:T", "s4")] is None
 
 
 def test_depth_masking(vs):
     masked = g.min_depth_gt_to_missing(vs, min_depth=10)
     miss = by_var(g.calc_missing_gt(masked), "missing_rate")
     # chr1:200 s1 has DP=4 -> masked; chr2:400 s4 DP=9 -> masked (now all 4 missing)
-    assert miss["chr1:200"] == 0.25
-    assert miss["chr2:400"] == 1.0
+    assert miss["chr1:200:G:C"] == 0.25
+    assert miss["chr2:400:T:A"] == 1.0
 
 
 def test_filter_samples(vs):
@@ -109,9 +109,9 @@ def test_call_rate_filter_contract(vs):
     assert set(res) == {FLT_VARS, N_KEPT, N_FILTERED_OUT}
     assert res[N_KEPT] == 3 and res[N_FILTERED_OUT] == 1
     kept_ids = {r["variant_id"] for r in res[FLT_VARS].variants.collect()}
-    assert "chr2:400" not in kept_ids
+    assert "chr2:400:T:A" not in kept_ids
     # calls pruned consistently
-    assert res[FLT_VARS].calls.filter(F.col("variant_id") == "chr2:400").count() == 0
+    assert res[FLT_VARS].calls.filter(F.col("variant_id") == "chr2:400:T:A").count() == 0
 
 
 def test_maf_and_qual_filters(vs):
@@ -123,7 +123,7 @@ def test_maf_and_qual_filters(vs):
 
 def test_region_filter(vs):
     res = g.filter_variations_in_regions(vs, [("chr1", 100, 200)])
-    assert {r["variant_id"] for r in res[FLT_VARS].variants.collect()} == {"chr1:100"}
+    assert {r["variant_id"] for r in res[FLT_VARS].variants.collect()} == {"chr1:100:A:T"}
     rev = g.filter_variations_in_regions(vs, [("chr1", 100, 200)], reverse=True)
     assert rev[N_KEPT] == 3
 
@@ -147,7 +147,7 @@ def test_reference_pipeline_composition(vs, spark):
         }
     )
     assert result["counts"] == {"cr": 3, "maf": 2}
-    assert {r["variant_id"] for r in result["vars"]} == {"chr1:100", "chr2:300"}
+    assert {r["variant_id"] for r in result["vars"]} == {"chr1:100:A:T", "chr2:300:C:G"}
 
 
 def test_setitem_variant_field(vs):
@@ -157,7 +157,7 @@ def test_setitem_variant_field(vs):
     back = vs2["/variations/maf"]
     assert set(back.columns) == {"variant_id", "maf"}
     got = {r["variant_id"]: r["maf"] for r in back.collect()}
-    assert got["chr1:100"] == 0.5
+    assert got["chr1:100:A:T"] == 0.5
     assert "/variations/maf" in vs2.keys()
 
 

@@ -36,10 +36,10 @@ def test_vcf_variants(spark, vcf_path):
     variants, _ = read_vcf(spark, vcf_path)
     rows = {r["variant_id"]: r for r in variants.collect()}
     assert len(rows) == 3
-    v1 = rows["chr1:100"]
+    v1 = rows["chr1:100:A:T"]
     assert (v1["chrom"], v1["pos"], v1["vcf_id"], v1["ref"]) == ("chr1", 100, "rs1", "A")
     assert v1["alt"] == ["T"] and v1["qual"] == 50.0
-    v2 = rows["chr1:200"]
+    v2 = rows["chr1:200:G:C,T"]
     assert v2["vcf_id"] is None and v2["qual"] is None  # '.' -> NULL
     assert v2["alt"] == ["C", "T"]  # multi-allelic
 
@@ -48,16 +48,16 @@ def test_vcf_calls_long_format(spark, vcf_path):
     _, calls = read_vcf(spark, vcf_path)
     got = {(r["variant_id"], r["sample_id"]): r for r in calls.collect()}
     assert len(got) == 9  # 3 variants x 3 samples
-    assert got[("chr1:100", "NA1")]["gt"] == [0, 0]
-    assert got[("chr1:100", "NA1")]["dp"] == 10
-    assert got[("chr1:100", "NA3")]["gt"] == [None, None]  # ./. -> NULLs
-    assert got[("chr1:100", "NA3")]["dp"] is None
-    assert got[("chr1:200", "NA1")]["gt"] == [1, 2]  # phased | separator
-    assert got[("chr1:200", "NA1")]["gq"] is None  # GQ absent from FORMAT
+    assert got[("chr1:100:A:T", "NA1")]["gt"] == [0, 0]
+    assert got[("chr1:100:A:T", "NA1")]["dp"] == 10
+    assert got[("chr1:100:A:T", "NA3")]["gt"] == [None, None]  # ./. -> NULLs
+    assert got[("chr1:100:A:T", "NA3")]["dp"] is None
+    assert got[("chr1:200:G:C,T", "NA1")]["gt"] == [1, 2]  # phased | separator
+    assert got[("chr1:200:G:C,T", "NA1")]["gq"] is None  # GQ absent from FORMAT
     # FORMAT order differs on chr2 (DP:GT) — field lookup is positional
-    assert got[("chr2:300", "NA1")]["gt"] == [0, 0]
-    assert got[("chr2:300", "NA1")]["dp"] == 4
-    assert got[("chr2:300", "NA3")]["gt"] == [None, 1]
+    assert got[("chr2:300:C:G", "NA1")]["gt"] == [0, 0]
+    assert got[("chr2:300:C:G", "NA1")]["dp"] == 4
+    assert got[("chr2:300:C:G", "NA3")]["gt"] == [None, 1]
 
 
 def test_vcf_feeds_stats(spark, vcf_path):
@@ -72,8 +72,8 @@ def test_vcf_feeds_stats(spark, vcf_path):
         "miss_rate",
     )
     got = {r["variant_id"]: r["miss_rate"] for r in miss.collect()}
-    assert got["chr1:100"] == pytest.approx(1 / 3, abs=1e-6)
-    assert got["chr1:200"] == 0.0
+    assert got["chr1:100:A:T"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["chr1:200:G:C,T"] == 0.0
 
 
 def test_multimodal_fake_decode(spark):
@@ -145,3 +145,19 @@ def test_events_loader_contract_any_timestamp_width(spark, sf_dir, tmp_path_fact
     au = {r["event_id"]: r["ts_us"] for r in ev.select("event_id", "ts_us").collect()}
     bu = {r["event_id"]: r["ts_us"] for r in back.select("event_id", "ts_us").collect()}
     assert au == bu
+
+
+def test_vcf_sample_drops_trailing_fields(spark, tmp_path_factory):
+    """VCF 4.x allows a sample to omit trailing FORMAT fields; the
+    parser must yield NULLs, not an ANSI element_at crash."""
+    text = (
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\n"
+        "chr1\t5\t.\tA\tT\t10\tPASS\t.\tGT:DP:GQ\t0/1\t1/1:7:50\n"
+    )
+    p = tmp_path_factory.mktemp("vcf_trail") / "t.vcf"
+    p.write_text(text)
+    _, calls = read_vcf(spark, str(p))
+    got = {r["sample_id"]: r for r in calls.collect()}
+    assert got["A"]["gt"] == [0, 1] and got["A"]["dp"] is None and got["A"]["gq"] is None
+    assert got["B"]["dp"] == 7 and got["B"]["gq"] == 50

@@ -98,3 +98,22 @@ def test_sessionize_gap_rule(spark):
     sess = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
     assert sess[10] == sess[11] == sess[12]
     assert sess[13] == sess[10] + 1
+
+
+def test_lang_id_zero_signal_is_und(spark):
+    df = spark.createDataFrame(
+        [(1, "qwerty zxcvb asdfgh"), (2, "")], "id int, text string"
+    )
+    got = {r["id"]: r["pred_lang"] for r in df.select("id", text.lang_id("text")).collect()}
+    assert got == {1: "und", 2: "und"}
+
+
+def test_asof_latest_quote_with_null_payload_wins(spark):
+    """The as-of contract returns the LATEST quote's payload even when
+    that payload is NULL — it must not skip back to an older quote."""
+    quotes = spark.createDataFrame(
+        [(5, 1, 100), (None, 1, 200)], "qid long, user_id long, ts_ns long"
+    )
+    probes = spark.createDataFrame([(1, 1, 300)], "pid long, user_id long, ts_ns long")
+    out = asof_join_latest(probes, quotes, key="user_id", ts="ts_ns", payload="qid")
+    assert out.collect()[0]["asof_qid"] is None

@@ -94,11 +94,30 @@ class Variations:
             spark.read.parquet(f"{dir_path}/calls.parquet"),
         )
 
-    def save(self, dir_path: str, mode: str = "overwrite") -> None:
-        """A2: save_zarr analog; calls partitioned by chrom prefix for
-        region pruning at scale."""
-        self.variants.write.mode(mode).parquet(f"{dir_path}/variants.parquet")
-        self.calls.write.mode(mode).parquet(f"{dir_path}/calls.parquet")
+    def save(
+        self, dir_path: str, mode: str = "overwrite", partition_by_chrom: bool = True
+    ) -> None:
+        """A2: save_zarr analog.
+
+        With ``partition_by_chrom`` both tables are directory-
+        partitioned by chromosome (derived from the variant_id prefix
+        for calls), so region filters prune whole directories at scan
+        time instead of reading every file.
+        """
+        v_writer = self.variants.write.mode(mode)
+        if partition_by_chrom and "chrom" in self.variants.columns:
+            v_writer = v_writer.partitionBy("chrom")
+        v_writer.parquet(f"{dir_path}/variants.parquet")
+        calls = self.calls
+        c_writer = calls.write.mode(mode)
+        if partition_by_chrom:
+            if "chrom" not in calls.columns:
+                calls = calls.withColumn(
+                    "chrom", F.split("variant_id", ":")[0]
+                )
+                c_writer = calls.write.mode(mode)
+            c_writer = c_writer.partitionBy("chrom")
+        c_writer.parquet(f"{dir_path}/calls.parquet")
 
     def __getitem__(self, field: str) -> DataFrame:
         if field in _VARIANT_FIELDS and _VARIANT_FIELDS[field] in self.variants.columns:
@@ -169,13 +188,22 @@ class Variations:
         )
         return Variations(kept_variants, kept_calls, self.metadata)
 
+    @property
+    def _n_total(self) -> int:
+        # cached: chained filters (the reference's normal usage, §3.2)
+        # would otherwise re-count the same variants frame per filter
+        if not hasattr(self, "_n_total_cache"):
+            self._n_total_cache = self.variants.count()
+        return self._n_total_cache
+
     def _filter_result(self, kept_variants: DataFrame) -> dict:
-        n_total = self.variants.count()
         n_kept = kept_variants.count()
+        result = self._with_variants(kept_variants)
+        result._n_total_cache = n_kept  # free seed for chained filters
         return {
-            FLT_VARS: self._with_variants(kept_variants),
+            FLT_VARS: result,
             N_KEPT: n_kept,
-            N_FILTERED_OUT: n_total - n_kept,
+            N_FILTERED_OUT: self._n_total - n_kept,
         }
 
 

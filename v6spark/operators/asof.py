@@ -42,29 +42,34 @@ def asof_join_latest(
     """
     payload_order = payload_order or payload
     l_cols = left.columns
-    probe = left.withColumn("_side", F.lit(1)).withColumn(
-        "_p", F.lit(None).cast(dict(right.dtypes)[payload])
-    ).withColumn("_po", F.lit(None).cast(dict(right.dtypes)[payload_order]))
-    quote = (
-        right.select(
-            key,
-            ts,
-            F.col(payload).alias("_p"),
-            F.col(payload_order).alias("_po"),
-        )
-        .withColumn("_side", F.lit(0))
+    # The payload rides inside a STRUCT marker: last(_m, ignorenulls)
+    # then finds the latest QUOTE ROW even when the payload value
+    # itself is NULL (a bare last(payload, ignorenulls) would skip
+    # past NULL-payload quotes to an older one — wrong as-of answer).
+    marker_type = (
+        f"struct<p:{dict(right.dtypes)[payload]},po:{dict(right.dtypes)[payload_order]}>"
     )
+    probe = left.withColumn("_side", F.lit(1)).withColumn(
+        "_m", F.lit(None).cast(marker_type)
+    )
+    quote = right.select(
+        key,
+        ts,
+        F.struct(
+            F.col(payload).alias("p"), F.col(payload_order).alias("po")
+        ).alias("_m"),
+    ).withColumn("_side", F.lit(0))
     for c in l_cols:
         if c not in quote.columns:
             quote = quote.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = probe.unionByName(quote.select(probe.columns))
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_po").asc())
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_m")["po"].asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(
-        "asof_" + payload, F.last("_p", ignorenulls=True).over(w)
+        "asof_" + payload, F.last("_m", ignorenulls=True).over(w)["p"]
     )
     return matched.filter(F.col("_side") == 1).select(
         *l_cols, "asof_" + payload

@@ -30,13 +30,14 @@ def sessionize(
     nanoseconds; pass ``gap_units_per_min`` to match a µs column) —
     no timezone or float hazards in the gap arithmetic.
     """
-    order = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
+    tie = ["event_id"] if "event_id" in df.columns else []
+    order = Window.partitionBy(user_col).orderBy(ts_ns_col, *tie)
     gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)
     is_start = F.when(
         prev.isNull() | ((F.col(ts_ns_col) - prev) > gap), 1
     ).otherwise(0)
-    running = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id").rowsBetween(
+    running = Window.partitionBy(user_col).orderBy(ts_ns_col, *tie).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("_start", is_start).withColumn(
@@ -56,7 +57,8 @@ def session_counts(
     Counting session *starts* avoids materializing session ids: a
     single window pass + hash-agg.
     """
-    order = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
+    tie = ["event_id"] if "event_id" in df.columns else []
+    order = Window.partitionBy(user_col).orderBy(ts_ns_col, *tie)
     gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)
     is_start = F.when(

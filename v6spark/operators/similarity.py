@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from v6spark.functions.arrays import arr_dot, arr_norm_sq, cosine_similarity
+from v6spark.functions.arrays import arr_dot, arr_norm_sq
+
+
+def _safe_cosine(dot, n2_a, n2_b):
+    """dot/(|a||b|), NULL for zero-norm inputs (NaN would sort FIRST
+    under Spark's NaN-is-largest ordering and poison top-k)."""
+    return F.when(
+        (n2_a > 0) & (n2_b > 0), dot / (F.sqrt(n2_a) * F.sqrt(n2_b))
+    )
 
 
 def cosine_pairs_bruteforce(
@@ -40,8 +48,8 @@ def cosine_pairs_bruteforce(
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(b, F.col("a._id") < F.col("b._id"))
-    sim = arr_dot(F.col("a._v"), F.col("b._v")) / (
-        F.sqrt(F.col("a._n2")) * F.sqrt(F.col("b._n2"))
+    sim = _safe_cosine(
+        arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")
     )
     out = pairs.select(
         F.col("a._id").alias("id_a"),
@@ -61,12 +69,19 @@ def cosine_topk_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k nearest to a literal query vector — one scan,
-    TakeOrderedAndProject, linear at any scale."""
+    TakeOrderedAndProject, linear at any scale.
+
+    Zero-norm vectors yield NULL cosine (sorted last) rather than NaN
+    — Spark orders NaN as LARGEST, so a NaN from a degenerate vector
+    would otherwise rank as the best match for every query.
+    """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity(F.col(vec_col), q)
+    sim = _safe_cosine(
+        arr_dot(F.col(vec_col), q), arr_norm_sq(vec_col), arr_norm_sq(q)
+    )
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), id_col)
+        .orderBy(F.col("cosine").desc_nulls_last(), id_col)
         .limit(k)
     )
 
@@ -118,8 +133,8 @@ def ann_lsh_pairs(
         lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = arr_dot(F.col("a._v"), F.col("b._v")) / (
-        F.sqrt(F.col("a._n2")) * F.sqrt(F.col("b._n2"))
+    sim = _safe_cosine(
+        arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")
     )
     return (
         a.join(

@@ -140,6 +140,10 @@ def expected_het_unbiased(
         F.col("n_total").cast("double")
         / (F.col("n_total") - F.lit(1)).cast("double")
     )
+    # n=1 has no unbiased estimate: emit NULL (Spark would produce NaN
+    # from 0*inf, while SQL engines yield NULL on /0 — cross-engine
+    # divergence otherwise)
+    h = F.when(F.col("n_total") > 1, h)
     return per_entity.select(entity_key, F.round(h, scale).alias(alias))
 
 

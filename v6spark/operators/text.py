@@ -42,8 +42,14 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 
 def lang_id(text: Column | str, out: str = "pred_lang") -> Column:
-    """Argmax language by stopword-profile score (deterministic
-    tie-break: lexicographic language code)."""
+    """Argmax language by stopword-profile score.
+
+    Deterministic tie-break: smallest language code among equal scores
+    (via an array_sort comparator — a bare struct-max would fall
+    through to the lang field and pick the LARGEST code).  Documents
+    with zero evidence for every profile return ``'und'`` rather than
+    an arbitrary language.
+    """
     scores = lang_scores(text)
     pairs = F.array(
         *[
@@ -51,18 +57,20 @@ def lang_id(text: Column | str, out: str = "pred_lang") -> Column:
             for k, v in sorted(scores.items())
         ]
     )
-    best = F.array_max(
-        F.transform(
-            pairs,
-            lambda s: F.struct(
-                s["score"].alias("score"),
-                # invert lexicographic order so max picks the SMALLEST
-                # code among ties deterministically
-                s["lang"].alias("lang"),
-            ),
-        )
+    ranked = F.array_sort(
+        pairs,
+        lambda l, r: (
+            F.when(l["score"] > r["score"], -1)
+            .when(l["score"] < r["score"], 1)
+            .when(l["lang"] < r["lang"], -1)
+            .when(l["lang"] > r["lang"], 1)
+            .otherwise(0)
+        ),
     )
-    return best["lang"].alias(out)
+    best = F.element_at(ranked, 1)
+    return (
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out)
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -176,9 +176,11 @@ def q_obs_het_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY c_nationkey
     )
     SELECT c_nationkey,
-           round((1.0 - CAST(sum_sq AS DOUBLE)
+           round(CASE WHEN n_total > 1 THEN
+                 (1.0 - CAST(sum_sq AS DOUBLE)
                         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
-                 * (CAST(n_total AS DOUBLE) / CAST(n_total - 1 AS DOUBLE)), 6) AS exp_het
+                 * (CAST(n_total AS DOUBLE) / CAST(n_total - 1 AS DOUBLE))
+                 END, 6) AS exp_het
     FROM e
     ORDER BY c_nationkey
     """,

@@ -38,11 +38,14 @@ def write_bucketed(
     leaves their locations behind, which would fail the next create.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if os.path.exists(loc):
-        shutil.rmtree(loc)
+    if mode == "overwrite":
+        # only for overwrite: the in-memory catalog forgets tables
+        # between sessions but leaves their locations behind
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -62,7 +62,13 @@ def read_vcf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         c[7].alias("info"),
         F.split(c[8], ":").alias("fmt"),
         *[c[9 + i].alias(f"_s{i}") for i in range(len(samples))],
-    ).withColumn("variant_id", F.concat_ws(":", "chrom", "pos"))
+    ).withColumn(
+        # chrom:pos alone is NOT unique — split multi-allelic records
+        # and SNP+indel at one locus share a position — so the key
+        # includes ref and the alt list
+        "variant_id",
+        F.concat_ws(":", "chrom", "pos", "ref", F.concat_ws(",", "alt")),
+    )
 
     variants = base.select(
         "variant_id", "chrom", "pos", "vcf_id", "ref", "alt", "qual", "filter"
@@ -79,9 +85,14 @@ def read_vcf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
     def fmt_field(key: str):
-        # position of `key` in this row's FORMAT; 0 = absent
+        # position of `key` in this row's FORMAT; 0 = absent.
+        # try_element_at: VCF permits samples to DROP trailing FORMAT
+        # fields, so vals may be shorter than fmt — plain element_at
+        # would abort the job under ANSI mode (default in Spark 4).
         pos = F.array_position("fmt", key)
-        return F.when(pos > 0, F.element_at(F.col("s.vals"), pos.cast("int")))
+        return F.when(
+            pos > 0, F.try_element_at(F.col("s.vals"), pos.cast("int"))
+        )
 
     gt_raw = fmt_field("GT")
     gt = F.transform(
