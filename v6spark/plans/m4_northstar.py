@@ -269,3 +269,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+@register(
+    "q_event_sliding",
+    TIER,
+    f"""
+    SELECT (epoch_us(ts) // 900000000 - i) * 900000000 AS win_start_us,
+           count(*) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events, range(0, 4) t(i)
+    GROUP BY 1
+    ORDER BY win_start_us
+    """,
+)
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 15-minute slide) — batch analog.
+
+    Each event lands in window/slide = 4 overlapping buckets,
+    generated by an inline sequence explode (no join); the bucket key
+    is exact µs arithmetic (oracle-aligned).  The Structured Streaming
+    twin is streaming/events.py::sliding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slide_us = 900_000_000
+    win = (
+        ev.select(
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            F.expr(f"ts_us DIV {slide_us}").alias("slot"),
+        )
+        .select(
+            ((F.col("slot") - F.col("i")) * slide_us).alias("win_start_us"),
+            "value",
+        )
+    )
+    return (
+        win.groupBy("win_start_us")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("win_start_us")
+    )
