@@ -42,13 +42,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 
 def test_partitioned_store_prunes(spark, sf_dir, tmp_path_factory):
+    # engine posture: partition columns are STRINGS (type inference is
+    # disabled so values like chrom '01' survive the roundtrip) — so
+    # write and filter the partition key as a string
     out = str(tmp_path_factory.mktemp("part_store"))
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate")
+        "ship_year", F.year("l_shipdate").cast("string")
     )
     write_partitioned(li, out, "ship_year")
-    back = spark.read.parquet(out).filter(F.col("ship_year") == 1997)
+    back = spark.read.parquet(out).filter(F.col("ship_year") == "1997")
     plan = formatted_plan(back)
-    assert re.search(r"PartitionFilters: \[isnotnull\(ship_year#\d+\), \(ship_year#\d+ = 1997\)\]", plan)
-    want = li.filter(F.col("ship_year") == 1997).count()
+    assert re.search(
+        r"PartitionFilters: \[isnotnull\(ship_year#\d+\), \(ship_year#\d+ = 1997\)\]",
+        plan,
+    )
+    assert dict(back.dtypes)["ship_year"] == "string"
+    want = li.filter(F.col("ship_year") == "1997").count()
     assert back.count() == want

@@ -10,7 +10,7 @@ model underneath is the engine's long format (§1.2):
 - ``variants`` DataFrame: one row per variant
   (variant_id, chrom, pos, vcf_id, ref, alt, qual, filter)
 - ``calls`` DataFrame: one row per (variant, sample)
-  (variant_id, sample_id, gt array<int>, dp int, gq int)
+  (variant_id, chrom, sample_id, gt array<int>, dp int, gq int)
 
 Field-path access (``vs[GT_FIELD]``) returns the relevant columns as
 a DataFrame.  Genotype-call conventions (matching the reference):
@@ -94,30 +94,19 @@ class Variations:
             spark.read.parquet(f"{dir_path}/calls.parquet"),
         )
 
-    def save(
-        self, dir_path: str, mode: str = "overwrite", partition_by_chrom: bool = True
-    ) -> None:
+    def save(self, dir_path: str, mode: str = "overwrite") -> None:
         """A2: save_zarr analog.
 
-        With ``partition_by_chrom`` both tables are directory-
-        partitioned by chromosome (derived from the variant_id prefix
-        for calls), so region filters prune whole directories at scan
-        time instead of reading every file.
+        Both tables are directory-partitioned by chromosome when the
+        column is present (calls carry chrom from ingest), so region
+        filters prune whole directories at scan time.  Partition
+        columns read back as strings — the engine disables partition-
+        column type inference (session.py) so numeric-looking contig
+        names like '01' survive the roundtrip.
         """
-        v_writer = self.variants.write.mode(mode)
-        if partition_by_chrom and "chrom" in self.variants.columns:
-            v_writer = v_writer.partitionBy("chrom")
-        v_writer.parquet(f"{dir_path}/variants.parquet")
-        calls = self.calls
-        c_writer = calls.write.mode(mode)
-        if partition_by_chrom:
-            if "chrom" not in calls.columns:
-                calls = calls.withColumn(
-                    "chrom", F.split("variant_id", ":")[0]
-                )
-                c_writer = calls.write.mode(mode)
-            c_writer = c_writer.partitionBy("chrom")
-        c_writer.parquet(f"{dir_path}/calls.parquet")
+        from v6spark.sources.vcf import write_tables
+
+        write_tables(self.variants, self.calls, dir_path, mode)
 
     def __getitem__(self, field: str) -> DataFrame:
         if field in _VARIANT_FIELDS and _VARIANT_FIELDS[field] in self.variants.columns:
@@ -163,7 +152,7 @@ class Variations:
     def keys(self) -> list[str]:
         known = [*_VARIANT_FIELDS, *_CALL_FIELDS]
         std_variant = set(_VARIANT_FIELDS.values()) | {"variant_id"}
-        std_call = set(_CALL_FIELDS.values()) | {"variant_id", "sample_id"}
+        std_call = set(_CALL_FIELDS.values()) | {"variant_id", "sample_id", "chrom"}
         extra = [
             f"/variations/{c}" for c in self.variants.columns if c not in std_variant
         ] + [f"/calls/{c}" for c in self.calls.columns if c not in std_call]
@@ -291,6 +280,8 @@ def calc_unbiased_exp_het(vs: Variations) -> DataFrame:
     h = (F.lit(1.0) - p2) * (
         F.col("n_total").cast("double") / (F.col("n_total") - 1).cast("double")
     )
+    # n=1 has no unbiased estimate: NULL, not the NaN 0*inf would give
+    h = F.when(F.col("n_total") > 1, h)
     return per_var.select("variant_id", F.round(h, 6).alias("exp_het"))
 
 

@@ -22,6 +22,7 @@ def sessionize(
     ts_ns_col: str = "ts_ns",
     gap_minutes: int = 30,
     gap_units_per_min: int = NS_PER_MIN,
+    tie_breaker: str | None = "event_id",
 ) -> DataFrame:
     """Assign a session id per (user, burst-of-activity).
 
@@ -29,8 +30,12 @@ def sessionize(
     exceeds ``gap_minutes``.  Timestamps are exact integers (default
     nanoseconds; pass ``gap_units_per_min`` to match a µs column) —
     no timezone or float hazards in the gap arithmetic.
+
+    ``tie_breaker`` totally orders equal timestamps; referencing a
+    missing column fails loudly at plan time (pass None explicitly to
+    accept nondeterministic ordering among exact ts ties).
     """
-    tie = ["event_id"] if "event_id" in df.columns else []
+    tie = [tie_breaker] if tie_breaker is not None else []
     order = Window.partitionBy(user_col).orderBy(ts_ns_col, *tie)
     gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)
@@ -51,13 +56,14 @@ def session_counts(
     ts_ns_col: str = "ts_ns",
     gap_minutes: int = 30,
     gap_units_per_min: int = NS_PER_MIN,
+    tie_breaker: str | None = "event_id",
 ) -> DataFrame:
     """Per-user session count under the gap rule.
 
     Counting session *starts* avoids materializing session ids: a
-    single window pass + hash-agg.
+    single window pass + hash-agg.  ``tie_breaker`` as in sessionize().
     """
-    tie = ["event_id"] if "event_id" in df.columns else []
+    tie = [tie_breaker] if tie_breaker is not None else []
     order = Window.partitionBy(user_col).orderBy(ts_ns_col, *tie)
     gap = gap_minutes * gap_units_per_min
     prev = F.lag(ts_ns_col).over(order)

@@ -33,19 +33,26 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
 
-    Drops any existing table AND its warehouse directory first: the
-    default in-memory catalog forgets tables between sessions but
-    leaves their locations behind, which would fail the next create.
+    mode='overwrite' drops any existing table AND its warehouse
+    directory (the default in-memory catalog forgets tables between
+    sessions but leaves their locations behind).  Other modes refuse
+    an orphaned location loudly — appending into a directory whose
+    bucket metadata is no longer in the catalog would corrupt the
+    bucketing contract silently.
     """
     spark = df.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
     if mode == "overwrite":
-        # only for overwrite: the in-memory catalog forgets tables
-        # between sessions but leaves their locations behind
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
         if os.path.exists(loc):
             shutil.rmtree(loc)
+    elif not spark.catalog.tableExists(table) and os.path.exists(loc):
+        raise ValueError(
+            f"orphaned warehouse location {loc} for table {table!r} "
+            "(written by a previous session); its bucket metadata is "
+            "lost — use mode='overwrite' or remove the directory"
+        )
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -7,9 +7,11 @@ long-format data model (SURVEY.md §1.2):
 
 - ``variants(variant_id, chrom, pos, vcf_id, ref, alt array<string>,
   qual double, filter string)``
-- ``calls(variant_id, sample_id, gt array<int>, dp int, gq int)``
-  — one row per (variant, sample); GT allele codes with the
+- ``calls(variant_id, chrom, sample_id, gt array<int>, dp int,
+  gq int)`` — one row per (variant, sample); GT allele codes with the
   reference's ``.`` missing sentinel normalized to NULL (§1.1).
+  ``chrom`` is carried on calls so chrom-partitioned stores prune
+  without joining back to variants.
 
 Everything after the text scan is whole-stage-codegen expressions
 (split / transform / try_cast); per-sample fan-out is an inline-array
@@ -43,9 +45,10 @@ def vcf_sample_names(spark: SparkSession, path: str) -> list[str]:
 def read_vcf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Parse a VCF file into (variants, calls) DataFrames.
 
-    variant_id = 'chrom:pos' — materialized row identity (the
-    reference relies on positional array indices, which have no Spark
-    equivalent; SURVEY.md §1.1).
+    variant_id = 'chrom:pos:ref:alt[,alt...]' — materialized row
+    identity (the reference relies on positional array indices, which
+    have no Spark equivalent; SURVEY.md §1.1).  chrom:pos alone is not
+    unique: split multi-allelic records share a position.
     """
     samples = vcf_sample_names(spark, path)
     data = spark.read.text(path).filter(~F.col("value").startswith("#"))
@@ -101,9 +104,12 @@ def read_vcf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
     calls = (
-        base.select("variant_id", "fmt", F.explode(sample_structs).alias("s"))
+        base.select(
+            "variant_id", "chrom", "fmt", F.explode(sample_structs).alias("s")
+        )
         .select(
             "variant_id",
+            "chrom",
             F.col("s.sample_id").alias("sample_id"),
             gt.alias("gt"),
             F.nullif(fmt_field("DP"), F.lit(".")).try_cast("int").alias("dp"),
@@ -117,7 +123,13 @@ def write_tables(
     variants: DataFrame, calls: DataFrame, out_dir: str, mode: str = "overwrite"
 ) -> None:
     """Persist the pair as parquet — the Zarr-store analog (A2:
-    ``save_zarr``).  Calls are partitioned by chrom via the variant_id
-    prefix upstream when callers need region pruning."""
-    variants.write.mode(mode).parquet(f"{out_dir}/variants.parquet")
-    calls.write.mode(mode).parquet(f"{out_dir}/calls.parquet")
+    ``save_zarr``), chrom-partitioned when the column is present so
+    region queries prune directories (delegates to
+    sources/layout.py::write_partitioned — one write path)."""
+    from v6spark.sources.layout import write_partitioned
+
+    for df, name in ((variants, "variants"), (calls, "calls")):
+        if "chrom" in df.columns:
+            write_partitioned(df, f"{out_dir}/{name}.parquet", "chrom", mode)
+        else:
+            df.write.mode(mode).parquet(f"{out_dir}/{name}.parquet")
