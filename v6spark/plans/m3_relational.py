@@ -633,3 +633,108 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderpriority", "n", "g_status", "g_priority")
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "q_pivot",
+    TIER,
+    """
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-status counts as columns per market segment.
+
+    ``groupBy().pivot(values=...)`` with explicit pivot values — the
+    explicit list keeps the plan single-pass (no extra distinct-values
+    job) and the output schema static, which is what a 100 TB pivot
+    needs.  Oracle states the same as FILTERed counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "q_percentile",
+    TIER,
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    ``percentile`` (exact, sort-based) rather than approx_percentile:
+    the sketch-based estimate is engine-specific and would never
+    hash-match an oracle.  Both engines use linear interpolation on
+    the sorted set; quantities/prices are exact doubles so the
+    interpolation arithmetic is identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_string_fuzzy",
+    TIER,
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey AND a.p_partkey < 60 AND b.p_partkey < 60
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names by edit
+    distance — the classic record-linkage primitive (both engines
+    implement classic Levenshtein).  Bounded subset: edit distance is
+    O(len^2) per pair; the scale path blocks candidates first
+    (operators/dedup.py LSH) and verifies survivors only.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .orderBy("id_a", "id_b")
+    )
