@@ -81,3 +81,31 @@ def test_streaming_session_window_runs(spark, events_dir):
     )
     n = spark.sql("SELECT count(*) AS n FROM t_sessions").collect()[0]["n"]
     assert n >= 0
+
+
+def test_deduped_stream_equals_batch_dedup(spark, events_batch, events_dir):
+    # duplicate the source rows: dedup must restore the original count
+    dup_dir = events_dir + "_dup"
+    events_batch.unionByName(events_batch).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(dup_dir)
+    stream = se.read_events_stream(spark, dup_dir, max_files=3)
+    se.run_to_memory_sink(
+        se.tumbling(se.deduped_stream(stream), watermark=None), "t_dedup"
+    )
+    got = spark.sql("SELECT sum(n) AS total FROM t_dedup").collect()[0]["total"]
+    assert got == events_batch.count()
+
+
+def test_foreach_batch_upsert(spark, events_batch, events_dir, tmp_path_factory):
+    target = str(tmp_path_factory.mktemp("upsert") / "target")
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    stream = se.read_events_stream(spark, events_dir, max_files=2)
+    se.run_foreach_batch_upsert(stream, target, ckpt)
+    back = spark.read.parquet(target)
+    assert back.count() == events_batch.count()  # every event exactly once
+    assert back.select("event_id").distinct().count() == events_batch.count()
+    # replay with same checkpoint: no new batches -> target unchanged
+    stream2 = se.read_events_stream(spark, events_dir, max_files=2)
+    se.run_foreach_batch_upsert(stream2, target, ckpt)
+    assert spark.read.parquet(target).count() == events_batch.count()
