@@ -85,3 +85,30 @@ def test_stateful_session_counts_single_batch(spark, sf_dir, tmp_path_factory):
         for r in session_counts(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_kmeans_improves_quantization(spark, emb):
+    from pyspark.sql import functions as F
+    from v6spark.operators.similarity import kmeans_centroids
+
+    def total_distortion(centroids):
+        assigned = ivf_assign_cells(emb, centroids)
+        # distance to the assigned centroid, summed — recompute via the
+        # same argmin struct to keep it cheap
+        cells = []
+        for idx, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            dist = F.aggregate(
+                F.zip_with(F.col("embedding"), cvec,
+                           lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            cells.append(F.struct(dist.alias("dist"), F.lit(idx).alias("cell")))
+        best = F.array_min(F.array(*cells))
+        return assigned.select(best["dist"].alias("d")).agg(F.sum("d")).collect()[0][0]
+
+    seeds = deterministic_centroids(emb, n_cells=8)
+    trained = kmeans_centroids(emb, n_cells=8, n_iters=3)
+    assert total_distortion(trained) < total_distortion(seeds)
+    # determinism: same inputs -> identical centroids
+    again = kmeans_centroids(emb, n_cells=8, n_iters=3)
+    assert trained == again

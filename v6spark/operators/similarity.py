@@ -227,3 +227,44 @@ def ann_ivf_topk(
     return cosine_topk_query(
         assigned.filter(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer — DataFrame-native.
+
+    Deterministic: seeds from ``deterministic_centroids`` (lowest-id
+    vectors) and a FIXED iteration count, so index builds are
+    reproducible run-to-run (no RNG, no convergence-threshold
+    nondeterminism).  Each iteration is one Spark job: assign cells
+    (Catalyst argmin, operators above) then recompute centroids as
+    per-dimension means via posexplode + hash-agg — the shuffle
+    carries (cell, dim, partial sum), never vectors.  Only the k x dim
+    centroid matrix ever reaches the driver.
+
+    Empty cells keep their previous centroid (standard Lloyd fix-up).
+    """
+    centroids = deterministic_centroids(df, n_cells, id_col, vec_col)
+    dim = len(centroids[0]) if centroids else 0
+    for _ in range(n_iters):
+        assigned = ivf_assign_cells(df, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("dim", "x")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = r["m"]
+        centroids = [
+            by_cell.get(i, centroids[i]) for i in range(len(centroids))
+        ]
+    return centroids
