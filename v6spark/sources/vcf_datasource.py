@@ -1,0 +1,157 @@
+"""``spark.read.format("vcf")`` — a Python DataSource V2 connector.
+
+The expression-based parser (sources/vcf.py) is the fast path; this
+connector is the *ergonomic* path — after ``register_vcf_source(spark)``
+any VCF loads with the standard reader API:
+
+    spark.read.format("vcf").load("cohort.vcf")            # calls (long)
+    spark.read.format("vcf").option("table", "variants").load(path)
+
+Built on PySpark 4's Python DataSource API (``pyspark.sql.datasource``):
+the driver plans one input partition per data shard; executors run the
+pure-Python record parser over their shard and yield Arrow-batched
+rows.  Partitioning: the file is split into line-aligned byte ranges
+(``n_partitions`` option, default 8) so large VCFs parse in parallel —
+each partition seeks to its offset and starts at the next full line,
+the standard text-split contract.
+
+Per-row Python is inherently slower than the Catalyst parser — this
+source exists for connector-surface parity (reference A3,
+``variation6/in_out/vcf.py``), and the test suite pins its output
+EQUAL to the expression parser's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+CALLS_SCHEMA = (
+    "variant_id string, chrom string, pos long, sample_id string, "
+    "gt array<int>, dp int, gq int"
+)
+VARIANTS_SCHEMA = (
+    "variant_id string, chrom string, pos long, vcf_id string, ref string, "
+    "alt array<string>, qual double, filter string"
+)
+
+
+def _parse_header(path: str) -> list[str]:
+    with open(path, "rt") as fh:
+        for line in fh:
+            if line.startswith("#CHROM"):
+                return line.rstrip("\n").split("\t")[9:]
+            if not line.startswith("#"):
+                break
+    raise ValueError(f"not a VCF (no #CHROM header line): {path}")
+
+
+def _opt_int(v: str | None) -> int | None:
+    return None if v in (None, ".", "") else int(v)
+
+
+def _parse_record(line: str, samples: list[str]):
+    f = line.rstrip("\n").split("\t")
+    chrom, pos, vid, ref, alt_s, qual_s, filt = (
+        f[0], int(f[1]), f[2], f[3], f[4], f[5], f[6],
+    )
+    alt = alt_s.split(",")
+    variant_id = f"{chrom}:{pos}:{ref}:{alt_s}"
+    fmt = f[8].split(":") if len(f) > 8 else []
+    variant = (
+        variant_id,
+        chrom,
+        pos,
+        None if vid == "." else vid,
+        ref,
+        alt,
+        None if qual_s == "." else float(qual_s),
+        filt,
+    )
+    calls = []
+    gt_i = fmt.index("GT") if "GT" in fmt else -1
+    dp_i = fmt.index("DP") if "DP" in fmt else -1
+    gq_i = fmt.index("GQ") if "GQ" in fmt else -1
+    for si, name in enumerate(samples):
+        vals = f[9 + si].split(":") if len(f) > 9 + si else []
+
+        def field(idx: int) -> str | None:
+            return vals[idx] if 0 <= idx < len(vals) else None
+
+        gt_raw = field(gt_i)
+        gt = (
+            [None if a == "." else int(a) for a in gt_raw.replace("|", "/").split("/")]
+            if gt_raw is not None
+            else None
+        )
+        calls.append(
+            (
+                variant_id,
+                chrom,
+                pos,
+                name,
+                gt,
+                _opt_int(field(dp_i)),
+                _opt_int(field(gq_i)),
+            )
+        )
+    return variant, calls
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class VcfReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vcf source requires a path: .load('file.vcf')")
+        self.table = options.get("table", "calls")
+        self.n_partitions = int(options.get("n_partitions", "8"))
+        self.samples = _parse_header(self.path)
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        n = max(1, min(self.n_partitions, size // (64 * 1024) or 1))
+        step = size // n or 1
+        bounds = [i * step for i in range(n)] + [size]
+        return [_Range(bounds[i], bounds[i + 1]) for i in range(n)]
+
+    def read(self, partition: _Range):
+        with open(self.path, "rt") as fh:
+            fh.seek(partition.start)
+            if partition.start > 0:
+                fh.readline()  # skip the split partial line (owned by prev)
+            while fh.tell() <= partition.end:
+                line = fh.readline()
+                if not line:
+                    break
+                if line.startswith("#") or not line.strip():
+                    continue
+                variant, calls = _parse_record(line, self.samples)
+                if self.table == "variants":
+                    yield variant
+                else:
+                    yield from calls
+
+
+class VcfDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vcf"
+
+    def schema(self) -> str:
+        table = self.options.get("table", "calls")
+        return VARIANTS_SCHEMA if table == "variants" else CALLS_SCHEMA
+
+    def reader(self, schema) -> VcfReader:
+        return VcfReader(dict(self.options))
+
+
+def register_vcf_source(spark) -> None:
+    """Register the connector once per session."""
+    spark.dataSource.register(VcfDataSource)
