@@ -738,3 +738,80 @@ def q_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q_agg_collect",
+    TIER,
+    """
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-group distinct values as a SORTED array.
+
+    collect_set order is nondeterministic in any engine — sorting the
+    array is what makes an array-typed result oracle-comparable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_corr",
+    TIER,
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact sums.
+
+    The built-in corr() is a streaming co-moment whose merge order
+    differs between engines; here the five sums are exact decimal
+    aggregations (order-independent) and the closed form runs the
+    identical IEEE sequence on both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = "decimal(28,6)"
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast(d)).cast("double").alias("sx"),
+        F.sum(p.cast(d)).cast("double").alias("sy"),
+        F.sum((q * q).cast(d)).cast("double").alias("sxx"),
+        F.sum((p * p).cast(d)).cast("double").alias("syy"),
+        F.sum((q * p).cast(d)).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", F.round(corr, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
