@@ -198,6 +198,19 @@ def test_vcf_datasource_parallel_partitions(spark, tmp_path_factory):
         )
     p = tmp_path_factory.mktemp("bigvcf") / "big.vcf"
     p.write_text("\n".join(lines) + "\n")
+    from v6spark.sources.vcf_datasource import VcfReader
+
+    reader = VcfReader({"path": str(p), "n_partitions": "6"})
+    assert len(reader.partitions()) == 6  # explicit option honored
     df = spark.read.format("vcf").option("n_partitions", "6").load(str(p))
     assert df.count() == 500 * 2
     assert df.select("variant_id").distinct().count() == 500
+    # non-ASCII content across boundaries must not break byte seeks
+    lines2 = ["##über ünïcode header é中文",
+              "#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	sé"]
+    for i in range(300):
+        lines2.append(f"chré{i % 2}	{i}	.	A	T	.	PASS	.	GT	0/1")
+    p2 = tmp_path_factory.mktemp("uvcf") / "u.vcf"
+    p2.write_text("\n".join(lines2) + "\n", encoding="utf-8")
+    df2 = spark.read.format("vcf").option("n_partitions", "5").load(str(p2))
+    assert df2.count() == 300

@@ -258,7 +258,15 @@ def kmeans_centroids(
                 "cell", F.posexplode(vec_col).alias("dim", "x")
             )
             .groupBy("cell", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            # decimal-exact mean (repo determinism rule): a double avg's
+            # partial-merge order varies with cluster layout, which
+            # would break bit-identical index rebuilds
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("m")
+            )
             .collect()
         )
         by_cell: dict[int, list[float]] = {}

@@ -48,16 +48,34 @@ def _parse_header(path: str) -> list[str]:
 
 
 def _opt_int(v: str | None) -> int | None:
-    return None if v in (None, ".", "") else int(v)
+    if v in (None, ".", ""):
+        return None
+    try:
+        return int(v)
+    except ValueError:  # malformed value -> NULL, matching try_cast
+        return None
+
+
+def _opt_float(v: str | None) -> float | None:
+    if v in (None, ".", ""):
+        return None
+    try:
+        return float(v)
+    except ValueError:
+        return None
 
 
 def _parse_record(line: str, samples: list[str]):
+    # Lenient like the Catalyst parser (try_cast / out-of-range -> NULL):
+    # malformed numerics become NULL, short lines are padded — a bad
+    # record must not abort a 100 TB ingest job.
     f = line.rstrip("\n").split("\t")
-    chrom, pos, vid, ref, alt_s, qual_s, filt = (
-        f[0], int(f[1]), f[2], f[3], f[4], f[5], f[6],
-    )
+    if len(f) < 8:
+        f = f + [""] * (8 - len(f))
+    chrom, vid, ref, alt_s, filt = f[0], f[2], f[3], f[4], f[6]
+    pos = _opt_int(f[1])
     alt = alt_s.split(",")
-    variant_id = f"{chrom}:{pos}:{ref}:{alt_s}"
+    variant_id = f"{chrom}:{f[1]}:{ref}:{alt_s}"
     fmt = f[8].split(":") if len(f) > 8 else []
     variant = (
         variant_id,
@@ -66,7 +84,7 @@ def _parse_record(line: str, samples: list[str]):
         None if vid == "." else vid,
         ref,
         alt,
-        None if qual_s == "." else float(qual_s),
+        _opt_float(f[5]),
         filt,
     )
     calls = []
@@ -81,7 +99,7 @@ def _parse_record(line: str, samples: list[str]):
 
         gt_raw = field(gt_i)
         gt = (
-            [None if a == "." else int(a) for a in gt_raw.replace("|", "/").split("/")]
+            [_opt_int(a) for a in gt_raw.replace("|", "/").split("/")]
             if gt_raw is not None
             else None
         )
@@ -111,25 +129,38 @@ class VcfReader(DataSourceReader):
         if not self.path:
             raise ValueError("vcf source requires a path: .load('file.vcf')")
         self.table = options.get("table", "calls")
+        self.n_partitions_explicit = "n_partitions" in options
         self.n_partitions = int(options.get("n_partitions", "8"))
         self.samples = _parse_header(self.path)
 
     def partitions(self):
         size = os.path.getsize(self.path)
-        n = max(1, min(self.n_partitions, size // (64 * 1024) or 1))
+        if self.n_partitions_explicit:
+            n = max(1, min(self.n_partitions, size))  # honor the caller
+        else:
+            # default: no point splitting small files
+            n = max(1, min(self.n_partitions, size // (64 * 1024) or 1))
         step = size // n or 1
         bounds = [i * step for i in range(n)] + [size]
         return [_Range(bounds[i], bounds[i + 1]) for i in range(n)]
 
     def read(self, partition: _Range):
-        with open(self.path, "rt") as fh:
+        # BINARY mode: a byte-range boundary may land inside a
+        # multi-byte UTF-8 character — text-mode seek+readline would
+        # raise UnicodeDecodeError (and text-mode tell() is slow).
+        # Offsets are tracked from raw line lengths; each line is
+        # owned by the partition containing its first byte.
+        with open(self.path, "rb") as fh:
             fh.seek(partition.start)
+            offset = partition.start
             if partition.start > 0:
-                fh.readline()  # skip the split partial line (owned by prev)
-            while fh.tell() <= partition.end:
-                line = fh.readline()
-                if not line:
+                offset += len(fh.readline())  # prev partition owns it
+            while offset <= partition.end:
+                raw = fh.readline()
+                if not raw:
                     break
+                offset += len(raw)
+                line = raw.decode("utf-8", errors="replace")
                 if line.startswith("#") or not line.strip():
                     continue
                 variant, calls = _parse_record(line, self.samples)

@@ -146,13 +146,18 @@ def run_foreach_batch_upsert(
     MERGE); plain parquet here keeps the container dependency-free
     while exercising the identical streaming plumbing.
     """
-    from pyspark.sql import functions as F
+    import os
+    import shutil
 
     def upsert(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([key])
-        import os
-
+        old = target_dir + ".old"
+        if os.path.exists(old):  # crash between rename-aside and swap-in
+            if not os.path.exists(target_dir):
+                os.rename(old, target_dir)
+            else:
+                shutil.rmtree(old)
         if os.path.exists(target_dir):
             current = spark.read.parquet(target_dir)
             merged = (
@@ -161,14 +166,17 @@ def run_foreach_batch_upsert(
             )
         else:
             merged = batch
-        # write to a staging dir then swap — parquet has no MERGE
+        # stage, rename the live target ASIDE (never rmtree it before
+        # the new data is in place), swap in, then drop the old copy —
+        # a crash at any point leaves either the old or the new target
+        # recoverable, so the docstring's replay-idempotence holds
         staging = target_dir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        import shutil
-
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+            os.rename(target_dir, old)
         os.rename(staging, target_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)
