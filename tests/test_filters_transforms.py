@@ -99,3 +99,33 @@ def test_subset_entities_df_semi_anti(spark):
     semi = {r["id"] for r in transforms.subset_entities_df(df, "id", keep_df).collect()}
     anti = {r["id"] for r in transforms.subset_entities_df(df, "id", keep_df, reverse=True).collect()}
     assert semi == {1, 3} and anti == {0, 2, 4}
+
+
+def test_profile_one_pass(spark, sf_dir):
+    from v6spark.operators.profile import profile
+    from v6spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = {r["column"]: r for r in profile(ev).collect()}
+    n = ev.count()
+    assert prof["event_id"]["n_rows"] == n
+    assert prof["event_id"]["n_nulls"] == 0
+    assert prof["event_id"]["null_rate"] == 0.0
+    # HLL estimate within 5% of the exact distinct count
+    exact = ev.select("user_id").distinct().count()
+    assert abs(prof["user_id"]["approx_distinct"] - exact) <= max(1, exact * 0.05)
+    assert prof["event_type"]["min_repr"] == "click"
+    assert prof["event_type"]["max_repr"] == "view"
+
+
+def test_profile_nulls_and_complex_types(spark):
+    from v6spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, None, [1.0]), (2, "x", None), (3, None, [2.0])],
+        "id int, s string, arr array<double>",
+    )
+    prof = {r["column"]: r for r in profile(df).collect()}
+    assert prof["s"]["n_nulls"] == 2 and prof["s"]["null_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    assert prof["arr"]["min_repr"] is None  # complex types: no min/max
+    assert prof["id"]["min_repr"] == "1" and prof["id"]["max_repr"] == "3"

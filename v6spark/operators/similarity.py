@@ -123,15 +123,25 @@ def ann_lsh_pairs(
     n_planes: int = 8,
     dim: int = 64,
     min_cosine: float = 0.0,
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: exact cosine computed only
-    within LSH buckets (vectors sharing all sign bits)."""
+    within LSH buckets (vectors sharing all sign bits).
+
+    The bucketed frame (id, vector, norm, bucket — n_planes dot
+    products per row) feeds BOTH sides of the self-join, so it is
+    persisted by default rather than recomputed per side.
+    """
+    from pyspark import StorageLevel
+
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         arr_norm_sq(vec_col).alias("_n2"),
         lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
     )
+    if persist_buckets:
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     sim = _safe_cosine(
         arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")

@@ -815,3 +815,65 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", F.round(corr, 6).alias("corr_qty_price")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_unpivot",
+    TIER,
+    """
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+    WHERE p_partkey < 100
+    ORDER BY p_partkey, attr
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide attribute columns to long (attr, val) rows.
+
+    ``DataFrame.unpivot`` generates the rows in one pass (Expand node)
+    — no N-way self-union scan; the oracle states the same relation as
+    a UNION ALL.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return (
+        part.withColumn("p_size_d", F.col("p_size").cast("double"))
+        .unpivot("p_partkey", ["p_size_d", "p_retailprice"], "attr", "val")
+        .withColumn(
+            "attr",
+            F.when(F.col("attr") == "p_size_d", "size").otherwise("retailprice"),
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+@register(
+    "q_set_ops_all",
+    TIER,
+    """
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice >= 100000)
+    GROUP BY custkey
+    ORDER BY custkey
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set op: INTERSECT ALL keeps per-key multiplicity
+    min(left, right) — the multiset algebra q_set_ops' DISTINCT forms
+    don't exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") >= 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        f_orders.intersectAll(big)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("custkey")
+    )
