@@ -877,3 +877,67 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "q_window_distribution",
+    TIER,
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    All three are exact rational arithmetic over the row's position —
+    deterministic given the total order (price desc, key asc).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+@register(
+    "q_arg_extremes",
+    TIER,
+    """
+    SELECT c_nationkey,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           round(max(c_acctbal), 6) AS max_bal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates: the key of the extreme row in one
+    hash-agg pass (no self-join back).  Deterministic here because
+    acctbal values are unique within each nation (verified in the
+    corpus at every SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, c_acctbal)").alias("richest_cust"),
+            F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_cust"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
