@@ -129,3 +129,20 @@ def test_profile_nulls_and_complex_types(spark):
     assert prof["s"]["n_nulls"] == 2 and prof["s"]["null_rate"] == pytest.approx(2 / 3, abs=1e-6)
     assert prof["arr"]["min_repr"] is None  # complex types: no min/max
     assert prof["id"]["min_repr"] == "1" and prof["id"]["max_repr"] == "3"
+
+
+def test_profile_dotted_and_duplicate_columns(spark):
+    from v6spark.operators.profile import profile
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["user.id", "v"])
+    rows = profile(df).collect()
+    assert {r["column"] for r in rows} == {"user.id", "v"}
+    dotted = [r for r in rows if r["column"] == "user.id"][0]
+    assert dotted["n_nulls"] == 0 and dotted["max_repr"] == "2"
+    # duplicate names after a join: two distinct rows with own stats
+    a = spark.createDataFrame([(1,)], ["id"])
+    b = spark.createDataFrame([(1, None), (1, 5)], ["k", "id"])
+    joined = a.join(b, a.id == b.k).select(a["id"], b["id"])
+    rows2 = profile(joined).collect()
+    assert len(rows2) == 2
+    assert sorted(r["n_nulls"] for r in rows2) == [0, 1]

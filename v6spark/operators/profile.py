@@ -25,19 +25,23 @@ def profile(df: DataFrame, approx_rsd: float = 0.01) -> DataFrame:
     approx_distinct, min_repr, max_repr); min/max as strings so mixed
     column types fit one result schema.
     """
+    # Positional rename first: name-based references would misparse
+    # dotted names ("user.id") as nested fields, and duplicate column
+    # names (post-join frames) are ambiguous — toDF renames by
+    # position without parsing, so every column gets its own stats
+    names_types = df.dtypes
+    df = df.toDF(*[f"__c{i}" for i in range(len(names_types))])
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, dtype in df.dtypes:
-        c = F.col(name)
-        aggs.append(F.count_if(c.isNull()).alias(f"__nulls_{name}"))
-        aggs.append(
-            F.approx_count_distinct(name, rsd=approx_rsd).alias(f"__dist_{name}")
-        )
+    for i, (name, dtype) in enumerate(names_types):
+        c = df[f"__c{i}"]
+        aggs.append(F.count_if(c.isNull()).alias(f"__nulls_{i}"))
+        aggs.append(F.approx_count_distinct(c, rsd=approx_rsd).alias(f"__dist_{i}"))
         if dtype.startswith(("array", "map", "struct", "binary")):
-            aggs.append(F.lit(None).cast("string").alias(f"__min_{name}"))
-            aggs.append(F.lit(None).cast("string").alias(f"__max_{name}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
         else:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{name}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{name}"))
+            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
     spark = df.sparkSession
@@ -46,13 +50,13 @@ def profile(df: DataFrame, approx_rsd: float = 0.01) -> DataFrame:
             name,
             dtype,
             n,
-            row[f"__nulls_{name}"],
-            round(row[f"__nulls_{name}"] / n, 6) if n else None,
-            row[f"__dist_{name}"],
-            row[f"__min_{name}"],
-            row[f"__max_{name}"],
+            row[f"__nulls_{i}"],
+            round(row[f"__nulls_{i}"] / n, 6) if n else None,
+            row[f"__dist_{i}"],
+            row[f"__min_{i}"],
+            row[f"__max_{i}"],
         )
-        for name, dtype in df.dtypes
+        for i, (name, dtype) in enumerate(names_types)
     ]
     return spark.createDataFrame(
         out,

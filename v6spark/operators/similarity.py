@@ -130,7 +130,12 @@ def ann_lsh_pairs(
 
     The bucketed frame (id, vector, norm, bucket — n_planes dot
     products per row) feeds BOTH sides of the self-join, so it is
-    persisted by default rather than recomputed per side.
+    persisted by default rather than recomputed per side.  The cache
+    entry lives until Spark's LRU evicts it or the session stops —
+    for repeated calls in a long-lived session pass
+    ``persist_buckets=False`` or unpersist via
+    ``spark.catalog.clearCache()``.  (Same lifecycle as
+    dedup.minhash_lsh_candidates' signature cache.)
     """
     from pyspark import StorageLevel
 

@@ -838,12 +838,12 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
     return (
-        part.withColumn("p_size_d", F.col("p_size").cast("double"))
-        .unpivot("p_partkey", ["p_size_d", "p_retailprice"], "attr", "val")
-        .withColumn(
-            "attr",
-            F.when(F.col("attr") == "p_size_d", "size").otherwise("retailprice"),
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
         )
+        .unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
         .orderBy("p_partkey", "attr")
     )
 
@@ -918,8 +918,8 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIER,
     """
     SELECT c_nationkey,
-           arg_max(c_custkey, c_acctbal) AS richest_cust,
-           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           (max({'bal': c_acctbal, 'ck': c_custkey})).ck AS richest_cust,
+           (min({'bal': c_acctbal, 'ck': c_custkey})).ck AS poorest_cust,
            round(max(c_acctbal), 6) AS max_bal
     FROM customer
     GROUP BY c_nationkey
@@ -927,16 +927,21 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """arg-max/arg-min aggregates: the key of the extreme row in one
-    hash-agg pass (no self-join back).  Deterministic here because
-    acctbal values are unique within each nation (verified in the
-    corpus at every SF)."""
+    """arg-max/arg-min: the key of the extreme row in one hash-agg
+    pass (no self-join back), via max/min over a (value, key) struct —
+    lexicographic struct comparison IS the total-order tie-break
+    (acctbal ties do exist at sf0.1; a bare max_by/arg_max would pick
+    arbitrarily in each engine whenever a tie lands on the extreme).
+    """
     cust = load_table(spark, sf_dir, "customer")
+    pair = F.struct(
+        F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("ck")
+    )
     return (
         cust.groupBy("c_nationkey")
         .agg(
-            F.expr("max_by(c_custkey, c_acctbal)").alias("richest_cust"),
-            F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_cust"),
+            F.max(pair)["ck"].alias("richest_cust"),
+            F.min(pair)["ck"].alias("poorest_cust"),
             F.round(F.max("c_acctbal"), 6).alias("max_bal"),
         )
         .orderBy("c_nationkey")
