@@ -39,6 +39,10 @@ HEADLINE = [
     "q_event_session",
     "q_dedup_exact",
     "q_sort_topk",
+    "q_corr",
+    "q_percentile",
+    "q_pivot",
+    "q_join_asof",
 ]
 
 KEY_SHIFT = 1_000_000_000  # far above any real key
