@@ -946,3 +946,77 @@ def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q_explode_lateral",
+    TIER,
+    """
+    SELECT vec_id, i - 1 AS pos, round(CAST(embedding[i] AS DOUBLE), 6) AS val
+    FROM embeddings, range(1, 65) t(i)
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos
+    """,
+)
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explode WITH ordinality (posexplode).
+
+    One Generate node fans each vector into (position, value) rows —
+    the long-format pivot of an array column; the oracle states the
+    same relation as a range lateral join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "q_null_funcs",
+    TIER,
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN value < 0.1 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           count(v) AS n_present,
+           count(*) - count(v) AS n_null,
+           round(CAST(sum(CAST(coalesce(v, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_coalesced,
+           count(nullif(event_type, 'error')) AS n_nullif
+    FROM m
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family: coalesce / nullif under aggregation
+    (sentinel-to-NULL normalization is the engine's ingest rule —
+    SURVEY.md §1.1; these are the functions downstream code uses)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 0.1, F.lit(None)).otherwise(F.col("value"))
+    m = ev.select("event_type", v.alias("v"))
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_present"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.round(
+                F.sum(F.coalesce("v", F.lit(0.0)).cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_coalesced"),
+            F.count(F.nullif("event_type", F.lit("error"))).alias("n_nullif"),
+        )
+        .orderBy("event_type")
+    )
