@@ -1020,3 +1020,69 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_grouping_sets",
+    TIER,
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary set list (neither rollup
+    nor cube), via the SQL surface; one Expand + one shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    TIER,
+    """
+    SELECT o_orderpriority, count(*) AS n_above
+    FROM orders o
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                 / count(*)
+                          FROM orders
+                          WHERE o_orderpriority = o.o_orderpriority)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders above their priority's mean.
+
+    Catalyst decorrelates this into an aggregate + join (no per-row
+    re-execution).  The threshold is a decimal-exact mean so the
+    strict > comparison is bit-identical across engines — a plain
+    double avg would differ by summation order and could flip a row
+    sitting within ~1e-5 of its group mean.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM v_orders_sq o
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                       / count(*)
+                              FROM v_orders_sq
+                              WHERE o_orderpriority = o.o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
