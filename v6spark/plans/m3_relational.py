@@ -1086,3 +1086,70 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_window_firstlast",
+    TIER,
+    """
+    SELECT user_id, event_id,
+           round(first_value(value) OVER w, 6) AS first_val,
+           round(last_value(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING), 6) AS last_val
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit frames.
+
+    last_value needs the unbounded-following frame (the default frame
+    ends at CURRENT ROW, which would just echo each row) — the classic
+    window-frame gotcha, stated identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.first("value").over(w), 6).alias("first_val"),
+        F.round(F.last("value").over(w_full), 6).alias("last_val"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_regex_funcs",
+    TIER,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_token,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels
+    FROM documents
+    WHERE lang = 'en' AND doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: count / extract / global replace.
+
+    DuckDB's regexp_replace is single-occurrence by default ('g' flag
+    required) while Spark's is always global — the oracle states the
+    flag explicitly (SURVEY-class cross-engine gotcha).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 200)
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("data")).cast("int").alias("n_data"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_token"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias(
+            "len_novowels"
+        ),
+    ).orderBy("doc_id")
