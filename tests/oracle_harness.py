@@ -54,6 +54,71 @@ def run_duck(con, sql):
     return cols, cur.fetchall()
 
 
+def _pandas_canonical(df) -> list[tuple]:
+    """Mirror the driver's canonicalization: sort columns by name, sort
+    rows via pandas ``sort_values`` (raises on list/array cells exactly
+    like the driver), then normalize cell values dtype-sensitively —
+    a float64 column of integral values renders "31019.0" while int64
+    renders "31019", so DuckDB HUGEINT->float64 artifacts are caught.
+    """
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(normalize_value(_to_py(v)) for v in row))
+    return out
+
+
+def _to_py(v):
+    """numpy scalar -> python scalar, preserving int-vs-float dtype.
+
+    Tz-naive midnight timestamps collapse to dates: DuckDB's pandas
+    fetch renders DATE columns as datetime64, and the real driver
+    passed q_date_funcs in r1, so its hash treats the two as equal.
+    """
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        try:
+            if v.time() == datetime.time(0, 0):
+                return v.date()
+        except ValueError:  # pd.NaT
+            return None
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            return v.item()
+        except (AttributeError, ValueError):
+            return v
+    return v
+
+
+def compare_pandas(spark, con, fn, sql, sf_dir) -> list[str]:
+    """Driver-faithful comparison through the pandas fetch path."""
+    problems: list[str] = []
+    sdf = fn(spark, sf_dir).toPandas()
+    ddf = con.execute(sql).df()
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return [f"schema: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"]
+    try:
+        s_norm = _pandas_canonical(sdf)
+    except TypeError as e:  # unhashable/unsortable cell type == driver ERR
+        return [f"spark result not pandas-canonicalizable (driver ERR): {e}"]
+    try:
+        d_norm = _pandas_canonical(ddf)
+    except TypeError as e:
+        return [f"oracle result not pandas-canonicalizable (driver ERR): {e}"]
+    if len(s_norm) != len(d_norm):
+        problems.append(f"rowcount: spark={len(s_norm)} duck={len(d_norm)}")
+    if s_norm != d_norm:
+        d_set = set(d_norm)
+        s_set = set(s_norm)
+        diff_s = [r for r in s_norm if r not in d_set][:3]
+        diff_d = [r for r in d_norm if r not in s_set][:3]
+        problems.append(
+            f"pandas-path values differ (dtype-sensitive): "
+            f"spark-only={diff_s} duck-only={diff_d}"
+        )
+    return problems
+
+
 def compare(spark, con, fn, sql, sf_dir) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     s_cols, s_rows = run_spark(spark, fn, sf_dir)

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from v6spark.plans import REGISTRY
-from tests.oracle_harness import compare
+from tests.oracle_harness import compare, compare_pandas
 
 NAMES = sorted(REGISTRY)
 
@@ -40,4 +40,16 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     if spec.oracle is None:
         pytest.skip("no SQL oracle (rows-only check)")
     problems = compare(spark, duck, spec.spark_fn, spec.oracle, sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle_driver_path(name, spark, duck, sf_dir):
+    """Driver-faithful pandas fetch path: catches DuckDB HUGEINT->float64
+    dtype artifacts and unhashable array cells that the fetchall path
+    cannot see (both bit CORRECTNESS_r01)."""
+    spec = REGISTRY[name]
+    if spec.oracle is None:
+        pytest.skip("no SQL oracle (rows-only check)")
+    problems = compare_pandas(spark, duck, spec.spark_fn, spec.oracle, sf_dir)
     assert not problems, f"{name}: " + "; ".join(problems)

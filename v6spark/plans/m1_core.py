@@ -282,8 +282,8 @@ def q_sample_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_filter_accounting",
     TIER,
     """
-    SELECT count_if(l_quantity >= 25) AS n_kept,
-           count(*) - count_if(l_quantity >= 25) AS n_filtered_out
+    SELECT CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_kept,
+           CAST(count(*) - count_if(l_quantity >= 25) AS BIGINT) AS n_filtered_out
     FROM lineitem
     """,
 )
