@@ -53,6 +53,33 @@ def test_lsh_candidates_find_near_dup(docs):
     assert (1, 3) not in pairs  # unrelated docs don't collide
 
 
+def test_lsh_bucket_guard_degenerate_corpus(spark):
+    """1k identical docs: every band bucket holds all 1k signatures, so
+    unguarded candidate generation is ~500k pairs per band.  With
+    max_bucket_size the oversized buckets are dropped and the pair
+    explosion never materializes."""
+    n = 1000
+    degenerate = spark.createDataFrame(
+        [(i, DOC_A) for i in range(n)], "doc_id long, text string"
+    )
+    guarded = dedup.minhash_lsh_candidates(
+        degenerate, n_hashes=16, bands=4, persist_signatures=False,
+        max_bucket_size=50,
+    )
+    assert guarded.count() == 0  # all buckets oversized -> routed away
+    # and a mixed corpus keeps its small-bucket pairs
+    mixed = spark.createDataFrame(
+        [(i, DOC_A) for i in range(60)] + [(100, DOC_B), (101, DOC_B)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        mixed, n_hashes=16, bands=4, persist_signatures=False,
+        max_bucket_size=50,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+
+
 def test_ngram_jaccard_exact(spark, docs):
     cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
     out = dedup.ngram_jaccard_pairs(docs, cands, k=3)

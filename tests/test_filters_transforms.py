@@ -51,6 +51,24 @@ def test_filter_by_group_rate_bounds(spark):
     assert {r["k"]: r["rate"] for r in out.collect()} == {"a": pytest.approx(2 / 3, abs=1e-6)}
 
 
+def test_filter_by_group_rate_histogram_contract(spark):
+    """calc_histogram=True -> FilterResult with FLT_STATS histogram of
+    the PRE-FILTER rate distribution (D1 reference signature)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("c", 1)],
+        "k string, hit int",
+    )
+    res = filter_by_group_rate(
+        df, "k", F.col("hit") == 1, min_rate=0.5, max_rate=0.9,
+        calc_histogram=True, n_bins=4,
+    )
+    assert isinstance(res, FilterResult)
+    assert res.n_kept == 1 and res.n_filtered_out == 2  # groups, not rows
+    # rates: a=0.667 -> bin 2, b=0.0 -> bin 0, c=1.0 -> closed last bin 3
+    hist = {r["bucket"]: r["n"] for r in res.stats.collect()}
+    assert hist == {0: 1, 2: 1, 3: 1}
+
+
 def test_range_join_boundaries(spark):
     df = spark.createDataFrame(
         [(1, datetime.date(2020, 1, 1)), (2, datetime.date(2020, 6, 1)),

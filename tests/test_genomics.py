@@ -114,6 +114,25 @@ def test_call_rate_filter_contract(vs):
     assert res[FLT_VARS].calls.filter(F.col("variant_id") == "chr2:400:T:A").count() == 0
 
 
+def test_call_rate_filter_histogram(vs):
+    """Reference signature: remove_low_call_rate_vars(..., calc_histogram=True)
+    returns FLT_STATS = np.histogram of the pre-filter call rates."""
+    from v6spark.genomics import COUNTS, EDGES, FLT_STATS
+
+    res = g.remove_low_call_rate_vars(
+        vs, min_call_rate=0.5, calc_histogram=True, n_bins=4
+    )
+    assert set(res) == {FLT_VARS, N_KEPT, N_FILTERED_OUT, FLT_STATS}
+    assert res[N_KEPT] == 3 and res[N_FILTERED_OUT] == 1
+    hist = res[FLT_STATS]
+    assert hist[EDGES] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    # pre-filter call rates: 0.75, 1.0, 1.0, 0.25 -> bins [0, 1, 0, 3]
+    # (0.25 and 0.75 are left bin edges; numpy closes the last bin, so
+    # both 1.0 rates join 0.75 in bin 3)
+    assert hist[COUNTS] == [0, 1, 0, 3]
+    assert sum(hist[COUNTS]) == res[N_KEPT] + res[N_FILTERED_OUT]
+
+
 def test_maf_and_qual_filters(vs):
     res = g.filter_by_maf(vs, max_allowable_maf=0.95)
     assert res[N_KEPT] == 3  # chr1:200 (maf 1.0) dropped

@@ -85,12 +85,30 @@ def test_no_python_in_declared_plans(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_simhash_python_is_arrow_batched(spark, sf_dir):
-    # the one Python stage in the query surface must be vectorized,
-    # never row-at-a-time
-    plan = plan_of(spark, "q_dedup_simhash", sf_dir)
+def test_simhash_library_python_is_arrow_batched(spark, sf_dir):
+    # the judged q_dedup_simhash is now pure Catalyst (portable hash);
+    # the library fast-path variant keeps the one Python stage in the
+    # operator surface, and it must be vectorized, never row-at-a-time
+    from v6spark.operators.dedup import simhash_signature
+    from v6spark.sources.tables import load_table
+
+    df = simhash_signature(load_table(spark, sf_dir, "documents"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_percentile_is_rank_based(spark, sf_dir):
+    # exact percentiles must NOT use Spark's `percentile` aggregate —
+    # it buffers every group value in one aggregation buffer (executor
+    # OOM at 100 TB group sizes).  The rank-based form shows up as a
+    # Window (sort-based, spills gracefully) and no percentile node.
+    plan = plan_of(spark, "q_measure_stats", sf_dir)
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
 
 
 def test_asof_single_window_shuffle(spark, sf_dir):

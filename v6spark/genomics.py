@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 FLT_VARS = "flt_vars"
 N_KEPT = "n_kept"
 N_FILTERED_OUT = "n_filtered_out"
+FLT_STATS = "flt_stats"
+EDGES = "edges"
+COUNTS = "counts"
 
 CHROM_FIELD = "/variations/chrom"
 POS_FIELD = "/variations/pos"
@@ -360,15 +363,44 @@ def filter_samples(vs: Variations, samples: list[str], reverse: bool = False) ->
 # ---- filters (D1-D8) — reference result-dict contract
 
 
-def remove_low_call_rate_vars(vs: Variations, min_call_rate: float) -> dict:
-    """D1: keep variants with call rate >= min."""
+def remove_low_call_rate_vars(
+    vs: Variations,
+    min_call_rate: float,
+    calc_histogram: bool = False,
+    n_bins: int = 20,
+    limits: tuple = (0.0, 1.0),
+) -> dict:
+    """D1: keep variants with call rate >= min
+    (``variation6/filters.py::remove_low_call_rate_vars``).
+
+    With ``calc_histogram=True`` the result dict gains ``FLT_STATS`` —
+    the distribution of the PRE-FILTER per-variant call rates as
+    ``{EDGES: [n_bins+1 floats], COUNTS: [n_bins ints]}`` (the
+    reference returns np.histogram of the rate vector; the last bin is
+    closed so rate == limits[1] is counted, matching numpy).  The
+    histogram aggregates the already-reduced per-variant rate relation
+    — one extra small hash-agg, not a second pass over calls.
+    """
     rates = calc_called_gt(vs, rates=True)
+    if calc_histogram:
+        from v6spark.operators.filters import rate_histogram
+
+        hist = rate_histogram(rates, "call_rate", n_bins, limits)
     kept = vs.variants.join(
         rates.filter(F.col("call_rate") >= min_call_rate).select("variant_id"),
         "variant_id",
         "left_semi",
     )
-    return vs._filter_result(kept)
+    result = vs._filter_result(kept)
+    if calc_histogram:
+        lo, hi = float(limits[0]), float(limits[1])
+        width = (hi - lo) / n_bins
+        counts = {r["bucket"]: r["n"] for r in hist.collect()}
+        result[FLT_STATS] = {
+            EDGES: [lo + i * width for i in range(n_bins)] + [hi],
+            COUNTS: [int(counts.get(i, 0)) for i in range(n_bins)],
+        }
+    return result
 
 
 def _band_filter(vs: Variations, stat: DataFrame, col: str, lo, hi) -> dict:

@@ -79,10 +79,28 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit portable string hash: the first 15 hex digits of md5.
+
+    MD5 is MD5 in every engine, so this hash has an exact DuckDB twin
+    (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``) — unlike
+    xxhash64, which only Spark implements.  15 hex digits keep the
+    value under 2^60, so downstream affine arithmetic stays inside
+    int64 even under ANSI overflow checking.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def o_portable_hash60(expr: str) -> str:
+    """The DuckDB twin of :func:`portable_hash60` for oracle SQL."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Column:
     """MinHash signature (array<bigint>) of a text column.
 
-    Single-pass formulation: one xxhash64 pass over the shingles, then
+    Single-pass formulation: one portable-hash pass over the shingles
+    (md5-based so a SQL oracle can reproduce the exact values), then
     ONE ``aggregate`` fold whose accumulator is the length-n_hashes
     vector of running minima — each shingle applies all affine
     permutations via an indexed ``transform``.  (The naive form — one
@@ -94,7 +112,8 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Col
     arr_a = F.array(*[F.lit(a) for a, _ in params])
     arr_b = F.array(*[F.lit(b) for _, b in params])
     base = F.transform(
-        shingles_col(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+        shingles_col(text, k),
+        lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)),
     )
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), n_hashes)
     return F.aggregate(
@@ -135,6 +154,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     persist_signatures: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
@@ -142,6 +162,16 @@ def minhash_lsh_candidates(
     their signatures matches exactly.  Returns (id_a, id_b,
     est_jaccard) with id_a < id_b, est_jaccard = matching signature
     fraction.
+
+    ``max_bucket_size`` is the 100 TB robustness guard: the
+    within-bucket self-join is quadratic in bucket size, and a real
+    corpus has pathological near-identical clusters (boilerplate,
+    templates) whose band buckets would otherwise explode — 1k
+    identical docs is 500k pairs from EVERY band.  Buckets larger
+    than the cap are dropped from candidate generation (their members
+    still pair through any smaller bucket they share); production
+    callers route oversized buckets to a sampled/exact-key path
+    instead of pairing them.
 
     Scale shape: the band bucket (band index folded into the hash) is
     the self-join shuffle key — uniformly distributed, skew-free — and
@@ -181,6 +211,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = (
+            banded.join(sizes, "bucket")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -249,6 +286,52 @@ def ngram_jaccard_pairs(
         "id_b",
         F.round(inter / union, 6).alias("jaccard"),
     )
+
+
+def simhash_signature_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """60-bit SimHash per document, pure Catalyst + portable hashing.
+
+    Token hashes are :func:`portable_hash60` (md5-based) so a DuckDB
+    oracle reproduces the exact fingerprints; the per-bit majority
+    vote runs as nested ``aggregate`` HOFs — JVM-side, no Python at
+    all (the xxhash64 + Arrow-UDF variant below stays as the library
+    fast path).  Bit j is set iff strictly more tokens have bit j set
+    than clear (ties clear).  The token-hash array is let-bound via a
+    single-element ``transform`` so the md5 pass runs once per row,
+    not once per bit.
+    """
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+    hs = F.transform(tokens_col(text_col), portable_hash60)
+    sig = F.element_at(
+        F.transform(
+            F.array(hs),
+            lambda h: F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.when(
+                    F.aggregate(
+                        h,
+                        F.lit(0).cast("long"),
+                        lambda a, x: a
+                        + F.when(
+                            x.bitwiseAND(F.element_at(pows, j + 1)) != 0,
+                            F.lit(1),
+                        ).otherwise(F.lit(-1)),
+                    )
+                    > 0,
+                    F.element_at(pows, j + 1),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_signature(

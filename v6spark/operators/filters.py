@@ -56,6 +56,33 @@ def filter_rows(df: DataFrame, predicate: Column, with_counts: bool = True) -> F
     return FilterResult(kept, row["n_kept"], row["n_filtered_out"])
 
 
+def rate_histogram(
+    grouped: DataFrame,
+    rate_col: str,
+    n_bins: int = 20,
+    limits: tuple = (0.0, 1.0),
+) -> DataFrame:
+    """Histogram of an already-aggregated rate column, numpy-edged.
+
+    Unlike :func:`v6spark.operators.stats.histogram` (half-open bins
+    throughout), the LAST bin is closed — ``rate == limits[1]`` counts
+    — matching ``np.histogram``, which is what the reference's
+    FLT_STATS contract returns (``variation6/filters.py`` D1).
+    """
+    lo, hi = float(limits[0]), float(limits[1])
+    width = (hi - lo) / n_bins
+    v = F.col(rate_col)
+    bucket = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        grouped.filter((v >= lo) & (v <= hi))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def filter_by_group_rate(
     df: DataFrame,
     key: str,
@@ -64,13 +91,23 @@ def filter_by_group_rate(
     max_rate: float | None = None,
     rate_alias: str = "rate",
     scale: int = 6,
-) -> DataFrame:
+    calc_histogram: bool = False,
+    n_bins: int = 20,
+) -> DataFrame | FilterResult:
     """Keep groups whose indicator-rate is inside [min_rate, max_rate].
 
     The shared shape of the reference's stat-threshold filters:
     ``remove_low_call_rate_vars`` (D1), ``filter_by_maf`` (D2),
     ``filter_by_obs_het`` (D5) — aggregate per group, then HAVING.
     Returns (key, rate) for surviving groups.
+
+    With ``calc_histogram=True`` (the reference's
+    ``remove_low_call_rate_vars(..., calc_histogram=True)`` signature)
+    the return is a :class:`FilterResult` whose ``stats`` is the
+    histogram of the PRE-FILTER rate distribution (numpy-style closed
+    last bin) and whose counts come from ONE extra aggregate over the
+    already-reduced per-group relation — never a second pass over the
+    input rows.
     """
     ind = F.when(indicator, F.lit(1.0)).otherwise(F.lit(0.0))
     grouped = df.groupBy(key).agg(F.round(F.avg(ind), scale).alias(rate_alias))
@@ -79,7 +116,14 @@ def filter_by_group_rate(
         cond = cond & (F.col(rate_alias) >= min_rate)
     if max_rate is not None:
         cond = cond & (F.col(rate_alias) <= max_rate)
-    return grouped.filter(cond)
+    kept = grouped.filter(cond)
+    if not calc_histogram:
+        return kept
+    stats = rate_histogram(grouped, rate_alias, n_bins)
+    row = accounting_df(grouped, cond).collect()[0]
+    return FilterResult(
+        kept, row["n_kept"], row["n_filtered_out"], stats=stats
+    )
 
 
 def filter_in_ranges(

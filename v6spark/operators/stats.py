@@ -198,6 +198,49 @@ def histogram(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    quantiles: Sequence[tuple[str, float]],
+    scale: int = 6,
+) -> DataFrame:
+    """Exact interpolated per-key percentiles, rank-based (scale-safe).
+
+    Spark's ``percentile`` aggregate buffers every value of a group in
+    one aggregation buffer — an executor OOM at 100 TB group sizes.
+    This is the two-pass formulation instead: a per-key ``row_number``
+    window (sort-based, spills gracefully, parallel across keys) plus
+    a per-key count, then only the two straddling rows of each target
+    rank are aggregated and linearly interpolated.  Values are
+    identical to ``percentile``/DuckDB ``quantile_cont``:
+    ``pos = 1 + (n-1) q``; ``v = v_lo + frac (v_hi - v_lo)``.
+    """
+    v = F.col(value)
+    base = df.filter(v.isNotNull())
+    w = Window.partitionBy(*_cols(keys)).orderBy(v)
+    wp = Window.partitionBy(*_cols(keys))
+    ranked = base.select(
+        *_cols(keys),
+        v.alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    aggs = []
+    for name, q in quantiles:
+        pos = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        frac = pos - F.floor(pos)
+        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        v_hi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+        f = F.max(F.when(F.col("_rn") == lo, frac))
+        aggs.append(
+            F.round(v_lo + f * (v_hi - v_lo), scale).alias(name)
+        )
+    return ranked.groupBy(*_cols(keys)).agg(*aggs)
+
+
 def group_mean(
     df: DataFrame,
     keys: Sequence[str],

@@ -78,20 +78,39 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIER,
     """
     SELECT o_orderstatus, count(*) AS n
-    FROM orders
+    FROM orders o
     WHERE o_totalprice >= 100000
+      AND o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                 / count(*)
+                          FROM orders
+                          WHERE o_orderpriority = o.o_orderpriority)
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-threshold filter (D6: filter_by_snp_qual analog)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        stats.category_counts(
-            orders.filter(F.col("o_totalprice") >= 100000), ["o_orderstatus"]
-        )
-        .orderBy("o_orderstatus")
+    """Quality filter with static AND data-derived thresholds (D6 +
+    correlated scalar subquery).
+
+    The per-priority mean threshold is a correlated scalar subquery
+    that Catalyst decorrelates into an aggregate + join — no per-row
+    re-execution.  Decimal-exact mean so the strict > comparison is
+    bit-identical across engines (a plain double avg differs by
+    summation order and could flip a row near its group mean).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_qf")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM v_orders_qf o
+        WHERE o_totalprice >= 100000
+          AND o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                     / count(*)
+                              FROM v_orders_qf
+                              WHERE o_orderpriority = o.o_orderpriority)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
     )
 
 
@@ -140,46 +159,131 @@ def q_per_entity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_category_counts",
     TIER,
     """
-    SELECT l_returnflag, l_linestatus, count(*) AS n
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+           count(*) AS n_total
     FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
 )
 def q_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Allele-count-matrix analog (C2: count_alleles) in long form."""
+    """Allele-count matrix (C2: count_alleles), pivoted wide.
+
+    The reference's count matrix is (variant x allele) — the pivoted
+    form IS the faithful shape.  ``groupBy().pivot(values=[...])``
+    with an explicit value list keeps the plan single-pass (no extra
+    distinct-values job) and the output schema static, which is what a
+    100 TB pivot needs.  Oracle states the same as FILTERed counts.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return stats.category_counts(li, ["l_returnflag", "l_linestatus"]).orderBy(
-        "l_returnflag", "l_linestatus"
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
     )
+    n_f = F.coalesce("F", F.lit(0)).alias("n_f")
+    n_o = F.coalesce("O", F.lit(0)).alias("n_o")
+    return pivoted.select(
+        "l_returnflag",
+        n_f,
+        n_o,
+        (F.coalesce("F", F.lit(0)) + F.coalesce("O", F.lit(0))).alias("n_total"),
+    ).orderBy("l_returnflag")
 
 
 @register(
     "q_measure_stats",
     TIER,
     """
-    SELECT l_suppkey,
-           round(avg(l_quantity), 6) AS avg_quantity,
-           min(l_quantity) AS min_quantity,
-           max(l_quantity) AS max_quantity,
-           round(sqrt((sum(l_quantity * l_quantity)
-                       - sum(l_quantity) * sum(l_quantity) / CAST(count(l_quantity) AS DOUBLE))
-                      / (CAST(count(l_quantity) AS DOUBLE) - 1.0)), 6) AS std_quantity
-    FROM lineitem
-    GROUP BY l_suppkey
+    WITH m AS (
+      SELECT l_suppkey,
+             round(avg(l_quantity), 6) AS avg_quantity,
+             min(l_quantity) AS min_quantity,
+             max(l_quantity) AS max_quantity,
+             round(sqrt((sum(l_quantity * l_quantity)
+                         - sum(l_quantity) * sum(l_quantity) / CAST(count(l_quantity) AS DOUBLE))
+                        / (CAST(count(l_quantity) AS DOUBLE) - 1.0)), 6) AS std_quantity,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50_quantity,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90_quantity
+      FROM lineitem
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, avg_quantity, min_quantity, max_quantity, std_quantity,
+           p50_quantity, p90_quantity,
+           round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+                 (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6)
+             AS corr_qty_price
+    FROM m
     ORDER BY l_suppkey
     """,
 )
 def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-distribution moments (C9: calc_depth).
+    """Distribution statistics per supplier (C9: calc_depth, extended
+    with exact percentiles and Pearson correlation).
 
-    stddev uses the closed form over exact integral sums so Spark and
-    DuckDB execute the identical IEEE sequence (their native streaming
-    stddev_samp implementations differ in merge order).
+    - moments: stddev from exact integral sums (closed form) so both
+      engines run the identical IEEE sequence — their native streaming
+      stddev_samp implementations differ in merge order.
+    - correlation: five decimal-exact sums + closed form (built-in
+      corr() is a streaming co-moment with engine-specific merges).
+    - percentiles: RANK-BASED two-pass interpolation
+      (operators/stats.py::exact_percentiles) — Spark's ``percentile``
+      aggregate buffers every group value in one buffer, an executor
+      OOM at 100 TB group sizes; the window+straddling-rows form sorts,
+      spills gracefully, and parallelizes across keys.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return stats.measure_stats(li, ["l_suppkey"], "l_quantity").orderBy(
-        "l_suppkey"
+    d = "decimal(28,6)"
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(q).cast("double")
+    s, ss = F.sum(q), F.sum(q * q)
+    variance = (ss - s * s / n) / (n - F.lit(1.0))
+    moments = li.groupBy("l_suppkey").agg(
+        F.round(F.avg(q), 6).alias("avg_quantity"),
+        F.min(q).alias("min_quantity"),
+        F.max(q).alias("max_quantity"),
+        F.round(F.sqrt(variance), 6).alias("std_quantity"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast(d)).cast("double").alias("sx"),
+        F.sum(p.cast(d)).cast("double").alias("sy"),
+        F.sum((q * q).cast(d)).cast("double").alias("sxx"),
+        F.sum((p * p).cast(d)).cast("double").alias("syy"),
+        F.sum((q * p).cast(d)).cast("double").alias("sxy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    pct = stats.exact_percentiles(
+        li,
+        ["l_suppkey"],
+        "l_quantity",
+        [("p50_quantity", 0.5), ("p90_quantity", 0.9)],
+    )
+    return (
+        moments.join(pct, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "avg_quantity",
+            "min_quantity",
+            "max_quantity",
+            "std_quantity",
+            "p50_quantity",
+            "p90_quantity",
+            F.round(corr, 6).alias("corr_qty_price"),
+        )
+        .orderBy("l_suppkey")
     )
 
 
@@ -208,8 +312,13 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIER,
     f"""
     SELECT event_type,
+           count(*) AS n,
            count(v) AS n_present,
-           {o_dsum('v')} AS sum_value
+           count(*) - count(v) AS n_null,
+           {o_dsum('v')} AS sum_value,
+           round(CAST(sum(CAST(coalesce(v, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_coalesced,
+           count(nullif(event_type, 'error')) AS n_nullif
     FROM (SELECT event_type,
                  CASE WHEN value < 0.1 THEN NULL ELSE value END AS v
           FROM events)
@@ -218,16 +327,31 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_mask_low_meas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Low-evidence masking (B4/B5: min_depth/qual_gt_to_missing).
+    """Low-evidence masking + the NULL-handling scalar family (B4/B5:
+    min_depth/qual_gt_to_missing; coalesce / nullif / null counting).
 
     Values below threshold become NULL (the reference's -1 sentinel
-    normalized away); aggregates then skip them natively.
+    normalized away); aggregates then skip them natively.  The
+    coalesce/nullif columns are the functions downstream code uses on
+    sentinel-normalized data (SURVEY.md §1.1).
     """
     ev = load_table(spark, sf_dir, "events")
     masked = transforms.mask_low(ev, "value", 0.1, out="v")
     return (
         masked.groupBy("event_type")
-        .agg(F.count("v").alias("n_present"), dsum("v").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_present"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            dsum("v").alias("sum_value"),
+            F.round(
+                F.sum(F.coalesce("v", F.lit(0.0)).cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_coalesced"),
+            F.count(F.nullif("event_type", F.lit("error"))).alias("n_nullif"),
+        )
         .orderBy("event_type")
     )
 

@@ -228,38 +228,42 @@ def q_callrate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variable_only",
     TIER,
     """
-    SELECT p_brand, count(DISTINCT p_type) AS n_categories
+    SELECT 'variable' AS rule, p_brand AS group_key,
+           count(DISTINCT p_type) AS n_categories
     FROM part GROUP BY p_brand
     HAVING count(DISTINCT p_type) >= 2
-    ORDER BY p_brand
-    """,
-)
-def q_variable_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variable-sites filter (D8: keep_variable_variations)."""
-    part = load_table(spark, sf_dir, "part")
-    return variable_groups(part, "p_brand", "p_type", min_distinct=2).orderBy(
-        "p_brand"
-    )
-
-
-@register(
-    "q_biallelic_only",
-    TIER,
-    """
-    SELECT l_partkey, count(DISTINCT l_returnflag) AS n_categories
+    UNION ALL
+    SELECT 'biallelic' AS rule, CAST(l_partkey AS VARCHAR) AS group_key,
+           count(DISTINCT l_returnflag) AS n_categories
     FROM lineitem WHERE l_quantity >= 44
     GROUP BY l_partkey
     HAVING count(DISTINCT l_returnflag) = 2
-    ORDER BY l_partkey
+    ORDER BY rule, group_key
     """,
 )
-def q_biallelic_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Biallelic-sites filter (D8: keep_biallelic) — exactly 2 observed
-    categories among high-quantity lineitems."""
+def q_variable_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-sites + biallelic-sites filters (D8:
+    keep_variable_variations / keep_biallelic), tagged branches.
+
+    'variable': groups with >= 2 distinct categories; 'biallelic':
+    groups with exactly 2 observed categories among high-quantity
+    rows.  Both are aggregate-then-HAVING on independent inputs — the
+    union is of two already-reduced relations, not a fact-table scan
+    twice over the same data.
+    """
+    part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 44)
-    return exactly_k_groups(li, "l_partkey", "l_returnflag", k=2).orderBy(
-        "l_partkey"
+    variable = variable_groups(part, "p_brand", "p_type", min_distinct=2).select(
+        F.lit("variable").alias("rule"),
+        F.col("p_brand").alias("group_key"),
+        "n_categories",
     )
+    biallelic = exactly_k_groups(li, "l_partkey", "l_returnflag", k=2).select(
+        F.lit("biallelic").alias("rule"),
+        F.col("l_partkey").cast("string").alias("group_key"),
+        "n_categories",
+    )
+    return variable.unionByName(biallelic).orderBy("rule", "group_key")
 
 
 @register(
@@ -267,23 +271,37 @@ def q_biallelic_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIER,
     """
     SELECT vec_id,
+           i - 1 AS pos,
+           round(CAST(embedding[i] AS DOUBLE), 6) AS val,
            CAST(len(embedding) AS INT) AS n_dims,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
            round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS abs_sum
-    FROM embeddings WHERE vec_id < 50
-    ORDER BY vec_id
+    FROM embeddings, range(1, 65) t(i)
+    WHERE vec_id < 25
+    ORDER BY vec_id, pos
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-column surface (ext): size / element_at / aggregate HOF.
+    """Array-column surface: size / aggregate HOF / lateral posexplode.
 
     The reference's per-variant AD vector ops (C5) expressed with
-    Catalyst higher-order functions — all JVM-side, no UDF.
+    Catalyst higher-order functions — all JVM-side, no UDF — plus the
+    long-format pivot of the array via ONE Generate (posexplode) node;
+    the oracle states the same relation as a range lateral join.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    return emb.select(
-        "vec_id",
-        F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(arr_abs_sum("embedding"), 6).alias("abs_sum"),
-    ).orderBy("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 25)
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.round(arr_abs_sum("embedding"), 6).alias("abs_sum"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+            "n_dims",
+            "abs_sum",
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -1,11 +1,12 @@
 """M4 tier — north-star LLM-data-pipeline queries (SURVEY.md §2.2/§2.3).
 
-Exact dedup, token statistics, cosine similarity search, and the
-batch analogs of the streaming event windows.  The judged queries are
-the deterministic, SQL-oracle-expressible members of the wider
-operator family in ``v6spark.operators.{dedup,similarity,text,
-sessionize}`` (MinHash-LSH, SimHash, ANN etc. are covered by unit
-tests instead — no deterministic SQL oracle exists for them).
+Exact and near dedup (MinHash-LSH, SimHash), token statistics,
+similarity search (brute-force + LSH-bucketed ANN), language-ID,
+quality scoring, and the batch analogs of the streaming event
+windows.  Every query here is oracle-backed: the near-dup/ANN family
+uses PORTABLE md5-based hashing and plan-time literal hyperplanes so
+a DuckDB oracle reproduces the exact values (the xxhash64/Arrow-UDF
+variants remain as library fast paths, unit-tested).
 """
 
 from __future__ import annotations
@@ -17,7 +18,8 @@ from v6spark.functions.determinism import dsum, o_dsum
 from v6spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_candidates,
-    simhash_signature,
+    ngram_jaccard_pairs,
+    simhash_signature_portable,
 )
 from v6spark.operators.sessionize import session_counts
 from v6spark.operators.similarity import ann_lsh_pairs, cosine_pairs_bruteforce
@@ -123,30 +125,57 @@ def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_event_tumbling",
     TIER,
     f"""
-    SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+    SELECT 'tumbling' AS win_kind,
+           CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS win_start_us,
            count(*) AS n,
            {o_dsum('value')} AS sum_value
     FROM events
-    GROUP BY 1
-    ORDER BY hour_bucket
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'sliding' AS win_kind,
+           CAST((epoch_us(ts) // 900000000 - i) * 900000000 AS BIGINT) AS win_start_us,
+           count(*) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events, range(0, 4) t(i)
+    GROUP BY 1, 2
+    ORDER BY win_kind, win_start_us
     """,
 )
 def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate (batch analog).
+    """Tumbling (1 h) and sliding (1 h window, 15 min slide) event-time
+    aggregates — batch analogs, tagged branches.
 
-    The bucket is exact integer arithmetic on epoch microseconds
+    Buckets are exact integer arithmetic on epoch microseconds
     (oracle-aligned: DuckDB truncates ns parquet timestamps to µs at
-    scan) — timezone- and float-free.  The Structured Streaming twin
-    (window(ts, '1 hour') + watermark) is v6spark.streaming.events.
+    scan) — timezone- and float-free.  Each event lands in
+    window/slide = 4 overlapping sliding buckets, generated by an
+    inline sequence explode (no join).  The Structured Streaming twins
+    (window/watermark) are v6spark.streaming.events.
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
+    hour_us, slide_us = 3_600_000_000, 900_000_000
+    tumbling = (
         ev.groupBy(
-            F.expr("ts_us DIV 3600000000").alias("hour_bucket")
+            (F.expr(f"ts_us DIV {hour_us}") * hour_us).alias("win_start_us")
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .orderBy("hour_bucket")
+        .select(
+            F.lit("tumbling").alias("win_kind"), "win_start_us", "n", "sum_value"
+        )
     )
+    sliding = (
+        ev.select(
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            F.expr(f"ts_us DIV {slide_us}").alias("slot"),
+        )
+        .groupBy(((F.col("slot") - F.col("i")) * slide_us).alias("win_start_us"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.lit("sliding").alias("win_kind"), "win_start_us", "n", "sum_value"
+        )
+    )
+    return tumbling.unionByName(sliding).orderBy("win_kind", "win_start_us")
 
 
 @register(
@@ -216,41 +245,187 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q_dedup_minhash", TIER, None)  # rows-only: xxhash64 has no DuckDB twin
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates (north star: near-dedup).
+# ---- oracle-side mirrors of the portable-hash north-star operators ----
+#
+# These SQL fragments restate the EXACT arithmetic of the Spark
+# operators (operators/dedup.py, operators/similarity.py): md5-based
+# 60-bit token/shingle hashes, seeded affine MinHash permutations, and
+# literal LSH hyperplanes.  Everything is integer or
+# identically-sequenced double arithmetic, so the oracle hash-matches.
 
-    Deterministic (seeded affine permutations) but not SQL-oracle-
-    expressible — DuckDB lacks xxhash64 — so the driver records the
-    rows-only check (SURVEY.md §2.2).  Scale shape: signature ->
-    band-explode -> hash-shuffle on uniform band buckets; the all-pairs
-    join never materializes.
+_O_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_O_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_M31 = (1 << 31) - 1
+
+
+def _minhash_oracle(n_hashes: int = 64, bands: int = 16) -> str:
+    from v6spark.operators.dedup import _perm_params
+
+    params = _perm_params(n_hashes)
+    arr_a = "[" + ",".join(str(a) for a, _ in params) + "]"
+    arr_b = "[" + ",".join(str(b) for _, b in params) + "]"
+    rpb = n_hashes // bands
+    h = _O_H60.format(x="s")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_O_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, text,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      FROM t),
+    hs AS (
+      SELECT doc_id, text, shingles,
+             list_transform(shingles, s -> {h} % {_M31}) AS hv
+      FROM sh),
+    sig AS (
+      SELECT doc_id, text, shingles,
+             list_transform(generate_series(1, {n_hashes}),
+                            i -> list_min(list_transform(hv,
+                                 h -> (h * ({arr_a})[i] + ({arr_b})[i]) % {_M31}))) AS sg
+      FROM hs),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a, sig b, range(0, {bands}) r(bnd)
+      WHERE a.doc_id < b.doc_id
+        AND a.sg[bnd*{rpb}+1:bnd*{rpb}+{rpb}] = b.sg[bnd*{rpb}+1:bnd*{rpb}+{rpb}]
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_filter(generate_series(1, {n_hashes}),
+                                      i -> a.sg[i] = b.sg[i])) AS DOUBLE)
+                 / {n_hashes}.0, 6) AS est_jaccard,
+           round(CAST(len(list_intersect(list_distinct(a.shingles),
+                                         list_distinct(b.shingles))) AS DOUBLE)
+                 / CAST(len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+                        - len(list_intersect(list_distinct(a.shingles),
+                                             list_distinct(b.shingles))) AS DOUBLE),
+                 6) AS jaccard,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    ORDER BY c.id_a, c.id_b
+    """
+
+
+@register("q_dedup_minhash", TIER, _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates, exact-verified (north
+    star: near-dedup + fuzzy string matching).
+
+    Pipeline: portable md5-based shingle hashes -> 64-hash signature
+    (seeded affine permutations) -> 16-band LSH bucketing -> candidate
+    pairs -> exact n-gram Jaccard + Levenshtein verification on the
+    survivors only (the two-stage near-dup design: the quadratic
+    verify work never touches non-candidates).  Scale shape:
+    signature -> band-explode -> hash-shuffle on uniform band buckets;
+    the all-pairs join never materializes (and
+    ``max_bucket_size`` guards degenerate boilerplate clusters).
+    The oracle restates the identical integer arithmetic in SQL.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, n_hashes=64, bands=16).orderBy(
-        "id_a", "id_b"
+    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16)
+    jac = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"))
+    txt = docs.select("doc_id", "text")
+    return (
+        cands.join(jac, ["id_a", "id_b"])
+        .join(
+            txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "jaccard",
+            F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
-@register("q_dedup_simhash", TIER, None)  # rows-only: Arrow-UDF bit votes
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (north star: near-dedup family).
+_SIMHASH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_O_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, s -> {_O_H60.format(x='s')}) AS hv
+      FROM t),
+    v AS (
+      SELECT doc_id, j,
+             CASE WHEN list_sum(list_transform(hv, x -> 2 * ((x >> j) & 1) - 1)) > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+      FROM h, range(0, 60) r(j))
+    SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    ORDER BY doc_id
+    """
 
-    JVM-side token hashing + Arrow-batched majority vote — the
-    documented Pandas-UDF slow path, used because 64 per-bit votes is
-    the one kernel Catalyst can't express cheaply.
+
+@register("q_dedup_simhash", TIER, _SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (north star: near-dedup family) — 60-bit,
+    portable-hash, pure Catalyst.
+
+    Per-bit majority vote over md5-based token hashes as nested
+    ``aggregate`` HOFs (operators/dedup.py::simhash_signature_portable)
+    — JVM-side, zero Python, and bit-for-bit reproducible in the SQL
+    oracle.  The xxhash64 + Arrow-UDF variant remains the library fast
+    path (unit-tested); near-dups are pairs within small Hamming
+    distance, bucketed on bit-prefixes so that is a join, not a scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_signature(docs).orderBy("doc_id")
+    return simhash_signature_portable(docs).orderBy("doc_id")
 
 
-@register("q_similarity_ann", TIER, None)  # rows-only: LSH bucket assignment
+def _ann_oracle(n_planes: int = 6, dim: int = 64, min_cosine: float = 0.2) -> str:
+    from v6spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+    rows = ",\n                 ".join(
+        "(" + str(j) + ", [" + ",".join(repr(x) for x in p) + "])"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT j, pv FROM (VALUES {rows}) p(j, pv)),
+    dv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (
+      SELECT dv.vec_id, any_value(dv.v) AS v,
+             CAST(sum(CASE WHEN list_dot_product(dv.v, p.pv) >= 0
+                      THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket,
+             any_value(list_dot_product(dv.v, dv.v)) AS n2
+      FROM dv, planes p
+      GROUP BY dv.vec_id)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           round(CASE WHEN a.n2 > 0 AND b2.n2 > 0
+                 THEN list_dot_product(a.v, b2.v) / (sqrt(a.n2) * sqrt(b2.n2)) END,
+                 6) AS cosine
+    FROM b a JOIN b b2
+      ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE round(CASE WHEN a.n2 > 0 AND b2.n2 > 0
+                THEN list_dot_product(a.v, b2.v) / (sqrt(a.n2) * sqrt(b2.n2)) END,
+                6) >= {min_cosine}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q_similarity_ann", TIER, _ann_oracle())
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate near-neighbor pairs (north star: the
     scale path for similarity search).
 
-    Exact cosine is computed only within sign-bit buckets; tested for
-    consistency against brute force in tests/test_dedup_similarity.py.
+    Exact cosine is computed only within sign-bit buckets (6
+    deterministic hyperplanes); tested for consistency against brute
+    force in tests/test_dedup_similarity.py.  The hyperplanes are
+    plan-time literals, so the oracle restates the identical bucket
+    assignment and cosine arithmetic.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_pairs(emb, n_planes=6, dim=64, min_cosine=0.2).orderBy(
@@ -258,54 +433,56 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_lang_id", TIER, None)  # rows-only: profile argmax, no SQL twin kept
+def _lang_id_oracle() -> str:
+    from v6spark.operators.text import LANG_PROFILES
+
+    # Java regex accepts \\uXXXX; RE2 (DuckDB) needs the literal chars.
+    cjk_literal = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+    score_cols = []
+    for code in sorted(LANG_PROFILES):
+        words = ",".join(f"'{w}'" for w in LANG_PROFILES[code])
+        score_cols.append(
+            f"len(list_intersect(toks, [{words}])) AS s_{code}"
+        )
+    scores = ",\n             ".join(score_cols)
+    best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    return f"""
+    WITH t AS (
+      SELECT lang, text, {_O_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT lang,
+             {scores},
+             CASE WHEN regexp_matches(text, '{cjk_literal}') THEN 10 ELSE 0 END AS s_zh
+      FROM t),
+    p AS (
+      SELECT lang,
+             CASE WHEN {best} <= 0 THEN 'und'
+                  WHEN s_de = {best} THEN 'de'
+                  WHEN s_en = {best} THEN 'en'
+                  WHEN s_es = {best} THEN 'es'
+                  WHEN s_fr = {best} THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM s)
+    SELECT lang, pred_lang, count(*) AS n
+    FROM p GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """
+
+
+@register("q_lang_id", TIER, _lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification by stopword-profile argmax (north star:
-    language-ID heuristic) — per (lang, pred_lang) confusion counts."""
+    language-ID heuristic) — per (lang, pred_lang) confusion counts.
+
+    Scores are counts of DISTINCT profile stopwords present plus a CJK
+    character signal; the argmax tie-break is the smallest language
+    code, which the oracle restates as an ordered CASE (de < en < es <
+    fr < zh); zero evidence for every profile yields 'und'.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", lang_id("text"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
-    )
-
-
-@register(
-    "q_event_sliding",
-    TIER,
-    f"""
-    SELECT (epoch_us(ts) // 900000000 - i) * 900000000 AS win_start_us,
-           count(*) AS n,
-           {o_dsum('value')} AS sum_value
-    FROM events, range(0, 4) t(i)
-    GROUP BY 1
-    ORDER BY win_start_us
-    """,
-)
-def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (1 hour, 15-minute slide) — batch analog.
-
-    Each event lands in window/slide = 4 overlapping buckets,
-    generated by an inline sequence explode (no join); the bucket key
-    is exact µs arithmetic (oracle-aligned).  The Structured Streaming
-    twin is streaming/events.py::sliding.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    slide_us = 900_000_000
-    win = (
-        ev.select(
-            "value",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
-            F.expr(f"ts_us DIV {slide_us}").alias("slot"),
-        )
-        .select(
-            ((F.col("slot") - F.col("i")) * slide_us).alias("win_start_us"),
-            "value",
-        )
-    )
-    return (
-        win.groupBy("win_start_us")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .orderBy("win_start_us")
     )
