@@ -298,38 +298,34 @@ def simhash_signature_portable(
 
     Token hashes are :func:`portable_hash60` (md5-based) so a DuckDB
     oracle reproduces the exact fingerprints; the per-bit majority
-    vote runs as nested ``aggregate`` HOFs — JVM-side, no Python at
-    all (the xxhash64 + Arrow-UDF variant below stays as the library
-    fast path).  Bit j is set iff strictly more tokens have bit j set
-    than clear (ties clear).  The token-hash array is let-bound via a
-    single-element ``transform`` so the md5 pass runs once per row,
-    not once per bit.
+    vote runs as ONE ``aggregate`` fold whose accumulator is the
+    length-n_bits vote vector (same single-pass shape as the MinHash
+    signature — the per-bit-inner-aggregate form re-walks the token
+    array once per bit and measured ~40% slower at sf0.1) — JVM-side,
+    no Python at all (the xxhash64 + Arrow-UDF variant below stays as
+    the library fast path).  Bit j is set iff strictly more tokens
+    have bit j set than clear (ties clear).
     """
     pows = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
     hs = F.transform(tokens_col(text_col), portable_hash60)
-    sig = F.element_at(
-        F.transform(
-            F.array(hs),
-            lambda h: F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_bits - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.when(
-                    F.aggregate(
-                        h,
-                        F.lit(0).cast("long"),
-                        lambda a, x: a
-                        + F.when(
-                            x.bitwiseAND(F.element_at(pows, j + 1)) != 0,
-                            F.lit(1),
-                        ).otherwise(F.lit(-1)),
-                    )
-                    > 0,
-                    F.element_at(pows, j + 1),
-                ).otherwise(F.lit(0).cast("long")),
-            ),
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            pows,
+            lambda v, p: v
+            + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
         ),
-        1,
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            pows,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
     return df.select(F.col(id_col), sig.alias("simhash"))
 

@@ -226,19 +226,34 @@ def exact_percentiles(
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(wp).alias("_n"),
     )
+    return ranked.groupBy(*_cols(keys)).agg(
+        *percentile_agg_exprs(quantiles, value="_v", scale=scale)
+    )
+
+
+def percentile_agg_exprs(
+    quantiles: Sequence[tuple[str, float]],
+    value: str = "_v",
+    rn: str = "_rn",
+    n: str = "_n",
+    scale: int = 6,
+) -> list[Column]:
+    """Aggregate expressions interpolating percentiles from a ranked
+    frame (columns ``rn`` = per-key row_number ordered by value, ``n``
+    = per-key count).  Lets callers fuse the percentile aggregation
+    with other aggregates over the SAME window pass — one shuffle,
+    no join (see q_measure_stats)."""
     aggs = []
     for name, q in quantiles:
-        pos = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(q)
+        pos = F.lit(1.0) + (F.col(n) - F.lit(1)).cast("double") * F.lit(q)
         lo = F.floor(pos).cast("long")
         hi = F.ceil(pos).cast("long")
         frac = pos - F.floor(pos)
-        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
-        v_hi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
-        f = F.max(F.when(F.col("_rn") == lo, frac))
-        aggs.append(
-            F.round(v_lo + f * (v_hi - v_lo), scale).alias(name)
-        )
-    return ranked.groupBy(*_cols(keys)).agg(*aggs)
+        v_lo = F.max(F.when(F.col(rn) == lo, F.col(value)))
+        v_hi = F.max(F.when(F.col(rn) == hi, F.col(value)))
+        f = F.max(F.when(F.col(rn) == lo, frac))
+        aggs.append(F.round(v_lo + f * (v_hi - v_lo), scale).alias(name))
+    return aggs
 
 
 def group_mean(

@@ -240,17 +240,36 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       OOM at 100 TB group sizes; the window+straddling-rows form sorts,
       spills gracefully, and parallelizes across keys.
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     d = "decimal(28,6)"
+    # ONE shuffle: the rank window hash-partitions on l_suppkey, and
+    # the subsequent groupBy(l_suppkey) reuses that partitioning —
+    # moments, corr sums, and percentile straddles all aggregate in
+    # the same post-window pass (no second scan, no join).
+    w = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+    wp = Window.partitionBy("l_suppkey")
+    ranked = li.select(
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     n = F.count(q).cast("double")
     s, ss = F.sum(q), F.sum(q * q)
     variance = (ss - s * s / n) / (n - F.lit(1.0))
-    moments = li.groupBy("l_suppkey").agg(
+    agged = ranked.groupBy("l_suppkey").agg(
         F.round(F.avg(q), 6).alias("avg_quantity"),
         F.min(q).alias("min_quantity"),
         F.max(q).alias("max_quantity"),
         F.round(F.sqrt(variance), 6).alias("std_quantity"),
+        *stats.percentile_agg_exprs(
+            [("p50_quantity", 0.5), ("p90_quantity", 0.9)],
+            value="l_quantity",
+        ),
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(q.cast(d)).cast("double").alias("sx"),
         F.sum(p.cast(d)).cast("double").alias("sy"),
@@ -265,26 +284,16 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
         / (F.sqrt(var_x) * F.sqrt(var_y)),
     )
-    pct = stats.exact_percentiles(
-        li,
-        ["l_suppkey"],
-        "l_quantity",
-        [("p50_quantity", 0.5), ("p90_quantity", 0.9)],
-    )
-    return (
-        moments.join(pct, "l_suppkey")
-        .select(
-            "l_suppkey",
-            "avg_quantity",
-            "min_quantity",
-            "max_quantity",
-            "std_quantity",
-            "p50_quantity",
-            "p90_quantity",
-            F.round(corr, 6).alias("corr_qty_price"),
-        )
-        .orderBy("l_suppkey")
-    )
+    return agged.select(
+        "l_suppkey",
+        "avg_quantity",
+        "min_quantity",
+        "max_quantity",
+        "std_quantity",
+        "p50_quantity",
+        "p90_quantity",
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_suppkey")
 
 
 @register(
