@@ -39,11 +39,10 @@ HEADLINE = [
     "q_event_session",
     "q_dedup_exact",
     "q_sort_topk",
-    "q_corr",
-    "q_percentile",
-    "q_pivot",
     "q_join_asof",
 ]
+# round 2: q_corr and q_percentile folded into q_measure_stats,
+# q_pivot into q_category_counts — already in the list above.
 
 KEY_SHIFT = 1_000_000_000  # far above any real key
 
