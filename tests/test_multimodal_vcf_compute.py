@@ -184,6 +184,51 @@ def test_vcf_datasource_matches_expression_parser(spark, vcf_path):
     assert norm(ds_variants, var_cols) == norm(ex_variants, var_cols)
 
 
+def test_vcf_datasource_filter_pushdown(spark, vcf_path):
+    """chrom/pos predicates reach the Python DataSource reader
+    (pushFilters) and the filtered results stay exact."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringStartsWith
+
+    from v6spark.sources.vcf_datasource import VcfReader, register_vcf_source
+
+    # unit: the reader consumes chrom/pos comparisons, returns the rest
+    reader = VcfReader({"path": vcf_path})
+    rest = list(
+        reader.pushFilters(
+            [
+                EqualTo(("chrom",), "chr1"),
+                GreaterThanOrEqual(("pos",), 150),
+                StringStartsWith(("sample_id",), "NA"),  # not pushable
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in rest] == ["StringStartsWith"]
+    assert len(reader.pushed) == 2
+    rows = [r for p in reader.partitions() for r in reader.read(p)]
+    # only chr1:200 survives chrom='chr1' AND pos>=150 -> 3 call rows
+    assert {r[0] for r in rows} == {"chr1:200:G:C,T"}
+
+    # end-to-end: same answer as the expression parser under the filter
+    register_vcf_source(spark)
+    ds = (
+        spark.read.format("vcf")
+        .load(vcf_path)
+        .filter((F.col("chrom") == "chr1") & (F.col("pos") >= 150))
+    )
+    _, ex_calls = read_vcf(spark, vcf_path)
+    ex = ex_calls.join(
+        spark.read.format("vcf").option("table", "variants").load(vcf_path)
+        .filter((F.col("chrom") == "chr1") & (F.col("pos") >= 150))
+        .select("variant_id"),
+        "variant_id",
+        "left_semi",
+    )
+    cols = ["variant_id", "chrom", "sample_id", "gt", "dp", "gq"]
+    assert sorted(tuple(r) for r in ds.select(*cols).collect()) == sorted(
+        tuple(r) for r in ex.select(*cols).collect()
+    )
+
+
 def test_vcf_datasource_parallel_partitions(spark, tmp_path_factory):
     """Byte-range splitting: a multi-partition read loses and
     duplicates nothing."""

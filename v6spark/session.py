@@ -31,6 +31,9 @@ REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Python DataSource filter pushdown (the VCF connector implements
+    # pushFilters for CHROM/POS); off by default in Spark 4.1
+    "spark.sql.python.filterPushdown.enabled": "true",
     # partition columns stay strings: inference would retype a chrom
     # directory value like '01' to int 1 and corrupt the store contract
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",

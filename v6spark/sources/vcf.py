@@ -52,7 +52,14 @@ def read_vcf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """
     samples = vcf_sample_names(spark, path)
     data = spark.read.text(path).filter(~F.col("value").startswith("#"))
-    c = F.split("value", "\t")
+    # Split the line ONCE into an intermediate projection, then index
+    # it.  Referencing `split(value)[i]` per column would state the
+    # split 9+n_samples times; CollapseProject declines to merge the
+    # two projects because the non-cheap split is multiply referenced,
+    # so the physical plan evaluates one split per line (verified:
+    # `split(value` appears once in the executed plan, was 25).
+    data = data.select(F.split("value", "\t").alias("_f"))
+    c = F.col("_f")
 
     base = data.select(
         c[0].alias("chrom"),

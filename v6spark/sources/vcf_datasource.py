@@ -25,7 +25,17 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 CALLS_SCHEMA = (
     "variant_id string, chrom string, pos long, sample_id string, "
@@ -123,6 +133,32 @@ class _Range(InputPartition):
         self.end = end
 
 
+# Filter classes this source can evaluate at the scan (on the two
+# cheap-to-extract record keys).  OR trees never reach pushFilters —
+# Spark only offers top-level conjuncts.
+_PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual)
+
+
+def _eval_filter(f, value) -> bool:
+    """SQL comparison semantics: any comparison against NULL is false
+    (a consumed filter must drop the row exactly as Spark would)."""
+    if value is None:
+        return False
+    if isinstance(f, EqualTo):
+        return value == f.value
+    if isinstance(f, GreaterThan):
+        return value > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return value >= f.value
+    if isinstance(f, LessThan):
+        return value < f.value
+    if isinstance(f, LessThanOrEqual):
+        return value <= f.value
+    if isinstance(f, In):
+        return value in f.values
+    raise AssertionError(f"unpushable filter leaked: {f}")
+
+
 class VcfReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -132,6 +168,31 @@ class VcfReader(DataSourceReader):
         self.n_partitions_explicit = "n_partitions" in options
         self.n_partitions = int(options.get("n_partitions", "8"))
         self.samples = _parse_header(self.path)
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Source-side CHROM/POS filter pushdown (reference A3 +
+        region-filter D7 at the ingest boundary).
+
+        Consumed filters are evaluated per record BEFORE sample
+        fan-out: a chrom/pos predicate skips the record after
+        splitting only the two key fields, so a region-restricted
+        ingest never pays per-sample parsing, row materialization, or
+        Arrow serialization for off-region variants.  Everything else
+        is yielded back for Spark to evaluate post-scan.
+        """
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if isinstance(f, _PUSHABLE) and col in ("chrom", "pos"):
+                self.pushed.append((col, f))
+            else:
+                yield f
+
+    def _keep(self, chrom: str, pos: int | None) -> bool:
+        for col, f in self.pushed:
+            if not _eval_filter(f, chrom if col == "chrom" else pos):
+                return False
+        return True
 
     def partitions(self):
         size = os.path.getsize(self.path)
@@ -163,6 +224,14 @@ class VcfReader(DataSourceReader):
                 line = raw.decode("utf-8", errors="replace")
                 if line.startswith("#") or not line.strip():
                     continue
+                if self.pushed:
+                    # cheap key probe: split only CHROM and POS before
+                    # the full per-sample parse
+                    head = line.split("\t", 2)
+                    chrom = head[0]
+                    pos = _opt_int(head[1]) if len(head) > 1 else None
+                    if not self._keep(chrom, pos):
+                        continue
                 variant, calls = _parse_record(line, self.samples)
                 if self.table == "variants":
                     yield variant
@@ -184,5 +253,11 @@ class VcfDataSource(DataSource):
 
 
 def register_vcf_source(spark) -> None:
-    """Register the connector once per session."""
+    """Register the connector once per session (and enable Python
+    data-source filter pushdown, off by default in Spark 4.1, so the
+    reader's pushFilters actually receives the predicates)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static-conf deployment: pushdown simply stays off
     spark.dataSource.register(VcfDataSource)
