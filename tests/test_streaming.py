@@ -109,3 +109,43 @@ def test_foreach_batch_upsert(spark, events_batch, events_dir, tmp_path_factory)
     stream2 = se.read_events_stream(spark, events_dir, max_files=2)
     se.run_foreach_batch_upsert(stream2, target, ckpt)
     assert spark.read.parquet(target).count() == events_batch.count()
+
+
+def test_rate_source_events_shape(spark):
+    """Kafka-shaped factory: the rate fallback yields event-schema rows
+    and drives the same windowed aggregation as the file source."""
+    from v6spark.streaming.sources import read_stream_source
+
+    stream = read_stream_source(spark, "rate", rows_per_second=500)
+    assert stream.isStreaming
+    assert [f[0] for f in stream.dtypes] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    q = (
+        se.tumbling(stream, window="1 second", watermark=None)
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM t_rate WHERE n > 0").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows, "rate source produced no windowed rows within 30s"
+
+
+def test_stream_source_factory_rejects_unknown(spark):
+    from v6spark.streaming.sources import read_stream_source
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        read_stream_source(spark, "kafkaesque")

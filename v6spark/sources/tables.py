@@ -80,3 +80,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every corpus table as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Attach the ts_ns/ts_us event-time contract to a parsed-ts frame."""
+    df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+
+
+def load_table_format(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    fmt: str = "csv",
+    **options,
+) -> DataFrame:
+    """Read one corpus table from a schemaless ecosystem format
+    (CSV / JSON) with the REGISTERED schema — never inference.
+
+    Per-file inference would re-type columns ('01' -> 1) and break the
+    table contract; the explicit DDL (sources/schemas.py) makes a CSV
+    or JSON copy of a table semantically identical to its parquet
+    original, including the events ts_ns/ts_us event-time columns
+    (derived from the parsed timestamp — CSV/JSON carry ISO strings,
+    so the parquet nanos-as-long special case does not apply and
+    sub-µs precision is not representable in these formats).
+    """
+    from v6spark.sources.schemas import TABLE_DDL
+
+    if name not in TABLE_DDL:
+        raise ValueError(f"unknown corpus table: {name}")
+    ensure_confs(spark)
+    reader = spark.read.schema(TABLE_DDL[name]).options(**_TS_FORMAT_OPTS)
+    if fmt == "csv":
+        reader = reader.options(header="true", **options)
+    elif fmt == "json":
+        reader = reader.options(**options)
+    else:
+        raise ValueError(f"unsupported format: {fmt} (csv, json)")
+    df = reader.format(fmt).load(path)
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+# Text formats default to MILLISECOND timestamp rendering; the corpus
+# carries µs-precision event times, so both directions state explicit
+# µs patterns (tz-bearing and NTZ variants) or a round trip silently
+# truncates ts_us by three digits.
+_TS_FORMAT_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def write_table_format(
+    df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite"
+) -> None:
+    """Write a corpus table to CSV/JSON (drops the derived ts_ns/ts_us
+    event-time columns — they are re-derived on read)."""
+    out = df.drop("ts_ns", "ts_us")
+    writer = out.write.mode(mode).options(**_TS_FORMAT_OPTS)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
