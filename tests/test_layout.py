@@ -95,3 +95,64 @@ def test_csv_json_ingest_parity(spark, sf_dir, tmp_path_factory):
         map(tuple, emb.select("vec_id", "label").collect())
     )
     assert emb_json.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_rollup_view_incremental_refresh(spark, sf_dir, tmp_path_factory):
+    """Materialized rollup: full build, no-op refresh when fresh,
+    partition-wise refresh after one partition's source changes."""
+    from pyspark.sql import functions as F
+
+    from v6spark.sources.layout import write_partitioned
+    from v6spark.sources.rollup import (
+        is_fresh,
+        read_rollup,
+        refresh_rollup,
+    )
+    from v6spark.sources.tables import load_table
+
+    tmp = tmp_path_factory.mktemp("rollup")
+    src_dir = str(tmp / "orders_by_status")
+    view_dir = str(tmp / "rollup_view")
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, src_dir, "o_orderstatus")
+
+    def agg_fn(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6).alias("sum_price"),
+        )
+
+    refreshed = refresh_rollup(spark, src_dir, view_dir, "o_orderstatus", agg_fn)
+    assert sorted(refreshed) == ["F", "O", "P"]
+    assert is_fresh(src_dir, view_dir, "o_orderstatus")
+
+    # the view answers the aggregate exactly
+    want = sorted(map(tuple, agg_fn(orders).collect()))
+    got = sorted(
+        map(
+            tuple,
+            read_rollup(spark, view_dir)
+            .select("o_orderstatus", "o_orderpriority", "n", "sum_price")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # fresh -> refresh is a no-op
+    assert refresh_rollup(spark, src_dir, view_dir, "o_orderstatus", agg_fn) == []
+
+    # mutate ONE source partition: only that partition refreshes
+    f_rows = orders.filter(F.col("o_orderstatus") == "F").limit(100)
+    f_rows.write.mode("overwrite").parquet(src_dir + "/o_orderstatus=F")
+    assert not is_fresh(src_dir, view_dir, "o_orderstatus")
+    refreshed = refresh_rollup(spark, src_dir, view_dir, "o_orderstatus", agg_fn)
+    assert refreshed == ["F"]
+    # untouched partitions still serve the original totals; F reflects
+    # the new (truncated) source
+    view = read_rollup(spark, view_dir)
+    n_f = view.filter(F.col("o_orderstatus") == "F").agg(F.sum("n")).collect()[0][0]
+    assert n_f == 100
+    n_o_view = view.filter(F.col("o_orderstatus") == "O").agg(F.sum("n")).collect()[0][0]
+    n_o_src = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert n_o_view == n_o_src

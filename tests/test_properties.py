@@ -100,3 +100,87 @@ def test_salted_broadcast_left_matches_plain_join(spark):
         .collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+# ---- genomics facade laws over RANDOM VCFs (SURVEY.md §5.2 item 3) ----
+
+GT_CHOICES = ["0/0", "0/1", "1/1", "1|0", "./."]
+
+
+@st.composite
+def vcf_strategy(draw):
+    n_vars = draw(st.integers(min_value=1, max_value=6))
+    n_samples = draw(st.integers(min_value=1, max_value=4))
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"s{i}" for i in range(n_samples)),
+    ]
+    for vi in range(n_vars):
+        gts = [
+            draw(st.sampled_from(GT_CHOICES)) for _ in range(n_samples)
+        ]
+        dps = [draw(st.integers(min_value=0, max_value=99)) for _ in range(n_samples)]
+        cells = "\t".join(f"{g}:{d}" for g, d in zip(gts, dps))
+        qual = draw(st.sampled_from([".", "10", "50.5", "99"]))
+        lines.append(
+            f"chr{1 + vi % 2}\t{100 + vi * 10}\trs{vi}\tA\tT\t{qual}\tPASS\t.\tGT:DP\t{cells}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+@given(vcf_text=vcf_strategy())
+@settings(**SETTINGS)
+def test_genomics_invariants_random_vcf(spark, vcf_text, tmp_path_factory):
+    import uuid
+
+    from v6spark import genomics as g
+    from v6spark.genomics import FLT_VARS, N_FILTERED_OUT, N_KEPT
+
+    p = tmp_path_factory.mktemp("hypvcf") / f"{uuid.uuid4().hex}.vcf"
+    p.write_text(vcf_text)
+    vs = g.Variations.from_vcf(spark, str(p))
+    n_vars = vs.num_variations
+
+    # missing + called rates partition every variant's calls
+    miss = {r["variant_id"]: r["missing_rate"] for r in g.calc_missing_gt(vs).collect()}
+    called = {r["variant_id"]: r["call_rate"] for r in g.calc_called_gt(vs).collect()}
+    for vid in miss:
+        assert abs(miss[vid] + called[vid] - 1.0) < 1e-9
+
+    # maf in [1/k, 1]; exp_het in [0, 1] or NULL (n<=1 / no calls)
+    for r in g.calc_maf_by_gt(vs).collect():
+        if r["maf"] is not None:
+            assert 0.0 < r["maf"] <= 1.0 + 1e-9
+    for r in g.calc_unbiased_exp_het(vs).collect():
+        if r["exp_het"] is not None:
+            assert -1e-9 <= r["exp_het"] <= 1.0 + 1e-9
+
+    # filter law: kept + filtered_out == total, for any threshold
+    res = g.remove_low_call_rate_vars(vs, min_call_rate=0.5)
+    assert res[N_KEPT] + res[N_FILTERED_OUT] == n_vars
+    assert res[FLT_VARS].num_variations == res[N_KEPT]
+
+
+@given(rows=rows_strategy, q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+@settings(**SETTINGS)
+def test_exact_percentiles_match_builtin(spark, rows, q):
+    """Rank-based percentile == Spark's percentile() aggregate (which
+    buffers whole groups — the library replaces it, so the values must
+    be indistinguishable) and sits inside [min, max]."""
+    from v6spark.operators.stats import exact_percentiles
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    mine = {
+        r["k"]: r["p"]
+        for r in exact_percentiles(df, ["k"], "v", [("p", q)], scale=9).collect()
+    }
+    builtin = {
+        r["k"]: r["p"]
+        for r in df.groupBy("k")
+        .agg(F.round(F.expr(f"percentile(v, {q})"), 9).alias("p"))
+        .collect()
+    }
+    assert set(mine) == set(builtin)
+    for k in mine:
+        assert mine[k] == pytest.approx(builtin[k], abs=1e-6)
