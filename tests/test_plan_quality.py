@@ -111,6 +111,56 @@ def test_percentile_is_rank_based(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_bloom_filter_join_pruning_available(spark, sf_dir):
+    # 100 TB posture: a selective filter on one side of a fact-fact
+    # shuffle join injects a runtime bloom filter that prunes the big
+    # side at the scan.  The size thresholds only trigger at cluster
+    # scale, so this test simulates them via conf and asserts the
+    # optimizer actually injects the filter under our session posture
+    # (bloom stays enabled; broadcast is disabled to force the
+    # fact-fact shuffle-join shape).
+    from pyspark.sql import functions as F
+
+    from v6spark.sources.tables import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_asof_single_window_shuffle(spark, sf_dir):
     # union+window as-of: exactly one hashpartitioning exchange for the
     # window (plus the final output ordering) — never a pairwise join
