@@ -24,6 +24,7 @@ from v6spark.operators.dedup import (
 from v6spark.operators.sessionize import session_counts
 from v6spark.operators.similarity import ann_lsh_pairs, cosine_pairs_bruteforce
 from v6spark.operators.text import lang_id, quality_features
+from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
 from v6spark.sources.tables import load_table
 
@@ -239,7 +240,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-model quality pass of a pretraining pipeline, all Catalyst
     expressions (operators/text.py::quality_features).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return quality_features(docs).select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
     ).orderBy("doc_id")
@@ -323,7 +324,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_bucket_size`` guards degenerate boilerplate clusters).
     The oracle restates the identical integer arithmetic in SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16)
     jac = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"))
     txt = docs.select("doc_id", "text")
@@ -378,7 +379,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (unit-tested); near-dups are pairs within small Hamming
     distance, bucketed on bit-prefixes so that is a join, not a scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return simhash_signature_portable(docs).orderBy("doc_id")
 
 
@@ -427,7 +428,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-time literals, so the oracle restates the identical bucket
     assignment and cosine arithmetic.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_input(load_table(spark, sf_dir, "embeddings"))
     return ann_lsh_pairs(emb, n_planes=6, dim=64, min_cosine=0.2).orderBy(
         "id_a", "id_b"
     )
@@ -479,7 +480,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     code, which the oracle restates as an ordered CASE (de < en < es <
     fr < zh); zero evidence for every profile yields 'und'.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", lang_id("text"))
         .groupBy("lang", "pred_lang")
