@@ -154,3 +154,39 @@ def test_zero_norm_vector_never_tops_topk(spark):
     assert top[-1]["cosine"] is None
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in similarity.cosine_pairs_bruteforce(df).collect()}
     assert pairs[(1, 2)] is None  # degenerate pair: NULL, not NaN
+
+
+def test_near_dup_report_matches_composed_ops(docs):
+    """The fused one-scan pipeline returns exactly what composing
+    minhash_lsh_candidates + ngram_jaccard_pairs + levenshtein does."""
+    fused = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"], r["edit_dist"])
+        for r in dedup.near_dup_report(docs, n_hashes=32, bands=8).collect()
+    }
+    cands = dedup.minhash_lsh_candidates(
+        docs, n_hashes=32, bands=8, persist_signatures=False
+    )
+    jac = dedup.ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"))
+    composed = {}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    jacc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    for k in est:
+        composed[k] = (est[k], jacc[k], lev(texts[k[0]], texts[k[1]]))
+    assert fused == composed
+    assert fused, "expected near-dup candidates in the fixture corpus"

@@ -245,6 +245,110 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Complete two-stage near-dup pipeline in ONE pass over the corpus.
+
+    Returns LSH candidate pairs with estimated (signature-agreement)
+    and exact (n-gram Jaccard) similarity plus Levenshtein distance.
+    Composing the stages from the standalone operators would scan and
+    re-shingle the corpus once per re-attach (signatures, shingle
+    sets, texts — 5 scans); here one persisted side frame carries
+    (id, text, signature, distinct-shingle set) and feeds banding and
+    BOTH join sides, so the corpus is read and shingled exactly once.
+    The verify stage (set intersection + edit distance, the quadratic
+    work) still runs only on LSH survivors.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = n_hashes // bands
+    toks_sets = F.array_distinct(shingles_col(text_col, shingle_k))
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(text_col, n_hashes, shingle_k).alias("_sig"),
+        toks_sets.alias("_set"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = side.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.lit("band"),
+                        b.cast("string"),
+                        F.concat_ws(
+                            ",",
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        ),
+                    )
+                ),
+            )
+        ).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = (
+            banded.join(sizes, "bucket")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    left = side.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sig").alias("sig_a"),
+        F.col("_set").alias("set_a"),
+        F.col("_text").alias("text_a"),
+    )
+    right = side.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sig").alias("sig_b"),
+        F.col("_set").alias("set_b"),
+        F.col("_text").alias("text_b"),
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (
+        F.size("set_a") + F.size("set_b")
+        - F.size(F.array_intersect("set_a", "set_b"))
+    ).cast("double")
+    return (
+        pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter / union, 6).alias("jaccard"),
+            F.levenshtein("text_a", "text_b").cast("int").alias("edit_dist"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 from v6spark.functions.determinism import dsum, o_dsum
 from v6spark.operators.dedup import (
     dedup_exact,
-    minhash_lsh_candidates,
-    ngram_jaccard_pairs,
+    near_dup_report,
     simhash_signature_portable,
 )
 from v6spark.operators.sessionize import session_counts
@@ -325,28 +324,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle restates the identical integer arithmetic in SQL.
     """
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    cands = minhash_lsh_candidates(docs, n_hashes=64, bands=16)
-    jac = ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"))
-    txt = docs.select("doc_id", "text")
-    return (
-        cands.join(jac, ["id_a", "id_b"])
-        .join(
-            txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
-            "id_a",
-        )
-        .join(
-            txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "est_jaccard",
-            "jaccard",
-            F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return near_dup_report(docs, n_hashes=64, bands=16).orderBy("id_a", "id_b")
 
 
 _SIMHASH_ORACLE = f"""
