@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from v6spark.functions.determinism import davg, dsum, o_davg, o_dsum
 from v6spark.operators.asof import asof_join_latest
 from v6spark.operators.filters import filter_in_ranges
+from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
 from v6spark.sources.tables import load_table
 
@@ -696,7 +697,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ULP) so it uses a plain double mean where per-row ULP noise
     averages out far below the 1e-6 rounding grain.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # the sf corpus lineitem arrives as ~3 splits: spread before the
+    # decimal-heavy partial agg so it parallelizes (no-op at real scale)
+    li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_returnflag")
         .agg(
