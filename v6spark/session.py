@@ -75,3 +75,16 @@ def get_spark(app_name: str = "v6spark", cpus: int | None = None) -> SparkSessio
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_confs(spark)
+
+
+def clear_engine_caches(spark: SparkSession) -> None:
+    """Drop every cached frame the engine's operators persisted.
+
+    ``minhash_lsh_candidates`` / ``near_dup_report`` /
+    ``ann_lsh_pairs`` persist their signature/bucket side frames
+    (each feeds multiple lineages); Spark's cache is keyed by
+    analyzed plan, so in a long-lived session repeated calls reuse —
+    and accumulate — those entries until the LRU evicts them.  Call
+    this between unrelated workloads for a deterministic clean slate.
+    """
+    spark.catalog.clearCache()
