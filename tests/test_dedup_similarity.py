@@ -190,3 +190,36 @@ def test_near_dup_report_matches_composed_ops(docs):
         composed[k] = (est[k], jacc[k], lev(texts[k[0]], texts[k[1]]))
     assert fused == composed
     assert fused, "expected near-dup candidates in the fixture corpus"
+
+
+def test_connected_keepers_label_propagation(spark):
+    """Chain, clique, and singleton-pair components each resolve to
+    their minimum id — and a chain forces multiple propagation hops."""
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14 (diameter 4), clique {1,2,3}, pair {7,8}
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (1, 2), (2, 3), (1, 3),
+         (7, 8)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        1: 1, 2: 1, 3: 1,
+        7: 7, 8: 7,
+    }
+
+
+def test_connected_keepers_end_to_end_near_dups(docs):
+    """Full pipeline: candidates -> verify -> cluster -> keeper."""
+    report = dedup.near_dup_report(docs, n_hashes=32, bands=8)
+    verified = report.filter(F.col("jaccard") >= 0.5)
+    keepers = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(verified).collect()
+    }
+    # docs 1, 2, 4 are near/exact dups of each other; 3 is unrelated
+    assert keepers == {1: 1, 2: 1, 4: 1}

@@ -349,6 +349,71 @@ def near_dup_report(
     )
 
 
+def connected_keepers(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into groups; keeper = min id per group.
+
+    The last stage of the dedup pipeline: verified pairs form a graph
+    whose connected components are the duplicate groups, and the
+    canonical survivor is each component's minimum id.  Min-id label
+    propagation: every vertex starts labelled with itself, and each
+    iteration lowers a vertex's label to the minimum among itself and
+    its neighbours' labels — one broadcast-or-shuffle join + hash-agg
+    per iteration, state is only (vertex, label).  Converges in
+    O(component diameter) iterations (near-dup components are
+    near-cliques from LSH, so diameter is tiny); iteration stops as
+    soon as a pass changes nothing.  Returns (doc_id, keeper_id);
+    singletons are their own keepers only if they appear in a pair —
+    callers left-join this onto the corpus and coalesce to doc_id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
