@@ -223,3 +223,28 @@ def test_connected_keepers_end_to_end_near_dups(docs):
     }
     # docs 1, 2, 4 are near/exact dups of each other; 3 is unrelated
     assert keepers == {1: 1, 2: 1, 4: 1}
+
+
+def test_embedding_near_dup_composition(spark, sf_dir):
+    """Embedding-cosine near-dedup: ANN pairs above a cosine threshold
+    cluster into keeper groups — the vector-space twin of the text
+    near-dup pipeline, composed from the same operators."""
+    from v6spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    # plant two exact duplicates of vector 0 so a near-dup group exists
+    base = emb.limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(900, base["embedding"]), (901, base["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = similarity.ann_lsh_pairs(
+        corpus, n_planes=6, dim=64, min_cosine=0.999, persist_buckets=False
+    ).select(F.col("id_a"), F.col("id_b"))
+    keepers = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(pairs).collect()
+    }
+    assert keepers[900] == base["vec_id"] and keepers[901] == base["vec_id"]
+    assert keepers[base["vec_id"]] == base["vec_id"]
