@@ -208,6 +208,14 @@ def test_vcf_datasource_filter_pushdown(spark, vcf_path):
     # only chr1:200 survives chrom='chr1' AND pos>=150 -> 3 call rows
     assert {r[0] for r in rows} == {"chr1:200:G:C,T"}
 
+    # IN-list pushdown (In.value is the tuple of members)
+    from pyspark.sql.datasource import In
+
+    reader2 = VcfReader({"path": vcf_path})
+    assert list(reader2.pushFilters([In(("chrom",), ("chr2", "chrX"))])) == []
+    rows2 = [r for p in reader2.partitions() for r in reader2.read(p)]
+    assert {r[0] for r in rows2} == {"chr2:300:C:G"}
+
     # end-to-end: same answer as the expression parser under the filter
     register_vcf_source(spark)
     ds = (

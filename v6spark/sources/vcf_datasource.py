@@ -155,7 +155,7 @@ def _eval_filter(f, value) -> bool:
     if isinstance(f, LessThanOrEqual):
         return value <= f.value
     if isinstance(f, In):
-        return value in f.values
+        return value in f.value  # In.value is the tuple of list members
     raise AssertionError(f"unpushable filter leaked: {f}")
 
 
