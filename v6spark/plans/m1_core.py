@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from v6spark.functions.determinism import davg, dsum, o_davg, o_dsum
+from v6spark.functions.determinism import dsum, o_davg, o_dsum
 from v6spark.operators import stats, transforms
 from v6spark.operators.filters import accounting_df
 from v6spark.plans.registry import register

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_rollup_manifest.json"
 
