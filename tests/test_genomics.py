@@ -133,6 +133,16 @@ def test_call_rate_filter_histogram(vs):
     assert sum(hist[COUNTS]) == res[N_KEPT] + res[N_FILTERED_OUT]
 
 
+def test_call_rate_filter_count_mode(vs):
+    """rates=False: the threshold is an absolute called count
+    (reference's count-based D1 mode)."""
+    # called counts per variant: 3, 4, 4, 1
+    res = g.remove_low_call_rate_vars(vs, min_call_rate=4, rates=False)
+    assert res[N_KEPT] == 2 and res[N_FILTERED_OUT] == 2
+    kept = {r["variant_id"] for r in res[FLT_VARS].variants.collect()}
+    assert kept == {"chr1:200:G:C", "chr2:300:C:G"}
+
+
 def test_maf_and_qual_filters(vs):
     res = g.filter_by_maf(vs, max_allowable_maf=0.95)
     assert res[N_KEPT] == 3  # chr1:200 (maf 1.0) dropped

@@ -366,6 +366,7 @@ def filter_samples(vs: Variations, samples: list[str], reverse: bool = False) ->
 def remove_low_call_rate_vars(
     vs: Variations,
     min_call_rate: float,
+    rates: bool = True,
     calc_histogram: bool = False,
     n_bins: int = 20,
     limits: tuple = (0.0, 1.0),
@@ -373,21 +374,27 @@ def remove_low_call_rate_vars(
     """D1: keep variants with call rate >= min
     (``variation6/filters.py::remove_low_call_rate_vars``).
 
+    ``rates=False`` interprets the threshold as an absolute CALLED
+    COUNT per variant instead of a fraction (the reference's
+    count-based mode); the histogram limits then default to a count
+    range, so pass explicit ``limits`` for count histograms.
+
     With ``calc_histogram=True`` the result dict gains ``FLT_STATS`` —
-    the distribution of the PRE-FILTER per-variant call rates as
+    the distribution of the PRE-FILTER per-variant call stat as
     ``{EDGES: [n_bins+1 floats], COUNTS: [n_bins ints]}`` (the
-    reference returns np.histogram of the rate vector; the last bin is
-    closed so rate == limits[1] is counted, matching numpy).  The
-    histogram aggregates the already-reduced per-variant rate relation
-    — one extra small hash-agg, not a second pass over calls.
+    reference returns np.histogram of the stat vector; the last bin is
+    closed so stat == limits[1] is counted, matching numpy).  The
+    histogram aggregates the already-reduced per-variant relation —
+    one extra small hash-agg, not a second pass over calls.
     """
-    rates = calc_called_gt(vs, rates=True)
+    stat_col = "call_rate" if rates else "n_called"
+    stat = calc_called_gt(vs, rates=rates)
     if calc_histogram:
         from v6spark.operators.filters import rate_histogram
 
-        hist = rate_histogram(rates, "call_rate", n_bins, limits)
+        hist = rate_histogram(stat, stat_col, n_bins, limits)
     kept = vs.variants.join(
-        rates.filter(F.col("call_rate") >= min_call_rate).select("variant_id"),
+        stat.filter(F.col(stat_col) >= min_call_rate).select("variant_id"),
         "variant_id",
         "left_semi",
     )
