@@ -1,0 +1,149 @@
+"""Deterministic sampling and dataset-split operators (SURVEY.md §2.2).
+
+A training-data pipeline needs reproducible subsets: train/valid/test
+splits that never move a document between splits across reruns,
+samples that are stable under repartitioning and cluster resizing,
+and per-stratum quotas that are exact rather than expected-value.
+Spark's built-in ``df.sample``/``sampleBy`` are none of these — they
+seed a per-partition RNG, so the selected rows change whenever the
+partitioning does.
+
+Everything here keys the decision on ``xxhash64(seed, key)`` instead:
+
+- ``hash_split`` / ``split_frames`` — narrow map-only split
+  assignment (zero shuffles; at 100 TB it costs exactly one scan).
+- ``hash_sample`` — Bernoulli-style fraction sample by hash
+  threshold; samples are NESTED (frac 0.1 ⊆ frac 0.5 for the same
+  seed), which makes growing a pilot corpus monotone.
+- ``stratified_sample_exact`` — exactly ``n`` rows per stratum,
+  picked in deterministic hash order via a ranking window (one
+  shuffle on the strata; per-stratum sort spills gracefully at
+  scale because row_number needs no full-group buffer).
+
+Reference parity note: variation6 exposes random_subset-style helpers
+only implicitly (NumPy slicing in user code); these operators are the
+engine-level replacements a distributed pipeline requires.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Hash buckets for split/threshold arithmetic.  2^20 buckets keeps
+# every threshold an exact integer (no float boundary ambiguity) while
+# giving ~1e-6 granularity on requested fractions.
+_BUCKETS = 1 << 20
+
+
+def _bucket(key: Column | str, seed: int) -> Column:
+    """Uniform bucket in [0, _BUCKETS) from a 64-bit keyed hash."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(F.lit(seed), c), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by deterministic hash of ``key``.
+
+    ``weights`` maps label -> relative weight (normalized internally).
+    The assignment depends only on (seed, key value): reruns, shuffles,
+    repartitioning, and cluster size cannot move a row between splits,
+    and all rows sharing a key (e.g. all chunks of one document) land
+    in the same split — the leakage guarantee train/test splits need.
+
+    Narrow transformation: no shuffle, no RNG, whole-stage codegen.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: weight} dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    labels = list(weights)
+    # Integer cumulative thresholds; the final one is pinned to
+    # _BUCKETS so the ranges cover [0, _BUCKETS) exactly.
+    thresholds: list[int] = []
+    acc = 0.0
+    for lbl in labels:
+        acc += weights[lbl] / total
+        thresholds.append(min(_BUCKETS, int(acc * _BUCKETS)))
+    thresholds[-1] = _BUCKETS
+
+    b = _bucket(key, seed)
+    expr = F.lit(labels[-1])
+    for lbl, hi in zip(reversed(labels[:-1]), reversed(thresholds[:-1])):
+        expr = F.when(b < hi, F.lit(lbl)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def split_frames(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """``hash_split`` materialized as one filtered DataFrame per label.
+
+    Each frame re-derives the label from the hash, so the split column
+    never needs to be persisted; Catalyst pushes the filter into the
+    scan of each branch.
+    """
+    tagged = hash_split(df, key, weights, seed=seed, out="__split")
+    return {
+        lbl: tagged.filter(F.col("__split") == lbl).drop("__split")
+        for lbl in weights
+    }
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose keyed hash
+    falls below ``fraction`` of the bucket space.
+
+    Nested-sample property: for a fixed seed, the ``fraction=p``
+    sample is a subset of the ``fraction=q`` sample whenever p <= q —
+    so a 1% pilot can be grown to 10% without re-selecting anything.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(key, seed) < int(fraction * _BUCKETS))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    key: Column | str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministic.
+
+    Rows within a stratum are ranked by (keyed hash, key) — the key
+    tie-break makes the order total even under hash collisions — and
+    the first ``n_per_stratum`` kept.  One shuffle (hash-partition on
+    the strata); ``row_number`` streams each sorted group, so no
+    full-group buffer is held (scale-safe for huge strata, unlike a
+    collect-and-slice design).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    c = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*strata).orderBy(_bucket(key, seed).asc(), c.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
