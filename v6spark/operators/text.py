@@ -125,6 +125,122 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_doc_freq(
+    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Document frequency per token: (token, df) with one shuffle.
+
+    ``array_distinct`` BEFORE explode keeps repeated in-document terms
+    out of the shuffle — per-token rows leaving the map stage equal
+    the posting-list length, not the corpus token count.
+    """
+    return (
+        df.select(F.explode(F.array_distinct(tokens_col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    top_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf * (ln((N+1)/(df+1)) + 1), round 6.
+
+    The idf relation is vocabulary-sized (tokens, not token
+    occurrences) so it broadcasts; the big side shuffles once for the
+    (doc, token) term-frequency aggregate.  The corpus size N is a
+    single-row scalar aggregate — the one legitimate driver-side
+    value in the pipeline.
+    """
+    n_docs = df.select(doc_col).distinct().count()
+    tf = (
+        df.select(F.col(doc_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf_rel = term_doc_freq(df, text_col, doc_col).withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    )
+    scored = tf.join(F.broadcast(idf_rel), "token").select(
+        F.col("doc").alias(doc_col),
+        "token",
+        "tf",
+        F.col("df").alias("doc_freq"),
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tf_idf"),
+    )
+    if top_terms_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(doc_col).orderBy(
+            F.col("tf_idf").desc(), F.col("token").asc()
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_terms_per_doc)
+            .drop("__rn")
+        )
+    return scored
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of every document against a bag of query terms.
+
+    Scale shape: tokens are filtered to the query terms BEFORE the
+    (doc, token) aggregate, so only the query terms' posting lists
+    shuffle — corpus-size-independent per query term.  idf uses the
+    standard ln(1 + (N - df + 0.5)/(df + 0.5)); doc length and the
+    average length come from a full-token count per doc (one narrow
+    map + one scalar aggregate).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    n_docs = df.select(doc_col).distinct().count()
+
+    lengths = df.select(
+        F.col(doc_col).alias("doc"), F.size(tokens_col(text_col)).alias("dl")
+    )
+    avgdl = float(lengths.agg(F.avg("dl")).collect()[0][0] or 1.0)
+
+    toks = df.select(
+        F.col(doc_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf_rel = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    tf_c = F.col("tf").cast("double")
+    denom = tf_c + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    per_term = (
+        tf.join(F.broadcast(idf_rel), "token")
+        .join(lengths, "doc")
+        .select("doc", (F.col("idf") * tf_c * (k1 + 1) / denom).alias("s"))
+    )
+    return (
+        per_term.groupBy("doc")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .select(F.col("doc").alias(doc_col), "bm25")
+    )
+
+
 def doc_fingerprint(text: Column | str, out: str = "fingerprint") -> Column:
     """Order-sensitive 61-bit rolling hash over tokens.
 
