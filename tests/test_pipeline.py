@@ -1,0 +1,69 @@
+"""End-to-end training-corpus preparation (v6spark/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from v6spark.pipeline import prepare_training_corpus
+from v6spark.sources.tables import load_table
+
+MAX_TOKENS = 64
+
+
+def test_pipeline_on_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_training_corpus(docs, max_tokens=MAX_TOKENS).cache()
+    n = out.count()
+    assert 0 < n <= docs.count()
+    # Each surviving doc appears exactly once.
+    assert out.select("doc_id").distinct().count() == n
+    # No regular bin over budget, within its (split, bin_id).
+    over = (
+        out.filter(~F.col("oversize"))
+        .groupBy("split", "bin_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > MAX_TOKENS)
+        .count()
+    )
+    assert over == 0
+    # Bins never mix splits by construction: key includes split.
+    out.unpersist()
+
+
+def test_pipeline_filters_apply(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_training_corpus(
+        docs, min_quality=0.3, langs=("en",), max_tokens=MAX_TOKENS
+    )
+    rows = out.select("quality_score", "pred_lang").collect()
+    assert rows
+    assert all(r["quality_score"] >= 0.3 for r in rows)
+    assert all(r["pred_lang"] == "en" for r in rows)
+
+
+def test_pipeline_dedups_exact_copies(spark):
+    base = [(i, f"unique document number {i} with its own words") for i in range(10)]
+    dups = [(100 + i, "identical boilerplate text repeated everywhere") for i in range(5)]
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    out = prepare_training_corpus(docs, max_tokens=32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # Exactly one of the 5 identical docs survives — the min id.
+    survivors = [d for d in rows if d >= 100]
+    assert survivors == [100]
+    assert rows[100]["dup_count"] == 5
+    # All unique docs survive with dup_count 1.
+    assert all(rows[i]["dup_count"] == 1 for i in range(10))
+
+
+def test_pipeline_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, prepare_training_corpus(docs, max_tokens=MAX_TOKENS).collect()))
+    b = sorted(
+        map(
+            tuple,
+            prepare_training_corpus(
+                docs.repartition(3), max_tokens=MAX_TOKENS
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -1,0 +1,103 @@
+"""End-to-end training-corpus preparation (the north-star composition).
+
+One declarative pipeline from a raw ``documents`` frame to packed,
+split, deduplicated training bins — the flow a pretraining data team
+runs at 100 TB, assembled entirely from the engine's operators:
+
+    quality score -> language gate -> exact dedup -> token budget
+    -> leakage-safe split -> per-split sequence packing
+
+Every stage is lazy; the whole pipeline is ONE Catalyst plan until
+packing's applyInPandas stage, so Catalyst pushes the quality and
+language predicates down to the document scan.  Shuffle census for
+the default path: dedup's digest groupBy (32-byte keys), packing's
+(doc_id, n_tokens) group scatter — document BODIES move at most once.
+
+Stage choices, and why:
+- dedup BEFORE split: a duplicate pair straddling train/test is
+  evaluation leakage; deduping first makes the split's leakage-safety
+  guarantee (hash of doc_id) meaningful.
+- split BEFORE packing: bins must never mix splits, so packing runs
+  per split label on the already-assigned frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from v6spark.operators import packing as _packing
+from v6spark.operators import sampling as _sampling
+from v6spark.operators import text as _text
+from v6spark.operators.dedup import dedup_exact
+
+DEFAULT_WEIGHTS = {"train": 0.98, "valid": 0.01, "test": 0.01}
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    max_tokens: int = 1024,
+    split_weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Raw documents -> (doc, tokens, quality, lang, split, bin_id).
+
+    Returns one row per SURVIVING document with its packed bin
+    assignment; filtered documents (low quality, wrong language,
+    duplicate losers) simply don't appear.  Deterministic end to end:
+    reruns produce the identical frame.
+    """
+    weights = split_weights or DEFAULT_WEIGHTS
+
+    scored = _text.quality_features(docs, text_col=text_col).withColumn(
+        "pred_lang", _text.lang_id(text_col)
+    )
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    if langs is not None:
+        kept = kept.filter(F.col("pred_lang").isin(*langs))
+
+    # Exact dedup on the content digest; keep each group's min-id row.
+    keepers = dedup_exact(
+        kept.withColumn("__digest", F.sha2(F.col(text_col), 256)),
+        "__digest",
+        doc_col,
+    ).select(F.col("keeper_id").alias(doc_col), "dup_count")
+    deduped = kept.join(keepers, doc_col)
+
+    split = _sampling.hash_split(deduped, doc_col, weights, seed=seed)
+
+    # Pack each split independently so no bin mixes splits; packing
+    # ids repeat across splits, so the bin key is (split, bin_id).
+    parts = []
+    for lbl in weights:
+        sub = split.filter(F.col("split") == lbl).select(
+            doc_col, F.col("n_tokens").cast("long").alias("n_tokens")
+        )
+        packed = _packing.pack_sequences(
+            sub, max_tokens, doc_col=doc_col, tokens_col="n_tokens"
+        )
+        parts.append(packed.withColumn("split", F.lit(lbl)))
+    bins = parts[0]
+    for p in parts[1:]:
+        bins = bins.unionByName(p)
+
+    return (
+        split.select(
+            doc_col, "pred_lang", "quality_score", "dup_count", "split"
+        )
+        .join(bins.drop("split"), doc_col)
+        .select(
+            doc_col,
+            "pred_lang",
+            "quality_score",
+            "dup_count",
+            "split",
+            "n_tokens",
+            "bin_id",
+            "oversize",
+        )
+    )
