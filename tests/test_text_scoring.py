@@ -90,6 +90,10 @@ def test_bm25_on_documents_table(spark, sf_dir):
     assert scored.filter(F.col("bm25") <= 0).count() == 0
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # Scoring path reads the corpus once: both the idf branch and the
+    # score branch consume the persisted posting relation (the parquet
+    # scan text below only appears inside the cached plan definition).
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_bm25_rejects_empty_query(spark):

@@ -192,30 +192,45 @@ def bm25_score(
     doc_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Okapi BM25 of every document against a bag of query terms.
 
     Scale shape: tokens are filtered to the query terms BEFORE the
-    (doc, token) aggregate, so only the query terms' posting lists
-    shuffle — corpus-size-independent per query term.  idf uses the
-    standard ln(1 + (N - df + 0.5)/(df + 0.5)); doc length and the
-    average length come from a full-token count per doc (one narrow
-    map + one scalar aggregate).
+    explode and the (doc, token) aggregate, so only the query terms'
+    posting lists shuffle — corpus-size-independent per query term.
+    The document length rides along the explode projection, so the
+    scoring path reads the corpus ONCE (plus one scalar aggregate for
+    N and avgdl): the aggregated posting relation feeds both the idf
+    side and the score side, and is persisted by default so the idf
+    branch does not re-scan the corpus (same lifecycle as the ANN
+    bucket frame — ``session.clear_engine_caches`` or
+    ``persist_postings=False``).  idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    n_docs = df.select(doc_col).distinct().count()
-
-    lengths = df.select(
-        F.col(doc_col).alias("doc"), F.size(tokens_col(text_col)).alias("dl")
-    )
-    avgdl = float(lengths.agg(F.avg("dl")).collect()[0][0] or 1.0)
+    scalars = df.select(
+        F.count_distinct(F.col(doc_col)).alias("n"),
+        F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = scalars["n"], float(scalars["avgdl"] or 1.0)
 
     toks = df.select(
-        F.col(doc_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
-    ).filter(F.col("token").isin(terms))
-    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+        F.col(doc_col).alias("doc"),
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.explode(
+            F.filter(tokens_col(text_col), lambda x: x.isin(*terms))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    if persist_postings:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     idf_rel = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -229,10 +244,8 @@ def bm25_score(
     )
     tf_c = F.col("tf").cast("double")
     denom = tf_c + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
-    per_term = (
-        tf.join(F.broadcast(idf_rel), "token")
-        .join(lengths, "doc")
-        .select("doc", (F.col("idf") * tf_c * (k1 + 1) / denom).alias("s"))
+    per_term = tf.join(F.broadcast(idf_rel), "token").select(
+        "doc", (F.col("idf") * tf_c * (k1 + 1) / denom).alias("s")
     )
     return (
         per_term.groupBy("doc")
