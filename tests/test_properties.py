@@ -184,3 +184,80 @@ def test_exact_percentiles_match_builtin(spark, rows, q):
     assert set(mine) == set(builtin)
     for k in mine:
         assert mine[k] == pytest.approx(builtin[k], abs=1e-6)
+
+
+ids_tokens_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc id
+        st.integers(min_value=1, max_value=300),  # token count
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=ids_tokens_strategy, max_tokens=st.integers(min_value=8, max_value=128))
+@settings(**SETTINGS)
+def test_packing_laws(spark, rows, max_tokens):
+    """For ANY corpus and budget: every doc packed exactly once, no
+    regular bin over budget, oversize flag iff the doc alone overflows."""
+    from v6spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_tokens, n_groups=3).collect()
+    assert sorted(r["doc_id"] for r in packed) == sorted(i for i, _ in rows)
+    toks = dict(rows)
+    bins: dict[int, int] = {}
+    for r in packed:
+        assert r["oversize"] == (toks[r["doc_id"]] > max_tokens)
+        if not r["oversize"]:
+            bins[r["bin_id"]] = bins.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(t <= max_tokens for t in bins.values())
+
+
+@given(
+    rows=ids_tokens_strategy,
+    w=st.tuples(
+        st.floats(min_value=0.05, max_value=1.0),
+        st.floats(min_value=0.05, max_value=1.0),
+        st.floats(min_value=0.05, max_value=1.0),
+    ),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(**SETTINGS)
+def test_hash_split_partition_law(spark, rows, w, seed):
+    """For ANY weights/seed: splits partition the input, and equal keys
+    always land in the same split (the leakage-safety law)."""
+    from v6spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    weights = dict(zip("abc", w))
+    out = hash_split(df, "doc_id", weights, seed=seed).collect()
+    assert len(out) == len(rows)
+    assert {r["split"] for r in out} <= set(weights)
+    # Same key -> same split, even via an independent evaluation.
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", weights, seed=seed).collect()
+    }
+    for r in out:
+        assert again[r["doc_id"]] == r["split"]
+
+
+@given(
+    rows=ids_tokens_strategy,
+    p=st.floats(min_value=0.0, max_value=1.0),
+    q=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(**SETTINGS)
+def test_hash_sample_nested_law(spark, rows, p, q, seed):
+    """For ANY p <= q and seed: sample(p) is a subset of sample(q)."""
+    from v6spark.operators.sampling import hash_sample
+
+    lo, hi = sorted((p, q))
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", lo, seed=seed).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", hi, seed=seed).collect()}
+    assert small <= big
