@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Scale-stress the training-data pipeline tier (documents corpus).
+
+The bench documents table tops out at 5,000 rows (sf0.1); this
+replicates it N× with shifted ids and textually distinct variants
+(so exact dedup cannot collapse the copies and packing sees real
+work), then times the pipeline-tier operators at both scales:
+
+- prepare_training_corpus (quality -> lang -> dedup -> split -> pack)
+- bm25_score (single-scan posting pipeline)
+- pack_sequences alone (the applyInPandas stage)
+- tf_idf (vocabulary-broadcast join)
+
+A healthy result is ~linear or sub-linear wall-clock growth and
+unchanged plan shapes.  Usage:
+    python scripts/pipeline_scale_stress.py [factor] [out_dir]
+Prints one JSON line with per-operator seconds and ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from v6spark.operators import packing, text
+from v6spark.pipeline import prepare_training_corpus
+from v6spark.session import get_spark
+from v6spark.sources.tables import load_table
+
+SHIFT = 1_000_000_000
+
+
+def build_scaled_docs(spark, src_dir: str, out_path: str, factor: int) -> None:
+    docs = load_table(spark, src_dir, "documents")
+    parts = []
+    for i in range(factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_ops(spark, docs) -> dict[str, float]:
+    dt = text.token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("n_tokens")
+    )
+    ops = {
+        "pipeline": lambda: _noop(prepare_training_corpus(docs, max_tokens=512)),
+        "bm25": lambda: _noop(text.bm25_score(docs, ["the", "data", "model"])),
+        "pack": lambda: _noop(packing.pack_sequences(dt, 512)),
+        "tf_idf": lambda: _noop(text.tf_idf(docs, top_terms_per_doc=5)),
+    }
+    out = {}
+    for name, fn in ops.items():
+        times = []
+        for _ in range(2):
+            spark.catalog.clearCache()  # each run pays its own persists
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(min(times), 3)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v6spark_docs_scaled"
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = f"{out_dir}/documents.parquet"
+    spark = get_spark(
+        "pipeline-scale", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(out_path):
+        print(f"[scale] building {factor}x documents at {out_path}", file=sys.stderr)
+        build_scaled_docs(spark, src_dir, out_path, factor)
+
+    base_docs = load_table(spark, src_dir, "documents")
+    scaled_docs = spark.read.parquet(out_path)
+    n_base, n_scaled = base_docs.count(), scaled_docs.count()
+
+    base = run_ops(spark, base_docs)
+    scaled = run_ops(spark, scaled_docs)
+    ratios = {
+        k: (round(scaled[k] / base[k], 2) if base[k] else None) for k in base
+    }
+    for k in base:
+        print(
+            f"[scale] {k}: {base[k]}s ({n_base} docs) -> "
+            f"{scaled[k]}s ({n_scaled} docs, {ratios[k]}x wall at {factor}x data)",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "n_base": n_base,
+                "n_scaled": n_scaled,
+                "base": base,
+                "scaled": scaled,
+                "ratio": ratios,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
