@@ -146,12 +146,18 @@ def tf_idf(
     text_col: str = "text",
     doc_col: str = "doc_id",
     top_terms_per_doc: int | None = None,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Per-(doc, token) TF-IDF: tf * (ln((N+1)/(df+1)) + 1), round 6.
 
-    The idf relation is vocabulary-sized (tokens, not token
-    occurrences) so it broadcasts; the big side shuffles once for the
-    (doc, token) term-frequency aggregate.  The corpus size N is a
+    One corpus scan: the (doc, token) term-frequency relation feeds
+    BOTH sides — document frequency is just ``count(*)`` per token of
+    that relation (one row per (doc, token)), so no separate
+    ``term_doc_freq`` scan is needed.  The tf relation persists by
+    default (it is the aggregated posting list, far smaller than the
+    raw token stream; MEMORY_AND_DISK spills at corpus scale —
+    ``session.clear_engine_caches`` or ``persist_postings=False``).
+    The vocabulary-sized idf side broadcasts.  The corpus size N is a
     single-row scalar aggregate — the one legitimate driver-side
     value in the pipeline.
     """
@@ -161,8 +167,16 @@ def tf_idf(
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf_rel = term_doc_freq(df, text_col, doc_col).withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    if persist_postings:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    idf_rel = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+        )
     )
     scored = tf.join(F.broadcast(idf_rel), "token").select(
         F.col("doc").alias(doc_col),
