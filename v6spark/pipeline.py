@@ -7,10 +7,12 @@ runs at 100 TB, assembled entirely from the engine's operators:
     quality score -> language gate -> exact dedup -> token budget
     -> leakage-safe split -> per-split sequence packing
 
-Every stage is lazy; the whole pipeline is ONE Catalyst plan until
-packing's applyInPandas stage, so Catalyst pushes the quality and
-language predicates down to the document scan.  Shuffle census for
-the default path: dedup's digest groupBy (32-byte keys), packing's
+Every stage is lazy; the pipeline is ONE Catalyst plan up to the
+split, so Catalyst pushes the quality and language predicates down to
+the document scan.  The narrow survivor frame (ids + metrics, no
+bodies) persists at the split point because three per-split packing
+branches and the final join all consume it.  Shuffle census for the
+default path: dedup's digest groupBy (32-byte keys), packing's
 (doc_id, n_tokens) group scatter — document BODIES move at most once.
 
 Stage choices, and why:
@@ -68,15 +70,30 @@ def prepare_training_corpus(
     ).select(F.col("keeper_id").alias(doc_col), "dup_count")
     deduped = kept.join(keepers, doc_col)
 
-    split = _sampling.hash_split(deduped, doc_col, weights, seed=seed)
+    # Persist the NARROW survivor frame (ids + metrics, no bodies):
+    # the per-split packing loop and the final join would otherwise
+    # re-execute the quality/lang/dedup subtree once per consumer.
+    # Lifecycle as elsewhere: session.clear_engine_caches().
+    from pyspark import StorageLevel
+
+    split = (
+        _sampling.hash_split(deduped, doc_col, weights, seed=seed)
+        .select(
+            doc_col,
+            "pred_lang",
+            "quality_score",
+            "dup_count",
+            "split",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Pack each split independently so no bin mixes splits; packing
     # ids repeat across splits, so the bin key is (split, bin_id).
     parts = []
     for lbl in weights:
-        sub = split.filter(F.col("split") == lbl).select(
-            doc_col, F.col("n_tokens").cast("long").alias("n_tokens")
-        )
+        sub = split.filter(F.col("split") == lbl).select(doc_col, "n_tokens")
         packed = _packing.pack_sequences(
             sub, max_tokens, doc_col=doc_col, tokens_col="n_tokens"
         )
@@ -86,9 +103,7 @@ def prepare_training_corpus(
         bins = bins.unionByName(p)
 
     return (
-        split.select(
-            doc_col, "pred_lang", "quality_score", "dup_count", "split"
-        )
+        split.drop("n_tokens")
         .join(bins.drop("split"), doc_col)
         .select(
             doc_col,
