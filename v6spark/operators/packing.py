@@ -100,7 +100,9 @@ def pack_sequences(
     )
 
 
-def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+def packing_stats(
+    packed: DataFrame, max_tokens: int, tokens_col: str = "n_tokens"
+) -> DataFrame:
     """One-row summary: bins, docs, mean/min fill rate of regular bins.
 
     Oversize single-doc bins are excluded from fill statistics — they
@@ -109,7 +111,7 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     bins = (
         packed.filter(~F.col("oversize"))
         .groupBy("bin_id")
-        .agg(F.sum("n_tokens").alias("bin_tokens"))
+        .agg(F.sum(tokens_col).alias("bin_tokens"))
     )
     fill = F.col("bin_tokens") / F.lit(float(max_tokens))
     return bins.agg(

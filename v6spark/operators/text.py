@@ -106,6 +106,52 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/shape quality gates, one boolean per rule.
+
+    The classic pretraining heuristics (token-count window, mean word
+    length window, symbol-to-token ratio, minimum stopword evidence)
+    as pure Catalyst expressions over ONE tokenization — a narrow map
+    adding ``rule_*`` booleans and the composite ``passes_gopher``.
+    Thresholds are arguments so corpora can tune them; defaults suit
+    short-document corpora like the test tables.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    mean_word_len = total_chars / F.greatest(n_tokens, F.lit(1.0))
+    n_symbols = F.length(F.regexp_replace(t, "[^#…{}<>|\\\\]", "")).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"]))
+    ).cast("double")
+
+    rules = {
+        "rule_token_count": (n_tokens >= min_tokens) & (n_tokens <= max_tokens),
+        "rule_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "rule_symbol_ratio": n_symbols / F.greatest(n_tokens, F.lit(1.0))
+        <= max_symbol_ratio,
+        "rule_stopword_evidence": stop_hits >= min_stopword_hits,
+    }
+    out = df.withColumns(rules)
+    passes = F.lit(True)
+    for name in rules:
+        passes = passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy count.
 
