@@ -52,3 +52,66 @@ def test_thresholds_are_tunable(spark):
     loose = _run(spark, rows, min_tokens=5)
     assert not strict[1]["rule_token_count"]
     assert loose[1]["rule_token_count"]
+
+
+def _rep(spark, rows, **kwargs):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.repetition_signals(df, **kwargs).collect()
+    return {r["doc_id"]: r for r in out}
+
+
+def test_repetition_golden_values(spark):
+    got = _rep(
+        spark,
+        [
+            (1, "a b a b a b"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "line one here\nline one here\nline two there\nand a fourth line"),
+            (4, ""),
+        ],
+    )
+    # doc 1: "a b" occurs 3x, covers 9 of 11 chars; "a b a" 2x -> 10/11;
+    # 4-gram overlap coverage exceeds the doc and clamps to 1.0.
+    assert got[1]["top_2gram_char_frac"] == 0.818182
+    assert got[1]["top_3gram_char_frac"] == 0.909091
+    assert got[1]["top_4gram_char_frac"] == 1.0
+    # fewer than 5/10 tokens of repetition -> zero dup coverage,
+    # and the <10-token doc must NOT read as 1.0 (least() NULL trap).
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    assert got[1]["dup_10gram_char_frac"] == 0.0
+    # doc 2: no 2-gram repeats -> zero evidence, not
+    # len(longest gram)/len(doc).
+    assert got[2]["top_2gram_char_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0
+    # doc 3: 4 non-empty lines, one duplicated -> 1/4 of lines,
+    # 2*13 of 60 chars; "here line" spans the join twice -> 18/60.
+    assert got[3]["dup_line_frac"] == 0.25
+    assert got[3]["dup_line_char_frac"] == 0.433333
+    assert got[3]["top_2gram_char_frac"] == 0.3
+    # empty doc: zero everywhere, passes.
+    assert got[4]["top_2gram_char_frac"] == 0.0
+    assert got[4]["passes_repetition"]
+
+
+def test_repetition_gate_fires_on_spam(spark):
+    got = _rep(
+        spark,
+        [
+            (1, "spam " * 40),
+            (2, "the quick brown fox jumps over a lazy dog while birds sing"),
+        ],
+    )
+    assert not got[1]["passes_repetition"]
+    assert got[1]["top_2gram_char_frac"] == 1.0
+    assert got[2]["passes_repetition"]
+
+
+def test_repetition_runs_on_corpus_without_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.repetition_signals(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    n = out.count()
+    assert n == docs.count()
+    n_pass = out.filter(F.col("passes_repetition")).count()
+    assert 0 < n_pass <= n

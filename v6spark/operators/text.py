@@ -152,6 +152,191 @@ def gopher_quality_rules(
     return out.withColumn("passes_gopher", passes)
 
 
+#: Gopher-style repetition gate defaults (Rae et al. 2021, table A1
+#: shape): a document fails when too much of it is one repeated line
+#: or n-gram.  Keys match the columns :func:`repetition_signals` adds.
+DEFAULT_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a pre-tokenized array column (empty when the
+    document has fewer than ``n`` tokens — short docs contribute no
+    repetition evidence rather than a spurious 100% top-gram)."""
+    if n == 1:
+        return toks
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher repetition signals: the other half of the quality gate.
+
+    Adds, per document:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (and of characters in lines) occurring more than once;
+    - ``top_{n}gram_char_frac`` for n in ``top_ns`` — characters
+      covered by the single most frequent word n-gram / total chars
+      (0 when no n-gram repeats — a once-seen gram is not evidence);
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns`` — characters in
+      n-grams that occur more than once / total chars;
+    - ``passes_repetition`` — AND of every signal against
+      ``thresholds`` (default :data:`DEFAULT_REPETITION_THRESHOLDS`).
+
+    Scale design: a per-doc frequency table is NOT expressible as a
+    narrow HOF without an O(tokens²) ``filter``-per-distinct-gram scan,
+    so the n-gram signals take the posting path — ONE tagged explode
+    over all n simultaneously (each token row carries its n), partial+
+    final count per (doc, n, gram), a doc×n-sized top/dup aggregate,
+    one pivot, and a single co-keyed join back to the input.  Rows
+    leaving the map stage ≈ Σ|doc| per n; nothing is quadratic.  The
+    line signals stay a narrow HOF map (documents have few lines; the
+    distinct-line re-count is let-bound so the split happens once).
+    Coverage counts use ``count × length(gram)`` with inner spaces —
+    the standard approximation for overlapping occurrences.
+    """
+    thresholds = dict(
+        DEFAULT_REPETITION_THRESHOLDS if thresholds is None else thresholds
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens_col(text_col)
+
+    def _tag(n: int):
+        # MUST be a unary lambda: a second parameter would make
+        # F.transform pass the ARRAY INDEX as that argument,
+        # silently shadowing a `n=n` default-capture.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("ng"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_word_ngrams(toks, n), _tag(n)) for n in all_ns])
+    )
+    total_chars = F.length(F.col(text_col)).cast("double")
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        total_chars.alias("__tc"),
+        F.explode(tagged).alias("g"),
+    )
+    counts = ex.groupBy("__id", "g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("__tc").alias("tc")
+    )
+    cov = F.col("cnt") * F.length(F.col("g.ng")).cast("double")
+    per_n = counts.groupBy("__id", F.col("g.n").alias("n")).agg(
+        # most frequent REPEATED gram's coverage (ties -> widest
+        # coverage; struct max is lexicographic, so cnt dominates).
+        # Grams occurring once carry no repetition evidence — without
+        # the cnt>1 guard every short unique document scores
+        # len(longest gram)/len(doc) and trips the gate.
+        F.max(
+            F.when(
+                F.col("cnt") > 1,
+                F.struct(F.col("cnt").alias("c"), cov.alias("cov")),
+            )
+        )["cov"].alias("top_cov"),
+        F.sum(F.when(F.col("cnt") > 1, cov).otherwise(F.lit(0.0))).alias(
+            "dup_cov"
+        ),
+        F.first("tc").alias("tc"),
+    )
+    pivoted = (
+        per_n.groupBy("__id")
+        .pivot("n", [str(n) for n in all_ns])
+        .agg(F.first("top_cov").alias("top"), F.first("dup_cov").alias("dup"))
+    )
+    # Overlapping occurrences can cover more characters than the
+    # document holds (count × gram-length double-counts shared spans);
+    # clamp so the signal stays a fraction.  Coalesce BEFORE the
+    # clamp: least() skips NULLs, so least(NULL, 1.0) would turn a
+    # too-short-for-n document into a spurious 1.0.
+    tc = F.col("tc")
+
+    def _frac(col: str) -> Column:
+        return F.least(F.coalesce(F.col(col), F.lit(0.0)) / tc, F.lit(1.0))
+
+    signal_cols = {
+        f"top_{n}gram_char_frac": _frac(f"{n}_top") for n in top_ns
+    } | {f"dup_{n}gram_char_frac": _frac(f"{n}_dup") for n in dup_ns}
+    signals = pivoted.join(
+        per_n.groupBy("__id").agg(F.first("tc").alias("tc")), "__id"
+    ).select(
+        "__id",
+        *[
+            F.round(F.coalesce(expr, F.lit(0.0)), 6).alias(name)
+            for name, expr in signal_cols.items()
+        ],
+    )
+
+    out = df.join(signals, df[id_col] == signals["__id"], "left").drop("__id")
+    for name in signal_cols:
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+
+    # Line signals: narrow, let-bound so the \n split runs once/row.
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    line_stats = F.element_at(
+        F.transform(
+            F.array(lines),
+            lambda ls: F.struct(
+                F.size(ls).alias("n"),
+                F.size(F.array_distinct(ls)).alias("nd"),
+                F.aggregate(
+                    F.array_distinct(ls),
+                    F.lit(0.0),
+                    lambda acc, d: acc
+                    + F.when(
+                        F.size(F.filter(ls, lambda x: x == d)) > 1,
+                        F.size(F.filter(ls, lambda x: x == d)).cast("double")
+                        * F.length(d).cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                ).alias("dup_chars"),
+            ),
+        ),
+        1,
+    )
+    out = out.withColumn("__ls", line_stats).withColumns(
+        {
+            "dup_line_frac": F.round(
+                F.when(
+                    F.col("__ls.n") > 0,
+                    1.0
+                    - F.col("__ls.nd").cast("double")
+                    / F.col("__ls.n").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            "dup_line_char_frac": F.round(
+                F.when(
+                    total_chars > 0, F.col("__ls.dup_chars") / total_chars
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        }
+    ).drop("__ls")
+
+    passes = F.lit(True)
+    for name, limit in thresholds.items():
+        passes = passes & (F.col(name) <= F.lit(float(limit)))
+    return out.withColumn("passes_repetition", passes)
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy count.
 
