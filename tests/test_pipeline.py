@@ -55,6 +55,24 @@ def test_pipeline_dedups_exact_copies(spark):
     assert all(rows[i]["dup_count"] == 1 for i in range(10))
 
 
+def test_pipeline_quality_gates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = prepare_training_corpus(docs, max_tokens=MAX_TOKENS).count()
+    gated = prepare_training_corpus(
+        docs, gopher_rules=True, repetition_gate=True, max_tokens=MAX_TOKENS
+    ).count()
+    assert 0 < gated <= base
+    # A degenerate spam doc is dropped by the repetition gate even
+    # though its quality_score alone would let it through.
+    spam = spark.createDataFrame(
+        [(1, "spam " * 50), (2, "the quick brown fox jumps over a lazy dog "
+                               "while birds sing in the morning light")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(spam, repetition_gate=True, max_tokens=64)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
 def test_pipeline_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     a = sorted(map(tuple, prepare_training_corpus(docs, max_tokens=MAX_TOKENS).collect()))

@@ -42,6 +42,8 @@ def prepare_training_corpus(
     text_col: str = "text",
     min_quality: float = 0.0,
     langs: tuple[str, ...] | None = None,
+    gopher_rules: bool = False,
+    repetition_gate: bool = False,
     max_tokens: int = 1024,
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
@@ -50,14 +52,32 @@ def prepare_training_corpus(
 
     Returns one row per SURVIVING document with its packed bin
     assignment; filtered documents (low quality, wrong language,
-    duplicate losers) simply don't appear.  Deterministic end to end:
-    reruns produce the identical frame.
+    failed Gopher shape/repetition gates, duplicate losers) simply
+    don't appear.  Deterministic end to end: reruns produce the
+    identical frame.
+
+    ``gopher_rules`` adds the shape gates (token count, mean word
+    length, symbol ratio, stopword evidence) — a narrow map, free.
+    ``repetition_gate`` adds the duplicate-line / n-gram coverage
+    gates — this one shuffles (per-doc n-gram frequency is a posting
+    aggregation), so it runs FIRST, before the narrow predicates are
+    applied to its join output, and its extra shuffle carries only
+    (id, n-gram) rows, never document bodies twice.
     """
     weights = split_weights or DEFAULT_WEIGHTS
 
-    scored = _text.quality_features(docs, text_col=text_col).withColumn(
+    gated = docs
+    if repetition_gate:
+        gated = _text.repetition_signals(
+            gated, text_col=text_col, id_col=doc_col
+        ).filter(F.col("passes_repetition"))
+    scored = _text.quality_features(gated, text_col=text_col).withColumn(
         "pred_lang", _text.lang_id(text_col)
     )
+    if gopher_rules:
+        scored = _text.gopher_quality_rules(scored, text_col=text_col).filter(
+            F.col("passes_gopher")
+        )
     kept = scored.filter(F.col("quality_score") >= min_quality)
     if langs is not None:
         kept = kept.filter(F.col("pred_lang").isin(*langs))
