@@ -1,0 +1,125 @@
+"""Benchmark decontamination (SURVEY.md §2.2, training-pipeline tier).
+
+Before pretraining, every corpus must be checked for n-gram overlap
+with the evaluation benchmarks it will be scored on — a document that
+contains an eval question verbatim inflates the benchmark.  The
+standard check (GPT-3 appendix C / PaLM / Llama style) flags a
+document when enough of its word n-grams appear in the benchmark set.
+
+Scale design: the benchmark side is tiny (eval suites are MBs) and
+the corpus side is the 100 TB one, so the asymmetry drives the plan:
+
+- the benchmark's distinct n-gram HASHES form a one-column frame that
+  is **broadcast** — the corpus never shuffles to meet it;
+- the corpus side explodes each document's distinct n-gram hashes
+  (``xxhash64``, 8-byte keys — gram text never leaves the map stage),
+  inner-joins the broadcast set, and partial+final counts hits per
+  document — the only shuffle carries (doc_id, partial count) rows;
+- per-document gram totals are computed narrowly (``size`` of the
+  distinct gram array), so the report join is doc-count sized.
+
+Nothing is quadratic and no document body moves more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from v6spark.operators.dedup import tokens_col
+from v6spark.operators.text import _word_ngrams
+
+
+def _gram_hashes(text: Column | str, n: int) -> Column:
+    """Distinct xxhash64 hashes of the word n-grams of ``text``."""
+    return F.array_distinct(
+        F.transform(_word_ngrams(tokens_col(text), n), lambda g: F.xxhash64(g))
+    )
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-gram hash set of a benchmark frame: one ``gram_hash``
+    column, deduplicated — the broadcastable side of the check."""
+    return (
+        bench.select(F.explode(_gram_hashes(text_col, n)).alias("gram_hash"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_contaminated_frac: float = 0.0,
+) -> DataFrame:
+    """Per-document benchmark-overlap report.
+
+    Adds to ``docs``:
+
+    - ``n_grams`` — distinct word n-grams in the document;
+    - ``n_contaminated`` — how many of them occur in ``bench``;
+    - ``contaminated_frac`` — their ratio (0 for < n-token docs);
+    - ``is_contaminated`` — frac > ``max_contaminated_frac`` (the
+      default 0.0 flags ANY overlap, the conservative eval-hygiene
+      posture; raise it to tolerate incidental collisions).
+
+    The benchmark side broadcasts; see the module docstring for the
+    full shuffle census.
+    """
+    bench_set = benchmark_ngrams(bench, text_col=bench_text_col, n=n)
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_gram_hashes(text_col, n)).alias("gram_hash"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_set), "gram_hash")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+    out = (
+        docs.withColumn("n_grams", F.size(_gram_hashes(text_col, n)))
+        .join(hits, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_contaminated").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("contaminated_frac", F.round(frac, 6)).withColumn(
+        "is_contaminated",
+        F.col("contaminated_frac") > F.lit(float(max_contaminated_frac)),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    max_contaminated_frac: float = 0.0,
+) -> DataFrame:
+    """Drop contaminated documents; the filter form of
+    :func:`contamination_report` (same plan + one predicate, so
+    Catalyst prunes the report columns the caller doesn't keep)."""
+    report = contamination_report(
+        docs,
+        bench,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+        max_contaminated_frac=max_contaminated_frac,
+    )
+    return report.filter(~F.col("is_contaminated")).drop(
+        "n_grams", "n_contaminated", "contaminated_frac", "is_contaminated"
+    )
