@@ -113,3 +113,55 @@ def test_hash_split_rejects_bad_weights(spark, sf_dir):
         except ValueError:
             continue
         raise AssertionError(f"weights {bad} should be rejected")
+
+
+def test_rebalance_mix_hits_target_proportions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # documents.source has a handful of values; rebalance to a skewed mix.
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    a, b = sorted(sources)[:2]
+    out = sampling.rebalance_mix(
+        docs, "source", {a: 0.75, b: 0.25}, key="doc_id"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # only the targeted strata survive
+    assert set(counts) <= {a, b}
+    total = sum(counts.values())
+    assert total > 0
+    # expected-value sampling: within a loose tolerance of the target
+    assert abs(counts[a] / total - 0.75) < 0.15
+    # the binding stratum is kept whole or near-whole: max retention
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_max = min(orig[a] / 0.75, orig[b] / 0.25)
+    binding = a if t_max == orig[a] / 0.75 else b
+    assert counts[binding] >= 0.85 * orig[binding]
+
+
+def test_rebalance_mix_deterministic_and_nested(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    a, b = sources[:2]
+    w = {a: 0.5, b: 0.5}
+    first = {r["doc_id"] for r in sampling.rebalance_mix(docs, "source", w, "doc_id").collect()}
+    second = {
+        r["doc_id"]
+        for r in sampling.rebalance_mix(
+            docs.repartition(7), "source", w, "doc_id"
+        ).collect()
+    }
+    assert first == second
+
+
+def test_rebalance_mix_rejects_unknown_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    import pytest
+
+    with pytest.raises(ValueError, match="absent"):
+        sampling.rebalance_mix(docs, "source", {"no_such_source": 1.0}, "doc_id")

@@ -122,6 +122,63 @@ def hash_sample(
     return df.filter(_bucket(key, seed) < int(fraction * _BUCKETS))
 
 
+def rebalance_mix(
+    df: DataFrame,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    key: Column | str,
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample strata so their proportions match ``target_weights``
+    while keeping as many rows as possible.
+
+    The pretraining "domain mix" operation: given e.g. ``{"web": .8,
+    "books": .1, "code": .1}`` over a ``source`` column, find the
+    largest total T with ``p_s * T <= |s|`` for every stratum
+    (T = min |s|/p_s — the scarcest stratum binds), then keep a
+    deterministic hash-sample of each stratum at rate ``p_s * T /
+    |s|``.  Strata absent from ``target_weights`` are dropped.
+
+    Scale shape: one partial+final count per stratum (the only
+    pre-pass, stratum-count-sized result on the driver), then ONE
+    narrow map-only filter — per-row cost is a hash compare against
+    the row's stratum threshold via a broadcast-sized CASE.  The
+    nested-sample property of :func:`hash_sample` carries over: for a
+    fixed seed, tightening a stratum's share only shrinks (never
+    re-selects) its sample.
+
+    Expected-value caveat: hash sampling hits each rate in
+    expectation, not exactly; use :func:`stratified_sample_exact`
+    when per-stratum counts must be exact.
+    """
+    total_w = float(sum(target_weights.values()))
+    if total_w <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    props = {s: w / total_w for s, w in target_weights.items()}
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[stratum_col] in props
+    }
+    missing = [s for s in props if s not in counts]
+    if missing:
+        raise ValueError(f"strata absent from the data: {sorted(missing)}")
+    t_max = min(counts[s] / p for s, p in props.items() if p > 0)
+    rates = {
+        s: min(1.0, (props[s] * t_max) / counts[s]) if counts[s] else 0.0
+        for s in props
+    }
+
+    threshold = None
+    for s, rate in rates.items():
+        cond, cut = F.col(stratum_col) == s, F.lit(int(rate * _BUCKETS))
+        threshold = (
+            F.when(cond, cut) if threshold is None else threshold.when(cond, cut)
+        )
+    threshold = threshold.otherwise(F.lit(-1))  # unknown stratum: drop
+    return df.filter(_bucket(key, seed) < threshold)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata: Sequence[str],
