@@ -337,6 +337,58 @@ def repetition_signals(
     return out.withColumn("passes_repetition", passes)
 
 
+#: PII patterns for :func:`redact_pii`, applied in order.  Keys become
+#: the replacement tokens (``<EMAIL>`` …) and the per-kind count
+#: columns (``n_email`` …).  Deliberately precision-leaning: corpus
+#: scrubbing wants few false redactions; swap in stricter/looser
+#: patterns per corpus via the ``patterns`` argument.
+DEFAULT_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: optional +CC, 7+ digits with separators;
+    # the leading lookahead rejects dotted quads (IP-shaped, valid or
+    # not), which otherwise parse as 3-3-3-3 "phone numbers"
+    "phone": r"(?<![\d.])(?!\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?!\d))"
+             r"\+?\d{1,3}[-. (]{0,2}\d{2,4}[-. )]{0,2}\d{3,4}[-. ]?\d{3,4}(?![\d.])",
+    "ipv4": r"(?<!\d)(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+            r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?!\d)",
+    "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    count_redactions: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace PII spans with ``<KIND>`` tokens, counting each kind.
+
+    The standard pre-release scrub over a text corpus: emails, phone
+    numbers, IPv4 addresses and SSN-shaped ids (see
+    :data:`DEFAULT_PII_PATTERNS`) become ``<EMAIL>`` / ``<PHONE>`` /
+    ``<IPV4>`` / ``<SSN>``.  With ``count_redactions`` a per-kind
+    ``n_{kind}`` int column records how many spans were rewritten.
+
+    Everything is a chain of ``regexp_count`` + ``regexp_replace`` —
+    a narrow JVM-side map inside whole-stage codegen, zero shuffles,
+    zero Python; at 100 TB it costs exactly one scan.  Counts are
+    taken BEFORE rewriting so overlapping patterns (an email whose
+    domain looks like a phone) report what each rule actually saw.
+    """
+    pats = DEFAULT_PII_PATTERNS if patterns is None else patterns
+    dst = out_col or text_col
+    t: Column = F.col(text_col)
+    cols: dict[str, Column] = {}
+    if count_redactions:
+        for kind, pat in pats.items():
+            cols[f"n_{kind}"] = F.regexp_count(t, F.lit(pat)).cast("int")
+    for kind, pat in pats.items():
+        t = F.regexp_replace(t, pat, f"<{kind.upper()}>")
+    cols[dst] = t
+    return df.withColumns(cols)
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy count.
 
