@@ -100,6 +100,64 @@ def pack_sequences(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: int = 0,
+    out: str = "shard",
+) -> DataFrame:
+    """Deterministic shard + within-shard training order for a corpus.
+
+    The last step before a corpus ships to trainers: rows are dealt
+    into ``n_shards`` by keyed hash (same guarantees as the sampling
+    operators — reruns, repartitioning, and cluster size cannot move
+    a row), and ``_order`` gives a reproducible pseudo-random reading
+    order WITHIN each shard (a second, independent keyed hash, key
+    tie-break so the order is total).  A global ORDER BY over 100 TB
+    is one giant range shuffle; per-shard ordering scales out instead
+    — each shard sorts independently and trainers read shards in any
+    order.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    c = F.col(key)
+    return df.withColumns(
+        {
+            out: F.pmod(F.xxhash64(F.lit(seed), c), F.lit(n_shards)).cast("int"),
+            "_order": F.xxhash64(F.lit(seed + 1), c),
+        }
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 0,
+    mode: str = "error",
+) -> None:
+    """Write the corpus as ``shard=K/`` parquet directories, one file
+    per shard, rows in the deterministic per-shard training order.
+
+    ``repartition(n_shards, shard)`` hash-co-locates each shard label
+    (a shard never splits across files; label collisions merely share
+    a file's directory fan-out), and ``sortWithinPartitions`` streams
+    the order without a global sort.  Rerunning the write yields
+    byte-identical shard contents — resumable corpus publishing.
+    """
+    sharded = assign_shards(df, key, n_shards, seed=seed)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_order", key)
+        .drop("_order")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def packing_stats(
     packed: DataFrame, max_tokens: int, tokens_col: str = "n_tokens"
 ) -> DataFrame:

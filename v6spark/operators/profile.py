@@ -1,15 +1,11 @@
-"""Dataset profiling — per-column statistics in one pass.
+"""Corpus profiling: the monitoring face of the pipeline (§2.2).
 
-The pipeline-hygiene operator every large-scale ingest runs before
-anything else: null rates, distinct-count estimates, min/max, per
-column, computed in a SINGLE aggregation job (one scan) and returned
-in long format (column_name -> stats) so it composes with the rest of
-the engine.
-
-Distinct counts use HyperLogLog (``approx_count_distinct``) —
-deliberately, and unlike everything in plans/: a profile is advisory,
-and exact distinct per column would cost one shuffle per column.
-rsd=0.01 keeps the estimate within ~1%.
+Before and after every preparation run, a data team wants one table
+answering "what is in this corpus": documents / tokens / quality per
+source, per language, and overall.  ``corpus_profile`` produces the
+whole report in ONE scan and ONE shuffle — the (source, language)
+lattice comes from ``ROLLUP``, a single Expand pass, instead of three
+separate group-bys re-reading 100 TB three times.
 """
 
 from __future__ import annotations
@@ -17,50 +13,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from v6spark.operators import text as _text
 
-def profile(df: DataFrame, approx_rsd: float = 0.01) -> DataFrame:
-    """One-pass per-column profile, long format.
 
-    Returns (column, dtype, n_rows, n_nulls, null_rate,
-    approx_distinct, min_repr, max_repr); min/max as strings so mixed
-    column types fit one result schema.
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-(source, language) corpus health report with marginals.
+
+    Returns one row per rollup cell — (source, lang), (source, ALL),
+    and (ALL, ALL) — with:
+
+    - ``n_docs``, ``n_tokens`` (corpus token budget accounting);
+    - ``avg_tokens``, ``avg_quality`` (round 6, oracle-friendly);
+    - ``level``: 'source_lang' | 'source' | 'corpus' — explicit
+      ``grouping()`` decoding so NULL group keys are never ambiguous
+      with NULL data values.
+
+    ``lang_col=None`` predicts the language inline via
+    :func:`v6spark.operators.text.lang_id`; pass an existing column
+    to profile ground-truth labels instead.
     """
-    # Positional rename first: name-based references would misparse
-    # dotted names ("user.id") as nested fields, and duplicate column
-    # names (post-join frames) are ambiguous — toDF renames by
-    # position without parsing, so every column gets its own stats
-    names_types = df.dtypes
-    df = df.toDF(*[f"__c{i}" for i in range(len(names_types))])
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, (name, dtype) in enumerate(names_types):
-        c = df[f"__c{i}"]
-        aggs.append(F.count_if(c.isNull()).alias(f"__nulls_{i}"))
-        aggs.append(F.approx_count_distinct(c, rsd=approx_rsd).alias(f"__dist_{i}"))
-        if dtype.startswith(("array", "map", "struct", "binary")):
-            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
-            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
-        else:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
-    row = df.agg(*aggs).collect()[0]
-    n = row["__n"]
-    spark = df.sparkSession
-    out = [
-        (
-            name,
-            dtype,
-            n,
-            row[f"__nulls_{i}"],
-            round(row[f"__nulls_{i}"] / n, 6) if n else None,
-            row[f"__dist_{i}"],
-            row[f"__min_{i}"],
-            row[f"__max_{i}"],
+    lang = F.col(lang_col) if lang_col else _text.lang_id(text_col)
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        lang.alias("lang"),
+        F.size(_text.tokens_col(text_col)).alias("_nt"),
+        F.col(text_col).alias("_t"),
+    )
+    base = _text.quality_features(base, text_col="_t").select(
+        "source", "lang", "_nt", "quality_score"
+    )
+    level = (
+        F.when(F.grouping("source") == 1, F.lit("corpus"))
+        .when(F.grouping("lang") == 1, F.lit("source"))
+        .otherwise(F.lit("source_lang"))
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            level.alias("level"),
         )
-        for i, (name, dtype) in enumerate(names_types)
-    ]
-    return spark.createDataFrame(
-        out,
-        "column string, dtype string, n_rows long, n_nulls long, "
-        "null_rate double, approx_distinct long, min_repr string, "
-        "max_repr string",
+        .select(
+            "level", "source", "lang", "n_docs", "n_tokens",
+            "avg_tokens", "avg_quality",
+        )
+        .orderBy(
+            F.col("level").asc(),
+            F.col("source").asc_nulls_last(),
+            F.col("lang").asc_nulls_last(),
+        )
     )
