@@ -87,10 +87,62 @@ def test_multimodal_fake_decode(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_multimodal_real_path_is_stubbed(spark):
+def test_multimodal_compressed_codecs_still_stubbed(spark):
+    # synth_media payloads are hash digests — no recognizable container,
+    # so the real path must refuse them honestly.
     media = mm.synth_media(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|not installed"):
         mm.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_real_decode_uncompressed(spark):
+    media = mm.synth_real_media(spark, 12)
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert len(got) == 12
+    # ids 0,3,6,9 are PPM: dims = (8 + i%16, 6 + i%12, 3)
+    for i in (0, 3, 6, 9):
+        r = got[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (
+            8 + i % 16, 6 + i % 12, 3,
+        )
+    # ids 1,4 are BMP: dims = (5 + i%16, 4 + i%12, 3)
+    for i in (1, 4):
+        r = got[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (
+            5 + i % 16, 4 + i % 12, 3,
+        )
+    # ids 2,5 are WAV: width/height carry (n_frames, sample_rate)
+    for i in (2, 5):
+        r = got[i]
+        assert r["width"] == 800 + 40 * (i % 10)
+        assert r["height"] == 8000 + 4000 * (i % 3)
+        assert r["n_channels"] == 1
+
+
+def test_multimodal_image_resize_real(spark):
+    import numpy as np
+
+    media = mm.synth_real_media(spark, 12).filter(F.col("kind") == "image")
+    out = {r["media_id"]: r for r in mm.image_resize(media, 4, 3).collect()}
+    assert out
+    for r in out.values():
+        assert (r["width"], r["height"], r["n_channels"]) == (4, 3, 3)
+        assert len(bytes(r["pixels"])) == 4 * 3 * 3
+    # nearest-neighbor on the known gradient: pixel (0,0) of id 0's PPM
+    # is [(0+0)%256, (0+0)%256, 0] = [0,0,0]
+    assert bytes(out[0]["pixels"])[:3] == b"\x00\x00\x00"
+
+
+def test_multimodal_audio_features_real(spark):
+    media = mm.synth_real_media(spark, 12).filter(F.col("kind") == "audio")
+    rows = mm.audio_features(media).collect()
+    assert rows
+    for r in rows:
+        # 0.5-amplitude sine: RMS = 0.5*32767/sqrt(2) ~= 11585 (short
+        # windows wander slightly); ZCR ~= 2*440/16000 = 0.055
+        assert abs(r["rms"] - 11585) < 60
+        assert abs(r["zcr"] - 0.055) < 0.002
+        assert r["duration_ms"] == int(r["n_frames"] * 1000 / r["sample_rate"])
 
 
 def test_multimodal_features_compose_with_similarity(spark):
