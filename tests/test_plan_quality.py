@@ -167,3 +167,71 @@ def test_asof_single_window_shuffle(spark, sf_dir):
     plan = plan_of(spark, "q_join_asof", sf_dir)
     assert "Window" in plan
     assert "Join" not in plan  # no O(n x m) fallback
+
+
+def test_repetition_signals_shuffle_census(spark, sf_dir):
+    # The n-gram side must aggregate (partial+final) before anything
+    # widens, and the only joins are doc-count sized reattachments —
+    # never an n-gram-sized join.
+    from v6spark.operators.text import repetition_signals
+    from v6spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        repetition_signals(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # doc-sized sides broadcast at sf
+
+
+def test_contamination_corpus_never_shuffles_to_bench(spark, sf_dir):
+    from v6spark.operators.contamination import contamination_report
+    from v6spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    plan = (
+        contamination_report(docs, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the gram-membership join is a broadcast, not an exchange of the
+    # exploded corpus grams
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_corpus_profile_one_expand_one_shuffle(spark, sf_dir):
+    from v6spark.operators.profile import corpus_profile
+    from v6spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        corpus_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") == 1
+    # one hash-partition exchange for the rollup + the final sort's
+    # range exchange — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_shard_assignment_is_narrow(spark, sf_dir):
+    from v6spark.operators.packing import assign_shards
+    from v6spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        assign_shards(docs, "doc_id", 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
