@@ -10,6 +10,11 @@ work), then times the pipeline-tier operators at both scales:
 - bm25_score (single-scan posting pipeline)
 - pack_sequences alone (the applyInPandas stage)
 - tf_idf (vocabulary-broadcast join)
+- repetition_signals (tagged n-gram posting path)
+- contamination_report (fixed-size benchmark side, broadcast)
+- redact_pii (narrow regexp chain — the linearity control)
+- corpus_profile (single-Expand rollup)
+- assign_shards (narrow keyed-hash deal)
 
 A healthy result is ~linear or sub-linear wall-clock growth and
 unchanged plan shapes.  Usage:
@@ -28,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from v6spark.operators import packing, text
+from v6spark.operators import contamination, packing, profile, text
 from v6spark.pipeline import prepare_training_corpus
 from v6spark.session import get_spark
 from v6spark.sources.tables import load_table
@@ -59,7 +64,7 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_ops(spark, docs) -> dict[str, float]:
+def run_ops(spark, docs, bench) -> dict[str, float]:
     dt = text.token_counts(docs).select(
         "doc_id", F.col("ws_tokens").cast("long").alias("n_tokens")
     )
@@ -68,6 +73,13 @@ def run_ops(spark, docs) -> dict[str, float]:
         "bm25": lambda: _noop(text.bm25_score(docs, ["the", "data", "model"])),
         "pack": lambda: _noop(packing.pack_sequences(dt, 512)),
         "tf_idf": lambda: _noop(text.tf_idf(docs, top_terms_per_doc=5)),
+        "repetition": lambda: _noop(text.repetition_signals(docs)),
+        "contamination": lambda: _noop(
+            contamination.contamination_report(docs, bench, n=8)
+        ),
+        "pii": lambda: _noop(text.redact_pii(docs)),
+        "corpus_profile": lambda: _noop(profile.corpus_profile(docs)),
+        "shards": lambda: _noop(packing.assign_shards(docs, "doc_id", 64)),
     }
     out = {}
     for name, fn in ops.items():
@@ -99,8 +111,12 @@ def main() -> None:
     scaled_docs = spark.read.parquet(out_path)
     n_base, n_scaled = base_docs.count(), scaled_docs.count()
 
-    base = run_ops(spark, base_docs)
-    scaled = run_ops(spark, scaled_docs)
+    # Benchmark side stays FIXED across scales (eval suites don't grow
+    # with the corpus) — contamination should scale in the corpus side.
+    bench = base_docs.filter(F.col("doc_id") % 50 == 0).select("text")
+
+    base = run_ops(spark, base_docs, bench)
+    scaled = run_ops(spark, scaled_docs, bench)
     ratios = {
         k: (round(scaled[k] / base[k], 2) if base[k] else None) for k in base
     }
