@@ -8,10 +8,11 @@ registry exists for the schemaless ecosystem formats (CSV, JSON,
 streaming file sources), where schema inference in a production path
 would re-type columns per-file and corrupt the contract.
 
-``events.ts`` is declared TIMESTAMP here (µs): CSV/JSON carry ISO
-strings, not the parquet INT64(NANOS) physical type, so the
-nanos-as-long special case does not apply — the loader synthesizes
-``ts_ns``/``ts_us`` from the parsed timestamp.  The TPC-H date
+``events.ts`` is declared TIMESTAMP_NTZ here (µs): the parquet
+corpus carries TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+surfaces as timestamp_ntz, and CSV/JSON copies carry offset-free ISO
+strings — so a format copy round-trips schema-identical.  The loader
+synthesizes ``ts_ns``/``ts_us`` from the parsed timestamp.  The TPC-H date
 columns are TIMESTAMP_NTZ, matching how Spark surfaces the parquet
 ms-timestamps (no timezone) so format copies round-trip
 schema-identical.
@@ -42,7 +43,7 @@ TABLE_DDL: dict[str, str] = {
         "l_shipdate timestamp_ntz"
     ),
     "events": (
-        "event_id long, ts timestamp, user_id long, event_type string, "
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string"
     ),
     "documents": "doc_id long, text string, lang string, source string, n_chars long",

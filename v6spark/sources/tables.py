@@ -84,7 +84,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
     """Attach the ts_ns/ts_us event-time contract to a parsed-ts frame."""
-    df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    ts = F.col("ts")
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    df = df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000))
     return df.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
 
 
@@ -140,6 +143,11 @@ def write_table_format(
     """Write a corpus table to CSV/JSON (drops the derived ts_ns/ts_us
     event-time columns — they are re-derived on read)."""
     out = df.drop("ts_ns", "ts_us")
+    # Event times are declared NTZ in the format registry; a source that
+    # surfaced ts as LTZ (the nanos-as-long parquet path) is rendered as
+    # the same offset-free wall clock (session tz is pinned UTC).
+    if dict(out.dtypes).get("ts") == "timestamp":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     writer = out.write.mode(mode).options(**_TS_FORMAT_OPTS)
     if fmt == "csv":
         writer = writer.option("header", "true")
