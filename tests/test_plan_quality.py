@@ -67,10 +67,12 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     assert "LeftSemi" in semi and "LeftAnti" in anti
 
 
-def test_range_join_broadcasts_ranges(spark, sf_dir):
+def test_range_tagging_is_narrow(spark, sf_dir):
+    # disjoint literal ranges compile to a CASE chain — no join operator
+    # of any kind; the fact side streams straight into the aggregate
     plan = plan_of(spark, "q_region_range_join", sf_dir)
-    # tiny literal range table must broadcast (nested-loop), fact streams
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert "CASE WHEN" in plan
 
 
 @pytest.mark.parametrize(

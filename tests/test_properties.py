@@ -87,6 +87,23 @@ def test_dedup_reconstruction(spark, texts):
         assert r["keeper_id"] == expect_keeper
 
 
+def test_content_salt_is_partition_layout_invariant(spark):
+    """The salt must depend on row CONTENT only: re-running with a
+    different input partitioning (as a task retry or stage
+    recomputation effectively does) must reproduce the exact same
+    row->salt assignment — the failure mode of MIID/rand-based salts."""
+    from v6spark.operators.skew import _content_salt
+
+    rows = [(k, i) for i in range(200) for k in (1, 2)]
+    df1 = spark.createDataFrame(rows, "k int, i int").repartition(7)
+    df2 = spark.createDataFrame(rows, "k int, i int").coalesce(1)
+    s1 = sorted(tuple(r) for r in df1.withColumn("s", _content_salt(df1, 8)).collect())
+    s2 = sorted(tuple(r) for r in df2.withColumn("s", _content_salt(df2, 8)).collect())
+    assert s1 == s2
+    # and the salt actually spreads a hot key over multiple values
+    assert len({s for k, _, s in s1 if k == 1}) > 1
+
+
 def test_salted_broadcast_left_matches_plain_join(spark):
     left = spark.createDataFrame(
         [(k, i) for i in range(50) for k in ([1] * 3 + [2])], "k int, i int"

@@ -11,6 +11,7 @@ one job, exact, and the filtered DataFrame stays lazy.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -124,6 +125,42 @@ def filter_by_group_rate(
     return FilterResult(
         kept, row["n_kept"], row["n_filtered_out"], stats=stats
     )
+
+
+def label_disjoint_ranges(
+    df: DataFrame,
+    ranges: Sequence[tuple],
+    value: Column | str,
+    name_alias: str = "range_name",
+) -> DataFrame:
+    """Tag rows with the name of the [lo, hi) literal range holding ``value``.
+
+    The narrow-map alternative to :func:`filter_in_ranges` for the
+    common case where the range list is a plan-time literal and the
+    ranges are DISJOINT (each row matches at most one): a CASE chain
+    evaluates per row inside whole-stage codegen — no join operator at
+    all, nothing to broadcast, nothing for AQE to re-plan at 1000
+    executors.  Rows outside every range are dropped (inner-join
+    parity with ``filter_in_ranges``).
+
+    Use :func:`filter_in_ranges` when ranges genuinely overlap (a row
+    may match several) or when they arrive as data rather than plan
+    literals.
+
+    ``ranges``: iterable of ``(name, lo, hi)`` Python literals.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    expr: Column | None = None
+    for name, lo, hi in ranges:
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    if expr is None:
+        raise ValueError("label_disjoint_ranges: empty range list")
+    return df.withColumn(name_alias, expr).filter(F.col(name_alias).isNotNull())
 
 
 def filter_in_ranges(

@@ -5,16 +5,21 @@ are the explicit form for the cases AQE cannot see in advance — a
 known-hot grouping key, or a join where one side's key histogram is
 wildly non-uniform.
 
-``salted_agg`` is the classic two-phase aggregate: append a random
-salt to the key, partially aggregate on (key, salt) — spreading each
-hot key over ``n_salts`` reducers — then finish on the key.  Works for
-any algebraic aggregate (here: count + decimal-exact sum, the engine's
+``salted_agg`` is the classic two-phase aggregate: append a salt to
+the key, partially aggregate on (key, salt) — spreading each hot key
+over ``n_salts`` reducers — then finish on the key.  Works for any
+algebraic aggregate (here: count + decimal-exact sum, the engine's
 standard pair).
 
 ``salted_broadcast_left`` handles a skewed LEFT side joining a
 moderate right side: replicate the right side ``n_salts`` times (one
-per salt value) and give each left row a random salt, so one hot left
-key fans across ``n_salts`` tasks instead of one straggler.
+per salt value) and give each left row a salt, so one hot left key
+fans across ``n_salts`` tasks instead of one straggler.
+
+Salts are DETERMINISTIC (a content hash, ``_content_salt``) — the
+row->salt assignment survives task retries and stage recomputation
+unchanged, unlike rand()/monotonically_increasing_id()-based salts
+whose value depends on the partition layout the retry happens to see.
 """
 
 from __future__ import annotations
@@ -25,6 +30,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import dsum
+
+
+def _content_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts) from row CONTENT.
+
+    ``xxhash64`` over every column: the salt depends only on the row's
+    values, never on partition layout — so a task retry, a stage
+    recomputation, or a different input partitioning always reproduces
+    the same row->salt assignment (the earlier
+    ``xxhash64(monotonically_increasing_id())`` form was
+    partition-layout dependent and could re-deal rows across tasks on
+    retry).  Fully identical rows share a salt; that only matters for
+    a hot key whose rows are ALSO byte-identical, in which case no
+    row-level salt can separate them anyway (they are
+    indistinguishable) — aggregate results are unaffected either way.
+    """
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).cast("int")
 
 
 def salted_agg(
@@ -41,9 +65,8 @@ def salted_agg(
     Result is identical to a direct groupBy (decimal sums are
     order-independent), verified by tests.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     partial = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _content_salt(df, n_salts))
         .groupBy(*keys, "_salt")
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -70,11 +93,6 @@ def salted_broadcast_left(
     """
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     right_rep = right.select("*", salts)
-    left_salted = left.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
-            "int"
-        ),
-    )
+    left_salted = left.withColumn("_salt", _content_salt(left, n_salts))
     out = left_salted.join(F.broadcast(right_rep), [on, "_salt"])
     return out.drop("_salt")

