@@ -99,6 +99,99 @@ def test_simhash(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_pairs_hamming_ball_golden(spark):
+    """Planted signatures: pairs inside the radius are found with their
+    exact Hamming distance; pairs outside never appear."""
+    sigs = spark.createDataFrame(
+        # ham(1,2)=2, ham(1,3)=40, ham(2,3)=38
+        [(1, 0b0), (2, 0b101), (3, (1 << 40) - 1)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(sigs, n_bits=60, radius=2).collect()
+    }
+    assert got == {(1, 2): 2}
+    # radius 0 degenerates to exact-duplicate detection
+    dup = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "doc_id long, simhash long"
+    )
+    got0 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(dup, n_bits=60, radius=0).collect()
+    }
+    assert got0 == {(1, 2): 0}
+
+
+def test_simhash_pairs_recall_is_exact(spark):
+    """Pigeonhole banding has EXACT recall: every pair within the
+    radius shares at least one band.  Compare against brute force over
+    a corpus dense enough to have many near pairs."""
+    state, vals = 12345, []
+    for _ in range(40):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        vals.append(state % (1 << 12))  # 12-bit space -> plenty of near pairs
+    sigs = spark.createDataFrame(
+        list(enumerate(vals)), "doc_id long, simhash long"
+    )
+    radius = 3
+    brute = {
+        (i, j): bin(vals[i] ^ vals[j]).count("1")
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if bin(vals[i] ^ vals[j]).count("1") <= radius
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(sigs, n_bits=60, radius=radius).collect()
+    }
+    assert got == brute and brute  # non-vacuous: the fixture has near pairs
+
+
+def test_simhash_pairs_end_to_end_with_clustering(docs):
+    """Text -> portable fingerprints -> Hamming-ball pairs -> keeper
+    groups: the full SimHash dedup path, composed with
+    connected_keepers (mirrors the MinHash end-to-end test)."""
+    sigs = dedup.simhash_signature_portable(docs)
+    pairs = dedup.simhash_pairs(sigs, n_bits=60, radius=5)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical docs: identical fingerprints
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}  # doc 3 unrelated
+    keepers = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(pairs).collect()
+    }
+    assert keepers == {1: 1, 2: 1, 4: 1}
+
+
+def test_simhash_pairs_bucket_guard(spark):
+    """Degenerate boilerplate cluster: identical fingerprints fill
+    every band bucket; the guard drops oversized buckets instead of
+    materializing the quadratic join."""
+    degenerate = spark.createDataFrame(
+        [(i, 7777) for i in range(300)], "doc_id long, simhash long"
+    )
+    guarded = dedup.simhash_pairs(
+        degenerate, n_bits=60, radius=2, max_bucket_size=50
+    )
+    assert guarded.count() == 0
+    # the planted near pair differs only in high-band bits, so its
+    # low-band bucket (key 5, population 2) survives the guard; the
+    # boilerplate's all-zero high-band buckets do not
+    mixed = spark.createDataFrame(
+        [(i, 7777) for i in range(300)]
+        + [(900, (1 << 55) | 5), (901, (1 << 56) | 5)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(
+            mixed, n_bits=60, radius=2, max_bucket_size=50
+        ).collect()
+    }
+    assert got == {(900, 901)}
+
+
 def test_cosine_bruteforce_known_vectors(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 2.0]), (4, [1.0, 1.0])],
@@ -211,6 +304,21 @@ def test_connected_keepers_label_propagation(spark):
         1: 1, 2: 1, 3: 1,
         7: 7, 8: 7,
     }
+
+
+def test_connected_keepers_chain_converges_in_log_rounds(spark):
+    """Adversarial diameter-16 chain: plain min-label propagation needs
+    ~16 passes (one hop per pass); pointer doubling must land the
+    same answer in O(log d) rounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(chain).collect()
+    }
+    assert got == {i: 0 for i in range(17)}
+    assert dedup.connected_keepers.last_rounds <= 6  # vs 16+ without doubling
 
 
 def test_connected_keepers_end_to_end_near_dups(docs):

@@ -103,6 +103,25 @@ def test_simhash_library_python_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_simhash_pairs_is_bucket_join(spark, sf_dir):
+    # Hamming-ball pair generation must be a hash join on the band
+    # bucket key — never an all-pairs comparison (cartesian / nested
+    # loop), and fully JVM-side
+    from v6spark.operators.dedup import simhash_pairs, simhash_signature_portable
+    from v6spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        simhash_pairs(simhash_signature_portable(docs), n_bits=60, radius=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
 def test_percentile_is_rank_based(spark, sf_dir):
     # exact percentiles must NOT use Spark's `percentile` aggregate —
     # it buffers every group value in one aggregation buffer (executor

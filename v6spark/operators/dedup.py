@@ -354,21 +354,39 @@ def connected_keepers(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups; keeper = min id per group.
 
     The last stage of the dedup pipeline: verified pairs form a graph
     whose connected components are the duplicate groups, and the
-    canonical survivor is each component's minimum id.  Min-id label
-    propagation: every vertex starts labelled with itself, and each
-    iteration lowers a vertex's label to the minimum among itself and
-    its neighbours' labels — one broadcast-or-shuffle join + hash-agg
-    per iteration, state is only (vertex, label).  Converges in
-    O(component diameter) iterations (near-dup components are
-    near-cliques from LSH, so diameter is tiny); iteration stops as
-    soon as a pass changes nothing.  Returns (doc_id, keeper_id);
-    singletons are their own keepers only if they appear in a pair —
-    callers left-join this onto the corpus and coalesce to doc_id.
+    canonical survivor is each component's minimum id.
+
+    Min-id label propagation with POINTER DOUBLING: every vertex
+    starts labelled with itself; each round (1) lowers a vertex's
+    label to the minimum among itself and its neighbours' labels (one
+    join + hash-agg), then (2) short-circuits label chains by
+    re-pointing each vertex at its label's label (one self-join on the
+    tiny (id, label) relation).  The doubling step roughly triples the
+    label-reach per round, so a diameter-d chain converges in O(log d)
+    rounds instead of the O(d) of plain propagation — the same
+    contraction idea as the alternating-star / pointer-jumping CC
+    algorithms, expressed as two DataFrame joins.
+
+    Each round ends in an EAGER ``localCheckpoint``: iterative
+    self-joins defeat cache-plan matching (the alias dedup rewrites
+    attribute ids, so ``persist`` alone leaves the logical plan
+    growing 4x per round — measured as a cliff at round 4), and the
+    checkpoint physically truncates lineage to the materialized
+    blocks.  State per round is only the (vertex, label) relation.
+    Labels are monotonically non-increasing, so convergence is
+    testable against the last CHECKED snapshot: the driver-blocking
+    ``count()`` runs only every ``check_every`` rounds, not per pass.
+
+    Returns (doc_id, keeper_id); singletons are their own keepers only
+    if they appear in a pair — callers left-join this onto the corpus
+    and coalesce to doc_id.  ``connected_keepers.last_rounds`` records
+    the round count of the most recent call (regression-tested).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -376,42 +394,61 @@ def connected_keepers(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .persist()
     )
-    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
+    snapshot = labels
+    rounds = 0
+    while rounds < max_iters:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        prop = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        ).persist()
+        lmap = prop.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            prop.join(lmap, F.col("label") == F.col("_lid"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+                F.coalesce("_llabel", F.col("label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
+        prop.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
+        rounds += 1
+        if rounds % check_every == 0 or rounds == max_iters:
+            # labels only ever decrease, so "unchanged since the last
+            # checked snapshot" == "unchanged in every round between"
+            changed = (
+                labels.withColumnRenamed("label", "_new")
+                .join(snapshot, "id")
+                .filter(F.col("_new") != F.col("label"))
+                .count()
+            )
+            snapshot = labels
+            if changed == 0:
+                break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
+    connected_keepers.last_rounds = rounds
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("keeper_id")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -508,7 +545,7 @@ def simhash_signature(
     runs as an Arrow-vectorized pandas UDF over the hash arrays —
     the documented pattern for logic Catalyst can't express cheaply.
     Near-dups are then pairs within small Hamming distance; bucketing
-    on bit-prefixes makes that a join, not a scan.
+    on bit bands makes that a join, not a scan — :func:`simhash_pairs`.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -538,3 +575,99 @@ def simhash_signature(
         F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
     )
     return hashed.select(id_col, _simhash("_th").alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int = 64,
+    radius: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hamming-ball candidate pairs from SimHash fingerprints.
+
+    The missing half of the SimHash path: turn per-document
+    fingerprints (from :func:`simhash_signature` /
+    :func:`simhash_signature_portable`) into duplicate PAIRS —
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= radius`` — without ever comparing all pairs.
+
+    Pigeonhole banding: the ``n_bits`` signature is split into
+    ``radius + 1`` contiguous bit bands, so two signatures within
+    Hamming distance ``radius`` MUST agree exactly on at least one
+    band (radius flipped bits cannot touch all radius+1 bands).  Each
+    document explodes into one ``(band_index, band_bits)`` bucket row
+    per band; candidates are a hash self-join on the bucket key, then
+    the exact ``bit_count(xor)`` check keeps true neighbours.  Recall
+    is exact (every pair within ``radius`` shares a band), precision
+    is enforced by the popcount verify — the standard
+    Gurmeet-Manku-style sharded Hamming search, as a join.
+
+    Scale shape (same census as MinHash banding): only
+    ``(id, sig, band, key)`` rows shuffle — one int64 signature per
+    row, never text; the bucket key ``(band, band_bits)`` is
+    near-uniform for real corpora; ``max_bucket_size`` guards the
+    quadratic within-bucket join against degenerate boilerplate
+    clusters exactly as in :func:`minhash_lsh_candidates`.
+    """
+    bands = radius + 1
+    if bands > n_bits:
+        raise ValueError("radius + 1 must be <= n_bits")
+    base, extra = divmod(n_bits, bands)
+    layout = []
+    off = 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    sig = F.col(sig_col)
+    # (sig >> off) & mask: the mask bounds the band below 64-off bits,
+    # so arithmetic shift's sign extension never reaches the kept bits
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig, off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+            for i, (off, w) in enumerate(layout)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        sig.alias("_sig"),
+        F.explode(band_keys).alias("_bk"),
+    ).select(
+        "_id",
+        "_sig",
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.key").alias("key"),
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "key"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= radius)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
