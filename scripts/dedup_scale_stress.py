@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Scale-stress the dedup/ANN tier with a pathological corpus.
+
+The guards (``max_bucket_size``) exist to keep LSH candidate joins
+sub-quadratic when a corpus contains degenerate clusters — thousands
+of boilerplate documents or re-encoded duplicate embeddings whose
+band/sign-bit buckets would otherwise explode (1k identical docs is
+500k pairs from EVERY band).  This script builds that corpus on
+purpose and records what actually happens:
+
+- documents at ``factor``x (default 50x, textually-distinct variants
+  so each base doc becomes a ``factor``-strong near-dup cluster) PLUS
+  a planted 1,500-copy identical boilerplate cluster;
+- embeddings at ``factor``x (per-replica deterministic perturbation —
+  replicas stay near-identical, the ANN-hostile case) PLUS an 800-copy
+  identical vector cluster;
+- times guarded ``near_dup_report`` (MinHash), ``simhash_pairs`` and
+  ``ann_lsh_pairs`` at base and scaled size;
+- records the ``bucket_size_histogram`` of each bucketing: candidate
+  pairs the guard admitted vs would-be pairs it dropped.
+
+Healthy = wall-clock grows ~linearly in rows (NOT quadratically in
+cluster size), and the dropped-pair column absorbs the blowup.
+
+Usage: python scripts/dedup_scale_stress.py [factor] [out_dir]
+Prints one JSON line; the round artifact is committed as
+STRESS_DEDUP.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from v6spark.operators import dedup, similarity
+from v6spark.session import get_spark
+from v6spark.sources.tables import load_table
+
+SHIFT = 1_000_000_000
+BOILERPLATE_DOCS = 1_500
+DUP_VECTORS = 800
+GUARD = 32
+
+BOILER_TEXT = (
+    "all rights reserved this page is copyright of the site owner "
+    "terms of service apply contact us for permissions and licensing"
+)
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    docs = load_table(spark, src_dir, "documents")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text"),
+        )
+        for i in range(factor)
+    ]
+    boiler = spark.range(BOILERPLATE_DOCS).select(
+        (F.col("id") + F.lit((factor + 1) * SHIFT)).alias("doc_id"),
+        F.lit(BOILER_TEXT).alias("text"),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.unionByName(boiler).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = load_table(spark, src_dir, "embeddings")
+    eparts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * SHIFT)).alias("vec_id"),
+            # deterministic tiny perturbation: replicas are near- but
+            # not exactly identical (the ANN-hostile near-dup case)
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(i) * 1e-4)
+            ).alias("embedding"),
+        )
+        for i in range(factor)
+    ]
+    dup_vec = F.array(*[F.lit(0.5) for _ in range(64)])
+    dups = spark.range(DUP_VECTORS).select(
+        (F.col("id") + F.lit((factor + 1) * SHIFT)).alias("vec_id"),
+        dup_vec.alias("embedding"),
+    )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.unionByName(dups).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def histogram_summary(hist_df) -> dict:
+    rows = hist_df.collect()
+    admitted = sum(r["candidate_pairs"] for r in rows if not r["over_guard"])
+    dropped = sum(r["candidate_pairs"] for r in rows if r["over_guard"])
+    return {
+        "size_classes": len(rows),
+        "max_bucket_size": max((r["bucket_size"] for r in rows), default=0),
+        "admitted_pairs": admitted,
+        "dropped_pairs": dropped,
+        "top_classes": [
+            {k: r[k] for k in ("bucket_size", "n_buckets", "candidate_pairs", "over_guard")}
+            for r in sorted(rows, key=lambda r: -r["bucket_size"])[:5]
+        ],
+    }
+
+
+def run_tier(spark, docs, emb) -> tuple[dict, dict]:
+    times, stats = {}, {}
+
+    t0 = time.perf_counter()
+    n = dedup.near_dup_report(
+        docs, n_hashes=32, bands=8, max_bucket_size=GUARD
+    ).count()
+    times["near_dup_minhash"] = round(time.perf_counter() - t0, 2)
+    stats["near_dup_minhash_pairs"] = n
+    spark.catalog.clearCache()
+
+    t0 = time.perf_counter()
+    sigs = dedup.simhash_signature_portable(docs)
+    n = dedup.simhash_pairs(
+        sigs, n_bits=60, radius=4, max_bucket_size=GUARD
+    ).count()
+    times["simhash_pairs"] = round(time.perf_counter() - t0, 2)
+    stats["simhash_pairs"] = n
+
+    t0 = time.perf_counter()
+    n = similarity.ann_lsh_pairs(
+        emb,
+        n_planes=8,
+        dim=64,
+        min_cosine=0.9,
+        persist_buckets=False,
+        max_bucket_size=2 * GUARD,
+    ).count()
+    times["ann_lsh_pairs"] = round(time.perf_counter() - t0, 2)
+    stats["ann_lsh_pairs"] = n
+    return times, stats
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v6spark_dedup_scaled"
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "dedup-scale", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        print(f"[stress] building {factor}x corpus at {out_dir}", file=sys.stderr)
+        build_scaled(spark, src_dir, out_dir, factor)
+
+    base_docs = load_table(spark, src_dir, "documents").select("doc_id", "text")
+    base_emb = load_table(spark, src_dir, "embeddings")
+    s_docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+    s_emb = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+    n_base, n_scaled = base_docs.count(), s_docs.count()
+
+    base_times, base_stats = run_tier(spark, base_docs, base_emb)
+    spark.catalog.clearCache()
+    scaled_times, scaled_stats = run_tier(spark, s_docs, s_emb)
+    spark.catalog.clearCache()
+
+    # bucket histograms at the SCALED size: what did the guard absorb?
+    mh_hist = histogram_summary(
+        dedup.bucket_size_histogram(
+            dedup.minhash_buckets(s_docs, n_hashes=32, bands=8),
+            ["bucket"],
+            max_bucket_size=GUARD,
+        )
+    )
+    ann_bucketed = s_emb.select(
+        similarity.lsh_bucket_col("embedding", 8, 64).alias("_bucket")
+    )
+    ann_hist = histogram_summary(
+        dedup.bucket_size_histogram(
+            ann_bucketed, ["_bucket"], max_bucket_size=2 * GUARD
+        )
+    )
+
+    ratios = {
+        k: (round(scaled_times[k] / base_times[k], 2) if base_times[k] else None)
+        for k in base_times
+    }
+    result = {
+        "factor": factor,
+        "rows_factor": round(n_scaled / n_base, 1),
+        "n_base_docs": n_base,
+        "n_scaled_docs": n_scaled,
+        "guard": GUARD,
+        "base_sec": base_times,
+        "scaled_sec": scaled_times,
+        "wall_ratio": ratios,
+        "output_counts": {"base": base_stats, "scaled": scaled_stats},
+        "minhash_bucket_histogram": mh_hist,
+        "ann_bucket_histogram": ann_hist,
+    }
+    for k in base_times:
+        print(
+            f"[stress] {k}: {base_times[k]}s -> {scaled_times[k]}s "
+            f"({ratios[k]}x wall at {round(n_scaled / n_base, 1)}x rows)",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,107 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Col
     )
 
 
+def _band_bucket_col(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """Band-bucket hashes (array<long>) for a MinHash signature column:
+    bucket i = xxhash64("band", i, signature rows of band i)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.lit("band"),
+                b.cast("string"),
+                F.concat_ws(
+                    ",",
+                    F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                ),
+            )
+        ),
+    )
+
+
+def _guard_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows in buckets larger than the guard (see
+    minhash_lsh_candidates docstring for why oversized buckets are
+    routed away rather than joined)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        banded.join(sizes, keys)
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def bucket_size_histogram(
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Bucket-population histogram — the LSH scale diagnostic.
+
+    For any bucketed relation (MinHash bands, SimHash bands, ANN
+    sign-bit buckets), returns one row per observed bucket size:
+    ``(bucket_size, n_buckets, candidate_pairs, over_guard)`` where
+    ``candidate_pairs = n_buckets * size*(size-1)/2`` is the exact
+    within-bucket join output that size class would generate and
+    ``over_guard`` marks classes the ``max_bucket_size`` guard would
+    drop.  Two aggregations over (bucket) keys — never materializes
+    pairs, so it is safe to run on a corpus whose UNGUARDED pair count
+    would be quadratic.
+    """
+    sizes = bucketed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    out = (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * F.col("bucket_size")
+                * (F.col("bucket_size") - 1)
+                / 2
+            )
+            .cast("long")
+            .alias("candidate_pairs"),
+            (
+                F.lit(False)
+                if max_bucket_size is None
+                else F.col("bucket_size") > max_bucket_size
+            ).alias("over_guard"),
+        )
+    )
+    return out.orderBy("bucket_size")
+
+
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(_id, bucket) banding relation used by the MinHash candidate
+    join — exposed for diagnostics (``bucket_size_histogram``)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, shingle_k).alias("_sig"),
+    )
+    return sig.select(
+        "_id",
+        F.explode(
+            _band_bucket_col("_sig", bands, n_hashes // bands)
+        ).alias("bucket"),
+    )
+
+
 def dedup_exact(df: DataFrame, key: Column | str, id_col: str) -> DataFrame:
     """Exact dedup: per content key keep min(id), report duplicate count.
 
@@ -195,29 +296,10 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.lit("band"),
-                        b.cast("string"),
-                        F.concat_ws(
-                            ",",
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                        ),
-                    )
-                ),
-            )
+            _band_bucket_col("_sig", bands, rows_per_band)
         ).alias("bucket"),
     )
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-        banded = (
-            banded.join(sizes, "bucket")
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    banded = _guard_buckets(banded, ["bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -279,29 +361,10 @@ def near_dup_report(
     banded = side.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.lit("band"),
-                        b.cast("string"),
-                        F.concat_ws(
-                            ",",
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                        ),
-                    )
-                ),
-            )
+            _band_bucket_col("_sig", bands, rows_per_band)
         ).alias("bucket"),
     )
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-        banded = (
-            banded.join(sizes, "bucket")
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    banded = _guard_buckets(banded, ["bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -645,15 +708,7 @@ def simhash_pairs(
         F.col("_bk.band").alias("band"),
         F.col("_bk.key").alias("key"),
     )
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        banded = (
-            banded.join(sizes, ["band", "key"])
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    banded = _guard_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (

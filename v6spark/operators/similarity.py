@@ -124,6 +124,7 @@ def ann_lsh_pairs(
     dim: int = 64,
     min_cosine: float = 0.0,
     persist_buckets: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: exact cosine computed only
     within LSH buckets (vectors sharing all sign bits).
@@ -136,8 +137,19 @@ def ann_lsh_pairs(
     ``persist_buckets=False`` or unpersist via
     ``spark.catalog.clearCache()``.  (Same lifecycle as
     dedup.minhash_lsh_candidates' signature cache.)
+
+    ``max_bucket_size`` is the same 100 TB robustness guard as in
+    ``dedup.minhash_lsh_candidates``: the within-bucket join is
+    quadratic in bucket population, and a production embedding corpus
+    has degenerate near-identical clusters (re-encoded duplicates,
+    zero vectors) that flood one bucket.  Oversized buckets are
+    dropped from pair generation; production callers route them to a
+    sampled or exact-key path.  Diagnose with
+    ``dedup.bucket_size_histogram`` over the ``_bucket`` column.
     """
     from pyspark import StorageLevel
+
+    from v6spark.operators.dedup import _guard_buckets
 
     bucketed = df.select(
         F.col(id_col).alias("_id"),
@@ -145,6 +157,7 @@ def ann_lsh_pairs(
         arr_norm_sq(vec_col).alias("_n2"),
         lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
     )
+    bucketed = _guard_buckets(bucketed, ["_bucket"], max_bucket_size)
     if persist_buckets:
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bucketed.alias("a"), bucketed.alias("b")

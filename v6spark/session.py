@@ -9,10 +9,11 @@ cluster over ~100 TB even though tests run on ``local[32]``):
 - ``spark.sql.shuffle.partitions`` is sized for the local bench corpus;
   on a real cluster AQE's coalescing makes the initial number a ceiling,
   so we set it explicitly rather than inheriting the 200 default.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the events table is
-  written with INT64 TIMESTAMP(NANOS) which Spark cannot map to its
-  microsecond TimestampType; we read the raw int64 nanoseconds and
-  convert losslessly in the loader (sources/tables.py).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: DEFENSIVE — the local
+  corpus stores events.ts as TIMESTAMP(MICROS, NTZ) (unaffected by the
+  conf), but an INT64 TIMESTAMP(NANOS) corpus would otherwise fail the
+  scan outright; with the conf it arrives as raw int64 nanoseconds and
+  the loader (sources/tables.py) converts losslessly.
 - Session timezone pinned to UTC so epoch<->timestamp conversions are
   reproducible regardless of host timezone.
 """

@@ -5,21 +5,25 @@ the reference opens a chunked columnar store lazily; here each table is
 a lazy parquet scan — Catalyst handles column pruning and predicate
 pushdown, parquet row groups play the role of Zarr chunks.
 
-Special case: ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which
-Spark's TimestampType (microseconds) cannot represent natively.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as raw
-int64 nanoseconds; the loader exposes BOTH:
+Event-time contract: the local corpus stores ``events.ts`` as parquet
+TIMESTAMP(MICROS, isAdjustedToUTC=false) — i.e. µs-precision NTZ
+(verified via pyarrow at every local SF; see sources/schemas.py).  The
+loader guarantees three columns regardless of the file's physical
+width:
 
-- ``ts``     TimestampType, microsecond precision.  The conversion uses
-  integer division (``ts DIV 1000``) — float division would lose
-  precision because 2024 epoch-nanos (~1.7e18) exceeds a double's 53-bit
-  integer range.  The corpus DOES carry sub-microsecond components
-  (verified via pyarrow at every SF), so this column is truncated —
-  exact ordering/arithmetic uses ``ts_ns``.
-- ``ts_ns``  the raw int64 nanoseconds — exact, timezone-free.
+- ``ts``     the timestamp as read (timestamp_ntz for this corpus).
+- ``ts_ns``  int64 epoch nanoseconds — exact, timezone-free.
 - ``ts_us``  ``ts_ns DIV 1000`` — the ORACLE-ALIGNED comparison key
-  (DuckDB 1.0 truncates ns parquet timestamps to µs at scan time);
+  (DuckDB truncates any finer parquet timestamp to µs at scan time);
   declared queries order/compare on this with event_id tie-breaks.
+
+The ``bigint`` branch below is DEFENSIVE: a corpus written as INT64
+TIMESTAMP(NANOS) (which Spark's µs TimestampType cannot represent
+natively) arrives as raw int64 under
+``spark.sql.legacy.parquet.nanosAsLong=true``, and the loader derives
+``ts`` from it by integer division (``DIV 1000`` — float division
+would lose precision: 2024 epoch-nanos ~1.7e18 exceeds a double's
+53-bit integer range).  The conf is harmless for the MICROS corpus.
 """
 
 from __future__ import annotations
@@ -142,6 +146,11 @@ def write_table_format(
 ) -> None:
     """Write a corpus table to CSV/JSON (drops the derived ts_ns/ts_us
     event-time columns — they are re-derived on read)."""
+    # The LTZ->NTZ cast below renders a wall clock in the SESSION
+    # timezone: pin it (UTC) here exactly like the read paths do, so a
+    # frame from an externally built non-UTC session cannot silently
+    # shift instants on round-trip.
+    ensure_confs(df.sparkSession)
     out = df.drop("ts_ns", "ts_us")
     # Event times are declared NTZ in the format registry; a source that
     # surfaced ts as LTZ (the nanos-as-long parquet path) is rendered as

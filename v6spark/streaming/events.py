@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import dsum
 
+# Aligned with the batch schema registry (sources/schemas.py): the
+# corpus stores ts as TIMESTAMP(MICROS, isAdjustedToUTC=false) ==
+# timestamp_ntz, so batch and streaming reads agree at the schema
+# level.  Watermarks require LTZ TIMESTAMP, so the event-time
+# operators cast via _event_time() at the point of use.
 EVENTS_DDL = (
-    "event_id long, ts timestamp, user_id long, "
+    "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double, props string"
 )
 
@@ -39,12 +44,27 @@ def read_events_stream(spark: SparkSession, path: str, max_files: int = 1) -> Da
     )
 
 
+def _event_time(df: DataFrame) -> DataFrame:
+    """Surface ``ts`` as LTZ ``timestamp`` for the event-time APIs.
+
+    Spark's watermark requires TIMESTAMP (not TIMESTAMP_NTZ —
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), while the corpus
+    schema declares ``ts`` NTZ.  The session timezone is pinned UTC
+    (session.ensure_confs), so the cast maps the NTZ wall clock to the
+    same instant and batch/streaming emit identical window bounds.
+    """
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def tumbling(
     df: DataFrame,
     window: str = "1 hour",
     watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Tumbling event-time window: count + exact sum per bucket."""
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
     return src.groupBy(F.window("ts", window).alias("w")).agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
@@ -63,6 +83,7 @@ def sliding(
     watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Sliding event-time window — each event lands in window/slide buckets."""
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
     return src.groupBy(F.window("ts", window, slide).alias("w")).agg(
         F.count(F.lit(1)).alias("n")
@@ -81,6 +102,7 @@ def sessionized(
     """Per-user session aggregation via ``session_window`` (dynamic-gap
     event-time sessions — the streaming twin of
     ``operators.sessionize.sessionize``)."""
+    df = _event_time(df)
     src = df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
     return src.groupBy(
         "user_id", F.session_window("ts", gap).alias("w")
@@ -126,7 +148,11 @@ def deduped_stream(
     """
     keys = keys or ["event_id"]
     if df.isStreaming:
-        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        return (
+            _event_time(df)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
     return df.dropDuplicates(keys)
 
 
