@@ -235,6 +235,52 @@ def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
     assert len(pair) == 1 and pair[0]["cosine"] == 1.0
 
 
+def test_ann_lsh_topk_finds_exact_and_near(spark, sf_dir):
+    """The bucketed top-k must return the query's planted duplicate
+    first, and multi-probe must never return a WRONG cosine — every
+    returned (id, cosine) matches the exact brute-force value."""
+    from v6spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    probe = emb.limit(1).collect()[0]
+    qvec = [float(x) for x in probe["embedding"]]
+    top = similarity.ann_lsh_topk(
+        emb, qvec, k=5, n_planes=6, dim=64, n_probe_bits=1
+    ).collect()
+    assert top, "query's own bucket guarantees at least itself"
+    assert top[0]["vec_id"] == probe["vec_id"]  # the vector itself
+    assert top[0]["cosine"] == 1.0
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk_query(emb, qvec, k=80).collect()
+    }
+    for r in top:
+        assert exact[r["vec_id"]] == r["cosine"]
+
+
+def test_ann_lsh_topk_multiprobe_widens_candidates(spark, sf_dir):
+    """Hamming-1 probing must examine a superset of the single-bucket
+    candidates (recall can only improve with probe width)."""
+    from v6spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    single = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            emb, qvec, k=80, n_planes=6, dim=64, n_probe_bits=0
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            emb, qvec, k=80, n_planes=6, dim=64, n_probe_bits=1
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) >= len(single)
+
+
 def test_zero_norm_vector_never_tops_topk(spark):
     """A zero embedding yields NULL cosine (sorted last), never the
     NaN that Spark would rank above every real match."""

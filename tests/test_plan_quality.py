@@ -122,6 +122,25 @@ def test_simhash_pairs_is_bucket_join(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_ann_topk_is_pruned_scan(spark, sf_dir):
+    # query-time ANN: bucket IN-filter + exact cosine + top-k heap —
+    # one narrow scan, no join, no global sort, no Python
+    from v6spark.operators.similarity import ann_lsh_topk
+    from v6spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        ann_lsh_topk(emb, [0.1] * 64, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_percentile_is_rank_based(spark, sf_dir):
     # exact percentiles must NOT use Spark's `percentile` aggregate —
     # it buffers every group value in one aggregation buffer (executor

@@ -179,6 +179,64 @@ def ann_lsh_pairs(
     )
 
 
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probe_bits: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k for a literal query vector via sign-bit LSH buckets.
+
+    The query's bucket is computed DRIVER-SIDE (n_planes dot products
+    over one vector — trivial); the cluster-side plan is a bucket
+    IN-filter, exact cosine on the survivors, and
+    TakeOrderedAndProject — cost ~ (probed buckets / 2^n_planes) of
+    the brute-force scan.
+
+    MULTI-PROBE: single-bucket probing loses every neighbour that
+    falls on the other side of any one hyperplane (for genuinely near
+    vectors each plane is a coin flip weighted by the angle), so the
+    probe set includes all buckets within Hamming distance
+    ``n_probe_bits`` of the query's bucket — the standard multi-probe
+    LSH recall recovery, as a literal IN list of
+    ``sum_{i<=b} C(n_planes, i)`` bucket ids (9 for 8 planes at
+    distance 1), not extra table copies.
+
+    At 100 TB the corpus would be WRITTEN partitioned by this bucket
+    id (sources/layout.py posture): the IN-filter then partition-
+    prunes at the source and the query touches only probed buckets'
+    files — same pruning story as ``ann_ivf_topk``'s cell filter.
+    Zero-norm vectors yield NULL cosine and sort last, as everywhere
+    in this module.
+    """
+    from itertools import combinations
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(q) * p for q, p in zip(query_vec, plane))
+        if dot >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    for nbits in range(1, n_probe_bits + 1):
+        for flips in combinations(range(n_planes), nbits):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            probes.append(b)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(vec_col, n_planes, dim, seed).alias("_bucket"),
+    ).filter(F.col("_bucket").isin(probes))
+    return cosine_topk_query(bucketed, query_vec, k, id_col, vec_col)
+
+
 # ---- IVF (inverted-file) ANN — the cell-probing scale path ----------
 
 
