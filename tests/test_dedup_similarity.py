@@ -379,6 +379,42 @@ def test_connected_keepers_end_to_end_near_dups(docs):
     assert keepers == {1: 1, 2: 1, 4: 1}
 
 
+def test_near_dup_keepers_full_map(spark):
+    """Every input doc gets a keeper: exact dups collapse through the
+    digest path, near dups through LSH on representatives, singletons
+    keep themselves."""
+    corpus = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A), (9, DOC_A)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.near_dup_keepers(corpus, min_jaccard=0.5).collect()
+    }
+    # 1/4/9 byte-identical -> exact path; 2 near-dup of 1 -> LSH path;
+    # 3 unrelated singleton
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1, 9: 1}
+
+
+def test_near_dup_keepers_routes_boilerplate_around_guard(spark):
+    """300 byte-identical boilerplate docs with a tiny guard: the
+    exact-digest path collapses them BEFORE LSH, so the guard never
+    costs correctness on identical content — the routing claim the
+    guard docstrings make, verified."""
+    n = 300
+    corpus = spark.createDataFrame(
+        [(i, DOC_A) for i in range(n)] + [(900, DOC_B)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.near_dup_keepers(
+            corpus, min_jaccard=0.5, max_bucket_size=2
+        ).collect()
+    }
+    assert got == {**{i: 0 for i in range(n)}, 900: 900}
+
+
 def test_embedding_near_dup_composition(spark, sf_dir):
     """Embedding-cosine near-dedup: ANN pairs above a cosine threshold
     cluster into keeper groups — the vector-space twin of the text

@@ -55,6 +55,27 @@ def test_pipeline_dedups_exact_copies(spark):
     assert all(rows[i]["dup_count"] == 1 for i in range(10))
 
 
+def test_pipeline_near_dedup_drops_templated_copies(spark):
+    """near_dedup=True also removes NEAR copies (one-token variants)
+    that exact digests cannot see; the keeper is the cluster min id
+    and dup_count counts exact + near losers together."""
+    base = [(i, f"unique document number {i} with its own special words") for i in range(5)]
+    tmpl = "the quick brown fox jumps over the lazy dog and runs far away"
+    near = [(200, tmpl + " today"), (201, tmpl + " tonight"), (202, tmpl + " today")]
+    docs = spark.createDataFrame(base + near, "doc_id long, text string")
+    exact_only = prepare_training_corpus(docs, max_tokens=32)
+    got_exact = {r["doc_id"] for r in exact_only.collect()}
+    assert {200, 201} <= got_exact and 202 not in got_exact
+    out = prepare_training_corpus(
+        docs, max_tokens=32, near_dedup=True, min_jaccard=0.5
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the whole template cluster collapses to its min id
+    assert set(rows) == set(range(5)) | {200}
+    assert rows[200]["dup_count"] == 3
+    assert all(rows[i]["dup_count"] == 1 for i in range(5))
+
+
 def test_pipeline_quality_gates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     base = prepare_training_corpus(docs, max_tokens=MAX_TOKENS).count()

@@ -412,6 +412,71 @@ def near_dup_report(
     )
 
 
+def near_dup_keepers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.8,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """End-to-end guarded near-dedup: every document's keeper id.
+
+    This is the composition that makes the ``max_bucket_size`` guard
+    SAFE rather than lossy — the "route oversized buckets to an
+    exact-key path" the guard docstrings call for:
+
+    1. EXACT dedup on the content digest collapses byte-identical
+       documents to one representative (min id) per digest.  The
+       dominant cause of oversized LSH buckets — thousands of copies
+       of the same boilerplate — resolves here at hash-groupBy cost
+       and never reaches the quadratic join at all.
+    2. Guarded MinHash-LSH + exact n-gram Jaccard verification runs
+       on REPRESENTATIVES ONLY (one signature per distinct text —
+       also the standard signature-cost saver on duplicate-heavy
+       corpora); pairs keep ``jaccard >= min_jaccard``.
+    3. :func:`connected_keepers` clusters the verified pairs, and the
+       representative-level keeper map composes with the exact-dup
+       map via one join.
+
+    After step 1, the guard can only drop candidate pairs between
+    near-identical-but-DISTINCT templates that share no small bucket
+    — the documented residual trade-off.
+
+    Returns (doc_id, keeper_id) for EVERY input document (singletons
+    keep themselves) — left-joinable onto the corpus directly.
+    """
+    digests = df.select(
+        F.col(id_col).alias("_doc"),
+        F.col(text_col).alias("_text"),
+        F.sha2(F.col(text_col), 256).alias("_digest"),
+    )
+    exact = digests.groupBy("_digest").agg(F.min("_doc").alias("_rep"))
+    with_rep = digests.join(exact, "_digest").select("_doc", "_rep", "_text")
+
+    reps = with_rep.filter(F.col("_doc") == F.col("_rep")).select(
+        F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
+    )
+    pairs = near_dup_report(
+        reps,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).filter(F.col("jaccard") >= min_jaccard)
+    rep_keepers = connected_keepers(pairs).select(
+        F.col("doc_id").alias("_rep"), F.col("keeper_id").alias("_keeper")
+    )
+    return with_rep.join(rep_keepers, "_rep", "left").select(
+        F.col("_doc").alias(id_col),
+        F.coalesce("_keeper", "_rep").alias("keeper_id"),
+    )
+
+
 def connected_keepers(
     pairs: DataFrame,
     id_a: str = "id_a",

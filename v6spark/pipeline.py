@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from v6spark.operators import packing as _packing
 from v6spark.operators import sampling as _sampling
 from v6spark.operators import text as _text
-from v6spark.operators.dedup import dedup_exact
+from v6spark.operators.dedup import dedup_exact, near_dup_keepers
 
 DEFAULT_WEIGHTS = {"train": 0.98, "valid": 0.01, "test": 0.01}
 
@@ -44,6 +44,8 @@ def prepare_training_corpus(
     langs: tuple[str, ...] | None = None,
     gopher_rules: bool = False,
     repetition_gate: bool = False,
+    near_dedup: bool = False,
+    min_jaccard: float = 0.8,
     max_tokens: int = 1024,
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
@@ -63,6 +65,12 @@ def prepare_training_corpus(
     aggregation), so it runs FIRST, before the narrow predicates are
     applied to its join output, and its extra shuffle carries only
     (id, n-gram) rows, never document bodies twice.
+    ``near_dedup=True`` upgrades the dedup stage from exact-digest to
+    the guarded near-dup composition (``dedup.near_dup_keepers``:
+    exact collapse -> representative-only MinHash-LSH -> verified
+    ``jaccard >= min_jaccard`` -> keeper clustering), so templated
+    near-copies lose their duplicates too — the leakage-safety
+    argument for dedup-before-split applies with near-dup force.
     """
     weights = split_weights or DEFAULT_WEIGHTS
 
@@ -82,12 +90,24 @@ def prepare_training_corpus(
     if langs is not None:
         kept = kept.filter(F.col("pred_lang").isin(*langs))
 
-    # Exact dedup on the content digest; keep each group's min-id row.
-    keepers = dedup_exact(
-        kept.withColumn("__digest", F.sha2(F.col(text_col), 256)),
-        "__digest",
-        doc_col,
-    ).select(F.col("keeper_id").alias(doc_col), "dup_count")
+    if near_dedup:
+        # Guarded near-dedup keeper map; survivors are their own
+        # keepers, dup_count = cluster size (exact + near losers).
+        keepers = (
+            near_dup_keepers(
+                kept, id_col=doc_col, text_col=text_col, min_jaccard=min_jaccard
+            )
+            .groupBy("keeper_id")
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .select(F.col("keeper_id").alias(doc_col), "dup_count")
+        )
+    else:
+        # Exact dedup on the content digest; keep each group's min-id row.
+        keepers = dedup_exact(
+            kept.withColumn("__digest", F.sha2(F.col(text_col), 256)),
+            "__digest",
+            doc_col,
+        ).select(F.col("keeper_id").alias(doc_col), "dup_count")
     deduped = kept.join(keepers, doc_col)
 
     # Persist the NARROW survivor frame (ids + metrics, no bodies):
