@@ -28,6 +28,11 @@ from v6spark.plans import REGISTRY  # noqa: E402
 from v6spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("V6SPARK_BENCH_REPS", "3"))
+# One untimed warm-up execution per query before the timed reps: the
+# first execution of a query pays one-off JVM JIT/codegen-compile cost
+# (measured 12.6 s cold vs 1.65 s warm for q_dedup_minhash) that says
+# nothing about steady-state throughput.  Recorded in the JSON line.
+WARMUP = int(os.environ.get("V6SPARK_BENCH_WARMUP", "1"))
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -52,6 +57,8 @@ def main() -> None:
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].spark_fn
         times = []
+        for _ in range(WARMUP):
+            materialize(fn(spark, sf_dir))
         for _ in range(REPS):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
@@ -71,6 +78,7 @@ def main() -> None:
         "p50_sec": round(qs[len(qs) // 2], 4),
         "p95_sec": round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
         "reps": REPS,
+        "warmup": WARMUP,
         "cpus": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
