@@ -1,0 +1,96 @@
+"""Incremental streaming near-dedup (streaming/neardedup.py) and the
+two-sided Hamming-ball join it is built on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from v6spark.operators import dedup
+from v6spark.streaming import neardedup
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+DOC_B = "completely different content about spark query engines and shuffles everywhere"
+DOC_B2 = "completely different content about spark query engines and shuffles anywhere"
+# measured fixture distances (60-bit portable simhash): (1,5)=5,
+# (3,6)=11, (7,8)=10, everything else >20 — radius 12 makes exactly
+# those three pairs near-dups
+RADIUS = 12
+
+
+def test_simhash_pairs_between_cross_only(spark):
+    """Cross pairs within radius are found; within-side pairs are
+    never generated; distances are exact."""
+    left = spark.createDataFrame(
+        [(1, 0b0), (2, 0b11)], "doc_id long, simhash long"
+    )
+    right = spark.createDataFrame(
+        [(10, 0b1), (11, (1 << 40) - 1)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_pairs_between(
+            left, right, n_bits=60, radius=2
+        ).collect()
+    }
+    # 1-10 ham 1, 2-10 ham 1; 11 is far from both; (1,2) same-side: absent
+    assert got == {(1, 10): 1, (2, 10): 1}
+
+
+def test_batch_near_dedup_step_sequential(spark, tmp_path):
+    """Two sequential steps: batch-2 near-dups of kept batch-1 docs are
+    dropped via the index; in-batch near-dups lose to the smaller id."""
+    index_dir = str(tmp_path / "index")
+    kept_dir = str(tmp_path / "kept")
+    b1 = spark.createDataFrame(
+        [(1, DOC_A), (3, DOC_B)], "doc_id long, text string"
+    )
+    neardedup.batch_near_dedup_step(
+        b1, index_dir, kept_dir, radius=RADIUS
+    )
+    b2 = spark.createDataFrame(
+        # 5 near-dups kept doc 1; 7 is a fresh near-pair with 8 (7 wins)
+        [(5, DOC_A2), (7, "a wholly new subject sentence about gardens and rivers flowing north"),
+         (8, "a wholly new subject sentence about gardens and rivers flowing south")],
+        "doc_id long, text string",
+    )
+    neardedup.batch_near_dedup_step(
+        b2, index_dir, kept_dir, radius=RADIUS
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_dir).collect()}
+    assert kept == {1, 3, 7}
+    index = {r["doc_id"] for r in spark.read.parquet(index_dir).collect()}
+    assert index == {1, 3, 7}
+
+
+def test_run_incremental_near_dedup_stream(spark, tmp_path):
+    """File-source stream, one file per micro-batch: the cross-batch
+    near-dup is dropped against the index, exactly as in batch."""
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame([(1, DOC_A), (3, DOC_B)], "doc_id long, text string")
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1.parquet"))
+    b2 = spark.createDataFrame([(5, DOC_A2), (6, DOC_B2), (9, "an entirely unrelated note on metallurgy and furnace temperatures")],
+                               "doc_id long, text string")
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    neardedup.run_incremental_near_dedup(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "kept"),
+        str(tmp_path / "ckpt"),
+        radius=RADIUS,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    # batches may arrive in either file order; the exact-radius losers
+    # are (5 vs 1) and (6 vs 3) regardless of order
+    assert kept == {1, 3, 9} or kept == {5, 6, 9}
+    out = spark.read.parquet(str(tmp_path / "kept"))
+    assert out.count() == 3
+    # survivors' texts are pairwise non-near: re-running the batch
+    # dedup over the kept set drops nothing
+    sigs = dedup.simhash_signature_portable(out)
+    assert dedup.simhash_pairs(sigs, n_bits=60, radius=RADIUS).count() == 0

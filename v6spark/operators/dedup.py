@@ -412,6 +412,88 @@ def near_dup_report(
     )
 
 
+def _simhash_banded(
+    sigs: DataFrame, id_col: str, sig_col: str, n_bits: int, radius: int
+) -> DataFrame:
+    """(_id, _sig, band, key) banding relation for Hamming-ball joins."""
+    bands = radius + 1
+    if bands > n_bits:
+        raise ValueError("radius + 1 must be <= n_bits")
+    base, extra = divmod(n_bits, bands)
+    layout = []
+    off = 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    sig = F.col(sig_col)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig, off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+            for i, (off, w) in enumerate(layout)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        sig.alias("_sig"),
+        F.explode(band_keys).alias("_bk"),
+    ).select(
+        "_id",
+        "_sig",
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.key").alias("key"),
+    )
+
+
+def simhash_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int = 64,
+    radius: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hamming-ball pairs BETWEEN two signature sets (not within).
+
+    The two-sided twin of :func:`simhash_pairs`: every (left, right)
+    pair within Hamming ``radius`` — same pigeonhole band bucketing
+    (exact recall), same popcount verify, but the join is
+    left-banding ⋈ right-banding, so within-side pairs never
+    generate.  This is the incremental-dedup primitive: "which of
+    these NEW documents near-duplicate anything in the existing
+    index?" — and the near-match analog of the contamination check.
+    Returns (left_id, right_id, hamming), deduplicated.
+
+    ``max_bucket_size`` guards the RIGHT (index) side's bucket
+    population, the one that grows without bound in incremental use.
+    """
+    lb = _simhash_banded(left, id_col, sig_col, n_bits, radius)
+    rb = _simhash_banded(right, id_col, sig_col, n_bits, radius)
+    rb = _guard_buckets(rb, ["band", "key"], max_bucket_size)
+    ham = F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig")))
+    return (
+        lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key")),
+        )
+        .filter(ham <= radius)
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
 def near_dup_keepers(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -739,40 +821,10 @@ def simhash_pairs(
     quadratic within-bucket join against degenerate boilerplate
     clusters exactly as in :func:`minhash_lsh_candidates`.
     """
-    bands = radius + 1
-    if bands > n_bits:
-        raise ValueError("radius + 1 must be <= n_bits")
-    base, extra = divmod(n_bits, bands)
-    layout = []
-    off = 0
-    for i in range(bands):
-        w = base + (1 if i < extra else 0)
-        layout.append((off, w))
-        off += w
-    sig = F.col(sig_col)
-    # (sig >> off) & mask: the mask bounds the band below 64-off bits,
-    # so arithmetic shift's sign extension never reaches the kept bits
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(sig, off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("key"),
-            )
-            for i, (off, w) in enumerate(layout)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col).alias("_id"),
-        sig.alias("_sig"),
-        F.explode(band_keys).alias("_bk"),
-    ).select(
-        "_id",
-        "_sig",
-        F.col("_bk.band").alias("band"),
-        F.col("_bk.key").alias("key"),
-    )
+    # (sig >> off) & mask banding via _simhash_banded: the mask bounds
+    # each band below 64-off bits, so arithmetic shift's sign extension
+    # never reaches the kept bits
+    banded = _simhash_banded(sigs, id_col, sig_col, n_bits, radius)
     banded = _guard_buckets(banded, ["band", "key"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
