@@ -88,3 +88,35 @@ def test_benchmark_side_broadcasts(spark, sf_dir):
         ).collect()
     )
     assert members <= flagged
+
+
+def test_near_contamination_catches_paraphrase(spark):
+    """A lightly-edited benchmark copy (word substitutions that break
+    every 5-gram) escapes the exact check but is caught at the
+    document-fingerprint level."""
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "q_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # one MIDDLE word changed: every 13-gram spans it, so the
+            # exact check sees zero overlap — the fingerprint doesn't
+            (10, "the quick brown fox leaps over the lazy dog and runs far away today"),
+            (11, "a completely unrelated document about growing tomatoes in cold climates"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = contamination.contamination_report(docs, bench, n=13)
+    flagged_exact = {r["doc_id"] for r in exact.collect() if r["is_contaminated"]}
+    assert flagged_exact == set()  # every 13-gram was perturbed
+    near = contamination.near_contamination_report(
+        docs, bench, radius=10, bench_id_col="q_id"
+    )
+    got = {r["doc_id"]: r["bench_id"] for r in near.collect()}
+    assert got == {10: 1}
+    # derived content ids when the benchmark has no id column
+    near2 = contamination.near_contamination_report(
+        docs.select("doc_id", "text"), bench.select("text"), radius=10
+    )
+    assert {r["doc_id"] for r in near2.collect()} == {10}

@@ -165,3 +165,44 @@ def test_rebalance_mix_rejects_unknown_stratum(spark, sf_dir):
 
     with pytest.raises(ValueError, match="absent"):
         sampling.rebalance_mix(docs, "source", {"no_such_source": 1.0}, "doc_id")
+
+
+def test_split_leakage_report(spark):
+    """Straddling pairs are reported; co-split pairs are not; the
+    near-dedup pipeline output audits clean end-to-end."""
+    from v6spark.operators.sampling import split_leakage_report
+
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = [tuple(r) for r in split_leakage_report(assign, pairs).collect()]
+    assert got == [(1, 2, "train", "test")]
+
+    # end-to-end law: after prepare_training_corpus(near_dedup=True),
+    # no near-dup pair can straddle splits (the survivors of a cluster
+    # are a single doc, so the pair relation over survivors is empty
+    # at the dedup radius)
+    from v6spark.operators import dedup
+    from v6spark.pipeline import prepare_training_corpus
+
+    tmpl = "the quick brown fox jumps over the lazy dog and runs very far away"
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} about topic {i} with distinct words") for i in range(8)]
+        + [(100 + i, tmpl + f" {w}") for i, w in enumerate(("today", "tonight", "tomorrow"))],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        docs, max_tokens=32, near_dedup=True, min_jaccard=0.5,
+        split_weights={"train": 0.5, "test": 0.5},
+    )
+    survivors = out.select("doc_id", "split")
+    sig = dedup.minhash_lsh_candidates(
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi"),
+        n_hashes=32, bands=8, persist_signatures=False,
+    ).filter(F.col("est_jaccard") >= 0.5)
+    leaks = split_leakage_report(survivors, sig.select("id_a", "id_b"))
+    assert leaks.count() == 0

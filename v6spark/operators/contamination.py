@@ -99,6 +99,66 @@ def contamination_report(
     )
 
 
+def near_contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    radius: int = 4,
+    n_bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str | None = None,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Document-level NEAR contamination via SimHash Hamming balls.
+
+    The exact n-gram check above misses a lightly-edited benchmark
+    copy whose every n-gram was perturbed (word substitutions every
+    few tokens); document-level fingerprints catch exactly that case.
+    Each corpus document within Hamming ``radius`` of any benchmark
+    document's 60-bit SimHash is reported as (doc_id, bench_id,
+    hamming) — feed the ids to an anti-join to drop them.
+
+    Same asymmetry as the exact check: the benchmark side is tiny, so
+    its banded signatures are the small side of the bucket join
+    (``dedup.simhash_pairs_between`` — corpus bodies never shuffle,
+    only 8-byte signatures), and ``max_bucket_size`` bounds any
+    degenerate benchmark bucket.  If the benchmark frame has no id
+    column (``bench_id_col=None``), a deterministic content id
+    (``xxhash64(text)``) is derived.
+    """
+    from v6spark.operators.dedup import (
+        simhash_pairs_between,
+        simhash_signature_portable,
+    )
+
+    corpus_sigs = simhash_signature_portable(
+        docs, id_col=id_col, text_col=text_col, n_bits=n_bits
+    ).select(F.col(id_col).alias("__sid"), "simhash")
+    if bench_id_col is None:
+        bench = bench.select(
+            F.xxhash64(F.col(bench_text_col)).alias("__bench_id"),
+            F.col(bench_text_col),
+        )
+        bench_id_col = "__bench_id"
+    bench_sigs = simhash_signature_portable(
+        bench, id_col=bench_id_col, text_col=bench_text_col, n_bits=n_bits
+    ).select(F.col(bench_id_col).alias("__sid"), "simhash")
+    return simhash_pairs_between(
+        corpus_sigs,
+        bench_sigs,
+        id_col="__sid",
+        sig_col="simhash",
+        n_bits=n_bits,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+    ).select(
+        F.col("left_id").alias(id_col),
+        F.col("right_id").alias("bench_id"),
+        "hamming",
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

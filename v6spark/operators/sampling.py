@@ -104,6 +104,39 @@ def split_frames(
     }
 
 
+def split_leakage_report(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs whose endpoints landed in DIFFERENT splits.
+
+    The post-pipeline leakage audit: dedup-before-split
+    (pipeline.prepare_training_corpus) exists precisely so no
+    duplicate pair straddles train/eval; this report states the
+    verified fact.  ``pairs`` is any pair relation over surviving ids
+    (LSH candidates, ``simhash_pairs``, ANN pairs); output columns
+    are (id_a, id_b, split_a, split_b) and an EMPTY result is the
+    pass condition.  Two joins of the narrow (id, split) relation
+    onto the pair list — pair-count sized, never corpus sized.
+    """
+    a = assignments.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("split_a")
+    )
+    b = assignments.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, id_a)
+        .join(b, id_b)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(id_a, id_b, "split_a", "split_b")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key: Column | str,
