@@ -14,7 +14,9 @@ purpose and records what actually happens:
 - embeddings at ``factor``x (per-replica deterministic perturbation —
   replicas stay near-identical, the ANN-hostile case) PLUS an 800-copy
   identical vector cluster;
-- times guarded ``near_dup_report`` (MinHash), ``simhash_pairs`` and
+- times guarded ``near_dup_report`` (MinHash), ``simhash_pairs``,
+  ``near_dup_keepers`` (the end-to-end keeper map whose exact-digest
+  pre-collapse should make the boilerplate cluster trivial) and
   ``ann_lsh_pairs`` at base and scaled size;
 - records the ``bucket_size_histogram`` of each bucketing: candidate
   pairs the guard admitted vs would-be pairs it dropped.
@@ -36,7 +38,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
 from v6spark.operators import dedup, similarity
 from v6spark.session import get_spark
@@ -132,6 +134,14 @@ def run_tier(spark, docs, emb) -> tuple[dict, dict]:
     ).count()
     times["simhash_pairs"] = round(time.perf_counter() - t0, 2)
     stats["simhash_pairs"] = n
+
+    t0 = time.perf_counter()
+    n = dedup.near_dup_keepers(
+        docs, min_jaccard=0.8, max_bucket_size=GUARD, n_hashes=32, bands=8
+    ).filter(F.col("doc_id") != F.col("keeper_id")).count()
+    times["near_dup_keepers"] = round(time.perf_counter() - t0, 2)
+    stats["near_dup_keepers_losers"] = n
+    spark.catalog.clearCache()
 
     t0 = time.perf_counter()
     n = similarity.ann_lsh_pairs(
