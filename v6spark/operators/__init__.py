@@ -8,9 +8,18 @@ Module map to the reference inventory (SURVEY.md §2.1):
 - ``transforms``  row-wise transforms B3-B6 (masking, recode, subsetting)
 - ``asof``        as-of join (extension; union+window, single shuffle)
 - ``sessionize``  gaps-and-islands sessionization (extension)
-- ``dedup``       exact + MinHash-LSH + SimHash + n-gram Jaccard +
-                  embedding near-dup (north-star extension)
-- ``similarity``  cosine top-k: brute-force and LSH-bucketed ANN
-- ``text``        language-ID, quality scoring, token stats, fingerprints
+- ``dedup``       exact + MinHash-LSH + SimHash (signatures, Hamming-ball
+                  pairs within/between sets) + n-gram Jaccard + keeper
+                  clustering + guarded end-to-end near_dup_keepers
+- ``similarity``  cosine top-k (brute force + multi-probe LSH ANN),
+                  LSH/IVF pair generation, k-means coarse quantizer
+- ``text``        language-ID, quality scoring, Gopher rules, TF-IDF/
+                  BM25, PII redaction, token stats, fingerprints
+- ``contamination`` benchmark overlap: exact n-gram + SimHash near match
+- ``sampling``    deterministic splits/samples/rebalance + leakage audit
+- ``packing``     sequence packing into token-budget bins; shard deal
+- ``profile``     single-pass corpus profile (HLL distincts, rollup)
+- ``embeddings``  vector hygiene: norms, NaN/dim checks, normalization
+- ``skew``        salting for hot keys (deterministic content salts)
 - ``multimodal``  binary media columns: schema + Arrow-batched UDF plumbing
 """
