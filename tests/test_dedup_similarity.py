@@ -112,15 +112,19 @@ def test_simhash_pairs_hamming_ball_golden(spark):
         for r in dedup.simhash_pairs(sigs, n_bits=60, radius=2).collect()
     }
     assert got == {(1, 2): 2}
-    # radius 0 degenerates to exact-duplicate detection
+    # radius 0 degenerates to exact-duplicate detection — including at
+    # n_bits=64, where the single band's all-ones mask must be the
+    # SIGNED 64-bit -1 (2^64-1 overflows LongType literal construction)
     dup = spark.createDataFrame(
-        [(1, 42), (2, 42), (3, 43)], "doc_id long, simhash long"
+        [(1, 42), (2, 42), (3, 43), (4, -7), (5, -7)],
+        "doc_id long, simhash long",
     )
-    got0 = {
-        (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(dup, n_bits=60, radius=0).collect()
-    }
-    assert got0 == {(1, 2): 0}
+    for nb in (60, 64):
+        got0 = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(dup, n_bits=nb, radius=0).collect()
+        }
+        assert got0 == {(1, 2): 0, (4, 5): 0}
 
 
 def test_simhash_pairs_recall_is_exact(spark):

@@ -87,6 +87,37 @@ def test_dedup_reconstruction(spark, texts):
         assert r["keeper_id"] == expect_keeper
 
 
+def test_salted_agg_random_mode_spreads_identical_rows(spark):
+    """Byte-identical hot rows defeat the content salt (documented
+    limitation); random mode spreads them AND still aggregates to the
+    exact same result."""
+    from v6spark.operators.skew import _salt
+
+    hot = spark.createDataFrame([(1, 2.5)] * 400 + [(2, 1.0)], "k int, v double")
+    spread = {
+        r["s"]
+        for r in hot.withColumn("s", _salt(hot, 8, "random", seed=3))
+        .select("s")
+        .distinct()
+        .collect()
+    }
+    assert len(spread) > 1  # identical rows land on multiple salts
+    direct = {
+        (r["k"]): (r["n"], r["s"])
+        for r in hot.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(18,6)")).cast("double"), 6).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["sum_value"])
+        for r in salted_agg(hot, ["k"], "v", n_salts=8, salt_mode="random").collect()
+    }
+    assert salted == direct
+
+
 def test_content_salt_is_partition_layout_invariant(spark):
     """The salt must depend on row CONTENT only: re-running with a
     different input partitioning (as a task retry or stage

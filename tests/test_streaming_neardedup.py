@@ -63,6 +63,42 @@ def test_batch_near_dedup_step_sequential(spark, tmp_path):
     assert index == {1, 3, 7}
 
 
+def test_batch_step_boilerplate_beats_guard(spark, tmp_path):
+    """300 byte-identical docs with a guard far below the cluster
+    size: the exact pre-collapse dedups them BEFORE the guarded
+    Hamming join, so exactly one survives — the failure mode of
+    guard-only near-dedup, closed."""
+    corpus = spark.createDataFrame(
+        [(i, DOC_A) for i in range(300)] + [(900, DOC_B)],
+        "doc_id long, text string",
+    )
+    neardedup.batch_near_dedup_step(
+        corpus, str(tmp_path / "i"), str(tmp_path / "k"),
+        radius=RADIUS, max_bucket_size=8,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "k")).collect()}
+    assert kept == {0, 900}
+
+
+def test_batch_step_custom_id_column(spark, tmp_path):
+    """A non-default id column works ACROSS batches: the index is
+    written with canonical (doc_id, simhash) columns whatever the
+    corpus calls its id."""
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    b1 = spark.createDataFrame([(1, DOC_A)], "my_id long, body string")
+    neardedup.batch_near_dedup_step(
+        b1, i_dir, k_dir, id_col="my_id", text_col="body", radius=RADIUS
+    )
+    b2 = spark.createDataFrame(
+        [(5, DOC_A2), (7, DOC_B)], "my_id long, body string"
+    )
+    neardedup.batch_near_dedup_step(
+        b2, i_dir, k_dir, id_col="my_id", text_col="body", radius=RADIUS
+    )
+    kept = {r["my_id"] for r in spark.read.parquet(k_dir).collect()}
+    assert kept == {1, 7}  # 5 lost to indexed near-neighbour 1
+
+
 def test_run_incremental_near_dedup_stream(spark, tmp_path):
     """File-source stream, one file per micro-batch: the cross-batch
     near-dup is dropped against the index, exactly as in batch."""

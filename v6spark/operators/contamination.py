@@ -108,7 +108,7 @@ def near_contamination_report(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     bench_id_col: str | None = None,
-    max_bucket_size: int | None = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Document-level NEAR contamination via SimHash Hamming balls.
 
@@ -122,10 +122,14 @@ def near_contamination_report(
     Same asymmetry as the exact check: the benchmark side is tiny, so
     its banded signatures are the small side of the bucket join
     (``dedup.simhash_pairs_between`` — corpus bodies never shuffle,
-    only 8-byte signatures), and ``max_bucket_size`` bounds any
-    degenerate benchmark bucket.  If the benchmark frame has no id
-    column (``bench_id_col=None``), a deterministic content id
-    (``xxhash64(text)``) is derived.
+    only 8-byte signatures).  ``max_bucket_size`` defaults to OFF: a
+    guard here would silently exclude benchmark fingerprints from
+    oversized buckets, and a decontamination SAFETY check must not
+    trade recall for speed by default (benchmarks are small — set a
+    guard only if a pathological benchmark measurably needs it, and
+    audit with ``dedup.bucket_size_histogram`` first).  If the
+    benchmark frame has no id column (``bench_id_col=None``), a
+    deterministic content id (``xxhash64(text)``) is derived.
     """
     from v6spark.operators.dedup import (
         simhash_pairs_between,

@@ -427,12 +427,20 @@ def _simhash_banded(
         layout.append((off, w))
         off += w
     sig = F.col(sig_col)
+
+    def _mask(w: int) -> int:
+        # LongType is signed 64-bit: a 64-wide band's all-ones mask
+        # must be the signed representation -1, not 2^64-1 (which
+        # overflows literal construction — radius=0 at n_bits=64)
+        m = (1 << w) - 1
+        return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
+
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
                 F.shiftright(sig, off)
-                .bitwiseAND(F.lit((1 << w) - 1))
+                .bitwiseAND(F.lit(_mask(w)))
                 .alias("key"),
             )
             for i, (off, w) in enumerate(layout)
@@ -530,13 +538,24 @@ def near_dup_keepers(
     Returns (doc_id, keeper_id) for EVERY input document (singletons
     keep themselves) — left-joinable onto the corpus directly.
     """
+    from pyspark import StorageLevel
+
     digests = df.select(
         F.col(id_col).alias("_doc"),
         F.col(text_col).alias("_text"),
         F.sha2(F.col(text_col), 256).alias("_digest"),
     )
     exact = digests.groupBy("_digest").agg(F.min("_doc").alias("_rep"))
-    with_rep = digests.join(exact, "_digest").select("_doc", "_rep", "_text")
+    # persisted: feeds the reps selection, the LSH report (via reps)
+    # and the final keeper-map join — without the cache the caller's
+    # upstream subtree (quality scoring etc. in the pipeline) would
+    # re-execute once per consumer.  Same lifecycle convention as
+    # near_dup_report's side frame (session.clear_engine_caches).
+    with_rep = (
+        digests.join(exact, "_digest")
+        .select("_doc", "_rep", "_text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     reps = with_rep.filter(F.col("_doc") == F.col("_rep")).select(
         F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
@@ -640,6 +659,12 @@ def connected_keepers(
             .localCheckpoint(eager=True)
         )
         prop.unpersist()
+        # the eager checkpoint above materialized new_labels, so the
+        # PREVIOUS round's checkpoint blocks are dead weight — free
+        # them now (unless they are the convergence snapshot, which
+        # the next check still compares against)
+        if labels is not snapshot:
+            labels.unpersist()
         labels = new_labels
         rounds += 1
         if rounds % check_every == 0 or rounds == max_iters:
@@ -651,6 +676,8 @@ def connected_keepers(
                 .filter(F.col("_new") != F.col("label"))
                 .count()
             )
+            if snapshot is not labels:
+                snapshot.unpersist()
             snapshot = labels
             if changed == 0:
                 break
