@@ -3,14 +3,23 @@
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm
-SparkSession, 3 repetitions per query, median wall-clock.
+SparkSession.
+
+Protocol (frozen r4, documented in BASELINE.md): per query, ONE
+timed COLD execution (pays the one-off JVM JIT/codegen-compile cost
+— measured 12.6 s cold vs 1.65 s warm for q_dedup_minhash), then
+``REPS`` timed WARM executions.  The headline ``queries``/``value``
+numbers are warm medians (steady-state engine throughput, comparable
+to BENCH_r03); the cold numbers are reported alongside
+(``queries_cold``/``cold_suite_seconds``) so round-over-round
+comparisons can use either population and nothing is hidden.
 
 Materialization uses the ``noop`` sink: the full result is computed
 and serialized by executors but never shipped to the driver, so the
 number measures the engine, not driver-side row transfer.
 
 Prints ONE JSON line:
-  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+  {"metric": "suite_seconds", "value": <warm total>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>, ...}
 """
 
@@ -28,11 +37,6 @@ from v6spark.plans import REGISTRY  # noqa: E402
 from v6spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("V6SPARK_BENCH_REPS", "3"))
-# One untimed warm-up execution per query before the timed reps: the
-# first execution of a query pays one-off JVM JIT/codegen-compile cost
-# (measured 12.6 s cold vs 1.65 s warm for q_dedup_minhash) that says
-# nothing about steady-state throughput.  Recorded in the JSON line.
-WARMUP = int(os.environ.get("V6SPARK_BENCH_WARMUP", "1"))
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -47,38 +51,56 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _pcts(values: list[float]) -> tuple[float, float]:
+    qs = sorted(values)
+    return (
+        round(qs[len(qs) // 2], 4),
+        round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("v6spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    per_query: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].spark_fn
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 4)
         times = []
-        for _ in range(WARMUP):
-            materialize(fn(spark, sf_dir))
         for _ in range(REPS):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
-        print(f"[bench] {name}: {per_query[name]}s", file=sys.stderr)
+        warm[name] = round(statistics.median(times), 4)
+        print(
+            f"[bench] {name}: {warm[name]}s warm / {cold[name]}s cold",
+            file=sys.stderr,
+        )
 
-    total = round(sum(per_query.values()), 4)
-    qs = sorted(per_query.values())
+    warm_p50, warm_p95 = _pcts(list(warm.values()))
+    cold_p50, cold_p95 = _pcts(list(cold.values()))
     result = {
         "metric": "suite_seconds",
-        "value": total,
+        "value": round(sum(warm.values()), 4),
         "unit": "sec",
-        "queries": per_query,
+        "queries": warm,
+        "queries_cold": cold,
+        "cold_suite_seconds": round(sum(cold.values()), 4),
         "sf": sf_from_dir(sf_dir),
-        "n_queries": len(per_query),
-        "p50_sec": round(qs[len(qs) // 2], 4),
-        "p95_sec": round(qs[max(0, int(len(qs) * 0.95) - 1)], 4),
+        "n_queries": len(warm),
+        "p50_sec": warm_p50,
+        "p95_sec": warm_p95,
+        "warm_p50": warm_p50,
+        "cold_p50": cold_p50,
+        "cold_p95": cold_p95,
         "reps": REPS,
-        "warmup": WARMUP,
+        "warmup": 1,
         "cpus": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }

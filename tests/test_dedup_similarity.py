@@ -371,6 +371,21 @@ def test_connected_keepers_chain_converges_in_log_rounds(spark):
     assert dedup.connected_keepers.last_rounds <= 6  # vs 16+ without doubling
 
 
+def test_free_checkpoint_blocks_releases_storage(spark):
+    """`_free_checkpoint_blocks` eagerly drops a localCheckpoint's
+    blocks through the LogicalRDD leaf — plain `unpersist()` is a
+    cache-manager no-op for checkpointed plans, so without this the
+    iterative CC rounds would pile blocks up until driver GC."""
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert len(jsc.getRDDStorageInfo()) == base + 1
+    df.unpersist()  # documented no-op for checkpointed plans
+    assert len(jsc.getRDDStorageInfo()) == base + 1
+    dedup._free_checkpoint_blocks(df)
+    assert len(jsc.getRDDStorageInfo()) == base
+
+
 def test_connected_keepers_end_to_end_near_dups(docs):
     """Full pipeline: candidates -> verify -> cluster -> keeper."""
     report = dedup.near_dup_report(docs, n_hashes=32, bands=8)

@@ -39,6 +39,19 @@ def test_container_surface(vs):
     assert vs[g.GT_FIELD].count() == 16
 
 
+def test_samples_cardinality_guard(vs, monkeypatch):
+    """`samples` materializes the cohort on the driver — bounded by
+    domain, and guarded: over-cap cardinality errors instead of
+    collecting an arbitrarily large entity list."""
+    import pytest
+
+    monkeypatch.setattr(Variations, "MAX_SAMPLES", 3)
+    with pytest.raises(ValueError, match="more than 3 distinct sample ids"):
+        _ = vs.samples
+    monkeypatch.setattr(Variations, "MAX_SAMPLES", 4)
+    assert vs.samples == ["s1", "s2", "s3", "s4"]
+
+
 def test_calc_missing_and_called(vs):
     miss = by_var(g.calc_missing_gt(vs), "missing_rate")
     assert miss == {"chr1:100:A:T": 0.25, "chr1:200:G:C": 0.0, "chr2:300:C:G": 0.0, "chr2:400:T:A": 0.75}

@@ -41,6 +41,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert joined.count() == plain
 
 
+def test_forced_smj_parity_declared_joins(spark, sf_dir):
+    """The non-broadcast join path, in evidence: with every broadcast
+    threshold disabled, q_join_multi and q_join_left plan
+    SortMergeJoins (the strategy they take at 100 TB where orders and
+    customer exceed any broadcast threshold) and produce EXACTLY the
+    rows the default broadcast-happy plan produces.  q_join_multi's
+    hinted nation/region broadcasts survive — tiny at any scale
+    factor, they must never shuffle the fact side."""
+    from v6spark.plans import REGISTRY
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    for name in ("q_join_multi", "q_join_left"):
+        fn = REGISTRY[name].spark_fn
+        want = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            forced = fn(spark, sf_dir)
+            plan = formatted_plan(forced)
+            assert "SortMergeJoin" in plan, name
+            if name == "q_join_left":
+                # no hints here: with broadcasts off, NO broadcast join
+                assert "BroadcastHashJoin" not in plan
+            else:
+                # the two fact-side joins are merge joins; the hinted
+                # nation/region chain stays broadcast
+                assert plan.count("SortMergeJoin") >= 2
+            got = [tuple(r) for r in forced.collect()]
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v) if v is not None else conf.unset(k)
+        assert got == want, name
+
+
 def test_partitioned_store_prunes(spark, sf_dir, tmp_path_factory):
     # engine posture: partition columns are STRINGS (type inference is
     # disabled so values like chrom '01' survive the roundtrip) — so

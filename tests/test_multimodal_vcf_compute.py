@@ -133,6 +133,74 @@ def test_multimodal_image_resize_real(spark):
     assert bytes(out[0]["pixels"])[:3] == b"\x00\x00\x00"
 
 
+def test_png_decode_golden_all_filters():
+    """stdlib PNG decode is pixel-exact against the generator's known
+    gradient, with every scanline filter type exercised (the default
+    row_filters cycle 0..4) and every supported color type."""
+    import numpy as np
+
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        png = mm.make_png(13, 9, seed=5, color_type=color_type)
+        assert mm.sniff_format(png) == "png"
+        w, h, c, img = mm._png_decode(png)
+        y, x = np.mgrid[0:9, 0:13]
+        planes = [(x + 5) % 256, (y + 10) % 256, (x + y + 5) % 256,
+                  (x * 3 + y + 5) % 256]
+        expect = np.stack(planes[:ch], axis=-1).astype(np.uint8)
+        assert (w, h, c) == (13, 9, ch)
+        assert np.array_equal(img, expect)
+
+
+def test_png_decode_palette_and_unsupported():
+    """Palette PNGs map through PLTE to RGB; 16-bit depth raises
+    honestly instead of mis-decoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (mm._PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"PLTE", plte)
+           + mm._png_chunk(b"IDAT", zlib.compress(raw))
+           + mm._png_chunk(b"IEND", b""))
+    w, h, c, img = mm._png_decode(png)
+    assert (w, h, c) == (3, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    deep = (mm._PNG_MAGIC
+            + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        mm._png_decode(deep)
+
+
+def test_multimodal_png_through_spark(spark):
+    """PNG payloads run through the same mapInPandas kernels as the
+    other real formats: decode_media dims and image_resize pixels."""
+    rows = [
+        (i, "image", mm.make_png(6 + i, 4 + i, seed=i), f"synthetic://png/{i}", "{}")
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    for i in range(4):
+        assert (got[i]["width"], got[i]["height"], got[i]["n_channels"]) == (
+            6 + i, 4 + i, 3,
+        )
+    out = {r["media_id"]: r for r in mm.image_resize(media, 4, 3).collect()}
+    for r in out.values():
+        assert (r["width"], r["height"], r["n_channels"]) == (4, 3, 3)
+        assert len(bytes(r["pixels"])) == 4 * 3 * 3
+    # nearest-neighbor anchor: pixel (0,0) of id 0 is [(0+0)%256,
+    # (0+0)%256, (0+0+0)%256] = [0, 0, 0]
+    assert bytes(out[0]["pixels"])[:3] == b"\x00\x00\x00"
+
+
 def test_multimodal_audio_features_real(spark):
     media = mm.synth_real_media(spark, 12).filter(F.col("kind") == "audio")
     rows = mm.audio_features(media).collect()

@@ -99,6 +99,67 @@ def test_batch_step_custom_id_column(spark, tmp_path):
     assert kept == {1, 7}  # 5 lost to indexed near-neighbour 1
 
 
+def test_crash_after_index_write_then_replay(spark, tmp_path):
+    """Injected crash between the index write and the kept write:
+    committed readers never see the half-written batch, and the
+    checkpoint-style replay publishes it exactly once."""
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    b1 = spark.createDataFrame([(1, DOC_A), (3, DOC_B)], "doc_id long, text string")
+    neardedup.batch_near_dedup_step(b1, i_dir, k_dir, radius=RADIUS, batch_id=0)
+    b2 = spark.createDataFrame([(5, DOC_A2), (7, "fresh topic on tidal power")],
+                               "doc_id long, text string")
+    import pytest
+    with pytest.raises(RuntimeError, match="injected crash"):
+        neardedup.batch_near_dedup_step(
+            b2, i_dir, k_dir, radius=RADIUS, batch_id=1, _fail_after="index"
+        )
+    # batch 1 is invisible to committed readers: index still only batch 0
+    assert neardedup.committed_batch_ids(spark, i_dir) == {0}
+    kept_committed = neardedup.read_kept(spark, k_dir, i_dir)
+    assert {r["doc_id"] for r in kept_committed.collect()} == {1, 3}
+    # replay the same epoch id: overwrites the orphan dir, commits once
+    neardedup.batch_near_dedup_step(b2, i_dir, k_dir, radius=RADIUS, batch_id=1)
+    assert neardedup.committed_batch_ids(spark, i_dir) == {0, 1}
+    kept = neardedup.read_kept(spark, k_dir, i_dir)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 7]  # no dup 7
+    index = neardedup._read_index(spark, i_dir)
+    assert sorted(r["doc_id"] for r in index.collect()) == [1, 3, 7]  # no lost sigs
+
+
+def test_crash_after_kept_write_then_replay(spark, tmp_path):
+    """Injected crash AFTER both writes but BEFORE the commit marker —
+    the exact window the old two-append design could double-publish.
+    Replay overwrites both directories; committed reads stay
+    exactly-once (no duplicate kept rows, no duplicate signatures)."""
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    b1 = spark.createDataFrame([(1, DOC_A)], "doc_id long, text string")
+    import pytest
+    with pytest.raises(RuntimeError, match="injected crash"):
+        neardedup.batch_near_dedup_step(
+            b1, i_dir, k_dir, radius=RADIUS, batch_id=0, _fail_after="kept"
+        )
+    assert neardedup.committed_batch_ids(spark, i_dir) == set()
+    assert neardedup.read_kept(spark, k_dir, i_dir) is None
+    neardedup.batch_near_dedup_step(b1, i_dir, k_dir, radius=RADIUS, batch_id=0)
+    kept = neardedup.read_kept(spark, k_dir, i_dir)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # the raw (non-manifest) read also holds one copy: the replay
+    # overwrote, not appended
+    assert spark.read.parquet(k_dir).count() == 1
+
+
+def test_replay_after_commit_is_skipped(spark, tmp_path):
+    """A batch whose marker exists is skipped outright — replay after
+    a crash that happened AFTER the commit point writes nothing."""
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    b1 = spark.createDataFrame([(1, DOC_A), (3, DOC_B)], "doc_id long, text string")
+    neardedup.batch_near_dedup_step(b1, i_dir, k_dir, radius=RADIUS, batch_id=0)
+    neardedup.batch_near_dedup_step(b1, i_dir, k_dir, radius=RADIUS, batch_id=0)
+    assert neardedup.committed_batch_ids(spark, i_dir) == {0}
+    assert spark.read.parquet(k_dir).count() == 2  # 1 and 3, once each
+    assert neardedup._read_index(spark, i_dir).count() == 2
+
+
 def test_run_incremental_near_dedup_stream(spark, tmp_path):
     """File-source stream, one file per micro-batch: the cross-batch
     near-dup is dropped against the index, exactly as in batch."""

@@ -161,12 +161,29 @@ class Variations:
         ] + [f"/calls/{c}" for c in self.calls.columns if c not in std_call]
         return known + extra
 
+    # cohorts are 10^2-10^3 samples, so collecting the distinct ids is
+    # a driver-bounded list like the reference's samples attribute —
+    # but a caller pointing this at a billion-entity long table would
+    # OOM the driver, so the collect is capped and over-cap errors out
+    MAX_SAMPLES = 1_000_000
+
     @property
     def samples(self) -> list[str]:
-        return [
-            r["sample_id"]
-            for r in self.calls.select("sample_id").distinct().orderBy("sample_id").collect()
-        ]
+        rows = (
+            self.calls.select("sample_id")
+            .distinct()
+            .orderBy("sample_id")
+            .limit(self.MAX_SAMPLES + 1)
+            .collect()
+        )
+        if len(rows) > self.MAX_SAMPLES:
+            raise ValueError(
+                f"more than {self.MAX_SAMPLES} distinct sample ids: "
+                "Variations.samples materializes the cohort on the driver "
+                "and is not meant for arbitrary-cardinality entity tables; "
+                "aggregate with calls.select('sample_id').distinct() instead"
+            )
+        return [r["sample_id"] for r in rows]
 
     @property
     def num_variations(self) -> int:

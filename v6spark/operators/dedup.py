@@ -193,14 +193,13 @@ def bucket_size_histogram(
         .select(
             "bucket_size",
             "n_buckets",
-            (
-                F.col("n_buckets")
-                * F.col("bucket_size")
-                * (F.col("bucket_size") - 1)
-                / 2
-            )
-            .cast("long")
-            .alias("candidate_pairs"),
+            # integer DIV, not '/': long '/' is double division in
+            # Spark SQL, which loses exactness above 2^53 pairs —
+            # plausible for the pathological corpora this diagnostic
+            # exists to census
+            F.expr(
+                "n_buckets * (bucket_size * (bucket_size - 1) DIV 2)"
+            ).alias("candidate_pairs"),
             (
                 F.lit(False)
                 if max_bucket_size is None
@@ -578,6 +577,23 @@ def near_dup_keepers(
     )
 
 
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Best-effort eager release of a ``localCheckpoint``'s blocks.
+
+    ``DataFrame.unpersist()`` is a NO-OP for checkpointed plans —
+    they are not registered with the cache manager; without this the
+    blocks are reclaimed only when the ContextCleaner garbage-collects
+    the RDD reference.  The checkpointed RDD is the ``LogicalRDD``
+    leaf's ``rdd`` field, reachable through py4j; if the plan shape
+    ever differs (non-checkpointed input), fall back silently to
+    ContextCleaner-on-GC, which is correct just not prompt.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_keepers(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -660,11 +676,12 @@ def connected_keepers(
         )
         prop.unpersist()
         # the eager checkpoint above materialized new_labels, so the
-        # PREVIOUS round's checkpoint blocks are dead weight — free
-        # them now (unless they are the convergence snapshot, which
-        # the next check still compares against)
+        # PREVIOUS round's checkpoint blocks are dead weight — drop
+        # them through the checkpointed RDD (plain unpersist() would
+        # be a cache-manager no-op), unless they are the convergence
+        # snapshot the next check still compares against
         if labels is not snapshot:
-            labels.unpersist()
+            _free_checkpoint_blocks(labels)
         labels = new_labels
         rounds += 1
         if rounds % check_every == 0 or rounds == max_iters:
@@ -677,7 +694,7 @@ def connected_keepers(
                 .count()
             )
             if snapshot is not labels:
-                snapshot.unpersist()
+                _free_checkpoint_blocks(snapshot)
             snapshot = labels
             if changed == 0:
                 break
@@ -790,21 +807,49 @@ def simhash_signature(
     def _simhash(hashes: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
+        n = len(hashes)
+        out = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        # vectorized ACROSS the batch in row blocks: all tokens of a
+        # block flatten into one (tokens, 64) bit matrix and the
+        # per-document vote sums come from ONE segmented reduceat —
+        # no per-row Python loop.  The block bounds the bit-matrix
+        # working set (1024 docs × avg-tokens × 64 int64) instead of
+        # materializing the whole Arrow batch's tokens at once.
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blens = lens[s:e]
+            if int(blens.sum()) == 0:
                 continue
             # xxhash64 emits signed int64; reinterpret the bits as
             # uint64 (a direct uint64 cast of negatives raises in numpy)
-            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            flat = np.concatenate(
+                [
+                    np.asarray(hashes.iloc[i], dtype=np.int64)
+                    for i in range(s, e)
+                    if lens[i]
+                ]
+            ).view(np.uint64)
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                 np.int64
             )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig.astype(np.int64))
+            # rows are contiguous in flat, and empty rows occupy zero
+            # width, so the offsets of NON-empty rows are exactly the
+            # reduceat segment starts
+            nz = blens > 0
+            offs = np.zeros(e - s, dtype=np.int64)
+            offs[1:] = np.cumsum(blens)[:-1]
+            bitsum = np.zeros((e - s, 64), dtype=np.int64)
+            bitsum[nz] = np.add.reduceat(bits, offs[nz], axis=0)
+            votes = 2 * bitsum - blens[:, None]
+            sigs = np.where(votes > 0, pows, np.uint64(0)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[s:e] = sigs.view(np.int64)
         return pd.Series(out)
 
     hashed = df.select(

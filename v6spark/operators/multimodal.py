@@ -5,12 +5,15 @@ North-star extension (SURVEY.md §2.2).  Media payloads are
 is ``mapInPandas`` — Arrow-batched, schema-declared, partition-
 parallel.
 
-Codec posture, honestly stated: compressed codecs (JPEG/PNG/MP3/MP4 —
-Pillow/ffmpeg/torchaudio) are NOT installed in this environment, so
-those payloads raise NotImplementedError at the marked lines.  But
-the UNCOMPRESSED formats are decoded for real, with zero external
-dependencies: PPM/PGM (header parse + ``np.frombuffer``), BMP
-(BITMAPINFOHEADER via ``struct``), and PCM WAV (stdlib ``wave``).
+Codec posture, honestly stated: codecs needing external libraries
+(JPEG/MP3/MP4 — Pillow/ffmpeg/torchaudio) are NOT installed in this
+environment, so those payloads raise NotImplementedError at the
+marked lines.  Everything expressible with the stdlib decodes for
+REAL, zero external dependencies: PPM/PGM (header parse +
+``np.frombuffer``), BMP (BITMAPINFOHEADER via ``struct``), PCM WAV
+(stdlib ``wave``), and PNG (full chunk walk + stdlib ``zlib``
+inflate + scanline filter reconstruction — all five filter types,
+color types gray/RGB/palette/gray-alpha/RGBA at 8-bit depth).
 ``decode_media``/``image_resize``/``audio_features`` sniff magic
 bytes and run the real kernels; ``fake=True`` keeps the deterministic
 hash-derived stub decode for plumbing tests with arbitrary payloads.
@@ -27,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -118,6 +122,162 @@ def make_wav(
     return buf.getvalue()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth): gray, RGB, palette,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(
+    width: int,
+    height: int,
+    seed: int = 0,
+    color_type: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Valid PNG with deterministic pixels and chosen per-row filters.
+
+    ``row_filters`` selects each scanline's filter type (0=None 1=Sub
+    2=Up 3=Average 4=Paeth; default cycles through all five) so the
+    decoder's full filter reconstruction is exercised, not just the
+    trivial filter-0 path.  Forward filtering here is the exact
+    inverse of :func:`_png_decode`'s reconstruction.
+    """
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise NotImplementedError("make_png does not emit palette images")
+    y, x = np.mgrid[0:height, 0:width]
+    planes = [
+        (x + seed) % 256,
+        (y + 2 * seed) % 256,
+        (x + y + seed) % 256,
+        (x * 3 + y + seed) % 256,
+    ]
+    img = np.stack(planes[:ch], axis=-1).astype(np.uint8)
+    stride = width * ch
+    raw = img.reshape(height, stride).astype(np.int64)
+    out = bytearray()
+    for r in range(height):
+        f = (
+            row_filters[r % len(row_filters)]
+            if row_filters
+            else [0, 1, 2, 3, 4][r % 5]
+        )
+        row = raw[r]
+        prev = raw[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            pred = np.zeros(stride, dtype=np.int64)
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+        out += bytes([f]) + ((row - pred) % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG -> (w, h, c, HxWxC uint8 array), stdlib-only.
+
+    Chunk walk -> IHDR/PLTE/concatenated IDAT -> ``zlib`` inflate ->
+    per-scanline filter reconstruction (all five filter types).
+    Supports the 8-bit-depth non-interlaced color types; 16-bit and
+    Adam7 raise honestly.  Filters None/Up are whole-row vectorized
+    and Sub is a per-channel prefix sum; Average and Paeth carry the
+    spec's true sequential dependency on the reconstructed left
+    neighbour (integer division / branch breaks prefix-summability),
+    so those run per byte — acceptable because they only touch rows
+    that chose them.
+    """
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace}: only "
+            "8-bit non-interlaced gray/RGB/palette/gray-alpha/RGBA supported"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    rows = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rows = rows.reshape(height, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    recon = np.zeros((height, stride), dtype=np.int64)
+    for r in range(height):
+        f, row = int(ftypes[r]), data[r]
+        prev = recon[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            recon[r] = row
+        elif f == 1:  # Sub: per-channel prefix sum of residuals
+            recon[r] = row.reshape(width, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            recon[r] = (row + prev) % 256
+        elif f == 3:  # Average
+            out = row
+            for i in range(stride):
+                left = out[i - ch] if i >= ch else 0
+                out[i] = (out[i] + (left + prev[i]) // 2) % 256
+            recon[r] = out
+        elif f == 4:  # Paeth
+            out = row
+            for i in range(stride):
+                a = out[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                out[i] = (out[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) % 256
+            recon[r] = out
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    img = recon.astype(np.uint8).reshape(height, width, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img, ch = plte[img[:, :, 0]], 3
+    return width, height, ch, img
+
+
 def synth_real_media(spark: SparkSession, n: int = 30) -> DataFrame:
     """Media table whose payloads are REAL decodable files — PPM, BMP
     and WAV round-robin, deterministic dimensions per id — so the
@@ -148,6 +308,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pnm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -220,13 +382,16 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
     if fmt == "bmp":
         w, h, c, _ = _bmp_decode(payload)
         return w, h, c
+    if fmt == "png":
+        w, h, c, _ = _png_decode(payload)
+        return w, h, c
     if fmt == "wav":
         rate, n_frames, n_ch, _ = _wav_decode(payload)
         return n_frames, rate, n_ch
     raise NotImplementedError(
-        "compressed media codecs (JPEG/PNG/MP3/MP4) are not installed in "
-        "this environment; wire Pillow/ffmpeg here.  Uncompressed "
-        "PPM/PGM/BMP/WAV payloads decode for real."
+        "media codecs needing external libraries (JPEG/MP3/MP4) are not "
+        "installed in this environment; wire Pillow/ffmpeg here.  "
+        "PPM/PGM/BMP/WAV/PNG payloads decode for real."
     )
 
 
@@ -234,12 +399,13 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads to dimension metadata via mapInPandas.
 
     The real path (``fake=False``) sniffs magic bytes and decodes
-    PPM/PGM/BMP/WAV with the zero-dependency kernels above; for WAV
-    the (width, height) columns carry (n_frames, sample_rate).
-    Compressed codecs raise NotImplementedError at the sniff —
-    replace :func:`_real_dims`'s raise with Pillow/ffmpeg when
-    installed.  ``fake=True`` keeps the deterministic hash-derived
-    decode for plumbing tests with arbitrary payloads.
+    PPM/PGM/BMP/WAV/PNG with the zero-dependency kernels above; for
+    WAV the (width, height) columns carry (n_frames, sample_rate).
+    Codecs needing external libraries (JPEG/MP3/MP4) raise
+    NotImplementedError at the sniff — replace :func:`_real_dims`'s
+    raise with Pillow/ffmpeg when installed.  ``fake=True`` keeps the
+    deterministic hash-derived decode for plumbing tests with
+    arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -288,10 +454,12 @@ def image_resize(
                     w, h, c, img = _pnm_decode(payload)
                 elif fmt == "bmp":
                     w, h, c, img = _bmp_decode(payload)
+                elif fmt == "png":
+                    w, h, c, img = _png_decode(payload)
                 else:
                     raise NotImplementedError(
-                        "image_resize handles PPM/PGM/BMP; compressed "
-                        "codecs are not installed"
+                        "image_resize handles PPM/PGM/BMP/PNG; codecs "
+                        "needing external libraries are not installed"
                     )
                 ys = (np.arange(out_height) * h) // out_height
                 xs = (np.arange(out_width) * w) // out_width
