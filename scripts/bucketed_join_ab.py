@@ -84,11 +84,14 @@ def timed(spark, mk) -> float:
     return round(statistics.median(ts), 3)
 
 
-def formatted_plan(df) -> str:
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
+def plan_text(df, mode: str = "simple") -> str:
+    # simple mode inlines "Exchange hashpartitioning(...)" on one
+    # line, so exchange counting is a substring count; formatted mode
+    # splits node list from arguments and would count zero
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
     )
-    return df._jdf.queryExecution().explainString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
 
 
 def main() -> None:
@@ -133,8 +136,8 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
-        plain_plan = formatted_plan(plan_plain(spark, out_dir))
-        bucket_plan = formatted_plan(plan_bucketed(spark))
+        plain_plan = plan_text(plan_plain(spark, out_dir))
+        bucket_plan = plan_text(plan_bucketed(spark))
         assert "SortMergeJoin" in plain_plan and "SortMergeJoin" in bucket_plan
         plain_exchanges = plain_plan.count("Exchange hashpartitioning")
         bucket_exchanges = bucket_plan.count("Exchange hashpartitioning")
@@ -144,7 +147,7 @@ def main() -> None:
         assert bucket_exchanges < plain_exchanges, (
             bucket_exchanges, plain_exchanges,
         )
-        assert "Bucketed: true" in bucket_plan
+        assert "Bucketed: true" in plan_text(plan_bucketed(spark), "formatted")
 
         a = sorted(map(tuple, plan_plain(spark, out_dir).collect()))
         b = sorted(map(tuple, plan_bucketed(spark).collect()))

@@ -70,6 +70,12 @@ def run_ops(spark, docs, bench) -> dict[str, float]:
     )
     ops = {
         "pipeline": lambda: _noop(prepare_training_corpus(docs, max_tokens=512)),
+        # the near-dedup upgrade (VERDICT r3 item 5): exact collapse ->
+        # representative-only MinHash-LSH (guarded) -> verified pairs ->
+        # keeper clustering, inside the same end-to-end plan
+        "pipeline_neardedup": lambda: _noop(
+            prepare_training_corpus(docs, max_tokens=512, near_dedup=True)
+        ),
         "bm25": lambda: _noop(text.bm25_score(docs, ["the", "data", "model"])),
         "pack": lambda: _noop(packing.pack_sequences(dt, 512)),
         "tf_idf": lambda: _noop(text.tf_idf(docs, top_terms_per_doc=5)),
@@ -120,6 +126,33 @@ def main() -> None:
     ratios = {
         k: (round(scaled[k] / base[k], 2) if base[k] else None) for k in base
     }
+
+    # guard-drop census for the near-dedup stage at scale: how many
+    # would-be candidate pairs the max_bucket_size guard refuses — the
+    # evidence that nothing quadratic runs unguarded (the exact
+    # pre-collapse inside near_dup_keepers routes boilerplate around
+    # the guard, so the drops are degenerate-bucket noise, not lost
+    # recall on representatives)
+    from v6spark.operators.dedup import bucket_size_histogram, minhash_buckets
+
+    guard = 64  # near_dup_keepers' default max_bucket_size
+    hist = bucket_size_histogram(
+        minhash_buckets(scaled_docs), ["bucket"], max_bucket_size=guard
+    ).collect()
+    admitted = sum(
+        r["candidate_pairs"] for r in hist if not r["over_guard"]
+    )
+    dropped = sum(r["candidate_pairs"] for r in hist if r["over_guard"])
+    census = {
+        "guard": guard,
+        "admitted_pairs": admitted,
+        "dropped_pairs": dropped,
+    }
+    print(
+        f"[scale] near-dedup guard census at {factor}x: "
+        f"{admitted} admitted / {dropped} dropped candidate pairs",
+        file=sys.stderr,
+    )
     for k in base:
         print(
             f"[scale] {k}: {base[k]}s ({n_base} docs) -> "
@@ -135,6 +168,7 @@ def main() -> None:
                 "base": base,
                 "scaled": scaled,
                 "ratio": ratios,
+                "neardedup_guard_census": census,
             }
         )
     )

@@ -16,11 +16,11 @@ from v6spark.sources.layout import (
 from v6spark.sources.tables import load_table
 
 
-def formatted_plan(df) -> str:
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
+def formatted_plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
     )
-    return df._jdf.queryExecution().explainString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
@@ -32,9 +32,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     write_bucketed(customer, "t_customer_b", "o_custkey", n_buckets=8)
     joined = bucketed_join(spark, "t_orders_b", "t_customer_b", "o_custkey")
     plan = formatted_plan(joined)
-    # co-located layout: a merge join with ZERO shuffle exchanges
+    # co-located layout: a merge join with ZERO shuffle exchanges —
+    # exchange absence checked on the SIMPLE plan, which inlines
+    # "Exchange hashpartitioning(...)" (formatted mode splits node
+    # names from arguments, so the substring never appears there and
+    # the assertion would be vacuous)
     assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    simple = formatted_plan(joined, "simple")
+    assert "Exchange hashpartitioning" not in simple
+    assert "Exchange" not in simple
     assert "Bucketed: true" in plan
     # and it computes the same result as the plain join
     plain = orders.join(customer, "o_custkey").count()

@@ -6,14 +6,16 @@ is ``mapInPandas`` — Arrow-batched, schema-declared, partition-
 parallel.
 
 Codec posture, honestly stated: codecs needing external libraries
-(JPEG/MP3/MP4 — Pillow/ffmpeg/torchaudio) are NOT installed in this
-environment, so those payloads raise NotImplementedError at the
-marked lines.  Everything expressible with the stdlib decodes for
-REAL, zero external dependencies: PPM/PGM (header parse +
-``np.frombuffer``), BMP (BITMAPINFOHEADER via ``struct``), PCM WAV
-(stdlib ``wave``), and PNG (full chunk walk + stdlib ``zlib``
-inflate + scanline filter reconstruction — all five filter types,
-color types gray/RGB/palette/gray-alpha/RGBA at 8-bit depth).
+(MP3/MP4 — ffmpeg/torchaudio; progressive JPEG) are NOT installed in
+this environment, so those payloads raise NotImplementedError at the
+marked lines.  Everything else decodes for REAL, zero external
+dependencies: PPM/PGM (header parse + ``np.frombuffer``), BMP
+(BITMAPINFOHEADER via ``struct``), PCM WAV (stdlib ``wave``), PNG
+(full chunk walk + stdlib ``zlib`` inflate + scanline filter
+reconstruction — all five filter types, color types
+gray/RGB/palette/gray-alpha/RGBA at 8-bit depth), and baseline JPEG
+(operators/jpeg.py — table-driven Huffman + dequant + IDCT,
+grayscale/YCbCr, 4:4:4 / 4:2:0, restart markers).
 ``decode_media``/``image_resize``/``audio_features`` sniff magic
 bytes and run the real kernels; ``fake=True`` keeps the deterministic
 hash-derived stub decode for plumbing tests with arbitrary payloads.
@@ -310,6 +312,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -385,13 +389,18 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
     if fmt == "png":
         w, h, c, _ = _png_decode(payload)
         return w, h, c
+    if fmt == "jpeg":
+        from v6spark.operators.jpeg import decode_jpeg
+
+        w, h, c, _ = decode_jpeg(payload)
+        return w, h, c
     if fmt == "wav":
         rate, n_frames, n_ch, _ = _wav_decode(payload)
         return n_frames, rate, n_ch
     raise NotImplementedError(
-        "media codecs needing external libraries (JPEG/MP3/MP4) are not "
-        "installed in this environment; wire Pillow/ffmpeg here.  "
-        "PPM/PGM/BMP/WAV/PNG payloads decode for real."
+        "media codecs needing external libraries (MP3/MP4, progressive "
+        "JPEG) are not installed in this environment; wire Pillow/ffmpeg "
+        "here.  PPM/PGM/BMP/WAV/PNG/baseline-JPEG payloads decode for real."
     )
 
 
@@ -456,10 +465,15 @@ def image_resize(
                     w, h, c, img = _bmp_decode(payload)
                 elif fmt == "png":
                     w, h, c, img = _png_decode(payload)
+                elif fmt == "jpeg":
+                    from v6spark.operators.jpeg import decode_jpeg
+
+                    w, h, c, img = decode_jpeg(payload)
                 else:
                     raise NotImplementedError(
-                        "image_resize handles PPM/PGM/BMP/PNG; codecs "
-                        "needing external libraries are not installed"
+                        "image_resize handles PPM/PGM/BMP/PNG/baseline-"
+                        "JPEG; codecs needing external libraries are "
+                        "not installed"
                     )
                 ys = (np.arange(out_height) * h) // out_height
                 xs = (np.arange(out_width) * w) // out_width
