@@ -42,13 +42,31 @@ SHIFT = 1_000_000_000
 
 
 def build_scaled_docs(spark, src_dir: str, out_path: str, factor: int) -> None:
+    """N textually DISTANT copies of the documents corpus.
+
+    Each copy permutes the five most frequent letters (`etaon`) —
+    nearly every word changes, so copies are NOT near-dups of each
+    other (3-shingle Jaccard across copies ~0) while each copy keeps
+    the base corpus's internal duplicate/near-dup structure intact.
+    That makes the scaled corpus the density-preserving scale model:
+    near-dedup workload (candidate pairs) grows LINEARLY with the
+    factor, which is what a bigger real corpus does.  (The earlier
+    `" variant{i}"` suffix made all N copies of a doc mutual
+    near-dups — cluster sizes growing with the factor, pair workload
+    growing quadratically: that pathological shape is
+    scripts/dedup_scale_stress.py's job, not this linearity check.)
+    """
+    from itertools import permutations
+
+    perms = list(permutations("etaon"))
     docs = load_table(spark, src_dir, "documents")
     parts = []
     for i in range(factor):
+        perm = "".join(perms[i % len(perms)])
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" variant{i}")).alias("text"),
+                F.translate(F.col("text"), "etaon", perm).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -90,7 +108,7 @@ def run_ops(spark, docs, bench) -> dict[str, float]:
     out = {}
     for name, fn in ops.items():
         times = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # each run pays its own persists
             t0 = time.perf_counter()
             fn()
@@ -125,6 +143,17 @@ def main() -> None:
     scaled = run_ops(spark, scaled_docs, bench)
     ratios = {
         k: (round(scaled[k] / base[k], 2) if base[k] else None) for k in base
+    }
+    # per-document throughput: the honest linearity signal when the
+    # base numbers are fixed-cost dominated (a 5k-doc run is mostly
+    # job-launch/persist overhead — its wall-clock ratio then
+    # OVERSTATES growth even when per-doc cost fell 10x)
+    ms_per_doc = {
+        k: {
+            "base": round(base[k] * 1000 / n_base, 4),
+            "scaled": round(scaled[k] * 1000 / n_scaled, 4),
+        }
+        for k in base
     }
 
     # guard-drop census for the near-dedup stage at scale: how many
@@ -168,6 +197,7 @@ def main() -> None:
                 "base": base,
                 "scaled": scaled,
                 "ratio": ratios,
+                "ms_per_doc": ms_per_doc,
                 "neardedup_guard_census": census,
             }
         )

@@ -365,10 +365,72 @@ def test_connected_keepers_chain_converges_in_log_rounds(spark):
     )
     got = {
         r["doc_id"]: r["keeper_id"]
-        for r in dedup.connected_keepers(chain).collect()
+        for r in dedup.connected_keepers(chain, driver_threshold=0).collect()
     }
     assert got == {i: 0 for i in range(17)}
     assert dedup.connected_keepers.last_rounds <= 6  # vs 16+ without doubling
+
+
+def test_connected_keepers_hybrid_paths_agree(spark):
+    """The driver union-find fast path and the distributed
+    label-propagation produce the identical keeper map — the
+    regression lock for the size-gated hybrid."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b],
+        "id_a long, id_b long",
+    )
+    fast = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(pairs).collect()
+    }
+    assert dedup.connected_keepers.last_rounds == 0  # took the driver path
+    dist = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(pairs, driver_threshold=0).collect()
+    }
+    assert dedup.connected_keepers.last_rounds > 0
+    assert fast == dist
+    # string ids: both paths use the same (lexicographic) order, so
+    # they must agree with each other — not with the numeric keepers
+    spairs = pairs.selectExpr(
+        "concat('d', id_a) AS id_a", "concat('d', id_b) AS id_b"
+    )
+    sfast = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(spairs).collect()
+    }
+    sdist = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(spairs, driver_threshold=0).collect()
+    }
+    assert sfast == sdist
+
+
+def test_minhash_engines_agree(spark, sf_dir):
+    """The Arrow signature kernel is BIT-identical to the Catalyst
+    portable form over the whole corpus — the regression lock that
+    lets the fast engine be the library default while the judged
+    query keeps the all-SQL lineage."""
+    from v6spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: tuple(r["s"])
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature("text", 64, 3).alias("s")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["s"])
+        for r in docs.select(
+            "doc_id", dedup.minhash_signature_arrow("text", 64, 3).alias("s")
+        ).collect()
+    }
+    assert a == b
 
 
 def test_free_checkpoint_blocks_releases_storage(spark):

@@ -210,15 +210,15 @@ def test_asof_single_window_shuffle(spark, sf_dir):
 
 
 def test_repetition_signals_shuffle_census(spark, sf_dir):
-    # The n-gram side must aggregate (partial+final) before anything
-    # widens, and the only joins are doc-count sized reattachments —
-    # never an n-gram-sized join.
+    # Catalyst engine: the n-gram side must aggregate (partial+final)
+    # before anything widens, and the only joins are doc-count sized
+    # reattachments — never an n-gram-sized join; all-JVM.
     from v6spark.operators.text import repetition_signals
     from v6spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     plan = (
-        repetition_signals(docs)
+        repetition_signals(docs, engine="catalyst")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -226,6 +226,20 @@ def test_repetition_signals_shuffle_census(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # doc-sized sides broadcast at sf
+    # Arrow engine (default): ONE narrow Arrow-batched map — zero
+    # shuffle, zero joins; the strictly better 100 TB shape.
+    plan = (
+        repetition_signals(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    # only the small-input round-robin spread may exchange — no
+    # hash/range shuffle, no aggregation, no join anywhere
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
 
 
 def test_contamination_corpus_never_shuffles_to_bench(spark, sf_dir):

@@ -107,11 +107,34 @@ def test_repetition_gate_fires_on_spam(spark):
 
 
 def test_repetition_runs_on_corpus_without_python(spark, sf_dir):
+    # the CATALYST engine stays available for Python-free deployments
     docs = load_table(spark, sf_dir, "documents")
-    out = text.repetition_signals(docs)
+    out = text.repetition_signals(docs, engine="catalyst")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     n = out.count()
     assert n == docs.count()
     n_pass = out.filter(F.col("passes_repetition")).count()
     assert 0 < n_pass <= n
+
+
+def test_repetition_engines_agree(spark, sf_dir):
+    """The Arrow default and the Catalyst posting path produce
+    byte-identical signals over the whole corpus — the regression
+    lock that lets the fast engine be the default."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [
+        "doc_id", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac",
+        "dup_10gram_char_frac", "dup_line_frac", "dup_line_char_frac",
+        "passes_repetition",
+    ]
+    a = sorted(
+        map(tuple, text.repetition_signals(docs, engine="arrow")
+            .select(*cols).collect())
+    )
+    b = sorted(
+        map(tuple, text.repetition_signals(docs, engine="catalyst")
+            .select(*cols).collect())
+    )
+    assert a == b

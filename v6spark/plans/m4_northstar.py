@@ -321,10 +321,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature -> band-explode -> hash-shuffle on uniform band buckets;
     the all-pairs join never materializes (and
     ``max_bucket_size`` guards degenerate boilerplate clusters).
-    The oracle restates the identical integer arithmetic in SQL.
+    The oracle restates the identical integer arithmetic in SQL —
+    ``engine="catalyst"`` keeps this judged plan's whole lineage
+    SQL-reproducible and Python-free (the library default is the
+    bit-identical Arrow signature kernel, ~10x; see
+    ``minhash_signature_arrow``).
     """
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    return near_dup_report(docs, n_hashes=64, bands=16).orderBy("id_a", "id_b")
+    return near_dup_report(
+        docs, n_hashes=64, bands=16, engine="catalyst"
+    ).orderBy("id_a", "id_b")
 
 
 _SIMHASH_ORACLE = f"""
