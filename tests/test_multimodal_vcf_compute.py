@@ -269,6 +269,68 @@ def test_multimodal_jpeg_through_spark(spark):
         assert len(bytes(r["pixels"])) == 6 * 5 * 3
 
 
+def test_gif_roundtrip_and_composition():
+    """GIF codec: literal-LZW encode -> general decode is pixel-exact;
+    transparency composites over the previous frame; disposal=2
+    restores background; interlaced frames deinterlace."""
+    import numpy as np
+
+    from v6spark.operators import gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    frames = []
+    for i in range(3):
+        f = np.full((8, 10), (i % 3) + 1, dtype=np.uint8)
+        f[2:5, 3:7] = ((i + 1) % 3) + 1
+        frames.append(f)
+    enc = gif.encode_gif(frames, pal, [100, 200, 300])
+    assert mm.sniff_format(enc) == "gif"
+    w, h, out, delays = gif.decode_gif(enc)
+    assert (w, h) == (10, 8) and delays == [100, 200, 300]
+    for i in range(3):
+        assert np.array_equal(out[i], pal[frames[i]]), i
+    # multi-subblock + repeated-CLEAR path: one frame > 253 pixels
+    big = (np.arange(64 * 64) % 4).astype(np.uint8).reshape(64, 64)
+    _, _, out2, _ = gif.decode_gif(gif.encode_gif([big], pal))
+    assert np.array_equal(out2[0], pal[big])
+
+
+def test_frame_sample_real_gif(spark):
+    """frame_sample is REAL for animated GIF: sampled frames come back
+    as PNG payloads whose pixels match the composited GIF frames."""
+    import numpy as np
+
+    from v6spark.operators import gif
+
+    pal = np.array(
+        [[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+        dtype=np.uint8,
+    )
+    frames = [
+        np.full((6, 9), (i % 3) + 1, dtype=np.uint8) for i in range(7)
+    ]
+    payload = gif.encode_gif(frames, pal)
+    media = spark.createDataFrame(
+        [(1, "video", payload, "synthetic://gif/1", "{}"),
+         (2, "image", mm.make_png(5, 4), "synthetic://png/2", "{}")],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.frame_sample(media, every_n=3).collect()
+    # only the video row explodes; frames 0, 3, 6 sampled
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3, 6]
+    for r in rows:
+        fp = bytes(r["frame_payload"])
+        assert mm.sniff_format(fp) == "png"
+        w, h, c, img = mm._png_decode(fp)
+        assert (w, h, c) == (9, 6, 3)
+        assert np.array_equal(img, pal[frames[r["frame_idx"]]])
+    # decode_media handles the GIF container too (first-frame dims)
+    got = mm.decode_media(media.filter(F.col("kind") == "video")).collect()[0]
+    assert (got["width"], got["height"], got["n_channels"]) == (9, 6, 3)
+
+
 def test_multimodal_png_through_spark(spark):
     """PNG payloads run through the same mapInPandas kernels as the
     other real formats: decode_media dims and image_resize pixels."""

@@ -1,0 +1,253 @@
+"""GIF (87a/89a) codec, stdlib + numpy only — the real video path.
+
+Makes ``frame_sample`` (multimodal.py) REAL for an actual animated
+container instead of a hash-derived stub: ``decode_gif`` walks the
+block stream (logical screen descriptor, color tables, graphic
+control extensions, image descriptors), LZW-decompresses every
+frame, handles interlacing and frame composition (disposal methods
+none/keep=1 and restore-background=2; restore-previous=3 raises
+honestly — it is rare and needs a frame-history stack), and returns
+fully composited RGB frames with their delays.
+
+``encode_gif`` emits spec-compliant animated GIFs for round-trip
+goldens using the literal-code LZW form: every pixel is emitted as
+its own (9-bit) root code with a CLEAR before the dictionary would
+force a width change — valid LZW any decoder accepts, chosen so the
+encoder stays ~40 lines and the DECODER (the part corpus work needs)
+is the fully general one.
+
+Scale posture: like every codec here this runs per-payload inside
+Arrow-batched ``mapInPandas`` kernels — partition-parallel, nothing
+leaves the scan stage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """Generic GIF-LZW: variable code width, CLEAR/EOI, LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader over the concatenated sub-block data, LSB first
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: stop cleanly
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[list[int]] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [[i] for i in range(clear)] + [[], []]
+        return min_code_size + 1
+
+    width = reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    out = np.empty_like(idx)
+    out[rows] = idx
+    return out
+
+
+def decode_gif(
+    payload: bytes,
+) -> tuple[int, int, list[np.ndarray], list[int]]:
+    """GIF -> (width, height, composited RGB frames, delays in ms)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                flags = payload[pos + 1]
+                delay = struct.unpack_from("<H", payload, pos + 2)[0] * 10
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[pos + 4] if flags & 1 else None
+                pos += size + 1
+            # skip any remaining sub-blocks (app/comment/plain-text)
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, fpacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if fpacked & 0x80:  # local color table
+                n = 2 << (fpacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(
+                    n, 3
+                )
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(min_code, b"".join(chunks))[: fw * fh],
+                dtype=np.int32,
+            ).reshape(fh, fw)
+            if fpacked & 0x40:
+                idx = _deinterlace(idx)
+            if disposal == 3:
+                raise NotImplementedError(
+                    "GIF disposal=3 (restore previous) not supported"
+                )
+            region = canvas[top : top + fh, left : left + fw]
+            rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region_new = np.where(mask, rgb, region)
+            else:
+                region_new = rgb
+            canvas[top : top + fh, left : left + fw] = region_new
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:  # restore background before NEXT frame
+                bg_rgb = (
+                    gct[bg] if gct is not None and bg < len(gct) else 0
+                )
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            disposal = 0
+            transparent = None
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return w, h, frames, delays
+
+
+def _lzw_encode_literals(indices: np.ndarray) -> tuple[int, bytes]:
+    """Literal-code LZW (min code size 8): every pixel as its own
+    9-bit root code, CLEAR re-issued before the table would grow past
+    the 9-bit boundary.  Valid for any decoder; ~1.1 bytes/pixel."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for v in indices.ravel():
+        # after k emitted codes the table holds 258+k-1 entries; keep
+        # it under 512 so the width never leaves 9 bits
+        if since_clear >= 253:
+            emit(clear)
+            since_clear = 0
+        emit(int(v))
+        since_clear += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return 8, bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_ms: list[int] | None = None,
+) -> bytes:
+    """Animated GIF89a from index frames (HxW uint8, values into
+    ``palette`` — an Nx3 uint8 array padded to 256 entries)."""
+    h, w = frames[0].shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT 256
+    out += pal.tobytes()
+    # netscape looping extension (standard for animation)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i, frame in enumerate(frames):
+        delay = (delays_ms or [100] * len(frames))[i] // 10
+        out += b"\x21\xf9\x04"  # GCE: disposal=1 (keep), no transparency
+        out += bytes([0x04]) + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        min_code, data = _lzw_encode_literals(frame)
+        out += bytes([min_code])
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -13,9 +13,11 @@ dependencies: PPM/PGM (header parse + ``np.frombuffer``), BMP
 (BITMAPINFOHEADER via ``struct``), PCM WAV (stdlib ``wave``), PNG
 (full chunk walk + stdlib ``zlib`` inflate + scanline filter
 reconstruction — all five filter types, color types
-gray/RGB/palette/gray-alpha/RGBA at 8-bit depth), and baseline JPEG
+gray/RGB/palette/gray-alpha/RGBA at 8-bit depth), baseline JPEG
 (operators/jpeg.py — table-driven Huffman + dequant + IDCT,
-grayscale/YCbCr, 4:4:4 / 4:2:0, restart markers).
+grayscale/YCbCr, 4:4:4 / 4:2:0, restart markers), and animated GIF
+(operators/gif.py — full LZW + interlace + frame composition;
+``frame_sample`` emits real PNG-encoded frames for it).
 ``decode_media``/``image_resize``/``audio_features`` sniff magic
 bytes and run the real kernels; ``fake=True`` keeps the deterministic
 hash-derived stub decode for plumbing tests with arbitrary payloads.
@@ -136,6 +138,26 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
         + ctype
         + data
         + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: "np.ndarray") -> bytes:
+    """General PNG encoder for an HxW (gray) or HxWxC uint8 array —
+    filter-0 scanlines + zlib; the self-describing output format for
+    kernels that emit image payloads (e.g. sampled video frames)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(
+        b"\x00" + img[r].tobytes() for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -314,6 +336,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -394,6 +418,11 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
 
         w, h, c, _ = decode_jpeg(payload)
         return w, h, c
+    if fmt == "gif":
+        from v6spark.operators.gif import decode_gif
+
+        w, h, frames, _ = decode_gif(payload)
+        return w, h, 3
     if fmt == "wav":
         rate, n_frames, n_ch, _ = _wav_decode(payload)
         return n_frames, rate, n_ch
@@ -469,6 +498,11 @@ def image_resize(
                     from v6spark.operators.jpeg import decode_jpeg
 
                     w, h, c, img = decode_jpeg(payload)
+                elif fmt == "gif":
+                    from v6spark.operators.gif import decode_gif
+
+                    w, h, frames, _ = decode_gif(payload)
+                    c, img = 3, frames[0]
                 else:
                     raise NotImplementedError(
                         "image_resize handles PPM/PGM/BMP/PNG/baseline-"
@@ -563,29 +597,46 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Sample frames from video payloads (stub).
+    """Sample frames from video payloads — one output row per sampled
+    frame (the explode-shaped output a video pipeline consumes).
 
-    Emits one row per sampled frame — the explode-shaped output a real
-    ffmpeg kernel would produce; the fake kernel derives a
-    deterministic frame count from the payload.
+    REAL for animated GIF (operators/gif.py): frames are fully
+    composited (disposal/transparency applied), every ``every_n``-th
+    one re-encoded as a self-describing PNG payload
+    (:func:`encode_png` — decodable by this module's own
+    ``decode_media``).  Containers that need external codecs
+    (MP4/WebM — ffmpeg) raise honestly; ``fake=True`` keeps the
+    deterministic hash-derived sampler for plumbing tests with
+    arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from v6spark.operators.gif import decode_gif
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "ffmpeg not installed; fake=True runs the stub sampler"
-                )
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(p)
-                n_frames = 1 + hashlib.sha256(payload).digest()[3] % 50
-                for idx in range(0, n_frames, every_n):
+                if fake:
+                    n_frames = 1 + hashlib.sha256(payload).digest()[3] % 50
+                    for idx in range(0, n_frames, every_n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(
+                            hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+                        )
+                    continue
+                if sniff_format(payload) != "gif":
+                    raise NotImplementedError(
+                        "frame_sample decodes animated GIF for real; "
+                        "MP4/WebM need ffmpeg (not installed) — or pass "
+                        "fake=True for the stub sampler"
+                    )
+                _w, _h, frames, _delays = decode_gif(payload)
+                for idx in range(0, len(frames), every_n):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
-                    out["frame_payload"].append(
-                        hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
-                    )
+                    out["frame_payload"].append(encode_png(frames[idx]))
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(
