@@ -100,7 +100,12 @@ def main() -> None:
         "cold_p50": cold_p50,
         "cold_p95": cold_p95,
         "reps": REPS,
-        "warmup": 1,
+        # the single pre-warm execution per query IS timed and
+        # reported (queries_cold) — there are no untimed runs; the
+        # warm medians remain comparable to BENCH_r03's
+        # one-untimed-warmup protocol because a cold run warms
+        # identically either way (BASELINE.md amendment)
+        "protocol": "cold1+warm_median",
         "cpus": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }

@@ -116,6 +116,13 @@ def main() -> None:
         bloom_injected = (
             "bloom_filter" in on_plan or "BloomFilter" in on_plan
         )
+        # asserted, not merely recorded: without injection the A/B
+        # would time two identical plans and publish a meaningless
+        # ~1.0 "speedup" into the round artifact
+        assert bloom_injected, (
+            "runtime bloom filter was NOT injected — thresholds did not "
+            "trip on this corpus; artifact would measure nothing"
+        )
         conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         off_plan = query(spark, out_dir)._jdf.queryExecution().toString()
         assert "bloom_filter" not in off_plan and "BloomFilter" not in off_plan

@@ -116,44 +116,64 @@ def histogram_summary(hist_df) -> dict:
     }
 
 
+REPS = 3
+
+
+def _timed(spark, fn) -> tuple[float, int]:
+    """min-of-REPS wall clock — this machine shows ±2x single-shot
+    noise on the heavier joins, so one measurement per op recorded
+    47 s for an op whose true cost is ~11 s; the minimum of three is
+    the stable estimator of the code's cost."""
+    best, n = None, None
+    for _ in range(REPS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 2), n
+
+
 def run_tier(spark, docs, emb) -> tuple[dict, dict]:
     times, stats = {}, {}
 
-    t0 = time.perf_counter()
-    n = dedup.near_dup_report(
-        docs, n_hashes=32, bands=8, max_bucket_size=GUARD
-    ).count()
-    times["near_dup_minhash"] = round(time.perf_counter() - t0, 2)
-    stats["near_dup_minhash_pairs"] = n
-    spark.catalog.clearCache()
+    times["near_dup_minhash"], stats["near_dup_minhash_pairs"] = _timed(
+        spark,
+        lambda: dedup.near_dup_report(
+            docs, n_hashes=32, bands=8, max_bucket_size=GUARD
+        ).count(),
+    )
 
-    t0 = time.perf_counter()
-    sigs = dedup.simhash_signature_portable(docs)
-    n = dedup.simhash_pairs(
-        sigs, n_bits=60, radius=4, max_bucket_size=GUARD
-    ).count()
-    times["simhash_pairs"] = round(time.perf_counter() - t0, 2)
-    stats["simhash_pairs"] = n
+    times["simhash_pairs"], stats["simhash_pairs"] = _timed(
+        spark,
+        lambda: dedup.simhash_pairs(
+            dedup.simhash_signature_portable(docs),
+            n_bits=60,
+            radius=4,
+            max_bucket_size=GUARD,
+        ).count(),
+    )
 
-    t0 = time.perf_counter()
-    n = dedup.near_dup_keepers(
-        docs, min_jaccard=0.8, max_bucket_size=GUARD, n_hashes=32, bands=8
-    ).filter(F.col("doc_id") != F.col("keeper_id")).count()
-    times["near_dup_keepers"] = round(time.perf_counter() - t0, 2)
-    stats["near_dup_keepers_losers"] = n
-    spark.catalog.clearCache()
+    times["near_dup_keepers"], stats["near_dup_keepers_losers"] = _timed(
+        spark,
+        lambda: dedup.near_dup_keepers(
+            docs, min_jaccard=0.8, max_bucket_size=GUARD, n_hashes=32, bands=8
+        )
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .count(),
+    )
 
-    t0 = time.perf_counter()
-    n = similarity.ann_lsh_pairs(
-        emb,
-        n_planes=8,
-        dim=64,
-        min_cosine=0.9,
-        persist_buckets=False,
-        max_bucket_size=2 * GUARD,
-    ).count()
-    times["ann_lsh_pairs"] = round(time.perf_counter() - t0, 2)
-    stats["ann_lsh_pairs"] = n
+    times["ann_lsh_pairs"], stats["ann_lsh_pairs"] = _timed(
+        spark,
+        lambda: similarity.ann_lsh_pairs(
+            emb,
+            n_planes=8,
+            dim=64,
+            min_cosine=0.9,
+            persist_buckets=False,
+            max_bucket_size=2 * GUARD,
+        ).count(),
+    )
     return times, stats
 
 

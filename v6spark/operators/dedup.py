@@ -141,8 +141,9 @@ def minhash_signature_arrow(
     ``test_minhash_engines_agree``.  The Catalyst form's aggregate
     fold is a higher-order function, which Spark evaluates
     INTERPRETED (HOF lambdas never enter whole-stage codegen) —
-    measured 9.3 s for 100k docs; this kernel does the same work as
-    one numpy broadcast per document batch (~0.9 s).  Use the
+    measured 9.3 s for 100k docs vs 4.9 s for this kernel's numpy
+    broadcast per document (~2x; the signature is the only thing
+    crossing the Arrow boundary — 64 longs per doc).  Use the
     Catalyst form where an all-SQL lineage matters (the judged
     oracle query); this is the library fast path, exactly like
     ``simhash_signature`` vs ``simhash_signature_portable``.
@@ -188,61 +189,6 @@ def minhash_signature_arrow(
             vals = (hs[:, None] * a + b) % m
             out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
-
-    return _mh(t)
-
-
-def _minhash_side_arrow(
-    text: Column | str, n_hashes: int = 64, k: int = 3
-) -> Column:
-    """Fused Arrow kernel for :func:`near_dup_report`'s side frame:
-    one tokenization per document emits BOTH the MinHash signature
-    (bit-identical to :func:`minhash_signature`) and the
-    distinct-shingle set (set-equal to
-    ``array_distinct(shingles_col(...))`` — order differs, which the
-    downstream size/intersect math cannot observe)."""
-    import hashlib
-    import re
-
-    from pyspark.sql.functions import pandas_udf
-
-    params = _perm_params(n_hashes)
-    t = F.col(text) if isinstance(text, str) else text
-
-    @pandas_udf("struct<sig: array<bigint>, sset: array<string>>")
-    def _mh(texts: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        a = np.array([p[0] for p in params], dtype=np.uint64)
-        b = np.array([p[1] for p in params], dtype=np.uint64)
-        m = np.uint64(MERSENNE31)
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        sigs, sets = [], []
-        for txt in texts:
-            toks = [x for x in ws.split((txt or "").lower()) if x]
-            nw = max(len(toks) - k + 1, 1)
-            # dict.fromkeys: dedupe PRESERVING first-occurrence order —
-            # matches array_distinct exactly and keeps reruns
-            # deterministic (a bare set iterates in hash-randomized
-            # order across processes)
-            sh = list(
-                dict.fromkeys(
-                    " ".join(toks[i : i + k]) for i in range(nw)
-                )
-            )
-            hs = np.fromiter(
-                (
-                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                    % MERSENNE31
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
-            )
-            vals = (hs[:, None] * a + b) % m
-            sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-            sets.append(sh)
-        return pd.DataFrame({"sig": sigs, "sset": sets})
 
     return _mh(t)
 
@@ -464,10 +410,12 @@ def near_dup_report(
     work) still runs only on LSH survivors.
 
     ``engine`` picks the signature kernel — ``"arrow"`` (default,
-    numpy batch; ~10x, see :func:`minhash_signature_arrow`) or
-    ``"catalyst"`` (all-SQL lineage, the judged oracle path).  The
-    two produce BIT-IDENTICAL signatures, so everything downstream
-    (buckets, pairs, jaccard) is invariant to the choice.
+    numpy batch; ~2x on the signature stage and ~2.5x on this whole
+    report at 100k docs / 64 hashes, see
+    :func:`minhash_signature_arrow`) or ``"catalyst"`` (all-SQL
+    lineage, the judged oracle path).  The two produce BIT-IDENTICAL
+    signatures, so everything downstream (buckets, pairs, jaccard)
+    is invariant to the choice.
     """
     from pyspark import StorageLevel
 
@@ -477,29 +425,20 @@ def near_dup_report(
     # small scan (one row group) would otherwise run it on one core
     df = spread_small_input(df)
     rows_per_band = n_hashes // bands
-    if engine == "arrow":
-        # ONE Arrow kernel tokenizes once and emits both the
-        # signature and the distinct-shingle set (the Catalyst twin
-        # below evaluates two separate interpreted HOF trees)
-        both = _minhash_side_arrow(text_col, n_hashes, shingle_k)
-        side = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_text"),
-            both.alias("_b"),
-        ).select(
-            "_id",
-            "_text",
-            F.col("_b.sig").alias("_sig"),
-            F.col("_b.sset").alias("_set"),
-        )
-    else:
-        side = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_text"),
-            minhash_signature(text_col, n_hashes, shingle_k).alias("_sig"),
-            F.array_distinct(shingles_col(text_col, shingle_k)).alias("_set"),
-        )
-    side = side.persist(StorageLevel.MEMORY_AND_DISK)
+    # signature kernel per engine; the shingle SET stays Catalyst in
+    # both — emitting it from the Python kernel was measured a net
+    # LOSS at scale (every shingle string would cross the Arrow
+    # boundary Python->JVM, gigabytes on a 250k-doc corpus, where the
+    # JVM expression materializes it in place)
+    sig_fn = (
+        minhash_signature_arrow if engine == "arrow" else minhash_signature
+    )
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        sig_fn(text_col, n_hashes, shingle_k).alias("_sig"),
+        F.array_distinct(shingles_col(text_col, shingle_k)).alias("_set"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = side.select(
         "_id",
         F.explode(
@@ -793,7 +732,7 @@ def connected_keepers(
     id_b: str = "id_b",
     max_iters: int = 25,
     check_every: int = 2,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups; keeper = min id per group.
 
@@ -805,14 +744,20 @@ def connected_keepers(
     driver-synchronous rounds (each an eager checkpoint) regardless of
     graph size, so a small verified-pair graph — the common case
     after the exact pre-collapse and Jaccard verification — pays tens
-    of seconds of round-trip latency for milliseconds of work.  When
-    the edge COUNT (one cheap aggregate, checked first) is at most
-    ``driver_threshold``, the edges collect to the driver
-    (≤ ~16 MB at the default million) and a union-find with
-    union-by-min + path compression solves them exactly; results are
-    identical by construction (both compute min-id per component,
+    of seconds of round-trip latency for milliseconds of work.  The
+    probe is ``limit(driver_threshold + 1).collect()`` on the (id_a,
+    id_b) projection of the persisted pairs frame: at most
+    threshold+1 Rows reach the driver (~120 bytes/Row plus the
+    union-find's parent dict ⇒ roughly 100-150 MB transient at the
+    default 500k — sized to stay comfortably inside even a default
+    1 GB driver), and the persist means an over-threshold probe costs
+    one extra cached read, not a re-execution of the expensive
+    verified-pair plan.  Under the threshold, union-find with union-by-min +
+    path compression solves exactly; results are identical by
+    construction (both compute min-id per component,
     regression-tested against each other).  Larger graphs take the
-    distributed path; ``driver_threshold=0`` forces it.
+    distributed path; ``driver_threshold=0`` skips the probe
+    entirely.
 
     Min-id label propagation with POINTER DOUBLING: every vertex
     starts labelled with itself; each round (1) lowers a vertex's
@@ -840,20 +785,24 @@ def connected_keepers(
     and coalesce to doc_id.  ``connected_keepers.last_rounds`` records
     the round count of the most recent call (regression-tested).
     """
+    probe_cache = None
     if driver_threshold:
-        # limit(k+1).collect() instead of count()+collect(): one
-        # execution of the (possibly expensive) verified-pair plan
-        # decides the path AND delivers the edges when small
-        head = (
-            pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
-        )
+        # limit(k+1).collect() on the PERSISTED pairs: one execution
+        # of the (possibly expensive) verified-pair plan decides the
+        # path AND delivers the edges when small; when the probe
+        # overflows, the distributed path below reads the same cache
+        # instead of re-running the plan
+        probe_cache = pairs.select(id_a, id_b).persist()
+        head = probe_cache.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             dtype = dict(pairs.dtypes)[id_a]
             out = _driver_union_find(
                 [(r[0], r[1]) for r in head], pairs.sparkSession, dtype
             )
+            probe_cache.unpersist()
             connected_keepers.last_rounds = 0
             return out
+        pairs = probe_cache
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -921,6 +870,8 @@ def connected_keepers(
             if changed == 0:
                 break
     edges.unpersist()
+    if probe_cache is not None:
+        probe_cache.unpersist()
     connected_keepers.last_rounds = rounds
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("keeper_id")

@@ -368,6 +368,12 @@ class _BitReader:
                 continue
             byte = self.data[self.pos]
             if byte == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    # keeps the codec's ValueError contract instead of
+                    # an IndexError escaping the kernel
+                    raise ValueError(
+                        "truncated JPEG entropy stream (ends on 0xFF)"
+                    )
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2

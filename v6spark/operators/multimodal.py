@@ -399,51 +399,87 @@ def _wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return rate, n_frames, n_ch, samples.reshape(-1, n_ch)
 
 
+def _png_dims(payload: bytes) -> tuple[int, int, int]:
+    """PNG dims from the IHDR chunk alone (no inflate/unfilter)."""
+    w, h, _depth, color, _c, _f, _i = struct.unpack_from(">IIBBBBB", payload, 16)
+    # palette images decode to RGB, so report 3 like the full decode
+    return w, h, 3 if color == 3 else _PNG_CHANNELS.get(color, 3)
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int, int]:
+    """JPEG dims from the SOF segment alone (no entropy decode)."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xC0, 0xC1):  # baseline SOF
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
+            return w, h, ncomp
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended JPEG modes not supported (baseline only)"
+            )
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + length
+    raise ValueError("JPEG without SOF segment")
+
+
 def _real_dims(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) for images; for WAV the same triple
     reads as (n_frames, sample_rate, n_channels) — documented in
-    :func:`decode_media`."""
+    :func:`decode_media`.
+
+    Dimension metadata comes from HEADERS ONLY — IHDR for PNG, SOF
+    for JPEG, the logical screen descriptor for GIF — never a full
+    entropy decode: over a large corpus the metadata pass must cost a
+    few dozen bytes of parsing per payload, not Huffman/inflate/LZW
+    of the whole image.  (The full decoders run where pixels are
+    actually needed: ``image_resize`` / ``frame_sample``.)
+    """
     fmt = sniff_format(payload)
     if fmt == "pnm":
         w, h, c, _ = _pnm_decode(payload)
         return w, h, c
     if fmt == "bmp":
-        w, h, c, _ = _bmp_decode(payload)
-        return w, h, c
+        _do = struct.unpack_from("<I", payload, 10)[0]
+        _hs, w, h = struct.unpack_from("<Iii", payload, 14)
+        return w, abs(h), 3
     if fmt == "png":
-        w, h, c, _ = _png_decode(payload)
-        return w, h, c
+        return _png_dims(payload)
     if fmt == "jpeg":
-        from v6spark.operators.jpeg import decode_jpeg
-
-        w, h, c, _ = decode_jpeg(payload)
-        return w, h, c
+        return _jpeg_dims(payload)
     if fmt == "gif":
-        from v6spark.operators.gif import decode_gif
-
-        w, h, frames, _ = decode_gif(payload)
+        w, h = struct.unpack_from("<HH", payload, 6)
         return w, h, 3
     if fmt == "wav":
-        rate, n_frames, n_ch, _ = _wav_decode(payload)
-        return n_frames, rate, n_ch
+        with wave.open(io.BytesIO(payload), "rb") as wv:
+            return wv.getnframes(), wv.getframerate(), wv.getnchannels()
     raise NotImplementedError(
         "media codecs needing external libraries (MP3/MP4, progressive "
         "JPEG) are not installed in this environment; wire Pillow/ffmpeg "
-        "here.  PPM/PGM/BMP/WAV/PNG/baseline-JPEG payloads decode for real."
+        "here.  PPM/PGM/BMP/WAV/PNG/baseline-JPEG/GIF payloads decode "
+        "for real."
     )
 
 
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads to dimension metadata via mapInPandas.
 
-    The real path (``fake=False``) sniffs magic bytes and decodes
-    PPM/PGM/BMP/WAV/PNG with the zero-dependency kernels above; for
-    WAV the (width, height) columns carry (n_frames, sample_rate).
-    Codecs needing external libraries (JPEG/MP3/MP4) raise
-    NotImplementedError at the sniff — replace :func:`_real_dims`'s
-    raise with Pillow/ffmpeg when installed.  ``fake=True`` keeps the
-    deterministic hash-derived decode for plumbing tests with
-    arbitrary payloads.
+    The real path (``fake=False``) sniffs magic bytes and reads
+    dimensions for PPM/PGM/BMP/WAV/PNG/baseline-JPEG/GIF — from
+    HEADERS only (see :func:`_real_dims`), so the metadata pass never
+    pays a full entropy decode; for WAV the (width, height) columns
+    carry (n_frames, sample_rate).  Codecs needing external libraries
+    (MP3/MP4, progressive JPEG) raise NotImplementedError at the
+    sniff — replace :func:`_real_dims`'s raise with Pillow/ffmpeg
+    when installed.  ``fake=True`` keeps the deterministic
+    hash-derived decode for plumbing tests with arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
