@@ -160,6 +160,80 @@ def test_replay_after_commit_is_skipped(spark, tmp_path):
     assert neardedup._read_index(spark, i_dir).count() == 2
 
 
+def test_compact_vacuum_and_post_compaction_replay(spark, tmp_path):
+    """Compaction folds per-epoch directories into one generation with
+    identical committed reads; replayed epochs still skip after their
+    directories are gone; vacuum removes superseded dirs; ingestion
+    continues on top of the generation."""
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    b = {
+        0: [(1, DOC_A), (3, DOC_B)],
+        1: [(5, DOC_A2), (7, "a note about glaciers and moraines")],
+        # (9, 11) measured 60-bit simhash distance: 7 (inside RADIUS)
+        2: [(9, "volcanic soils drain quickly after rainfall events today")],
+    }
+    for bid, rows in b.items():
+        neardedup.batch_near_dedup_step(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i_dir, k_dir, radius=RADIUS, batch_id=bid,
+        )
+    before_kept = {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()}
+    before_idx = {r["doc_id"] for r in neardedup._read_index(spark, i_dir).collect()}
+    assert before_kept == {1, 3, 7, 9}  # 5 lost to indexed 1
+
+    v = neardedup.compact(spark, i_dir, k_dir)
+    assert v is not None
+    _, live, committed = neardedup._read_manifest(spark, i_dir)
+    assert len(live) == 1 and committed == {0, 1, 2}
+    assert {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()} == before_kept
+    assert {r["doc_id"] for r in neardedup._read_index(spark, i_dir).collect()} == before_idx
+
+    # replay of epoch 1 AFTER its directory was folded away: skipped
+    neardedup.batch_near_dedup_step(
+        spark.createDataFrame(b[1], "doc_id long, text string"),
+        i_dir, k_dir, radius=RADIUS, batch_id=1,
+    )
+    assert {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()} == before_kept
+
+    removed = neardedup.vacuum(spark, i_dir, k_dir)
+    assert removed == 6  # 3 superseded epoch dirs per sink
+    assert {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()} == before_kept
+
+    # ingestion continues on top of the generation (near-dup of kept 9)
+    neardedup.batch_near_dedup_step(
+        spark.createDataFrame(
+            [(11, "volcanic soils drain quickly after rainfall events tonight"),
+             (12, "entirely new content about harbor logistics")],
+            "doc_id long, text string",
+        ),
+        i_dir, k_dir, radius=RADIUS, batch_id=3,
+    )
+    kept = {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()}
+    assert kept == before_kept | {12}  # 11 lost to compacted-index 9
+
+
+def test_compact_crash_windows_leave_state_unchanged(spark, tmp_path):
+    """A crash during either compaction write leaves committed reads
+    exactly as they were; the next compaction succeeds."""
+    import pytest
+
+    i_dir, k_dir = str(tmp_path / "i"), str(tmp_path / "k")
+    for bid, doc in enumerate([(1, DOC_A), (3, DOC_B)]):
+        neardedup.batch_near_dedup_step(
+            spark.createDataFrame([doc], "doc_id long, text string"),
+            i_dir, k_dir, radius=RADIUS, batch_id=bid,
+        )
+    before = {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()}
+    for window in ("index", "kept"):
+        with pytest.raises(RuntimeError, match="injected crash"):
+            neardedup.compact(spark, i_dir, k_dir, _fail_after=window)
+        _, live, _ = neardedup._read_manifest(spark, i_dir)
+        assert len(live) == 2  # still the per-epoch dirs
+        assert {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()} == before
+    assert neardedup.compact(spark, i_dir, k_dir) is not None
+    assert {r["doc_id"] for r in neardedup.read_kept(spark, k_dir, i_dir).collect()} == before
+
+
 def test_run_incremental_near_dedup_stream(spark, tmp_path):
     """File-source stream, one file per micro-batch: the cross-batch
     near-dup is dropped against the index, exactly as in batch."""

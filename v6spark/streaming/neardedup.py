@@ -31,21 +31,38 @@ smaller near-neighbour loses" rule — on a chain a<b<c with pairs
 (a,b),(b,c) both b and c drop, the conservative choice for
 training-data dedup (never keeps two near-dups).
 
-Delivery guarantee: EXACTLY-ONCE on committed reads, via a
-manifest commit that spans both sinks.  Each batch writes to its own
-directory — ``kept_dir/batch_id=<n>/`` and ``index_dir/batch_id=<n>/``
-(idempotent ``mode("overwrite")``) — and only then atomically renames
-a marker file into ``index_dir/_commits/batch-<n>``.  One marker
-covers BOTH sinks, so there is no state where the index has a batch
-the kept sink lacks or vice versa.  Crash anywhere before the rename
-leaves uncommitted directories that (1) committed readers
-(:func:`read_kept`, the internal index reader) never see and (2) the
-checkpoint replay overwrites with byte-identical content before
-committing.  Crash after the rename → replay sees the marker and
-skips the batch entirely.  The rename is atomic on HDFS and POSIX
-filesystems; on S3-like stores (no atomic rename) use an ACID table
-(Delta/Iceberg) instead — stated honestly, same trade-off family as
-``run_foreach_batch_upsert``.
+Delivery guarantee: EXACTLY-ONCE on committed reads, via a VERSIONED
+MANIFEST log spanning both sinks (the Delta-log idea at minimum
+viable size).  Each batch writes to its own directory —
+``kept_dir/batch_id=<n>/`` and ``index_dir/batch_id=<n>/``
+(idempotent ``mode("overwrite")``) — then publishes ONE new manifest
+file ``index_dir/_commits/manifest-<v+1>`` whose JSON carries
+
+- ``live``: the batch directories committed readers consult, and
+- ``committed``: every epoch id ever published (so a replayed epoch
+  skips even after compaction has folded its directory away).
+
+A manifest is only ever renamed into a NEW version name (never
+overwritten), so the highest complete manifest IS the atomic commit
+point; one manifest covers BOTH sinks, so there is no state where
+the index has a batch the kept sink lacks or vice versa.  Crash
+anywhere before the rename leaves uncommitted directories that (1)
+committed readers (:func:`read_kept`, the internal index reader)
+never see and (2) the checkpoint replay overwrites with
+byte-identical content before committing.  Crash after the rename →
+replay sees its id in ``committed`` and skips.  Rename-to-new-name
+is atomic on HDFS and POSIX; on S3-like stores (no atomic rename)
+use an ACID table (Delta/Iceberg) instead — stated honestly, same
+trade-off family as ``run_foreach_batch_upsert``.
+
+:func:`compact` folds the accumulated per-epoch directories (the
+classic streaming small-files problem — one directory per
+micro-batch, thousands per day at production trigger rates) into one
+generation directory per sink and publishes a manifest whose
+``live`` list is just that generation; superseded directories stay
+on disk, invisible, until :func:`vacuum` removes everything no live
+manifest references.  A crash mid-compaction leaves only orphan
+generation directories that the next compaction overwrites.
 
 The per-batch index directory doubles as the survivors
 materialization: the kept-sink semi-join re-reads the just-written
@@ -83,41 +100,76 @@ def _jfs(spark: SparkSession, path_str: str):
     return fs, jpath, sc._jvm
 
 
-def committed_batch_ids(spark: SparkSession, index_dir: str) -> set[int]:
-    """Batch ids whose manifest marker exists (both sinks durable)."""
-    fs, jdir, _ = _jfs(spark, f"{index_dir}/{_COMMITS}")
+def _read_manifest(
+    spark: SparkSession, index_dir: str
+) -> tuple[int, list[str], set[int]]:
+    """(version, live dir names, committed epoch ids) from the highest
+    complete manifest; (0, [], set()) before the first commit."""
+    import json
+
+    fs, jdir, jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
     if not fs.exists(jdir):
-        return set()
-    out: set[int] = set()
+        return 0, [], set()
+    best = 0
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
-        if name.startswith("batch-"):
-            out.add(int(name[len("batch-"):]))
-    return out
+        if name.startswith("manifest-"):
+            best = max(best, int(name[len("manifest-"):]))
+    if best == 0:
+        return 0, [], set()
+    path = jvm.org.apache.hadoop.fs.Path(jdir, f"manifest-{best:012d}")
+    stream = fs.open(path)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    doc = json.loads(raw.decode())
+    return best, list(doc["live"]), set(doc["committed"])
 
 
-def _mark_committed(spark: SparkSession, index_dir: str, batch_id: int) -> None:
-    """Atomically publish batch ``batch_id``: create a tmp marker,
-    rename into place.  The rename IS the commit point — atomic on
-    HDFS/POSIX; a failed rename with the final marker already present
-    means a concurrent/replayed commit won, which is equally done."""
+def _publish_manifest(
+    spark: SparkSession,
+    index_dir: str,
+    version: int,
+    live: list[str],
+    committed: set[int],
+) -> None:
+    """Atomically publish manifest ``version``: write a tmp file,
+    rename to the (new, never-overwritten) version name.  The rename
+    IS the commit point."""
+    import json
+
     fs, jdir, jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
     fs.mkdirs(jdir)
-    tmp = jvm.org.apache.hadoop.fs.Path(jdir, f".batch-{batch_id}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(jdir, f"batch-{batch_id}")
-    fs.create(tmp, True).close()
-    if not fs.rename(tmp, final) and not fs.exists(final):
+    payload = json.dumps(
+        {"live": sorted(live), "committed": sorted(committed)}
+    ).encode()
+    tmp = jvm.org.apache.hadoop.fs.Path(jdir, f".manifest-{version:012d}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(jdir, f"manifest-{version:012d}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
         raise IOError(
-            f"commit marker rename failed for batch {batch_id} under {jdir}"
+            f"manifest rename failed for version {version} under {jdir} "
+            "(concurrent writer? the log is single-writer by design)"
         )
+
+
+def committed_batch_ids(spark: SparkSession, index_dir: str) -> set[int]:
+    """Epoch ids the manifest records as durably published (includes
+    epochs whose directories were folded away by :func:`compact`)."""
+    return _read_manifest(spark, index_dir)[2]
 
 
 def _committed_paths(
     spark: SparkSession, data_dir: str, index_dir: str
 ) -> list[str]:
     return [
-        f"{data_dir}/batch_id={i}"
-        for i in sorted(committed_batch_ids(spark, index_dir))
+        f"{data_dir}/{name}"
+        for name in _read_manifest(spark, index_dir)[1]
     ]
 
 
@@ -170,15 +222,17 @@ def batch_near_dedup_step(
     ``batch_id`` is the transaction id (the stream passes its
     checkpointed epoch id; manual backfills may omit it to get
     max(committed)+1 — deterministic only if backfills are serial).
-    A batch whose commit marker already exists is skipped outright —
-    that is the replay-after-commit half of exactly-once.
+    A batch the manifest already records as committed is skipped
+    outright — that is the replay-after-commit half of exactly-once,
+    and it survives :func:`compact` folding the batch's directory
+    away (the ``committed`` list carries forward).
 
     ``_fail_after`` is a crash-injection hook for tests: ``"index"``
     raises after the index write, ``"kept"`` after the kept write
     (i.e. just before the commit marker).
     """
     spark = batch_df.sparkSession
-    committed = committed_batch_ids(spark, index_dir)
+    version, live, committed = _read_manifest(spark, index_dir)
     if batch_id is None:
         batch_id = max(committed, default=-1) + 1
     elif batch_id in committed:
@@ -231,7 +285,91 @@ def batch_near_dedup_step(
     ).parquet(f"{kept_dir}/batch_id={batch_id}")
     if _fail_after == "kept":
         raise RuntimeError("injected crash after kept write")
-    _mark_committed(spark, index_dir, batch_id)
+    _publish_manifest(
+        spark,
+        index_dir,
+        version + 1,
+        [*live, f"batch_id={batch_id}"],
+        committed | {batch_id},
+    )
+
+
+_GEN_OFFSET = 1_000_000_000  # compaction generations; epochs never reach it
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    kept_dir: str,
+    _fail_after: str | None = None,
+) -> int | None:
+    """Fold all live batch directories into one generation per sink.
+
+    Reads the live set of both sinks, writes each union into
+    ``batch_id=<1e9 + v>`` (a generation id above any checkpoint
+    epoch), and publishes a manifest whose ``live`` is just that
+    generation — ``committed`` is carried forward unchanged, so
+    replayed epochs still skip after their directories are folded
+    away.  Returns the new manifest version, or None when there was
+    nothing to compact.  Crash before the publish leaves only orphan
+    generation directories (invisible to readers, overwritten by the
+    next compaction); the old directories become unreferenced only
+    once the new manifest is the highest — :func:`vacuum` deletes
+    them afterwards.
+    """
+    version, live, committed = _read_manifest(spark, index_dir)
+    if len(live) <= 1:
+        return None
+    gen = f"batch_id={_GEN_OFFSET + version + 1}"
+    spark.read.parquet(
+        *[f"{index_dir}/{name}" for name in live]
+    ).write.mode("overwrite").parquet(f"{index_dir}/{gen}")
+    if _fail_after == "index":
+        raise RuntimeError("injected crash after index compaction write")
+    spark.read.parquet(
+        *[f"{kept_dir}/{name}" for name in live]
+    ).write.mode("overwrite").parquet(f"{kept_dir}/{gen}")
+    if _fail_after == "kept":
+        raise RuntimeError("injected crash after kept compaction write")
+    _publish_manifest(spark, index_dir, version + 1, [gen], committed)
+    return version + 1
+
+
+def vacuum(spark: SparkSession, index_dir: str, kept_dir: str) -> int:
+    """Delete batch directories the CURRENT manifest does not
+    reference (superseded by compaction or orphaned by crashes) plus
+    all but the latest manifest file.  Returns directories removed.
+    Safe at any time: the live set is read once and everything it
+    names is kept; a concurrent reader of an OLDER manifest is the
+    one retention trade-off (same as every log-structured table's
+    vacuum) — run it with a grace period at production scale.
+    """
+    version, live, _ = _read_manifest(spark, index_dir)
+    keep = set(live)
+    removed = 0
+    for root in (index_dir, kept_dir):
+        fs, jroot, _jvm = _jfs(spark, root)
+        if not fs.exists(jroot):
+            continue
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch_id=")
+                and name not in keep
+            ):
+                fs.delete(st.getPath(), True)
+                removed += 1
+    fs, jdir, _jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
+    if fs.exists(jdir):
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if (
+                name.startswith("manifest-")
+                and int(name[len("manifest-"):]) < version
+            ):
+                fs.delete(st.getPath(), False)
+    return removed
 
 
 def run_incremental_near_dedup(
@@ -248,10 +386,11 @@ def run_incremental_near_dedup(
     """Drain a (finite) document stream through incremental near-dedup.
 
     availableNow trigger + checkpoint; the foreachBatch epoch id is
-    the manifest transaction id, so a replayed epoch either skips (its
-    marker exists) or deterministically overwrites its own directories
-    before committing — exactly-once on committed reads (see the
-    module docstring for the filesystem caveat).
+    the manifest transaction id, so a replayed epoch either skips
+    (the manifest records it committed) or deterministically
+    overwrites its own directories before committing — exactly-once
+    on committed reads (see the module docstring for the filesystem
+    caveat).
     """
 
     def step(batch_df: DataFrame, batch_epoch_id: int) -> None:
