@@ -112,3 +112,80 @@ def test_kmeans_improves_quantization(spark, emb):
     # determinism: same inputs -> identical centroids
     again = kmeans_centroids(emb, n_cells=8, n_iters=3)
     assert trained == again
+
+
+def test_kmeans_parallel_init_beats_lowest_id(spark, emb):
+    """Deterministic k-means||: better (or equal) starting distortion
+    than lowest-id seeding with the same downstream Lloyd, and
+    repartition-invariant (the sampling coin is a seeded id hash, not
+    partition-dependent RNG)."""
+    from pyspark.sql import functions as F
+    from v6spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_parallel_init,
+    )
+
+    def total_distortion(centroids):
+        assigned = ivf_assign_cells(emb, centroids)
+        cells = []
+        for idx, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            dist = F.aggregate(
+                F.zip_with(F.col("embedding"), cvec,
+                           lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            cells.append(F.struct(dist.alias("dist"), F.lit(idx).alias("cell")))
+        best = F.array_min(F.array(*cells))
+        return assigned.select(best["dist"].alias("d")).agg(F.sum("d")).collect()[0][0]
+
+    par = kmeans_parallel_init(emb, n_cells=8)
+    assert len(par) == 8
+    low = deterministic_centroids(emb, n_cells=8)
+    assert total_distortion(par) <= total_distortion(low)
+    # repartition invariance (determinism contract)
+    assert kmeans_parallel_init(emb.repartition(7), n_cells=8) == par
+
+
+def test_kmeans_parallel_init_escapes_bad_local_optimum(spark):
+    """On clustered data the init is decisive: lowest-id seeding puts
+    every seed in whichever blob owns the low ids and Lloyd cannot
+    split distant blobs apart; k-means|| samples proportional to
+    squared distance, covers the blobs, and lands a strictly better
+    trained quantizer.  (On unstructured embeddings the two train to
+    comparable distortion — this is the case that separates them.)"""
+    import math
+
+    from pyspark.sql import functions as F
+    from v6spark.operators.similarity import kmeans_centroids
+
+    # 4 tight blobs far apart in 8-d; ids ordered so the lowest ids
+    # all sit inside blob 0
+    rows = []
+    for b in range(4):
+        center = [100.0 * b * math.cos(b), 100.0 * b, 10.0 * b, -50.0 * b,
+                  25.0 * b, 0.0, 5.0 * b, -b * 12.0]
+        for i in range(30):
+            rows.append(
+                (b * 30 + i,
+                 [c + ((i * 7 + d * 3) % 11 - 5) * 0.1
+                  for d, c in enumerate(center)])
+            )
+    blobs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def distortion(centroids):
+        cells = []
+        for idx, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            dist = F.aggregate(
+                F.zip_with(F.col("embedding"), cvec,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            cells.append(F.struct(dist.alias("dist"), F.lit(idx).alias("cell")))
+        best = F.array_min(F.array(*cells))
+        return blobs.select(best["dist"].alias("d")).agg(F.sum("d")).collect()[0][0]
+
+    t_par = kmeans_centroids(blobs, n_cells=4, n_iters=3, init="parallel")
+    t_low = kmeans_centroids(blobs, n_cells=4, n_iters=3, init="lowest_id")
+    d_par, d_low = distortion(t_par), distortion(t_low)
+    # parallel init must be dramatically better, not marginally
+    assert d_par < d_low / 10, (d_par, d_low)

@@ -279,9 +279,11 @@ def deterministic_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Coarse quantizer without an iterative trainer: the n_cells
-    lowest-id vectors serve as seeds (deterministic, library-free).
-    A production build would run k-means (Spark MLlib) here; every
-    downstream step is identical either way.
+    lowest-id vectors serve as seeds (deterministic, library-free) —
+    the simplest baseline, kept for tests and as
+    ``kmeans_centroids(init="lowest_id")``.  The production-grade
+    init is :func:`kmeans_parallel_init` (deterministic k-means||);
+    every downstream step is identical either way.
     """
     rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     return [[float(x) for x in r[vec_col]] for r in rows]
@@ -315,17 +317,144 @@ def ann_ivf_topk(
     )
 
 
+def _min_sq_dist(vec_col: str, centers: list[list[float]]):
+    """Squared L2 distance to the NEAREST of ``centers`` (Catalyst)."""
+    dists = []
+    for c in centers:
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    cvec,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.least(*dists) if len(dists) > 1 else dists[0]
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    rounds: int = 3,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic k-means|| (scalable k-means++) initialization.
+
+    The production init for a distributed quantizer (Bahmani et al.,
+    VLDB'12 — what MLlib uses): instead of k sequential k-means++
+    passes over the corpus, a few ROUNDS each sample ~``oversample``
+    points with probability proportional to their squared distance
+    from the centers chosen so far, then the oversampled candidate
+    set is reduced to ``n_cells`` on the driver.
+
+    Determinism contract (this engine's rule — no RNG at plan time):
+    the per-row coin flip is a seeded ``xxhash64(id, round)`` mapped
+    to [0,1) — repartition/retry-invariant exactly like
+    ``sampling.hash_sample`` — and the driver-side reduction is the
+    weighted farthest-point traversal (greedy k-center) followed by
+    weighted Lloyd on the candidates, both order-deterministic.  Two
+    builds of the same corpus yield bit-identical centers.
+
+    Scale shape: each round is one narrow scan computing min-distance
+    to the current centers (Catalyst fold, no shuffle) plus one
+    driver-sized candidate collect (≤ ~4x oversample rows); the final
+    weighting pass is one ``ivf_assign_cells`` + count per cell.  No
+    vectors shuffle, ever.
+    """
+    oversample = oversample or 2 * n_cells
+    first = df.orderBy(id_col).limit(1).select(vec_col).collect()
+    if not first:
+        return []
+    centers = [[float(x) for x in first[0][vec_col]]]
+    for r in range(rounds):
+        d2 = _min_sq_dist(vec_col, centers)
+        total = df.agg(F.sum(d2)).collect()[0][0]
+        if not total or total <= 0:
+            break  # every point coincides with a center already
+        u = (
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed + r)),
+                F.lit(1_000_000),
+            ).cast("double")
+            / 1_000_000.0
+        )
+        cand = (
+            df.filter(
+                u < d2 * F.lit(float(oversample)) / F.lit(float(total))
+            )
+            .orderBy(id_col)
+            .limit(4 * oversample)  # tail guard: expectation is ~oversample
+            .select(vec_col)
+            .collect()
+        )
+        centers.extend([[float(x) for x in row[vec_col]] for row in cand])
+    if len(centers) <= n_cells:
+        # tiny/degenerate corpora: pad from lowest-id vectors
+        pad = deterministic_centroids(df, n_cells, id_col, vec_col)
+        seen = {tuple(c) for c in centers}
+        centers.extend(c for c in pad if tuple(c) not in seen)
+        return centers[:n_cells]
+    # weight candidates by how many corpus points they own
+    counts = (
+        ivf_assign_cells(df, centers, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    import numpy as np
+
+    cand_arr = np.array(centers)
+    w = np.zeros(len(centers))
+    for row in counts:
+        w[row["cell"]] = row["w"]
+    # greedy weighted k-center traversal (deterministic): start from
+    # the heaviest candidate, then repeatedly take the candidate with
+    # max weighted squared distance to the chosen set
+    chosen = [int(np.argmax(w))]
+    d = ((cand_arr - cand_arr[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < n_cells:
+        nxt = int(np.argmax(w * d))
+        chosen.append(nxt)
+        d = np.minimum(d, ((cand_arr - cand_arr[nxt]) ** 2).sum(axis=1))
+    centers_np = cand_arr[chosen].copy()
+    # weighted Lloyd on the candidate set (driver-sized, deterministic)
+    for _ in range(5):
+        dist = ((cand_arr[:, None, :] - centers_np[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        assign = dist.argmin(axis=1)
+        for j in range(n_cells):
+            mask = assign == j
+            tw = w[mask].sum()
+            if tw > 0:
+                centers_np[j] = (cand_arr[mask] * w[mask, None]).sum(
+                    axis=0
+                ) / tw
+    return [[float(x) for x in c] for c in centers_np]
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_cells: int = 16,
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "parallel",
 ) -> list[list[float]]:
     """Lloyd's k-means for the IVF coarse quantizer — DataFrame-native.
 
-    Deterministic: seeds from ``deterministic_centroids`` (lowest-id
-    vectors) and a FIXED iteration count, so index builds are
+    Deterministic: seeds from :func:`kmeans_parallel_init`
+    (``init="parallel"``, the default — deterministic k-means||) or
+    ``deterministic_centroids`` (``init="lowest_id"``, the r3
+    baseline) and a FIXED iteration count, so index builds are
     reproducible run-to-run (no RNG, no convergence-threshold
     nondeterminism).  Each iteration is one Spark job: assign cells
     (Catalyst argmin, operators above) then recompute centroids as
@@ -335,7 +464,12 @@ def kmeans_centroids(
 
     Empty cells keep their previous centroid (standard Lloyd fix-up).
     """
-    centroids = deterministic_centroids(df, n_cells, id_col, vec_col)
+    if init == "parallel":
+        centroids = kmeans_parallel_init(df, n_cells, id_col, vec_col)
+    elif init == "lowest_id":
+        centroids = deterministic_centroids(df, n_cells, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown init: {init!r} (parallel, lowest_id)")
     dim = len(centroids[0]) if centroids else 0
     for _ in range(n_iters):
         assigned = ivf_assign_cells(df, centroids, id_col, vec_col)

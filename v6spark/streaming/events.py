@@ -171,20 +171,28 @@ def run_foreach_batch_upsert(
     deployment the target would be an ACID table (Delta/Iceberg
     MERGE); plain parquet here keeps the container dependency-free
     while exercising the identical streaming plumbing.
+
+    Filesystem operations go through the Hadoop FileSystem API — the
+    same filesystem Spark writes (HDFS/S3/local), never driver-local
+    ``os.path``/``shutil``, which would silently report 'absent'
+    forever on a remote store (the lesson
+    ``streaming/neardedup.py::_jfs`` documents); renames are atomic
+    on HDFS/POSIX, S3-like stores need an ACID table.
     """
-    import os
-    import shutil
+    from v6spark.streaming.neardedup import _jfs
 
     def upsert(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([key])
-        old = target_dir + ".old"
-        if os.path.exists(old):  # crash between rename-aside and swap-in
-            if not os.path.exists(target_dir):
-                os.rename(old, target_dir)
+        fs, jtarget, jvm = _jfs(spark, target_dir)
+        jold = jvm.org.apache.hadoop.fs.Path(target_dir + ".old")
+        jstaging = jvm.org.apache.hadoop.fs.Path(target_dir + ".staging")
+        if fs.exists(jold):  # crash between rename-aside and swap-in
+            if not fs.exists(jtarget):
+                fs.rename(jold, jtarget)
             else:
-                shutil.rmtree(old)
-        if os.path.exists(target_dir):
+                fs.delete(jold, True)
+        if fs.exists(jtarget):
             current = spark.read.parquet(target_dir)
             merged = (
                 current.join(batch.select(key), key, "left_anti")
@@ -192,17 +200,16 @@ def run_foreach_batch_upsert(
             )
         else:
             merged = batch
-        # stage, rename the live target ASIDE (never rmtree it before
+        # stage, rename the live target ASIDE (never delete it before
         # the new data is in place), swap in, then drop the old copy —
         # a crash at any point leaves either the old or the new target
         # recoverable, so the docstring's replay-idempotence holds
-        staging = target_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(target_dir):
-            os.rename(target_dir, old)
-        os.rename(staging, target_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        merged.write.mode("overwrite").parquet(target_dir + ".staging")
+        if fs.exists(jtarget):
+            fs.rename(jtarget, jold)
+        fs.rename(jstaging, jtarget)
+        if fs.exists(jold):
+            fs.delete(jold, True)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)
