@@ -1,15 +1,22 @@
-"""Baseline JPEG (ITU-T T.81) codec, numpy + stdlib only.
+"""Baseline + progressive JPEG (ITU-T T.81) codec, numpy + stdlib only.
 
-Clears the last compressed-image gap in the multimodal tier without
-any external dependency: ``decode_jpeg`` handles baseline sequential
-DCT JFIF files — 8-bit precision, grayscale or YCbCr, any sampling
-factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers — and
-``encode_jpeg`` emits spec-compliant 4:4:4 baseline files for test
-fixtures and round-trip goldens.
+Clears the compressed-image gap in the multimodal tier without any
+external dependency: ``decode_jpeg`` handles baseline sequential DCT
+(SOF0/1, single- or multi-scan) AND progressive DCT (SOF2 —
+spectral-selection bands, successive approximation for DC and AC,
+EOBn runs of any length, non-interleaved AC scans over the
+component's own ceil(dim/8) block grid) — 8-bit precision, grayscale
+or YCbCr, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+restart markers in every scan kind.  ``encode_jpeg`` emits
+spec-compliant baseline files and ``encode_jpeg_progressive`` emits
+a libjpeg-shaped 6/14-scan progressive script, both for test
+fixtures and round-trip goldens (progressive decodes bit-identical
+to baseline of the same image, since the quantized coefficients are
+shared).
 
-Honesty about scope: progressive JPEG, arithmetic coding, 12-bit
-precision and CMYK raise ``NotImplementedError`` — stated at the
-parse site, exactly like the remaining MP3/MP4 stubs in
+Honesty about scope: arithmetic coding, hierarchical/lossless modes,
+12-bit precision and CMYK raise ``NotImplementedError`` — stated at
+the parse site, exactly like the remaining MP3/MP4 stubs in
 ``multimodal.py``.
 
 Correctness posture: the decoder is fully TABLE-DRIVEN — quantization
@@ -217,34 +224,9 @@ def encode_jpeg(
     layout; exercises the decoder's resync path).  The 8x8 forward
     DCTs run as two matmuls over each component's whole block batch.
     """
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ncomp = img.shape
-    if ncomp not in (1, 3):
-        raise ValueError("encode_jpeg expects gray or RGB input")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    imgf = img.astype(np.float64)
-    if ncomp == 3:
-        r, g, b = imgf[..., 0], imgf[..., 1], imgf[..., 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
-    else:
-        planes = [imgf[..., 0]]
-        subsampling = "444"  # sampling factors are moot for 1 component
-
-    sub = subsampling == "420" and ncomp == 3
-    # (h_factor, v_factor) per component
-    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
-    hmax = max(f[0] for f in factors[:ncomp])
-    vmax = max(f[1] for f in factors[:ncomp])
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    qt = [_scaled_table(_Q_LUMA, quality), _scaled_table(_Q_CHROMA, quality)]
+    h, w, ncomp, factors, mcus_x, mcus_y, qt, comp_grids = _quantized_grids(
+        img, quality, subsampling
+    )
     dc_codes = [
         _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
         _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
@@ -253,35 +235,6 @@ def encode_jpeg(
         _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
         _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
     ]
-
-    # per-component 2D grid of zigzagged quantized blocks
-    comp_grids = []
-    for ci in range(ncomp):
-        plane = planes[ci]
-        hf, vf = factors[ci]
-        if sub and ci > 0:
-            # 2x2 box filter; pad odd dims by edge first
-            p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
-            plane = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-        rows, cols = mcus_y * 8 * vf, mcus_x * 8 * hf
-        padded = np.pad(
-            plane,
-            ((0, rows - plane.shape[0]), (0, cols - plane.shape[1])),
-            mode="edge",
-        )
-        brows, bcols = rows // 8, cols // 8
-        blocks = (
-            padded.reshape(brows, 8, bcols, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-            - 128.0
-        )
-        coefs = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
-        q = qt[0 if ci == 0 else 1].astype(np.float64)
-        zz = np.round(coefs / q).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG]
-        comp_grids.append(zz.reshape(brows, bcols, 64))
 
     bw_writer = _BitWriter()
     prev_dc = [0] * ncomp
@@ -311,14 +264,105 @@ def encode_jpeg(
     bw_writer.flush()
     entropy += bw_writer.out
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    out = _emit_headers(h, w, ncomp, factors, qt, restart_interval, 0xFFC0)
+    scan_spec = b"".join(
+        bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
+    )
+    out += _seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
+
+def _quantized_grids(
+    img: np.ndarray, quality: int, subsampling: str
+) -> tuple[int, int, int, list, int, int, list, list]:
+    """Shared encoder front half (baseline AND progressive): color
+    transform, chroma subsampling, block split, batched forward DCT,
+    quantization.  Returns ``(h, w, ncomp, factors, mcus_x, mcus_y,
+    qt, comp_grids)`` where ``comp_grids[ci]`` is a ``(block_rows,
+    block_cols, 64)`` int32 array of zigzag-ordered quantized
+    coefficients padded to the interleaved-MCU grid."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ncomp = img.shape
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg expects gray or RGB input")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    imgf = img.astype(np.float64)
+    if ncomp == 3:
+        r, g, b = imgf[..., 0], imgf[..., 1], imgf[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+    else:
+        planes = [imgf[..., 0]]
+        subsampling = "444"  # sampling factors are moot for 1 component
+
+    sub = subsampling == "420" and ncomp == 3
+    # (h_factor, v_factor) per component
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+    hmax = max(f[0] for f in factors[:ncomp])
+    vmax = max(f[1] for f in factors[:ncomp])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    qt = [_scaled_table(_Q_LUMA, quality), _scaled_table(_Q_CHROMA, quality)]
+
+    # per-component 2D grid of zigzagged quantized blocks
+    comp_grids = []
+    for ci in range(ncomp):
+        plane = planes[ci]
+        hf, vf = factors[ci]
+        if sub and ci > 0:
+            # 2x2 box filter; pad odd dims by edge first
+            p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+            plane = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+        rows, cols = mcus_y * 8 * vf, mcus_x * 8 * hf
+        padded = np.pad(
+            plane,
+            ((0, rows - plane.shape[0]), (0, cols - plane.shape[1])),
+            mode="edge",
+        )
+        brows, bcols = rows // 8, cols // 8
+        blocks = (
+            padded.reshape(brows, 8, bcols, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128.0
+        )
+        coefs = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
+        q = qt[0 if ci == 0 else 1].astype(np.float64)
+        zz = np.round(coefs / q).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG]
+        comp_grids.append(zz.reshape(brows, bcols, 64))
+    return h, w, ncomp, factors, mcus_x, mcus_y, qt, comp_grids
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _emit_headers(
+    h: int,
+    w: int,
+    ncomp: int,
+    factors: list,
+    qt: list,
+    restart_interval: int,
+    sof_marker: int,
+) -> bytearray:
+    """SOI..DRI header segments shared by the baseline (SOF0) and
+    progressive (SOF2) encoders: JFIF APP0, DQT, SOF, DHT, DRI."""
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti in range(2 if ncomp == 3 else 1):
         zz_tbl = qt[ti].reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
-        out += seg(0xFFDB, bytes([ti]) + zz_tbl)
+        out += _seg(0xFFDB, bytes([ti]) + zz_tbl)
     comp_spec = b"".join(
         bytes(
             [cid + 1, (factors[cid][0] << 4) | factors[cid][1],
@@ -326,7 +370,7 @@ def encode_jpeg(
         )
         for cid in range(ncomp)
     )
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
     huff = [
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -337,14 +381,225 @@ def encode_jpeg(
             (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
         ]
     for tc_th, bits, vals in huff:
-        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+        out += _seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    scan_spec = b"".join(
-        bytes([cid + 1, 0x00 if cid == 0 else 0x11]) for cid in range(ncomp)
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def _comp_block_cover(h: int, w: int, factors: list, ci: int) -> tuple[int, int]:
+    """Non-interleaved scan coverage for component ``ci``:
+    ``ceil(comp_dim / 8)`` blocks per axis (T.81 A.2.2 — NOT padded to
+    the interleaved-MCU boundary)."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    cw = -(-w * factors[ci][0] // hmax)
+    ch = -(-h * factors[ci][1] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+class _ScanWriter:
+    """Per-scan entropy emitter with DRI/RSTn support.
+    ``maybe_restart`` (called BEFORE each MCU, so no trailing RSTn
+    after the last one) flushes + emits a restart marker every
+    ``interval`` MCUs; the caller resets its DC predictors when it
+    returns True.  ``block_done`` advances the MCU counter."""
+
+    def __init__(self, interval: int) -> None:
+        self.interval = interval
+        self.bw = _BitWriter()
+        self.entropy = bytearray()
+        self.rst = 0
+        self.mcus = 0
+
+    def maybe_restart(self) -> bool:
+        if self.interval and self.mcus and self.mcus % self.interval == 0:
+            self.bw.flush()
+            self.entropy += self.bw.out
+            self.entropy += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.bw = _BitWriter()
+            return True
+        return False
+
+    def block_done(self) -> None:
+        self.mcus += 1
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.entropy += self.bw.out
+        return bytes(self.entropy)
+
+
+def _emit_ac_first(bw: _BitWriter, zz, ss: int, se: int, al: int, ac_codes) -> None:
+    """One block of an AC spectral-selection first scan (Ah=0): the
+    band's coefficients at precision ``>> al``, EOB emitted per block
+    (EOBRUN kept at 1 so the Annex-K tables suffice — no EOBn>0
+    symbols; the decoder handles arbitrary EOBn from other encoders)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        v2 = mag if v > 0 else -mag
+        s = _category(v2)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(_amplitude(v2, s), s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw: _BitWriter, zz, ss: int, se: int, al: int, ac_codes) -> None:
+    """One block of an AC successive-approximation refinement scan
+    (Ah = al+1): newly-significant coefficients emit (run,1)+sign,
+    previously-significant ones contribute buffered correction bits
+    that trail each emitted symbol — mirror image of the decoder's
+    advance loop in :func:`_ac_refine_block`."""
+    mags = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the last NEWLY-significant coefficient
+    for i, m in enumerate(mags):
+        if m == 1:
+            eob = ss + i
+    pending: list[int] = []  # correction bits awaiting a symbol
+    run = 0
+    for k in range(ss, se + 1):
+        mag = mags[k - ss]
+        if mag == 0:
+            run += 1
+            continue
+        # ZRLs are due at EVERY nonzero-magnitude coefficient (the
+        # previously-significant ones too — their correction bit must
+        # trail the ZRL, not precede the next symbol), but only inside
+        # the EOB span: zeros past it fold into the EOB symbol.
+        while run > 15 and k <= eob:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if mag > 1:  # significant in an earlier scan: correction bit
+            pending.append(mag & 1)
+            continue
+        # newly significant (|coef| >> al == 1)
+        code, ln = ac_codes[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac_codes[0x00]  # EOB; trailing corrections follow it
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF from an HxW (gray) or HxWx3 RGB array.
+
+    Same quantized coefficients as :func:`encode_jpeg` (shared
+    :func:`_quantized_grids` front half), re-ordered into the
+    spectral-selection + successive-approximation scan script
+    (libjpeg's default shape):
+
+    1. DC first, interleaved, Al=1
+    2. AC 1-5 first, Al=2 (per component)
+    3. AC 6-63 first, Al=2 (per component)
+    4. AC 1-63 refine, Ah=2 Al=1 (per component)
+    5. AC 1-63 refine, Ah=1 Al=0 (per component)
+    6. DC refine, interleaved, Ah=1 Al=0
+
+    Because every coefficient bit is eventually emitted, decoding a
+    progressive payload is bit-identical to decoding the baseline
+    encoding of the same image — the round-trip golden the tests pin.
+    EOB runs are kept at 1 so the Annex-K AC tables apply unchanged.
+    """
+    h, w, ncomp, factors, mcus_x, mcus_y, qt, comp_grids = _quantized_grids(
+        img, quality, subsampling
     )
-    out += seg(0xFFDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
-    out += entropy
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    out = _emit_headers(h, w, ncomp, factors, qt, restart_interval, 0xFFC2)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        sw = _ScanWriter(restart_interval)
+        prev = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if sw.maybe_restart():
+                    prev = [0] * ncomp
+                for ci in range(ncomp):
+                    hf, vf = factors[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            dc = int(comp_grids[ci][my * vf + by, mx * hf + bx][0])
+                            if ah == 0:
+                                val = dc >> al  # arithmetic shift per F.1.4.1
+                                diff = val - prev[ci]
+                                prev[ci] = val
+                                s = _category(diff)
+                                code, ln = dc_codes[0 if ci == 0 else 1][s]
+                                sw.bw.write(code, ln)
+                                if s:
+                                    sw.bw.write(_amplitude(diff, s), s)
+                            else:
+                                sw.bw.write((dc >> al) & 1, 1)
+                sw.block_done()
+        return sw.finish()
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        sw = _ScanWriter(restart_interval)
+        nbr, nbc = _comp_block_cover(h, w, factors, ci)
+        codes = ac_codes[0 if ci == 0 else 1]
+        for by in range(nbr):
+            for bx in range(nbc):
+                sw.maybe_restart()
+                zz = comp_grids[ci][by, bx]
+                if ah == 0:
+                    _emit_ac_first(sw.bw, zz, ss, se, al, codes)
+                else:
+                    _emit_ac_refine(sw.bw, zz, ss, se, al, codes)
+                sw.block_done()
+        return sw.finish()
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        spec = b"".join(
+            bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+            for ci in comp_ids
+        )
+        return _seg(
+            0xFFDA,
+            bytes([len(comp_ids)]) + spec + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    all_comps = list(range(ncomp))
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(ncomp):
+            out += sos([ci], ss, se, ah, al) + ac_scan(ci, ss, se, ah, al)
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -457,7 +712,13 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Baseline JFIF -> (w, h, c, HxWxC uint8).  Fully table-driven."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF -> (w, h, c,
+    HxWxC uint8).  Fully table-driven; scans accumulate into
+    per-component coefficient grids and a single shared batched-IDCT
+    reconstruction runs at EOI.  Multi-scan baseline (one component
+    per scan) and arbitrary EOBn runs from third-party progressive
+    encoders are handled; arithmetic coding / hierarchical / lossless
+    / 12-bit modes raise ``NotImplementedError`` honestly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -465,6 +726,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     dc_tables: dict[int, _HuffLookup] = {}
     ac_tables: dict[int, _HuffLookup] = {}
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -501,7 +764,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     bits, vals
                 )
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -512,10 +776,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG modes not supported (baseline only)"
+                "lossless/hierarchical/arithmetic JPEG modes not supported "
+                "(baseline + progressive DCT only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -528,72 +793,314 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                payload, pos + 2 + length, frame, scan, qt,
-                dc_tables, ac_tables, restart_interval,
-            )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            if progressive:
+                pos = _scan_progressive(
+                    payload, pos + 2 + length, frame, scan, coefs,
+                    dc_tables, ac_tables, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
+            else:
+                pos = _scan_baseline(
+                    payload, pos + 2 + length, frame, scan, coefs,
+                    dc_tables, ac_tables, restart_interval,
+                )
+            continue
         pos += 2 + length
-    raise ValueError("no scan data found")
+    if frame is None or coefs is None:
+        raise ValueError("no scan data found")
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(
-    data, pos, frame, scan, qt, dc_tables, ac_tables, restart_interval
-):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"])) for c, _, _ in scan
+def _frame_geometry(frame) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcus_x, mcus_y) over ALL frame components."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """One zigzag-order int32 coefficient grid per frame component,
+    padded to the interleaved-MCU boundary (non-interleaved scans
+    cover only the top-left ceil(dim/8) sub-grid — T.81 A.2.2)."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
     ]
+
+
+def _comp_cover(frame, comp) -> tuple[int, int]:
+    """Block coverage of a NON-interleaved scan of ``comp``."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_segment_pos(data: bytes, reader: "_BitReader") -> int:
+    """After a decoded scan: skip pad bits / stray RSTn and return
+    the offset of the next marker segment (or EOF)."""
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _scan_baseline(
+    data, pos, frame, scan, coefs, dc_tables, ac_tables, restart_interval
+) -> int:
+    """One sequential-DCT scan (interleaved if ns>1, else the
+    component's own non-padded block grid) into the coefficient
+    grids; returns the offset of the next marker segment."""
     reader = _BitReader(data, pos)
+    comp_idx = [frame["comps"].index(comp) for comp, _, _ in scan]
     prev_dc = [0] * len(scan)
+
+    def decode_block(ci, td, ta, zz) -> None:
+        s = dc_tables[td].decode(reader)
+        diff = _extend(reader.read(s), s)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = ac_tables[ta].decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.read(s), s)
+            k += 1
+
     mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                reader.resync()
-                prev_dc = [0] * len(scan)
-            for ci, (comp, td, ta) in enumerate(scan):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = dc_tables[td].decode(reader)
-                        diff = _extend(reader.read(s), s)
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tables[ta].decode(reader)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.read(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qt[comp["tq"]].reshape(64)[_ZIGZAG]
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_index += 1
-    # upsample to full resolution, crop, color-convert
+    if len(scan) > 1:
+        _, _, mcus_x, mcus_y = _frame_geometry(frame)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    reader.resync()
+                    prev_dc = [0] * len(scan)
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = coefs[comp_idx[ci]][
+                                my * comp["v"] + by, mx * comp["h"] + bx
+                            ]
+                            decode_block(ci, td, ta, zz)
+                mcu_index += 1
+    else:
+        comp, td, ta = scan[0]
+        nbr, nbc = _comp_cover(frame, comp)
+        for by in range(nbr):
+            for bx in range(nbc):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    reader.resync()
+                    prev_dc = [0]
+                decode_block(0, td, ta, coefs[comp_idx[0]][by, bx])
+                mcu_index += 1
+    return _next_segment_pos(data, reader)
+
+
+def _ac_first_block(reader, ac, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan (Ah=0), one block; returns the
+    updated EOB run (count of following all-zero-band blocks)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: run of 2^r - 1 + ext further blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement scan (Ah=al+1), one block: newly
+    significant coefficients arrive as (run,1)+sign symbols whose
+    advance loop skips zero-HISTORY positions while reading inline
+    correction bits at already-significant ones (T.81 G.1.2.3)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                newval = p1 if reader.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read(r)
+                break  # remaining positions handled by the EOB branch
+            # advance over r zero-history coefficients, correcting
+            # already-significant ones passed along the way
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_progressive(
+    data, pos, frame, scan, coefs, dc_tables, ac_tables,
+    restart_interval, ss, se, ah, al,
+) -> int:
+    """One progressive scan (DC interleaved/single, or AC
+    non-interleaved band) into the coefficient grids; returns the
+    offset of the next marker segment."""
+    reader = _BitReader(data, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        comp_idx = [frame["comps"].index(comp) for comp, _, _ in scan]
+        prev_dc = [0] * len(scan)
+        _, _, mcus_x, mcus_y = _frame_geometry(frame)
+
+        def dc_block(ci, td, zz) -> None:
+            if ah == 0:
+                s = dc_tables[td].decode(reader)
+                prev_dc[ci] += _extend(reader.read(s), s)
+                zz[0] = prev_dc[ci] << al
+            elif reader.read(1):
+                zz[0] |= 1 << al  # two's-complement OR works for <0 too
+
+        mcu_index = 0
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_index
+                        and mcu_index % restart_interval == 0
+                    ):
+                        reader.resync()
+                        prev_dc = [0] * len(scan)
+                    for ci, (comp, td, _ta) in enumerate(scan):
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                zz = coefs[comp_idx[ci]][
+                                    my * comp["v"] + by, mx * comp["h"] + bx
+                                ]
+                                dc_block(ci, td, zz)
+                    mcu_index += 1
+        else:
+            comp, td, _ta = scan[0]
+            nbr, nbc = _comp_cover(frame, comp)
+            for by in range(nbr):
+                for bx in range(nbc):
+                    if (
+                        restart_interval
+                        and mcu_index
+                        and mcu_index % restart_interval == 0
+                    ):
+                        reader.resync()
+                        prev_dc = [0]
+                    dc_block(0, td, coefs[comp_idx[0]][by, bx])
+                    mcu_index += 1
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        comp, _td, ta = scan[0]
+        ac = ac_tables[ta]
+        grid = coefs[frame["comps"].index(comp)]
+        nbr, nbc = _comp_cover(frame, comp)
+        eobrun = 0
+        mcu_index = 0
+        for by in range(nbr):
+            for bx in range(nbc):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    reader.resync()
+                    eobrun = 0
+                zz = grid[by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, ac, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, ac, zz, ss, se, al, eobrun)
+                mcu_index += 1
+    return _next_segment_pos(data, reader)
+
+
+def _reconstruct(frame, coefs, qt) -> tuple[int, int, int, np.ndarray]:
+    """Dequantize + batched IDCT (one einsum per component, every
+    block at once) + upsample + crop + color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
     full = []
-    for ci, (comp, _, _) in enumerate(scan):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], 0), hmax // comp["h"], 1)
-        full.append(p[:h, :w])
+    for ci, comp in enumerate(frame["comps"]):
+        grid = coefs[ci]
+        brows, bcols = grid.shape[:2]
+        q = qt[comp["tq"]].reshape(64)[_ZIGZAG].astype(np.float64)
+        dq = grid.reshape(-1, 64).astype(np.float64) * q
+        nat = np.zeros_like(dq)
+        nat[:, _ZIGZAG] = dq
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("kn,bkl,lm->bnm", _C, blocks, _C) + 128.0
+        plane = (
+            pix.reshape(brows, bcols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(brows * 8, bcols * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // comp["v"], 0), hmax // comp["h"], 1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 3:
         y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
         rgb = np.stack(

@@ -6,18 +6,20 @@ is ``mapInPandas`` — Arrow-batched, schema-declared, partition-
 parallel.
 
 Codec posture, honestly stated: codecs needing external libraries
-(MP3/MP4 — ffmpeg/torchaudio; progressive JPEG) are NOT installed in
-this environment, so those payloads raise NotImplementedError at the
-marked lines.  Everything else decodes for REAL, zero external
-dependencies: PPM/PGM (header parse + ``np.frombuffer``), BMP
-(BITMAPINFOHEADER via ``struct``), PCM WAV (stdlib ``wave``), PNG
-(full chunk walk + stdlib ``zlib`` inflate + scanline filter
-reconstruction — all five filter types, color types
-gray/RGB/palette/gray-alpha/RGBA at 8-bit depth), baseline JPEG
-(operators/jpeg.py — table-driven Huffman + dequant + IDCT,
-grayscale/YCbCr, 4:4:4 / 4:2:0, restart markers), and animated GIF
-(operators/gif.py — full LZW + interlace + frame composition;
-``frame_sample`` emits real PNG-encoded frames for it).
+(MP3/MP4 — ffmpeg/torchaudio) are NOT installed in this environment,
+so those payloads raise NotImplementedError at the marked lines.
+Everything else decodes for REAL, zero external dependencies:
+PPM/PGM (header parse + ``np.frombuffer``), BMP (BITMAPINFOHEADER
+via ``struct``), PCM WAV (stdlib ``wave``), PNG (full chunk walk +
+stdlib ``zlib`` inflate + scanline filter reconstruction — all five
+filter types, color types gray/RGB/palette/gray-alpha/RGBA at 8-bit
+depth), baseline AND progressive JPEG (operators/jpeg.py —
+table-driven Huffman + dequant + IDCT, grayscale/YCbCr, 4:4:4 /
+4:2:0, restart markers; SOF2 spectral-selection +
+successive-approximation scans accumulate into shared coefficient
+grids), and animated GIF (operators/gif.py — full LZW + interlace +
+frame composition; ``frame_sample`` emits real PNG-encoded frames
+for it).
 ``decode_media``/``image_resize``/``audio_features`` sniff magic
 bytes and run the real kernels; ``fake=True`` keeps the deterministic
 hash-derived stub decode for plumbing tests with arbitrary payloads.
@@ -417,13 +419,14 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int, int]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker in (0xC0, 0xC1):  # baseline SOF
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
             return w, h, ncomp
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG modes not supported (baseline only)"
+                "lossless/hierarchical/arithmetic JPEG modes not supported "
+                "(baseline + progressive DCT only)"
             )
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         pos += 2 + length
@@ -461,10 +464,10 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
         with wave.open(io.BytesIO(payload), "rb") as wv:
             return wv.getnframes(), wv.getframerate(), wv.getnchannels()
     raise NotImplementedError(
-        "media codecs needing external libraries (MP3/MP4, progressive "
-        "JPEG) are not installed in this environment; wire Pillow/ffmpeg "
-        "here.  PPM/PGM/BMP/WAV/PNG/baseline-JPEG/GIF payloads decode "
-        "for real."
+        "media codecs needing external libraries (MP3/MP4) are not "
+        "installed in this environment; wire Pillow/ffmpeg here.  "
+        "PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/GIF payloads "
+        "decode for real."
     )
 
 
@@ -472,11 +475,11 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads to dimension metadata via mapInPandas.
 
     The real path (``fake=False``) sniffs magic bytes and reads
-    dimensions for PPM/PGM/BMP/WAV/PNG/baseline-JPEG/GIF — from
-    HEADERS only (see :func:`_real_dims`), so the metadata pass never
-    pays a full entropy decode; for WAV the (width, height) columns
-    carry (n_frames, sample_rate).  Codecs needing external libraries
-    (MP3/MP4, progressive JPEG) raise NotImplementedError at the
+    dimensions for PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/GIF
+    — from HEADERS only (see :func:`_real_dims`), so the metadata
+    pass never pays a full entropy decode; for WAV the (width,
+    height) columns carry (n_frames, sample_rate).  Codecs needing
+    external libraries (MP3/MP4) raise NotImplementedError at the
     sniff — replace :func:`_real_dims`'s raise with Pillow/ffmpeg
     when installed.  ``fake=True`` keeps the deterministic
     hash-derived decode for plumbing tests with arbitrary payloads.
