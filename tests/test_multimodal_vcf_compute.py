@@ -415,6 +415,89 @@ def test_frame_sample_real_gif(spark):
     assert (got["width"], got["height"], got["n_channels"]) == (9, 6, 3)
 
 
+def test_mp3_container_parse():
+    """MP3 frame-sync walk: frame count, duration, bitrate, channels
+    from headers alone — with an ID3v2 prefix skipped via its
+    syncsafe size, and corrupt payloads raising (not zero rows)."""
+    from v6spark.operators import media_containers as mc
+
+    mp3 = mc.make_mp3(
+        n_frames=20, sample_rate=44100, bitrate_kbps=128, channels=2,
+        id3=b"T" * 300,
+    )
+    assert mm.sniff_format(mp3) == "mp3"
+    info = mc.parse_mp3_info(mp3)
+    assert info["n_frames"] == 20
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 2
+    assert abs(info["duration_s"] - 20 * 1152 / 44100) < 1e-9
+    assert info["layer"] == 3 and info["mpeg1"] and not info["vbr"]
+    mono = mc.parse_mp3_info(mc.make_mp3(n_frames=3, channels=1))
+    assert mono["channels"] == 1 and mono["n_frames"] == 3
+    with pytest.raises(ValueError, match="frame sync"):
+        mc.parse_mp3_info(b"\x00" * 64)
+
+
+def test_mp4_container_parse_and_segmentation():
+    """ISO BMFF box walk: track geometry/codec/duration from moov,
+    and the stsc(2-per-chunk run map)×stco×stsz join resolving to the
+    EXACT byte slice of every sample in mdat."""
+    from v6spark.operators import media_containers as mc
+
+    sizes = [40, 25, 33, 18, 52]
+    mp4 = mc.make_mp4(width=64, height=48, sample_sizes=sizes, seed=3)
+    assert mm.sniff_format(mp4) == "mp4"
+    info = mc.parse_mp4_info(mp4)
+    assert info["brand"] == "isom"
+    (trk,) = info["tracks"]
+    assert (trk["width"], trk["height"]) == (64, 48)
+    assert trk["kind"] == "vide" and trk["codec"] == "avc1"
+    assert trk["n_samples"] == 5
+    assert abs(trk["duration_s"] - 5 * 20 / 600) < 1e-12
+    table = mc.mp4_sample_table(mp4)
+    assert [s["size"] for s in table] == sizes
+    assert [s["dts"] for s in table] == [0, 20, 40, 60, 80]
+    for i, s in enumerate(table):
+        expected = bytes((3 + i * 7 + j) % 253 for j in range(s["size"]))
+        assert mp4[s["offset"] : s["offset"] + s["size"]] == expected
+    # truncation inside mdat -> box size overruns the buffer
+    with pytest.raises(ValueError, match="malformed"):
+        mc.parse_mp4_info(mp4[: table[0]["offset"] + 4])
+    # a well-formed file with no moov at all
+    with pytest.raises(ValueError, match="moov"):
+        mc.parse_mp4_info(mp4[: mp4.index(b"mdat") - 4])
+    with pytest.raises(ValueError, match="no 'soun' track"):
+        mc.mp4_sample_table(mp4, kind="soun")
+
+
+def test_mp3_mp4_through_spark(spark):
+    """Container formats flow through decode_media (metadata triple)
+    and frame_sample (encoded MP4 samples at the every_n stride) —
+    the same Arrow kernels as the pixel-real formats."""
+    from v6spark.operators import media_containers as mc
+
+    sizes = [40, 25, 33, 18, 52, 29, 61]
+    mp4 = mc.make_mp4(width=32, height=24, sample_sizes=sizes, seed=9)
+    mp3 = mc.make_mp3(n_frames=12, sample_rate=32000, bitrate_kbps=96)
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, "synthetic://mp4/1", "{}"),
+            (2, "audio", mp3, "synthetic://mp3/2", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (32, 24, 3)
+    # audio convention (same as WAV): (n_frames, sample_rate, channels)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (12, 32000, 2)
+    rows = mm.frame_sample(media, every_n=3).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3, 6]
+    table = mc.mp4_sample_table(mp4)
+    for r in rows:
+        s = table[r["frame_idx"]]
+        assert bytes(r["frame_payload"]) == mp4[s["offset"] : s["offset"] + s["size"]]
+
+
 def test_multimodal_png_through_spark(spark):
     """PNG payloads run through the same mapInPandas kernels as the
     other real formats: decode_media dims and image_resize pixels."""

@@ -5,10 +5,15 @@ North-star extension (SURVEY.md §2.2).  Media payloads are
 is ``mapInPandas`` — Arrow-batched, schema-declared, partition-
 parallel.
 
-Codec posture, honestly stated: codecs needing external libraries
-(MP3/MP4 — ffmpeg/torchaudio) are NOT installed in this environment,
-so those payloads raise NotImplementedError at the marked lines.
-Everything else decodes for REAL, zero external dependencies:
+Codec posture, honestly stated: ENTROPY decode needing external
+libraries (H.264/H.265 pixels, MP3 audio synthesis —
+ffmpeg/torchaudio-class) is NOT available in this environment and
+raises NotImplementedError at the marked lines; but MP3/MP4
+CONTAINER structure parses for real (operators/media_containers.py —
+frame-sync walk, ISO BMFF box walk, stsc×stco×stsz sample
+segmentation), so metadata passes and encoded-frame extraction work
+without any codec.  Everything else decodes to pixels/samples for
+REAL, zero external dependencies:
 PPM/PGM (header parse + ``np.frombuffer``), BMP (BITMAPINFOHEADER
 via ``struct``), PCM WAV (stdlib ``wave``), PNG (full chunk walk +
 stdlib ``zlib`` inflate + scanline filter reconstruction — all five
@@ -340,6 +345,16 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] & 0x18) != 0x08  # version bits 01 are reserved
+        and (payload[1] & 0x06) != 0x00  # layer bits 00 are reserved
+    ):
+        return "mp3"
     return None
 
 
@@ -463,11 +478,25 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
     if fmt == "wav":
         with wave.open(io.BytesIO(payload), "rb") as wv:
             return wv.getnframes(), wv.getframerate(), wv.getnchannels()
+    if fmt == "mp3":
+        from v6spark.operators.media_containers import parse_mp3_info
+
+        info = parse_mp3_info(payload)
+        return info["n_frames"], info["sample_rate"], info["channels"]
+    if fmt == "mp4":
+        from v6spark.operators.media_containers import parse_mp4_info
+
+        info = parse_mp4_info(payload)
+        for trk in info["tracks"]:
+            if trk.get("kind") == "vide":
+                return trk["width"], trk["height"], 3
+        raise ValueError("MP4 without a video track")
     raise NotImplementedError(
-        "media codecs needing external libraries (MP3/MP4) are not "
-        "installed in this environment; wire Pillow/ffmpeg here.  "
-        "PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/GIF payloads "
-        "decode for real."
+        "unrecognized media format; known formats all parse for real — "
+        "pixel decode: PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/"
+        "GIF; container metadata + sample segmentation: MP3/MP4 "
+        "(operators/media_containers.py — H.264/MP3 audio synthesis "
+        "still needs ffmpeg-class codecs, stated there)."
     )
 
 
@@ -643,14 +672,19 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
     composited (disposal/transparency applied), every ``every_n``-th
     one re-encoded as a self-describing PNG payload
     (:func:`encode_png` — decodable by this module's own
-    ``decode_media``).  Containers that need external codecs
-    (MP4/WebM — ffmpeg) raise honestly; ``fake=True`` keeps the
-    deterministic hash-derived sampler for plumbing tests with
-    arbitrary payloads.
+    ``decode_media``).  REAL segmentation for MP4
+    (operators/media_containers.py): the stsc×stco×stsz sample table
+    locates each video sample's exact byte range, and every
+    ``every_n``-th ENCODED sample is emitted as the frame payload —
+    honest scope: the bytes are the codec bitstream access unit
+    (H.264 etc.), not decoded pixels, which need ffmpeg.  WebM raises
+    honestly; ``fake=True`` keeps the deterministic hash-derived
+    sampler for plumbing tests with arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from v6spark.operators.gif import decode_gif
+        from v6spark.operators.media_containers import mp4_sample_table
 
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
@@ -665,17 +699,28 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                             hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
                         )
                     continue
-                if sniff_format(payload) != "gif":
+                fmt = sniff_format(payload)
+                if fmt == "gif":
+                    _w, _h, frames, _delays = decode_gif(payload)
+                    for idx in range(0, len(frames), every_n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(encode_png(frames[idx]))
+                elif fmt == "mp4":
+                    table = mp4_sample_table(payload, kind="vide")
+                    for s in table[::every_n]:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(s["sample_idx"])
+                        out["frame_payload"].append(
+                            payload[s["offset"] : s["offset"] + s["size"]]
+                        )
+                else:
                     raise NotImplementedError(
-                        "frame_sample decodes animated GIF for real; "
-                        "MP4/WebM need ffmpeg (not installed) — or pass "
-                        "fake=True for the stub sampler"
+                        "frame_sample decodes animated GIF and segments "
+                        "MP4 samples for real; WebM needs ffmpeg (not "
+                        "installed) — or pass fake=True for the stub "
+                        "sampler"
                     )
-                _w, _h, frames, _delays = decode_gif(payload)
-                for idx in range(0, len(frames), every_n):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(idx)
-                    out["frame_payload"].append(encode_png(frames[idx]))
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(
