@@ -519,3 +519,90 @@ def test_embedding_near_dup_composition(spark, sf_dir):
     }
     assert keepers[900] == base["vec_id"] and keepers[901] == base["vec_id"]
     assert keepers[base["vec_id"]] == base["vec_id"]
+
+
+def test_semantic_dedup_keepers_matches_bruteforce(spark):
+    """SemDeDup-style semantic dedup: with k=1 cell the within-cell
+    pairs ARE the brute-force pairs, so the keeper map must equal
+    connected components of brute-force cosine >= threshold; with
+    k>1 cells, near-identical planted groups still collapse (k-means
+    assigns near-identical vectors to the same cell) and distinct
+    singletons keep themselves."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # three tight groups (near-identical members) + distinct singletons
+    for g, gid0 in ((0, 0), (1, 100), (2, 200)):
+        base = rng.normal(size=8)
+        base /= np.linalg.norm(base)
+        for j in range(3):
+            v = base + rng.normal(scale=1e-3, size=8)
+            rows.append((gid0 + j, [float(x) for x in v]))
+    for s in range(5):
+        v = rng.normal(size=8)
+        rows.append((300 + s, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute-force reference: union-find over cosine >= 0.999 pairs
+    brute = similarity.cosine_pairs_bruteforce(emb).filter(
+        F.col("cosine") >= 0.999
+    )
+    ref = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.connected_keepers(brute).collect()
+    }
+
+    # k=1: semantic pairs == brute-force pairs, keeper maps identical
+    one_cell = similarity.kmeans_centroids(emb, n_cells=1, n_iters=1)
+    got_one = {
+        r["vec_id"]: r["keeper_id"]
+        for r in similarity.semantic_dedup_keepers(
+            emb, min_cosine=0.999, centroids=one_cell
+        ).collect()
+    }
+    for vid, keeper in ref.items():
+        assert got_one[vid] == keeper
+    # every vector appears; singletons keep themselves
+    assert len(got_one) == emb.count()
+    for s in range(5):
+        assert got_one[300 + s] == 300 + s
+
+    # k=4 trained cells: planted groups still collapse to min ids
+    got = {
+        r["vec_id"]: r["keeper_id"]
+        for r in similarity.semantic_dedup_keepers(
+            emb, n_cells=4, n_iters=3, min_cosine=0.999
+        ).collect()
+    }
+    assert got[1] == 0 and got[2] == 0
+    assert got[101] == 100 and got[102] == 100
+    assert got[201] == 200 and got[202] == 200
+    for s in range(5):
+        assert got[300 + s] == 300 + s
+
+
+def test_semantic_cell_pairs_guard(spark):
+    """The max_cell_size guard drops a flooded cell from pair
+    generation (degenerate corpus: many re-encodes of one asset)
+    while small cells still pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    far = -base
+    rows = [(i, [float(x) for x in base]) for i in range(40)]
+    rows += [(100, [float(x) for x in far]), (101, [float(x) for x in far])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[float(x) for x in base], [float(x) for x in far]]
+    guarded = similarity.semantic_cell_pairs(
+        emb, centroids, min_cosine=0.999, max_cell_size=8,
+        persist_cells=False,
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in guarded}
+    assert ids == {(100, 101)}  # flooded cell dropped, small cell pairs
+    unguarded = similarity.semantic_cell_pairs(
+        emb, centroids, min_cosine=0.999, persist_cells=False
+    ).count()
+    assert unguarded == 40 * 39 // 2 + 1

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (north star, SURVEY.md §2.2).
 
-Two tiers:
+Three tiers:
 
 - ``cosine_pairs_bruteforce`` / ``cosine_topk_query``: exact cosine,
   the correctness baseline.  Pairwise form is O(n^2) and only for
@@ -9,6 +9,11 @@ Two tiers:
   vectors so candidate generation is a hash join on the bucket key.
   This is the 100 TB path: the full pairwise join never happens, and
   the bucket key is uniform so the shuffle has no skew.
+- ``kmeans_centroids`` / ``ivf_assign_cells`` / ``ann_ivf_topk``: the
+  trained-quantizer index; ``semantic_cell_pairs`` +
+  ``semantic_dedup_keepers`` reuse the same quantizer for
+  SemDeDup-style embedding near-dedup (within-cell exact cosine →
+  connected components → keeper map).
 
 All vector math is Catalyst higher-order functions in DOUBLE
 (functions/arrays.py) — JVM-side, codegen'd, no Python.
@@ -496,3 +501,124 @@ def kmeans_centroids(
             by_cell.get(i, centroids[i]) for i in range(len(centroids))
         ]
     return centroids
+
+
+def semantic_cell_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    persist_cells: bool = True,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs WITHIN k-means cells.
+
+    The SemDeDup-shaped candidate generator (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): cluster the corpus with a
+    coarse quantizer, then compute exact cosine only between vectors
+    sharing a cell.  Same scale shape as :func:`ann_lsh_pairs` —
+    the quadratic join is bounded by cell population, the shuffle key
+    is the cell id, and the shuffle payload is (id, vector, norm) —
+    but cells are DATA-ADAPTIVE (k-means follows corpus density)
+    where LSH buckets are oblivious, so for clustered embedding
+    corpora the same candidate budget yields higher recall.
+
+    ``max_cell_size`` is the standard quadratic-join guard
+    (``dedup._guard_buckets``): a degenerate corpus (thousands of
+    re-encodes of one asset) floods one cell; oversized cells are
+    dropped from pair generation and belong on an exact-digest or
+    sampled path.  Diagnose with ``dedup.bucket_size_histogram`` over
+    ``_cell``.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b and
+    ``cosine >= min_cosine``.
+    """
+    from pyspark import StorageLevel
+
+    from v6spark.operators.dedup import _guard_buckets
+
+    assigned = ivf_assign_cells(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        arr_norm_sq(vec_col).alias("_n2"),
+        F.col("cell").alias("_cell"),
+    )
+    assigned = _guard_buckets(assigned, ["_cell"], max_cell_size)
+    if persist_cells:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = _safe_cosine(
+        arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def semantic_dedup_keepers(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: every vector's keeper id.
+
+    Composes the engine's existing pieces end-to-end — deterministic
+    k-means (:func:`kmeans_centroids`: k-means|| init + fixed Lloyd
+    iterations, so index builds and therefore keeper maps are
+    reproducible), within-cell exact cosine
+    (:func:`semantic_cell_pairs`), and
+    ``dedup.connected_keepers`` (pointer-doubling min-id connected
+    components with the small-graph driver fast path).
+
+    Keeper policy is MIN-ID per duplicate component — deterministic
+    and oracle-checkable.  (The SemDeDup paper keeps the member with
+    the lowest cosine to its cluster centroid; that policy needs
+    component labels rather than keepers and trades determinism for a
+    quality heuristic — swap ``connected_keepers`` for a labeled-CC +
+    ``min_by`` step if wanted.)
+
+    Pass ``centroids`` to reuse a trained quantizer (e.g. the one the
+    IVF index already built — at 100 TB you never train twice).
+
+    Returns (vec_id, keeper_id) for EVERY input vector (singletons
+    keep themselves) — left-joinable onto the corpus, same contract
+    as ``dedup.near_dup_keepers`` for text.
+    """
+    from v6spark.operators.dedup import connected_keepers
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_cells=n_cells, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    pairs = semantic_cell_pairs(
+        df, centroids, min_cosine=min_cosine,
+        id_col=id_col, vec_col=vec_col, max_cell_size=max_cell_size,
+    )
+    keepers = connected_keepers(pairs).select(
+        F.col("doc_id").alias("_kid"), F.col("keeper_id").alias("_keeper")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(keepers, F.col(id_col) == F.col("_kid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_keeper", F.col(id_col)).alias("keeper_id"),
+        )
+    )
