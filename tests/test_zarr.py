@@ -1,0 +1,233 @@
+"""Tests: real Zarr v2 store ingest/export (sources/zarr_store.py) —
+the reference's native storage format (SURVEY.md §2.1 A1/A2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.sources import zarr_store as zs
+from v6spark.sources.vcf import read_vcf
+
+VCF_TEXT = """\
+##fileformat=VCFv4.2
+##INFO=<ID=NS,Number=1,Type=Integer,Description="n">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2\tNA3
+chr1\t100\trs1\tA\tT\t50.0\tPASS\tNS=3\tGT:DP:GQ\t0/0:10:99\t0/1:20:80\t./.:.:.
+chr1\t200\t.\tG\tC,T\t.\tPASS\tNS=3\tGT:DP\t1|2:5\t0/0:7\t0/1:.
+chr2\t300\trs3\tC\tG\t9.5\tq10\tNS=2\tDP:GT\t4:0/0\t8:1/1\t.:./1
+"""
+
+
+@pytest.fixture(scope="module")
+def store_pair(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("zarrio")
+    vcf = d / "tiny.vcf"
+    vcf.write_text(VCF_TEXT)
+    variants, calls = read_vcf(spark, str(vcf))
+    store = str(d / "store.zarr")
+    # row_chunk=2 over 3 variants -> two variant-axis chunks incl. an
+    # edge chunk, so the distributed read gets a real multi-chunk grid
+    zs.write_zarr_store(variants, calls, store, row_chunk=2)
+    return variants, calls, store
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_zarr_roundtrip_variants(spark, store_pair):
+    """write_zarr_store -> load_zarr reproduces the VCF-ingested
+    variants exactly, except FILTER collapsing through the allel-style
+    boolean FILTER_PASS ('q10' -> '.') — the documented lossy field."""
+    variants, _calls, store = store_pair
+    v2, _ = zs.load_zarr(spark, store)
+    norm = variants.withColumn(
+        "filter",
+        F.when(F.col("filter") == "PASS", "PASS").otherwise("."),
+    )
+    cols = ["variant_id", "chrom", "pos", "vcf_id", "ref", "alt", "qual", "filter"]
+    got = _rows(v2, cols)
+    want = _rows(norm, cols)
+    # alt arrays come back as lists either way
+    assert [(a, b, c, d, e, list(f), g, h) for a, b, c, d, e, f, g, h in got] == [
+        (a, b, c, d, e, list(f), g, h) for a, b, c, d, e, f, g, h in want
+    ]
+
+
+def test_zarr_roundtrip_calls(spark, store_pair):
+    """Calls round-trip exactly: GT element NULLs (the -1 sentinel),
+    NULL DP/GQ, per-record FORMAT differences — all preserved."""
+    _variants, calls, store = store_pair
+    _, c2 = zs.load_zarr(spark, store)
+    cols = ["variant_id", "chrom", "sample_id", "gt", "dp", "gq"]
+    got = [
+        (a, b, c, tuple(g) if g is not None else None, d, e)
+        for a, b, c, g, d, e in _rows(c2, cols)
+    ]
+    want = [
+        (a, b, c, tuple(g) if g is not None else None, d, e)
+        for a, b, c, g, d, e in _rows(calls, cols)
+    ]
+    assert got == want
+
+
+def test_zarr_feeds_facade(spark, store_pair):
+    """Variations.from_zarr: a reference user's store drives the
+    stats facade directly (missing rate over the loaded calls)."""
+    from v6spark.genomics import Variations, calc_missing_gt
+
+    *_, store = store_pair
+    va = Variations.from_zarr(spark, store)
+    assert sorted(va.samples) == ["NA1", "NA2", "NA3"]
+    assert va.num_variations == 3
+    rates = {
+        r["variant_id"]: r["missing_rate"]
+        for r in calc_missing_gt(va).collect()
+    }
+    # chr1:100 has one fully-missing sample of three (rate rounded to 6)
+    assert abs(rates["chr1:100:A:T"] - 1 / 3) < 1e-6
+
+
+def test_zarr_chunk_codecs(tmp_path):
+    """Chunk decode paths: raw, zlib, gzip, blosc-memcpy with byte
+    shuffle, F order, missing chunk -> fill_value, edge cropping."""
+    import gzip as _gzip
+
+    store = str(tmp_path / "s.zarr")
+    arr = np.arange(20, dtype="<i4").reshape(4, 5)
+
+    # helper writes zlib by default — full assembly equality
+    zs._write_array(store, "a_zlib", arr, (2, 3))
+    assert np.array_equal(zs.read_zarr_array(store, "a_zlib"), arr)
+
+    # raw (compressor null)
+    zs._write_array(store, "a_raw", arr, (3, 5), compressor=None)
+    assert np.array_equal(zs.read_zarr_array(store, "a_raw"), arr)
+
+    def put_array(name, meta, chunks):
+        os.makedirs(f"{store}/{name}", exist_ok=True)
+        with open(f"{store}/{name}/.zarray", "w") as fh:
+            json.dump(meta, fh)
+        for key, raw in chunks.items():
+            with open(f"{store}/{name}/{key}", "wb") as fh:
+                fh.write(raw)
+
+    base_meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    vec = np.array([7, -1, 9, 1 << 20], dtype="<i4")
+
+    # gzip compressor
+    put_array(
+        "a_gzip", {**base_meta, "compressor": {"id": "gzip", "level": 5}},
+        {"0": _gzip.compress(vec.tobytes())},
+    )
+    assert np.array_equal(zs.read_zarr_array(store, "a_gzip"), vec)
+
+    # blosc memcpy mode + byte shuffle
+    body = vec.tobytes()
+    shuffled = (
+        np.frombuffer(body, dtype=np.uint8).reshape(4, 4).T.tobytes()
+    )
+    header = bytes([2, 1, 0x03, 4]) + len(body).to_bytes(4, "little") \
+        + len(body).to_bytes(4, "little") \
+        + (len(body) + 16).to_bytes(4, "little")
+    put_array(
+        "a_blosc",
+        {**base_meta, "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}},
+        {"0": header + shuffled},
+    )
+    assert np.array_equal(zs.read_zarr_array(store, "a_blosc"), vec)
+
+    # F-order chunk
+    f_arr = np.arange(6, dtype="<f8").reshape(2, 3)
+    put_array(
+        "a_forder",
+        {
+            "zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+            "dtype": "<f8", "compressor": None, "fill_value": 0.0,
+            "order": "F", "filters": None,
+        },
+        {"0.0": f_arr.tobytes(order="F")},
+    )
+    assert np.array_equal(zs.read_zarr_array(store, "a_forder"), f_arr)
+
+    # missing chunk -> fill_value
+    put_array(
+        "a_fill", {**base_meta, "compressor": None, "fill_value": -7}, {}
+    )
+    assert np.array_equal(
+        zs.read_zarr_array(store, "a_fill"), np.full(4, -7, dtype="<i4")
+    )
+
+
+def test_zarr_honest_raises(tmp_path):
+    """Genuinely library-bound paths refuse with actionable messages:
+    compressed blosc codecs, object dtype, filters, v3 stores."""
+    store = str(tmp_path / "s.zarr")
+
+    def put(name, meta, chunks=None):
+        os.makedirs(f"{store}/{name}", exist_ok=True)
+        with open(f"{store}/{name}/.zarray", "w") as fh:
+            json.dump(meta, fh)
+        for key, raw in (chunks or {}).items():
+            with open(f"{store}/{name}/{key}", "wb") as fh:
+                fh.write(raw)
+
+    base = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<i4",
+        "compressor": None, "fill_value": 0, "order": "C", "filters": None,
+    }
+    # compressed (non-memcpy) blosc frame
+    vec = np.array([1, 2], dtype="<i4")
+    header = bytes([2, 1, (1 << 5), 4]) + (8).to_bytes(4, "little") \
+        + (8).to_bytes(4, "little") + (6).to_bytes(4, "little")
+    put(
+        "blosc_lz4",
+        {**base, "compressor": {"id": "blosc", "cname": "lz4"}},
+        {"0": header + b"\x01\x02"},
+    )
+    with pytest.raises(NotImplementedError, match="blosc"):
+        zs.read_zarr_array(store, "blosc_lz4")
+
+    put("objdt", {**base, "dtype": "|O"})
+    with pytest.raises(NotImplementedError, match="object-dtype"):
+        zs.read_zarr_array(store, "objdt")
+
+    put("filt", {**base, "filters": [{"id": "delta"}]})
+    with pytest.raises(NotImplementedError, match="filters"):
+        zs.read_zarr_array(store, "filt")
+
+    put("v3", {**base, "zarr_format": 3})
+    with pytest.raises(NotImplementedError, match="v2"):
+        zs.read_zarr_array(store, "v3")
+
+    with pytest.raises(NotImplementedError, match="zstd"):
+        zs._decompress(b"x", {"id": "zstd"})
+
+
+def test_zarr_export_cap(spark):
+    """The interop exporter refuses corpus-scale input instead of
+    collecting it to the driver."""
+    variants = spark.range(3).select(
+        F.concat(F.lit("c:"), F.col("id")).alias("variant_id"),
+        F.lit("c").alias("chrom"), F.col("id").alias("pos"),
+        F.lit(None).cast("string").alias("vcf_id"),
+        F.lit("A").alias("ref"), F.array(F.lit("T")).alias("alt"),
+        F.lit(1.0).alias("qual"), F.lit("PASS").alias("filter"),
+    )
+    calls = spark.createDataFrame([], zs.CALLS_DDL)
+    old = zs.MAX_EXPORT_VARIANTS
+    try:
+        zs.MAX_EXPORT_VARIANTS = 2
+        with pytest.raises(ValueError, match="capped"):
+            zs.write_zarr_store(variants, calls, "/tmp/never-written.zarr")
+    finally:
+        zs.MAX_EXPORT_VARIANTS = old

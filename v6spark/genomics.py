@@ -97,6 +97,25 @@ class Variations:
             spark.read.parquet(f"{dir_path}/calls.parquet"),
         )
 
+    @classmethod
+    def from_zarr(cls, spark: SparkSession, store: str) -> "Variations":
+        """A1 for REAL Zarr v2 stores (the reference's native format —
+        ``variation6/in_out/zarr.py::load_zarr``): distributed
+        chunk-per-task read via sources/zarr_store.py, so a reference
+        user's existing store loads without conversion."""
+        from v6spark.sources.zarr_store import load_zarr
+
+        variants, calls = load_zarr(spark, store)
+        return cls(variants, calls, {"source": store})
+
+    def save_zarr(self, store: str, row_chunk: int = 1000) -> None:
+        """A2 interop EXPORTER to a real Zarr v2 store (driver-side,
+        hard-capped — see sources/zarr_store.py::write_zarr_store;
+        parquet via :meth:`save` is the at-scale store)."""
+        from v6spark.sources.zarr_store import write_zarr_store
+
+        write_zarr_store(self.variants, self.calls, store, row_chunk)
+
     def save(self, dir_path: str, mode: str = "overwrite") -> None:
         """A2: save_zarr analog.
 

@@ -1,9 +1,11 @@
-"""Data sources: parquet table loader and the VCF-style text ingest.
+"""Data sources: parquet tables, VCF text ingest, real Zarr v2 stores.
 
 The reference loads Zarr stores / VCF files
 (``variation6/in_out/zarr.py::load_zarr``, ``vcf_to_zarr`` — SURVEY.md
-§2.1 A1-A3); here the corpus is parquet and the VCF path is a
-DataFrame-native text parser (sources/vcf.py).
+§2.1 A1-A3); here the at-scale corpus is parquet, the VCF path is a
+DataFrame-native text parser (sources/vcf.py), and existing reference
+Zarr stores load directly via the distributed chunk-per-task reader
+(sources/zarr_store.py) — no out-of-band conversion.
 """
 
 from v6spark.sources.tables import TABLE_NAMES, load_table, load_tables

@@ -1,0 +1,509 @@
+"""Zarr v2 store ingest — the reference's NATIVE storage format.
+
+``variation6`` persists datasets as Zarr stores
+(``variation6/in_out/zarr.py::load_zarr/save_zarr`` — SURVEY.md §2.1
+A1/A2); until now this engine read only its own parquet layout, so a
+reference user's existing stores needed an out-of-band conversion.
+This module reads Zarr v2 DIRECTLY, stdlib+numpy only:
+
+- ``.zarray`` JSON metadata (shape/chunks/dtype/compressor/order/
+  fill_value/dimension_separator) parsed per the public v2 spec.
+- Chunk decode for real: raw (compressor null), zlib, gzip, and
+  blosc in memcpy mode incl. the byte-shuffle filter (a numpy
+  transpose).  Compressed blosc codecs (blosclz/lz4/zstd) and
+  object-dtype vlen codecs genuinely need numcodecs and raise
+  ``NotImplementedError`` at the parse site — re-write the store
+  with a zlib compressor, or wire numcodecs here.
+- Fixed-width ``|S``/``<U`` string dtypes, C and F chunk order,
+  edge-chunk cropping, and missing-chunk fill_value semantics.
+
+Scale shape of :func:`load_zarr`: Zarr chunks ARE the partition
+grid.  The driver reads only the tiny JSON metadata; a DataFrame of
+variant-axis chunk indices fans out via ``mapInPandas``, and each
+task opens exactly its own chunk files (shared-filesystem store, the
+same contract Spark's own file sources assume — for object stores,
+swap :func:`_read_chunk_bytes`).  Output is the engine's long-format
+(variants, calls) pair — identical schema to ``sources/vcf.py``'s
+ingest, so every downstream operator works unchanged.
+
+``write_zarr_store`` is the interop EXPORTER (A2): it hands a
+(variants, calls) pair back to a variation6 user as a spec-shaped
+store.  It is deliberately driver-side with a hard row cap —
+at engine scale the native store is parquet (sources/layout.py);
+exporting to Zarr is for results/subsets, not corpora.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from typing import Iterator
+
+import numpy as np
+
+VARIANTS_DDL = (
+    "variant_id string, chrom string, pos long, vcf_id string, "
+    "ref string, alt array<string>, qual double, filter string"
+)
+CALLS_DDL = (
+    "variant_id string, chrom string, sample_id string, "
+    "gt array<int>, dp int, gq int"
+)
+
+
+def _read_zarray_meta(store: str, name: str) -> dict:
+    with open(os.path.join(store, name, ".zarray"), "r") as fh:
+        meta = json.load(fh)
+    if meta.get("zarr_format") != 2:
+        raise NotImplementedError(
+            f"only Zarr v2 supported (got {meta.get('zarr_format')!r})"
+        )
+    if meta.get("filters"):
+        raise NotImplementedError(
+            "Zarr filters need numcodecs; re-write the store without "
+            "filters or wire numcodecs here"
+        )
+    dtype = np.dtype(meta["dtype"])
+    if dtype == object:
+        raise NotImplementedError(
+            "object-dtype Zarr arrays (VLen codecs) need numcodecs; "
+            "fixed-width |S / <U dtypes decode for real"
+        )
+    meta["_dtype"] = dtype
+    meta["_sep"] = meta.get("dimension_separator") or "."
+    return meta
+
+
+def _unshuffle(raw: bytes, typesize: int) -> bytes:
+    """Invert blosc byte-shuffle: stream holds all 1st bytes, then all
+    2nd bytes, ... — one numpy transpose."""
+    n = len(raw)
+    if typesize <= 1 or n % typesize:
+        return raw
+    return (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(typesize, n // typesize)
+        .T.tobytes()
+    )
+
+
+def _decompress(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "gzip":
+        import gzip as _gzip
+
+        return _gzip.decompress(raw)
+    if cid == "blosc":
+        # blosc1 frame: version, versionlz, flags, typesize,
+        # nbytes(4 LE), blocksize(4), cbytes(4)
+        if len(raw) < 16:
+            raise ValueError("truncated blosc frame")
+        flags, typesize = raw[2], raw[3]
+        nbytes = int.from_bytes(raw[4:8], "little")
+        cbytes = int.from_bytes(raw[12:16], "little")
+        memcpyed = bool(flags & 0x02)
+        if not memcpyed:
+            codec = (flags >> 5) & 0x07
+            raise NotImplementedError(
+                f"compressed blosc (codec id {codec}) needs numcodecs; "
+                "memcpy-mode blosc, zlib and gzip decode for real — "
+                "re-write the store with a zlib compressor"
+            )
+        if cbytes != nbytes + 16:
+            raise ValueError("inconsistent memcpy-mode blosc frame")
+        body = raw[16 : 16 + nbytes]
+        if flags & 0x01:  # byte-shuffle
+            body = _unshuffle(body, typesize)
+        return body
+    raise NotImplementedError(f"Zarr compressor {cid!r} not supported")
+
+
+def _read_chunk_bytes(store: str, name: str, key: str) -> bytes | None:
+    """One chunk file's raw bytes; None = chunk absent (fill_value).
+    Object-store deployments swap this single seam."""
+    path = os.path.join(store, name, key)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
+    chunks = tuple(meta["chunks"])
+    dtype = meta["_dtype"]
+    if raw is None:
+        fill = meta.get("fill_value")
+        if fill is None and dtype.kind == "f":
+            fill = np.nan
+        return np.full(chunks, fill if fill is not None else 0, dtype=dtype)
+    body = _decompress(raw, meta.get("compressor"))
+    arr = np.frombuffer(body, dtype=dtype)
+    order = meta.get("order", "C")
+    return arr.reshape(chunks, order="F" if order == "F" else "C")
+
+
+def read_zarr_array(store: str, name: str) -> np.ndarray:
+    """Assemble one full array DRIVER-SIDE — for the small metadata
+    arrays (``samples``, attrs-adjacent fields).  The corpus-sized
+    arrays go through :func:`load_zarr`'s distributed path; calling
+    this on one would materialize it in driver memory."""
+    meta = _read_zarray_meta(store, name)
+    shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
+    grid = [max(1, math.ceil(s / c)) for s, c in zip(shape, chunks)]
+    out = np.zeros(shape, dtype=meta["_dtype"])
+    for idx in np.ndindex(*grid):
+        key = meta["_sep"].join(str(i) for i in idx)
+        chunk = _decode_chunk(_read_chunk_bytes(store, name, key), meta)
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[slices] = chunk[
+            tuple(slice(0, sl.stop - sl.start) for sl in slices)
+        ]
+    return out
+
+
+def _read_row_slab(store: str, name: str, meta: dict, row_chunk: int) -> np.ndarray:
+    """All chunks whose FIRST grid index is ``row_chunk``, assembled
+    into one (rows_in_chunk, *shape[1:]) slab and cropped to the
+    array bounds — the per-task unit of the distributed read."""
+    shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
+    rows = min(chunks[0], shape[0] - row_chunk * chunks[0])
+    tail_grid = [
+        max(1, math.ceil(s / c)) for s, c in zip(shape[1:], chunks[1:])
+    ]
+    slab = np.zeros((chunks[0], *shape[1:]), dtype=meta["_dtype"])
+    for idx in np.ndindex(*tail_grid) if tail_grid else [()]:
+        key = meta["_sep"].join(str(i) for i in (row_chunk, *idx))
+        chunk = _decode_chunk(_read_chunk_bytes(store, name, key), meta)
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks[1:], shape[1:])
+        )
+        slab[(slice(0, chunks[0]), *slices)] = chunk[
+            (
+                slice(0, chunks[0]),
+                *(slice(0, sl.stop - sl.start) for sl in slices),
+            )
+        ]
+    return slab[:rows]
+
+
+def _to_str(x) -> str:
+    return x.decode("utf-8", "replace") if isinstance(x, bytes) else str(x)
+
+
+def _store_layout(store: str) -> dict:
+    """Driver-side metadata pass: which fields exist, their metas, and
+    the shared variant-axis chunking (validated — the Zarr/Dask
+    contract the reference relies on too)."""
+    fields = {}
+    for name in (
+        "variants/CHROM", "variants/POS", "variants/ID", "variants/REF",
+        "variants/ALT", "variants/QUAL", "variants/FILTER_PASS",
+        "calldata/GT", "calldata/DP", "calldata/GQ",
+    ):
+        if os.path.exists(os.path.join(store, name, ".zarray")):
+            fields[name] = _read_zarray_meta(store, name)
+    for req in ("variants/CHROM", "variants/POS", "variants/REF"):
+        if req not in fields:
+            raise ValueError(f"Zarr store missing required array {req}")
+    n = fields["variants/CHROM"]["shape"][0]
+    row_chunk = fields["variants/CHROM"]["chunks"][0]
+    for name, meta in fields.items():
+        if meta["shape"][0] != n or meta["chunks"][0] != row_chunk:
+            raise ValueError(
+                f"{name}: variant-axis shape/chunking differs from "
+                "variants/CHROM — store is not uniformly chunked"
+            )
+    return {
+        "fields": fields,
+        "n_variants": n,
+        "row_chunk": row_chunk,
+        "n_row_chunks": max(1, math.ceil(n / row_chunk)),
+    }
+
+
+def zarr_samples(store: str) -> list[str]:
+    return [_to_str(s) for s in read_zarr_array(store, "samples")]
+
+
+def _variant_frame(store: str, layout: dict, row_chunk: int) -> dict:
+    """Decode one row-chunk's variant-level fields into python lists
+    (shared by the variants and calls generators)."""
+    f = layout["fields"]
+    chrom = [_to_str(x) for x in _read_row_slab(store, "variants/CHROM", f["variants/CHROM"], row_chunk)]
+    pos = _read_row_slab(store, "variants/POS", f["variants/POS"], row_chunk)
+    ref = [_to_str(x) for x in _read_row_slab(store, "variants/REF", f["variants/REF"], row_chunk)]
+    if "variants/ALT" in f:
+        alt_rows = _read_row_slab(store, "variants/ALT", f["variants/ALT"], row_chunk)
+        alts = [
+            [a for a in (_to_str(x) for x in row) if a]
+            for row in alt_rows
+        ]
+    else:
+        alts = [[] for _ in chrom]
+    vid = [
+        f"{c}:{int(p)}:{r}:{','.join(a)}"
+        for c, p, r, a in zip(chrom, pos, ref, alts)
+    ]
+    return {"chrom": chrom, "pos": pos, "ref": ref, "alts": alts, "vid": vid}
+
+
+def load_zarr(spark, store: str):
+    """Distributed Zarr-store read -> (variants, calls) DataFrames.
+
+    Mirrors ``variation6/in_out/zarr.py::load_zarr`` (SURVEY.md §2.1
+    A1) against a scikit-allel-shaped store (``variants/*``,
+    ``calldata/*``, ``samples``).  One Spark task per variant-axis
+    chunk (the store's own parallel grid); output schemas match
+    ``sources/vcf.py::read_vcf`` exactly, including the sentinel
+    normalization: GT/DP/GQ ``-1`` and QUAL ``nan`` become NULL
+    (§2.1 E3), ``''`` ID becomes NULL, ALT fill padding drops.
+    """
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+
+    layout = _store_layout(store)
+    samples = (
+        zarr_samples(store)
+        if os.path.exists(os.path.join(store, "samples", ".zarray"))
+        else []
+    )
+    fields = layout["fields"]
+    idx = spark.range(layout["n_row_chunks"]).select(
+        F.col("id").cast("int").alias("row_chunk")
+    )
+
+    def gen_variants(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for rc in pdf["row_chunk"]:
+                v = _variant_frame(store, layout, int(rc))
+                n = len(v["chrom"])
+                if "variants/QUAL" in fields:
+                    qual_arr = _read_row_slab(store, "variants/QUAL", fields["variants/QUAL"], int(rc))
+                    qual = [
+                        None if (isinstance(q, float) and math.isnan(q)) or q < 0
+                        else float(q)
+                        for q in qual_arr.astype(float)
+                    ]
+                else:
+                    qual = [None] * n
+                if "variants/ID" in fields:
+                    vcf_id = [
+                        _to_str(x) or None
+                        for x in _read_row_slab(store, "variants/ID", fields["variants/ID"], int(rc))
+                    ]
+                else:
+                    vcf_id = [None] * n
+                if "variants/FILTER_PASS" in fields:
+                    filt = [
+                        "PASS" if bool(x) else "."
+                        for x in _read_row_slab(store, "variants/FILTER_PASS", fields["variants/FILTER_PASS"], int(rc))
+                    ]
+                else:
+                    filt = [None] * n
+                yield pd.DataFrame(
+                    {
+                        "variant_id": v["vid"],
+                        "chrom": v["chrom"],
+                        "pos": [int(p) for p in v["pos"]],
+                        "vcf_id": vcf_id,
+                        "ref": v["ref"],
+                        "alt": v["alts"],
+                        "qual": pd.array(qual, dtype="object"),
+                        "filter": filt,
+                    }
+                )
+
+    def gen_calls(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for rc in pdf["row_chunk"]:
+                v = _variant_frame(store, layout, int(rc))
+                n = len(v["chrom"])
+                gt = dp = gq = None
+                if "calldata/GT" in fields:
+                    gt = _read_row_slab(store, "calldata/GT", fields["calldata/GT"], int(rc))
+                if "calldata/DP" in fields:
+                    dp = _read_row_slab(store, "calldata/DP", fields["calldata/DP"], int(rc))
+                if "calldata/GQ" in fields:
+                    gq = _read_row_slab(store, "calldata/GQ", fields["calldata/GQ"], int(rc))
+                n_samples = (
+                    gt.shape[1] if gt is not None
+                    else dp.shape[1] if dp is not None
+                    else gq.shape[1] if gq is not None else len(samples)
+                )
+                names = samples or [f"S{j}" for j in range(n_samples)]
+                out: dict[str, list] = {
+                    "variant_id": [], "chrom": [], "sample_id": [],
+                    "gt": [], "dp": [], "gq": [],
+                }
+                for i in range(n):
+                    for j in range(n_samples):
+                        out["variant_id"].append(v["vid"][i])
+                        out["chrom"].append(v["chrom"][i])
+                        out["sample_id"].append(names[j])
+                        out["gt"].append(
+                            None if gt is None else [
+                                None if int(a) < 0 else int(a)
+                                for a in gt[i, j]
+                            ]
+                        )
+                        out["dp"].append(
+                            None if dp is None or int(dp[i, j]) < 0
+                            else int(dp[i, j])
+                        )
+                        out["gq"].append(
+                            None if gq is None or int(gq[i, j]) < 0
+                            else int(gq[i, j])
+                        )
+                yield pd.DataFrame(out)
+
+    variants = idx.mapInPandas(gen_variants, schema=VARIANTS_DDL)
+    calls = idx.mapInPandas(gen_calls, schema=CALLS_DDL)
+    return variants, calls
+
+
+# ------------------------------------------------------------ writing
+
+
+def _write_array(
+    store: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str = "zlib",
+) -> None:
+    """One spec-shaped Zarr v2 array: .zarray JSON + C-order chunks
+    (full-size, fill-padded at edges), zlib or raw."""
+    chunks = tuple(chunks or arr.shape) or (1,)
+    path = os.path.join(store, name)
+    os.makedirs(path, exist_ok=True)
+    comp = {"id": "zlib", "level": 6} if compressor == "zlib" else None
+    fill: object = 0
+    if arr.dtype.kind == "f":
+        fill = 0.0
+    elif arr.dtype.kind in ("S", "U"):
+        fill = ""
+    elif arr.dtype.kind == "b":
+        fill = False
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": comp,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as fh:
+        json.dump(meta, fh)
+    grid = [max(1, math.ceil(s / c)) for s, c in zip(arr.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        full = np.zeros(chunks, dtype=arr.dtype)
+        if arr.dtype.kind in ("S", "U"):
+            full[...] = ""
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        full[tuple(slice(0, sl.stop - sl.start) for sl in slices)] = arr[slices]
+        raw = full.tobytes(order="C")
+        if comp:
+            raw = zlib.compress(raw, 6)
+        with open(os.path.join(path, ".".join(str(i) for i in idx)), "wb") as fh:
+            fh.write(raw)
+
+
+MAX_EXPORT_VARIANTS = 200_000
+
+
+def write_zarr_store(
+    variants, calls, store: str, row_chunk: int = 1000
+) -> None:
+    """Interop EXPORTER (A2: ``save_zarr``): a (variants, calls) pair
+    back to a scikit-allel-shaped Zarr v2 store a variation6 user can
+    ``load_zarr``.
+
+    Deliberately DRIVER-SIDE with a hard cap
+    (``MAX_EXPORT_VARIANTS``): at engine scale the native store is
+    chrom-partitioned parquet (sources/layout.py); Zarr export exists
+    to hand back result SUBSETS (a filtered panel, a region slice),
+    not to round-trip corpora.  Raises on over-cap input instead of
+    silently melting the driver.
+    """
+    n = variants.count()
+    if n > MAX_EXPORT_VARIANTS:
+        raise ValueError(
+            f"write_zarr_store is a driver-side interop exporter capped "
+            f"at {MAX_EXPORT_VARIANTS} variants (got {n}); write parquet "
+            "via sources/layout.py for corpus-scale persistence"
+        )
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh)
+    vrows = variants.orderBy("chrom", "pos", "variant_id").collect()
+    order = {r["variant_id"]: i for i, r in enumerate(vrows)}
+    max_alt = max((len(r["alt"] or []) for r in vrows), default=1) or 1
+
+    def fixed(strings, pad=1):
+        width = max([len(s or "") for s in strings] + [pad])
+        return np.array([(s or "") for s in strings], dtype=f"<U{width}")
+
+    _write_array(store, "variants/CHROM", fixed([r["chrom"] for r in vrows]), (row_chunk,))
+    _write_array(store, "variants/POS", np.array([r["pos"] for r in vrows], dtype="<i8"), (row_chunk,))
+    _write_array(store, "variants/ID", fixed([r["vcf_id"] for r in vrows]), (row_chunk,))
+    _write_array(store, "variants/REF", fixed([r["ref"] for r in vrows]), (row_chunk,))
+    alt_mat = [
+        (list(r["alt"] or []) + [""] * max_alt)[:max_alt] for r in vrows
+    ]
+    _write_array(
+        store, "variants/ALT",
+        fixed([a for row in alt_mat for a in row]).reshape(len(vrows), max_alt),
+        (row_chunk, max_alt),
+    )
+    _write_array(
+        store, "variants/QUAL",
+        np.array(
+            [float("nan") if r["qual"] is None else r["qual"] for r in vrows],
+            # f8, not allel's f4: the engine's qual is double and the
+            # exporter must round-trip it exactly
+            dtype="<f8",
+        ),
+        (row_chunk,),
+    )
+    _write_array(
+        store, "variants/FILTER_PASS",
+        np.array([r["filter"] == "PASS" for r in vrows], dtype="|b1"),
+        (row_chunk,),
+    )
+
+    crows = calls.collect()
+    sample_names = sorted({r["sample_id"] for r in crows})
+    sidx = {s: j for j, s in enumerate(sample_names)}
+    ploidy = max((len(r["gt"]) for r in crows if r["gt"] is not None), default=2) or 2
+    gt = np.full((len(vrows), len(sample_names), ploidy), -1, dtype="<i1")
+    dp = np.full((len(vrows), len(sample_names)), -1, dtype="<i4")
+    gq = np.full((len(vrows), len(sample_names)), -1, dtype="<i4")
+    for r in crows:
+        i, j = order[r["variant_id"]], sidx[r["sample_id"]]
+        if r["gt"] is not None:
+            for k, a in enumerate(r["gt"][:ploidy]):
+                gt[i, j, k] = -1 if a is None else a
+        if r["dp"] is not None:
+            dp[i, j] = r["dp"]
+        if r["gq"] is not None:
+            gq[i, j] = r["gq"]
+    _write_array(store, "samples", fixed(sample_names))
+    _write_array(store, "calldata/GT", gt, (row_chunk, len(sample_names), ploidy))
+    _write_array(store, "calldata/DP", dp, (row_chunk, len(sample_names)))
+    _write_array(store, "calldata/GQ", gq, (row_chunk, len(sample_names)))
