@@ -470,6 +470,43 @@ def test_mp4_container_parse_and_segmentation():
         mc.mp4_sample_table(mp4, kind="soun")
 
 
+def test_webm_container_parse_and_segmentation():
+    """EBML/Matroska walk: doc type, timescale, duration, video track
+    geometry/codec, and Cluster/SimpleBlock segmentation mapping to
+    the exact encoded-frame byte slices (keyframe flags + cluster-
+    relative timestamps resolved to ns)."""
+    from v6spark.operators import media_containers as mc
+
+    sizes = [30, 21, 44, 17, 28]
+    w = mc.make_webm(width=64, height=48, frame_sizes=sizes, seed=4)
+    assert mm.sniff_format(w) == "webm"
+    info = mc.parse_webm_info(w)
+    assert info["doc_type"] == "webm"
+    assert info["timescale_ns"] == 1_000_000
+    assert abs(info["duration_s"] - 5 * 33 / 1000) < 1e-12
+    (trk,) = info["tracks"]
+    assert (trk["width"], trk["height"]) == (64, 48)
+    assert trk["kind"] == "video" and trk["codec"] == "V_VP9"
+    table = mc.webm_block_table(w, track_number=1)
+    assert [b["size"] for b in table] == sizes
+    assert [b["timestamp_ns"] for b in table] == [
+        0, 33_000_000, 66_000_000, 99_000_000, 132_000_000
+    ]
+    assert [b["keyframe"] for b in table] == [True, False, True, False, True]
+    for i, b in enumerate(table):
+        expected = bytes((4 + i * 11 + j) % 247 for j in range(b["size"]))
+        assert w[b["offset"] : b["offset"] + b["size"]] == expected
+    # laced blocks refuse honestly: flip the lacing bits of block 0
+    laced = bytearray(w)
+    laced[table[0]["offset"] - 1] |= 0x06
+    with pytest.raises(NotImplementedError, match="laced"):
+        mc.webm_block_table(bytes(laced), track_number=1)
+    with pytest.raises(ValueError, match="EBML"):
+        mc.parse_webm_info(b"\x00" * 32)
+    # decode_media metadata path
+    assert mm._real_dims(w) == (64, 48, 3)
+
+
 def test_mp3_mp4_through_spark(spark):
     """Container formats flow through decode_media (metadata triple)
     and frame_sample (encoded MP4 samples at the every_n stride) —
@@ -479,10 +516,12 @@ def test_mp3_mp4_through_spark(spark):
     sizes = [40, 25, 33, 18, 52, 29, 61]
     mp4 = mc.make_mp4(width=32, height=24, sample_sizes=sizes, seed=9)
     mp3 = mc.make_mp3(n_frames=12, sample_rate=32000, bitrate_kbps=96)
+    webm = mc.make_webm(width=16, height=12, frame_sizes=[9, 8, 7, 6], seed=2)
     media = spark.createDataFrame(
         [
             (1, "video", mp4, "synthetic://mp4/1", "{}"),
             (2, "audio", mp3, "synthetic://mp3/2", "{}"),
+            (3, "video", webm, "synthetic://webm/3", "{}"),
         ],
         mm.MEDIA_SCHEMA,
     )
@@ -490,12 +529,21 @@ def test_mp3_mp4_through_spark(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (32, 24, 3)
     # audio convention (same as WAV): (n_frames, sample_rate, channels)
     assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (12, 32000, 2)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_channels"]) == (16, 12, 3)
     rows = mm.frame_sample(media, every_n=3).collect()
-    assert sorted(r["frame_idx"] for r in rows) == [0, 3, 6]
-    table = mc.mp4_sample_table(mp4)
+    by_media: dict = {}
     for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_media[1]) == [0, 3, 6]
+    table = mc.mp4_sample_table(mp4)
+    for r in by_media[1]:
         s = table[r["frame_idx"]]
         assert bytes(r["frame_payload"]) == mp4[s["offset"] : s["offset"] + s["size"]]
+    assert sorted(r["frame_idx"] for r in by_media[3]) == [0, 3]
+    blocks = mc.webm_block_table(webm, track_number=1)
+    for r in by_media[3]:
+        b = blocks[r["frame_idx"]]
+        assert bytes(r["frame_payload"]) == webm[b["offset"] : b["offset"] + b["size"]]
 
 
 def test_multimodal_png_through_spark(spark):

@@ -1,13 +1,13 @@
-"""MP3 / MP4 (ISO BMFF) CONTAINER-level parsing, stdlib-only.
+"""MP3 / MP4 (ISO BMFF) / WebM (EBML) CONTAINER parsing, stdlib-only.
 
-Shrinks the honest MP3/MP4 gap in the multimodal tier (SURVEY.md
-§2.2, multimodal columns) to exactly the entropy decoders: what a
-100 TB media-corpus metadata pass actually needs — codec
-identification, duration/bitrate/timing, track geometry, and
-per-sample byte segmentation (the offsets ``frame_sample`` uses to
-slice encoded frames out of ``mdat``) — is parsed for REAL from the
-container structure, no external library.  What still raises
-``NotImplementedError`` is pixel/audio synthesis (H.264/H.265 CABAC +
+Shrinks the honest MP3/MP4/WebM gap in the multimodal tier
+(SURVEY.md §2.2, multimodal columns) to exactly the entropy
+decoders: what a 100 TB media-corpus metadata pass actually needs —
+codec identification, duration/bitrate/timing, track geometry, and
+per-frame byte segmentation (the offsets ``frame_sample`` uses to
+slice encoded frames out of ``mdat``/Clusters) — is parsed for REAL
+from the container structure, no external library.  What still
+raises ``NotImplementedError`` is pixel/audio synthesis (H.264/VP9
 reconstruction, MP3 hybrid filterbank), which is ffmpeg/libmad-class
 work this environment cannot host.
 
@@ -474,3 +474,272 @@ def make_mp4(
     )
     moov = _box(b"moov", mvhd, trak)
     return ftyp + mdat + moov
+
+
+# ------------------------------------------------------- WebM / EBML
+
+
+def _vint(data: bytes, pos: int, keep_marker: bool = False):
+    """EBML variable-length integer at ``pos`` ->
+    (value, next_pos, is_unknown_size).  Element IDs keep the length
+    marker bit (that is how Matroska spells them); sizes strip it,
+    and an all-ones size means "unknown — extends to parent end"
+    (live-stream Segments)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    length, mask = 1, 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    unknown = (not keep_marker) and val == (1 << (7 * length)) - 1
+    return val, pos + length, unknown
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for each child."""
+    while pos < end:
+        eid, p1, _ = _vint(data, pos, keep_marker=True)
+        size, p2, unknown = _vint(data, p1)
+        body_end = end if unknown else p2 + size
+        if body_end > end:
+            raise ValueError("malformed EBML: element overruns parent")
+        yield eid, p2, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    return int.from_bytes(data[start:end], "big")
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    raise ValueError(f"EBML float must be 4 or 8 bytes, got {n}")
+
+
+_EBML_HEADER = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_DOCTYPE = 0x4282
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIX_W = 0xB0
+_PIX_H = 0xBA
+_AUDIO = 0xE1
+_SAMPLE_FREQ = 0xB5
+_CHANNELS = 0x9F
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+
+
+def _webm_segment(payload: bytes) -> tuple[int, int]:
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML (WebM/Matroska) payload")
+    doc_type = ""
+    for eid, b, e in _ebml_children(payload, 0, len(payload)):
+        if eid == _EBML_HEADER:
+            for cid, cb, ce in _ebml_children(payload, b, e):
+                if cid == _DOCTYPE:
+                    doc_type = payload[cb:ce].rstrip(b"\x00").decode("latin1")
+        elif eid == _SEGMENT:
+            return b, e, doc_type
+    raise ValueError("EBML without Segment element")
+
+
+def parse_webm_info(payload: bytes) -> dict:
+    """Matroska/WebM structure -> ``{doc_type, timescale_ns,
+    duration_s, tracks: [{number, kind, codec, width, height,
+    sample_rate, channels}]}``.  EBML element walk only — no codec."""
+    seg_b, seg_e, doc_type = _webm_segment(payload)
+    info: dict = {"doc_type": doc_type, "timescale_ns": 1_000_000,
+                  "duration_s": None, "tracks": []}
+    duration_ticks = None
+    for eid, b, e in _ebml_children(payload, seg_b, seg_e):
+        if eid == _INFO:
+            for cid, cb, ce in _ebml_children(payload, b, e):
+                if cid == _TIMESTAMP_SCALE:
+                    info["timescale_ns"] = _ebml_uint(payload, cb, ce)
+                elif cid == _DURATION:
+                    duration_ticks = _ebml_float(payload, cb, ce)
+        elif eid == _TRACKS:
+            for tid, tb, te in _ebml_children(payload, b, e):
+                if tid != _TRACK_ENTRY:
+                    continue
+                trk: dict = {}
+                for cid, cb, ce in _ebml_children(payload, tb, te):
+                    if cid == _TRACK_NUMBER:
+                        trk["number"] = _ebml_uint(payload, cb, ce)
+                    elif cid == _TRACK_TYPE:
+                        t = _ebml_uint(payload, cb, ce)
+                        trk["kind"] = {1: "video", 2: "audio"}.get(t, str(t))
+                    elif cid == _CODEC_ID:
+                        trk["codec"] = payload[cb:ce].decode("latin1")
+                    elif cid == _VIDEO:
+                        for vid, vb, ve in _ebml_children(payload, cb, ce):
+                            if vid == _PIX_W:
+                                trk["width"] = _ebml_uint(payload, vb, ve)
+                            elif vid == _PIX_H:
+                                trk["height"] = _ebml_uint(payload, vb, ve)
+                    elif cid == _AUDIO:
+                        for aid, ab, ae in _ebml_children(payload, cb, ce):
+                            if aid == _SAMPLE_FREQ:
+                                trk["sample_rate"] = _ebml_float(payload, ab, ae)
+                            elif aid == _CHANNELS:
+                                trk["channels"] = _ebml_uint(payload, ab, ae)
+                info["tracks"].append(trk)
+    if duration_ticks is not None:
+        info["duration_s"] = duration_ticks * info["timescale_ns"] / 1e9
+    return info
+
+
+def webm_block_table(payload: bytes, track_number: int | None = None) -> list[dict]:
+    """Per-frame byte segmentation from Cluster SimpleBlocks/Blocks:
+    ``{block_idx, track, timestamp_ns, keyframe, offset, size}`` with
+    ``offset`` pointing at the ENCODED frame bytes inside the payload
+    (the codec bitstream — VP8/VP9/AV1 pixel decode needs ffmpeg,
+    honest scope, same contract as :func:`mp4_sample_table`).
+
+    Laced blocks (multiple frames per block) raise
+    ``NotImplementedError`` — the dominant video layout is one frame
+    per SimpleBlock; lacing is an audio-packing micro-optimization.
+    """
+    seg_b, seg_e, _doc = _webm_segment(payload)
+    scale = 1_000_000
+    for eid, b, e in _ebml_children(payload, seg_b, seg_e):
+        if eid == _INFO:
+            for cid, cb, ce in _ebml_children(payload, b, e):
+                if cid == _TIMESTAMP_SCALE:
+                    scale = _ebml_uint(payload, cb, ce)
+    out: list[dict] = []
+
+    def handle_block(bb: int, be: int, cluster_ts: int, simple: bool) -> None:
+        tnum, p, _ = _vint(payload, bb)
+        if p + 3 > be:
+            raise ValueError("truncated Matroska block header")
+        rel = struct.unpack(">h", payload[p : p + 2])[0]
+        flags = payload[p + 2]
+        if (flags >> 1) & 0x3:
+            raise NotImplementedError(
+                "laced Matroska blocks not supported (one frame per "
+                "SimpleBlock is the video layout; audio lacing needs a "
+                "full demuxer)"
+            )
+        if track_number is not None and tnum != track_number:
+            return
+        out.append(
+            {
+                "block_idx": len(out),
+                "track": tnum,
+                "timestamp_ns": (cluster_ts + rel) * scale,
+                "keyframe": bool(flags & 0x80) if simple else None,
+                "offset": p + 3,
+                "size": be - (p + 3),
+            }
+        )
+
+    for eid, b, e in _ebml_children(payload, seg_b, seg_e):
+        if eid != _CLUSTER:
+            continue
+        cluster_ts = 0
+        for cid, cb, ce in _ebml_children(payload, b, e):
+            if cid == _CLUSTER_TS:
+                cluster_ts = _ebml_uint(payload, cb, ce)
+            elif cid == _SIMPLE_BLOCK:
+                handle_block(cb, ce, cluster_ts, simple=True)
+            elif cid == _BLOCK_GROUP:
+                for gid, gb, ge in _ebml_children(payload, cb, ce):
+                    if gid == _BLOCK:
+                        handle_block(gb, ge, cluster_ts, simple=False)
+    return out
+
+
+def _ebml_el(eid_bytes: bytes, body: bytes) -> bytes:
+    """One EBML element with a minimal-length size varint."""
+    n = len(body)
+    length = 1
+    while n >= (1 << (7 * length)) - 1:  # avoid the all-ones reserved value
+        length += 1
+    size = n | (1 << (7 * length))
+    return eid_bytes + size.to_bytes(length, "big") + body
+
+
+def _ebml_uint_body(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+def make_webm(
+    width: int = 64,
+    height: int = 48,
+    frame_sizes: list[int] | None = None,
+    frame_interval_ticks: int = 33,
+    codec: str = "V_VP9",
+    seed: int = 0,
+) -> bytes:
+    """Spec-shaped WebM: EBML header + Segment(Info, Tracks, one
+    Cluster per 2 frames) with deterministic SimpleBlock frame bytes
+    so segmentation tests can check exact slices."""
+    if frame_sizes is None:
+        frame_sizes = [30, 21, 44, 17, 28]
+    header = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x82", b"webm"),
+    )
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(1_000_000))
+        + _ebml_el(
+            b"\x44\x89",
+            struct.pack(">d", float(len(frame_sizes) * frame_interval_ticks)),
+        ),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", _ebml_uint_body(width))
+        + _ebml_el(b"\xba", _ebml_uint_body(height)),
+    )
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", _ebml_uint_body(1))
+        + _ebml_el(b"\x83", _ebml_uint_body(1))  # video
+        + _ebml_el(b"\x86", codec.encode("latin1"))
+        + video,
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    clusters = b""
+    for c0 in range(0, len(frame_sizes), 2):
+        cluster_ts = c0 * frame_interval_ticks
+        body = _ebml_el(b"\xe7", _ebml_uint_body(cluster_ts))
+        for i in range(c0, min(c0 + 2, len(frame_sizes))):
+            frame = bytes((seed + i * 11 + j) % 247 for j in range(frame_sizes[i]))
+            rel = (i - c0) * frame_interval_ticks
+            blk = (
+                b"\x81"  # track 1 varint
+                + struct.pack(">h", rel)
+                + (b"\x80" if i == c0 else b"\x00")  # keyframe flag
+                + frame
+            )
+            body += _ebml_el(b"\xa3", blk)
+        clusters += _ebml_el(b"\x1f\x43\xb6\x75", body)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks + clusters)
+    return header + segment

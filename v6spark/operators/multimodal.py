@@ -8,9 +8,10 @@ parallel.
 Codec posture, honestly stated: ENTROPY decode needing external
 libraries (H.264/H.265 pixels, MP3 audio synthesis —
 ffmpeg/torchaudio-class) is NOT available in this environment and
-raises NotImplementedError at the marked lines; but MP3/MP4
+raises NotImplementedError at the marked lines; but MP3/MP4/WebM
 CONTAINER structure parses for real (operators/media_containers.py —
-frame-sync walk, ISO BMFF box walk, stsc×stco×stsz sample
+MP3 frame-sync walk, ISO BMFF box walk with stsc×stco×stsz sample
+segmentation, EBML/Matroska element walk with Cluster/SimpleBlock
 segmentation), so metadata passes and encoded-frame extraction work
 without any codec.  Everything else decodes to pixels/samples for
 REAL, zero external dependencies:
@@ -347,6 +348,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
@@ -491,12 +494,20 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
             if trk.get("kind") == "vide":
                 return trk["width"], trk["height"], 3
         raise ValueError("MP4 without a video track")
+    if fmt == "webm":
+        from v6spark.operators.media_containers import parse_webm_info
+
+        info = parse_webm_info(payload)
+        for trk in info["tracks"]:
+            if trk.get("kind") == "video":
+                return trk["width"], trk["height"], 3
+        raise ValueError("WebM without a video track")
     raise NotImplementedError(
         "unrecognized media format; known formats all parse for real — "
         "pixel decode: PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/"
-        "GIF; container metadata + sample segmentation: MP3/MP4 "
-        "(operators/media_containers.py — H.264/MP3 audio synthesis "
-        "still needs ffmpeg-class codecs, stated there)."
+        "GIF; container metadata + frame segmentation: MP3/MP4/WebM "
+        "(operators/media_containers.py — H.264/VP9/MP3-audio entropy "
+        "decode still needs ffmpeg-class codecs, stated there)."
     )
 
 
@@ -677,14 +688,19 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
     locates each video sample's exact byte range, and every
     ``every_n``-th ENCODED sample is emitted as the frame payload —
     honest scope: the bytes are the codec bitstream access unit
-    (H.264 etc.), not decoded pixels, which need ffmpeg.  WebM raises
-    honestly; ``fake=True`` keeps the deterministic hash-derived
-    sampler for plumbing tests with arbitrary payloads.
+    (H.264 etc.), not decoded pixels, which need ffmpeg.  WebM gets
+    the same treatment via the EBML Cluster/SimpleBlock walk
+    (``webm_block_table``).  ``fake=True`` keeps the deterministic
+    hash-derived sampler for plumbing tests with arbitrary payloads.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from v6spark.operators.gif import decode_gif
-        from v6spark.operators.media_containers import mp4_sample_table
+        from v6spark.operators.media_containers import (
+            mp4_sample_table,
+            parse_webm_info,
+            webm_block_table,
+        )
 
         for pdf in it:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
@@ -714,12 +730,26 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                         out["frame_payload"].append(
                             payload[s["offset"] : s["offset"] + s["size"]]
                         )
+                elif fmt == "webm":
+                    vtracks = [
+                        t["number"]
+                        for t in parse_webm_info(payload)["tracks"]
+                        if t.get("kind") == "video"
+                    ]
+                    blocks = webm_block_table(
+                        payload, vtracks[0] if vtracks else None
+                    )
+                    for s in blocks[::every_n]:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(s["block_idx"])
+                        out["frame_payload"].append(
+                            payload[s["offset"] : s["offset"] + s["size"]]
+                        )
                 else:
                     raise NotImplementedError(
                         "frame_sample decodes animated GIF and segments "
-                        "MP4 samples for real; WebM needs ffmpeg (not "
-                        "installed) — or pass fake=True for the stub "
-                        "sampler"
+                        "MP4/WebM frames for real; unrecognized container "
+                        "— or pass fake=True for the stub sampler"
                     )
             yield pd.DataFrame(out)
 
