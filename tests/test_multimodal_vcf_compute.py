@@ -754,3 +754,50 @@ def test_vcf_datasource_parallel_partitions(spark, tmp_path_factory):
     p2.write_text("\n".join(lines2) + "\n", encoding="utf-8")
     df2 = spark.read.format("vcf").option("n_partitions", "5").load(str(p2))
     assert df2.count() == 300
+
+
+def test_frame_index_all_containers(spark):
+    """frame_index: the metadata-only per-frame table (byte ranges,
+    timestamps, keyframes) across MP4/WebM/GIF — no payload copies."""
+    import numpy as np
+
+    from v6spark.operators import gif, media_containers as mc
+
+    mp4 = mc.make_mp4(width=8, height=6, sample_sizes=[10, 11, 12], seed=1)
+    webm = mc.make_webm(width=8, height=6, frame_sizes=[9, 8, 7], seed=1)
+    pal = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    gpayload = gif.encode_gif(
+        [np.zeros((4, 5), dtype=np.uint8) for _ in range(3)],
+        pal, delays_ms=[100, 50, 70],
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, "s://mp4", "{}"),
+            (2, "video", webm, "s://webm", "{}"),
+            (3, "video", gpayload, "s://gif", "{}"),
+            (4, "image", mp4, "s://ignored", "{}"),  # non-video filtered
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.frame_index(media).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 2, 3}
+    # MP4: offsets/sizes match the sample table; dts -> ms via timescale
+    table = mc.mp4_sample_table(mp4)
+    for r in by_media[1]:
+        s = table[r["frame_idx"]]
+        assert (r["offset"], r["size"]) == (s["offset"], s["size"])
+        assert abs(r["timestamp_ms"] - s["dts"] * 1000 / 600) < 1e-9
+    # WebM: ns -> ms, keyframe flags carried
+    blocks = mc.webm_block_table(webm, 1)
+    for r in by_media[2]:
+        b = blocks[r["frame_idx"]]
+        assert (r["offset"], r["size"]) == (b["offset"], b["size"])
+        assert r["keyframe"] == b["keyframe"]
+        assert abs(r["timestamp_ms"] - b["timestamp_ns"] / 1e6) < 1e-9
+    # GIF: cumulative timestamps from per-frame delays; no byte ranges
+    gif_rows = sorted(by_media[3], key=lambda r: r["frame_idx"])
+    assert [r["timestamp_ms"] for r in gif_rows] == [0.0, 100.0, 150.0]
+    assert all(r["offset"] is None and r["size"] is None for r in gif_rows)

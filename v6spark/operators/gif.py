@@ -251,3 +251,46 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_frame_index(payload: bytes) -> list[tuple[int, int]]:
+    """(frame_idx, delay_ms) per frame from the block structure ALONE
+    — image descriptors counted, LZW sub-blocks skipped by their
+    length bytes, no pixel decode.  The metadata-pass companion to
+    :func:`decode_gif`, for ``multimodal.frame_index``."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload) and payload[p]:
+            p += 1 + payload[p]
+        return p + 1
+
+    out: list[tuple[int, int]] = []
+    delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                delay = struct.unpack_from("<H", payload, pos + 2)[0] * 10
+            pos = skip_subblocks(pos)
+        elif block == 0x2C:  # image descriptor
+            lpacked = payload[pos + 9]
+            pos += 10
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            out.append((len(out), delay))
+            delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return out
