@@ -801,3 +801,94 @@ def test_frame_index_all_containers(spark):
     gif_rows = sorted(by_media[3], key=lambda r: r["frame_idx"])
     assert [r["timestamp_ms"] for r in gif_rows] == [0.0, 100.0, 150.0]
     assert all(r["offset"] is None and r["size"] is None for r in gif_rows)
+
+
+def test_avi_container_parse_and_index():
+    """AVI: metadata via the avih/strl walk, per-frame byte ranges
+    via the movi walk, keyframe bits via idx1."""
+    import numpy as np
+
+    from v6spark.operators import avi
+
+    frames = [np.full((12, 16, 3), 30 * i, dtype=np.uint8) for i in range(5)]
+    payload = avi.make_avi(frames, fps=25, quality=92)
+    info = avi.parse_avi_info(payload)
+    assert (info["width"], info["height"], info["n_frames"]) == (16, 12, 5)
+    assert info["fps"] == 25.0
+    assert info["streams"][0]["codec"] == "MJPG"
+    assert abs(info["duration_s"] - 0.2) < 1e-9
+    table = avi.avi_frame_table(payload)
+    assert [f["frame_idx"] for f in table] == [0, 1, 2, 3, 4]
+    assert all(f["keyframe"] for f in table)  # idx1 marks MJPEG intra-only
+    assert table[1]["timestamp_ms"] == 40.0
+    # every offset slices to a standalone baseline JPEG of the frame
+    for f in table:
+        sl = payload[f["offset"] : f["offset"] + f["size"]]
+        assert sl[:3] == b"\xff\xd8\xff" and sl[-2:] == b"\xff\xd9"
+    with pytest.raises(ValueError):
+        avi.parse_avi_info(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_real_mjpeg_avi(spark):
+    """frame_sample over MJPEG AVI is END-TO-END real pixels:
+    container walk -> JPEG entropy decode -> PNG frames whose pixels
+    approximate the originals (JPEG is lossy, so tolerance-compared),
+    and decode_media reads dims from headers only."""
+    import numpy as np
+
+    from v6spark.operators import avi
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+    # smooth frames (JPEG-friendly) with a per-frame brightness shift
+    frames = [
+        np.clip(base.astype(int) // 2 + 20 * i, 0, 255).astype(np.uint8)
+        for i in range(7)
+    ]
+    payload = avi.make_avi(frames, fps=10, quality=95)
+    media = spark.createDataFrame(
+        [(1, "video", payload, "synthetic://avi/1", "{}")],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.frame_sample(media, every_n=3).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 3, 6]
+    for r in rows:
+        fp = bytes(r["frame_payload"])
+        assert mm.sniff_format(fp) == "png"
+        w, h, c, img = mm._png_decode(fp)
+        assert (w, h, c) == (24, 16, 3)
+        err = np.abs(img.astype(int) - frames[r["frame_idx"]].astype(int)).mean()
+        assert err < 4.0, err
+    got = mm.decode_media(media).collect()[0]
+    assert (got["width"], got["height"], got["n_channels"]) == (24, 16, 3)
+    # frame_index covers AVI with absolute byte ranges + keyframes
+    idx = mm.frame_index(media).collect()
+    assert len(idx) == 7
+    assert all(r["keyframe"] for r in idx)
+    assert idx[0]["size"] > 0 and idx[0]["offset"] > 0
+
+
+def test_wav_adpcm_decode_and_features(spark):
+    """IMA-ADPCM WAV (fmt tag 0x11): the block-vectorized decoder
+    reconstructs the encoded sine within the codec's own SNR, and
+    audio_features/decode_media consume it like PCM."""
+    import numpy as np
+
+    rate, n, freq = 8000, 4000, 440.0
+    payload = mm.make_wav_adpcm(n_frames=n, rate=rate, freq=freq)
+    got_rate, got_n, got_ch, samples = mm._wav_decode(payload)
+    assert (got_rate, got_ch) == (rate, 1)
+    assert got_n >= n  # tail block zero-padded up to samples_per_block
+    t = np.arange(n)
+    ref = (12000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+    err = (samples[:n, 0].astype(float) - ref) ** 2
+    snr = 10 * np.log10((ref.astype(float) ** 2).mean() / err.mean())
+    assert snr > 20.0, snr  # IMA-ADPCM delivers ~25 dB on this tone
+    media = spark.createDataFrame(
+        [(1, "audio", payload, "synthetic://adpcm/1", "{}")],
+        mm.MEDIA_SCHEMA,
+    )
+    feat = mm.audio_features(media).collect()[0]
+    assert feat["sample_rate"] == rate and feat["rms"] > 6000
+    dims = mm.decode_media(media).collect()[0]
+    assert (dims["width"], dims["height"]) == (got_n, rate)  # (frames, rate)

@@ -336,6 +336,8 @@ def sniff_format(payload: bytes) -> str | None:
     """Container format from magic bytes; None when unrecognized."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
     if payload[:2] == b"BM":
@@ -405,11 +407,16 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def _wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """PCM WAV -> (sample_rate, n_frames, n_channels, frames x ch int array)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate, n_frames, n_ch = w.getframerate(), w.getnframes(), w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n_frames)
+    """PCM or IMA-ADPCM WAV -> (sample_rate, n_frames, n_channels,
+    frames x ch int array).  stdlib ``wave`` handles PCM; compressed
+    (fmt tag 0x11) falls back to :func:`_adpcm_decode`."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, n_frames, n_ch = w.getframerate(), w.getnframes(), w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except wave.Error:  # non-PCM compression tag: parse RIFF ourselves
+        return _adpcm_decode(payload)
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2")
     elif width == 1:
@@ -417,6 +424,137 @@ def _wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     else:
         raise NotImplementedError(f"WAV sample width {width}")
     return rate, n_frames, n_ch, samples.reshape(-1, n_ch)
+
+
+# IMA-ADPCM (WAV fmt tag 0x11): 4-bit differential coding with the
+# public step/index tables.  Blocks are independent (each opens with
+# a full 16-bit predictor + step index), which is exactly what makes
+# the format seekable AND lets the decoder below vectorize the
+# per-sample recurrence ACROSS blocks: the loop is samples-per-block
+# long regardless of clip length, with every live block advanced per
+# step in numpy.
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+
+
+def _wav_chunks(payload: bytes):
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _ima_step(pred: np.ndarray, idx: np.ndarray, nib: np.ndarray):
+    """One vectorized IMA step over a batch of channels/blocks."""
+    step = _IMA_STEPS[idx]
+    diff = (step >> 3) + np.where(nib & 1, step >> 2, 0) \
+        + np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+    pred = pred + np.where(nib & 8, -diff, diff)
+    pred = np.clip(pred, -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _adpcm_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Mono IMA-ADPCM WAV -> same contract as :func:`_wav_decode`."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    for cid, body, size in _wav_chunks(payload):
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, body)
+            spb = struct.unpack_from("<H", payload, body + 18)[0] if size >= 20 else None
+        elif cid == b"data":
+            data = payload[body : body + size]
+        elif cid == b"fact":
+            pass  # total sample count; recomputed from blocks below
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    tag, n_ch, rate, _bps, block_align, bits = fmt
+    if tag != 0x11:
+        raise NotImplementedError(f"WAV compression tag 0x{tag:x}")
+    if n_ch != 1 or bits != 4:
+        raise NotImplementedError("IMA-ADPCM decode: mono 4-bit only")
+    if spb is None:
+        spb = (block_align - 4) * 2 + 1
+    n_blocks = len(data) // block_align
+    blocks = np.frombuffer(
+        data[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    out = np.empty((n_blocks, spb), dtype=np.int16)
+    out[:, 0] = pred
+    body = blocks[:, 4:]
+    # nibble n of a block lives in byte n//2, low nibble first
+    for n in range(spb - 1):
+        nib = (body[:, n >> 1] >> (4 * (n & 1))) & 0xF
+        pred, idx = _ima_step(pred, idx, nib.astype(np.int32))
+        out[:, n + 1] = pred
+    samples = out.reshape(-1)
+    return rate, len(samples), 1, samples.reshape(-1, 1)
+
+
+def make_wav_adpcm(
+    n_frames: int = 2000, rate: int = 8000, freq: float = 440.0,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Mono IMA-ADPCM WAV fixture: a sine tone encoded with the
+    standard recurrence (fixture builder — plain per-sample loop)."""
+    t = np.arange(n_frames)
+    pcm = (12000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    blocks = []
+    idx = 0  # adapted step index carries across blocks via the header
+    for start in range(0, len(pcm), samples_per_block):
+        chunk = pcm[start : start + samples_per_block]
+        if len(chunk) < samples_per_block:  # zero-pad the tail block
+            chunk = np.concatenate([chunk, np.zeros(samples_per_block - len(chunk), dtype=np.int16)])
+        pred, block_idx = int(chunk[0]), idx
+        nibs = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[idx])
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            p, i = _ima_step(np.array([pred]), np.array([idx]), np.array([nib]))
+            pred, idx = int(p[0]), int(i[0])
+            nibs.append(nib)
+        body = bytearray(struct.pack("<hBB", int(chunk[0]), block_idx, 0))
+        for lo, hi in zip(nibs[::2], list(nibs[1::2]) + [0]):
+            body.append(lo | (hi << 4))
+        blocks.append(bytes(body[:block_align]))
+    data = b"".join(blocks)
+    n_encoded = len(blocks) * samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate,
+        rate * block_align // samples_per_block, block_align, 4, 2,
+        samples_per_block,
+    )
+    fact = struct.pack("<I", n_encoded)
+    out = b"WAVE"
+    for cid, body in ((b"fmt ", fmt), (b"fact", fact), (b"data", data)):
+        out += cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+    return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
 def _png_dims(payload: bytes) -> tuple[int, int, int]:
@@ -479,8 +617,12 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
         w, h = struct.unpack_from("<HH", payload, 6)
         return w, h, 3
     if fmt == "wav":
-        with wave.open(io.BytesIO(payload), "rb") as wv:
-            return wv.getnframes(), wv.getframerate(), wv.getnchannels()
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wv:
+                return wv.getnframes(), wv.getframerate(), wv.getnchannels()
+        except wave.Error:  # IMA-ADPCM: read the fact/fmt chunks
+            rate, n, ch, _ = _adpcm_decode(payload)
+            return n, rate, ch
     if fmt == "mp3":
         from v6spark.operators.media_containers import parse_mp3_info
 
@@ -502,12 +644,17 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
             if trk.get("kind") == "video":
                 return trk["width"], trk["height"], 3
         raise ValueError("WebM without a video track")
+    if fmt == "avi":
+        from v6spark.operators.avi import parse_avi_info
+
+        info = parse_avi_info(payload)
+        return info["width"], info["height"], 3
     raise NotImplementedError(
         "unrecognized media format; known formats all parse for real — "
         "pixel decode: PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/"
-        "GIF; container metadata + frame segmentation: MP3/MP4/WebM "
-        "(operators/media_containers.py — H.264/VP9/MP3-audio entropy "
-        "decode still needs ffmpeg-class codecs, stated there)."
+        "GIF/MJPEG-AVI; container metadata + frame segmentation: "
+        "MP3/MP4/WebM (operators/media_containers.py — H.264/VP9 "
+        "entropy decode still needs ffmpeg-class codecs, stated there)."
     )
 
 
@@ -606,10 +753,10 @@ def image_resize(
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Real PCM WAV analysis: rate/duration plus RMS and zero-crossing
-    rate per payload — the cheap audio-quality gates (silence, clipped
-    or constant signals) a corpus filter needs.  Non-WAV payloads
-    raise (compressed audio codecs not installed)."""
+    """Real WAV analysis (PCM or mono IMA-ADPCM): rate/duration plus
+    RMS and zero-crossing rate per payload — the cheap audio-quality
+    gates (silence, clipped or constant signals) a corpus filter
+    needs.  Non-WAV payloads raise (MP3-class codecs not installed)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -745,11 +892,34 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                         out["frame_payload"].append(
                             payload[s["offset"] : s["offset"] + s["size"]]
                         )
+                elif fmt == "avi":
+                    from v6spark.operators.avi import (
+                        avi_frame_table,
+                        parse_avi_info,
+                    )
+                    from v6spark.operators.jpeg import decode_jpeg
+
+                    ainfo = parse_avi_info(payload)
+                    mjpg = any(
+                        s.get("kind") == "video" and s.get("codec") == "MJPG"
+                        for s in ainfo["streams"]
+                    )
+                    for s in avi_frame_table(payload)[::every_n]:
+                        sl = payload[s["offset"] : s["offset"] + s["size"]]
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(s["frame_idx"])
+                        # MJPEG: full pixel decode -> PNG, like the GIF
+                        # path; other codecs emit the encoded slice
+                        # like MP4/WebM.
+                        out["frame_payload"].append(
+                            encode_png(decode_jpeg(sl)[3]) if mjpg else sl
+                        )
                 else:
                     raise NotImplementedError(
-                        "frame_sample decodes animated GIF and segments "
-                        "MP4/WebM frames for real; unrecognized container "
-                        "— or pass fake=True for the stub sampler"
+                        "frame_sample decodes animated GIF and MJPEG AVI "
+                        "to pixels and segments MP4/WebM frames for real; "
+                        "unrecognized container — or pass fake=True for "
+                        "the stub sampler"
                     )
             yield pd.DataFrame(out)
 
@@ -844,9 +1014,17 @@ def frame_index(df: DataFrame) -> DataFrame:
                     for idx, delay_ms in gif_frame_index(payload):
                         emit(mid, idx, ts, None, None, None)
                         ts += delay_ms
+                elif fmt == "avi":
+                    from v6spark.operators.avi import avi_frame_table
+
+                    for b in avi_frame_table(payload):
+                        emit(
+                            mid, b["frame_idx"], b["timestamp_ms"],
+                            b["keyframe"], b["offset"], b["size"],
+                        )
                 else:
                     raise NotImplementedError(
-                        "frame_index covers MP4/WebM/GIF containers"
+                        "frame_index covers MP4/WebM/AVI/GIF containers"
                     )
             yield pd.DataFrame(out)
 
