@@ -1,0 +1,135 @@
+"""Perceptual media fingerprints: pHash/dHash invariance, the audio
+spectral fingerprint, STFT spectrogram, and near-dup pairing through
+the shared Hamming band join."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from v6spark.operators import media_fingerprint as mf
+from v6spark.operators import multimodal as mm
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def _structured_img(seed: int = 0) -> np.ndarray:
+    y, x = np.mgrid[0:64, 0:96]
+    return np.stack(
+        [(x * 2 + seed * 37) % 256, (y * 3) % 256, ((x + y) * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _wav_payload(sig: np.ndarray, rate: int = 8000) -> bytes:
+    b = io.BytesIO()
+    with wave.open(b, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.clip(sig, -32768, 32767).astype("<i2").tobytes())
+    return b.getvalue()
+
+
+def test_phash_invariance_and_discrimination():
+    """pHash survives re-encoding (PNG->JPEG at two qualities +
+    4:2:0) and 2x downscale within a few bits; unrelated content
+    lands near the binomial mean of 32."""
+    from v6spark.operators.jpeg import encode_jpeg
+
+    img = _structured_img()
+    h_png = mf.phash_bytes(mm.encode_png(img))
+    assert _ham(h_png, mf.phash_bytes(encode_jpeg(img, quality=80))) <= 2
+    assert _ham(h_png, mf.phash_bytes(
+        encode_jpeg(img, quality=60, subsampling="420"))) <= 6
+    assert _ham(h_png, mf.phash_bytes(mm.encode_png(img[::2, ::2]))) <= 6
+    other = np.random.default_rng(3).integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    assert _ham(h_png, mf.phash_bytes(mm.encode_png(other))) >= 16
+    # dHash agrees on the same verdicts
+    d_png = mf.dhash_bytes(mm.encode_png(img))
+    assert _ham(d_png, mf.dhash_bytes(encode_jpeg(img, quality=80))) <= 4
+    assert _ham(d_png, mf.dhash_bytes(mm.encode_png(other))) >= 16
+
+
+def test_audio_fingerprint_gain_invariant():
+    rng = np.random.default_rng(3)
+    t = np.arange(8000)
+    tone = 10000 * np.sin(2 * np.pi * 440 * t / 8000)
+    fp = mf.audio_fingerprint_samples(tone)
+    # re-gained + low-level noise: same fingerprint
+    assert _ham(fp, mf.audio_fingerprint_samples(
+        0.3 * tone + rng.normal(0, 50, 8000))) <= 3
+    # different content (different spectral support): far away
+    other = 10000 * np.sin(2 * np.pi * 1320 * t / 8000) \
+        + 4000 * np.sin(2 * np.pi * 220 * t / 8000)
+    assert _ham(fp, mf.audio_fingerprint_samples(other)) >= 7
+
+
+def test_image_near_dup_pairs_spark(spark):
+    """End-to-end: three encodings of one image + one unrelated image
+    -> exactly the three same-content pairs, through the band join."""
+    from v6spark.operators.jpeg import encode_jpeg
+
+    img = _structured_img()
+    other = np.random.default_rng(9).integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", mm.encode_png(img), "s://a", "{}"),
+        (2, "image", encode_jpeg(img, quality=85), "s://b", "{}"),
+        (3, "image", encode_jpeg(img, quality=60, subsampling="420"), "s://c", "{}"),
+        (4, "image", mm.encode_png(other), "s://d", "{}"),
+        (5, "video", mm.encode_png(img), "s://skip", "{}"),  # non-image filtered
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             mf.image_near_dup_pairs(media, radius=6).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_audio_near_dup_pairs_spark(spark):
+    t = np.arange(8000)
+    tone = 10000 * np.sin(2 * np.pi * 440 * t / 8000)
+    rng = np.random.default_rng(1)
+    rows = [
+        (1, "audio", _wav_payload(tone), "s://a", "{}"),
+        (2, "audio", _wav_payload(0.4 * tone + rng.normal(0, 40, 8000)), "s://b", "{}"),
+        (3, "audio", _wav_payload(10000 * np.sin(2 * np.pi * 1320 * t / 8000)
+                                  + 4000 * np.sin(2 * np.pi * 220 * t / 8000)),
+         "s://c", "{}"),
+        # ADPCM-compressed copy of the tone: decoder path + robustness
+        (4, "audio", mm.make_wav_adpcm(n_frames=8000, rate=8000, freq=440.0),
+         "s://d", "{}"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             mf.audio_near_dup_pairs(media, radius=5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_spectrogram_peak_and_shape(spark):
+    rate, n_fft = 8000, 256
+    t = np.arange(8000)
+    freq = 1000.0
+    tone = 12000 * np.sin(2 * np.pi * freq * t / rate)
+    media = spark.createDataFrame(
+        [(1, "audio", _wav_payload(tone), "s://a", "{}")], mm.MEDIA_SCHEMA
+    )
+    row = mf.audio_spectrogram(media, n_fft=n_fft).collect()[0]
+    spec = np.frombuffer(row["spectrogram"], dtype=np.float32).reshape(
+        row["n_frames"], row["n_bins"]
+    )
+    assert row["n_bins"] == n_fft // 2 + 1
+    assert row["n_frames"] == (8000 - n_fft) // (n_fft // 2) + 1
+    # every frame peaks at the tone's bin
+    peak = spec.mean(axis=0).argmax()
+    assert peak == round(freq * n_fft / rate)
+
+
+def test_dct_matrix_orthonormal():
+    d = mf._dct_matrix(32)
+    assert np.allclose(d @ d.T, np.eye(32), atol=1e-12)

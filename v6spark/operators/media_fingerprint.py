@@ -1,0 +1,271 @@
+"""Perceptual fingerprints for images and audio + near-dup pairing.
+
+Extends the dedup tier (SURVEY.md §2.2 — dedup families; north-star
+brief: multimodal training-data pipeline) from text to media: a
+64-bit perceptual hash per image/audio payload, then NEAR-DUPLICATE
+PAIRS via the exact-recall Hamming-ball band join already built for
+SimHash (:func:`v6spark.operators.dedup.simhash_pairs` is
+signature-agnostic — any ``(id, int64)`` frame works).
+
+Scale shape — the part that matters at 100 TB:
+
+- Hashing is embarrassingly parallel ``mapInPandas`` over payload
+  bytes: pixels/samples never leave the executor; ONE int64 per
+  media row crosses into the join.  A corpus-wide image near-dup
+  pass shuffles 8 bytes per image, not megapixels.
+- Pairing inherits the pigeonhole band join: ``radius + 1`` bands,
+  exact recall within the Hamming radius, popcount verify,
+  ``max_bucket_size`` guard against degenerate clusters (solid-color
+  images all hash alike — the guard is not optional on real data).
+
+pHash recipe (public, standard): grayscale -> bilinear downscale to
+``img_size`` -> 2-D DCT-II -> keep the top-left ``hash_size^2``
+low-frequency block -> bit = coefficient > median(block minus DC).
+Robust to re-encoding (format/quality), resizing, and small edits —
+exactly the duplicates a crawl corpus contains.  dHash (horizontal
+gradient sign on a ``9x8`` thumbnail) is the cheaper/weaker
+alternative kept for cross-checking.
+
+Audio fingerprint: Haitsma-Kalker-style band-energy contour — FFT
+band energies averaged over frames, bit = adjacent-band energy
+increase, on a log-spaced 65-band layout.  Invariant to volume
+(pure scaling) and robust to mild noise; sensitive to spectral
+shape, which is what distinguishes actual content.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n x n): D @ x applies the transform."""
+    k = np.arange(n)
+    d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """HxWxC uint8 -> HxW float64 luma (ITU-R BT.601 weights)."""
+    img = img.astype(np.float64)
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 1:
+        return img[:, :, 0]
+    if img.shape[2] == 4:  # composite alpha over black
+        a = img[:, :, 3:4] / 255.0
+        img = img[:, :, :3] * a
+    elif img.shape[2] == 2:  # gray + alpha
+        return img[:, :, 0] * (img[:, :, 1] / 255.0)
+    return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+
+
+def _bilinear(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Deterministic bilinear resample HxW -> oh x ow (vectorized)."""
+    h, w = gray.shape
+    ys = np.clip((np.arange(oh) + 0.5) * h / oh - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * w / ow - 0.5, 0, w - 1)
+    y0, x0 = ys.astype(int), xs.astype(int)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+    g = gray
+    return (
+        g[y0][:, x0] * (1 - fy) * (1 - fx)
+        + g[y0][:, x1] * (1 - fy) * fx
+        + g[y1][:, x0] * fy * (1 - fx)
+        + g[y1][:, x1] * fy * fx
+    )
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """<=64 bool bits (MSB first) -> signed int64 (LongType-safe)."""
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def phash_bytes(payload: bytes, hash_size: int = 8, img_size: int = 32) -> int:
+    """64-bit DCT perceptual hash of one image payload."""
+    from v6spark.operators.multimodal import decode_image_array
+
+    _w, _h, _c, img = decode_image_array(payload)
+    small = _bilinear(_to_gray(img), img_size, img_size)
+    d = _dct_matrix(img_size)
+    coefs = (d @ small @ d.T)[:hash_size, :hash_size]
+    flat = coefs.ravel()
+    med = np.median(flat[1:])  # DC excluded from the threshold
+    return _pack_bits(flat > med)
+
+
+def dhash_bytes(payload: bytes, hash_size: int = 8) -> int:
+    """64-bit horizontal-gradient difference hash of one payload."""
+    from v6spark.operators.multimodal import decode_image_array
+
+    _w, _h, _c, img = decode_image_array(payload)
+    small = _bilinear(_to_gray(img), hash_size, hash_size + 1)
+    return _pack_bits(small[:, 1:] > small[:, :-1])
+
+
+def _hash_udf(df: DataFrame, fn, col_name: str, **kw) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                col_name: [fn(bytes(p), **kw) for p in pdf["payload"]],
+            })
+
+    return df.mapInPandas(batches, schema=f"media_id long, {col_name} long")
+
+
+def image_phash(df: DataFrame, hash_size: int = 8, img_size: int = 32) -> DataFrame:
+    """(media_id, phash): DCT perceptual hash per image payload."""
+    return _hash_udf(df.filter(F.col("kind") == "image"), phash_bytes,
+                     "phash", hash_size=hash_size, img_size=img_size)
+
+
+def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(media_id, dhash): gradient difference hash per image payload."""
+    return _hash_udf(df.filter(F.col("kind") == "image"), dhash_bytes,
+                     "dhash", hash_size=hash_size)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    radius: int = 6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash + exact-recall Hamming band
+    join -> (id_a, id_b, hamming <= radius).  Re-encoded / resized /
+    lightly edited copies land within a few bits; unrelated images
+    sit near the binomial mean of 32."""
+    from v6spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        image_phash(df), id_col="media_id", sig_col="phash",
+        n_bits=64, radius=radius, max_bucket_size=max_bucket_size,
+    )
+
+
+# ------------------------------------------------------------------- audio
+
+def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    """Log-spaced band edges over FFT bins 1..n_bins (DC excluded)."""
+    edges = np.unique(
+        np.round(np.geomspace(1, n_bins - 1, n_bands + 1)).astype(int)
+    )
+    # geomspace collapses at the low end for small FFTs; pad linearly
+    while len(edges) < n_bands + 1:
+        missing = n_bands + 1 - len(edges)
+        extra = [e for e in range(1, n_bins) if e not in set(edges)][:missing]
+        if not extra:  # FFT too small for n_bands distinct edges
+            raise ValueError(f"n_fft too small for {n_bands} bands")
+        edges = np.unique(np.concatenate([edges, extra]))
+    return edges
+
+
+def audio_fingerprint_samples(
+    samples: np.ndarray, n_fft: int = 256, n_bands: int = 64
+) -> int:
+    """64-bit band-energy fingerprint of a mono sample array:
+    bit b = (band b's mean energy) > (mean over all bands).
+
+    The mean-relative threshold (rather than adjacent-band
+    differences) keeps sparse spectra stable: for tonal content the
+    few hot bands sit far above the mean and the silent bands far
+    below, so low-level noise cannot flip bits — adjacent-band
+    comparison flips randomly wherever two bands are both near zero.
+    Volume-invariance is preserved (pure gain scales every band and
+    the mean alike)."""
+    x = samples.astype(np.float64).ravel()
+    n_frames = len(x) // n_fft
+    if n_frames == 0:
+        return 0
+    frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1)) ** 2
+    mean_spec = spec.mean(axis=0)
+    edges = _band_edges(len(mean_spec), n_bands)
+    energy = np.array([
+        mean_spec[a:b].mean() for a, b in zip(edges[:-1], edges[1:])
+    ])
+    bits = energy > energy.mean()
+    return _pack_bits(bits[:64])
+
+
+def audio_fingerprint(df: DataFrame, n_fft: int = 256) -> DataFrame:
+    """(media_id, afp): spectral-contour fingerprint per WAV payload.
+    Volume-invariant (energy RATIOS between adjacent log bands), so a
+    re-gained copy of the same recording matches within a few bits."""
+    from v6spark.operators.multimodal import _wav_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for p in pdf["payload"]:
+                _r, _n, _c, samples = _wav_decode(bytes(p))
+                fps.append(audio_fingerprint_samples(
+                    samples.astype(np.float64).mean(axis=1), n_fft=n_fft))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema="media_id long, afp long"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    radius: int = 6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the spectral fingerprint —
+    same Hamming band join as images; 8 bytes per clip shuffle."""
+    from v6spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        audio_fingerprint(df), id_col="media_id", sig_col="afp",
+        n_bits=64, radius=radius, max_bucket_size=max_bucket_size,
+    )
+
+
+def audio_spectrogram(
+    df: DataFrame, n_fft: int = 256, hop: int | None = None
+) -> DataFrame:
+    """Real STFT magnitude spectrogram per WAV payload (Hann window,
+    ``np.fft.rfft``): (media_id, n_frames, n_bins, spectrogram) with
+    the float32 frames x bins matrix serialized row-major — the
+    training-tensor shape, computed executor-side, payloads never
+    shuffled."""
+    from v6spark.operators.multimodal import _wav_decode
+
+    hop = hop or n_fft // 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "n_frames": [], "n_bins": [], "spectrogram": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _r, _n, _c, samples = _wav_decode(bytes(p))
+                x = samples.astype(np.float64).mean(axis=1)
+                starts = range(0, max(len(x) - n_fft + 1, 0), hop)
+                frames = np.stack([x[s : s + n_fft] for s in starts]) \
+                    if starts else np.zeros((0, n_fft))
+                spec = np.abs(np.fft.rfft(frames * win, axis=1)).astype(np.float32)
+                out["media_id"].append(mid)
+                out["n_frames"].append(spec.shape[0])
+                out["n_bins"].append(spec.shape[1])
+                out["spectrogram"].append(spec.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        batches,
+        schema="media_id long, n_frames int, n_bins int, spectrogram binary",
+    )

@@ -692,10 +692,38 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def decode_image_array(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Full pixel decode of any supported still-image payload ->
+    (w, h, c, HxWxC uint8).  GIF yields its first composited frame.
+    One dispatch shared by image_resize / perceptual hashing / any
+    executor-side consumer that needs actual pixels."""
+    fmt = sniff_format(payload)
+    if fmt == "pnm":
+        return _pnm_decode(payload)
+    if fmt == "bmp":
+        return _bmp_decode(payload)
+    if fmt == "png":
+        return _png_decode(payload)
+    if fmt == "jpeg":
+        from v6spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if fmt == "gif":
+        from v6spark.operators.gif import decode_gif
+
+        w, h, frames, _ = decode_gif(payload)
+        return w, h, 3, frames[0]
+    raise NotImplementedError(
+        "pixel decode handles PPM/PGM/BMP/PNG/JPEG/GIF; codecs "
+        "needing external libraries are not installed"
+    )
+
+
 def image_resize(
     df: DataFrame, out_width: int, out_height: int
 ) -> DataFrame:
-    """Nearest-neighbor resize of PPM/PGM/BMP payloads (real kernel).
+    """Nearest-neighbor resize of decodable image payloads (real
+    kernel over :func:`decode_image_array`'s formats).
 
     Emits (media_id, width, height, n_channels, pixels binary) with
     pixels in row-major HxWxC uint8 — the normalized tensor shape a
@@ -712,29 +740,7 @@ def image_resize(
                 "n_channels": [], "pixels": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(p)
-                fmt = sniff_format(payload)
-                if fmt == "pnm":
-                    w, h, c, img = _pnm_decode(payload)
-                elif fmt == "bmp":
-                    w, h, c, img = _bmp_decode(payload)
-                elif fmt == "png":
-                    w, h, c, img = _png_decode(payload)
-                elif fmt == "jpeg":
-                    from v6spark.operators.jpeg import decode_jpeg
-
-                    w, h, c, img = decode_jpeg(payload)
-                elif fmt == "gif":
-                    from v6spark.operators.gif import decode_gif
-
-                    w, h, frames, _ = decode_gif(payload)
-                    c, img = 3, frames[0]
-                else:
-                    raise NotImplementedError(
-                        "image_resize handles PPM/PGM/BMP/PNG/baseline-"
-                        "JPEG; codecs needing external libraries are "
-                        "not installed"
-                    )
+                w, h, c, img = decode_image_array(bytes(p))
                 ys = (np.arange(out_height) * h) // out_height
                 xs = (np.arange(out_width) * w) // out_width
                 resized = img[ys][:, xs]
