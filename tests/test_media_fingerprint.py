@@ -133,3 +133,43 @@ def test_spectrogram_peak_and_shape(spark):
 def test_dct_matrix_orthonormal():
     d = mf._dct_matrix(32)
     assert np.allclose(d @ d.T, np.eye(32), atol=1e-12)
+
+
+def test_prepare_media_corpus_end_to_end(spark):
+    """The multimodal pipeline twin: gates + perceptual dedup + exact
+    video dedup + split/shard — winners only, deterministic."""
+    from v6spark.operators import avi
+    from v6spark.operators.jpeg import encode_jpeg
+    from v6spark.pipeline import prepare_media_corpus
+
+    img = _structured_img()
+    tiny = np.full((8, 8, 3), 128, dtype=np.uint8)  # fails min dims
+    t = np.arange(8000)
+    tone = 10000 * np.sin(2 * np.pi * 440 * t / 8000)
+    vid = avi.make_avi([np.full((16, 16, 3), 60, dtype=np.uint8)] * 3)
+    rows = [
+        (1, "image", mm.encode_png(img), "s://1", "{}"),
+        (2, "image", encode_jpeg(img, quality=85), "s://2", "{}"),   # near-dup of 1
+        (3, "image", mm.encode_png(tiny), "s://3", "{}"),            # gated out
+        (4, "audio", _wav_payload(tone), "s://4", "{}"),
+        (5, "audio", _wav_payload(0.5 * tone), "s://5", "{}"),       # re-gain dup of 4
+        (6, "video", vid, "s://6", "{}"),
+        (7, "video", vid, "s://7", "{}"),                            # exact dup of 6
+        (8, "image", mm.encode_png(
+            np.random.default_rng(5).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ), "s://8", "{}"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = prepare_media_corpus(media, n_shards=4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    # keepers: min-id of each duplicate group; tiny image gated out
+    assert set(by_id) == {1, 4, 6, 8}
+    assert by_id[1]["dup_count"] == 2
+    assert by_id[4]["dup_count"] == 2
+    assert by_id[6]["dup_count"] == 2
+    assert by_id[8]["dup_count"] == 1
+    assert all(r["split"] in ("train", "valid", "test") for r in out)
+    assert all(0 <= r["shard"] < 4 for r in out)
+    # deterministic: rerun yields the identical frame
+    again = {r["media_id"]: r for r in prepare_media_corpus(media, n_shards=4).collect()}
+    assert {k: tuple(v) for k, v in by_id.items()} == {k: tuple(v) for k, v in again.items()}

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from v6spark.operators import packing as _packing
 from v6spark.operators import sampling as _sampling
 from v6spark.operators import text as _text
-from v6spark.operators.dedup import dedup_exact, near_dup_keepers
+from v6spark.operators.dedup import (
+    connected_keepers,
+    dedup_exact,
+    near_dup_keepers,
+)
 
 DEFAULT_WEIGHTS = {"train": 0.98, "valid": 0.01, "test": 0.01}
 
@@ -155,4 +159,101 @@ def prepare_training_corpus(
             "bin_id",
             "oversize",
         )
+    )
+
+
+def prepare_media_corpus(
+    media: DataFrame,
+    id_col: str = "media_id",
+    min_width: int = 32,
+    min_height: int = 32,
+    min_audio_frames: int = 1,
+    phash_radius: int = 6,
+    audio_radius: int = 5,
+    split_weights: dict[str, float] | None = None,
+    seed: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Raw media frame -> (media, kind, dims, dup_count, split, shard).
+
+    The multimodal twin of :func:`prepare_training_corpus`, assembled
+    from the same operator families:
+
+        header-only metadata pass -> size/validity gates ->
+        perceptual near-dedup (pHash for images, spectral fingerprint
+        for audio, exact payload digest for video) -> leakage-safe
+        split -> deterministic shard assignment
+
+    Scale shape: the metadata pass reads HEADERS, not pixels
+    (:func:`~v6spark.operators.multimodal.decode_media`); perceptual
+    hashing decodes pixels/samples once, executor-side, and ships ONE
+    int64 per row into the Hamming band join; video identity uses the
+    payload sha2 digest (32 bytes/row shuffled).  Keeper selection
+    for images+audio shares one :func:`~v6spark.operators.dedup.
+    connected_keepers` call (image and audio id spaces never collide
+    in pairs, so one union'd pair set is safe).  Split and shard are
+    keyed hashes of ``id_col`` — reruns and repartitioning cannot
+    move a row.  Returns one row per SURVIVING media id; duplicate
+    losers and gate failures simply don't appear.
+    """
+    from v6spark.operators import media_fingerprint as _mf
+    from v6spark.operators import multimodal as _mm
+
+    weights = split_weights or DEFAULT_WEIGHTS
+
+    meta = _mm.decode_media(media)
+    ok = (
+        (F.col("kind") == "image")
+        & (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    ) | (
+        # decode_media reads WAV (width, height) as (n_frames, rate)
+        (F.col("kind") == "audio") & (F.col("width") >= min_audio_frames)
+    ) | (F.col("kind") == "video")
+    gated_meta = meta.filter(ok)
+    kept = media.join(gated_meta.select(id_col, "width", "height", "n_bytes"), id_col)
+
+    img_pairs = _mf.image_near_dup_pairs(kept, radius=phash_radius)
+    aud_pairs = _mf.audio_near_dup_pairs(kept, radius=audio_radius)
+    pair_union = img_pairs.select("id_a", "id_b").unionByName(
+        aud_pairs.select("id_a", "id_b")
+    )
+    kmap = connected_keepers(pair_union).withColumnRenamed("doc_id", id_col)
+
+    videos = kept.filter(F.col("kind") == "video")
+    vid_keepers = dedup_exact(
+        videos.withColumn("__digest", F.sha2(F.col("payload"), 256)),
+        "__digest", id_col,
+    ).select(F.col("keeper_id").alias(id_col), F.col("dup_count").alias("__vdup"))
+
+    with_keeper = (
+        kept.join(kmap, id_col, "left")
+        .withColumn("keeper_id", F.coalesce("keeper_id", F.col(id_col)))
+    )
+    survivors = with_keeper.filter(F.col("keeper_id") == F.col(id_col))
+    # perceptual cluster sizes: every clustered id counts toward its keeper
+    psizes = (
+        with_keeper.groupBy("keeper_id")
+        .agg(F.count(F.lit(1)).alias("__pdup"))
+        .withColumnRenamed("keeper_id", id_col)
+    )
+    survivors = (
+        survivors.join(psizes, id_col, "left")
+        .join(vid_keepers, id_col, "left")
+        # video rows that lost the digest dedup vanish via the keeper
+        # semi-join below; winners carry the digest-group size
+        .withColumn(
+            "dup_count",
+            F.when(F.col("kind") == "video", F.coalesce("__vdup", F.lit(0)))
+            .otherwise(F.coalesce("__pdup", F.lit(1))),
+        )
+        .filter((F.col("kind") != "video") | (F.col("dup_count") > 0))
+        .drop("__pdup", "__vdup", "keeper_id")
+    )
+
+    from v6spark.operators.packing import assign_shards
+
+    split = _sampling.hash_split(survivors, id_col, weights, seed=seed)
+    return assign_shards(split, id_col, n_shards, seed=seed).select(
+        id_col, "kind", "width", "height", "n_bytes",
+        "dup_count", "split", "shard",
     )
