@@ -173,3 +173,45 @@ def test_prepare_media_corpus_end_to_end(spark):
     # deterministic: rerun yields the identical frame
     again = {r["media_id"]: r for r in prepare_media_corpus(media, n_shards=4).collect()}
     assert {k: tuple(v) for k, v in by_id.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_mediadir_datasource(spark, tmp_path):
+    """spark.read.format('mediadir'): magic-byte kinds, byte-balanced
+    partitions, kind pushdown skipping payload reads, stable ids."""
+    import json as _json
+
+    from v6spark.operators import avi
+    from v6spark.sources.media_datasource import (
+        media_id_for,
+        register_media_source,
+    )
+
+    root = tmp_path / "corpus"
+    (root / "sub").mkdir(parents=True)
+    img = _structured_img()
+    (root / "a.png").write_bytes(mm.encode_png(img))
+    (root / "sub" / "b.dat").write_bytes(  # wrong extension, real JPEG
+        __import__("v6spark.operators.jpeg", fromlist=["encode_jpeg"]).encode_jpeg(img)
+    )
+    t = np.arange(4000)
+    (root / "c.wav").write_bytes(_wav_payload(8000 * np.sin(2 * np.pi * 440 * t / 8000)))
+    (root / "d.avi").write_bytes(avi.make_avi([np.full((8, 8, 3), 9, dtype=np.uint8)] * 2))
+    (root / "notes.txt").write_bytes(b"not media at all")
+
+    register_media_source(spark)
+    df = spark.read.format("mediadir").load(str(root))
+    rows = {r["uri"]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "sub/b.dat", "c.wav", "d.avi"}
+    assert rows["a.png"]["kind"] == "image"
+    assert rows["sub/b.dat"]["kind"] == "image"  # magic bytes beat extension
+    assert rows["c.wav"]["kind"] == "audio"
+    assert rows["d.avi"]["kind"] == "video"
+    assert rows["a.png"]["media_id"] == media_id_for("a.png")
+    assert _json.loads(rows["sub/b.dat"]["meta"])["ext"] == "dat"
+    # kind pushdown: only images come back
+    imgs = spark.read.format("mediadir").load(str(root)).filter("kind = 'image'")
+    assert {r["uri"] for r in imgs.collect()} == {"a.png", "sub/b.dat"}
+    # the frame feeds the decode operators directly
+    dims = {r["media_id"]: r for r in mm.decode_media(
+        spark.read.format("mediadir").load(str(root))).collect()}
+    assert dims[media_id_for("a.png")]["width"] == 96

@@ -265,3 +265,58 @@ def test_run_incremental_near_dedup_stream(spark, tmp_path):
     # dedup over the kept set drops nothing
     sigs = dedup.simhash_signature_portable(out)
     assert dedup.simhash_pairs(sigs, n_bits=60, radius=RADIUS).count() == 0
+
+
+def test_batch_image_dedup_steps(spark, tmp_path):
+    """Incremental IMAGE dedup (streaming/mediadedup.py): the pHash
+    signer plugs into the same transactional step — byte-identical
+    copies collapse exactly, re-encoded copies lose against the
+    index, distinct images survive."""
+    import numpy as np
+
+    from v6spark.operators import multimodal as mm
+    from v6spark.operators.jpeg import encode_jpeg
+    from v6spark.streaming import mediadedup
+
+    # smooth fixtures: perceptual hashes are FOR natural images —
+    # wrap-around sawtooths / pure noise are adversarial by design
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([
+        127 + 100 * np.sin(x / 7.0) * np.cos(y / 5.0),
+        127 + 90 * np.cos(x / 9.0),
+        np.clip(2 * x + y, 0, 255),
+    ], axis=2).astype(np.uint8)
+    other = np.stack([
+        np.clip(255 - 3 * y, 0, 255),
+        127 + 110 * np.sin((x + 2 * y) / 11.0),
+        np.clip(4 * y - x, 0, 255),
+    ], axis=2).astype(np.uint8)
+    schema = "media_id long, payload binary"
+    index, kept = str(tmp_path / "idx"), str(tmp_path / "kept")
+
+    b1 = spark.createDataFrame(
+        [(1, mm.encode_png(img)), (2, mm.encode_png(img)),   # exact dup of 1
+         (3, mm.encode_png(other))], schema)
+    mediadedup.batch_image_dedup_step(b1, index, kept, radius=13, batch_id=0)
+    kept1 = {r["media_id"] for r in neardedup.read_kept(spark, kept, index).collect()}
+    assert kept1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [(10, encode_jpeg(img, quality=85)),                  # near-dup of 1
+         (11, mm.encode_png(other[::2, ::2])),                # near-dup of 3 (downscale)
+         (12, mm.encode_png(np.stack([
+             np.clip(3 * x, 0, 255), np.clip(3 * y, 0, 255),
+             127 + 120 * np.cos((x - y) / 6.0),
+         ], axis=2).astype(np.uint8)))], schema)
+    # measured fixture distances: (1,10)=12 (q85 JPEG on a small
+    # image), (3,11)=0, all cross distances >= 20 -> radius 13
+    mediadedup.batch_image_dedup_step(b2, index, kept, radius=13, batch_id=1)
+    kept2 = {r["media_id"] for r in neardedup.read_kept(spark, kept, index).collect()}
+    assert kept2 == {1, 3, 12}
+    # the index holds one 64-bit signature per survivor
+    idx = spark.read.parquet(f"{index}/batch_id=0").unionByName(
+        spark.read.parquet(f"{index}/batch_id=1"))
+    assert {r["doc_id"] for r in idx.collect()} == {1, 3, 12}
+    # replay after commit: a no-op (inherited manifest machinery)
+    mediadedup.batch_image_dedup_step(b2, index, kept, radius=13, batch_id=1)
+    assert {r["media_id"] for r in neardedup.read_kept(spark, kept, index).collect()} == {1, 3, 12}

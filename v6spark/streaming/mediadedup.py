@@ -1,0 +1,102 @@
+"""Streaming incremental IMAGE near-dedup against a persistent
+pHash index — the multimodal instance of streaming/neardedup.py.
+
+A media crawl is naturally a stream: every micro-batch of images
+must be checked against EVERYTHING kept so far, not just its own
+batch.  The text machinery already solves the hard parts — the
+Hamming-ball in-batch + vs-index joins, the versioned-manifest
+exactly-once commit spanning both sinks, compaction/vacuum — and is
+signature-agnostic end to end (the index schema is ``(doc_id,
+simhash int64)``; nothing inspects the bits' provenance).  This
+module supplies only the media-specific pieces:
+
+- signer: DCT pHash over payload bytes (Arrow-batched
+  ``mapInPandas``; pixels never shuffle — one int64 per image
+  crosses into the joins),
+- exact pre-collapse: ``sha2(payload)`` (byte-identical files
+  resolve at digest cost before any decode),
+- 64-bit signatures / radius tuned to pHash's regime.
+
+Everything transactional is inherited: a replayed epoch skips or
+deterministically overwrites, compaction folds batch dirs,
+crash-injection semantics are the ones neardedup's tests prove.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from v6spark.streaming.neardedup import (
+    batch_near_dedup_step,
+    run_incremental_near_dedup,
+)
+
+
+def phash_signer(reps: DataFrame) -> DataFrame:
+    """(doc_id, payload) representatives -> (doc_id, simhash): DCT
+    pHash bits in the canonical index column."""
+    from v6spark.operators.media_fingerprint import phash_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            (content_col,) = [c for c in pdf.columns if c != "doc_id"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "simhash": [phash_bytes(bytes(p)) for p in pdf[content_col]],
+            })
+
+    return reps.mapInPandas(batches, schema="doc_id long, simhash long")
+
+
+def batch_image_dedup_step(
+    batch_df: DataFrame,
+    index_dir: str,
+    kept_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    radius: int = 6,
+    max_bucket_size: int | None = 256,
+    batch_id: int | None = None,
+) -> None:
+    """One incremental image-dedup step (batch backfills + tests)."""
+    batch_near_dedup_step(
+        batch_df,
+        index_dir,
+        kept_dir,
+        id_col=id_col,
+        text_col=payload_col,
+        n_bits=64,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+        batch_id=batch_id,
+        signer=phash_signer,
+    )
+
+
+def run_incremental_image_dedup(
+    stream_df: DataFrame,
+    index_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    radius: int = 6,
+    max_bucket_size: int | None = 256,
+) -> None:
+    """Drain a (finite) image stream through incremental pHash dedup
+    with the inherited exactly-once manifest commit."""
+    run_incremental_near_dedup(
+        stream_df,
+        index_dir,
+        kept_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        text_col=payload_col,
+        n_bits=64,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+        signer=phash_signer,
+    )

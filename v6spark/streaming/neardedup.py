@@ -210,6 +210,7 @@ def batch_near_dedup_step(
     radius: int = 3,
     max_bucket_size: int | None = 256,
     batch_id: int | None = None,
+    signer=None,
     _fail_after: str | None = None,
 ) -> None:
     """One incremental step: drop exact/near dups, publish survivors.
@@ -218,6 +219,14 @@ def batch_near_dedup_step(
     tests drive the identical code path the stream executes.  The
     index is written with CANONICAL columns (doc_id, simhash)
     whatever ``id_col`` the corpus uses.
+
+    ``signer`` generalizes the fingerprint: a callable
+    ``(reps_df) -> DataFrame(doc_id, simhash)`` over the exact-dedup
+    representatives ``(doc_id, <text_col>)``.  Default is the
+    portable text SimHash; the media stream passes a pHash signer
+    over binary payloads (``text_col="payload"`` — the exact
+    pre-collapse ``sha2`` accepts binary as well as string), reusing
+    this whole transaction/manifest machinery unchanged.
 
     ``batch_id`` is the transaction id (the stream passes its
     checkpointed epoch id; manual backfills may omit it to get
@@ -249,9 +258,13 @@ def batch_near_dedup_step(
     reps = (
         digests.join(exact, "_digest")
         .filter(F.col("_doc") == F.col("_rep"))
-        .select(F.col("_doc").alias("doc_id"), F.col("_text").alias("text"))
+        .select(F.col("_doc").alias("doc_id"), F.col("_text").alias(text_col))
     )
-    sigs = simhash_signature_portable(reps, n_bits=n_bits).persist()
+    if signer is None:
+        sigs = simhash_signature_portable(reps, text_col=text_col, n_bits=n_bits)
+    else:
+        sigs = signer(reps)
+    sigs = sigs.persist()
     in_batch = simhash_pairs(
         sigs, n_bits=n_bits, radius=radius, max_bucket_size=max_bucket_size
     ).select(F.col("id_b").alias("doc_id"))
@@ -382,6 +395,7 @@ def run_incremental_near_dedup(
     n_bits: int = 60,
     radius: int = 3,
     max_bucket_size: int | None = 256,
+    signer=None,
 ) -> None:
     """Drain a (finite) document stream through incremental near-dedup.
 
@@ -404,6 +418,7 @@ def run_incremental_near_dedup(
             radius=radius,
             max_bucket_size=max_bucket_size,
             batch_id=int(batch_epoch_id),
+            signer=signer,
         )
 
     q = (
