@@ -215,3 +215,75 @@ def test_mediadir_datasource(spark, tmp_path):
     dims = {r["media_id"]: r for r in mm.decode_media(
         spark.read.format("mediadir").load(str(root))).collect()}
     assert dims[media_id_for("a.png")]["width"] == 96
+
+
+def test_image_quality_features(spark):
+    """Blur/entropy/contrast gates on real pixels: a sharp structured
+    image scores high, a flat fill scores near zero, a blurred copy
+    scores between."""
+    img = _structured_img()
+    flat = np.full((48, 48, 3), 77, dtype=np.uint8)
+    # box-blur the structured image (valid-region averaging)
+    k = 5
+    pad = np.pad(img.astype(float), ((k, k), (k, k), (0, 0)), mode="edge")
+    blur = sum(
+        pad[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+        for dy in range(2 * k + 1) for dx in range(2 * k + 1)
+    ) / (2 * k + 1) ** 2
+    blur = blur.astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", mm.encode_png(img), "s://sharp", "{}"),
+            (2, "image", mm.encode_png(flat), "s://flat", "{}"),
+            (3, "image", mm.encode_png(blur), "s://blur", "{}"),
+            (4, "audio", _wav_payload(np.zeros(100)), "s://skip", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mf.image_quality_features(media).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["sharpness"] == 0.0 and rows[2]["entropy"] == 0.0
+    assert rows[2]["contrast"] == 0.0 and rows[2]["brightness"] == 77.0
+    assert rows[1]["sharpness"] > rows[3]["sharpness"] > 0
+    assert rows[1]["entropy"] > 4.0
+
+
+def test_audio_quality_features(spark):
+    t = np.arange(16000)
+    clean = 8000 * np.sin(2 * np.pi * 220 * t / 8000)
+    clipped = np.clip(6 * clean, -32767, 32767)  # 48k amplitude -> rails
+    half_silent = np.concatenate([clean[:8000], np.zeros(8000)])
+    media = spark.createDataFrame(
+        [
+            (1, "audio", _wav_payload(clean), "s://clean", "{}"),
+            (2, "audio", _wav_payload(clipped), "s://clip", "{}"),
+            (3, "audio", _wav_payload(half_silent), "s://silent", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mf.audio_quality_features(media).collect()}
+    assert rows[1]["clip_ratio"] == 0.0
+    assert rows[2]["clip_ratio"] > 0.2          # hard-clipped wave sits at rails
+    assert rows[1]["silence_ratio"] == 0.0
+    assert abs(rows[3]["silence_ratio"] - 0.5) < 0.05
+    assert rows[1]["dynamic_range_db"] < rows[3]["dynamic_range_db"]
+
+
+def test_prepare_media_corpus_sharpness_gate(spark):
+    from v6spark.pipeline import prepare_media_corpus
+
+    img = _structured_img()
+    flat = np.full((48, 48, 3), 90, dtype=np.uint8)
+    t = np.arange(4000)
+    media = spark.createDataFrame(
+        [
+            (1, "image", mm.encode_png(img), "s://sharp", "{}"),
+            (2, "image", mm.encode_png(flat), "s://flat", "{}"),
+            (3, "audio", _wav_payload(9000 * np.sin(2 * np.pi * 440 * t / 8000)),
+             "s://aud", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"] for r in
+           prepare_media_corpus(media, min_sharpness=5.0, n_shards=2).collect()}
+    assert out == {1, 3}  # flat fill fails the blur gate; audio untouched

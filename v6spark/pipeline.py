@@ -168,6 +168,7 @@ def prepare_media_corpus(
     min_width: int = 32,
     min_height: int = 32,
     min_audio_frames: int = 1,
+    min_sharpness: float | None = None,
     phash_radius: int = 6,
     audio_radius: int = 5,
     split_weights: dict[str, float] | None = None,
@@ -211,6 +212,14 @@ def prepare_media_corpus(
     ) | (F.col("kind") == "video")
     gated_meta = meta.filter(ok)
     kept = media.join(gated_meta.select(id_col, "width", "height", "n_bytes"), id_col)
+    if min_sharpness is not None:
+        # blur gate: Laplacian-variance scores from real pixels; only
+        # image rows are scored, others pass through untouched
+        scores = _mf.image_quality_features(kept).select(id_col, "sharpness")
+        kept = kept.join(scores, id_col, "left").filter(
+            (F.col("kind") != "image")
+            | (F.col("sharpness") >= min_sharpness)
+        ).drop("sharpness")
 
     img_pairs = _mf.image_near_dup_pairs(kept, radius=phash_radius)
     aud_pairs = _mf.audio_near_dup_pairs(kept, radius=audio_radius)
