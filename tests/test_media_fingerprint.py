@@ -320,3 +320,40 @@ def test_media_corpus_profile(spark):
     assert total["total_bytes"] == sum(
         len(bytes(r["payload"])) for r in media.collect()
     )
+
+
+def test_poison_rows_do_not_kill_the_pipeline(spark):
+    """Corrupted payloads at both failure layers: garbage bytes fail
+    the header pass (dropped by decode_media skip), a PNG with a
+    valid header but truncated IDAT passes the metadata gate, skips
+    fingerprinting, and is dropped by the blur gate."""
+    from v6spark.pipeline import prepare_media_corpus
+
+    img = _structured_img()
+    good = mm.encode_png(img)
+    truncated = good[: len(good) // 2]  # header OK, pixels gone
+    rows = [
+        (1, "image", good, "s://good", "{}"),
+        (2, "image", b"\x00\x01garbage-not-a-media-file\xff", "s://junk", "{}"),
+        (3, "image", truncated, "s://trunc", "{}"),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    # default skip policy: the job completes, good row survives
+    out = {r["media_id"] for r in prepare_media_corpus(media, n_shards=2).collect()}
+    assert 1 in out and 2 not in out
+    # truncated-but-header-valid survives dedup uncompared...
+    assert out == {1, 3}
+    # ...and the blur gate removes it (no pixel score -> fails)
+    gated = {r["media_id"] for r in prepare_media_corpus(
+        media, min_sharpness=1.0, n_shards=2).collect()}
+    assert gated == {1}
+    # raise policy keeps fail-loud semantics
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        prepare_media_corpus(media, on_error="raise", n_shards=2).collect()
+    # census mode accounts for every row with the error class
+    census = {r["media_id"]: r["format"] for r in
+              mm.decode_media(media, on_error="null").collect()}
+    assert census[1] == "png" and census[3] == "png"
+    assert census[2].startswith("error:")

@@ -114,33 +114,48 @@ def dhash_bytes(payload: bytes, hash_size: int = 8) -> int:
     return _pack_bits(small[:, 1:] > small[:, :-1])
 
 
-def _hash_udf(df: DataFrame, fn, col_name: str, **kw) -> DataFrame:
+def _hash_udf(df: DataFrame, fn, col_name: str, on_error: str = "raise", **kw) -> DataFrame:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise/skip, got {on_error!r}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                col_name: [fn(bytes(p), **kw) for p in pdf["payload"]],
-            })
+            ids, vals = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    vals.append(fn(bytes(p), **kw))
+                    ids.append(mid)
+                except Exception:
+                    # poison-row policy: a truncated payload can pass
+                    # the header-only gate and still fail pixel decode
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame({"media_id": ids, col_name: vals})
 
     return df.mapInPandas(batches, schema=f"media_id long, {col_name} long")
 
 
-def image_phash(df: DataFrame, hash_size: int = 8, img_size: int = 32) -> DataFrame:
+def image_phash(
+    df: DataFrame, hash_size: int = 8, img_size: int = 32,
+    on_error: str = "raise",
+) -> DataFrame:
     """(media_id, phash): DCT perceptual hash per image payload."""
     return _hash_udf(df.filter(F.col("kind") == "image"), phash_bytes,
-                     "phash", hash_size=hash_size, img_size=img_size)
+                     "phash", on_error=on_error,
+                     hash_size=hash_size, img_size=img_size)
 
 
-def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+def image_dhash(df: DataFrame, hash_size: int = 8, on_error: str = "raise") -> DataFrame:
     """(media_id, dhash): gradient difference hash per image payload."""
     return _hash_udf(df.filter(F.col("kind") == "image"), dhash_bytes,
-                     "dhash", hash_size=hash_size)
+                     "dhash", on_error=on_error, hash_size=hash_size)
 
 
 def image_near_dup_pairs(
     df: DataFrame,
     radius: int = 6,
     max_bucket_size: int | None = 10_000,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image near-duplicate pairs: pHash + exact-recall Hamming band
     join -> (id_a, id_b, hamming <= radius).  Re-encoded / resized /
@@ -149,7 +164,7 @@ def image_near_dup_pairs(
     from v6spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
-        image_phash(df), id_col="media_id", sig_col="phash",
+        image_phash(df, on_error=on_error), id_col="media_id", sig_col="phash",
         n_bits=64, radius=radius, max_bucket_size=max_bucket_size,
     )
 
@@ -199,37 +214,37 @@ def audio_fingerprint_samples(
     return _pack_bits(bits[:64])
 
 
-def audio_fingerprint(df: DataFrame, n_fft: int = 256) -> DataFrame:
+def audio_fingerprint(
+    df: DataFrame, n_fft: int = 256, on_error: str = "raise"
+) -> DataFrame:
     """(media_id, afp): spectral-contour fingerprint per WAV payload.
-    Volume-invariant (energy RATIOS between adjacent log bands), so a
+    Volume-invariant (energy RATIOS relative to the band mean), so a
     re-gained copy of the same recording matches within a few bits."""
-    from v6spark.operators.multimodal import _wav_decode
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            fps = []
-            for p in pdf["payload"]:
-                _r, _n, _c, samples = _wav_decode(bytes(p))
-                fps.append(audio_fingerprint_samples(
-                    samples.astype(np.float64).mean(axis=1), n_fft=n_fft))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+    def fp(payload: bytes, n_fft: int) -> int:
+        from v6spark.operators.multimodal import _wav_decode
 
-    return df.filter(F.col("kind") == "audio").mapInPandas(
-        batches, schema="media_id long, afp long"
-    )
+        _r, _n, _c, samples = _wav_decode(payload)
+        return audio_fingerprint_samples(
+            samples.astype(np.float64).mean(axis=1), n_fft=n_fft)
+
+    return _hash_udf(df.filter(F.col("kind") == "audio"), fp, "afp",
+                     on_error=on_error, n_fft=n_fft)
 
 
 def audio_near_dup_pairs(
     df: DataFrame,
     radius: int = 6,
     max_bucket_size: int | None = 10_000,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio near-duplicate pairs over the spectral fingerprint —
     same Hamming band join as images; 8 bytes per clip shuffle."""
     from v6spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
-        audio_fingerprint(df), id_col="media_id", sig_col="afp",
+        audio_fingerprint(df, on_error=on_error),
+        id_col="media_id", sig_col="afp",
         n_bits=64, radius=radius, max_bucket_size=max_bucket_size,
     )
 
@@ -273,7 +288,7 @@ def audio_spectrogram(
 
 # -------------------------------------------------------------- quality gates
 
-def image_quality_features(df: DataFrame) -> DataFrame:
+def image_quality_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Per-image quality signals — the multimodal analog of the
     Gopher text gates, computed on REAL decoded pixels:
 
@@ -299,7 +314,12 @@ def image_quality_features(df: DataFrame) -> DataFrame:
                 "sharpness": [], "entropy": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                _w, _h, _c, img = decode_image_array(bytes(p))
+                try:
+                    _w, _h, _c, img = decode_image_array(bytes(p))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue  # skip: undecodable pixels score nothing
                 g = _to_gray(img)
                 # 3x3 Laplacian via shifted sums (no scipy)
                 lap = (
@@ -329,7 +349,7 @@ def image_quality_features(df: DataFrame) -> DataFrame:
     )
 
 
-def audio_quality_features(df: DataFrame) -> DataFrame:
+def audio_quality_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Per-clip audio quality signals beyond the basic RMS/ZCR pair
     (:func:`~v6spark.operators.multimodal.audio_features`):
 
@@ -349,7 +369,12 @@ def audio_quality_features(df: DataFrame) -> DataFrame:
                 "dynamic_range_db": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                rate, _n, _c, samples = _wav_decode(bytes(p))
+                try:
+                    rate, _n, _c, samples = _wav_decode(bytes(p))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 x = samples.astype(np.float64).mean(axis=1)
                 ax = np.abs(x)
                 clip = float((ax >= 0.999 * 32767).mean()) if len(x) else 0.0

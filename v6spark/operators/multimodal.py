@@ -658,7 +658,9 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(
+    df: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode binary payloads to dimension metadata via mapInPandas.
 
     The real path (``fake=False``) sniffs magic bytes and reads
@@ -670,28 +672,46 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     sniff — replace :func:`_real_dims`'s raise with Pillow/ffmpeg
     when installed.  ``fake=True`` keeps the deterministic
     hash-derived decode for plumbing tests with arbitrary payloads.
+
+    ``on_error`` is the 100 TB poison-row policy — a real crawl
+    ALWAYS contains truncated and mislabeled payloads, and one of
+    them must not kill a million-task job:
+    - ``"raise"`` (default): fail loudly — right for curated inputs
+      and for tests,
+    - ``"null"``: emit the row with NULL width/height/n_channels and
+      the error class in ``format`` as ``error:<ExcName>`` — keeps
+      the census (every input row accounted for),
+    - ``"skip"``: drop undecodable rows entirely.
     """
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(f"on_error must be raise/null/skip, got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = [
-                (_fake_dims if fake else _real_dims)(bytes(p))
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "format": [
-                        "fake" if fake else sniff_format(bytes(p))
-                        for p in pdf["payload"]
-                    ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_channels": [d[2] for d in dims],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                }
-            )
+            out: dict[str, list] = {
+                "media_id": [], "kind": [], "format": [], "width": [],
+                "height": [], "n_channels": [], "n_bytes": [],
+            }
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(p)
+                try:
+                    w, h, c = (_fake_dims if fake else _real_dims)(payload)
+                    fmt = "fake" if fake else sniff_format(payload)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    w = h = c = None
+                    fmt = f"error:{type(exc).__name__}"
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 

@@ -174,6 +174,7 @@ def prepare_media_corpus(
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
     n_shards: int = 32,
+    on_error: str = "skip",
 ) -> DataFrame:
     """Raw media frame -> (media, kind, dims, dup_count, split, shard).
 
@@ -196,13 +197,25 @@ def prepare_media_corpus(
     keyed hashes of ``id_col`` — reruns and repartitioning cannot
     move a row.  Returns one row per SURVIVING media id; duplicate
     losers and gate failures simply don't appear.
+
+    ``on_error="skip"`` (default — a 100 TB crawl ALWAYS contains
+    truncated payloads) drops rows that fail the header pass; a
+    payload whose header parses but whose pixels are truncated
+    skips fingerprinting (it survives dedup uncompared) and, when
+    ``min_sharpness`` is set, is dropped by the blur gate (no score
+    -> fails the threshold).  ``on_error="raise"`` restores
+    fail-loud semantics for curated inputs.
     """
     from v6spark.operators import media_fingerprint as _mf
     from v6spark.operators import multimodal as _mm
 
     weights = split_weights or DEFAULT_WEIGHTS
+    if on_error == "null":
+        # 'null' only makes sense for the census pass; downstream
+        # pixel consumers can only raise or skip
+        raise ValueError("prepare_media_corpus: on_error must be raise/skip")
 
-    meta = _mm.decode_media(media)
+    meta = _mm.decode_media(media, on_error=on_error)
     ok = (
         (F.col("kind") == "image")
         & (F.col("width") >= min_width) & (F.col("height") >= min_height)
@@ -215,14 +228,16 @@ def prepare_media_corpus(
     if min_sharpness is not None:
         # blur gate: Laplacian-variance scores from real pixels; only
         # image rows are scored, others pass through untouched
-        scores = _mf.image_quality_features(kept).select(id_col, "sharpness")
+        scores = _mf.image_quality_features(
+            kept, on_error=on_error
+        ).select(id_col, "sharpness")
         kept = kept.join(scores, id_col, "left").filter(
             (F.col("kind") != "image")
             | (F.col("sharpness") >= min_sharpness)
         ).drop("sharpness")
 
-    img_pairs = _mf.image_near_dup_pairs(kept, radius=phash_radius)
-    aud_pairs = _mf.audio_near_dup_pairs(kept, radius=audio_radius)
+    img_pairs = _mf.image_near_dup_pairs(kept, radius=phash_radius, on_error=on_error)
+    aud_pairs = _mf.audio_near_dup_pairs(kept, radius=audio_radius, on_error=on_error)
     pair_union = img_pairs.select("id_a", "id_b").unionByName(
         aud_pairs.select("id_a", "id_b")
     )
