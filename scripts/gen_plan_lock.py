@@ -81,6 +81,7 @@ def main() -> None:
     spark = get_spark("plan-lock", cpus=8)
     lock = {"sf_dir": SF_DIR, "queries": {}}
     for name in sorted(REGISTRY):
+        spark.catalog.clearCache()  # fingerprint cache-free, matching the test
         df = REGISTRY[name].spark_fn(spark, SF_DIR)
         lock["queries"][name] = fingerprint(explain_formatted(spark, df))
         print(name, lock["queries"][name])

@@ -40,6 +40,11 @@ def test_plan_fingerprint_locked(name, spark, sf_dir):
             f"lock generated at {_LOCK['sf_dir']}; plans may legitimately "
             f"differ at {sf_dir} (broadcast thresholds, split counts)"
         )
+    # earlier tests may have left persisted frames whose lineage
+    # overlaps this query (a cached side frame swaps the parquet scan
+    # for InMemoryTableScan in the plan); fingerprint cache-free, as
+    # the generator does in its fresh session
+    spark.catalog.clearCache()
     df = REGISTRY[name].spark_fn(spark, sf_dir)
     got = fingerprint(explain_formatted(spark, df))
     assert got == _LOCK["queries"][name], (
