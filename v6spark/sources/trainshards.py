@@ -32,6 +32,7 @@ writes land on whatever storage backs the path).
 
 from __future__ import annotations
 
+import gzip
 import io
 import os
 import struct
@@ -221,12 +222,22 @@ def _prepare(df: DataFrame, key_col: str, n_shards: int, seed: int) -> DataFrame
     ).drop("_order")
 
 
+def _shard_writer(full_path: str, compress: bool):
+    """Byte sink for one shard file; gzip wraps with mtime=0 and an
+    empty name so compressed reruns stay byte-identical."""
+    raw = open(full_path, "wb")
+    if not compress:
+        return raw
+    return gzip.GzipFile(filename="", mode="wb", fileobj=raw, mtime=0)
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
     key_col: str = "doc_id",
     n_shards: int = 8,
     seed: int = 0,
+    compress: bool = False,
 ) -> None:
     """Publish as WebDataset shards ``{path}/shard-%05d.tar``.
 
@@ -239,16 +250,19 @@ def write_webdataset(
     """
     os.makedirs(path, exist_ok=True)
     cols = df.columns
+    ext = ".tar.gz" if compress else ".tar"
 
     def write_partition(rows) -> None:
         tars: dict[int, tarfile.TarFile] = {}
+        sinks: dict[int, object] = {}
         try:
             for row in rows:
                 shard = row["shard"]
                 if shard not in tars:
-                    tars[shard] = tarfile.open(
-                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                    sinks[shard] = _shard_writer(
+                        os.path.join(path, f"shard-{shard:05d}{ext}"), compress
                     )
+                    tars[shard] = tarfile.open(fileobj=sinks[shard], mode="w")
                 key = str(row[key_col])
                 for c in cols:
                     if c in (key_col, "shard"):
@@ -269,6 +283,8 @@ def write_webdataset(
         finally:
             for t in tars.values():
                 t.close()
+            for f in sinks.values():
+                f.close()
 
     _prepare(df, key_col, n_shards, seed).foreachPartition(write_partition)
 
@@ -285,7 +301,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                 "shard_file": [], "key": [], "column": [], "content": [],
             }
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tar:
                     for m in tar.getmembers():
                         key, _, col = m.name.rpartition(".")
                         out["shard_file"].append(os.path.basename(fpath))
@@ -296,7 +312,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
 
     return (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "shard-*.tar"))
+        .load(os.path.join(path, "shard-*.tar*"))
         .select("path", "content")
         .mapInPandas(
             expand,
@@ -311,6 +327,7 @@ def write_tfrecord_shards(
     key_col: str = "doc_id",
     n_shards: int = 8,
     seed: int = 0,
+    compress: bool = False,
 ) -> None:
     """Publish as ``{path}/shard-%05d.tfrecord``: one Example per
     row, every column a feature (bytes/str -> BytesList, int ->
@@ -318,6 +335,7 @@ def write_tfrecord_shards(
     :func:`write_webdataset`."""
     os.makedirs(path, exist_ok=True)
     cols = df.columns
+    ext = ".tfrecord.gz" if compress else ".tfrecord"
 
     def write_partition(rows) -> None:
         files: dict[int, object] = {}
@@ -325,8 +343,8 @@ def write_tfrecord_shards(
             for row in rows:
                 shard = row["shard"]
                 if shard not in files:
-                    files[shard] = open(
-                        os.path.join(path, f"shard-{shard:05d}.tfrecord"), "wb"
+                    files[shard] = _shard_writer(
+                        os.path.join(path, f"shard-{shard:05d}{ext}"), compress
                     )
                 feats = {}
                 for c in cols:
@@ -351,14 +369,17 @@ def read_tfrecord_shards(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             out: dict[str, list] = {"shard_file": [], "record": []}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for rec in read_tfrecords(bytes(blob)):
+                data = bytes(blob)
+                if fpath.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for rec in read_tfrecords(data):
                     out["shard_file"].append(os.path.basename(fpath))
                     out["record"].append(rec)
             yield pd.DataFrame(out)
 
     return (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "shard-*.tfrecord"))
+        .load(os.path.join(path, "shard-*.tfrecord*"))
         .select("path", "content")
         .mapInPandas(expand, schema="shard_file string, record binary")
     )
