@@ -131,3 +131,32 @@ def test_compressed_shards_roundtrip(spark, tmp_path):
         assert open(f, "rb").read() == open(
             os.path.join(wds2, os.path.basename(f)), "rb"
         ).read()
+
+
+def test_publish_corpus_per_split(spark, tmp_path):
+    """pipeline verdict -> per-split shard directories in all three
+    formats; only survivors publish."""
+    from v6spark.pipeline import prepare_training_corpus, publish_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with several words " * 3) for i in range(30)]
+        + [(100, "document body number 0 with several words " * 3)],  # exact dup loser
+        "doc_id long, text string",
+    )
+    prepared = prepare_training_corpus(
+        docs, split_weights={"train": 0.8, "valid": 0.2}
+    )
+    out = str(tmp_path / "pub")
+    counts = publish_corpus(prepared, docs, out, fmt="webdataset", n_shards=2)
+    assert set(counts) <= {"train", "valid"} and sum(counts.values()) == 30
+    assert 100 not in {  # the dup loser never publishes
+        int(r["key"]) for r in ts.read_webdataset(
+            spark, os.path.join(out, "split=train")).collect()
+    }
+    tfr = str(tmp_path / "pub_tfr")
+    counts2 = publish_corpus(prepared, docs, tfr, fmt="tfrecord", n_shards=2)
+    assert counts2 == counts
+    pq = str(tmp_path / "pub_pq")
+    counts3 = publish_corpus(prepared, docs, pq, fmt="parquet", n_shards=2)
+    assert counts3 == counts
+    assert spark.read.parquet(os.path.join(pq, "split=train")).count() == counts["train"]

@@ -281,3 +281,53 @@ def prepare_media_corpus(
         id_col, "kind", "width", "height", "n_bytes",
         "dup_count", "split", "shard",
     )
+
+
+def publish_corpus(
+    prepared: DataFrame,
+    content: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    key_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 0,
+    compress: bool = False,
+) -> dict:
+    """Publish a prepared corpus (the survivor frame from
+    :func:`prepare_training_corpus` / :func:`prepare_media_corpus`)
+    joined back to its content, one directory per split:
+
+        {path}/split=train/shard-00000.<ext> ...
+
+    ``fmt``: ``"parquet"`` (ordered shard=K/ dirs via
+    `packing.write_training_shards`), ``"webdataset"`` (tar shards,
+    one member per cell), or ``"tfrecord"`` (Example records) —
+    ``compress`` gzips the latter two.  Per-split directories mean a
+    trainer mounts exactly one split; the survivor semi-join is the
+    only interaction with the (wide) content frame, so bodies move
+    once.  Returns {split: n_rows} for the publish manifest.
+    """
+    from v6spark.operators.packing import write_training_shards
+    from v6spark.sources.trainshards import (
+        write_tfrecord_shards,
+        write_webdataset,
+    )
+
+    labels = [r["split"] for r in prepared.select("split").distinct().collect()]
+    counts: dict = {}
+    joined = content.join(prepared.select(key_col, "split"), key_col)
+    for lbl in sorted(labels):
+        sub = joined.filter(F.col("split") == lbl).drop("split")
+        dest = f"{path}/split={lbl}"
+        if fmt == "parquet":
+            write_training_shards(sub, dest, key=key_col, n_shards=n_shards, seed=seed)
+        elif fmt == "webdataset":
+            write_webdataset(sub, dest, key_col=key_col, n_shards=n_shards,
+                             seed=seed, compress=compress)
+        elif fmt == "tfrecord":
+            write_tfrecord_shards(sub, dest, key_col=key_col, n_shards=n_shards,
+                                  seed=seed, compress=compress)
+        else:
+            raise ValueError(f"fmt must be parquet/webdataset/tfrecord, got {fmt!r}")
+        counts[lbl] = sub.count()
+    return counts
