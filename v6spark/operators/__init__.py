@@ -22,4 +22,17 @@ Module map to the reference inventory (SURVEY.md §2.1):
 - ``embeddings``  vector hygiene: norms, NaN/dim checks, normalization
 - ``skew``        salting for hot keys (deterministic content salts)
 - ``multimodal``  binary media columns: schema + Arrow-batched UDF plumbing
+                  + real zero-dependency codecs (PNG/JPEG/GIF/AVI/WAV/
+                  ADPCM) with honest raises for library-bound ones
+- ``media_containers`` MP3/MP4/WebM container parsing + frame byte
+                  segmentation (stdlib)
+- ``avi``         AVI (RIFF) container walk + MJPEG fixtures
+- ``jpeg``/``gif`` table-driven JPEG (baseline+progressive) and GIF
+                  (LZW, composition) codecs, numpy+stdlib
+- ``media_fingerprint`` perceptual pHash/dHash, audio spectral
+                  fingerprint + STFT spectrogram, media near-dup pairs,
+                  image/audio quality gates
+- ``html``        crawl HTML -> text (link-density boilerplate gate),
+                  link extraction, url_host
+- ``graph``       crawl-graph degree census + PageRank power iteration
 """
