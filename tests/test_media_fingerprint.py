@@ -357,3 +357,38 @@ def test_poison_rows_do_not_kill_the_pipeline(spark):
               mm.decode_media(media, on_error="null").collect()}
     assert census[1] == "png" and census[3] == "png"
     assert census[2].startswith("error:")
+
+
+def test_mediadir_empty_and_conflicting_pushdown(spark, tmp_path):
+    """Review regressions: an empty (or fully filtered-out) directory
+    yields an empty frame, not a read(None) crash; AND-ed pushed
+    filters on one column intersect instead of overwriting."""
+    from v6spark.sources.media_datasource import register_media_source
+
+    register_media_source(spark)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert spark.read.format("mediadir").load(str(empty)).count() == 0
+
+    root = tmp_path / "c"
+    root.mkdir()
+    (root / "a.png").write_bytes(mm.encode_png(_structured_img()))
+    t = np.arange(1000)
+    (root / "b.wav").write_bytes(_wav_payload(5000 * np.sin(2 * np.pi * 300 * t / 8000)))
+    df = spark.read.format("mediadir").load(str(root))
+    # kind = 'image' AND kind IN ('image','audio') must intersect to image
+    got = df.filter("kind = 'image'").filter("kind in ('image','audio')").collect()
+    assert {r["uri"] for r in got} == {"a.png"}
+    # contradictory filters -> empty, not the union
+    assert df.filter("kind = 'image'").filter("kind = 'audio'").count() == 0
+
+
+def test_short_audio_clips_fingerprint_distinct():
+    """Review regression: clips shorter than one FFT frame must not
+    all collapse to fingerprint 0 (which would mutually 'duplicate'
+    distinct content)."""
+    t = np.arange(100)  # < n_fft=256
+    a = mf.audio_fingerprint_samples(9000 * np.sin(2 * np.pi * 0.3 * t))
+    b = mf.audio_fingerprint_samples(np.linspace(-9000, 9000, 100))
+    assert a != 0 and b != 0 and _ham(a, b) > 6
+    assert mf.audio_fingerprint_samples(np.array([])) == 0

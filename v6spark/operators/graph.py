@@ -98,6 +98,13 @@ def pagerank(
         .persist()
     )
     shares.count()
+    # dangling vertex set computed ONCE and persisted: the per-round
+    # dangling-mass scalar otherwise re-executes the whole upstream
+    # edge plan (HTML parsing of the corpus, say) every iteration
+    dangling_verts = verts.join(
+        out_counts.withColumnRenamed("src", "vertex"), "vertex", "left_anti"
+    ).persist()
+    dangling_verts.count()
 
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -111,10 +118,11 @@ def pagerank(
             .agg(F.sum(F.col("share") * F.col("rank")).alias("in_rank"))
         )
         # dangling mass: rank parked on vertices with no out-edges
+        # (ranks is checkpointed, dangling_verts persisted — this
+        # scalar agg touches only materialized frames)
         dangling = (
-            ranks.join(
-                out_counts.withColumnRenamed("src", "vertex"), "vertex", "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            ranks.join(dangling_verts, "vertex")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
         ).collect()[0][0]
         new_ranks = (
             verts.join(contrib, "vertex", "left")
@@ -145,5 +153,6 @@ def pagerank(
                 break
     verts.unpersist()
     shares.unpersist()
+    dangling_verts.unpersist()
     pagerank.last_rounds = rounds
     return ranks

@@ -200,9 +200,15 @@ def audio_fingerprint_samples(
     Volume-invariance is preserved (pure gain scales every band and
     the mean alike)."""
     x = samples.astype(np.float64).ravel()
-    n_frames = len(x) // n_fft
-    if n_frames == 0:
+    if len(x) == 0:
         return 0
+    if len(x) < n_fft:
+        # zero-pad a short clip to one full frame: distinct short
+        # clips must get DISTINCT fingerprints (a constant sentinel
+        # would make every sub-frame clip a mutual "duplicate" and
+        # silently delete real content in the dedup pass)
+        x = np.concatenate([x, np.zeros(n_fft - len(x))])
+    n_frames = len(x) // n_fft
     frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
     spec = np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1)) ** 2
     mean_spec = spec.mean(axis=0)

@@ -447,12 +447,13 @@ _IMA_STEPS = np.array([
 
 
 def _wav_chunks(payload: bytes):
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        yield cid, pos + 8, size
-        pos += 8 + size + (size & 1)
+    """RIFF chunk walk via the guarded shared walker (a declared size
+    running past the buffer stops the walk instead of yielding a
+    silently-truncated chunk — a truncated 'successful' decode is a
+    worse failure than an error)."""
+    from v6spark.operators.avi import _chunks
+
+    yield from _chunks(payload, 12, len(payload))
 
 
 def _ima_step(pred: np.ndarray, idx: np.ndarray, nib: np.ndarray):

@@ -164,7 +164,6 @@ def prepare_training_corpus(
 
 def prepare_media_corpus(
     media: DataFrame,
-    id_col: str = "media_id",
     min_width: int = 32,
     min_height: int = 32,
     min_audio_frames: int = 1,
@@ -194,7 +193,7 @@ def prepare_media_corpus(
     for images+audio shares one :func:`~v6spark.operators.dedup.
     connected_keepers` call (image and audio id spaces never collide
     in pairs, so one union'd pair set is safe).  Split and shard are
-    keyed hashes of ``id_col`` — reruns and repartitioning cannot
+    keyed hashes of ``media_id`` — reruns and repartitioning cannot
     move a row.  Returns one row per SURVIVING media id; duplicate
     losers and gate failures simply don't appear.
 
@@ -224,14 +223,14 @@ def prepare_media_corpus(
         (F.col("kind") == "audio") & (F.col("width") >= min_audio_frames)
     ) | (F.col("kind") == "video")
     gated_meta = meta.filter(ok)
-    kept = media.join(gated_meta.select(id_col, "width", "height", "n_bytes"), id_col)
+    kept = media.join(gated_meta.select("media_id", "width", "height", "n_bytes"), "media_id")
     if min_sharpness is not None:
         # blur gate: Laplacian-variance scores from real pixels; only
         # image rows are scored, others pass through untouched
         scores = _mf.image_quality_features(
             kept, on_error=on_error
-        ).select(id_col, "sharpness")
-        kept = kept.join(scores, id_col, "left").filter(
+        ).select("media_id", "sharpness")
+        kept = kept.join(scores, "media_id", "left").filter(
             (F.col("kind") != "image")
             | (F.col("sharpness") >= min_sharpness)
         ).drop("sharpness")
@@ -241,28 +240,28 @@ def prepare_media_corpus(
     pair_union = img_pairs.select("id_a", "id_b").unionByName(
         aud_pairs.select("id_a", "id_b")
     )
-    kmap = connected_keepers(pair_union).withColumnRenamed("doc_id", id_col)
+    kmap = connected_keepers(pair_union).withColumnRenamed("doc_id", "media_id")
 
     videos = kept.filter(F.col("kind") == "video")
     vid_keepers = dedup_exact(
         videos.withColumn("__digest", F.sha2(F.col("payload"), 256)),
-        "__digest", id_col,
-    ).select(F.col("keeper_id").alias(id_col), F.col("dup_count").alias("__vdup"))
+        "__digest", "media_id",
+    ).select(F.col("keeper_id").alias("media_id"), F.col("dup_count").alias("__vdup"))
 
     with_keeper = (
-        kept.join(kmap, id_col, "left")
-        .withColumn("keeper_id", F.coalesce("keeper_id", F.col(id_col)))
+        kept.join(kmap, "media_id", "left")
+        .withColumn("keeper_id", F.coalesce("keeper_id", F.col("media_id")))
     )
-    survivors = with_keeper.filter(F.col("keeper_id") == F.col(id_col))
+    survivors = with_keeper.filter(F.col("keeper_id") == F.col("media_id"))
     # perceptual cluster sizes: every clustered id counts toward its keeper
     psizes = (
         with_keeper.groupBy("keeper_id")
         .agg(F.count(F.lit(1)).alias("__pdup"))
-        .withColumnRenamed("keeper_id", id_col)
+        .withColumnRenamed("keeper_id", "media_id")
     )
     survivors = (
-        survivors.join(psizes, id_col, "left")
-        .join(vid_keepers, id_col, "left")
+        survivors.join(psizes, "media_id", "left")
+        .join(vid_keepers, "media_id", "left")
         # video rows that lost the digest dedup vanish via the keeper
         # semi-join below; winners carry the digest-group size
         .withColumn(
@@ -276,9 +275,9 @@ def prepare_media_corpus(
 
     from v6spark.operators.packing import assign_shards
 
-    split = _sampling.hash_split(survivors, id_col, weights, seed=seed)
-    return assign_shards(split, id_col, n_shards, seed=seed).select(
-        id_col, "kind", "width", "height", "n_bytes",
+    split = _sampling.hash_split(survivors, "media_id", weights, seed=seed)
+    return assign_shards(split, "media_id", n_shards, seed=seed).select(
+        "media_id", "kind", "width", "height", "n_bytes",
         "dup_count", "split", "shard",
     )
 
@@ -313,10 +312,15 @@ def publish_corpus(
         write_webdataset,
     )
 
-    labels = [r["split"] for r in prepared.select("split").distinct().collect()]
-    counts: dict = {}
+    # per-split counts from the NARROW prepared frame — counting the
+    # published subset would re-execute the wide content join once
+    # more per split just to produce a number
+    counts = {
+        r["split"]: r["n"]
+        for r in prepared.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     joined = content.join(prepared.select(key_col, "split"), key_col)
-    for lbl in sorted(labels):
+    for lbl in sorted(counts):
         sub = joined.filter(F.col("split") == lbl).drop("split")
         dest = f"{path}/split={lbl}"
         if fmt == "parquet":
@@ -329,5 +333,4 @@ def publish_corpus(
                                   seed=seed, compress=compress)
         else:
             raise ValueError(f"fmt must be parquet/webdataset/tfrecord, got {fmt!r}")
-        counts[lbl] = sub.count()
     return counts

@@ -84,16 +84,22 @@ class MediaDirReader(DataSourceReader):
         self.pushed_uris: set | None = None
 
     def pushFilters(self, filters):
+        def narrow(current: set | None, accepted: set) -> set:
+            # filters are AND-ed: multiple pushed filters on one
+            # column INTERSECT (overwriting would return rows a
+            # consumed-but-dropped filter excluded)
+            return accepted if current is None else current & accepted
+
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
             if col == "kind" and isinstance(f, EqualTo):
-                self.pushed_kinds = {f.value}
+                self.pushed_kinds = narrow(self.pushed_kinds, {f.value})
             elif col == "kind" and isinstance(f, In):
-                self.pushed_kinds = set(f.values)
+                self.pushed_kinds = narrow(self.pushed_kinds, set(f.value))
             elif col == "uri" and isinstance(f, EqualTo):
-                self.pushed_uris = {f.value}
+                self.pushed_uris = narrow(self.pushed_uris, {f.value})
             elif col == "uri" and isinstance(f, In):
-                self.pushed_uris = set(f.values)
+                self.pushed_uris = narrow(self.pushed_uris, set(f.value))
             else:
                 yield f
 
@@ -118,7 +124,10 @@ class MediaDirReader(DataSourceReader):
             i = loads.index(min(loads))
             bins[i].append((rel, size))
             loads[i] += size + 4096  # open/seek overhead floor per file
-        return [_FileBin(b) for b in bins if b]
+        # never return zero partitions: pyspark substitutes [None] for
+        # an empty list and read(None) would crash — an empty corpus
+        # must yield an empty frame
+        return [_FileBin(b) for b in bins if b] or [_FileBin([])]
 
     def read(self, partition: _FileBin):
         want = self.pushed_kinds

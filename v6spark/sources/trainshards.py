@@ -47,18 +47,47 @@ from pyspark.sql import functions as F
 
 # Castagnoli CRC (reflected poly 0x82F63B78) — the TFRecord framing
 # checksum; stdlib zlib.crc32 is the IEEE poly, NOT interchangeable.
+# Slicing-by-8: 8 derived tables let the hot loop consume 8 bytes per
+# Python iteration (~8x over the per-byte loop — this runs per
+# record on GB-sized shards; a native crc32c/ISA-L library is the
+# real production answer and drops in here when available).
 _CRC32C_TABLE = []
 for _n in range(256):
     _c = _n
     for _ in range(8):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC32C_TABLE.append(_c)
+_T = [_CRC32C_TABLE]
+for _k in range(1, 8):
+    _T.append([(_T[_k - 1][_i] >> 8) ^ _CRC32C_TABLE[_T[_k - 1][_i] & 0xFF]
+               for _i in range(256)])
+
+
+try:  # native SSE4.2/ARM implementations when a wheel is present
+    from crc32c import crc32c as _native_crc32c  # type: ignore
+except ImportError:
+    _native_crc32c = None
 
 
 def crc32c(data: bytes) -> int:
+    if _native_crc32c is not None:
+        return _native_crc32c(data)
     crc = 0xFFFFFFFF
-    for b in data:
-        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    n8 = len(data) - (len(data) & 7)
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T
+    # one C-speed unpack of the whole buffer, then 8 bytes per
+    # Python iteration — no per-iteration slicing
+    for w in struct.unpack(f"<{n8 >> 3}Q", data[:n8]):
+        lo = (w ^ crc) & 0xFFFFFFFF
+        hi = w >> 32
+        crc = (
+            t7[lo & 0xFF] ^ t6[(lo >> 8) & 0xFF]
+            ^ t5[(lo >> 16) & 0xFF] ^ t4[lo >> 24]
+            ^ t3[hi & 0xFF] ^ t2[(hi >> 8) & 0xFF]
+            ^ t1[(hi >> 16) & 0xFF] ^ t0[hi >> 24]
+        )
+    for b in data[n8:]:
+        crc = (crc >> 8) ^ t0[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 
 

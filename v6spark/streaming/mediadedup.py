@@ -35,18 +35,27 @@ from v6spark.streaming.neardedup import (
 )
 
 
-def phash_signer(reps: DataFrame) -> DataFrame:
+def phash_signer(reps: DataFrame, on_error: str = "raise") -> DataFrame:
     """(doc_id, payload) representatives -> (doc_id, simhash): DCT
-    pHash bits in the canonical index column."""
+    pHash bits in the canonical index column.  ``on_error="skip"``
+    drops undecodable payloads instead of killing the stream (an
+    unsigned row gets no index entry, so the kept-sink semi-join
+    drops it from the output too — poison rows are fully excluded,
+    the same policy as the batch pipeline)."""
     from v6spark.operators.media_fingerprint import phash_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             (content_col,) = [c for c in pdf.columns if c != "doc_id"]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "simhash": [phash_bytes(bytes(p)) for p in pdf[content_col]],
-            })
+            ids, sigs = [], []
+            for did, p in zip(pdf["doc_id"], pdf[content_col]):
+                try:
+                    sigs.append(phash_bytes(bytes(p)))
+                    ids.append(did)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
 
     return reps.mapInPandas(batches, schema="doc_id long, simhash long")
 
@@ -60,6 +69,7 @@ def batch_image_dedup_step(
     radius: int = 6,
     max_bucket_size: int | None = 256,
     batch_id: int | None = None,
+    on_error: str = "raise",
 ) -> None:
     """One incremental image-dedup step (batch backfills + tests)."""
     batch_near_dedup_step(
@@ -72,7 +82,7 @@ def batch_image_dedup_step(
         radius=radius,
         max_bucket_size=max_bucket_size,
         batch_id=batch_id,
-        signer=phash_signer,
+        signer=lambda reps: phash_signer(reps, on_error=on_error),
     )
 
 
@@ -85,9 +95,11 @@ def run_incremental_image_dedup(
     payload_col: str = "payload",
     radius: int = 6,
     max_bucket_size: int | None = 256,
+    on_error: str = "raise",
 ) -> None:
     """Drain a (finite) image stream through incremental pHash dedup
-    with the inherited exactly-once manifest commit."""
+    with the inherited exactly-once manifest commit.
+    ``on_error="skip"`` keeps the stream alive past poison payloads."""
     run_incremental_near_dedup(
         stream_df,
         index_dir,
@@ -98,5 +110,5 @@ def run_incremental_image_dedup(
         n_bits=64,
         radius=radius,
         max_bucket_size=max_bucket_size,
-        signer=phash_signer,
+        signer=lambda reps: phash_signer(reps, on_error=on_error),
     )
