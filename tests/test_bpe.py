@@ -70,3 +70,18 @@ def test_sampled_training_runs(spark):
 def test_vocab_floor(spark):
     with pytest.raises(ValueError):
         bpe.train_bpe(_df(spark), vocab_size=100)
+
+
+def test_pipeline_with_bpe_counts(spark):
+    """prepare_training_corpus(bpe_merges=...) packs on real BPE
+    counts: n_tokens matches bpe_encode exactly for every survivor."""
+    from v6spark.pipeline import prepare_training_corpus
+
+    df = _df(spark)
+    merges = bpe.train_bpe(df, vocab_size=320)
+    out = prepare_training_corpus(df, bpe_merges=merges, max_tokens=64)
+    expect = {r["doc_id"]: r["n_tokens"] for r in bpe.bpe_encode(df, merges).collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] == expect[r["doc_id"]]

@@ -53,6 +53,7 @@ def prepare_training_corpus(
     max_tokens: int = 1024,
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """Raw documents -> (doc, tokens, quality, lang, split, bin_id).
 
@@ -75,6 +76,9 @@ def prepare_training_corpus(
     ``jaccard >= min_jaccard`` -> keeper clustering), so templated
     near-copies lose their duplicates too — the leakage-safety
     argument for dedup-before-split applies with near-dup force.
+    ``bpe_merges`` (from :func:`~v6spark.operators.bpe.train_bpe`)
+    swaps the regex token estimate for real broadcast-BPE counts, so
+    packing budgets match what the trainer's tokenizer will see.
     """
     weights = split_weights or DEFAULT_WEIGHTS
 
@@ -119,6 +123,18 @@ def prepare_training_corpus(
     # re-execute the quality/lang/dedup subtree once per consumer.
     # Lifecycle as elsewhere: session.clear_engine_caches().
     from pyspark import StorageLevel
+
+    if bpe_merges is not None:
+        # real tokenizer accounting: replace the regex token estimate
+        # with broadcast-BPE counts (zero-shuffle map over survivors)
+        from v6spark.operators.bpe import bpe_token_counts
+
+        bpe_counts = bpe_token_counts(
+            deduped, bpe_merges, text_col=text_col, id_col=doc_col
+        ).select(F.col("doc_id").alias(doc_col), F.col("n_tokens").alias("__bpe_n"))
+        deduped = deduped.drop("n_tokens").join(bpe_counts, doc_col).withColumnRenamed(
+            "__bpe_n", "n_tokens"
+        )
 
     split = (
         _sampling.hash_split(deduped, doc_col, weights, seed=seed)
