@@ -392,3 +392,33 @@ def test_short_audio_clips_fingerprint_distinct():
     b = mf.audio_fingerprint_samples(np.linspace(-9000, 9000, 100))
     assert a != 0 and b != 0 and _ham(a, b) > 6
     assert mf.audio_fingerprint_samples(np.array([])) == 0
+
+
+def test_media_contamination_report(spark):
+    """Corpus images perceptually matching a benchmark set are
+    flagged (re-encode caught); unrelated images are not; within-side
+    pairs never generate."""
+    from v6spark.operators.contamination import media_contamination_report
+    from v6spark.operators.jpeg import encode_jpeg
+
+    bench_img = _structured_img()
+    other = np.stack([
+        np.clip(255 - 3 * np.mgrid[0:64, 0:96][0], 0, 255),
+        np.full((64, 96), 40),
+        np.clip(2 * np.mgrid[0:64, 0:96][1], 0, 255),
+    ], axis=2).astype(np.uint8)
+    corpus = spark.createDataFrame(
+        [
+            (1, "image", encode_jpeg(bench_img, quality=85), "s://re", "{}"),
+            (2, "image", mm.encode_png(other), "s://clean", "{}"),
+            (3, "image", mm.encode_png(bench_img), "s://exact", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    bench = spark.createDataFrame(
+        [(100, "image", mm.encode_png(bench_img), "s://bench", "{}")],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = media_contamination_report(corpus, bench, radius=6).collect()
+    flagged = {r["media_id"]: r["bench_id"] for r in rows}
+    assert flagged == {1: 100, 3: 100}

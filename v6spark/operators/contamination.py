@@ -207,3 +207,45 @@ def decontaminate(
     return report.filter(~F.col("is_contaminated")).drop(
         "n_grams", "n_contaminated", "contaminated_frac", "is_contaminated"
     )
+
+
+def media_contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    radius: int = 6,
+    max_bucket_size: int | None = 10_000,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Benchmark-IMAGE contamination: corpus images perceptually
+    matching an eval set's images -> (media_id, bench_id, hamming).
+
+    The multimodal twin of :func:`near_contamination_report`: both
+    sides hash to 64-bit pHashes executor-side, the benchmark side
+    is the SMALL side of the Hamming-ball band join
+    (`simhash_pairs_between` generates no within-side pairs), so
+    the corpus never shuffles pixels — or anything wider than an
+    int64 — to be screened.  Catches re-encoded / resized / lightly
+    edited benchmark images, which exact digests miss.
+    """
+    from v6spark.operators.dedup import simhash_pairs_between
+    from v6spark.operators.media_fingerprint import image_phash
+
+    corpus_sigs = image_phash(corpus, on_error=on_error).withColumnRenamed(
+        "phash", "simhash"
+    )
+    bench_sigs = image_phash(bench, on_error=on_error).withColumnRenamed(
+        "phash", "simhash"
+    )
+    return simhash_pairs_between(
+        corpus_sigs,
+        bench_sigs,
+        id_col="media_id",
+        sig_col="simhash",
+        n_bits=64,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+    ).select(
+        F.col("left_id").alias("media_id"),
+        F.col("right_id").alias("bench_id"),
+        "hamming",
+    )
