@@ -120,3 +120,33 @@ def test_near_contamination_catches_paraphrase(spark):
         docs.select("doc_id", "text"), bench.select("text"), radius=10
     )
     assert {r["doc_id"] for r in near2.collect()} == {10}
+
+
+def test_semantic_contamination_report(spark):
+    """Paraphrase tier: a corpus vector nearly parallel to a
+    benchmark vector is flagged at high cosine; orthogonal content is
+    not; the corpus-side plan has no shuffle (broadcast bench)."""
+    import numpy as np
+
+    from v6spark.operators.contamination import semantic_contamination_report
+
+    rng = np.random.default_rng(2)
+    bench_vec = rng.normal(0, 1, 64)
+    bench_vec /= np.linalg.norm(bench_vec)
+    near = bench_vec + rng.normal(0, 0.05, 64)  # paraphrase-close
+    ortho = rng.normal(0, 1, 64)
+    ortho -= ortho @ bench_vec * bench_vec  # exactly orthogonal
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in near]), (2, [float(x) for x in ortho])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in bench_vec])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semantic_contamination_report(corpus, bench, min_cosine=0.9).collect()
+    assert {(r["corpus_id"], r["bench_id"]) for r in rows} == {(1, 100)}
+    assert rows[0]["cosine"] > 0.9
+    plan = semantic_contamination_report(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -309,3 +309,71 @@ def test_hash_sample_nested_law(spark, rows, p, q, seed):
     small = {r["doc_id"] for r in hash_sample(df, "doc_id", lo, seed=seed).collect()}
     big = {r["doc_id"] for r in hash_sample(df, "doc_id", hi, seed=seed).collect()}
     assert small <= big
+
+
+# ------------------------- driver-side property tests (no Spark jobs)
+
+@given(data=st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_crc32c_matches_bytewise_reference(data):
+    """The slicing-by-8 CRC32C equals the classic per-byte recurrence
+    on arbitrary buffers (tails of every length mod 8 included)."""
+    from v6spark.sources.trainshards import _CRC32C_TABLE, crc32c
+
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    assert crc32c(data) == crc ^ 0xFFFFFFFF
+
+
+@given(text=st.text(max_size=400), vocab=st.integers(min_value=256, max_value=320))
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_lossless_on_arbitrary_unicode(text, vocab):
+    """Greedy BPE over any merge table is LOSSLESS: tokens
+    concatenate back to the exact utf-8 bytes for arbitrary unicode
+    (byte-level alphabet guarantees no OOV)."""
+    from v6spark.operators.bpe import _encode_word, _pretokenize
+
+    # a small arbitrary merge table derived from the text itself
+    words = _pretokenize(text)
+    ranks = {}
+    for w in words[:20]:
+        for a, b in zip(w[:-1], w[1:]):
+            pair = (bytes([a]), bytes([b]))
+            if pair not in ranks and len(ranks) < vocab - 256:
+                ranks[pair] = len(ranks)
+    out = b""
+    for w in words:
+        out += b"".join(_encode_word(w, ranks))
+    assert out == text.encode("utf-8")
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**16),
+    w=st.integers(min_value=8, max_value=40),
+    h=st.integers(min_value=8, max_value=40),
+)
+@settings(max_examples=30, deadline=None)
+def test_phash_stable_across_png_roundtrip(seed, w, h):
+    """pHash of an image equals pHash of its PNG round-trip exactly
+    (lossless re-encode => identical 64 bits), for arbitrary sizes."""
+    import numpy as np
+
+    from v6spark.operators.media_fingerprint import phash_bytes
+    from v6spark.operators.multimodal import _png_decode, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    _w, _h, _c, back = _png_decode(payload)
+    assert np.array_equal(back, img)
+    assert phash_bytes(payload) == phash_bytes(encode_png(back))
+
+
+@given(data=st.binary(min_size=0, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_example_codec_roundtrip_bytes(data):
+    from v6spark.sources.trainshards import decode_example, encode_example
+
+    back = decode_example(encode_example({"payload": data or b"\x00"}))
+    assert back["payload"] == [data or b"\x00"]

@@ -320,3 +320,43 @@ def test_batch_image_dedup_steps(spark, tmp_path):
     # replay after commit: a no-op (inherited manifest machinery)
     mediadedup.batch_image_dedup_step(b2, index, kept, radius=13, batch_id=1)
     assert {r["media_id"] for r in neardedup.read_kept(spark, kept, index).collect()} == {1, 3, 12}
+
+
+def test_audio_signer_batch_steps(spark, tmp_path):
+    """Audio streams share the transactional step via audio_signer:
+    a re-gained copy in batch 2 loses to the indexed original."""
+    import numpy as np
+
+    from v6spark.streaming import mediadedup
+
+    t = np.arange(8000)
+
+    def wav(sig):
+        import io
+        import wave
+
+        b = io.BytesIO()
+        with wave.open(b, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.clip(sig, -32768, 32767).astype("<i2").tobytes())
+        return b.getvalue()
+
+    tone = 10000 * np.sin(2 * np.pi * 440 * t / 8000)
+    other = 10000 * np.sin(2 * np.pi * 1320 * t / 8000) \
+        + 4000 * np.sin(2 * np.pi * 220 * t / 8000)
+    index, kept = str(tmp_path / "ai"), str(tmp_path / "ak")
+    schema = "media_id long, payload binary"
+    b1 = spark.createDataFrame([(1, wav(tone)), (2, wav(other))], schema)
+    neardedup.batch_near_dedup_step(
+        b1, index, kept, id_col="media_id", text_col="payload",
+        n_bits=64, radius=5, batch_id=0, signer=mediadedup.audio_signer,
+    )
+    b2 = spark.createDataFrame([(10, wav(0.5 * tone))], schema)  # re-gain dup
+    neardedup.batch_near_dedup_step(
+        b2, index, kept, id_col="media_id", text_col="payload",
+        n_bits=64, radius=5, batch_id=1, signer=mediadedup.audio_signer,
+    )
+    kept_ids = {r["media_id"] for r in neardedup.read_kept(spark, kept, index).collect()}
+    assert kept_ids == {1, 2}

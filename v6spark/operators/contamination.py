@@ -249,3 +249,36 @@ def media_contamination_report(
         F.col("right_id").alias("bench_id"),
         "hamming",
     )
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space contamination: corpus vectors semantically
+    matching benchmark vectors -> (corpus_id, bench_id, cosine).
+
+    The third contamination tier: exact n-grams catch verbatim
+    copies, SimHash/pHash catch lightly-edited copies, and this one
+    catches PARAPHRASED copies — same meaning, different tokens —
+    via embedding cosine.  The benchmark side broadcasts with
+    Hamming-1 multi-probe buckets (`similarity.ann_lsh_pairs_
+    between`), so screening 100 TB of embeddings is a corpus scan
+    plus one broadcast join, no shuffle.
+    """
+    from v6spark.operators.similarity import ann_lsh_pairs_between
+
+    return ann_lsh_pairs_between(
+        corpus_emb,
+        bench_emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        dim=dim,
+        min_cosine=min_cosine,
+    )

@@ -622,3 +622,73 @@ def semantic_dedup_keepers(
             F.coalesce("_keeper", F.col(id_col)).alias("keeper_id"),
         )
     )
+
+
+def ann_lsh_pairs_between(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.0,
+    probe_hamming1: bool = True,
+) -> DataFrame:
+    """Cross-set approximate neighbors: corpus x benchmark pairs
+    with exact cosine, candidates restricted to shared LSH buckets —
+    the embedding-space analog of ``dedup.simhash_pairs_between``.
+
+    Scale shape: both sides bucket with the SAME seeded hyperplanes
+    (plan-time literals), and the benchmark side — small by
+    definition — is explicitly ``broadcast()``, so the corpus never
+    shuffles: scan -> bucket -> broadcast-join -> cosine filter.
+    ``probe_hamming1`` explodes the BENCH side to its bucket plus
+    all n_planes one-bit-flip probes (multi-probe LSH), recovering
+    near pairs that straddle one hyperplane — the recall knob costs
+    (n_planes+1)x rows on the small side only, nothing on the
+    corpus.  Within-side pairs are never generated.
+    """
+    from v6spark.functions.arrays import arr_dot, arr_norm_sq
+
+    cb = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        arr_norm_sq(vec_col).alias("_cn2"),
+        lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
+    )
+    bench_bucket = lsh_bucket_col(vec_col, n_planes, dim)
+    if probe_hamming1:
+        probes = F.array(
+            bench_bucket,
+            *[bench_bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        bb = bench.select(
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).alias("_bv"),
+            arr_norm_sq(vec_col).alias("_bn2"),
+            F.explode(probes).alias("_bucket"),
+        )
+    else:
+        bb = bench.select(
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).alias("_bv"),
+            arr_norm_sq(vec_col).alias("_bn2"),
+            bench_bucket.alias("_bucket"),
+        )
+    sim = _safe_cosine(
+        arr_dot(F.col("_cv"), F.col("_bv")), F.col("_cn2"), F.col("_bn2")
+    )
+    # no dedup needed: a bench row's probe buckets are all DISTINCT
+    # values (bucket xor distinct one-bit masks), and a corpus row
+    # carries one bucket — each (corpus, bench) pair can match at
+    # most once, so the join output is already duplicate-free and the
+    # plan stays shuffle-free
+    return (
+        cb.join(F.broadcast(bb), "_bucket")
+        .select(
+            F.col("_cid").alias("corpus_id"),
+            F.col("_bid").alias("bench_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

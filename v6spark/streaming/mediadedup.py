@@ -112,3 +112,57 @@ def run_incremental_image_dedup(
         max_bucket_size=max_bucket_size,
         signer=lambda reps: phash_signer(reps, on_error=on_error),
     )
+
+
+def audio_signer(reps: DataFrame, on_error: str = "raise") -> DataFrame:
+    """(doc_id, payload) -> (doc_id, simhash) via the gain-invariant
+    spectral fingerprint — the audio-stream instance; same skip
+    policy and index contract as :func:`phash_signer`."""
+    from v6spark.operators.media_fingerprint import audio_fingerprint_samples
+    from v6spark.operators.multimodal import _wav_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            (content_col,) = [c for c in pdf.columns if c != "doc_id"]
+            ids, sigs = [], []
+            for did, p in zip(pdf["doc_id"], pdf[content_col]):
+                try:
+                    _r, _n, _c, samples = _wav_decode(bytes(p))
+                    sigs.append(audio_fingerprint_samples(
+                        samples.astype(np.float64).mean(axis=1)))
+                    ids.append(did)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return reps.mapInPandas(batches, schema="doc_id long, simhash long")
+
+
+def run_incremental_audio_dedup(
+    stream_df: DataFrame,
+    index_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    radius: int = 5,
+    max_bucket_size: int | None = 256,
+    on_error: str = "raise",
+) -> None:
+    """Incremental audio-stream dedup vs the persistent spectral
+    index — same transactional machinery, audio signer."""
+    run_incremental_near_dedup(
+        stream_df,
+        index_dir,
+        kept_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        text_col=payload_col,
+        n_bits=64,
+        radius=radius,
+        max_bucket_size=max_bucket_size,
+        signer=lambda reps: audio_signer(reps, on_error=on_error),
+    )
