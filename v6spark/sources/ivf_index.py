@@ -1,0 +1,122 @@
+"""Persistent IVF index: build once, query many, prune partitions.
+
+``similarity.ann_ivf_topk`` computes cell assignments inline — right
+for a one-shot query, wrong for a serving index: at 100 TB the
+assignment pass (a full corpus scan) must be paid ONCE, and every
+query after that must touch only the files of the cells it probes.
+
+This module materializes exactly that:
+
+- :func:`build_ivf_index` — train the deterministic k-means
+  quantizer, assign cells, and write the index as parquet
+  PARTITIONED BY cell (``cell=K/`` directories) with the centroid
+  list in a JSON sidecar.  Rebuilds are byte-stable (deterministic
+  init + assignment).
+- :func:`ivf_index_topk` — rank cells driver-side (tiny), read the
+  index with ``cell IN (probed)``: Catalyst turns that into
+  PARTITION PRUNING, so the scan plans only ``n_probe`` of
+  ``n_cells`` directories — asserted in tests via the scan's
+  partitionFilters, not assumed.  Exact cosine + per-partition
+  heap (TakeOrderedAndProject) inside the probed cells.
+
+The index layout is also the right dedup/serving substrate:
+``semantic_cell_pairs`` can read one cell directory at a time, and
+incremental ingest appends new vectors to their cells' directories
+(same assignment expression, append mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CENTROIDS_FILE = "_centroids.json"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+    sample_fraction: float = 1.0,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Assign + write the cell-partitioned index; returns centroids.
+
+    The quantizer trains on a deterministic hash sample
+    (``sample_fraction``) with k-means|| init; the full corpus then
+    pays one narrow assignment pass and one shuffle-free partitioned
+    write (``partitionBy`` splits files by the cell column computed
+    in the same stage as the scan).
+    """
+    from v6spark.operators.sampling import hash_sample
+    from v6spark.operators.similarity import ivf_assign_cells, kmeans_centroids
+
+    train = df
+    if sample_fraction < 1.0:
+        train = hash_sample(df, id_col, sample_fraction, seed=seed)
+    centroids = kmeans_centroids(
+        train, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    with open(os.path.join(path, _CENTROIDS_FILE), "w") as f:
+        json.dump(centroids, f)
+        f.write("\n")
+    return centroids
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(lazy index frame, centroids) — no data read until queried."""
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors of ``query_vec`` from the stored index,
+    touching only the probed cells' files (partition pruning)."""
+    from v6spark.operators.similarity import cosine_topk_query
+
+    index, centroids = load_ivf_index(spark, path)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = [int(c) for c in ranked[:n_probe]]
+    pruned = index.filter(F.col("cell").isin(probe))
+    return cosine_topk_query(pruned, query_vec, k, id_col, vec_col)
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest: assign NEW vectors with the frozen stored
+    quantizer and append to their cells' directories — queries see
+    them on the next read, no rebuild.  (Quantizer drift is the
+    retrain trigger; the sidecar centroids define the index's
+    geometry and must not move between appends.)"""
+    from v6spark.operators.similarity import ivf_assign_cells
+
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        centroids = json.load(f)
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
