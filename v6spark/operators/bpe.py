@@ -177,8 +177,29 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_tokens) only — the packing-budget input, without
-    materializing token arrays."""
-    return bpe_encode(df, merges, text_col=text_col, id_col=id_col).select(
-        "doc_id", "n_tokens"
-    )
+    """(id, n_tokens) only — the packing-budget input.  A dedicated
+    count kernel: per-word token LENGTHS accumulate as ints and only
+    (doc_id, n_tokens) crosses the Arrow boundary — delegating to
+    :func:`bpe_encode` would build and serialize every document's
+    full token array just for a downstream select to drop it."""
+    spark = df.sparkSession
+    b_merges = spark.sparkContext.broadcast(merges)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = {pair: i for i, pair in enumerate(b_merges.value)}
+        cache: dict[bytes, int] = {}
+        for pdf in it:
+            counts = []
+            for text in pdf[text_col]:
+                n = 0
+                for w in _pretokenize(text or ""):
+                    ln = cache.get(w)
+                    if ln is None:
+                        ln = len(_encode_word(w, ranks))
+                        if len(cache) < 200_000:
+                            cache[w] = ln
+                    n += ln
+                counts.append(n)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "n_tokens": counts})
+
+    return df.mapInPandas(batches, schema="doc_id long, n_tokens int")

@@ -633,6 +633,7 @@ def ann_lsh_pairs_between(
     dim: int = 64,
     min_cosine: float = 0.0,
     probe_hamming1: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-set approximate neighbors: corpus x benchmark pairs
     with exact cosine, candidates restricted to shared LSH buckets —
@@ -647,16 +648,36 @@ def ann_lsh_pairs_between(
     near pairs that straddle one hyperplane — the recall knob costs
     (n_planes+1)x rows on the small side only, nothing on the
     corpus.  Within-side pairs are never generated.
+
+    ``dim`` MUST equal the embedding length and is enforced with a
+    runtime ``assert_true`` on both sides — a mismatch would
+    otherwise NULL every hyperplane dot product and silently
+    collapse all rows into one bucket, i.e. the full cross join this
+    LSH exists to avoid.  ``max_bucket_size`` is the same
+    degenerate-cluster guard as the sibling primitives, applied to
+    the corpus side (the bench side is small by contract).
     """
     from v6spark.functions.arrays import arr_dot, arr_norm_sq
+    from v6spark.operators.dedup import _guard_buckets
+
+    def checked_bucket():
+        ok = F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.lit(f"ann_lsh_pairs_between: dim={dim} != embedding "
+                  "length; buckets would silently degenerate"),
+        )
+        # assert_true evaluates to NULL on success; fold it into the
+        # bucket expression so it cannot be pruned away
+        return F.when(ok.isNull(), lsh_bucket_col(vec_col, n_planes, dim))
 
     cb = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cv"),
         arr_norm_sq(vec_col).alias("_cn2"),
-        lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
+        checked_bucket().alias("_bucket"),
     )
-    bench_bucket = lsh_bucket_col(vec_col, n_planes, dim)
+    cb = _guard_buckets(cb, ["_bucket"], max_bucket_size)
+    bench_bucket = checked_bucket()
     if probe_hamming1:
         probes = F.array(
             bench_bucket,

@@ -126,9 +126,13 @@ def prepare_training_corpus(
 
     if bpe_merges is not None:
         # real tokenizer accounting: replace the regex token estimate
-        # with broadcast-BPE counts (zero-shuffle map over survivors)
+        # with broadcast-BPE counts.  The survivor frame feeds BOTH
+        # the counts map and the join's left side — persist it
+        # (disk-backed; it still carries bodies) or the whole
+        # quality/lang/dedup subtree executes twice in one job.
         from v6spark.operators.bpe import bpe_token_counts
 
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
         bpe_counts = bpe_token_counts(
             deduped, bpe_merges, text_col=text_col, id_col=doc_col
         ).select(F.col("doc_id").alias(doc_col), F.col("n_tokens").alias("__bpe_n"))

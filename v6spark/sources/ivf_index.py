@@ -28,12 +28,37 @@ incremental ingest appends new vectors to their cells' directories
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CENTROIDS_FILE = "_centroids.json"
+
+
+def _sidecar_write(spark: SparkSession, path: str, obj) -> None:
+    """Write the centroid sidecar through the Hadoop FileSystem API
+    so the index works on hdfs://, s3a://, abfs:// — a driver-local
+    ``open()`` would strand a data-only index on any remote store."""
+    from v6spark.streaming.neardedup import _jfs
+
+    fs, jpath, jvm = _jfs(spark, f"{path}/{_CENTROIDS_FILE}")
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode() + b"\n"))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark: SparkSession, path: str):
+    from v6spark.streaming.neardedup import _jfs
+
+    fs, jpath, jvm = _jfs(spark, f"{path}/{_CENTROIDS_FILE}")
+    stream = fs.open(jpath)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
 
 
 def build_ivf_index(
@@ -65,16 +90,13 @@ def build_ivf_index(
     )
     assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
-    with open(os.path.join(path, _CENTROIDS_FILE), "w") as f:
-        json.dump(centroids, f)
-        f.write("\n")
+    _sidecar_write(df.sparkSession, path, centroids)
     return centroids
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, list[list[float]]]:
     """(lazy index frame, centroids) — no data read until queried."""
-    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
-        centroids = json.load(f)
+    centroids = _sidecar_read(spark, path)
     return spark.read.parquet(path), centroids
 
 
@@ -116,7 +138,6 @@ def append_to_ivf_index(
     geometry and must not move between appends.)"""
     from v6spark.operators.similarity import ivf_assign_cells
 
-    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
-        centroids = json.load(f)
+    centroids = _sidecar_read(df.sparkSession, path)
     assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(path)

@@ -35,29 +35,54 @@ from v6spark.streaming.neardedup import (
 )
 
 
-def phash_signer(reps: DataFrame, on_error: str = "raise") -> DataFrame:
-    """(doc_id, payload) representatives -> (doc_id, simhash): DCT
-    pHash bits in the canonical index column.  ``on_error="skip"``
-    drops undecodable payloads instead of killing the stream (an
-    unsigned row gets no index entry, so the kept-sink semi-join
-    drops it from the output too — poison rows are fully excluded,
-    the same policy as the batch pipeline)."""
+def payload_signer(hash_fn, on_error: str = "raise"):
+    """Factory: per-payload 64-bit hash function -> a signer
+    ``(reps) -> DataFrame(doc_id, simhash)`` with the shared
+    poison-row policy.  ``on_error="skip"`` drops undecodable
+    payloads instead of killing the stream (an unsigned row gets no
+    index entry, so the kept-sink semi-join drops it from the output
+    too — poison rows are fully excluded, the same policy as the
+    batch pipeline)."""
+
+    def signer(reps: DataFrame) -> DataFrame:
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                (content_col,) = [c for c in pdf.columns if c != "doc_id"]
+                ids, sigs = [], []
+                for did, p in zip(pdf["doc_id"], pdf[content_col]):
+                    try:
+                        sigs.append(hash_fn(bytes(p)))
+                        ids.append(did)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+        return reps.mapInPandas(batches, schema="doc_id long, simhash long")
+
+    return signer
+
+
+def _phash_payload(payload: bytes) -> int:
     from v6spark.operators.media_fingerprint import phash_bytes
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            (content_col,) = [c for c in pdf.columns if c != "doc_id"]
-            ids, sigs = [], []
-            for did, p in zip(pdf["doc_id"], pdf[content_col]):
-                try:
-                    sigs.append(phash_bytes(bytes(p)))
-                    ids.append(did)
-                except Exception:
-                    if on_error == "raise":
-                        raise
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+    return phash_bytes(payload)
 
-    return reps.mapInPandas(batches, schema="doc_id long, simhash long")
+
+def _audio_payload(payload: bytes) -> int:
+    import numpy as np
+
+    from v6spark.operators.media_fingerprint import audio_fingerprint_samples
+    from v6spark.operators.multimodal import _wav_decode
+
+    _r, _n, _c, samples = _wav_decode(payload)
+    return audio_fingerprint_samples(samples.astype(np.float64).mean(axis=1))
+
+
+def phash_signer(reps: DataFrame, on_error: str = "raise") -> DataFrame:
+    """(doc_id, payload) -> (doc_id, simhash): DCT pHash bits in the
+    canonical index column (see :func:`payload_signer`)."""
+    return payload_signer(_phash_payload, on_error)(reps)
 
 
 def batch_image_dedup_step(
@@ -116,29 +141,8 @@ def run_incremental_image_dedup(
 
 def audio_signer(reps: DataFrame, on_error: str = "raise") -> DataFrame:
     """(doc_id, payload) -> (doc_id, simhash) via the gain-invariant
-    spectral fingerprint — the audio-stream instance; same skip
-    policy and index contract as :func:`phash_signer`."""
-    from v6spark.operators.media_fingerprint import audio_fingerprint_samples
-    from v6spark.operators.multimodal import _wav_decode
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in it:
-            (content_col,) = [c for c in pdf.columns if c != "doc_id"]
-            ids, sigs = [], []
-            for did, p in zip(pdf["doc_id"], pdf[content_col]):
-                try:
-                    _r, _n, _c, samples = _wav_decode(bytes(p))
-                    sigs.append(audio_fingerprint_samples(
-                        samples.astype(np.float64).mean(axis=1)))
-                    ids.append(did)
-                except Exception:
-                    if on_error == "raise":
-                        raise
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
-
-    return reps.mapInPandas(batches, schema="doc_id long, simhash long")
+    spectral fingerprint (see :func:`payload_signer`)."""
+    return payload_signer(_audio_payload, on_error)(reps)
 
 
 def run_incremental_audio_dedup(
