@@ -1,0 +1,101 @@
+"""Embedded media metadata: EXIF/ID3 extraction through Spark,
+SRT/VTT caption tables, and caption-to-frame alignment (broadcast
+range join, plan-asserted)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from v6spark.operators import media_metadata as mmeta
+from v6spark.operators import multimodal as mm
+
+SRT = """1
+00:00:00,000 --> 00:00:00,250
+early words
+
+2
+00:00:00,250 --> 00:00:00,600
+later words
+"""
+
+
+def test_media_metadata_exif_and_id3(spark):
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    jpeg = mmeta.make_exif_jpeg(
+        img, {"make": "TestCam", "orientation": 6, "datetime": "2024:01:02 03:04:05"}
+    )
+    plain = mm.encode_png(img)
+    mp3 = mmeta.make_id3_mp3({"title": "Song Name", "artist": "Some Artist"})
+    media = spark.createDataFrame(
+        [
+            (1, "image", jpeg, "s://exif", "{}"),
+            (2, "image", plain, "s://plain", "{}"),
+            (3, "audio", mp3, "s://id3", "{}"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: dict(r["metadata"]) for r in
+            mmeta.media_metadata(media).collect()}
+    assert rows[1]["make"] == "TestCam" and rows[1]["orientation"] == "6"
+    assert rows[1]["datetime"] == "2024:01:02 03:04:05"
+    assert rows[2] == {}  # absence is data, not an error
+    assert rows[3]["title"] == "Song Name" and rows[3]["artist"] == "Some Artist"
+    # EXIF survives the real JPEG decoder (APP1 is skipped cleanly)
+    from v6spark.operators.jpeg import decode_jpeg
+
+    w, h, _c, _img = decode_jpeg(jpeg)
+    assert (w, h) == (16, 16)
+
+
+def test_caption_table_and_alignment(spark):
+    """Captions align to AVI frame_index timestamps via the broadcast
+    range join: each frame carries the cue on screen at its ts."""
+    from pyspark.sql import functions as F
+
+    from v6spark.operators.avi import make_avi
+
+    # 5 frames at 10 fps -> timestamps 0,100,...,400 ms... use 20 fps
+    # against the 0-250 / 250-600 cues: ts 0,50,...,200
+    vid = make_avi([np.full((8, 8, 3), 30 * i, dtype=np.uint8) for i in range(5)], fps=20)
+    media = spark.createDataFrame(
+        [(1, "video", vid, "s://v", "{}"),
+         (1, "caption", SRT.encode(), "s://v.srt", "{}")][:1],
+        mm.MEDIA_SCHEMA,
+    )
+    caps = spark.createDataFrame(
+        [(1, SRT.encode())], "media_id long, payload binary"
+    )
+    cap_table = mmeta.caption_table(caps)
+    got = {r["idx"]: r for r in cap_table.collect()}
+    assert got[0]["text"] == "early words" and got[1]["start_ms"] == 250
+    frames = mm.frame_index(media)
+    aligned = mmeta.align_captions_to_frames(frames, cap_table)
+    rows = {r["frame_idx"]: r["caption"] for r in aligned.collect()}
+    # ts 0,50,100,150,200 -> cues: early(0-250) covers 0..200; at 250+
+    # nothing here since max ts is 200
+    assert rows == {0: "early words", 1: "early words", 2: "early words",
+                    3: "early words", 4: "early words"}
+    # shift: 5 fps -> ts 0,200,400,600,800: frame 2,3 in later cue
+    vid5 = make_avi([np.full((8, 8, 3), 9, dtype=np.uint8)] * 5, fps=5)
+    media5 = spark.createDataFrame([(1, "video", vid5, "s://v5", "{}")], mm.MEDIA_SCHEMA)
+    rows5 = {r["frame_idx"]: r["caption"] for r in
+             mmeta.align_captions_to_frames(mm.frame_index(media5), cap_table).collect()}
+    # ts 0,200 -> early cue (0-250); 400 -> later (250-600);
+    # 600 is the exclusive end; 800 past everything
+    assert rows5[0] == "early words" and rows5[1] == "early words"
+    assert rows5[2] == "later words"
+    assert rows5[3] is None and rows5[4] is None
+    # plan: caption side broadcast, frame index never shuffled
+    plan = mmeta.align_captions_to_frames(frames, cap_table) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_caption_parser_edge_cases():
+    # VTT with hour-less timestamps, NOTE blocks, trailing cue w/o blank
+    vtt = "WEBVTT\n\nNOTE comment\n\n00:01.000 --> 00:03.500\nVTT cue"
+    cues = mmeta.parse_captions(vtt)
+    assert cues == [{"idx": 0, "start_ms": 1000, "end_ms": 3500, "text": "VTT cue"}]
+    assert mmeta.parse_captions("") == []
+    assert mmeta.parse_captions("garbage\nwithout cues") == []
