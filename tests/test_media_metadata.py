@@ -99,3 +99,51 @@ def test_caption_parser_edge_cases():
     assert cues == [{"idx": 0, "start_ms": 1000, "end_ms": 3500, "text": "VTT cue"}]
     assert mmeta.parse_captions("") == []
     assert mmeta.parse_captions("garbage\nwithout cues") == []
+
+
+def test_oriented_phash_catches_rotated_reupload():
+    """A camera-rotated JPEG (pixels stored rotated, EXIF orientation
+    6) hashes near its upright original once orientation is applied;
+    plain pHash misses the pair entirely.  Residual bits come from
+    JPEG blocking quantized in the rotated frame — compare with a
+    slightly wider radius than same-orientation re-encodes need."""
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([
+        127 + 100 * np.sin(x / 7.0) * np.cos(y / 5.0),
+        127 + 90 * np.cos(x / 9.0),
+        np.clip(2 * x + y, 0, 255),
+    ], axis=2).astype(np.uint8)
+    rotated = np.rot90(img, 1).copy()  # stored 90 deg CCW
+    tagged = mmeta.make_exif_jpeg(rotated, {"orientation": 6})
+    upright = mm.encode_png(img)
+
+    from v6spark.operators.media_fingerprint import phash_bytes
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    plain = ham(phash_bytes(tagged), phash_bytes(upright))
+    oriented = ham(
+        mmeta.oriented_phash_bytes(tagged), mmeta.oriented_phash_bytes(upright)
+    )
+    assert plain >= 16          # rotation scrambles plain pHash
+    assert oriented <= 10       # orientation-normalized: near-dup
+    # all 8 orientation transforms invert back to the original shape
+    for o in range(1, 9):
+        t = mmeta.apply_exif_orientation(img, o)
+        assert t.size == img.size
+
+
+def test_corpus_diff(spark):
+    from v6spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed text"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

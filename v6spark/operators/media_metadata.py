@@ -310,3 +310,52 @@ def media_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         batches, schema="media_id long, kind string, metadata map<string,string>"
     )
+
+
+# ------------------------------------------------- orientation handling
+
+def apply_exif_orientation(img, orientation: int):
+    """HxWxC array transformed per the EXIF orientation tag (1-8) —
+    the standard camera-rotation normalization; unknown values pass
+    through unchanged."""
+    import numpy as np
+
+    o = int(orientation)
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return np.rot90(img[:, ::-1], 1)
+    if o == 6:
+        return np.rot90(img, 3)
+    if o == 7:
+        return np.rot90(img[:, ::-1], 3)
+    if o == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def oriented_phash_bytes(payload: bytes) -> int:
+    """pHash with EXIF orientation applied first: a camera-rotated
+    re-upload (pixels stored rotated, orientation tag set) hashes
+    like its upright original — plain pHash would miss the pair."""
+    from v6spark.operators.media_fingerprint import (
+        _bilinear, _dct_matrix, _pack_bits, _to_gray,
+    )
+    from v6spark.operators.multimodal import decode_image_array, sniff_format
+
+    import numpy as np
+
+    _w, _h, _c, img = decode_image_array(payload)
+    if sniff_format(payload) == "jpeg":
+        o = parse_exif(payload).get("orientation")
+        if o:
+            img = apply_exif_orientation(img, o)
+    small = _bilinear(_to_gray(np.ascontiguousarray(img)), 32, 32)
+    d = _dct_matrix(32)
+    coefs = (d @ small @ d.T)[:8, :8]
+    flat = coefs.ravel()
+    return _pack_bits(flat > np.median(flat[1:]))

@@ -166,3 +166,35 @@ def media_corpus_profile(media: DataFrame) -> DataFrame:
         )
         .orderBy("level", "kind", "format")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: one row per id with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    The release-gate census between two corpus versions ("what did
+    the new crawl/filters actually change?").  Content identity is
+    the sha2 digest, so only (id, 32-byte digest) shuffles into the
+    full-outer join — bodies never move; callers aggregate
+    ``groupBy("status").count()`` for the release note, or filter
+    ``status = 'changed'`` to audit specific documents.
+    """
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.sha2(F.col(content_col).cast("binary"), 256).alias(f"_{side}"),
+        )
+
+    joined = digests(old, "old").join(digests(new, "new"), "_id", "full")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") == F.col("_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))
