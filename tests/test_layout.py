@@ -201,3 +201,50 @@ def test_rollup_view_incremental_refresh(spark, sf_dir, tmp_path_factory):
     n_o_view = view.filter(F.col("o_orderstatus") == "O").agg(F.sum("n")).collect()[0][0]
     n_o_src = orders.filter(F.col("o_orderstatus") == "O").count()
     assert n_o_view == n_o_src
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """write_zordered: identical query results to a linear layout,
+    and file-footer ranges that prune on BOTH columns (the linear
+    x-sort leaves every file spanning all of y)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from v6spark.sources.layout import write_zordered
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    df = spark.createDataFrame(
+        list(zip(range(n), rng.uniform(0, 100, n).tolist(),
+                 rng.uniform(0, 100, n).tolist())),
+        "id long, x double, y double",
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    df.repartitionByRange(8, "x").write.parquet(lin)
+    write_zordered(df, zo, ["x", "y"], n_files=8)
+
+    def y_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = float("inf"), float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    if col.path_in_schema == "y" and col.statistics:
+                        lo = min(lo, col.statistics.min)
+                        hi = max(hi, col.statistics.max)
+            spans.append(hi - lo)
+        return spans
+
+    # linear files each span ~the full y range; z-order files don't
+    assert min(y_spans(lin)) > 90
+    assert sorted(y_spans(zo))[len(y_spans(zo)) // 2] < 60  # median file
+    # identical answers for a rectangle query
+    q = "x BETWEEN 10 AND 20 AND y BETWEEN 70 AND 80"
+    a = {r["id"] for r in spark.read.parquet(lin).filter(q).collect()}
+    b = {r["id"] for r in spark.read.parquet(zo).filter(q).collect()}
+    assert a == b and len(a) > 0

@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -81,3 +82,64 @@ def write_partitioned(
     analog: ``variation6/in_out/zarr.py::save_zarr`` + region pruning).
     """
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) key expression over rank-bucketed columns.
+
+    Each column is first normalized to ``bits`` levels via its
+    percent_rank (so skew cannot collapse the curve), then the bit
+    planes interleave: key = sum over bit j, column i of
+    ``bucket_i[j] << (j * n_cols + i)``.  Pure Catalyst — the key is
+    computed in the scan stage.
+    """
+    from pyspark.sql import Window
+
+    n = len(cols)
+    exprs = []
+    for i, c in enumerate(cols):
+        rank = F.percent_rank().over(Window.orderBy(F.col(c)))
+        bucket = F.least(
+            (rank * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+        for j in range(bits):
+            exprs.append(
+                F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                    j * n + i,
+                )
+            )
+    key = exprs[0]
+    for e in exprs[1:]:
+        key = key + e
+    return key
+
+
+def write_zordered(
+    df, path: str, cols: list, n_files: int = 16, bits: int = 16,
+    mode: str = "error",
+) -> None:
+    """Write parquet clustered along the Z-order curve of ``cols``.
+
+    ``repartitionByRange`` on the Morton key gives each output file a
+    compact curve segment, so every file's per-column min/max footer
+    ranges are TIGHT RECTANGLES: a multi-column range predicate
+    prunes most files at planning time (parquet row-group stats),
+    where a linear sort on one column only prunes that column.
+    The measured file-skip evidence lives in AB_ZORDER.json
+    (scripts/zorder_ab.py).
+
+    Caveat for 100 TB: ``percent_rank`` over a global window is a
+    single-partition sort of the KEY COLUMNS ONLY — acceptable for
+    the numeric key pair here, but at extreme scale substitute fixed
+    or sampled quantile bounds (approx_quantile) for the rank
+    normalization; the curve math is unchanged.
+    """
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
