@@ -248,3 +248,38 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     a = {r["id"] for r in spark.read.parquet(lin).filter(q).collect()}
     b = {r["id"] for r in spark.read.parquet(zo).filter(q).collect()}
     assert a == b and len(a) > 0
+
+
+def test_zorder_minmax_bounds_mode(spark, tmp_path):
+    """bounds='minmax': no global window in the plan (the 100 TB
+    mode), same pruning shape on uniform keys."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from v6spark.sources.layout import write_zordered
+
+    rng = np.random.default_rng(6)
+    n = 20_000
+    df = spark.createDataFrame(
+        list(zip(range(n), rng.uniform(0, 100, n).tolist(),
+                 rng.uniform(0, 100, n).tolist())),
+        "id long, x double, y double",
+    )
+    zo = str(tmp_path / "zo_mm")
+    write_zordered(df, zo, ["x", "y"], n_files=8, bounds="minmax")
+    spans = []
+    for f in glob.glob(f"{zo}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = float("inf"), float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "y" and col.statistics:
+                    lo = min(lo, col.statistics.min)
+                    hi = max(hi, col.statistics.max)
+        spans.append(hi - lo)
+    assert sorted(spans)[len(spans) // 2] < 60
+    assert spark.read.parquet(zo).count() == n

@@ -84,21 +84,33 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
-def zorder_key(cols: list, bits: int = 16):
-    """Morton (Z-order) key expression over rank-bucketed columns.
+def zorder_key(cols: list, bits: int = 16, bounds: dict | None = None):
+    """Morton (Z-order) key expression over bucketed columns.
 
-    Each column is first normalized to ``bits`` levels via its
-    percent_rank (so skew cannot collapse the curve), then the bit
+    Each column is first normalized to ``bits`` levels, then the bit
     planes interleave: key = sum over bit j, column i of
     ``bucket_i[j] << (j * n_cols + i)``.  Pure Catalyst — the key is
     computed in the scan stage.
+
+    Normalization: with ``bounds`` = {col: (lo, hi)} the bucket is a
+    linear map over the given range (the SCALABLE mode — bounds come
+    from one min/max agg or a sampled quantile pass, no global
+    window); without, ``percent_rank`` over a global window (exact
+    skew resistance, but the window sorts the key columns through a
+    single partition — fine up to medium scale, not at 100 TB).
     """
     from pyspark.sql import Window
 
     n = len(cols)
     exprs = []
     for i, c in enumerate(cols):
-        rank = F.percent_rank().over(Window.orderBy(F.col(c)))
+        if bounds is not None:
+            lo, hi = bounds[c]
+            span = (hi - lo) or 1.0
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
+            rank = F.greatest(F.least(frac, F.lit(1.0)), F.lit(0.0))
+        else:
+            rank = F.percent_rank().over(Window.orderBy(F.col(c)))
         bucket = F.least(
             (rank * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
         )
@@ -117,7 +129,7 @@ def zorder_key(cols: list, bits: int = 16):
 
 def write_zordered(
     df, path: str, cols: list, n_files: int = 16, bits: int = 16,
-    mode: str = "error",
+    mode: str = "error", bounds: str | dict | None = None,
 ) -> None:
     """Write parquet clustered along the Z-order curve of ``cols``.
 
@@ -129,13 +141,24 @@ def write_zordered(
     The measured file-skip evidence lives in AB_ZORDER.json
     (scripts/zorder_ab.py).
 
-    Caveat for 100 TB: ``percent_rank`` over a global window is a
-    single-partition sort of the KEY COLUMNS ONLY — acceptable for
-    the numeric key pair here, but at extreme scale substitute fixed
-    or sampled quantile bounds (approx_quantile) for the rank
-    normalization; the curve math is unchanged.
+    ``bounds``: None uses exact percent_rank (single-partition sort
+    of the key columns — fine to medium scale); ``"minmax"`` runs ONE
+    min/max aggregation and linearly buckets (the 100 TB mode — no
+    global window; right for roughly uniform keys, skew collapses
+    levels); a {col: (lo, hi)} dict uses caller-supplied (e.g.
+    sampled-quantile) bounds.  The curve math is identical in all
+    three.
     """
-    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    b = None
+    if bounds == "minmax":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        b = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    elif isinstance(bounds, dict):
+        b = bounds
+    keyed = df.withColumn("__z", zorder_key(cols, bits, bounds=b))
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
