@@ -147,3 +147,30 @@ def test_corpus_diff(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_mediadir_ingests_captions(spark, tmp_path):
+    """SRT/VTT files land in the media frame as kind='caption' and
+    flow straight into caption_table; decode_media reads caption
+    'dims' as (n_cues, duration_ms)."""
+    from pyspark.sql import functions as F
+
+    from v6spark.sources.media_datasource import register_media_source
+
+    root = tmp_path / "c"
+    root.mkdir()
+    (root / "video1.srt").write_bytes(SRT.encode())
+    (root / "talk.vtt").write_bytes(b"WEBVTT\n\n00:01.000 --> 00:02.000\nhello\n")
+    (root / "img.png").write_bytes(mm.encode_png(np.full((8, 8, 3), 5, dtype=np.uint8)))
+    register_media_source(spark)
+    df = spark.read.format("mediadir").load(str(root))
+    kinds = {r["uri"]: r["kind"] for r in df.collect()}
+    assert kinds == {"video1.srt": "caption", "talk.vtt": "caption", "img.png": "image"}
+    caps = mmeta.caption_table(
+        df.filter("kind = 'caption'").select("media_id", "payload")
+    )
+    assert caps.count() == 3  # 2 srt cues + 1 vtt cue
+    dims = {r["format"]: r for r in mm.decode_media(
+        df.filter("kind = 'caption'")).collect()}
+    assert dims["srt"]["width"] == 2 and dims["srt"]["height"] == 600
+    assert dims["vtt"]["width"] == 1 and dims["vtt"]["height"] == 2000

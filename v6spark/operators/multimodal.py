@@ -352,6 +352,16 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "webm"
+    if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
+        return "vtt"
+    # SRT has no magic; require a real cue timestamp next to the
+    # arrow so binary payloads containing 0x2D2D3E never match
+    head = payload[:256].decode("utf-8", "replace")
+    if "-->" in head:
+        import re as _re
+
+        if _re.search(r"\d{2}:\d{2}[,.]\d{3}\s*-->", head):
+            return "srt"
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
@@ -650,6 +660,13 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
 
         info = parse_avi_info(payload)
         return info["width"], info["height"], 3
+    if fmt in ("srt", "vtt"):
+        # caption "dims" read as (n_cues, duration_ms) — the same
+        # convention as WAV's (n_frames, sample_rate) repurposing
+        from v6spark.operators.media_metadata import parse_captions
+
+        cues = parse_captions(payload.decode("utf-8", "replace"))
+        return len(cues), (cues[-1]["end_ms"] if cues else 0), 1
     raise NotImplementedError(
         "unrecognized media format; known formats all parse for real — "
         "pixel decode: PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/"

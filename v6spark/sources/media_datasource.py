@@ -24,7 +24,10 @@ Scale shape:
   RELATIVE path — stable across reruns, mounts, and listing order.
 
 GIF files are "video" when animated (frame count from the block
-walk — no LZW decode), else "image".
+walk — no LZW decode), else "image".  SRT/WebVTT subtitle files
+ingest as kind "caption" — the text half of a video-text pair,
+consumed by ``media_metadata.caption_table`` /
+``align_captions_to_frames``.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ _KIND = {
     "pnm": "image", "bmp": "image", "png": "image", "jpeg": "image",
     "wav": "audio", "mp3": "audio",
     "mp4": "video", "webm": "video", "avi": "video",
+    "srt": "caption", "vtt": "caption",
 }
 
 
