@@ -35,4 +35,8 @@ Module map to the reference inventory (SURVEY.md §2.1):
 - ``html``        crawl HTML -> text (link-density boilerplate gate),
                   link extraction, url_host
 - ``graph``       crawl-graph degree census + PageRank power iteration
+- ``bpe``         byte-level BPE: sample-trained merges, zero-shuffle
+                  broadcast encode / token counts
+- ``media_metadata`` EXIF (TIFF IFD), ID3v2, SRT/VTT captions +
+                  frame alignment, orientation-normalized pHash
 """
