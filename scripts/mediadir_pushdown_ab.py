@@ -86,12 +86,14 @@ def main() -> None:
     spark.dataSource.register(MediaDirDataSource)
     spark.dataSource.register(NoPushSource)
 
-    def bench(fmt: str) -> float:
+    def bench(fmt: str, push: bool) -> float:
         best = None
         for _ in range(3):
             t0 = time.time()
             n = (
-                spark.read.format(fmt).load(root)
+                spark.read.format(fmt)
+                .option("pushdown", "true" if push else "false")
+                .load(root)
                 .filter("kind = 'image'")
                 .selectExpr("sum(length(payload))")
                 .collect()[0][0]
@@ -101,8 +103,8 @@ def main() -> None:
         assert n is not None
         return best
 
-    no_push = bench("mediadir_nopush")
-    push = bench("mediadir")
+    no_push = bench("mediadir", False)
+    push = bench("mediadir", True)
     doc = {
         "corpus": census,
         "no_pushdown_sec_min_of_3": round(no_push, 2),

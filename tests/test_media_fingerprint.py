@@ -208,8 +208,9 @@ def test_mediadir_datasource(spark, tmp_path):
     assert rows["d.avi"]["kind"] == "video"
     assert rows["a.png"]["media_id"] == media_id_for("a.png")
     assert _json.loads(rows["sub/b.dat"]["meta"])["ext"] == "dat"
-    # kind pushdown: only images come back
-    imgs = spark.read.format("mediadir").load(str(root)).filter("kind = 'image'")
+    # kind pushdown (opt-in): only images come back
+    imgs = spark.read.format("mediadir").option("pushdown", "true") \
+        .load(str(root)).filter("kind = 'image'")
     assert {r["uri"] for r in imgs.collect()} == {"a.png", "sub/b.dat"}
     # the frame feeds the decode operators directly
     dims = {r["media_id"]: r for r in mm.decode_media(
@@ -361,8 +362,10 @@ def test_poison_rows_do_not_kill_the_pipeline(spark):
 
 def test_mediadir_empty_and_conflicting_pushdown(spark, tmp_path):
     """Review regressions: an empty (or fully filtered-out) directory
-    yields an empty frame, not a read(None) crash; AND-ed pushed
-    filters on one column intersect instead of overwriting."""
+    yields an empty frame, not a read(None) crash; pushdown is
+    opt-in ADVISORY (filters always yielded back) so AND-ed filters,
+    and — the hazard that motivated the default — MULTI-BRANCH reuse
+    of one loaded frame, stay correct."""
     from v6spark.sources.media_datasource import register_media_source
 
     register_media_source(spark)
@@ -375,12 +378,19 @@ def test_mediadir_empty_and_conflicting_pushdown(spark, tmp_path):
     (root / "a.png").write_bytes(mm.encode_png(_structured_img()))
     t = np.arange(1000)
     (root / "b.wav").write_bytes(_wav_payload(5000 * np.sin(2 * np.pi * 300 * t / 8000)))
-    df = spark.read.format("mediadir").load(str(root))
-    # kind = 'image' AND kind IN ('image','audio') must intersect to image
+    df = spark.read.format("mediadir").option("pushdown", "true").load(str(root))
+    # kind = 'image' AND kind IN ('image','audio') -> image only
     got = df.filter("kind = 'image'").filter("kind in ('image','audio')").collect()
     assert {r["uri"] for r in got} == {"a.png"}
     # contradictory filters -> empty, not the union
     assert df.filter("kind = 'image'").filter("kind = 'audio'").count() == 0
+    # THE multi-branch hazard: union of differently-filtered branches
+    # over ONE loaded frame (PySpark may execute both scans with one
+    # pickled reader — the reason pushdown defaults off)
+    plain = spark.read.format("mediadir").load(str(root))
+    u = plain.filter("kind = 'image'").select("uri").unionByName(
+        plain.filter("kind = 'audio'").select("uri"))
+    assert {r["uri"] for r in u.collect()} == {"a.png", "b.wav"}
 
 
 def test_short_audio_clips_fingerprint_distinct():

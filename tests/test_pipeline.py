@@ -106,3 +106,51 @@ def test_pipeline_deterministic(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_media_directory_to_webdataset_end_to_end(spark, tmp_path):
+    """The full multimodal story in one pass: mediadir ingest (magic
+    -byte kinds) -> prepare_media_corpus (gates + perceptual dedup +
+    split/shard) -> publish_corpus WebDataset tars — survivors only,
+    deterministic."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from v6spark.operators import multimodal as mm
+    from v6spark.operators.jpeg import encode_jpeg
+    from v6spark.pipeline import prepare_media_corpus, publish_corpus
+    from v6spark.sources.media_datasource import register_media_source
+    from v6spark.sources.trainshards import read_webdataset
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    rng = np.random.default_rng(12)
+    small = rng.integers(0, 255, (6, 8, 3)).astype(np.uint8)
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.uint8))
+    (root / "a.png").write_bytes(mm.encode_png(img))
+    (root / "a_copy.jpg").write_bytes(encode_jpeg(img, quality=95))  # near-dup
+    other = np.kron(rng.integers(0, 255, (6, 8, 3)).astype(np.uint8),
+                    np.ones((8, 8, 1), dtype=np.uint8))
+    (root / "b.png").write_bytes(mm.encode_png(other))
+    (root / "junk.txt").write_bytes(b"not media")
+
+    register_media_source(spark)
+    media = spark.read.format("mediadir").load(str(root))
+    prepared = prepare_media_corpus(
+        media, phash_radius=4, split_weights={"train": 1.0}, n_shards=2
+    )
+    out = str(tmp_path / "published")
+    counts = publish_corpus(
+        prepared, media, out, fmt="webdataset", key_col="media_id", n_shards=2
+    )
+    assert counts == {"train": 2}  # near-dup loser + junk excluded
+    back = read_webdataset(spark, os.path.join(out, "split=train"))
+    uris = {bytes(r["content"]).decode() for r in back.collect()
+            if r["column"] == "uri"}
+    # the jpeg near-dup lost to the (lower-keyed-hash-id) png... or
+    # vice versa: exactly one of the pair survives, plus b.png
+    assert "b.png" in uris and len(uris) == 2
+    assert len(uris & {"a.png", "a_copy.jpg"}) == 1
+    assert glob.glob(os.path.join(out, "split=train", "*.tar"))

@@ -16,10 +16,18 @@ Scale shape:
   no payload reads) and greedy-balancing them into byte-even bins —
   one oversized video cannot serialize a whole partition of images
   behind it.
-- ``kind`` filter pushdown is a header read: executors sniff the
-  first KB and skip the full payload read for excluded kinds, so
-  ``.filter(kind = 'image')`` over a mixed corpus never pays video
-  bytes.  ``uri`` equality/IN pushdown skips at the listing.
+- ``kind``/``uri`` pruning is OPT-IN via ``.option("pushdown",
+  "true")``: executors sniff the first KB and skip payload reads
+  for excluded kinds, and uri filters skip at the listing.  It is
+  not on by default because PySpark may serve MULTIPLE scans of one
+  loaded DataFrame with a single pickled reader (measured: a union
+  of an image-filtered and an audio-filtered branch executed every
+  partition with the audio branch's reader, returning zero rows) —
+  with pruning off the reader is stateless and any scan's reader is
+  interchangeable; with it on, reuse the loaded frame in ONE branch
+  only.  Filters are ALWAYS yielded back to Spark either way, so a
+  wrongly-pruned scan can lose rows but never emit wrong ones —
+  and the default never prunes.
 - ``media_id`` is a content-independent keyed hash of the
   RELATIVE path — stable across reruns, mounts, and listing order.
 
@@ -84,28 +92,36 @@ class MediaDirReader(DataSourceReader):
         if not self.root:
             raise ValueError("mediadir source requires a path: .load('/dir')")
         self.n_partitions = int(options.get("n_partitions", "8"))
+        self.do_pushdown = str(options.get("pushdown", "false")).lower() == "true"
         self.pushed_kinds: set | None = None
         self.pushed_uris: set | None = None
 
     def pushFilters(self, filters):
-        def narrow(current: set | None, accepted: set) -> set:
-            # filters are AND-ed: multiple pushed filters on one
-            # column INTERSECT (overwriting would return rows a
-            # consumed-but-dropped filter excluded)
-            return accepted if current is None else current & accepted
+        """ADVISORY pruning, opt-in (module docstring has the whole
+        story): every filter is ALWAYS yielded back so Spark
+        re-applies it post-scan; when ``pushdown=true`` the kind/uri
+        sets additionally skip payload reads, unioned across calls
+        (a consumed-and-intersected design measurably lost rows when
+        one pickled reader served two differently-filtered scans).
+        """
+        if not self.do_pushdown:
+            yield from filters
+            return
+
+        def widen(current: set | None, accepted: set) -> set:
+            return accepted if current is None else current | accepted
 
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
             if col == "kind" and isinstance(f, EqualTo):
-                self.pushed_kinds = narrow(self.pushed_kinds, {f.value})
+                self.pushed_kinds = widen(self.pushed_kinds, {f.value})
             elif col == "kind" and isinstance(f, In):
-                self.pushed_kinds = narrow(self.pushed_kinds, set(f.value))
+                self.pushed_kinds = widen(self.pushed_kinds, set(f.value))
             elif col == "uri" and isinstance(f, EqualTo):
-                self.pushed_uris = narrow(self.pushed_uris, {f.value})
+                self.pushed_uris = widen(self.pushed_uris, {f.value})
             elif col == "uri" and isinstance(f, In):
-                self.pushed_uris = narrow(self.pushed_uris, set(f.value))
-            else:
-                yield f
+                self.pushed_uris = widen(self.pushed_uris, set(f.value))
+            yield f
 
     def _listing(self) -> list:
         out = []
