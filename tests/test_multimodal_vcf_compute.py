@@ -892,3 +892,25 @@ def test_wav_adpcm_decode_and_features(spark):
     assert feat["sample_rate"] == rate and feat["rms"] > 6000
     dims = mm.decode_media(media).collect()[0]
     assert (dims["width"], dims["height"]) == (got_n, rate)  # (frames, rate)
+
+
+def test_vcf_datasource_multibranch_scan_reuse(spark, vcf_path):
+    """Two differently-filtered branches over ONE loaded VCF frame
+    must both keep their rows.  Pins the scan-reuse behavior that
+    bit the mediadir source (PySpark served two scans with one
+    pickled reader, losing the other branch's consumed-pushdown
+    rows) — the VCF source consumes chrom/pos filters, so if a Spark
+    upgrade starts deduplicating these scans this test catches the
+    row loss immediately."""
+    from v6spark.sources.vcf_datasource import register_vcf_source
+
+    register_vcf_source(spark)
+    df = spark.read.format("vcf").option("table", "variants").load(vcf_path)
+    a = df.filter("chrom = 'chr1'").select("variant_id")
+    b = df.filter("chrom = 'chr2'").select("variant_id")
+    u = {r["variant_id"] for r in a.unionByName(b).collect()}
+    assert u == {r["variant_id"] for r in df.collect()}
+    # range + equality mix across branches
+    c = df.filter("pos >= 250").select("variant_id")
+    d = df.filter("pos < 150").select("variant_id")
+    assert c.unionByName(d).count() == c.count() + d.count() == 2
