@@ -1,0 +1,293 @@
+"""Versioned-manifest transaction log (v6spark/txlog.py) — both commit
+modes — plus the committed batch publish built on it (pipeline.py).
+
+The ``put``-mode tests cover S3 semantics: there is no atomic rename,
+so a crash during the manifest write (or during an emulated
+copy+delete "rename") leaves a TORN object under the final name.  The
+torn states here are constructed directly — a truncated checksummed
+file, a garbage file — because that byte-level state is exactly what
+any non-atomic writer crash produces; the reader contract is that
+such files are invisible and the highest VERIFIABLE manifest is the
+commit point.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark import txlog
+from v6spark.pipeline import (
+    publish_corpus_committed,
+    published_path,
+    read_published_corpus,
+    vacuum_published,
+)
+from v6spark.streaming import neardedup
+
+
+def _write_raw(spark, log_dir: str, name: str, data: bytes) -> None:
+    fs, jdir, jvm = txlog._jfs(spark, log_dir)
+    fs.mkdirs(jdir)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(jdir, name), True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+
+
+@pytest.mark.parametrize("mode", ["rename", "put"])
+def test_publish_read_roundtrip(spark, tmp_path, mode):
+    log = str(tmp_path / "log")
+    assert txlog.read_latest(spark, log) == (0, None)
+    txlog.publish(spark, log, 1, {"live": "v=1"}, commit_mode=mode)
+    txlog.publish(spark, log, 2, {"live": "v=2"}, commit_mode=mode)
+    version, doc = txlog.read_latest(spark, log)
+    assert version == 2
+    assert doc["live"] == "v=2"
+    assert doc["v"] == 2
+
+
+@pytest.mark.parametrize(
+    "torn",
+    [
+        b"",  # zero-byte object (crash immediately after create)
+        b'{"v": 9, "live": "v=9"',  # truncated JSON, no footer
+        b'{"v": 9, "live": "v=9"}\nsha256:deadbeef\n',  # bad checksum
+        b"\xff\xfenot utf8 at all\x00",  # binary garbage
+    ],
+)
+def test_reader_skips_torn_higher_manifest(spark, tmp_path, torn):
+    """The non-atomic-rename / torn-conditional-put state: a partial
+    object exists under the HIGHEST version name.  Committed reads
+    fall back to the highest complete manifest — the pre-crash state."""
+    log = str(tmp_path / "log")
+    txlog.publish(spark, log, 1, {"live": "v=1"}, commit_mode="put")
+    _write_raw(spark, log, "manifest-000000000002", torn)
+    version, doc = txlog.read_latest(spark, log)
+    assert version == 1
+    assert doc["live"] == "v=1"
+
+
+def test_put_replay_over_torn_manifest_succeeds(spark, tmp_path):
+    """Replay of a publish that crashed mid-manifest-write: the torn
+    object under the target name is our own crashed attempt; the
+    conditional put detects, deletes, and retries."""
+    log = str(tmp_path / "log")
+    txlog.publish(spark, log, 1, {"live": "v=1"}, commit_mode="put")
+    _write_raw(spark, log, "manifest-000000000002", b'{"v": 2, "liv')
+    txlog.publish(spark, log, 2, {"live": "v=2"}, commit_mode="put")
+    assert txlog.read_latest(spark, log) == (2, {"v": 2, "live": "v=2"})
+
+
+def test_put_replay_after_commit_is_idempotent(spark, tmp_path):
+    log = str(tmp_path / "log")
+    txlog.publish(spark, log, 1, {"live": "v=1"}, commit_mode="put")
+    # byte-identical replay: success, no error
+    txlog.publish(spark, log, 1, {"live": "v=1"}, commit_mode="put")
+    # different payload under a committed version: hard error
+    with pytest.raises(IOError):
+        txlog.publish(spark, log, 1, {"live": "OTHER"}, commit_mode="put")
+    assert txlog.read_latest(spark, log)[1]["live"] == "v=1"
+
+
+def test_vacuum_manifests_keeps_only_latest_complete(spark, tmp_path):
+    log = str(tmp_path / "log")
+    for v in (1, 2, 3):
+        txlog.publish(spark, log, v, {"live": f"v={v}"}, commit_mode="put")
+    _write_raw(spark, log, "manifest-000000000004", b"torn")
+    removed = txlog.vacuum_manifests(spark, log)
+    assert removed == 3  # manifests 1, 2 and the torn 4
+    assert txlog.read_latest(spark, log) == (3, {"v": 3, "live": "v=3"})
+
+
+def test_rename_mode_reads_put_mode_log_and_vice_versa(spark, tmp_path):
+    """Logs are mode-portable: both modes write the checksum footer
+    and the reader is mode-agnostic."""
+    log = str(tmp_path / "log")
+    txlog.publish(spark, log, 1, {"a": 1}, commit_mode="rename")
+    txlog.publish(spark, log, 2, {"a": 2}, commit_mode="put")
+    assert txlog.read_latest(spark, log)[0] == 2
+
+
+def test_legacy_bare_json_manifest_still_reads(spark, tmp_path):
+    """Back-compat: manifests written before the checksum footer
+    existed (plain JSON) still count as complete."""
+    log = str(tmp_path / "log")
+    _write_raw(spark, log, "manifest-000000000001", b'{"live": ["x"], "committed": [0]}')
+    version, doc = txlog.read_latest(spark, log)
+    assert version == 1
+    assert doc["live"] == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# near-dedup crash matrix on put-mode commits (the S3-semantics variant
+# of tests/test_streaming_neardedup.py's rename-mode matrix)
+# ---------------------------------------------------------------------------
+
+RADIUS = 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("window", ["index", "kept"])
+def test_neardedup_put_mode_crash_matrix(spark, tmp_path, window):
+    i_dir, k_dir = str(tmp_path / "idx"), str(tmp_path / "kept")
+    b1 = _docs(spark, [(1, "alpha beta gamma delta"), (2, "wholly different words here")])
+    neardedup.batch_near_dedup_step(
+        b1, i_dir, k_dir, radius=RADIUS, batch_id=0, commit_mode="put"
+    )
+    before = {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    }
+    b2 = _docs(spark, [(3, "alpha beta gamma delta"), (4, "fresh novel content four")])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        neardedup.batch_near_dedup_step(
+            b2, i_dir, k_dir, radius=RADIUS, batch_id=1,
+            commit_mode="put", _fail_after=window,
+        )
+    # committed reads unchanged by the crash
+    mid = {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    }
+    assert mid == before
+    # replay completes; exact duplicate 3 dropped, 4 kept
+    neardedup.batch_near_dedup_step(
+        b2, i_dir, k_dir, radius=RADIUS, batch_id=1, commit_mode="put"
+    )
+    after = {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    }
+    assert after == before | {4}
+    # replay-after-commit skips outright
+    neardedup.batch_near_dedup_step(
+        b2, i_dir, k_dir, radius=RADIUS, batch_id=1, commit_mode="put"
+    )
+    assert {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    } == after
+
+
+def test_neardedup_put_mode_compact_vacuum(spark, tmp_path):
+    i_dir, k_dir = str(tmp_path / "idx"), str(tmp_path / "kept")
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "seven green turtles crossed slowly",
+        "quantum flux capacitors hum nightly",
+    ]
+    for n in range(3):
+        neardedup.batch_near_dedup_step(
+            _docs(spark, [(10 * n + 1, texts[n])]),
+            i_dir, k_dir, radius=RADIUS, batch_id=n, commit_mode="put",
+        )
+    v = neardedup.compact(spark, i_dir, k_dir, commit_mode="put")
+    assert v is not None
+    kept = {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    }
+    assert kept == {1, 11, 21}
+    assert neardedup.vacuum(spark, i_dir, k_dir) > 0
+    assert {
+        r["doc_id"]
+        for r in neardedup.read_kept(spark, k_dir, i_dir).collect()
+    } == kept
+
+
+# ---------------------------------------------------------------------------
+# committed batch publish (pipeline.publish_corpus_committed)
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    prepared = spark.createDataFrame(
+        [(i, "train" if i % 3 else "valid") for i in range(12)],
+        "doc_id long, split string",
+    )
+    content = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    return prepared, content
+
+
+@pytest.mark.parametrize("mode", ["rename", "put"])
+def test_publish_committed_crash_then_rerun(spark, tmp_path, mode):
+    """Kill mid-split-write; committed readers never see the partial
+    publish; the rerun lands the full corpus at the same logical
+    version."""
+    prepared, content = _corpus(spark)
+    root = str(tmp_path / "corpus")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_corpus_committed(
+            prepared, content, root, n_shards=4, commit_mode=mode,
+            _fail_after_split="train",  # valid never written
+        )
+    # nothing committed: readers see NO corpus, not a partial one
+    assert published_path(spark, root) is None
+    assert read_published_corpus(spark, root) is None
+    counts = publish_corpus_committed(
+        prepared, content, root, n_shards=4, commit_mode=mode
+    )
+    assert counts["_version"] == 1
+    assert counts["train"] == 8 and counts["valid"] == 4
+    out = read_published_corpus(spark, root)
+    assert out.count() == 12
+    assert out.filter(F.col("split") == "valid").count() == 4
+    # every doc exactly once, bodies intact
+    assert out.select("doc_id").distinct().count() == 12
+
+
+@pytest.mark.parametrize("mode", ["rename", "put"])
+def test_publish_committed_crash_preserves_previous_version(
+    spark, tmp_path, mode
+):
+    prepared, content = _corpus(spark)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(
+        prepared, content, root, n_shards=4, commit_mode=mode
+    )
+    v1 = read_published_corpus(spark, root).count()
+    # second publish (larger corpus) crashes mid-way
+    prepared2 = prepared.unionByName(
+        spark.createDataFrame([(100, "train")], "doc_id long, split string")
+    )
+    content2 = content.unionByName(
+        spark.createDataFrame([(100, "late doc")], "doc_id long, text string")
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_corpus_committed(
+            prepared2, content2, root, n_shards=4, commit_mode=mode,
+            _fail_after_split="train",
+        )
+    # committed readers still see v1, whole and unchanged
+    path1, doc1 = published_path(spark, root)
+    assert doc1["v"] == 1
+    assert read_published_corpus(spark, root).count() == v1
+    # rerun commits v2; vacuum drops v1's directory but v2 survives
+    counts = publish_corpus_committed(
+        prepared2, content2, root, n_shards=4, commit_mode=mode
+    )
+    assert counts["_version"] == 2
+    assert read_published_corpus(spark, root).count() == v1 + 1
+    removed = vacuum_published(spark, root)
+    assert removed >= 1
+    assert read_published_corpus(spark, root).count() == v1 + 1
+
+
+def test_publish_committed_rejects_bad_fmt_read(spark, tmp_path):
+    prepared, content = _corpus(spark)
+    root = str(tmp_path / "wd")
+    publish_corpus_committed(
+        prepared, content, root, fmt="webdataset", n_shards=2
+    )
+    resolved = published_path(spark, root)
+    assert resolved is not None and resolved[1]["fmt"] == "webdataset"
+    with pytest.raises(ValueError, match="parquet"):
+        read_published_corpus(spark, root)

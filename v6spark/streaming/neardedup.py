@@ -42,18 +42,24 @@ file ``index_dir/_commits/manifest-<v+1>`` whose JSON carries
 - ``committed``: every epoch id ever published (so a replayed epoch
   skips even after compaction has folded its directory away).
 
-A manifest is only ever renamed into a NEW version name (never
+A manifest is only ever published under a NEW version name (never
 overwritten), so the highest complete manifest IS the atomic commit
 point; one manifest covers BOTH sinks, so there is no state where
 the index has a batch the kept sink lacks or vice versa.  Crash
-anywhere before the rename leaves uncommitted directories that (1)
+anywhere before the publish leaves uncommitted directories that (1)
 committed readers (:func:`read_kept`, the internal index reader)
 never see and (2) the checkpoint replay overwrites with
-byte-identical content before committing.  Crash after the rename →
-replay sees its id in ``committed`` and skips.  Rename-to-new-name
-is atomic on HDFS and POSIX; on S3-like stores (no atomic rename)
-use an ACID table (Delta/Iceberg) instead — stated honestly, same
-trade-off family as ``run_foreach_batch_upsert``.
+byte-identical content before committing.  Crash after the publish →
+replay sees its id in ``committed`` and skips.
+
+The commit primitive lives in :mod:`v6spark.txlog` and supports two
+filesystem families via ``commit_mode``: ``"rename"`` (tmp +
+rename-to-new-name — atomic on HDFS/POSIX) and ``"put"`` (S3
+semantics: conditional-put / write-if-absent under the final name,
+with a SHA-256 completeness footer that readers verify, so a torn
+object is simply skipped and the highest VERIFIABLE manifest is the
+commit point).  Every entry point below threads ``commit_mode``
+through; readers are mode-agnostic.
 
 :func:`compact` folds the accumulated per-epoch directories (the
 classic streaming small-files problem — one directory per
@@ -81,50 +87,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from v6spark import txlog
 from v6spark.operators.dedup import (
     simhash_pairs,
     simhash_pairs_between,
     simhash_signature_portable,
 )
+from v6spark.txlog import _jfs
 
 _COMMITS = "_commits"  # leading underscore: invisible to Spark file scans
-
-
-def _jfs(spark: SparkSession, path_str: str):
-    """(Hadoop FileSystem, Path, jvm) for ``path_str`` — the same
-    filesystem Spark writes (HDFS/S3/local), never a driver-local
-    ``os.path`` check that would silently miss remote stores."""
-    sc = spark.sparkContext
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    return fs, jpath, sc._jvm
 
 
 def _read_manifest(
     spark: SparkSession, index_dir: str
 ) -> tuple[int, list[str], set[int]]:
     """(version, live dir names, committed epoch ids) from the highest
-    complete manifest; (0, [], set()) before the first commit."""
-    import json
-
-    fs, jdir, jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
-    if not fs.exists(jdir):
+    COMPLETE manifest; (0, [], set()) before the first commit.  Torn
+    higher-versioned manifests (non-atomic rename emulation, crashed
+    conditional put) are skipped by :func:`v6spark.txlog.read_latest`."""
+    version, doc = txlog.read_latest(spark, f"{index_dir}/{_COMMITS}")
+    if doc is None:
         return 0, [], set()
-    best = 0
-    for st in fs.listStatus(jdir):
-        name = st.getPath().getName()
-        if name.startswith("manifest-"):
-            best = max(best, int(name[len("manifest-"):]))
-    if best == 0:
-        return 0, [], set()
-    path = jvm.org.apache.hadoop.fs.Path(jdir, f"manifest-{best:012d}")
-    stream = fs.open(path)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    doc = json.loads(raw.decode())
-    return best, list(doc["live"]), set(doc["committed"])
+    return version, list(doc["live"]), set(doc["committed"])
 
 
 def _publish_manifest(
@@ -133,29 +117,18 @@ def _publish_manifest(
     version: int,
     live: list[str],
     committed: set[int],
+    commit_mode: str = "rename",
 ) -> None:
-    """Atomically publish manifest ``version``: write a tmp file,
-    rename to the (new, never-overwritten) version name.  The rename
-    IS the commit point."""
-    import json
-
-    fs, jdir, jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
-    fs.mkdirs(jdir)
-    payload = json.dumps(
-        {"live": sorted(live), "committed": sorted(committed)}
-    ).encode()
-    tmp = jvm.org.apache.hadoop.fs.Path(jdir, f".manifest-{version:012d}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(jdir, f"manifest-{version:012d}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(payload)
-    finally:
-        out.close()
-    if not fs.rename(tmp, final):
-        raise IOError(
-            f"manifest rename failed for version {version} under {jdir} "
-            "(concurrent writer? the log is single-writer by design)"
-        )
+    """Publish manifest ``version`` via :func:`v6spark.txlog.publish`;
+    the call returning IS the commit point (rename or verified
+    conditional put, per ``commit_mode``)."""
+    txlog.publish(
+        spark,
+        f"{index_dir}/{_COMMITS}",
+        version,
+        {"live": sorted(live), "committed": sorted(committed)},
+        commit_mode=commit_mode,
+    )
 
 
 def committed_batch_ids(spark: SparkSession, index_dir: str) -> set[int]:
@@ -211,6 +184,7 @@ def batch_near_dedup_step(
     max_bucket_size: int | None = 256,
     batch_id: int | None = None,
     signer=None,
+    commit_mode: str = "rename",
     _fail_after: str | None = None,
 ) -> None:
     """One incremental step: drop exact/near dups, publish survivors.
@@ -304,6 +278,7 @@ def batch_near_dedup_step(
         version + 1,
         [*live, f"batch_id={batch_id}"],
         committed | {batch_id},
+        commit_mode=commit_mode,
     )
 
 
@@ -314,6 +289,7 @@ def compact(
     spark: SparkSession,
     index_dir: str,
     kept_dir: str,
+    commit_mode: str = "rename",
     _fail_after: str | None = None,
 ) -> int | None:
     """Fold all live batch directories into one generation per sink.
@@ -344,7 +320,10 @@ def compact(
     ).write.mode("overwrite").parquet(f"{kept_dir}/{gen}")
     if _fail_after == "kept":
         raise RuntimeError("injected crash after kept compaction write")
-    _publish_manifest(spark, index_dir, version + 1, [gen], committed)
+    _publish_manifest(
+        spark, index_dir, version + 1, [gen], committed,
+        commit_mode=commit_mode,
+    )
     return version + 1
 
 
@@ -373,15 +352,9 @@ def vacuum(spark: SparkSession, index_dir: str, kept_dir: str) -> int:
             ):
                 fs.delete(st.getPath(), True)
                 removed += 1
-    fs, jdir, _jvm = _jfs(spark, f"{index_dir}/{_COMMITS}")
-    if fs.exists(jdir):
-        for st in fs.listStatus(jdir):
-            name = st.getPath().getName()
-            if (
-                name.startswith("manifest-")
-                and int(name[len("manifest-"):]) < version
-            ):
-                fs.delete(st.getPath(), False)
+    # manifest retention: keep only the highest COMPLETE manifest;
+    # torn higher-versioned files (crashed conditional puts) go too
+    txlog.vacuum_manifests(spark, f"{index_dir}/{_COMMITS}")
     return removed
 
 
@@ -396,6 +369,7 @@ def run_incremental_near_dedup(
     radius: int = 3,
     max_bucket_size: int | None = 256,
     signer=None,
+    commit_mode: str = "rename",
 ) -> None:
     """Drain a (finite) document stream through incremental near-dedup.
 
@@ -419,6 +393,7 @@ def run_incremental_near_dedup(
             max_bucket_size=max_bucket_size,
             batch_id=int(batch_epoch_id),
             signer=signer,
+            commit_mode=commit_mode,
         )
 
     q = (

@@ -1,0 +1,231 @@
+"""Versioned-manifest transaction log — the shared commit kernel.
+
+One tiny log format serves every exactly-once publish surface in the
+repo: streaming near-dedup (streaming/neardedup.py), streaming media
+dedup, and batch corpus publishing (pipeline.publish_corpus_committed).
+The design is the Delta-log idea at minimum viable size: data files are
+written first into version-private directories, then ONE manifest file
+``<log_dir>/manifest-<v>`` is published; the highest COMPLETE manifest
+is the atomic commit point.  Readers only ever consult directories a
+complete manifest names, so a crash anywhere before the commit leaves
+orphans that committed readers never see and a rerun overwrites.
+
+Two commit modes (``commit_mode``), chosen per deployment filesystem:
+
+``"rename"`` (default)
+    Write ``.manifest-<v>.tmp``, then rename to the (new, never
+    overwritten) final name.  Rename-to-new-name is atomic on HDFS and
+    POSIX — the classic commit protocol.
+
+``"put"`` (S3 semantics)
+    Object stores have no atomic rename (S3A "rename" is copy+delete,
+    and a crashed copy leaves a PARTIAL object under the final name).
+    Instead the manifest is created directly under its final name with
+    ``overwrite=False`` — the conditional-put / write-if-absent
+    primitive (S3 supports this natively via If-None-Match; HDFS via
+    CreateFlag semantics) — and the PAYLOAD carries its own
+    completeness proof: a trailing line with the SHA-256 of the body.
+    Readers verify the footer and simply skip incomplete manifests, so
+    the commit point becomes "highest manifest whose checksum
+    verifies".  A torn write under the final name is therefore
+    harmless: it is unreadable-as-committed, and the rerun publishes
+    the next version rather than retrying the torn name (version
+    numbers are cheap; the torn file is vacuumable).
+
+Both modes write the checksum footer and the reader always verifies
+it, so logs are mode-portable: a log written on HDFS in rename mode
+reads correctly through the put-mode reader and vice versa.
+
+File format (version-independent)::
+
+    {"v": <version>, ...payload...}\n
+    sha256:<hex of everything before this line>\n
+
+All filesystem access goes through the Hadoop FileSystem API of the
+SparkSession — the same filesystem Spark writes (HDFS/S3/local) —
+never driver-local ``os.path``, which would silently miss remote
+stores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import SparkSession
+
+MANIFEST_PREFIX = "manifest-"
+COMMIT_MODES = ("rename", "put")
+
+
+def _jfs(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path, jvm) for ``path_str``."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, jpath, sc._jvm
+
+
+def _encode(version: int, payload: dict) -> bytes:
+    body = json.dumps({"v": version, **payload}, sort_keys=True).encode()
+    digest = hashlib.sha256(body).hexdigest()
+    return body + b"\nsha256:" + digest.encode() + b"\n"
+
+
+def _decode(raw: bytes) -> dict | None:
+    """Parse + completeness-verify a manifest file; None if torn.
+
+    Accepts the checksummed format and (for back-compat with logs
+    written before the footer existed) a bare JSON document.  A file
+    that fails BOTH is an incomplete write and is skipped — that is
+    the put-mode torn-write defence, and it also protects rename-mode
+    logs against non-atomic rename emulations (S3A copy+delete).
+    """
+    try:
+        text = raw.decode()
+    except UnicodeDecodeError:
+        return None
+    lines = text.rstrip("\n").rsplit("\n", 1)
+    if len(lines) == 2 and lines[1].startswith("sha256:"):
+        body, footer = lines[0].encode(), lines[1][len("sha256:"):]
+        if hashlib.sha256(body).hexdigest() != footer:
+            return None
+        try:
+            return json.loads(body.decode())
+        except ValueError:
+            return None
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        return None
+    return doc if isinstance(doc, dict) else None
+
+
+def read_latest(
+    spark: SparkSession, log_dir: str
+) -> tuple[int, dict | None]:
+    """(version, payload) of the highest COMPLETE manifest.
+
+    (0, None) before the first commit.  Higher-numbered manifests
+    that fail the completeness check (torn conditional put, crashed
+    non-atomic rename) are skipped — the log falls back to the
+    highest verifiable commit, which is exactly the pre-crash state.
+    """
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    if not fs.exists(jdir):
+        return 0, None
+    versions = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith(MANIFEST_PREFIX):
+            try:
+                versions.append(int(name[len(MANIFEST_PREFIX):]))
+            except ValueError:
+                continue
+    for v in sorted(versions, reverse=True):
+        path = jvm.org.apache.hadoop.fs.Path(jdir, f"{MANIFEST_PREFIX}{v:012d}")
+        stream = fs.open(path)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        doc = _decode(raw)
+        if doc is not None:
+            return v, doc
+    return 0, None
+
+
+def publish(
+    spark: SparkSession,
+    log_dir: str,
+    version: int,
+    payload: dict,
+    commit_mode: str = "rename",
+) -> None:
+    """Publish manifest ``version``; the call returning IS the commit.
+
+    ``rename``: tmp-write + rename-to-new-name (atomic on HDFS/POSIX).
+    ``put``: create the final name with overwrite=False (conditional
+    put); completeness comes from the checksum footer, which readers
+    verify.  Both refuse to clobber an existing version — the log is
+    single-writer by design and a version collision means a concurrent
+    writer or a logic bug, never something to silently overwrite.
+    """
+    if commit_mode not in COMMIT_MODES:
+        raise ValueError(f"commit_mode must be one of {COMMIT_MODES}")
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    fs.mkdirs(jdir)
+    data = _encode(version, payload)
+    final = jvm.org.apache.hadoop.fs.Path(jdir, f"{MANIFEST_PREFIX}{version:012d}")
+    if commit_mode == "rename":
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            jdir, f".{MANIFEST_PREFIX}{version:012d}.tmp"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):
+            raise IOError(
+                f"manifest rename failed for version {version} under "
+                f"{jdir} (concurrent writer? the log is single-writer "
+                "by design)"
+            )
+    else:
+        # write-if-absent: fs.create(path, overwrite=False) raises if
+        # the name exists — the conditional-put primitive.  A crash
+        # mid-write leaves a torn object under the final name that
+        # read_latest() skips via the checksum footer; a REPLAY of the
+        # crashed publish then finds that torn object here.  The log
+        # is single-writer, so an existing-but-torn object under this
+        # version is our own crashed attempt — delete and retry.  An
+        # existing COMPLETE object means the commit already happened:
+        # byte-identical is an idempotent replay (success), different
+        # bytes is a second writer (hard error).
+        try:
+            out = fs.create(final, False)
+        except Exception:
+            stream = fs.open(final)
+            try:
+                existing = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            if _decode(existing) is not None:
+                if existing == data:
+                    return  # idempotent replay of an already-done commit
+                raise IOError(
+                    f"manifest version {version} already committed with "
+                    f"different content under {jdir} — concurrent writer; "
+                    "the log is single-writer by design"
+                )
+            fs.delete(final, False)  # our own torn previous attempt
+            out = fs.create(final, False)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+
+
+def vacuum_manifests(spark: SparkSession, log_dir: str) -> int:
+    """Delete every manifest below the highest COMPLETE one, plus any
+    torn higher-numbered manifests.  Returns files removed."""
+    version, doc = read_latest(spark, log_dir)
+    if doc is None:
+        return 0
+    fs, jdir, _jvm = _jfs(spark, log_dir)
+    removed = 0
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if not name.startswith(MANIFEST_PREFIX):
+            continue
+        try:
+            v = int(name[len(MANIFEST_PREFIX):])
+        except ValueError:
+            continue
+        if v != version:
+            fs.delete(st.getPath(), False)
+            removed += 1
+    return removed
