@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from v6spark.operators import codec_adapter
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -667,12 +669,34 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
 
         cues = parse_captions(payload.decode("utf-8", "replace"))
         return len(cues), (cues[-1]["end_ms"] if cues else 0), 1
+    # native-codec adapter seam (codec_adapter.py): a runtime-detected
+    # Pillow/PyAV-class module probes formats the built-ins cannot.
+    # This is a PROBE (format unknown), so a hook failing — an image
+    # codec fed an audio payload — means "try the next hook", not a
+    # poison row; only when every hook declines does the honest raise
+    # below reach the caller's on_error policy.
+    try:
+        res = codec_adapter.try_hook("decode_image", payload)
+    except Exception:
+        res = None
+    if res is not None:
+        w, h, c, _arr = res
+        return w, h, c
+    try:
+        res = codec_adapter.try_hook("decode_audio", payload)
+    except Exception:
+        res = None
+    if res is not None:
+        rate, n_frames, n_ch, _arr = res
+        return n_frames, rate, n_ch  # the WAV (frames, rate, ch) reading
     raise NotImplementedError(
         "unrecognized media format; known formats all parse for real — "
         "pixel decode: PPM/PGM/BMP/WAV/PNG/JPEG(baseline+progressive)/"
         "GIF/MJPEG-AVI; container metadata + frame segmentation: "
         "MP3/MP4/WebM (operators/media_containers.py — H.264/VP9 "
-        "entropy decode still needs ffmpeg-class codecs, stated there)."
+        "entropy decode still needs ffmpeg-class codecs, stated there); "
+        "install one and expose it via $V6SPARK_CODEC_MODULE "
+        "(operators/codec_adapter.py)."
     )
 
 
@@ -755,9 +779,14 @@ def decode_image_array(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
         w, h, frames, _ = decode_gif(payload)
         return w, h, 3, frames[0]
+    res = codec_adapter.try_hook("decode_image", payload)
+    if res is not None:
+        return res
     raise NotImplementedError(
         "pixel decode handles PPM/PGM/BMP/PNG/JPEG/GIF; codecs "
-        "needing external libraries are not installed"
+        "needing external libraries are not installed — install one "
+        "and expose it via $V6SPARK_CODEC_MODULE "
+        "(operators/codec_adapter.py)"
     )
 
 
@@ -814,12 +843,24 @@ def audio_features(df: DataFrame) -> DataFrame:
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(p)
-                if sniff_format(payload) != "wav":
-                    raise NotImplementedError(
-                        "audio_features handles PCM WAV; compressed audio "
-                        "codecs are not installed"
-                    )
-                rate, n_frames, n_ch, samples = _wav_decode(payload)
+                if sniff_format(payload) == "wav":
+                    rate, n_frames, n_ch, samples = _wav_decode(payload)
+                else:
+                    # adapter seam: a native codec (PyAV/ffmpeg class)
+                    # decodes compressed audio to the same
+                    # (rate, frames, channels, frames x ch array) shape
+                    res = codec_adapter.try_hook("decode_audio", payload)
+                    if res is None:
+                        raise NotImplementedError(
+                            "audio_features handles PCM WAV; compressed "
+                            "audio codecs are not installed — install one "
+                            "and expose it via $V6SPARK_CODEC_MODULE "
+                            "(operators/codec_adapter.py)"
+                        )
+                    rate, n_frames, n_ch, samples = res
+                    samples = np.atleast_2d(np.asarray(samples))
+                    if samples.shape[0] == 1 and n_frames > 1:
+                        samples = samples.T
                 mono = samples.astype(np.float64).mean(axis=1)
                 rms = float(np.sqrt(np.mean(mono * mono))) if len(mono) else 0.0
                 signs = np.sign(mono[mono != 0])
@@ -870,6 +911,15 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def _decoded_or_raw(sl: bytes, codec: str) -> bytes:
+    """One encoded video access unit -> PNG pixels when a native codec
+    adapter is present, else the raw slice (the honest built-in
+    behavior).  Exceptions from the adapter propagate — corrupt frames
+    must hit the caller's error policy with their real class."""
+    res = codec_adapter.try_hook("decode_video_frame", sl, codec)
+    return encode_png(res[3]) if res is not None else sl
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """Sample frames from video payloads — one output row per sampled
     frame (the explode-shaped output a video pipeline consumes).
@@ -883,8 +933,13 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
     locates each video sample's exact byte range, and every
     ``every_n``-th ENCODED sample is emitted as the frame payload —
     honest scope: the bytes are the codec bitstream access unit
-    (H.264 etc.), not decoded pixels, which need ffmpeg.  WebM gets
-    the same treatment via the EBML Cluster/SimpleBlock walk
+    (H.264 etc.), not decoded pixels, which need ffmpeg.  When a
+    native codec adapter is present (``codec_adapter.py`` —
+    ``$V6SPARK_CODEC_MODULE`` or an importable Pillow/PyAV), each
+    sampled access unit is entropy-decoded through it and emitted as
+    PNG pixels instead, making the MP4/WebM/AVI paths
+    pixel-equivalent to the GIF/MJPEG ones.  WebM gets the same
+    treatment via the EBML Cluster/SimpleBlock walk
     (``webm_block_table``).  ``fake=True`` keeps the deterministic
     hash-derived sampler for plumbing tests with arbitrary payloads.
     """
@@ -920,11 +975,10 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                 elif fmt == "mp4":
                     table = mp4_sample_table(payload, kind="vide")
                     for s in table[::every_n]:
+                        sl = payload[s["offset"] : s["offset"] + s["size"]]
                         out["media_id"].append(mid)
                         out["frame_idx"].append(s["sample_idx"])
-                        out["frame_payload"].append(
-                            payload[s["offset"] : s["offset"] + s["size"]]
-                        )
+                        out["frame_payload"].append(_decoded_or_raw(sl, "mp4"))
                 elif fmt == "webm":
                     vtracks = [
                         t["number"]
@@ -935,11 +989,10 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                         payload, vtracks[0] if vtracks else None
                     )
                     for s in blocks[::every_n]:
+                        sl = payload[s["offset"] : s["offset"] + s["size"]]
                         out["media_id"].append(mid)
                         out["frame_idx"].append(s["block_idx"])
-                        out["frame_payload"].append(
-                            payload[s["offset"] : s["offset"] + s["size"]]
-                        )
+                        out["frame_payload"].append(_decoded_or_raw(sl, "webm"))
                 elif fmt == "avi":
                     from v6spark.operators.avi import (
                         avi_frame_table,
@@ -957,10 +1010,12 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
                         out["media_id"].append(mid)
                         out["frame_idx"].append(s["frame_idx"])
                         # MJPEG: full pixel decode -> PNG, like the GIF
-                        # path; other codecs emit the encoded slice
-                        # like MP4/WebM.
+                        # path; other codecs go through the adapter
+                        # seam (raw encoded slice when no codec).
                         out["frame_payload"].append(
-                            encode_png(decode_jpeg(sl)[3]) if mjpg else sl
+                            encode_png(decode_jpeg(sl)[3])
+                            if mjpg
+                            else _decoded_or_raw(sl, "avi")
                         )
                 else:
                     raise NotImplementedError(
