@@ -711,14 +711,23 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+def decode_jpeg(
+    payload: bytes, segment_workers: int | None = None
+) -> tuple[int, int, int, np.ndarray]:
     """Baseline (SOF0/1) or progressive (SOF2) JFIF -> (w, h, c,
     HxWxC uint8).  Fully table-driven; scans accumulate into
     per-component coefficient grids and a single shared batched-IDCT
     reconstruction runs at EOI.  Multi-scan baseline (one component
     per scan) and arbitrary EOBn runs from third-party progressive
     encoders are handled; arithmetic coding / hierarchical / lossless
-    / 12-bit modes raise ``NotImplementedError`` honestly."""
+    / 12-bit modes raise ``NotImplementedError`` honestly.
+
+    ``segment_workers`` (default: ``$V6SPARK_JPEG_WORKERS`` or 1):
+    when > 1 and the stream carries restart intervals, baseline
+    scans decode their RST-delimited segments in parallel across a
+    process pool (:func:`_scan_baseline_segmented`) — bit-identical
+    output, for the driver-side / low-concurrency case; under Spark
+    the executors already parallelize across images."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -803,10 +812,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     ss, se, ahal >> 4, ahal & 0x0F,
                 )
             else:
-                pos = _scan_baseline(
-                    payload, pos + 2 + length, frame, scan, coefs,
-                    dc_tables, ac_tables, restart_interval,
+                nxt = None
+                workers = (
+                    segment_workers
+                    if segment_workers is not None
+                    else _jpeg_workers()
                 )
+                if restart_interval and workers > 1:
+                    nxt = _scan_baseline_segmented(
+                        payload, pos + 2 + length, frame, scan, coefs,
+                        dc_tables, ac_tables, restart_interval, workers,
+                    )
+                if nxt is None:
+                    nxt = _scan_baseline(
+                        payload, pos + 2 + length, frame, scan, coefs,
+                        dc_tables, ac_tables, restart_interval,
+                    )
+                pos = nxt
             continue
         pos += 2 + length
     if frame is None or coefs is None:
@@ -855,6 +877,165 @@ def _next_segment_pos(data: bytes, reader: "_BitReader") -> int:
             return pos
         pos += 1
     return len(data)
+
+
+def _jpeg_workers() -> int:
+    """Worker count for restart-segment-parallel baseline decode.
+    Default 1 (the proven sequential loop): under Spark the
+    parallelism budget belongs to the EXECUTORS — many images decode
+    concurrently across tasks, and forking pools inside python
+    workers would oversubscribe.  Set ``V6SPARK_JPEG_WORKERS`` > 1
+    for the driver-side / low-concurrency case (one giant image,
+    idle cores)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("V6SPARK_JPEG_WORKERS", "1")))
+    except ValueError:
+        return 1
+
+
+def _rst_segment_offsets(data: bytes, pos: int) -> tuple[list[int], int]:
+    """(segment start offsets, scan end offset) for a DRI entropy
+    stream: offsets of the first entropy byte of each restart
+    segment (``pos``, then the byte after each RSTn), and the offset
+    of the terminating (non-RST, non-stuffed) marker.  Safe because
+    every data FF is stuffed as FF00 (T.81 B.1.1.5)."""
+    offs = [pos]
+    p = pos
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00:
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            p += 2
+            offs.append(p)
+        else:
+            return offs, p
+    return offs, len(data)
+
+
+def _decode_baseline_segment(task):
+    """Decode MCUs [m0, m1) of one restart segment — independently
+    decodable by construction (bit-aligned start, DC predictors
+    reset at the RST boundary, no cross-segment state; T.81 E.1.4).
+    Top-level and arg-packed so ProcessPoolExecutor can ship it.
+    Returns {frame comp index: (rows, cols, (n, 64) int32 vals)}."""
+    seg, frame, scan, dc_tables, ac_tables, m0, m1 = task
+    reader = _BitReader(seg, 0)
+    comp_idx = [frame["comps"].index(comp) for comp, _, _ in scan]
+    prev_dc = [0] * len(scan)
+    acc: dict[int, tuple[list, list, list]] = {
+        ci: ([], [], []) for ci in comp_idx
+    }
+
+    def decode_block(ci, td, ta, zz) -> None:
+        s = dc_tables[td].decode(reader)
+        diff = _extend(reader.read(s), s)
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = ac_tables[ta].decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.read(s), s)
+            k += 1
+
+    if len(scan) > 1:
+        _, _, mcus_x, _ = _frame_geometry(frame)
+        for m in range(m0, m1):
+            my, mx = divmod(m, mcus_x)
+            for ci, (comp, td, ta) in enumerate(scan):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        decode_block(ci, td, ta, zz)
+                        rows, cols, vals = acc[comp_idx[ci]]
+                        rows.append(my * comp["v"] + by)
+                        cols.append(mx * comp["h"] + bx)
+                        vals.append(zz)
+    else:
+        comp, td, ta = scan[0]
+        _, nbc = _comp_cover(frame, comp)
+        for m in range(m0, m1):
+            by, bx = divmod(m, nbc)
+            zz = np.zeros(64, dtype=np.int32)
+            decode_block(0, td, ta, zz)
+            rows, cols, vals = acc[comp_idx[0]]
+            rows.append(by)
+            cols.append(bx)
+            vals.append(zz)
+    return {
+        ci: (
+            np.asarray(rows, dtype=np.int64),
+            np.asarray(cols, dtype=np.int64),
+            np.stack(vals) if vals else np.zeros((0, 64), dtype=np.int32),
+        )
+        for ci, (rows, cols, vals) in acc.items()
+    }
+
+
+def _scan_baseline_segmented(
+    data, pos, frame, scan, coefs, dc_tables, ac_tables,
+    restart_interval, workers,
+) -> int | None:
+    """Restart-interval-parallel baseline scan (VERDICT r4 #6): DRI
+    delimits independently decodable entropy segments, so the
+    per-MCU Python bitstream loop — the decoder's only sequential
+    bottleneck — splits at RST markers and decodes segments
+    concurrently in a process pool (processes, not threads: the loop
+    is pure Python, the GIL would serialize threads).  Bit-identical
+    to :func:`_scan_baseline` by construction; the goldens assert it.
+
+    Returns the next marker offset, or None when the stream's RST
+    census does not match the DRI geometry (corrupt or truncated) —
+    the caller then falls back to the sequential decoder, whose
+    resync logic reports precise errors.
+    """
+    if len(scan) > 1:
+        _, _, mcus_x, mcus_y = _frame_geometry(frame)
+        total = mcus_x * mcus_y
+    else:
+        nbr, nbc = _comp_cover(frame, scan[0][0])
+        total = nbr * nbc
+    n_seg = -(-total // restart_interval)
+    offs, scan_end = _rst_segment_offsets(data, pos)
+    if len(offs) != n_seg:
+        return None
+    bounds = offs[1:] + [scan_end]
+    tasks = []
+    for i, off in enumerate(offs):
+        m0 = i * restart_interval
+        m1 = min(m0 + restart_interval, total)
+        # non-last segments end before their RST marker (bounds[i]
+        # points after it); the last ends at the scan terminator
+        end = bounds[i] - 2 if i + 1 < len(offs) else scan_end
+        tasks.append(
+            (data[off:end], frame, scan, dc_tables, ac_tables, m0, m1)
+        )
+    if workers > 1 and len(tasks) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(workers, len(tasks))) as ex:
+            results = list(ex.map(_decode_baseline_segment, tasks))
+    else:
+        results = [_decode_baseline_segment(t) for t in tasks]
+    for res in results:
+        for ci, (rows, cols, vals) in res.items():
+            if len(rows):
+                coefs[ci][rows, cols] = vals
+    return scan_end
 
 
 def _scan_baseline(
