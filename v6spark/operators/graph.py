@@ -72,8 +72,23 @@ def pagerank(
     Duplicate edges are weighted (a page linking twice transfers
     twice the share — drop duplicates upstream for the unweighted
     variant).  Stops when the L1 delta between checked snapshots is
-    below ``tol`` (checked every ``check_every`` rounds) or at
-    ``max_iters``.  ``pagerank.last_rounds`` records the round count.
+    below ``tol`` or at ``max_iters``.  ``pagerank.last_rounds``
+    records the round count.
+
+    Driver-latency design (the r4 finding: per-round sync dominated
+    small-graph wall clock): each round is ONE Spark job — the
+    dangling-mass scalar rides inside the round's plan as a 1-row
+    broadcast cross join over the previous round's CHECKPOINTED
+    ranks (cheap block scan), instead of a separate per-round
+    ``collect``.  Convergence checks start at ``check_every`` and
+    then ADAPT: power-iteration deltas decay geometrically
+    (asymptotically by the damping factor), so each check fits the
+    observed per-round decay rate and schedules the next check at
+    the predicted crossing of ``tol`` (gap clamped to
+    [1, check_every] — it only shrinks) so the loop stops within a
+    round or two of actual convergence instead of running out the
+    fixed cadence.  The tol exactness bar is unchanged because
+    stopping still requires a MEASURED delta below it.
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -83,12 +98,22 @@ def pagerank(
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
-        .repartition(n_part, "vertex")
         .persist()
     )
     n = verts.count()
     if n == 0:
         return verts.select("vertex", F.lit(0.0).alias("rank"))
+    # iteration width scales with the state: rank state is 16
+    # bytes/vertex, so a partition comfortably holds ~50k vertices —
+    # a 5k-vertex graph iterating at the session's 32 shuffle
+    # partitions pays 3 stages x 32 near-empty tasks of pure
+    # scheduling latency EVERY round (the r4 STRESS_GRAPH finding).
+    # Conf-capped, so a 10^10-vertex graph still gets full width.
+    n_part = min(n_part, max(1, -(-n // 50_000)))
+    verts_w = verts.repartition(n_part, "vertex").persist()
+    verts_w.count()
+    verts.unpersist()
+    verts = verts_w
     # per-src transfer shares, co-located for every round's join
     out_counts = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     shares = (
@@ -106,32 +131,71 @@ def pagerank(
     ).persist()
     dangling_verts.count()
 
+    import math
+
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     snapshot = ranks
     rounds = 0
     base = (1.0 - damping) / n
+    next_check = min(check_every, max_iters)
+    last_delta: float | None = None
+    last_check_round = 0
+    # pin the per-round groupBy/join shuffles to the iteration width
+    # (restored below) — otherwise every round's aggregation exchange
+    # still fans out to the session's full shuffle width.  AQE is
+    # also paused for the loop: its per-stage driver re-planning is
+    # the wrong trade for a long sequence of tiny, identically-shaped
+    # rounds (the width is already matched to the state size above).
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(
+            spark, verts, shares, dangling_verts, ranks, snapshot,
+            n, base, damping, max_iters, tol, check_every,
+            next_check, last_delta, last_check_round, math,
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _pagerank_loop(
+    spark, verts, shares, dangling_verts, ranks, snapshot,
+    n, base, damping, max_iters, tol, check_every,
+    next_check, last_delta, last_check_round, math,
+):
+    rounds = 0
     while rounds < max_iters:
         contrib = (
             shares.join(ranks.withColumnRenamed("vertex", "src"), "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("share") * F.col("rank")).alias("in_rank"))
         )
-        # dangling mass: rank parked on vertices with no out-edges
-        # (ranks is checkpointed, dangling_verts persisted — this
-        # scalar agg touches only materialized frames)
-        dangling = (
+        # dangling mass: rank parked on vertices with no out-edges.
+        # Rides the round's plan as a 1-row broadcast (ranks is
+        # checkpointed, dangling_verts persisted, so this subplan
+        # scans only materialized blocks) — no per-round collect.
+        dangling_mass = (
             ranks.join(dangling_verts, "vertex")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        ).collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        )
         new_ranks = (
             verts.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(dangling_mass))
             .select(
                 "vertex",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("in_rank", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("in_rank", F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -140,7 +204,7 @@ def pagerank(
             _free_checkpoint_blocks(ranks)
         ranks = new_ranks
         rounds += 1
-        if rounds % check_every == 0 or rounds == max_iters:
+        if rounds >= next_check or rounds == max_iters:
             delta = (
                 ranks.withColumnRenamed("rank", "_new")
                 .join(snapshot, "vertex")
@@ -149,8 +213,30 @@ def pagerank(
             if snapshot is not ranks:
                 _free_checkpoint_blocks(snapshot)
             snapshot = ranks
-            if delta is not None and delta < tol:
+            if delta is None or delta < tol:
                 break
+            # adaptive cadence: fit the observed geometric decay and
+            # aim the next check at the predicted tol crossing.
+            # Clamped to [1, check_every] — the gap only SHRINKS as
+            # convergence nears (each skipped-check round is a whole
+            # extra job, so late checks cost more than extra checks;
+            # the snapshot-window delta also overestimates the decay
+            # rate over long gaps, which once made this scheduler
+            # defer checks and burn ~50 extra rounds — capped at the
+            # base cadence it can never do worse than fixed checks)
+            gap = rounds - last_check_round
+            if last_delta is not None and 0 < delta < last_delta:
+                rho = (delta / last_delta) ** (1.0 / gap)
+            else:
+                rho = damping  # the asymptotic power-iteration rate
+            if rho < 1.0:
+                predicted = math.log(tol / delta) / math.log(rho)
+                next_gap = min(max(1, math.ceil(predicted)), check_every)
+            else:
+                next_gap = check_every
+            last_delta = delta
+            last_check_round = rounds
+            next_check = rounds + next_gap
     verts.unpersist()
     shares.unpersist()
     dangling_verts.unpersist()
