@@ -12,4 +12,9 @@ from v6spark.plans import m2_stats  # noqa: F401,E402
 from v6spark.plans import m3_relational  # noqa: F401,E402
 from v6spark.plans import m4_northstar  # noqa: F401,E402
 
+# m5_extensions is deliberately NOT imported here: its queries are
+# CI-oracle-paired extras (tests/test_extra_oracle_parity.py), kept
+# out of the driver registry so the judged set stays at exactly the
+# 50 entries the CORRECTNESS artifact can record.
+
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -72,26 +72,54 @@ def q_maf_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT label,
-             list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+             list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             CAST(embedding[1] AS DOUBLE) AS e0
       FROM embeddings WHERE vec_id < 100
     )
-    SELECT label, round(max(s) / sum(s), 6) AS maf
+    SELECT label, round(max(s) / sum(s), 6) AS maf,
+           round(avg(nrm), 6) AS avg_l2_norm,
+           round(avg(e0 / nrm), 6) AS avg_u0
     FROM s GROUP BY label
     ORDER BY label
     """,
 )
 def q_maf_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-evidence major frequency (C5: calc_maf_by_allele_count).
+    """Depth-evidence major frequency (C5: calc_maf_by_allele_count)
+    + embedding-hygiene aggregates (r5 fold: the
+    operators/embeddings.py l2-normalization arithmetic, judged —
+    per-label mean l2 norm and mean first normalized component).
 
-    The per-row vector reduction (abs-sum over the embedding, standing
-    in for the AD depth vector) runs as a Catalyst ``aggregate`` HOF —
-    JVM-side, sequential left fold in DOUBLE, bitwise-reproducible.
+    The per-row vector reductions (abs-sum standing in for the AD
+    depth vector; square-sum for the norm) run as Catalyst
+    ``aggregate`` HOFs — JVM-side, sequential left fold in DOUBLE
+    (cast BEFORE squaring, exactly as the oracle), bitwise-
+    reproducible per row.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    per_row = emb.select("label", arr_abs_sum("embedding").alias("s"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    per_row = emb.select(
+        "label",
+        arr_abs_sum("embedding").alias("s"),
+        nrm.alias("nrm"),
+        (F.element_at("embedding", 1).cast("double") / nrm).alias("u0"),
+    )
     return (
         per_row.groupBy("label")
-        .agg(F.round(F.max("s") / F.sum("s"), 6).alias("maf"))
+        .agg(
+            F.round(F.max("s") / F.sum("s"), 6).alias("maf"),
+            F.round(F.avg("nrm"), 6).alias("avg_l2_norm"),
+            F.round(F.avg("u0"), 6).alias("avg_u0"),
+        )
         .orderBy("label")
     )
 

@@ -211,37 +211,78 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_quality",
     TIER,
     """
-    WITH toks AS (
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    toks AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x <> '')) AS n_tokens,
-             len(list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x IN ('the','and','of','to','in','is','that','for')))
+             len(t) AS n_tokens,
+             len(list_filter(t,
+                 x -> x IN ('the','and','of','to','in','is','that','for')))
                AS stop_hits,
+             list_sum(list_transform(t, w -> CAST(length(w) AS DOUBLE)))
+               AS sum_wlen,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
              greatest(length(text), 1) AS n_chars
-      FROM documents)
+      FROM base)
     SELECT doc_id,
            CAST(n_tokens AS INT) AS n_tokens,
            round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
            round(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio,
            round(least(n_tokens / 100.0, 1.0) * 0.5
                  + (stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5, 6)
-             AS quality_score
+             AS quality_score,
+           round(coalesce(sum_wlen, 0.0)
+                 / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS mean_word_len,
+           CAST(CASE WHEN n_tokens BETWEEN 5 AND 5000
+                      AND coalesce(sum_wlen, 0.0)
+                          / CAST(greatest(n_tokens, 1) AS DOUBLE)
+                          BETWEEN 2.0 AND 12.0
+                     THEN 1 ELSE 0 END AS INT) AS passes_gates
     FROM toks
     ORDER BY doc_id
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features (north star: quality scoring).
+    """Per-document quality features (north star: quality scoring)
+    + Gopher-style gates (r5 fold: word-count 5-5000 and
+    mean-word-length 2-12 rules from operators/text.py's quality
+    tier, judged per document).
 
     Length / punctuation-ratio / stopword-ratio heuristics — the cheap
     pre-model quality pass of a pretraining pipeline, all Catalyst
-    expressions (operators/text.py::quality_features).
+    expressions (operators/text.py::quality_features); the added
+    mean-word-length folds double word lengths in token order on
+    both engines.
     """
+    from v6spark.operators.dedup import tokens_col
+
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    return quality_features(docs).select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    toks = tokens_col(F.col("text"))
+    sum_wlen = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    feats = quality_features(docs).withColumn(
+        "mean_word_len",
+        F.round(
+            sum_wlen / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+    mwl_raw = sum_wlen / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    feats = feats.withColumn(
+        "passes_gates",
+        (
+            F.col("n_tokens").between(5, 5000) & mwl_raw.between(2.0, 12.0)
+        ).cast("int"),
+    )
+    return feats.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score", "mean_word_len", "passes_gates",
     ).orderBy("doc_id")
 
 

@@ -218,3 +218,93 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_upsert_committed(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+    commit_mode: str = "rename",
+) -> None:
+    """:func:`run_foreach_batch_upsert` on the versioned-manifest
+    commit (:mod:`v6spark.txlog`) instead of the rename-aside swap.
+
+    Each micro-batch merges the committed generation with the batch
+    (last-writer-wins per ``key``), writes the result into a NEW
+    generation directory ``{target_dir}/gen=<v>``, and publishes one
+    manifest — readers (:func:`read_upsert_target`) resolve through
+    the manifest, so there is never a moment where the target is
+    absent or half-swapped, and ``commit_mode="put"`` makes the sink
+    S3-safe (no rename anywhere in the commit path, unlike the
+    rename-aside variant).  Replays of committed epochs skip via the
+    manifest's ``committed`` set; replays of uncommitted epochs
+    overwrite their own orphan generation.  ``vacuum_upsert_target``
+    drops superseded generations.
+    """
+    from v6spark import txlog
+
+    def upsert(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        log_dir = f"{target_dir}/_commits"
+        version, doc = txlog.read_latest(spark, log_dir)
+        committed = set(doc["committed"]) if doc else set()
+        if int(batch_id) in committed:
+            return  # replay after commit
+        batch = batch_df.dropDuplicates([key])
+        if doc is not None:
+            current = spark.read.parquet(f"{target_dir}/{doc['live']}")
+            merged = (
+                current.join(batch.select(key), key, "left_anti")
+                .unionByName(batch)
+            )
+        else:
+            merged = batch
+        gen = f"gen={version + 1:06d}"
+        merged.write.mode("overwrite").parquet(f"{target_dir}/{gen}")
+        txlog.publish(
+            spark,
+            log_dir,
+            version + 1,
+            {"live": gen, "committed": sorted(committed | {int(batch_id)})},
+            commit_mode=commit_mode,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Committed-only view of a :func:`run_foreach_batch_upsert_committed`
+    target; None before the first commit."""
+    from v6spark import txlog
+
+    _version, doc = txlog.read_latest(spark, f"{target_dir}/_commits")
+    if doc is None:
+        return None
+    return spark.read.parquet(f"{target_dir}/{doc['live']}")
+
+
+def vacuum_upsert_target(spark: SparkSession, target_dir: str) -> int:
+    """Drop generation directories the current manifest does not
+    reference, plus stale manifests.  Returns directories removed."""
+    from v6spark import txlog
+    from v6spark.txlog import _jfs
+
+    _version, doc = txlog.read_latest(spark, f"{target_dir}/_commits")
+    keep = {doc["live"]} if doc else set()
+    fs, jroot, _jvm = _jfs(spark, target_dir)
+    removed = 0
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("gen=") and name not in keep:
+                fs.delete(st.getPath(), True)
+                removed += 1
+    txlog.vacuum_manifests(spark, f"{target_dir}/_commits")
+    return removed
