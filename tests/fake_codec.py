@@ -60,3 +60,11 @@ def decode_video_frame(payload: bytes, codec: str):
     v = payload[0]
     arr = np.full((2, 2, 3), v, dtype=np.uint8)
     return 2, 2, 3, arr
+
+
+def embed_media(payload: bytes, kind: str):
+    """Deterministic fake embedding: first 8 payload bytes scaled to
+    [-1, 1] (shorter payloads pad at the operator layer)."""
+    if not payload:
+        raise ValueError("fake codec: empty payload")
+    return [((b / 255.0) * 2.0 - 1.0) for b in payload[:8]]

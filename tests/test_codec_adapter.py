@@ -189,3 +189,59 @@ def test_executor_side_adapter_via_env(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "EXECUTOR-ADAPTER-OK" in proc.stdout
+
+
+def test_extract_features_routes_through_adapter(with_fake_codec, spark):
+    from v6spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00\xff\x80payload"))],
+        "media_id long, kind string, payload binary",
+    )
+    import os, subprocess, sys, textwrap
+    # driver-side seam already proven for other hooks; here drive the
+    # executor path via the same env-injection subprocess mechanism
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "@REPO@")
+        from pyspark.sql import SparkSession
+        from v6spark.operators.multimodal import FEATURE_DIM, extract_features
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(b"\\x00\\xffpayload"))],
+            "media_id long, kind string, payload binary")
+        row = extract_features(df).collect()[0]
+        feat = row["feature"]
+        assert len(feat) == FEATURE_DIM, len(feat)
+        assert abs(feat[0] - (-1.0)) < 1e-6, feat[0]
+        assert abs(feat[1] - 1.0) < 1e-6, feat[1]
+        assert feat[10] == 0.0  # padded beyond the fake's 8 dims
+        print("EMBED-ADAPTER-OK")
+        spark.stop()
+        """
+    ).replace("@REPO@", REPO)
+    env = dict(os.environ)
+    env["V6SPARK_CODEC_MODULE"] = "tests.fake_codec"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "EMBED-ADAPTER-OK" in proc.stdout
+
+
+def test_extract_features_without_adapter_raises(without_codec, spark):
+    from v6spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"xyz"))],
+        "media_id long, kind string, payload binary",
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # PythonException wrapping the raise
+        extract_features(df).collect()

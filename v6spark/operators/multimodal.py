@@ -889,23 +889,39 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Fixed-width feature vectors from payloads (mapInPandas).
 
     The fake kernel hashes the payload into FEATURE_DIM floats in
-    [-1, 1] — deterministic, so tests can assert exact values; a real
-    deployment swaps in an image/audio embedding model here.
+    [-1, 1] — deterministic, so tests can assert exact values.  A
+    real deployment plugs an embedding model in through the codec
+    adapter seam: a module exposing ``embed_media(payload, kind) ->
+    float sequence`` (padded/truncated to FEATURE_DIM here, so the
+    output schema is model-independent); without one the honest
+    raise stands.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "feature-extraction model not installed; fake=True "
-                    "runs the deterministic stub"
-                )
             feats = []
-            for p in pdf["payload"]:
-                digest = hashlib.sha512(bytes(p)).digest()
-                feats.append(
-                    [((b / 255.0) * 2.0 - 1.0) for b in digest[:FEATURE_DIM]]
-                )
+            if fake:
+                for p in pdf["payload"]:
+                    digest = hashlib.sha512(bytes(p)).digest()
+                    feats.append(
+                        [((b / 255.0) * 2.0 - 1.0) for b in digest[:FEATURE_DIM]]
+                    )
+            else:
+                for kind, p in zip(pdf["kind"], pdf["payload"]):
+                    vec = codec_adapter.try_hook(
+                        "embed_media", bytes(p), str(kind)
+                    )
+                    if vec is None:
+                        raise NotImplementedError(
+                            "feature-extraction model not installed; "
+                            "fake=True runs the deterministic stub, or "
+                            "expose an embed_media hook via "
+                            "$V6SPARK_CODEC_MODULE "
+                            "(operators/codec_adapter.py)"
+                        )
+                    vec = list(float(v) for v in vec)[:FEATURE_DIM]
+                    vec += [0.0] * (FEATURE_DIM - len(vec))
+                    feats.append(vec)
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
