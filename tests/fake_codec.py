@@ -68,3 +68,16 @@ def embed_media(payload: bytes, kind: str):
     if not payload:
         raise ValueError("fake codec: empty payload")
     return [((b / 255.0) * 2.0 - 1.0) for b in payload[:8]]
+
+
+def probe_dims(payload: bytes):
+    """Headers-only probe: parses the fixed-size fake headers without
+    materializing pixels/samples (the contract decode_media's
+    metadata pass relies on)."""
+    if payload.startswith(IMG_MAGIC):
+        w, h, c = struct.unpack_from("<HHB", payload, len(IMG_MAGIC))
+        return w, h, c
+    if payload.startswith(AUD_MAGIC):
+        rate, n_frames, ch = struct.unpack_from("<IIB", payload, len(AUD_MAGIC))
+        return n_frames, rate, ch
+    return None

@@ -245,3 +245,20 @@ def test_extract_features_without_adapter_raises(without_codec, spark):
     import pytest as _pytest
     with _pytest.raises(Exception):  # PythonException wrapping the raise
         extract_features(df).collect()
+
+
+def test_probe_dims_hook_preferred_over_full_decode(with_fake_codec):
+    """The metadata pass must use the headers-only probe_dims hook,
+    never a full decode, when the codec offers one."""
+    calls = []
+    orig_img = fake_codec.decode_image
+    orig_aud = fake_codec.decode_audio
+    try:
+        fake_codec.decode_image = lambda p: calls.append("img") or orig_img(p)
+        fake_codec.decode_audio = lambda p: calls.append("aud") or orig_aud(p)
+        assert _real_dims(fake_codec.make_image_payload(9, 7, 3)) == (9, 7, 3)
+        assert _real_dims(fake_codec.make_audio_payload(22050, 99, 1)) == (99, 22050, 1)
+        assert calls == []  # full decoders never invoked
+    finally:
+        fake_codec.decode_image = orig_img
+        fake_codec.decode_audio = orig_aud

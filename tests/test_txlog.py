@@ -291,3 +291,16 @@ def test_publish_committed_rejects_bad_fmt_read(spark, tmp_path):
     assert resolved is not None and resolved[1]["fmt"] == "webdataset"
     with pytest.raises(ValueError, match="parquet"):
         read_published_corpus(spark, root)
+
+
+def test_publish_committed_empty_corpus_reads_as_none(spark, tmp_path):
+    """A committed EMPTY publish (everything filtered out) is a valid
+    state: readers get None, not an IndexError."""
+    prepared = spark.createDataFrame([], "doc_id long, split string")
+    content = spark.createDataFrame([], "doc_id long, text string")
+    root = str(tmp_path / "empty")
+    counts = publish_corpus_committed(prepared, content, root, n_shards=2)
+    assert counts["_version"] == 1
+    assert {k: v for k, v in counts.items() if k != "_version"} == {}
+    assert published_path(spark, root) is not None  # committed...
+    assert read_published_corpus(spark, root) is None  # ...but empty

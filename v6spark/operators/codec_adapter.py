@@ -30,11 +30,18 @@ policy) is identical with or without a native codec present:
 
 Hook protocol (all optional)::
 
+    probe_dims(payload: bytes) -> (a, b, c) | None
+        # HEADERS-ONLY dimension probe: (w, h, channels) for images,
+        # (n_frames, rate, channels) for audio — the decode_media
+        # metadata pass calls THIS, never a full decode, preserving
+        # its documented headers-only cost model; return None for
+        # formats the codec cannot identify cheaply
     decode_image(payload: bytes) -> (w, h, c, ndarray HxWxC uint8)
     decode_audio(payload: bytes) -> (rate, n_frames, n_channels,
                                      ndarray frames x channels)
     decode_video_frame(payload: bytes, codec: str)
         -> (w, h, c, ndarray HxWxC uint8)   # one encoded access unit
+    embed_media(payload: bytes, kind: str) -> float sequence
 
 Routing contract: a built-in decoder that raises
 ``NotImplementedError`` consults the adapter; any other exception
@@ -64,6 +71,13 @@ class PillowAdapter:
         from PIL import Image  # noqa: F401 — availability probe
 
         self._Image = Image
+
+    def probe_dims(self, payload: bytes):
+        # Image.open is lazy — it parses headers only until .load(),
+        # so this honors the metadata pass's headers-only cost model
+        img = self._Image.open(io.BytesIO(payload))
+        w, h = img.size
+        return w, h, len(img.getbands())
 
     def decode_image(self, payload: bytes):
         import numpy as np

@@ -33,6 +33,8 @@ documents is ~10^10 vertices — the (vertex, rank) relation is
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +68,7 @@ def pagerank(
     max_iters: int = 20,
     tol: float = 1e-6,
     check_every: int = 5,
+    pin_conf: bool = True,
 ) -> DataFrame:
     """(vertex, rank) with ranks summing to 1.
 
@@ -87,8 +90,17 @@ def pagerank(
     the predicted crossing of ``tol`` (gap clamped to
     [1, check_every] — it only shrinks) so the loop stops within a
     round or two of actual convergence instead of running out the
-    fixed cadence.  The tol exactness bar is unchanged because
-    stopping still requires a MEASURED delta below it.
+    fixed cadence.  The tol bar is window-equivalent to the fixed
+    scheme's: a delta measured over a shorter-than-``check_every``
+    gap is scaled up by the geometric-sum factor before the
+    comparison, so adaptive checking never stops EARLIER in
+    convergence terms than fixed checking would.
+
+    ``pin_conf`` (default True): the loop pins
+    ``spark.sql.shuffle.partitions`` to the state-scaled width and
+    pauses AQE for its duration — session-global conf, so pass
+    ``pin_conf=False`` when other queries share the SparkSession
+    concurrently.
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -131,22 +143,24 @@ def pagerank(
     ).persist()
     dangling_verts.count()
 
-    import math
-
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
-    snapshot = ranks
-    rounds = 0
-    base = (1.0 - damping) / n
-    next_check = min(check_every, max_iters)
-    last_delta: float | None = None
-    last_check_round = 0
+    if not pin_conf:
+        return _pagerank_loop(
+            verts, shares, dangling_verts, ranks,
+            n, damping, max_iters, tol, check_every,
+        )
     # pin the per-round groupBy/join shuffles to the iteration width
     # (restored below) — otherwise every round's aggregation exchange
     # still fans out to the session's full shuffle width.  AQE is
     # also paused for the loop: its per-stage driver re-planning is
     # the wrong trade for a long sequence of tiny, identically-shaped
     # rounds (the width is already matched to the state size above).
+    # CAVEAT: session conf is SESSION-GLOBAL — a concurrent query on
+    # the same SparkSession (another thread, a streaming batch) would
+    # plan at this width with AQE off for the loop's duration.  Pass
+    # ``pin_conf=False`` on a shared session; the loop then runs at
+    # the session's own width (correct, just slower on tiny graphs).
     saved = {
         k: spark.conf.get(k)
         for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
@@ -155,9 +169,8 @@ def pagerank(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _pagerank_loop(
-            spark, verts, shares, dangling_verts, ranks, snapshot,
-            n, base, damping, max_iters, tol, check_every,
-            next_check, last_delta, last_check_round, math,
+            verts, shares, dangling_verts, ranks,
+            n, damping, max_iters, tol, check_every,
         )
     finally:
         for k, v in saved.items():
@@ -165,10 +178,14 @@ def pagerank(
 
 
 def _pagerank_loop(
-    spark, verts, shares, dangling_verts, ranks, snapshot,
-    n, base, damping, max_iters, tol, check_every,
-    next_check, last_delta, last_check_round, math,
+    verts, shares, dangling_verts, ranks,
+    n, damping, max_iters, tol, check_every,
 ):
+    snapshot = ranks
+    base = (1.0 - damping) / n
+    next_check = min(check_every, max_iters)
+    last_delta: float | None = None
+    last_check_round = 0
     rounds = 0
     while rounds < max_iters:
         contrib = (
@@ -213,7 +230,25 @@ def _pagerank_loop(
             if snapshot is not ranks:
                 _free_checkpoint_blocks(snapshot)
             snapshot = ranks
-            if delta is None or delta < tol:
+            gap = rounds - last_check_round
+            if last_delta is not None and delta is not None and 0 < delta < last_delta:
+                rho = (delta / last_delta) ** (1.0 / gap)
+            else:
+                rho = damping  # the asymptotic power-iteration rate
+            # window-equivalent stop bar: the fixed-cadence scheme
+            # measured L1 deltas over check_every-round windows; a
+            # delta over a SHORTER gap understates that (geometric
+            # sum), so scale it to the equivalent check_every window
+            # before comparing with tol — the adaptive scheduler is
+            # therefore AT LEAST as strict as the fixed one, never a
+            # relaxation of the tol bar.
+            if delta is not None and gap < check_every and 0.0 < rho < 1.0:
+                eff_delta = (
+                    delta * (1.0 - rho ** check_every) / (1.0 - rho ** gap)
+                )
+            else:
+                eff_delta = delta
+            if delta is None or eff_delta < tol:
                 break
             # adaptive cadence: fit the observed geometric decay and
             # aim the next check at the predicted tol crossing.
@@ -224,11 +259,6 @@ def _pagerank_loop(
             # rate over long gaps, which once made this scheduler
             # defer checks and burn ~50 extra rounds — capped at the
             # base cadence it can never do worse than fixed checks)
-            gap = rounds - last_check_round
-            if last_delta is not None and 0 < delta < last_delta:
-                rho = (delta / last_delta) ** (1.0 / gap)
-            else:
-                rho = damping  # the asymptotic power-iteration rate
             if rho < 1.0:
                 predicted = math.log(tol / delta) / math.log(rho)
                 next_gap = min(max(1, math.ceil(predicted)), check_every)

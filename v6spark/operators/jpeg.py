@@ -918,6 +918,32 @@ def _rst_segment_offsets(data: bytes, pos: int) -> tuple[list[int], int]:
     return offs, len(data)
 
 
+def _baseline_block(reader, dc_table, ac_table, prev_dc, ci, zz) -> None:
+    """One baseline-DCT block: DC diff + AC run-length symbols into
+    ``zz`` (zigzag order), updating ``prev_dc[ci]``.  THE single
+    shared kernel of the sequential (:func:`_scan_baseline`) and
+    segmented (:func:`_decode_baseline_segment`) paths — one copy,
+    so the segmented path's bit-identity guarantee cannot drift."""
+    s = dc_table.decode(reader)
+    diff = _extend(reader.read(s), s)
+    prev_dc[ci] += diff
+    zz[0] = prev_dc[ci]
+    k = 1
+    while k < 64:
+        rs = ac_table.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(reader.read(s), s)
+        k += 1
+
+
 def _decode_baseline_segment(task):
     """Decode MCUs [m0, m1) of one restart segment — independently
     decodable by construction (bit-aligned start, DC predictors
@@ -933,24 +959,7 @@ def _decode_baseline_segment(task):
     }
 
     def decode_block(ci, td, ta, zz) -> None:
-        s = dc_tables[td].decode(reader)
-        diff = _extend(reader.read(s), s)
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = ac_tables[ta].decode(reader)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:
-                    k += 16
-                    continue
-                break
-            k += r
-            if k > 63:
-                raise ValueError("AC index overflow")
-            zz[k] = _extend(reader.read(s), s)
-            k += 1
+        _baseline_block(reader, dc_tables[td], ac_tables[ta], prev_dc, ci, zz)
 
     if len(scan) > 1:
         _, _, mcus_x, _ = _frame_geometry(frame)
@@ -1049,24 +1058,7 @@ def _scan_baseline(
     prev_dc = [0] * len(scan)
 
     def decode_block(ci, td, ta, zz) -> None:
-        s = dc_tables[td].decode(reader)
-        diff = _extend(reader.read(s), s)
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = ac_tables[ta].decode(reader)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC index overflow")
-            zz[k] = _extend(reader.read(s), s)
-            k += 1
+        _baseline_block(reader, dc_tables[td], ac_tables[ta], prev_dc, ci, zz)
 
     mcu_index = 0
     if len(scan) > 1:

@@ -674,7 +674,18 @@ def _real_dims(payload: bytes) -> tuple[int, int, int]:
     # This is a PROBE (format unknown), so a hook failing — an image
     # codec fed an audio payload — means "try the next hook", not a
     # poison row; only when every hook declines does the honest raise
-    # below reach the caller's on_error policy.
+    # below reach the caller's on_error policy.  The headers-only
+    # `probe_dims` hook is tried FIRST: the metadata pass must never
+    # pay a full entropy decode per payload (this function's own
+    # cost model above), so full-decode hooks are the fallback for
+    # codec modules that expose no cheap probe.
+    try:
+        res = codec_adapter.try_hook("probe_dims", payload)
+    except Exception:
+        res = None
+    if res is not None:
+        a, b, c = res
+        return a, b, c
     try:
         res = codec_adapter.try_hook("decode_image", payload)
     except Exception:

@@ -311,6 +311,7 @@ def publish_corpus(
     n_shards: int = 32,
     seed: int = 0,
     compress: bool = False,
+    _fail_after_split: str | None = None,
 ) -> dict:
     """Publish a prepared corpus (the survivor frame from
     :func:`prepare_training_corpus` / :func:`prepare_media_corpus`)
@@ -325,6 +326,10 @@ def publish_corpus(
     trainer mounts exactly one split; the survivor semi-join is the
     only interaction with the (wide) content frame, so bodies move
     once.  Returns {split: n_rows} for the publish manifest.
+
+    ``_fail_after_split`` is the crash-injection hook
+    :func:`publish_corpus_committed`'s tests use (raise after the
+    named split's data lands, leaving later splits unwritten).
     """
     from v6spark.operators.packing import write_training_shards
     from v6spark.sources.trainshards import (
@@ -353,6 +358,8 @@ def publish_corpus(
                                   seed=seed, compress=compress)
         else:
             raise ValueError(f"fmt must be parquet/webdataset/tfrecord, got {fmt!r}")
+        if _fail_after_split == lbl:
+            raise RuntimeError(f"injected crash after split={lbl} data write")
     return counts
 
 
@@ -399,11 +406,6 @@ def publish_corpus_committed(
     committed version under key ``"_version"``.
     """
     from v6spark import txlog
-    from v6spark.operators.packing import write_training_shards
-    from v6spark.sources.trainshards import (
-        write_tfrecord_shards,
-        write_webdataset,
-    )
 
     spark = prepared.sparkSession
     version, _doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
@@ -419,38 +421,11 @@ def publish_corpus_committed(
     if fs.exists(jroot):
         fs.delete(jroot, True)
 
-    counts = {
-        r["split"]: r["n"]
-        for r in prepared.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    joined = content.join(prepared.select(key_col, "split"), key_col)
-    for lbl in sorted(counts):
-        sub = joined.filter(F.col("split") == lbl).drop("split")
-        dest = f"{data_root}/split={lbl}"
-        if fmt == "parquet":
-            write_training_shards(
-                sub, dest, key=key_col, n_shards=n_shards, seed=seed
-            )
-        elif fmt == "webdataset":
-            write_webdataset(
-                sub, dest, key_col=key_col, n_shards=n_shards,
-                seed=seed, compress=compress,
-            )
-        elif fmt == "tfrecord":
-            write_tfrecord_shards(
-                sub, dest, key_col=key_col, n_shards=n_shards,
-                seed=seed, compress=compress,
-            )
-        else:
-            raise ValueError(
-                f"fmt must be parquet/webdataset/tfrecord, got {fmt!r}"
-            )
-        if _fail_after_split == lbl:
-            raise RuntimeError(
-                f"injected crash after split={lbl} data write"
-            )
+    counts = publish_corpus(
+        prepared, content, data_root, fmt=fmt, key_col=key_col,
+        n_shards=n_shards, seed=seed, compress=compress,
+        _fail_after_split=_fail_after_split,
+    )
     txlog.publish(
         spark,
         f"{path}/{_COMMITS}",
@@ -490,6 +465,10 @@ def read_published_corpus(spark, path: str, split: str | None = None):
         return spark.read.parquet(f"{root}/split={split}")
     # one DataFrame over every split, split label recovered from the path
     splits = sorted(doc["splits"])
+    if not splits:
+        # a committed EMPTY publish (every doc filtered out) is a
+        # valid state distinct from "nothing committed yet"
+        return None
     dfs = [
         spark.read.parquet(f"{root}/split={s}").withColumn("split", F.lit(s))
         for s in splits
@@ -506,15 +485,4 @@ def vacuum_published(spark, path: str) -> int:
     manifests.  Returns directories removed."""
     from v6spark import txlog
 
-    resolved = published_path(spark, path)
-    keep = {resolved[1]["live"]} if resolved else set()
-    fs, jroot, _jvm = txlog._jfs(spark, path)
-    removed = 0
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v=") and name not in keep:
-                fs.delete(st.getPath(), True)
-                removed += 1
-    txlog.vacuum_manifests(spark, f"{path}/{_COMMITS}")
-    return removed
+    return txlog.vacuum_versions(spark, path, f"{path}/{_COMMITS}", "v=")

@@ -123,8 +123,10 @@ def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle carrying (lang, count, sum, sum) — document
     bodies never move.
     """
+    from v6spark.operators.dedup import tokens_col
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens_col(F.col("text"))
     n_words = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda w: F.length(w).cast("double")),

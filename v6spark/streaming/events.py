@@ -294,17 +294,7 @@ def vacuum_upsert_target(spark: SparkSession, target_dir: str) -> int:
     """Drop generation directories the current manifest does not
     reference, plus stale manifests.  Returns directories removed."""
     from v6spark import txlog
-    from v6spark.txlog import _jfs
 
-    _version, doc = txlog.read_latest(spark, f"{target_dir}/_commits")
-    keep = {doc["live"]} if doc else set()
-    fs, jroot, _jvm = _jfs(spark, target_dir)
-    removed = 0
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("gen=") and name not in keep:
-                fs.delete(st.getPath(), True)
-                removed += 1
-    txlog.vacuum_manifests(spark, f"{target_dir}/_commits")
-    return removed
+    return txlog.vacuum_versions(
+        spark, target_dir, f"{target_dir}/_commits", "gen="
+    )

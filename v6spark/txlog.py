@@ -186,6 +186,12 @@ def publish(
         try:
             out = fs.create(final, False)
         except Exception:
+            # only the already-exists case is handled below; any
+            # other create failure (permissions, transient store
+            # error) must surface as itself, not as a confusing
+            # secondary open() failure
+            if not fs.exists(final):
+                raise
             stream = fs.open(final)
             try:
                 existing = bytes(
@@ -207,6 +213,29 @@ def publish(
             out.write(data)
         finally:
             out.close()
+
+
+def vacuum_versions(
+    spark: SparkSession, root: str, log_dir: str, prefix: str
+) -> int:
+    """Shared retention sweep for version-directory layouts
+    (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
+    under ``root`` the current manifest's ``live`` entry does not
+    reference (crashed orphans, superseded versions), plus stale
+    manifests.  Returns directories removed."""
+    _version, doc = read_latest(spark, log_dir)
+    live = doc.get("live") if doc else None
+    keep = set(live if isinstance(live, list) else [live]) if live else set()
+    fs, jroot, _jvm = _jfs(spark, root)
+    removed = 0
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix) and name not in keep:
+                fs.delete(st.getPath(), True)
+                removed += 1
+    vacuum_manifests(spark, log_dir)
+    return removed
 
 
 def vacuum_manifests(spark: SparkSession, log_dir: str) -> int:
