@@ -304,3 +304,33 @@ def test_publish_committed_empty_corpus_reads_as_none(spark, tmp_path):
     assert {k: v for k, v in counts.items() if k != "_version"} == {}
     assert published_path(spark, root) is not None  # committed...
     assert read_published_corpus(spark, root) is None  # ...but empty
+
+
+def test_time_travel_reads_and_retention(spark, tmp_path):
+    """Version-pinned reads see historical publishes; vacuum with
+    keep_last retains them, default vacuum retires them."""
+    root = str(tmp_path / "tt")
+    p1 = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    c1 = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    publish_corpus_committed(p1, c1, root, n_shards=1)
+    p2 = spark.createDataFrame(
+        [(1, "train"), (2, "train")], "doc_id long, split string"
+    )
+    c2 = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    publish_corpus_committed(p2, c2, root, n_shards=1)
+
+    assert read_published_corpus(spark, root).count() == 2
+    assert read_published_corpus(spark, root, version=1).count() == 1
+    assert read_published_corpus(spark, root, version=2).count() == 2
+    assert published_path(spark, root, version=99) is None
+
+    # keep_last=2: both versions survive the sweep
+    assert vacuum_published(spark, root, keep_last=2) == 0
+    assert read_published_corpus(spark, root, version=1).count() == 1
+    # default retention: v1 retired, latest intact
+    removed = vacuum_published(spark, root)
+    assert removed == 1
+    assert published_path(spark, root, version=1) is None
+    assert read_published_corpus(spark, root).count() == 2

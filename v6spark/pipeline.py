@@ -436,23 +436,37 @@ def publish_corpus_committed(
     return {**counts, "_version": new_version}
 
 
-def published_path(spark, path: str) -> tuple[str, dict] | None:
+def published_path(
+    spark, path: str, version: int | None = None
+) -> tuple[str, dict] | None:
     """(committed data root, manifest payload) of the latest committed
-    publish, or None before the first commit.  Trainers resolve their
-    mount point through this — never by listing ``{path}`` directly,
-    which may contain orphaned (crashed, uncommitted) version dirs."""
+    publish — or of historical ``version`` (time travel: every
+    publish keeps its manifest + data directory until
+    :func:`vacuum_published` retires them, so an evaluation pinned to
+    the corpus version it trained on stays reproducible).  None
+    before the first commit / for a vacuumed or torn version.
+    Trainers resolve their mount point through this — never by
+    listing ``{path}`` directly, which may contain orphaned
+    (crashed, uncommitted) version dirs."""
     from v6spark import txlog
 
-    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
     if doc is None:
         return None
     return f"{path}/{doc['live']}", doc
 
 
-def read_published_corpus(spark, path: str, split: str | None = None):
+def read_published_corpus(
+    spark, path: str, split: str | None = None, version: int | None = None
+):
     """Committed-only DataFrame view of a parquet-format publish
-    (exactly-once read: partial publishes are invisible)."""
-    resolved = published_path(spark, path)
+    (exactly-once read: partial publishes are invisible);
+    ``version`` pins a historical publish (see
+    :func:`published_path`)."""
+    resolved = published_path(spark, path, version=version)
     if resolved is None:
         return None
     root, doc = resolved
@@ -479,10 +493,14 @@ def read_published_corpus(spark, path: str, split: str | None = None):
     return out
 
 
-def vacuum_published(spark, path: str) -> int:
-    """Delete version directories the current manifest does not
-    reference (crashed orphans, superseded publishes) and stale
-    manifests.  Returns directories removed."""
+def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
+    """Delete version directories no retained manifest references
+    (crashed orphans, superseded publishes) and retired manifests.
+    ``keep_last`` retains the newest N complete versions for
+    version-pinned (time-travel) readers.  Returns directories
+    removed."""
     from v6spark import txlog
 
-    return txlog.vacuum_versions(spark, path, f"{path}/{_COMMITS}", "v=")
+    return txlog.vacuum_versions(
+        spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last
+    )

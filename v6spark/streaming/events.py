@@ -290,11 +290,16 @@ def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame | None
     return spark.read.parquet(f"{target_dir}/{doc['live']}")
 
 
-def vacuum_upsert_target(spark: SparkSession, target_dir: str) -> int:
-    """Drop generation directories the current manifest does not
-    reference, plus stale manifests.  Returns directories removed."""
+def vacuum_upsert_target(
+    spark: SparkSession, target_dir: str, keep_last: int = 1
+) -> int:
+    """Drop generation directories no retained manifest references,
+    plus retired manifests; ``keep_last`` retains the newest N
+    generations for version-pinned reads.  Returns directories
+    removed."""
     from v6spark import txlog
 
     return txlog.vacuum_versions(
-        spark, target_dir, f"{target_dir}/_commits", "gen="
+        spark, target_dir, f"{target_dir}/_commits", "gen=",
+        keep_last=keep_last,
     )

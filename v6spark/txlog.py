@@ -101,6 +101,44 @@ def _decode(raw: bytes) -> dict | None:
     return doc if isinstance(doc, dict) else None
 
 
+def list_versions(spark: SparkSession, log_dir: str) -> list[int]:
+    """Manifest version numbers present in the log, ascending
+    (complete AND torn — use :func:`read_version` to verify one)."""
+    fs, jdir, _jvm = _jfs(spark, log_dir)
+    if not fs.exists(jdir):
+        return []
+    versions = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith(MANIFEST_PREFIX):
+            try:
+                versions.append(int(name[len(MANIFEST_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(versions)
+
+
+def read_version(
+    spark: SparkSession, log_dir: str, version: int
+) -> dict | None:
+    """Payload of manifest ``version`` if present AND complete, else
+    None — the time-travel primitive (a historical version is
+    readable until :func:`vacuum_manifests`/``vacuum_versions``
+    retires it)."""
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    path = jvm.org.apache.hadoop.fs.Path(
+        jdir, f"{MANIFEST_PREFIX}{version:012d}"
+    )
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return _decode(raw)
+
+
 def read_latest(
     spark: SparkSession, log_dir: str
 ) -> tuple[int, dict | None]:
@@ -111,25 +149,8 @@ def read_latest(
     non-atomic rename) are skipped — the log falls back to the
     highest verifiable commit, which is exactly the pre-crash state.
     """
-    fs, jdir, jvm = _jfs(spark, log_dir)
-    if not fs.exists(jdir):
-        return 0, None
-    versions = []
-    for st in fs.listStatus(jdir):
-        name = st.getPath().getName()
-        if name.startswith(MANIFEST_PREFIX):
-            try:
-                versions.append(int(name[len(MANIFEST_PREFIX):]))
-            except ValueError:
-                continue
-    for v in sorted(versions, reverse=True):
-        path = jvm.org.apache.hadoop.fs.Path(jdir, f"{MANIFEST_PREFIX}{v:012d}")
-        stream = fs.open(path)
-        try:
-            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        doc = _decode(raw)
+    for v in reversed(list_versions(spark, log_dir)):
+        doc = read_version(spark, log_dir, v)
         if doc is not None:
             return v, doc
     return 0, None
@@ -215,17 +236,39 @@ def publish(
             out.close()
 
 
+def _complete_versions(spark: SparkSession, log_dir: str) -> list[int]:
+    return [
+        v
+        for v in list_versions(spark, log_dir)
+        if read_version(spark, log_dir, v) is not None
+    ]
+
+
 def vacuum_versions(
-    spark: SparkSession, root: str, log_dir: str, prefix: str
+    spark: SparkSession,
+    root: str,
+    log_dir: str,
+    prefix: str,
+    keep_last: int = 1,
 ) -> int:
     """Shared retention sweep for version-directory layouts
     (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
-    under ``root`` the current manifest's ``live`` entry does not
-    reference (crashed orphans, superseded versions), plus stale
-    manifests.  Returns directories removed."""
-    _version, doc = read_latest(spark, log_dir)
-    live = doc.get("live") if doc else None
-    keep = set(live if isinstance(live, list) else [live]) if live else set()
+    under ``root`` that no RETAINED manifest's ``live`` entry
+    references (crashed orphans, superseded versions), plus the
+    manifests of retired versions.  ``keep_last`` is the time-travel
+    retention: the newest N complete versions stay readable via
+    ``read_version``/version-pinned readers (default 1 — latest
+    only, the pre-retention behavior).  Returns directories removed.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    retained = _complete_versions(spark, log_dir)[-keep_last:]
+    keep: set[str] = set()
+    for v in retained:
+        doc = read_version(spark, log_dir, v)
+        live = doc.get("live") if doc else None
+        if live:
+            keep.update(live if isinstance(live, list) else [live])
     fs, jroot, _jvm = _jfs(spark, root)
     removed = 0
     if fs.exists(jroot):
@@ -234,15 +277,18 @@ def vacuum_versions(
             if st.isDirectory() and name.startswith(prefix) and name not in keep:
                 fs.delete(st.getPath(), True)
                 removed += 1
-    vacuum_manifests(spark, log_dir)
+    vacuum_manifests(spark, log_dir, keep_last=keep_last)
     return removed
 
 
-def vacuum_manifests(spark: SparkSession, log_dir: str) -> int:
-    """Delete every manifest below the highest COMPLETE one, plus any
-    torn higher-numbered manifests.  Returns files removed."""
-    version, doc = read_latest(spark, log_dir)
-    if doc is None:
+def vacuum_manifests(
+    spark: SparkSession, log_dir: str, keep_last: int = 1
+) -> int:
+    """Delete manifests of retired versions (all but the newest
+    ``keep_last`` COMPLETE ones) plus any torn manifests.  Returns
+    files removed."""
+    retained = set(_complete_versions(spark, log_dir)[-keep_last:])
+    if not retained:
         return 0
     fs, jdir, _jvm = _jfs(spark, log_dir)
     removed = 0
@@ -254,7 +300,7 @@ def vacuum_manifests(spark: SparkSession, log_dir: str) -> int:
             v = int(name[len(MANIFEST_PREFIX):])
         except ValueError:
             continue
-        if v != version:
+        if v not in retained:
             fs.delete(st.getPath(), False)
             removed += 1
     return removed
