@@ -141,3 +141,193 @@ def append_to_ivf_index(
     centroids = _sidecar_read(df.sparkSession, path)
     assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Committed (txlog) variant: crash-safe incremental appends.
+# ---------------------------------------------------------------------------
+#
+# ``append_to_ivf_index``'s plain parquet append is not crash-safe: a
+# job that dies mid-commit can leave partial part-files inside cell
+# directories that every later query reads.  The committed layout
+# isolates each ingest into its own GENERATION directory
+# (``gen=<v>/cell=<k>/``) made visible only by a txlog manifest —
+# queries resolve the live generation list through the manifest, so a
+# crashed append is invisible and its replay overwrites the orphan.
+# Partition pruning is preserved: reads pass ``basePath`` so both
+# ``gen`` and ``cell`` are partition columns and the probe predicate
+# still lands in PartitionFilters (asserted in tests).
+
+_IVF_COMMITS = "_commits"
+
+
+def _ivf_live(spark: SparkSession, path: str) -> tuple[int, list[str], set]:
+    from v6spark import txlog
+
+    version, doc = txlog.read_latest(spark, f"{path}/{_IVF_COMMITS}")
+    if doc is None:
+        return 0, [], set()
+    return version, list(doc["live"]), set(doc["committed"])
+
+
+def build_ivf_index_committed(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 7,
+    commit_mode: str = "rename",
+) -> list[list[float]]:
+    """:func:`build_ivf_index` into generation 1 of a txlog-committed
+    index.  Returns centroids (also persisted in the sidecar)."""
+    from v6spark import txlog
+    from v6spark.operators.sampling import hash_sample
+    from v6spark.operators.similarity import ivf_assign_cells, kmeans_centroids
+
+    spark = df.sparkSession
+    version, live, committed = _ivf_live(spark, path)
+    if version:
+        raise ValueError(
+            f"{path} already holds a committed IVF index (version "
+            f"{version}); append or build elsewhere"
+        )
+    train = df
+    if sample_fraction < 1.0:
+        train = hash_sample(df, id_col, sample_fraction, seed=seed)
+    centroids = kmeans_centroids(
+        train, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    gen = "gen=000001"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{gen}"
+    )
+    _sidecar_write(spark, path, centroids)
+    txlog.publish(
+        spark, f"{path}/{_IVF_COMMITS}", 1,
+        {"live": [gen], "committed": [0]}, commit_mode=commit_mode,
+    )
+    return centroids
+
+
+def append_to_ivf_index_committed(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append_id: int | None = None,
+    commit_mode: str = "rename",
+    _fail_after: str | None = None,
+) -> None:
+    """Crash-safe incremental ingest: assign NEW vectors with the
+    frozen stored quantizer into a fresh generation directory, then
+    commit.  ``append_id`` is the transaction id (idempotent replay —
+    an id the manifest records as committed skips outright); omitted,
+    it defaults to max(committed)+1 (deterministic only if appends
+    are serial, like the near-dedup backfill contract).
+    ``_fail_after="data"`` injects a crash between the data write and
+    the commit (the partial-append window a plain parquet append
+    exposes and this layout closes)."""
+    from v6spark import txlog
+    from v6spark.operators.similarity import ivf_assign_cells
+
+    spark = df.sparkSession
+    version, live, committed = _ivf_live(spark, path)
+    if not version:
+        raise ValueError(f"{path} has no committed IVF index to append to")
+    if append_id is None:
+        append_id = max(committed, default=-1) + 1
+    elif append_id in committed:
+        return  # replayed after commit
+    centroids = _sidecar_read(spark, path)
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    gen = f"gen={version + 1:06d}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{gen}"
+    )
+    if _fail_after == "data":
+        raise RuntimeError("injected crash after append data write")
+    txlog.publish(
+        spark, f"{path}/{_IVF_COMMITS}", version + 1,
+        {"live": sorted([*live, gen]), "committed": sorted(committed | {append_id})},
+        commit_mode=commit_mode,
+    )
+
+
+def load_ivf_index_committed(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """(lazy frame over the LIVE generations only, centroids).  The
+    ``gen`` partition column is retained in the frame (dropped by the
+    query helpers) so pruning works on both levels."""
+    _version, live, _committed = _ivf_live(spark, path)
+    if not live:
+        raise ValueError(f"{path} has no committed IVF index")
+    centroids = _sidecar_read(spark, path)
+    index = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{g}" for g in live]
+    )
+    return index, centroids
+
+
+def ivf_index_topk_committed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k from the committed index, probed cells only (partition
+    pruning across every live generation)."""
+    from v6spark.operators.similarity import cosine_topk_query
+
+    index, centroids = load_ivf_index_committed(spark, path)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    probe = [int(c) for c in ranked[:n_probe]]
+    pruned = index.filter(F.col("cell").isin(probe)).drop("gen")
+    return cosine_topk_query(pruned, query_vec, k, id_col, vec_col)
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, commit_mode: str = "rename"
+) -> int | None:
+    """Fold the live generations into one (the streaming-small-files
+    fix for long-running ingest); ``committed`` ids carry forward so
+    replayed appends still skip.  Returns the new manifest version,
+    or None when there is nothing to fold.  Vacuum afterwards via
+    :func:`vacuum_ivf_index`."""
+    from v6spark import txlog
+
+    version, live, committed = _ivf_live(spark, path)
+    if len(live) <= 1:
+        return None
+    merged = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{g}" for g in live]
+    ).drop("gen")
+    gen = f"gen={version + 1:06d}"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{gen}")
+    txlog.publish(
+        spark, f"{path}/{_IVF_COMMITS}", version + 1,
+        {"live": [gen], "committed": sorted(committed)},
+        commit_mode=commit_mode,
+    )
+    return version + 1
+
+
+def vacuum_ivf_index(spark: SparkSession, path: str) -> int:
+    """Drop generation directories no retained manifest references
+    (crashed appends, compacted-away generations)."""
+    from v6spark import txlog
+
+    return txlog.vacuum_versions(
+        spark, path, f"{path}/{_IVF_COMMITS}", "gen="
+    )
