@@ -334,3 +334,31 @@ def test_time_travel_reads_and_retention(spark, tmp_path):
     assert removed == 1
     assert published_path(spark, root, version=1) is None
     assert read_published_corpus(spark, root).count() == 2
+
+
+def test_publish_schema_drift_guard(spark, tmp_path):
+    """A publish whose content schema drifts from the previous
+    version fails at the PUBLISHER unless explicitly allowed (then
+    the manifest records it)."""
+    root = str(tmp_path / "drift")
+    prepared = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    c1 = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    publish_corpus_committed(prepared, c1, root, n_shards=1)
+    # same schema: fine
+    publish_corpus_committed(prepared, c1, root, n_shards=1)
+    # drifted schema (text -> int column added): refused...
+    c2 = spark.createDataFrame(
+        [(1, "one", 5)], "doc_id long, text string, extra int"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        publish_corpus_committed(prepared, c2, root, n_shards=1)
+    # nothing was written or committed by the refused publish
+    assert published_path(spark, root)[1]["v"] == 2
+    # ...unless allowed, and then recorded
+    counts = publish_corpus_committed(
+        prepared, c2, root, n_shards=1, allow_schema_change=True
+    )
+    assert counts["_version"] == 3
+    doc = published_path(spark, root)[1]
+    assert doc["schema_changed"] is True
+    assert ["extra", "int"] in doc["schema"]

@@ -380,11 +380,21 @@ def publish_corpus_committed(
     seed: int = 0,
     compress: bool = False,
     commit_mode: str = "rename",
+    allow_schema_change: bool = False,
     _fail_after_split: str | None = None,
 ) -> dict:
     """:func:`publish_corpus` wrapped in the versioned-manifest commit
     (:mod:`v6spark.txlog` — the machinery proven by the streaming
     near-dedup transaction, reused for batch).
+
+    SCHEMA DRIFT GUARD: each manifest records the published column
+    schema; a publish whose schema differs from the previous
+    version's raises before writing anything, unless
+    ``allow_schema_change=True`` (the change is then recorded in the
+    manifest as ``schema_changed``).  A silently drifted column type
+    is the classic way a nightly corpus publish breaks every trainer
+    that mounts it next morning — fail at the publisher, where the
+    diff is actionable, not at the consumers.
 
     Why: a plain :func:`publish_corpus` is rerun-byte-identical, but a
     crash mid-publish leaves PARTIAL split directories that a trainer
@@ -409,6 +419,19 @@ def publish_corpus_committed(
 
     spark = prepared.sparkSession
     version, _doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    # the published rows are the content columns (split is consumed
+    # into the directory layout) — that is the schema trainers see
+    schema = [
+        [f.name, f.dataType.simpleString()] for f in content.schema.fields
+    ]
+    prev_schema = _doc.get("schema") if _doc else None
+    schema_changed = prev_schema is not None and prev_schema != schema
+    if schema_changed and not allow_schema_change:
+        raise ValueError(
+            f"publish schema drift vs version {version}: "
+            f"{prev_schema} -> {schema}; pass allow_schema_change=True "
+            "to publish anyway (recorded in the manifest)"
+        )
     new_version = version + 1
     vdir = f"v={new_version:06d}"
     data_root = f"{path}/{vdir}"
@@ -430,7 +453,13 @@ def publish_corpus_committed(
         spark,
         f"{path}/{_COMMITS}",
         new_version,
-        {"live": vdir, "fmt": fmt, "splits": counts},
+        {
+            "live": vdir,
+            "fmt": fmt,
+            "splits": counts,
+            "schema": schema,
+            "schema_changed": schema_changed,
+        },
         commit_mode=commit_mode,
     )
     return {**counts, "_version": new_version}
