@@ -211,3 +211,30 @@ def test_setitem_call_field_and_shape_check(vs):
         vs2["/calls/bad"] = vs2.calls  # too many value columns
     with pytest.raises(KeyError):
         vs2["elsewhere/x"] = g.calc_maf_by_gt(vs2)
+
+
+def test_save_committed_roundtrip_and_versioning(vs, spark, tmp_path):
+    """ACID save (r5): both tables commit atomically; version-pinned
+    loads; retention sweep."""
+    root = str(tmp_path / "store")
+    assert vs.save_committed(root) == 1
+    got = Variations.load_committed(spark, root)
+    assert got.num_variations == vs.num_variations
+    assert got.calls.count() == vs.calls.count()
+
+    # second version: a filtered cohort
+    flt = g.remove_low_call_rate_vars(vs, min_call_rate=0.5)[FLT_VARS]
+    assert flt.save_committed(root) == 2
+    assert Variations.load_committed(spark, root).num_variations == flt.num_variations
+    # time travel back to the full cohort
+    assert (
+        Variations.load_committed(spark, root, version=1).num_variations
+        == vs.num_variations
+    )
+    # retention: default keeps only the latest
+    removed = Variations.vacuum_committed(spark, root)
+    assert removed == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no committed"):
+        Variations.load_committed(spark, root, version=1)
+    assert Variations.load_committed(spark, root).num_variations == flt.num_variations

@@ -130,6 +130,64 @@ class Variations:
 
         write_tables(self.variants, self.calls, dir_path, mode)
 
+    def save_committed(
+        self, dir_path: str, commit_mode: str = "rename"
+    ) -> int:
+        """A2 with the versioned-manifest commit (:mod:`v6spark.txlog`
+        — the same transaction both corpus publishing and streaming
+        dedup use): both tables land in a version-private
+        ``v=<n>/`` directory and become visible to
+        :meth:`load_committed` only when ONE manifest commits them —
+        a crash between the variants and calls writes can never
+        expose a cohort whose two tables disagree.  Returns the
+        committed version."""
+        from v6spark import txlog
+        from v6spark.sources.vcf import write_tables
+
+        spark = self.variants.sparkSession
+        log_dir = f"{dir_path}/_commits"
+        version, _doc = txlog.read_latest(spark, log_dir)
+        vdir = f"v={version + 1:06d}"
+        # an existing target is our own crashed attempt (single-writer)
+        fs, jroot, _jvm = txlog._jfs(spark, f"{dir_path}/{vdir}")
+        if fs.exists(jroot):
+            fs.delete(jroot, True)
+        write_tables(self.variants, self.calls, f"{dir_path}/{vdir}")
+        txlog.publish(
+            spark, log_dir, version + 1, {"live": vdir},
+            commit_mode=commit_mode,
+        )
+        return version + 1
+
+    @classmethod
+    def load_committed(
+        cls, spark: SparkSession, dir_path: str, version: int | None = None
+    ) -> "Variations":
+        """Committed-only (optionally version-pinned) counterpart of
+        :meth:`load`; raises before the first commit / on a vacuumed
+        version."""
+        from v6spark import txlog
+
+        if version is None:
+            _v, doc = txlog.read_latest(spark, f"{dir_path}/_commits")
+        else:
+            doc = txlog.read_version(spark, f"{dir_path}/_commits", version)
+        if doc is None:
+            raise ValueError(
+                f"{dir_path} has no committed Variations store"
+                + (f" at version {version}" if version is not None else "")
+            )
+        return cls.load(spark, f"{dir_path}/{doc['live']}")
+
+    @staticmethod
+    def vacuum_committed(spark: SparkSession, dir_path: str, keep_last: int = 1) -> int:
+        """Retention sweep for :meth:`save_committed` stores."""
+        from v6spark import txlog
+
+        return txlog.vacuum_versions(
+            spark, dir_path, f"{dir_path}/_commits", "v=", keep_last=keep_last
+        )
+
     def __getitem__(self, field: str) -> DataFrame:
         if field in _VARIANT_FIELDS and _VARIANT_FIELDS[field] in self.variants.columns:
             return self.variants.select("variant_id", _VARIANT_FIELDS[field])
