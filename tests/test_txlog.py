@@ -362,3 +362,69 @@ def test_publish_schema_drift_guard(spark, tmp_path):
     doc = published_path(spark, root)[1]
     assert doc["schema_changed"] is True
     assert ["extra", "int"] in doc["schema"]
+
+
+def test_commit_with_retry_serializes_collisions(spark, tmp_path):
+    """A writer that loses the version race re-reads and retries with
+    the fresh state (the optimistic-concurrency loop)."""
+    log = str(tmp_path / "occ")
+    calls = []
+
+    def update(version, doc):
+        calls.append(version)
+        if len(calls) == 1:
+            # simulate a concurrent writer sneaking in between our
+            # read and our publish attempt
+            txlog.publish(spark, log, version + 1, {"live": ["other"]})
+        prev = doc["live"] if doc else []
+        return {"live": [*prev, f"mine-{version + 1}"]}
+
+    v, payload = txlog.commit_with_retry(spark, log, update)
+    assert v == 2
+    # the retry SAW the interloper's commit and built on it
+    assert payload["live"] == ["other", "mine-2"]
+    assert calls == [0, 1]
+
+
+def test_commit_with_retry_concurrent_threads(spark, tmp_path):
+    """4 threads x 3 commits race on one rename-mode log: all 12
+    land, each exactly once, every commit built on a fresh read."""
+    import threading
+
+    log = str(tmp_path / "race")
+    errors = []
+
+    def writer(wid):
+        try:
+            for i in range(3):
+                marker = f"w{wid}-{i}"
+                txlog.commit_with_retry(
+                    spark, log,
+                    lambda v, doc, m=marker: {
+                        "live": [*(doc["live"] if doc else []), m]
+                    },
+                    max_retries=64,
+                )
+        except Exception as exc:  # surface thread failures to the test
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    version, doc = txlog.read_latest(spark, log)
+    assert version == 12
+    assert sorted(doc["live"]) == sorted(
+        f"w{w}-{i}" for w in range(4) for i in range(3)
+    )
+
+
+def test_vacuum_cleans_orphan_tmp_files(spark, tmp_path):
+    log = str(tmp_path / "tmps")
+    txlog.publish(spark, log, 1, {"live": "v=1"})
+    _write_raw(spark, log, ".manifest-000000000002.deadbeef.tmp", b"crashed")
+    removed = txlog.vacuum_manifests(spark, log)
+    assert removed == 1
+    assert txlog.read_latest(spark, log)[0] == 1

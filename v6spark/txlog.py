@@ -51,11 +51,21 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 
 from pyspark.sql import SparkSession
 
 MANIFEST_PREFIX = "manifest-"
 COMMIT_MODES = ("rename", "put")
+
+# Serializes same-process commits (concurrent driver threads).  POSIX
+# rename OVERWRITES an existing destination (HDFS's fails, S3's
+# conditional put fails) — so on a local filesystem two in-process
+# racers could silently clobber each other's commit without this.
+# Cross-process local races additionally rely on the read-back verify
+# in publish(); true multi-writer deployments run on HDFS/S3 where
+# the primitive itself is exclusive.
+_COMMIT_LOCK = threading.Lock()
 
 
 def _jfs(spark: SparkSession, path_str: str):
@@ -179,20 +189,51 @@ def publish(
     data = _encode(version, payload)
     final = jvm.org.apache.hadoop.fs.Path(jdir, f"{MANIFEST_PREFIX}{version:012d}")
     if commit_mode == "rename":
+        # unique tmp per ATTEMPT: with a shared tmp name, two racing
+        # writers could interleave (one overwrites the other's tmp
+        # before its rename), committing one payload under the other
+        # writer's version — per-attempt names make the rename the
+        # only contended step, and rename-onto-existing fails cleanly
+        import uuid
+
         tmp = jvm.org.apache.hadoop.fs.Path(
-            jdir, f".{MANIFEST_PREFIX}{version:012d}.tmp"
+            jdir, f".{MANIFEST_PREFIX}{version:012d}.{uuid.uuid4().hex}.tmp"
         )
         out = fs.create(tmp, True)
         try:
             out.write(data)
         finally:
             out.close()
-        if not fs.rename(tmp, final):
-            raise IOError(
-                f"manifest rename failed for version {version} under "
-                f"{jdir} (concurrent writer? the log is single-writer "
-                "by design)"
-            )
+        # POSIX rename OVERWRITES an existing destination (HDFS's
+        # returns false instead), so exists-check + rename + read-back
+        # verify run under the process commit lock: same-process
+        # racers serialize fully; a cross-process local racer is
+        # caught by the verify (HDFS/S3 primitives are exclusive on
+        # their own and don't need this).
+        with _COMMIT_LOCK:
+            if fs.exists(final):
+                fs.delete(tmp, False)
+                raise IOError(
+                    f"manifest version {version} already exists under "
+                    f"{jdir} — concurrent writer (use commit_with_retry)"
+                )
+            if not fs.rename(tmp, final):
+                raise IOError(
+                    f"manifest rename failed for version {version} under "
+                    f"{jdir} (concurrent writer? use commit_with_retry)"
+                )
+            stream = fs.open(final)
+            try:
+                readback = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            if readback != data:
+                raise IOError(
+                    f"manifest version {version} clobbered by a concurrent "
+                    f"writer under {jdir} (non-exclusive local rename)"
+                )
     else:
         # write-if-absent: fs.create(path, overwrite=False) raises if
         # the name exists — the conditional-put primitive.  A crash
@@ -204,36 +245,42 @@ def publish(
         # existing COMPLETE object means the commit already happened:
         # byte-identical is an idempotent replay (success), different
         # bytes is a second writer (hard error).
-        try:
-            out = fs.create(final, False)
-        except Exception:
-            # only the already-exists case is handled below; any
-            # other create failure (permissions, transient store
-            # error) must surface as itself, not as a confusing
-            # secondary open() failure
-            if not fs.exists(final):
-                raise
-            stream = fs.open(final)
+        # the emulated conditional put (exists-check inside create)
+        # is not atomic on a local FS — the process lock serializes
+        # in-process racers; real object stores supply atomic
+        # If-None-Match and never enter the torn-delete branch for a
+        # live writer
+        with _COMMIT_LOCK:
             try:
-                existing = bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                )
+                out = fs.create(final, False)
+            except Exception:
+                # only the already-exists case is handled below; any
+                # other create failure (permissions, transient store
+                # error) must surface as itself, not as a confusing
+                # secondary open() failure
+                if not fs.exists(final):
+                    raise
+                stream = fs.open(final)
+                try:
+                    existing = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                if _decode(existing) is not None:
+                    if existing == data:
+                        return  # idempotent replay of an already-done commit
+                    raise IOError(
+                        f"manifest version {version} already committed "
+                        f"with different content under {jdir} — concurrent "
+                        "writer (use commit_with_retry)"
+                    )
+                fs.delete(final, False)  # our own torn previous attempt
+                out = fs.create(final, False)
+            try:
+                out.write(data)
             finally:
-                stream.close()
-            if _decode(existing) is not None:
-                if existing == data:
-                    return  # idempotent replay of an already-done commit
-                raise IOError(
-                    f"manifest version {version} already committed with "
-                    f"different content under {jdir} — concurrent writer; "
-                    "the log is single-writer by design"
-                )
-            fs.delete(final, False)  # our own torn previous attempt
-            out = fs.create(final, False)
-        try:
-            out.write(data)
-        finally:
-            out.close()
+                out.close()
 
 
 def _complete_versions(spark: SparkSession, log_dir: str) -> list[int]:
@@ -242,6 +289,57 @@ def _complete_versions(spark: SparkSession, log_dir: str) -> list[int]:
         for v in list_versions(spark, log_dir)
         if read_version(spark, log_dir, v) is not None
     ]
+
+
+def commit_with_retry(
+    spark: SparkSession,
+    log_dir: str,
+    update_fn,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+) -> tuple[int, dict]:
+    """Optimistic-concurrency commit: read the latest manifest, let
+    ``update_fn(version, payload_or_None) -> new_payload`` derive the
+    next state, attempt to publish it at ``version + 1``; on a
+    version COLLISION (another writer committed first) re-read and
+    retry with the fresh state — the Delta/Iceberg commit loop at
+    txlog size.  Returns (committed version, committed payload).
+
+    This upgrades the plain :func:`publish` single-writer contract to
+    safe concurrent appends for logs whose updates COMMUTE through
+    ``update_fn`` (e.g. two IVF ingest jobs appending disjoint
+    generations: each derives ``live + [its own gen]`` from whatever
+    state it re-reads).  Writers whose updates conflict semantically
+    still need external coordination — this loop serializes commits,
+    it does not merge intents.
+
+    Collision detection: in ``rename`` mode a rename onto an existing
+    name fails; in ``put`` mode the conditional create fails and the
+    existing object is COMPLETE with different content.  Put-mode
+    caveat: :func:`publish` treats a TORN object under the target
+    name as our own crashed attempt (delete + retry) — under the
+    EMULATED conditional put a concurrent writer mid-write is
+    indistinguishable from that crash, so concurrent put-mode commits
+    need a store with a true atomic conditional put (S3
+    If-None-Match), where an in-flight write is never observable as
+    torn.  Rename mode has no such window (per-attempt tmp names;
+    the rename is atomic).
+    """
+    for _ in range(max_retries):
+        version, doc = read_latest(spark, log_dir)
+        payload = update_fn(version, doc)
+        try:
+            publish(
+                spark, log_dir, version + 1, payload,
+                commit_mode=commit_mode,
+            )
+            return version + 1, payload
+        except IOError:
+            continue  # lost the race; re-read and retry
+    raise IOError(
+        f"commit_with_retry: lost {max_retries} consecutive races under "
+        f"{log_dir} — pathological contention, coordinate writers"
+    )
 
 
 def vacuum_versions(
@@ -294,6 +392,11 @@ def vacuum_manifests(
     removed = 0
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
+        if name.startswith(f".{MANIFEST_PREFIX}") and name.endswith(".tmp"):
+            # orphaned tmp of a crashed rename-mode attempt
+            fs.delete(st.getPath(), False)
+            removed += 1
+            continue
         if not name.startswith(MANIFEST_PREFIX):
             continue
         try:
