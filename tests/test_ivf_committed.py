@@ -114,3 +114,36 @@ def test_committed_build_refuses_double_build(spark, tmp_path):
     ivf.build_ivf_index_committed(df, path, n_cells=4)
     with pytest.raises(ValueError, match="already holds"):
         ivf.build_ivf_index_committed(df, path, n_cells=4)
+
+
+def test_concurrent_appends_via_occ(spark, tmp_path):
+    """4 concurrent appenders (distinct ids) race on one index: every
+    batch lands exactly once; queries see the union."""
+    import threading
+
+    rows = _vectors(300)
+    path = str(tmp_path / "ivfcc")
+    df = spark.createDataFrame(rows[:100], "vec_id long, embedding array<double>")
+    ivf.build_ivf_index_committed(df, path, n_cells=4)
+
+    errors = []
+
+    def appender(i):
+        try:
+            chunk = spark.createDataFrame(
+                rows[100 + i * 50 : 150 + i * 50],
+                "vec_id long, embedding array<double>",
+            )
+            ivf.append_to_ivf_index_committed(chunk, path, append_id=i + 1)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    index, _ = ivf.load_ivf_index_committed(spark, path)
+    assert index.count() == 300
+    assert index.select("vec_id").distinct().count() == 300

@@ -243,16 +243,37 @@ def append_to_ivf_index_committed(
         return  # replayed after commit
     centroids = _sidecar_read(spark, path)
     assigned = ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
-    gen = f"gen={version + 1:06d}"
+    # generation named by APPEND ID, not manifest version: a replay of
+    # the same ingest overwrites its own orphan whatever version the
+    # log has reached, and CONCURRENT appends (distinct ids) write
+    # disjoint directories — their commits then serialize through the
+    # optimistic-concurrency loop below, each rebuilding its live
+    # list from whatever state it re-reads.
+    gen = f"gen=a{append_id:06d}"
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/{gen}"
     )
     if _fail_after == "data":
         raise RuntimeError("injected crash after append data write")
-    txlog.publish(
-        spark, f"{path}/{_IVF_COMMITS}", version + 1,
-        {"live": sorted([*live, gen]), "committed": sorted(committed | {append_id})},
-        commit_mode=commit_mode,
+
+    def update(_version, doc):
+        cur_live = list(doc["live"]) if doc else []
+        cur_committed = set(doc["committed"]) if doc else set()
+        if append_id in cur_committed:
+            # a concurrent replay of THIS id won the race: nothing to
+            # add — re-publishing the same state is harmless and ends
+            # the loop with the committed view
+            return {
+                "live": sorted(cur_live),
+                "committed": sorted(cur_committed),
+            }
+        return {
+            "live": sorted([*cur_live, gen]),
+            "committed": sorted(cur_committed | {append_id}),
+        }
+
+    txlog.commit_with_retry(
+        spark, f"{path}/{_IVF_COMMITS}", update, commit_mode=commit_mode
     )
 
 
