@@ -234,7 +234,6 @@ def test_save_committed_roundtrip_and_versioning(vs, spark, tmp_path):
     # retention: default keeps only the latest
     removed = Variations.vacuum_committed(spark, root)
     assert removed == 1
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="no committed"):
+    with pytest.raises(ValueError, match="no committed"):
         Variations.load_committed(spark, root, version=1)
     assert Variations.load_committed(spark, root).num_variations == flt.num_variations

@@ -147,3 +147,20 @@ def test_concurrent_appends_via_occ(spark, tmp_path):
     index, _ = ivf.load_ivf_index_committed(spark, path)
     assert index.count() == 300
     assert index.select("vec_id").distinct().count() == 300
+
+
+def test_append_id_zero_is_a_real_transaction(spark, tmp_path):
+    """build must not reserve id 0: a user's first append_id=0 lands
+    (regression: it was silently swallowed as a committed replay)."""
+    rows = _vectors(120)
+    path = str(tmp_path / "ivf0")
+    df = spark.createDataFrame(rows[:100], "vec_id long, embedding array<double>")
+    ivf.build_ivf_index_committed(df, path, n_cells=4)
+    chunk = spark.createDataFrame(rows[100:], "vec_id long, embedding array<double>")
+    ivf.append_to_ivf_index_committed(chunk, path, append_id=0)
+    index, _ = ivf.load_ivf_index_committed(spark, path)
+    assert index.count() == 120
+    # and replaying id 0 skips
+    ivf.append_to_ivf_index_committed(chunk, path, append_id=0)
+    index, _ = ivf.load_ivf_index_committed(spark, path)
+    assert index.count() == 120

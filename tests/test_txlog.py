@@ -428,3 +428,33 @@ def test_vacuum_cleans_orphan_tmp_files(spark, tmp_path):
     removed = txlog.vacuum_manifests(spark, log)
     assert removed == 1
     assert txlog.read_latest(spark, log)[0] == 1
+
+
+def test_vacuum_grace_window_spares_recent_orphans(spark, tmp_path):
+    """With concurrent writers, an unreferenced directory may be an
+    in-flight append: vacuum inside the grace window spares it (and
+    recent tmp files); grace 0 sweeps it."""
+    root = str(tmp_path / "grace")
+    log = f"{root}/_commits"
+    txlog.publish(spark, log, 1, {"live": ["v=keep"]})
+    fs, jroot, jvm = txlog._jfs(spark, root)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(root, "v=inflight"))
+    _write_raw(spark, log, ".manifest-000000000002.abc.tmp", b"inflight")
+    # inside the grace window: both survive
+    assert txlog.vacuum_versions(spark, root, log, "v=", grace_seconds=3600) == 0
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(root, "v=inflight"))
+    # no grace: dead-orphan semantics (the pre-concurrency default)
+    assert txlog.vacuum_versions(spark, root, log, "v=") == 1
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(root, "v=inflight"))
+
+
+def test_abort_commit_skips_publish(spark, tmp_path):
+    log = str(tmp_path / "abort")
+    txlog.publish(spark, log, 1, {"live": ["a"]})
+
+    def update(version, doc):
+        raise txlog.AbortCommit
+
+    v, doc = txlog.commit_with_retry(spark, log, update)
+    assert v == 1 and doc["live"] == ["a"]
+    assert txlog.list_versions(spark, log) == [1]  # nothing new published

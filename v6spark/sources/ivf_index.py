@@ -100,6 +100,21 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, list[list
     return spark.read.parquet(path), centroids
 
 
+def _probe_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` nearest cells (squared euclidean to the
+    centroid) — the ONE probe-selection rule both the plain and the
+    committed query paths share."""
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
+        ),
+    )
+    return [int(c) for c in ranked[:n_probe]]
+
+
 def ivf_index_topk(
     spark: SparkSession,
     path: str,
@@ -114,13 +129,7 @@ def ivf_index_topk(
     from v6spark.operators.similarity import cosine_topk_query
 
     index, centroids = load_ivf_index(spark, path)
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(
-            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
-        ),
-    )
-    probe = [int(c) for c in ranked[:n_probe]]
+    probe = _probe_cells(centroids, query_vec, n_probe)
     pruned = index.filter(F.col("cell").isin(probe))
     return cosine_topk_query(pruned, query_vec, k, id_col, vec_col)
 
@@ -205,9 +214,12 @@ def build_ivf_index_committed(
         f"{path}/{gen}"
     )
     _sidecar_write(spark, path, centroids)
+    # committed starts EMPTY: the build is not an append transaction,
+    # and reserving id 0 here would silently swallow a user's
+    # append_id=0 as an already-committed replay
     txlog.publish(
         spark, f"{path}/{_IVF_COMMITS}", 1,
-        {"live": [gen], "committed": [0]}, commit_mode=commit_mode,
+        {"live": [gen], "committed": []}, commit_mode=commit_mode,
     )
     return centroids
 
@@ -227,6 +239,14 @@ def append_to_ivf_index_committed(
     an id the manifest records as committed skips outright); omitted,
     it defaults to max(committed)+1 (deterministic only if appends
     are serial, like the near-dedup backfill contract).
+
+    Concurrency contract: appends with DISTINCT ids run concurrently
+    (disjoint generation dirs + optimistic manifest commits).  A
+    replay of an id must not run while its ORIGINAL attempt is still
+    alive — both would overwrite the same generation directory, and
+    if one commits mid-overwrite readers can see a torn generation
+    (the same rule Structured Streaming applies to epoch replays;
+    orchestrate retries after the original is known dead).
     ``_fail_after="data"`` injects a crash between the data write and
     the commit (the partial-append window a plain parquet append
     exposes and this layout closes)."""
@@ -260,13 +280,9 @@ def append_to_ivf_index_committed(
         cur_live = list(doc["live"]) if doc else []
         cur_committed = set(doc["committed"]) if doc else set()
         if append_id in cur_committed:
-            # a concurrent replay of THIS id won the race: nothing to
-            # add — re-publishing the same state is harmless and ends
-            # the loop with the committed view
-            return {
-                "live": sorted(cur_live),
-                "committed": sorted(cur_committed),
-            }
+            # a concurrent replay of THIS id won the race: abort
+            # without publishing — the loop returns the committed view
+            raise txlog.AbortCommit
         return {
             "live": sorted([*cur_live, gen]),
             "committed": sorted(cur_committed | {append_id}),
@@ -307,13 +323,7 @@ def ivf_index_topk_committed(
     from v6spark.operators.similarity import cosine_topk_query
 
     index, centroids = load_ivf_index_committed(spark, path)
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(
-            (q - c) * (q - c) for q, c in zip(query_vec, centroids[i])
-        ),
-    )
-    probe = [int(c) for c in ranked[:n_probe]]
+    probe = _probe_cells(centroids, query_vec, n_probe)
     pruned = index.filter(F.col("cell").isin(probe)).drop("gen")
     return cosine_topk_query(pruned, query_vec, k, id_col, vec_col)
 

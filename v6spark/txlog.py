@@ -283,12 +283,25 @@ def publish(
                 out.close()
 
 
-def _complete_versions(spark: SparkSession, log_dir: str) -> list[int]:
-    return [
-        v
-        for v in list_versions(spark, log_dir)
-        if read_version(spark, log_dir, v) is not None
-    ]
+class AbortCommit(Exception):
+    """Raised by a ``commit_with_retry`` update_fn to stop WITHOUT
+    publishing — e.g. a replayed transaction that discovers its id
+    already committed; the loop then returns the current committed
+    state instead of burning a spurious duplicate manifest version."""
+
+
+def _complete_manifests(
+    spark: SparkSession, log_dir: str
+) -> dict[int, dict]:
+    """{version: payload} for every COMPLETE manifest — single
+    read+decode pass (vacuum previously decoded retained manifests
+    twice)."""
+    out = {}
+    for v in list_versions(spark, log_dir):
+        doc = read_version(spark, log_dir, v)
+        if doc is not None:
+            out[v] = doc
+    return out
 
 
 def commit_with_retry(
@@ -324,10 +337,18 @@ def commit_with_retry(
     If-None-Match), where an in-flight write is never observable as
     torn.  Rename mode has no such window (per-attempt tmp names;
     the rename is atomic).
+
+    ``update_fn`` may raise :class:`AbortCommit` to stop WITHOUT
+    publishing (e.g. a replay that discovers its transaction id
+    already committed); the loop then returns the current committed
+    state — no spurious duplicate manifest version.
     """
     for _ in range(max_retries):
         version, doc = read_latest(spark, log_dir)
-        payload = update_fn(version, doc)
+        try:
+            payload = update_fn(version, doc)
+        except AbortCommit:
+            return version, doc
         try:
             publish(
                 spark, log_dir, version + 1, payload,
@@ -348,6 +369,7 @@ def vacuum_versions(
     log_dir: str,
     prefix: str,
     keep_last: int = 1,
+    grace_seconds: float = 0.0,
 ) -> int:
     """Shared retention sweep for version-directory layouts
     (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
@@ -357,41 +379,73 @@ def vacuum_versions(
     retention: the newest N complete versions stay readable via
     ``read_version``/version-pinned readers (default 1 — latest
     only, the pre-retention behavior).  Returns directories removed.
+
+    ``grace_seconds``: with CONCURRENT writers, an unreferenced
+    directory may be an IN-FLIGHT append that has not committed yet —
+    deleting it would commit a manifest pointing at deleted data.
+    Directories (and in-flight commit tmp files) modified within the
+    grace window are spared, exactly the retention rule every
+    log-structured table's vacuum uses; set it comfortably above the
+    longest write (e.g. hours) wherever ``commit_with_retry`` writers
+    run concurrently.  Default 0 keeps the single-writer behavior
+    (everything unreferenced is a dead orphan).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    retained = _complete_versions(spark, log_dir)[-keep_last:]
+    manifests = _complete_manifests(spark, log_dir)
+    retained = sorted(manifests)[-keep_last:]
     keep: set[str] = set()
     for v in retained:
-        doc = read_version(spark, log_dir, v)
-        live = doc.get("live") if doc else None
+        live = manifests[v].get("live")
         if live:
             keep.update(live if isinstance(live, list) else [live])
+    import time as _time
+
+    cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     fs, jroot, _jvm = _jfs(spark, root)
     removed = 0
     if fs.exists(jroot):
         for st in fs.listStatus(jroot):
             name = st.getPath().getName()
-            if st.isDirectory() and name.startswith(prefix) and name not in keep:
+            if (
+                st.isDirectory()
+                and name.startswith(prefix)
+                and name not in keep
+                and st.getModificationTime() <= cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)
                 removed += 1
-    vacuum_manifests(spark, log_dir, keep_last=keep_last)
+    vacuum_manifests(
+        spark, log_dir, keep_last=keep_last, grace_seconds=grace_seconds
+    )
     return removed
 
 
 def vacuum_manifests(
-    spark: SparkSession, log_dir: str, keep_last: int = 1
+    spark: SparkSession,
+    log_dir: str,
+    keep_last: int = 1,
+    grace_seconds: float = 0.0,
 ) -> int:
     """Delete manifests of retired versions (all but the newest
-    ``keep_last`` COMPLETE ones) plus any torn manifests.  Returns
-    files removed."""
-    retained = set(_complete_versions(spark, log_dir)[-keep_last:])
+    ``keep_last`` COMPLETE ones) plus torn manifests and orphaned
+    commit tmp files — sparing anything modified within
+    ``grace_seconds`` (an in-flight rename-mode commit's tmp, a
+    concurrent put-mode write; see :func:`vacuum_versions`).
+    Returns files removed."""
+    manifests = _complete_manifests(spark, log_dir)
+    retained = set(sorted(manifests)[-keep_last:])
     if not retained:
         return 0
+    import time as _time
+
+    cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     fs, jdir, _jvm = _jfs(spark, log_dir)
     removed = 0
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
+        if st.getModificationTime() > cutoff_ms:
+            continue  # inside the grace window: possibly in flight
         if name.startswith(f".{MANIFEST_PREFIX}") and name.endswith(".tmp"):
             # orphaned tmp of a crashed rename-mode attempt
             fs.delete(st.getPath(), False)
