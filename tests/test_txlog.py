@@ -458,3 +458,36 @@ def test_abort_commit_skips_publish(spark, tmp_path):
     v, doc = txlog.commit_with_retry(spark, log, update)
     assert v == 1 and doc["live"] == ["a"]
     assert txlog.list_versions(spark, log) == [1]  # nothing new published
+
+
+def test_published_corpus_diff_between_versions(spark, tmp_path):
+    from v6spark.pipeline import published_corpus_diff
+
+    root = str(tmp_path / "diffv")
+    prepared = spark.createDataFrame(
+        [(i, "train") for i in (1, 2, 3)], "doc_id long, split string"
+    )
+    c1 = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    publish_corpus_committed(prepared, c1, root, n_shards=1)
+    prepared2 = spark.createDataFrame(
+        [(i, "train") for i in (2, 3, 4)], "doc_id long, split string"
+    )
+    c2 = spark.createDataFrame(
+        [(2, "two"), (3, "three CHANGED"), (4, "four")],
+        "doc_id long, text string",
+    )
+    publish_corpus_committed(prepared2, c2, root, n_shards=1)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in published_corpus_diff(spark, root, 1).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # a vacuumed old version raises clearly
+    from v6spark.pipeline import vacuum_published
+
+    vacuum_published(spark, root)
+    import pytest as _p
+    with _p.raises(ValueError, match="retained"):
+        published_corpus_diff(spark, root, 1)

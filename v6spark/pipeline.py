@@ -522,6 +522,37 @@ def read_published_corpus(
     return out
 
 
+def published_corpus_diff(
+    spark,
+    path: str,
+    old_version: int,
+    new_version: int | None = None,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+):
+    """Release-gate census between two COMMITTED corpus versions:
+    per-document ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (``operators.profile.corpus_diff`` over version-pinned reads —
+    the "what did the new crawl/filters actually change?" report
+    against the exact bytes each version shipped, not whatever is on
+    disk today).  Requires both versions retained
+    (``vacuum_published(keep_last=...)``)."""
+    from v6spark.operators.profile import corpus_diff
+
+    old = read_published_corpus(spark, path, version=old_version)
+    new = read_published_corpus(spark, path, version=new_version)
+    if old is None or new is None:
+        raise ValueError(
+            f"published_corpus_diff needs both versions committed and "
+            f"retained under {path} (old={old_version}, "
+            f"new={new_version if new_version is not None else 'latest'})"
+        )
+    return corpus_diff(
+        old.drop("split"), new.drop("split"),
+        id_col=key_col, content_col=content_col,
+    )
+
+
 def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
