@@ -491,3 +491,28 @@ def test_published_corpus_diff_between_versions(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="retained"):
         published_corpus_diff(spark, root, 1)
+
+
+def test_manifest_decode_never_raises_on_garbage():
+    """_decode is the torn-write defence: ANY byte string must come
+    back as a dict (complete) or None (torn) — never an exception
+    (hypothesis fuzz, mirroring the media-parser fuzz suite)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(raw):
+        out = txlog._decode(raw)
+        assert out is None or isinstance(out, dict)
+
+    check()
+    # and a valid encode always round-trips complete
+    data = txlog._encode(7, {"live": ["x"], "committed": [1, 2]})
+    doc = txlog._decode(data)
+    assert doc == {"v": 7, "live": ["x"], "committed": [1, 2]}
+    # every truncation of a valid manifest is torn or a valid PREFIX
+    # document — never an exception
+    for cut in range(len(data)):
+        out = txlog._decode(data[:cut])
+        assert out is None or isinstance(out, dict)
