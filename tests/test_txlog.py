@@ -516,3 +516,53 @@ def test_manifest_decode_never_raises_on_garbage():
     for cut in range(len(data)):
         out = txlog._decode(data[:cut])
         assert out is None or isinstance(out, dict)
+
+
+def test_txlog_model_based_random_histories(spark, tmp_path):
+    """Model-based check: random interleavings of commits, torn
+    writes, and vacuums — after every step, read_latest must agree
+    with a trivial in-memory model of the log (the invariant all the
+    committed readers build on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("commit"), st.integers(0, 9)),
+        st.tuples(st.just("torn"), st.binary(max_size=30)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    )
+    counter = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(op, min_size=1, max_size=8))
+    def run(ops):
+        counter[0] += 1
+        log = str(tmp_path / f"model{counter[0]}")
+        model: dict[int, dict] = {}
+        for kind, arg in ops:
+            if kind == "commit":
+                v, payload = txlog.commit_with_retry(
+                    spark, log, lambda _v, _d, a=arg: {"mark": a}
+                )
+                model[v] = {"v": v, **payload}
+            elif kind == "torn":
+                nxt = (max(model) if model else 0) + 1
+                _write_raw(spark, log, f"manifest-{nxt:012d}", arg)
+                # a torn write is invisible — unless the random bytes
+                # happen to BE a complete manifest (bare-JSON
+                # back-compat); mirror the reader's own rule
+                doc = txlog._decode(arg)
+                if doc is not None:
+                    model[nxt] = doc
+            else:  # vacuum keep_last=arg
+                txlog.vacuum_manifests(spark, log, keep_last=arg)
+                for v in sorted(model)[:-arg]:
+                    del model[v]
+            version, doc = txlog.read_latest(spark, log)
+            if model:
+                assert version == max(model)
+                assert doc == model[version]
+            else:
+                assert (version, doc) == (0, None)
+
+    run()

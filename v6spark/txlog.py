@@ -212,11 +212,26 @@ def publish(
         # their own and don't need this).
         with _COMMIT_LOCK:
             if fs.exists(final):
-                fs.delete(tmp, False)
-                raise IOError(
-                    f"manifest version {version} already exists under "
-                    f"{jdir} — concurrent writer (use commit_with_retry)"
-                )
+                # same triage as put mode: a COMPLETE object is a
+                # committed version (identical -> idempotent replay,
+                # different -> collision); a TORN object (non-atomic
+                # rename emulation, tampering) is debris to clear
+                stream = fs.open(final)
+                try:
+                    existing = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                if _decode(existing) is not None:
+                    fs.delete(tmp, False)
+                    if existing == data:
+                        return  # idempotent replay
+                    raise IOError(
+                        f"manifest version {version} already exists under "
+                        f"{jdir} — concurrent writer (use commit_with_retry)"
+                    )
+                fs.delete(final, False)
             if not fs.rename(tmp, final):
                 raise IOError(
                     f"manifest rename failed for version {version} under "
