@@ -21,10 +21,19 @@ Layout
 - ``v6spark.plans``      the declared-query registry judged against a
   DuckDB oracle (SURVEY.md §2.3)
 - ``v6spark.streaming``  Structured Streaming variants of the event ops
+- ``v6spark.txlog``      versioned-manifest transaction log (the shared
+  exactly-once commit kernel: rename + S3 conditional-put modes,
+  optimistic concurrency, time travel, grace-window vacuum)
+- ``v6spark.genomics``   the ``Variations`` facade — variation6's
+  user-facing API (``from v6spark import Variations``)
+- ``v6spark.pipeline``   end-to-end corpus preparation + ACID
+  publishing (``prepare_training_corpus``,
+  ``publish_corpus_committed``, ``read_published_corpus``)
 """
 
+from v6spark.genomics import Variations
 from v6spark.session import get_spark
 from v6spark.sources.tables import load_table, load_tables
 
-__all__ = ["get_spark", "load_table", "load_tables"]
+__all__ = ["Variations", "get_spark", "load_table", "load_tables"]
 __version__ = "0.1.0"
