@@ -25,6 +25,7 @@ MODULES = [
     "v6spark.operators.asof",
     "v6spark.operators.sessionize",
     "v6spark.operators.dedup",
+    "v6spark.operators.spandedup",
     "v6spark.operators.similarity",
     "v6spark.operators.text",
     "v6spark.operators.contamination",
@@ -58,6 +59,8 @@ MODULES = [
     "v6spark.streaming.stateful",
     "v6spark.streaming.neardedup",
     "v6spark.streaming.mediadedup",
+    "v6spark.txlog",
+    "v6spark.operators.codec_adapter",
     "v6spark.functions.determinism",
     "v6spark.functions.arrays",
 ]

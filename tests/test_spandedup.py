@@ -123,3 +123,28 @@ def test_plan_is_pure_catalyst(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pipeline_span_dedup_stage(spark):
+    """prepare_training_corpus(span_dedup=True): boilerplate is
+    stripped before quality/dedup, so docs that differ ONLY in their
+    boilerplate-free content all survive document dedup, and their
+    token budgets exclude the stripped spans."""
+    from v6spark.pipeline import prepare_training_corpus
+
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, f"open{i}a open{i}b open{i}c open{i}d open{i}e "
+                f"{BOILER} "
+                f"close{i}a close{i}b close{i}c close{i}d close{i}e")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs, max_tokens=64, span_dedup=True, span_n=N,
+        span_min_docs=MIN_DOCS,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == list(range(8))  # nothing lost to dedup
+    # token budgets reflect the cleaned text: 10 unique tokens/doc
+    assert all(got[i]["n_tokens"] == 10 for i in got)

@@ -54,6 +54,9 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     seed: int = 0,
     bpe_merges: list | None = None,
+    span_dedup: bool = False,
+    span_n: int = 8,
+    span_min_docs: int = 5,
 ) -> DataFrame:
     """Raw documents -> (doc, tokens, quality, lang, split, bin_id).
 
@@ -79,10 +82,24 @@ def prepare_training_corpus(
     ``bpe_merges`` (from :func:`~v6spark.operators.bpe.train_bpe`)
     swaps the regex token estimate for real broadcast-BPE counts, so
     packing budgets match what the trainer's tokenizer will see.
+    ``span_dedup=True`` prepends SUBSTRING-level dedup
+    (:func:`~v6spark.operators.spandedup.remove_hot_spans`):
+    corpus-hot boilerplate spans are stripped FIRST so every later
+    stage — quality scores, language ID, document dedup digests,
+    token budgets — sees the de-boilerplated text (nav chrome would
+    otherwise both inflate quality token counts and glue distinct
+    pages into near-dup clusters).
     """
     weights = split_weights or DEFAULT_WEIGHTS
 
     gated = docs
+    if span_dedup:
+        from v6spark.operators.spandedup import remove_hot_spans
+
+        gated = remove_hot_spans(
+            gated, n=span_n, min_docs=span_min_docs,
+            id_col=doc_col, text_col=text_col,
+        ).drop("n_tokens_removed")
     if repetition_gate:
         gated = _text.repetition_signals(
             gated, text_col=text_col, id_col=doc_col
