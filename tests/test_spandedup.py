@@ -148,3 +148,42 @@ def test_pipeline_span_dedup_stage(spark):
     assert sorted(got) == list(range(8))  # nothing lost to dedup
     # token budgets reflect the cleaned text: 10 unique tokens/doc
     assert all(got[i]["n_tokens"] == 10 for i in got)
+
+
+def test_fully_covered_document_rewrites_to_empty(spark):
+    """A document that is 100% boilerplate (the worst offender) must
+    be emptied, not silently passed through (regression: the inner
+    join dropped docs with zero surviving tokens)."""
+    rows = [(i, BOILER) for i in range(4)]  # pure boilerplate docs
+    rows += [(10 + i, f"real{i}a real{i}b real{i}c real{i}d real{i}e") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_hot_spans(docs, n=N, min_docs=3).collect()}
+    b_len = len(BOILER.split())
+    for i in range(4):
+        assert out[i]["text"] == ""
+        assert out[i]["n_tokens_removed"] == b_len
+    for i in range(3):
+        assert out[10 + i]["n_tokens_removed"] == 0
+
+
+def test_rewrite_preserves_original_case(spark):
+    """Detection is case-insensitive (tokens_col lowercases) but the
+    rewrite keeps the surviving tokens' ORIGINAL case (regression:
+    flagged docs came back fully lowercased)."""
+    rows = [
+        (i, f"Keep{i}A MiXeD{i} {BOILER} Tail{i}B") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_hot_spans(docs, n=N, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i]["text"] == f"Keep{i}A MiXeD{i} Tail{i}B"
+
+
+def test_case_insensitive_detection_across_docs(spark):
+    """Boilerplate differing only in CASE across documents still
+    votes as one gram (lowercased detection)."""
+    cases = [BOILER, BOILER.upper(), BOILER.title(), BOILER]
+    rows = [(i, f"pre{i}x {cases[i]} post{i}y") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = hot_spans(docs, n=N, min_docs=4).collect()
+    assert len(spans) == 4  # all four flagged despite case variance

@@ -44,17 +44,23 @@ from v6spark.operators.dedup import tokens_col
 def _gram_positions(
     docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """(doc_id, pos, gram_hash) — one row per n-gram occurrence."""
-    toks = tokens_col(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
+    """(doc_id, pos, gram_hash) — one row per n-gram occurrence.
+
+    The token array is LET-BOUND via a single-element ``transform``
+    (the ``dedup.shingles_col`` trick) so the text splits ONCE per
+    row — referencing the tokenizer inside the window lambda would
+    re-split per window, O(tokens^2)/doc (~10x measured there).
+    """
+    grams_of = lambda t: F.when(  # noqa: E731
+        F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(toks, i + 1, n))
-            ),
+            F.sequence(F.lit(0), F.size(t) - F.lit(n)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    grams = F.element_at(
+        F.transform(F.array(tokens_col(F.col(text_col))), grams_of), 1
+    )
     return docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(grams).alias("pos", "gram_hash"),
@@ -152,23 +158,45 @@ def remove_hot_spans(
     """Rewrite each document without its corpus-hot spans.
 
     Returns ``docs``' columns with ``text_col`` replaced by the
-    cleaned text (tokens outside every hot span, re-joined with
-    single spaces — whitespace-normalizing, stated in the module
-    docstring) plus ``n_tokens_removed``.  Documents with no hot
-    span pass through with their original text UNTOUCHED (byte
-    identity preserved for the untouched majority — only flagged
-    documents pay the rewrite).
+    cleaned text (tokens outside every hot span, ORIGINAL CASE,
+    re-joined with single spaces — whitespace-normalizing, stated in
+    the module docstring) plus ``n_tokens_removed``.  Documents with
+    no hot span pass through with their original text UNTOUCHED
+    (byte identity for the unflagged majority) and only FLAGGED
+    documents enter the token-rewrite explode — the rewrite cost
+    scales with the boilerplate-carrying fraction, not the corpus.
+    A document covered ENTIRELY by hot spans comes back as the empty
+    string with every token counted removed.
     """
-    spans = hot_spans(docs, n, min_docs, id_col, text_col, broadcast_hot)
+    # The spans frame feeds THREE consumers below (covered positions,
+    # removal counts, the flagged-doc semi-join); without
+    # materialization each would re-run the whole hot-vote subtree —
+    # the corpus-wide gram count — once.  It is tiny ((id, 2 ints)
+    # per flagged doc), so an eager localCheckpoint (the
+    # dedup.connected_keepers discipline) computes it exactly once.
+    spans = hot_spans(
+        docs, n, min_docs, id_col, text_col, broadcast_hot
+    ).localCheckpoint(eager=True)
+    # merged spans are disjoint per doc, so positions need no distinct
     covered = spans.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.sequence(F.col("span_start"), F.col("span_end") - 1)
         ).alias("pos"),
-    ).distinct()
-    toks = docs.select(
+    )
+    removed_counts = spans.groupBy(F.col(id_col).alias("__id")).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__n_removed")
+    )
+    # only flagged documents pay the token explode/rewrite; detection
+    # lowercased (tokens_col default) but the REWRITE keeps original
+    # case — \s+ splitting is case-blind, so positions align
+    toks = docs.join(
+        removed_counts.select(F.col("__id").alias(id_col)), id_col, "left_semi"
+    ).select(
         F.col(id_col).alias("__id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "__tok"),
+        F.posexplode(
+            tokens_col(F.col(text_col), lowercase=False)
+        ).alias("pos", "__tok"),
     )
     kept = (
         toks.join(covered, ["__id", "pos"], "left_anti")
@@ -183,13 +211,14 @@ def remove_hot_spans(
                     lambda st: st["__tok"],
                 ),
             ).alias("__clean"),
-            F.count(F.lit(1)).alias("__n_kept"),
         )
     )
-    removed_counts = spans.groupBy(F.col(id_col).alias("__id")).agg(
-        F.sum(F.col("span_end") - F.col("span_start")).alias("__n_removed")
+    # LEFT from removed_counts: a doc covered ENTIRELY by hot spans
+    # has no surviving token (no row in kept) — it must still rewrite
+    # (to empty), not slip through as original boilerplate
+    flagged = removed_counts.join(kept, "__id", "left").withColumn(
+        "__clean", F.coalesce("__clean", F.lit(""))
     )
-    flagged = kept.join(removed_counts, "__id")
     out_cols = [
         F.when(F.col("__n_removed").isNotNull(), F.col("__clean"))
         .otherwise(F.col(text_col))
