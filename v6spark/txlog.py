@@ -178,9 +178,10 @@ def publish(
     ``rename``: tmp-write + rename-to-new-name (atomic on HDFS/POSIX).
     ``put``: create the final name with overwrite=False (conditional
     put); completeness comes from the checksum footer, which readers
-    verify.  Both refuse to clobber an existing version — the log is
-    single-writer by design and a version collision means a concurrent
-    writer or a logic bug, never something to silently overwrite.
+    verify.  Both refuse to clobber an existing COMPLETE version —
+    a version collision is either an idempotent replay (identical
+    bytes: success) or a concurrent writer (IOError; wrap the commit
+    in :func:`commit_with_retry` to serialize optimistically).
     """
     if commit_mode not in COMMIT_MODES:
         raise ValueError(f"commit_mode must be one of {COMMIT_MODES}")
