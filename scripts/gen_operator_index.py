@@ -26,6 +26,7 @@ MODULES = [
     "v6spark.operators.sessionize",
     "v6spark.operators.dedup",
     "v6spark.operators.spandedup",
+    "v6spark.operators.sketches",
     "v6spark.operators.similarity",
     "v6spark.operators.text",
     "v6spark.operators.contamination",
@@ -54,6 +55,7 @@ MODULES = [
     "v6spark.sources.rollup",
     "v6spark.sources.trainshards",
     "v6spark.sources.ivf_index",
+    "v6spark.sources.sketch_store",
     "v6spark.streaming.events",
     "v6spark.streaming.sources",
     "v6spark.streaming.stateful",

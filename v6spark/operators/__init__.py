@@ -39,4 +39,10 @@ Module map to the reference inventory (SURVEY.md §2.1):
                   broadcast encode / token counts
 - ``media_metadata`` EXIF (TIFF IFD), ID3v2, SRT/VTT captions +
                   frame alignment, orientation-normalized pHash
+- ``spandedup``   substring-level dedup: corpus-hot span detection,
+                  voting, interval-fold removal (pure Catalyst)
+- ``sketches``    mergeable sketches, pure Catalyst: HyperLogLog
+                  distincts, DDSketch quantiles, Count-Min frequencies
+                  (exact-merge register algebra; persisted store in
+                  sources/sketch_store.py)
 """

@@ -258,3 +258,104 @@ def q_span_hotgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- mergeable-sketch register parity (operators/sketches.py) ----
+#
+# The persisted sketch state is ALL integers (md5-derived hashes,
+# bin()-length leading-zero counts, counters), so DuckDB reproduces
+# the exact register/cell tables — the strongest possible evidence
+# that the sketches a 100 TB monitoring store persists are
+# deterministic and engine-independent.  The DOUBLE-valued estimators
+# on top are bound-tested in tests/test_sketches.py instead (ln/pow
+# may differ by an ulp across engines; the persisted contract is the
+# integer state).
+
+_HLL_P = 12
+_HLL_NBITS = 60 - _HLL_P
+_O_H60E = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, {_O_H60E.format(x="'u' || CAST(user_id AS VARCHAR)")} AS hv
+      FROM events),
+    reg AS (
+      SELECT event_type,
+             hv & {(1 << _HLL_P) - 1} AS idx,
+             CASE WHEN (hv >> {_HLL_P}) = 0 THEN {_HLL_NBITS + 1}
+                  ELSE {_HLL_NBITS + 1} - length(bin(hv >> {_HLL_P}))
+             END AS rho
+      FROM h),
+    mx AS (
+      SELECT event_type, idx, max(rho) AS rho FROM reg GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_registers,
+           CAST({1 << _HLL_P} - count(*) AS BIGINT) AS zero_registers,
+           CAST(sum(CAST(1 AS BIGINT) << ({_HLL_NBITS + 1} - rho)) AS BIGINT)
+             AS scaled_register_sum,
+           CAST(max(rho) AS INTEGER) AS max_rho
+    FROM mx GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("q_sketch_hll_registers", TIER, _HLL_ORACLE)
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register-state census per event_type, CI-judged EXACTLY:
+    register count, zero-register count, the estimator's register sum
+    scaled to an exact BIGINT (2^(nbits+1-rho) — dyadic terms summed
+    as integers so no float rounds anywhere), and the max rho.  A
+    DuckDB oracle restating the same md5/bin() integer arithmetic
+    hash-matches bit for bit."""
+    from pyspark.sql import functions as F
+
+    from v6spark.operators.sketches import hll_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.concat(F.lit("u"), F.col("user_id")).alias("u")
+    )
+    regs = hll_sketch(ev, "u", ["event_type"], p=_HLL_P)
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("idx").alias("n_registers"),
+            (F.lit(1 << _HLL_P) - F.count("idx")).alias("zero_registers"),
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_NBITS + 1} - rho)")).alias(
+                "scaled_register_sum"
+            ),
+            F.max("rho").alias("max_rho"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 512
+
+_CM_ORACLE = f"""
+    WITH cells AS (
+      SELECT d.k AS depth,
+             {_O_H60E.format(x="'cm' || CAST(d.k AS VARCHAR) || ':' || event_type")}
+               % {_CM_WIDTH} AS idx
+      FROM events, range(0, {_CM_DEPTH}) d(k))
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CAST(idx AS INTEGER) AS idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q_sketch_cm_cells", TIER, _CM_ORACLE)
+def q_sketch_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min cell table over event_type occurrences, CI-judged
+    exactly (salted md5 row hashes mod width, integer counters) —
+    the persisted frequency-sketch state is deterministic across
+    engines, merges by SUM, and never leaves integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from v6spark.operators.sketches import cm_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        cm_sketch(ev, "event_type", depth=_CM_DEPTH, width=_CM_WIDTH)
+        .select("depth", "idx", "cnt")
+        .orderBy("depth", "idx")
+    )
