@@ -183,3 +183,51 @@ def test_streaming_foreach_batch_idempotent_replay(spark, tmp_path):
     # epoch replay: same batch df, same batch id — must skip
     ss.sketch_update_foreach_batch(path)(_slice(spark, 1, n=400, base=50), 0)
     assert ss.read_sketch(spark, path, "users").count() == n_before
+
+
+def test_distinct_rollup_incremental_refresh(spark, tmp_path):
+    """The continuous-aggregate-with-distinct-counts case: exact
+    rollups can't merge count(distinct) across partitions; the
+    register view can — and the refresh re-sketches ONLY the changed
+    partition, with estimates identical to sketching the source."""
+    from v6spark.sources.layout import write_partitioned
+    from v6spark.sources.rollup import (
+        read_distinct_rollup,
+        refresh_distinct_rollup,
+    )
+
+    src = str(tmp_path / "events_by_day")
+    view = str(tmp_path / "distinct_view")
+    # 4 day-partitions, 500 distinct users corpus-wide
+    events = spark.range(8000).select(
+        (F.col("id") % 4).alias("day"),
+        F.concat(F.lit("u"), (F.col("id") % 500)).alias("user"),
+    )
+    write_partitioned(events, src, "day")
+
+    refreshed = refresh_distinct_rollup(spark, src, view, "day", "user")
+    assert sorted(refreshed) == ["0", "1", "2", "3"]
+
+    # merged over all partitions: 500 distinct, not sum(4 x 250)
+    total = read_distinct_rollup(spark, view).collect()[0]["approx_distinct"]
+    assert abs(total - 500) <= 10
+    # subset estimate for one day, checked against the exact source count
+    one_day_true = (
+        events.where("day = 1").agg(F.countDistinct("user")).collect()[0][0]
+    )
+    one_day_est = read_distinct_rollup(
+        spark, view, partitions=[1], partition_col="day"
+    ).collect()[0]["approx_distinct"]
+    assert abs(one_day_est - one_day_true) <= max(4, 0.05 * one_day_true)
+
+    # fresh -> no-op; then mutate one partition -> only it refreshes
+    assert refresh_distinct_rollup(spark, src, view, "day", "user") == []
+    spark.range(100).select(
+        F.concat(F.lit("brandnew"), F.col("id")).alias("user")
+    ).write.mode("overwrite").parquet(src + "/day=2")
+    refreshed = refresh_distinct_rollup(spark, src, view, "day", "user")
+    assert refreshed == ["2"]
+    day2 = read_distinct_rollup(
+        spark, view, partitions=[2], partition_col="day"
+    ).collect()[0]["approx_distinct"]
+    assert abs(day2 - 100) <= 4

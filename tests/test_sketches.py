@@ -182,3 +182,19 @@ def test_hll_sketch_plan_is_jvm_only_single_shuffle(spark, users):
     assert plan.count("Exchange") == 1  # one agg shuffle, nothing else
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
         assert marker not in plan
+
+
+# ------------------------------------------------------ HLL set ops
+
+
+def test_hll_union_and_intersect_estimates(spark):
+    a = spark.range(0, 40_000).select(F.concat(F.lit("u"), "id").alias("u"))
+    b = spark.range(30_000, 80_000).select(F.concat(F.lit("u"), "id").alias("u"))
+    sa, sb = sk.hll_sketch(a, "u"), sk.hll_sketch(b, "u")
+    union = sk.hll_union_estimate(sa, sb).collect()[0]["approx_distinct_union"]
+    assert abs(union - 80_000) / 80_000 < 0.07
+    row = sk.hll_intersect_estimate(sa, sb).collect()[0]
+    # |A ∩ B| = 10k against an 80k union: error is relative to the
+    # union (documented caveat), so allow 3 x 1.6% x 80k absolute
+    assert abs(row["approx_intersect"] - 10_000) <= 3 * 0.016 * 80_000
+    assert abs(row["approx_a"] - 40_000) / 40_000 < 0.07

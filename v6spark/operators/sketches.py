@@ -359,3 +359,55 @@ def cm_estimate(
     return joined.groupBy(*groups, item_col).agg(
         F.min("cnt").alias(out_col)
     )
+
+
+# ------------------------------------------------- HLL set estimates
+
+
+def hll_union_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+    p: int = 12,
+    out_col: str = "approx_distinct_union",
+) -> DataFrame:
+    """|A ∪ B| from two register tables: union the rows, merge by
+    MAX — EXACTLY the sketch of the concatenated inputs, so the union
+    estimate carries the plain HLL error (1.04/√m), not a compounded
+    one.  Inputs must share ``p``."""
+    return hll_estimate(a.unionByName(b), group_cols, p=p, out_col=out_col)
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| - |A ∪ B|, per group:
+    (group..., approx_a, approx_b, approx_union, approx_intersect).
+
+    Error caveat (stated, not hidden): the three estimates' absolute
+    errors ADD, so the intersection error is relative to the UNION
+    size — small intersections of large sets are noise (the same
+    limitation theta-sketch intersections quantify; use the exact
+    pair join from operators/dedup.py when the intersection itself
+    is the product).  Intersections comparable to the set sizes —
+    overlap audits between crawl snapshots — are well estimated.
+    """
+    groups = list(group_cols)
+    ea = hll_estimate(a, groups, p=p, out_col="approx_a")
+    eb = hll_estimate(b, groups, p=p, out_col="approx_b")
+    eu = hll_union_estimate(a, b, groups, p=p, out_col="approx_union")
+    if groups:
+        joined = ea.join(eb, groups, "inner").join(eu, groups, "inner")
+    else:
+        joined = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
+    )
+    return joined.select(
+        *groups, "approx_a", "approx_b", "approx_union",
+        inter.alias("approx_intersect"),
+    )

@@ -122,3 +122,58 @@ def is_fresh(source_dir: str, view_dir: str, partition_col: str) -> bool:
     return _partition_fingerprints(source_dir, partition_col) == read_manifest(
         view_dir
     )["partitions"]
+
+
+def refresh_distinct_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    partition_col: str,
+    col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    p: int = 12,
+    full: bool = False,
+) -> list[str]:
+    """Continuous aggregate for DISTINCT COUNTS — the case exact
+    rollups cannot serve: ``count(distinct)`` over several partitions
+    is not the sum of per-partition counts, but it IS the merge of
+    per-partition HLL registers (operators/sketches.py).  The view
+    materializes register rows per (partition, group); refresh
+    re-sketches ONLY partitions whose source fingerprint changed,
+    exactly like any other rollup.
+    """
+    from v6spark.operators.sketches import hll_sketch
+
+    return refresh_rollup(
+        spark,
+        source_dir,
+        view_dir,
+        partition_col,
+        lambda df: hll_sketch(df, col, [partition_col, *group_cols], p=p),
+        full=full,
+    )
+
+
+def read_distinct_rollup(
+    spark: SparkSession,
+    view_dir: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    p: int = 12,
+    partitions: list | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Distinct-count estimates from a materialized register view,
+    merged over any partition subset (``partitions`` prunes at the
+    parquet scan; pass ``partition_col`` with it).  Registers from a
+    refresh are bit-identical to sketching the source directly, so
+    estimates carry the sketch's published error and nothing else."""
+    from pyspark.sql import functions as F
+
+    from v6spark.operators.sketches import hll_estimate
+
+    regs = read_rollup(spark, view_dir)
+    if partitions is not None:
+        if partition_col is None:
+            raise ValueError("partitions subset requires partition_col")
+        regs = regs.filter(F.col(partition_col).isin(list(partitions)))
+    return hll_estimate(regs, list(group_cols), p=p)
