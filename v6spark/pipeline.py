@@ -502,6 +502,15 @@ def published_path(
         doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
     if doc is None:
         return None
+    if "files" in doc:
+        # a retraction version spans several version directories;
+        # there is no single mount root — readers must go through
+        # read_published_corpus, which resolves the file list
+        raise ValueError(
+            "this committed version is a file-level retraction "
+            "(data spans version directories); read it via "
+            "read_published_corpus, not a mount path"
+        )
     return f"{path}/{doc['live']}", doc
 
 
@@ -511,28 +520,45 @@ def read_published_corpus(
     """Committed-only DataFrame view of a parquet-format publish
     (exactly-once read: partial publishes are invisible);
     ``version`` pins a historical publish (see
-    :func:`published_path`)."""
-    resolved = published_path(spark, path, version=version)
-    if resolved is None:
+    :func:`published_path`).  Resolves directory-level publish
+    manifests AND file-level retraction manifests
+    (:func:`retract_from_published`) transparently."""
+    from v6spark import txlog
+
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+    if doc is None:
         return None
-    root, doc = resolved
     if doc.get("fmt") != "parquet":
         raise ValueError(
             f"read_published_corpus reads parquet publishes; this one is "
-            f"{doc.get('fmt')!r} — mount {root} in the trainer instead"
+            f"{doc.get('fmt')!r} — mount its published_path in the trainer "
+            "instead"
         )
-    if split is not None:
-        return spark.read.parquet(f"{root}/split={split}")
-    # one DataFrame over every split, split label recovered from the path
+    # resolves both manifest shapes: directory-level publishes and
+    # file-level retraction versions (explicit surviving-file lists)
+    split_files = _published_split_files(spark, path, doc)
     splits = sorted(doc["splits"])
+    if split is not None:
+        files = split_files.get(split, [])
+        if not files:
+            return None
+        return _read_split_files(spark, path, split, files)
     if not splits:
         # a committed EMPTY publish (every doc filtered out) is a
         # valid state distinct from "nothing committed yet"
         return None
     dfs = [
-        spark.read.parquet(f"{root}/split={s}").withColumn("split", F.lit(s))
+        _read_split_files(spark, path, s, split_files[s]).withColumn(
+            "split", F.lit(s)
+        )
         for s in splits
+        if split_files.get(s)
     ]
+    if not dfs:
+        return None
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -581,3 +607,279 @@ def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
     return txlog.vacuum_versions(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last
     )
+
+
+def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
+    """Relative data-file paths per split for a committed parquet
+    publish — directory-level (recursive listing of the version dir,
+    shard subdirectories included) or file-level (a retraction
+    manifest's explicit ``files`` list)."""
+    from v6spark import txlog
+
+    if "files" in doc:
+        return {s: list(fl) for s, fl in doc["files"].items()}
+    out: dict[str, list[str]] = {}
+    for s in sorted(doc["splits"]):
+        split_dir = f"{path}/{doc['live']}/split={s}"
+        fs, jdir, _jvm = txlog._jfs(spark, split_dir)
+        files = []
+        if fs.exists(jdir):
+            it = fs.listFiles(jdir, True)
+            while it.hasNext():
+                fst = it.next()
+                name = fst.getPath().getName()
+                if not name.startswith(("_", ".")):
+                    files.append(_rel_path(fst.getPath().toString(), path))
+        out[s] = sorted(files)
+    return out
+
+
+def _read_split_files(spark, path: str, split: str, files: list[str]):
+    """One DataFrame over a split's file list, with the ``shard``
+    partition column RECOVERED: files are grouped by the version dir
+    they live in and each group reads under its own basePath (the
+    split dir), so directory-derived partition values survive
+    file-level reads — chained retractions span version dirs, hence
+    the grouping."""
+    by_vdir: dict[str, list[str]] = {}
+    for rel in files:
+        by_vdir.setdefault(rel.split("/", 1)[0], []).append(rel)
+    dfs = []
+    for vdir, group in sorted(by_vdir.items()):
+        base = f"{path}/{vdir}/split={split}"
+        dfs.append(
+            spark.read.option("basePath", base).parquet(
+                *[f"{path}/{rel}" for rel in sorted(group)]
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _rel_path(uri: str, path: str) -> str:
+    """input_file_name() URI -> path-relative file path."""
+    idx = uri.find(path)
+    if idx < 0:
+        raise ValueError(f"file {uri} is outside the publish root {path}")
+    return uri[idx + len(path) + 1 :]
+
+
+def retract_from_published(
+    spark,
+    path: str,
+    predicate: str,
+    commit_mode: str = "rename",
+    _fail_after: str | None = None,
+) -> dict:
+    """Row-level DELETE from a committed parquet publish as a NEW
+    committed version, rewriting ONLY the files that contain matching
+    rows (file-level copy-on-write) — the takedown/right-to-be-
+    forgotten operation a 100 TB published corpus needs, where
+    "republish everything minus the rows" is a full-corpus write and
+    a full-corpus read.
+
+    ``predicate`` is a SQL boolean over the published columns
+    selecting the rows to REMOVE; it is recorded in the manifest.
+
+    Scale shape, in order:
+    1. ONE predicate-pushdown scan per split finds the affected files
+       (``input_file_name()`` + the pushed predicate: parquet
+       row-group stats skip clean files, and only predicate columns
+       are read — ``.explain`` shows PushedFilters when the predicate
+       is stats-friendly).  With Z-ordered or key-sorted layout
+       (sources/layout.py) the affected set is a handful of files.
+    2. Only affected files are re-read and rewritten (minus matching
+       rows) into the new version directory.
+    3. The new manifest lists the surviving files EXPLICITLY (kept
+       files stay in their original version directories — zero bytes
+       copied for them); ``live`` lists every referenced version dir
+       so the directory-level vacuum spares them, and
+       :func:`vacuum_published_files` sweeps the superseded originals
+       file-granularly once retention passes (the actual "forgotten"
+       guarantee — see its docstring).
+
+    Committed readers (:func:`read_published_corpus`) resolve either
+    manifest shape transparently.  A crash before the manifest commit
+    leaves the current version untouched (``_fail_after="data"``
+    injects that window); the retraction is single-writer, like
+    publishes.
+
+    Returns {"_version", "rows_removed", "files_rewritten",
+    "files_kept", "splits"} — rows_removed == 0 commits nothing and
+    returns the current version.
+    """
+    from v6spark import txlog
+
+    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if doc is None:
+        raise ValueError(f"{path} has no committed publish to retract from")
+    if doc.get("fmt") != "parquet":
+        raise ValueError(
+            "retract_from_published operates on parquet publishes; "
+            f"this one is {doc.get('fmt')!r}"
+        )
+    split_files = _published_split_files(spark, path, doc)
+    pred = F.expr(predicate)
+
+    new_version = version + 1
+    vdir = f"v={new_version:06d}"
+    data_root = f"{path}/{vdir}"
+    fs, jroot, _jvm = txlog._jfs(spark, data_root)
+    if fs.exists(jroot):
+        fs.delete(jroot, True)  # orphan of our own crashed attempt
+
+    new_files: dict[str, list[str]] = {}
+    new_counts: dict[str, int] = {}
+    rows_removed = 0
+    files_rewritten = 0
+    files_kept = 0
+    for s, files in sorted(split_files.items()):
+        if not files:
+            new_files[s] = []
+            new_counts[s] = doc["splits"].get(s, 0)
+            continue
+        df = _read_split_files(spark, path, s, files)
+        # one pushed-down scan: affected files + their match counts
+        hits = (
+            df.filter(pred)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        affected_rel = {_rel_path(r["f"], path) for r in hits}
+        removed_s = sum(r["n"] for r in hits)
+        rows_removed += removed_s
+        kept = [rel for rel in files if rel not in affected_rel]
+        files_kept += len(kept)
+        out_rel: list[str] = []
+        if affected_rel:
+            files_rewritten += len(affected_rel)
+            # basePath-grouped read keeps the shard partition column,
+            # and partitionBy writes it back — the rewritten rows stay
+            # in their shard for per-shard consumers
+            rewritten = _read_split_files(
+                spark, path, s, sorted(affected_rel)
+            ).filter(~pred)
+            out_dir = f"{data_root}/split={s}"
+            writer = rewritten.write.mode("error")
+            if "shard" in rewritten.columns:
+                writer = writer.partitionBy("shard")
+            writer.parquet(out_dir)
+            fs2, jdir2, _ = txlog._jfs(spark, out_dir)
+            it = fs2.listFiles(jdir2, True)
+            while it.hasNext():
+                fst = it.next()
+                name = fst.getPath().getName()
+                if not name.startswith(("_", ".")):
+                    out_rel.append(_rel_path(fst.getPath().toString(), path))
+        new_files[s] = sorted(kept + out_rel)
+        new_counts[s] = doc["splits"].get(s, 0) - removed_s
+
+    if rows_removed == 0:
+        fs.delete(jroot, True)
+        return {
+            "_version": version,
+            "rows_removed": 0,
+            "files_rewritten": 0,
+            "files_kept": files_kept,
+            "splits": dict(doc["splits"]),
+        }
+    if _fail_after == "data":
+        raise RuntimeError("injected crash after retraction data write")
+
+    live_dirs = sorted(
+        {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
+    )
+    txlog.publish(
+        spark,
+        f"{path}/{_COMMITS}",
+        new_version,
+        {
+            "live": live_dirs,
+            "primary": vdir,
+            "files": new_files,
+            "fmt": "parquet",
+            "splits": new_counts,
+            "schema": doc.get("schema"),
+            "schema_changed": False,
+            "retraction": {
+                "predicate": predicate,
+                "rows_removed": rows_removed,
+                "files_rewritten": files_rewritten,
+                "files_kept": files_kept,
+                "from_version": version,
+            },
+        },
+        commit_mode=commit_mode,
+    )
+    return {
+        "_version": new_version,
+        "rows_removed": rows_removed,
+        "files_rewritten": files_rewritten,
+        "files_kept": files_kept,
+        "splits": new_counts,
+    }
+
+
+def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
+    """File-granular retention sweep — the piece that makes a
+    retraction actually FORGET: after :func:`vacuum_published`'s
+    directory-level pass, version directories referenced by a
+    retained file-level (retraction) manifest survive WHOLESALE,
+    including the superseded originals of rewritten files (the bytes
+    the retraction removed).  This sweep deletes, inside every
+    referenced-but-not-wholly-live version directory, the data files
+    NO retained manifest's file list references.  Returns files
+    removed (directories fully drained are removed too).
+
+    Run it after retention passes:
+    ``retract_from_published(...); vacuum_published_files(path)``
+    leaves no copy of the retracted rows on storage.
+    """
+    from v6spark import txlog
+
+    removed = vacuum_published(spark, path, keep_last=keep_last)
+    manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
+    retained = [manifests[v] for v in sorted(manifests)[-keep_last:]]
+    whole_dirs: set[str] = set()
+    keep_files: set[str] = set()
+    for d in retained:
+        if "files" in d:
+            for fl in d["files"].values():
+                keep_files.update(fl)
+        else:
+            live = d.get("live")
+            whole_dirs.update(live if isinstance(live, list) else [live])
+    n_files = 0
+    fs, jroot, jvm = txlog._jfs(spark, path)
+    if not fs.exists(jroot):
+        return removed
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        if name in whole_dirs:
+            continue
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            fst = it.next()
+            fname = fst.getPath().getName()
+            if fname.startswith(("_", ".")):
+                continue
+            rel = _rel_path(fst.getPath().toString(), path)
+            if rel not in keep_files:
+                fs.delete(fst.getPath(), False)
+                n_files += 1
+        # drop the dir if nothing referenced remains under it
+        still = False
+        it2 = fs.listFiles(st.getPath(), True)
+        while it2.hasNext():
+            f2 = it2.next().getPath().getName()
+            if not f2.startswith(("_", ".")):
+                still = True
+                break
+        if not still:
+            fs.delete(st.getPath(), True)
+    return removed + n_files
