@@ -162,3 +162,118 @@ def test_retract_then_full_publish_continues_the_log(spark, tmp_path):
     assert out.count() == 20  # the fresh publish has everything again
     path3, doc3 = published_path(spark, root)
     assert doc3["v"] == 3
+
+
+# ------------------------------------------------------------- upsert
+
+
+@pytest.mark.parametrize("mode", ["rename", "put"])
+def test_upsert_updates_in_place_and_inserts(spark, tmp_path, mode):
+    prepared, content = _corpus(spark)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, content, root, n_shards=8, commit_mode=mode)
+
+    updates = spark.createDataFrame(
+        [
+            (7, "REVISED body 7", "ok", None),      # update (was secret)
+            (13, "REVISED body 13", "ok", None),    # update
+            (100, "new doc 100", "ok", "train"),    # insert
+            (101, "new doc 101", "ok", "valid"),    # insert
+        ],
+        "doc_id long, text string, status string, split string",
+    )
+    from v6spark.pipeline import upsert_into_published
+
+    res = upsert_into_published(spark, root, updates, commit_mode=mode)
+    assert res["_version"] == 2
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 2
+    # only the files holding doc 7 / doc 13 rewrote
+    assert 1 <= res["files_rewritten"] <= 2
+
+    out = read_published_corpus(spark, root)
+    assert out.count() == 42
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[7]["text"] == "REVISED body 7" and got[7]["status"] == "ok"
+    # updates do NOT move splits: doc 7 stays where it was published
+    assert got[7]["split"] == ("train" if 7 % 4 else "valid")
+    assert got[100]["split"] == "train" and got[101]["split"] == "valid"
+    assert got[8]["text"] == "document body 8"  # untouched
+    for s, n in res["splits"].items():
+        assert out.filter(F.col("split") == s).count() == n
+    # time travel: v1 unchanged
+    v1 = read_published_corpus(spark, root, version=1)
+    assert v1.count() == 40
+    assert v1.filter("doc_id = 7").collect()[0]["text"] == "document body 7"
+
+
+def test_upsert_crash_noop_and_validation(spark, tmp_path):
+    from v6spark.pipeline import upsert_into_published
+
+    prepared, content = _corpus(spark, n=20)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, content, root, n_shards=4)
+
+    upd = spark.createDataFrame(
+        [(3, "X", "ok", None)], "doc_id long, text string, status string, split string"
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_into_published(spark, root, upd, _fail_after="data")
+    assert read_published_corpus(spark, root).filter("doc_id = 3").collect()[0][
+        "text"
+    ] == "document body 3"
+    # rerun completes
+    res = upsert_into_published(spark, root, upd)
+    assert res["_version"] == 2 and res["rows_updated"] == 1
+
+    # duplicate delta keys refused
+    dup = spark.createDataFrame(
+        [(5, "a", "ok", None), (5, "b", "ok", None)],
+        "doc_id long, text string, status string, split string",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_into_published(spark, root, dup)
+    # schema drift refused
+    bad = spark.createDataFrame([(5, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="published schema"):
+        upsert_into_published(spark, root, bad)
+    # inserts without a split column refused
+    noin = spark.createDataFrame(
+        [(999, "z", "ok")], "doc_id long, text string, status string"
+    )
+    with pytest.raises(ValueError, match="'split' column"):
+        upsert_into_published(spark, root, noin)
+    # empty-effect delta: no new version
+    nop = spark.createDataFrame(
+        [], "doc_id long, text string, status string, split string"
+    )
+    res = upsert_into_published(spark, root, nop)
+    assert res["_version"] == 2 and res["rows_updated"] == 0
+
+
+def test_upsert_then_retract_then_purge_chain(spark, tmp_path):
+    """The full DML lifecycle on one log: publish -> upsert ->
+    retract -> file purge; every committed view exact, retracted
+    bytes gone."""
+    from v6spark.pipeline import upsert_into_published
+
+    prepared, content = _corpus(spark, n=24)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, content, root, n_shards=4)
+    upsert_into_published(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(7, "poisoned body", "bad", None)],
+            "doc_id long, text string, status string, split string",
+        ),
+    )
+    res = retract_from_published(spark, root, "status = 'bad'")
+    assert res["rows_removed"] == 1
+    out = read_published_corpus(spark, root)
+    assert out.count() == 23 and out.filter("doc_id = 7").count() == 0
+    vacuum_published_files(spark, root, keep_last=1)
+    out = read_published_corpus(spark, root)
+    assert out.count() == 23
+    for f in glob.glob(f"{root}/v=*/split=*/**/*.parquet", recursive=True):
+        with open(f, "rb") as fh:
+            assert b"poisoned" not in fh.read()

@@ -476,6 +476,8 @@ def publish_corpus_committed(
             "splits": counts,
             "schema": schema,
             "schema_changed": schema_changed,
+            "n_shards": n_shards,
+            "seed": seed,
         },
         commit_mode=commit_mode,
     )
@@ -804,6 +806,8 @@ def retract_from_published(
             "splits": new_counts,
             "schema": doc.get("schema"),
             "schema_changed": False,
+            "n_shards": doc.get("n_shards"),
+            "seed": doc.get("seed"),
             "retraction": {
                 "predicate": predicate,
                 "rows_removed": rows_removed,
@@ -883,3 +887,245 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
         if not still:
             fs.delete(st.getPath(), True)
     return removed + n_files
+
+
+def upsert_into_published(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+    commit_mode: str = "rename",
+    n_shards: int | None = None,
+    seed: int | None = None,
+    _fail_after: str | None = None,
+) -> dict:
+    """MERGE a delta into a committed parquet publish as a NEW
+    committed version — UPDATE rows whose key is already published
+    (content replaced in place, same split and shard), INSERT rows
+    with new keys (into the split named by the delta's ``split``
+    column) — completing the publish/retract/upsert DML triad on the
+    same file-level copy-on-write manifest.
+
+    ``updates`` carries the published content columns, plus a
+    ``split`` column consumed by inserts (ignored for updates — an
+    already-published document stays in its split; moving splits is a
+    retract + insert, stated explicitly, because silently migrating a
+    train document into test is how leakage audits get lied to).
+
+    Scale shape: the shard is a pure key hash
+    (``packing.assign_shards``: pmod(xxhash64(seed, key), n_shards) —
+    the params travel in the manifest), so candidate files are pruned
+    BY DIRECTORY NAME to the shards the delta's keys hash into before
+    anything is read; within candidates, one key-column scan
+    (min/max-key prefilter for row-group stats + broadcast semi-join)
+    finds the files that actually hold matched rows.  Only those
+    rewrite; kept files are referenced, zero bytes copied.  Rewritten
+    shards re-sort by the publish's deterministic ``_order`` hash, so
+    trainers' per-shard reading order survives the merge.
+
+    Crash before the manifest commit leaves the current version
+    untouched (``_fail_after="data"``).  Single-writer, like
+    publishes.  Returns {"_version", "rows_updated", "rows_inserted",
+    "files_rewritten", "files_kept", "splits"}.
+    """
+    from v6spark import txlog
+    from v6spark.operators.packing import assign_shards
+
+    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if doc is None:
+        raise ValueError(f"{path} has no committed publish to upsert into")
+    if doc.get("fmt") != "parquet":
+        raise ValueError(
+            "upsert_into_published operates on parquet publishes; "
+            f"this one is {doc.get('fmt')!r}"
+        )
+    ns = n_shards if n_shards is not None else (doc.get("n_shards") or 32)
+    sd = seed if seed is not None else (doc.get("seed") or 0)
+    content_cols = [c for c in updates.columns if c != "split"]
+    published_cols = [name for name, _t in (doc.get("schema") or [])]
+    if published_cols and sorted(content_cols) != sorted(published_cols):
+        raise ValueError(
+            f"upsert columns {sorted(content_cols)} != published schema "
+            f"{sorted(published_cols)} (plus an optional 'split' for inserts)"
+        )
+    if key_col not in updates.columns:
+        raise ValueError(f"updates must carry the key column {key_col!r}")
+
+    # the delta is the small side by contract: broadcast it everywhere
+    dup = (
+        updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates carry duplicate key {dup[0][key_col]!r} — an upsert "
+            "must be keyed uniquely (collapse the delta first)"
+        )
+    upd = assign_shards(updates, key_col, ns, seed=sd).drop("_order")
+    upd_keys = upd.select(key_col, "shard")
+    bounds = updates.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    touched_shards = {r["shard"] for r in upd_keys.select("shard").distinct().collect()}
+
+    split_files = _published_split_files(spark, path, doc)
+    new_version = version + 1
+    vdir = f"v={new_version:06d}"
+    data_root = f"{path}/{vdir}"
+    fs, jroot, _jvm = txlog._jfs(spark, data_root)
+    if fs.exists(jroot):
+        fs.delete(jroot, True)  # orphan of our own crashed attempt
+
+    def _shard_of(rel: str) -> int | None:
+        for part in rel.split("/"):
+            if part.startswith("shard="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    new_files: dict[str, list[str]] = {}
+    new_counts: dict[str, int] = {}
+    rows_updated = 0
+    files_rewritten = 0
+    files_kept = 0
+    matched_keys_frames = []
+    rewrites: dict[str, DataFrame] = {}
+    for s, files in sorted(split_files.items()):
+        # directory-name pruning: only files in shards the delta
+        # hashes into can hold a matched key
+        candidates = [
+            rel for rel in files if _shard_of(rel) in touched_shards
+        ]
+        affected_rel: set[str] = set()
+        matched_s = 0
+        if candidates:
+            cand_df = _read_split_files(spark, path, s, candidates)
+            hits = (
+                cand_df.filter(F.col(key_col).between(bounds["lo"], bounds["hi"]))
+                .join(F.broadcast(upd_keys.select(key_col)), key_col, "left_semi")
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            affected_rel = {_rel_path(r["f"], path) for r in hits}
+            matched_s = sum(r["n"] for r in hits)
+        rows_updated += matched_s
+        kept = [rel for rel in files if rel not in affected_rel]
+        files_kept += len(kept)
+        new_files[s] = sorted(kept)
+        new_counts[s] = doc["splits"].get(s, 0)
+        if affected_rel:
+            files_rewritten += len(affected_rel)
+            aff = _read_split_files(spark, path, s, sorted(affected_rel))
+            kept_rows = aff.join(
+                F.broadcast(upd_keys.select(key_col)), key_col, "left_anti"
+            )
+            matched = aff.select(key_col).join(
+                F.broadcast(upd_keys.select(key_col)), key_col, "left_semi"
+            )
+            matched_keys_frames.append(matched)
+            updated_rows = upd.drop("split").join(
+                matched, key_col, "left_semi"
+            )
+            rewrites[s] = kept_rows.unionByName(
+                updated_rows.select(*kept_rows.columns)
+            )
+
+    # inserts: delta keys not published anywhere
+    if matched_keys_frames:
+        all_matched = matched_keys_frames[0]
+        for m in matched_keys_frames[1:]:
+            all_matched = all_matched.unionByName(m)
+        inserts = upd.join(all_matched, key_col, "left_anti")
+    else:
+        inserts = upd
+    rows_inserted = inserts.count()
+    if rows_inserted and "split" not in updates.columns:
+        raise ValueError(
+            f"{rows_inserted} delta rows have unpublished keys; inserts "
+            "need a 'split' column naming their destination split"
+        )
+
+    if rows_updated == 0 and rows_inserted == 0:
+        fs.delete(jroot, True)
+        return {
+            "_version": version,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "files_rewritten": 0,
+            "files_kept": files_kept,
+            "splits": dict(doc["splits"]),
+        }
+
+    insert_splits = (
+        {r["split"] for r in inserts.select("split").distinct().collect()}
+        if rows_inserted
+        else set()
+    )
+    for s in sorted(set(rewrites) | insert_splits):
+        out_df = rewrites.get(s)
+        if s in insert_splits:
+            ins_s = inserts.filter(F.col("split") == s).drop("split")
+            new_counts[s] = new_counts.get(s, 0) + ins_s.count()
+            out_df = ins_s if out_df is None else out_df.unionByName(
+                ins_s.select(*out_df.columns)
+            )
+        # deterministic per-shard training order, as at publish time
+        ordered = out_df.withColumn(
+            "_order", F.xxhash64(F.lit(sd + 1), F.col(key_col))
+        )
+        out_dir = f"{data_root}/split={s}"
+        (
+            ordered.repartition(ns, F.col("shard"))
+            .sortWithinPartitions("shard", "_order", key_col)
+            .drop("_order")
+            .write.mode("error")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        fs2, jdir2, _ = txlog._jfs(spark, out_dir)
+        it = fs2.listFiles(jdir2, True)
+        added = []
+        while it.hasNext():
+            fst = it.next()
+            name = fst.getPath().getName()
+            if not name.startswith(("_", ".")):
+                added.append(_rel_path(fst.getPath().toString(), path))
+        new_files[s] = sorted(new_files.get(s, []) + added)
+    if _fail_after == "data":
+        raise RuntimeError("injected crash after upsert data write")
+
+    live_dirs = sorted(
+        {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
+    )
+    txlog.publish(
+        spark,
+        f"{path}/{_COMMITS}",
+        new_version,
+        {
+            "live": live_dirs,
+            "primary": vdir,
+            "files": new_files,
+            "fmt": "parquet",
+            "splits": new_counts,
+            "schema": doc.get("schema"),
+            "schema_changed": False,
+            "n_shards": ns,
+            "seed": sd,
+            "upsert": {
+                "rows_updated": rows_updated,
+                "rows_inserted": rows_inserted,
+                "files_rewritten": files_rewritten,
+                "files_kept": files_kept,
+                "from_version": version,
+            },
+        },
+        commit_mode=commit_mode,
+    )
+    return {
+        "_version": new_version,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+        "files_rewritten": files_rewritten,
+        "files_kept": files_kept,
+        "splits": new_counts,
+    }
