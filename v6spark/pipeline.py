@@ -1129,3 +1129,68 @@ def upsert_into_published(
         "files_kept": files_kept,
         "splits": new_counts,
     }
+
+
+def compact_published(
+    spark, path: str, commit_mode: str = "rename"
+) -> int | None:
+    """Fold the current (file-level, DML-accumulated) committed
+    version back into one fresh DIRECTORY-level version — the
+    OPTIMIZE step after a run of retractions/upserts: restores a
+    single mountable version root (``published_path`` works again),
+    collapses cross-version file references, and re-packs each shard
+    into one file in the deterministic training order.  A no-op
+    (returns None) when the current version is already
+    directory-level.  Retired versions' bytes go when
+    :func:`vacuum_published_files` runs after retention.
+    """
+    from v6spark import txlog
+
+    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if doc is None:
+        raise ValueError(f"{path} has no committed publish to compact")
+    if "files" not in doc:
+        return None
+    ns = doc.get("n_shards") or 32
+    sd = doc.get("seed") or 0
+    new_version = version + 1
+    vdir = f"v={new_version:06d}"
+    data_root = f"{path}/{vdir}"
+    fs, jroot, _jvm = txlog._jfs(spark, data_root)
+    if fs.exists(jroot):
+        fs.delete(jroot, True)
+    split_files = _published_split_files(spark, path, doc)
+    for s, files in sorted(split_files.items()):
+        if not files:
+            continue
+        df = _read_split_files(spark, path, s, files)
+        ordered = df.withColumn(
+            "_order", F.xxhash64(F.lit(sd + 1), F.col(df.columns[0]))
+            if "doc_id" not in df.columns
+            else F.xxhash64(F.lit(sd + 1), F.col("doc_id"))
+        )
+        (
+            ordered.repartition(ns, F.col("shard"))
+            .sortWithinPartitions("shard", "_order")
+            .drop("_order")
+            .write.mode("error")
+            .partitionBy("shard")
+            .parquet(f"{data_root}/split={s}")
+        )
+    txlog.publish(
+        spark,
+        f"{path}/{_COMMITS}",
+        new_version,
+        {
+            "live": vdir,
+            "fmt": "parquet",
+            "splits": dict(doc["splits"]),
+            "schema": doc.get("schema"),
+            "schema_changed": False,
+            "n_shards": ns,
+            "seed": sd,
+            "compacted_from": version,
+        },
+        commit_mode=commit_mode,
+    )
+    return new_version
