@@ -478,6 +478,7 @@ def publish_corpus_committed(
             "schema_changed": schema_changed,
             "n_shards": n_shards,
             "seed": seed,
+            "key_col": key_col,
         },
         commit_mode=commit_mode,
     )
@@ -761,9 +762,14 @@ def retract_from_published(
             # basePath-grouped read keeps the shard partition column,
             # and partitionBy writes it back — the rewritten rows stay
             # in their shard for per-shard consumers
+            # DELETE semantics: remove only rows where the predicate is
+            # TRUE.  A bare ~pred would also drop NULL-pred rows (e.g.
+            # `text LIKE '%x%'` over a nullable column) that the hits
+            # scan above never counted — survivors must be the exact
+            # complement of the counted hits (Delta keeps non-TRUE rows).
             rewritten = _read_split_files(
                 spark, path, s, sorted(affected_rel)
-            ).filter(~pred)
+            ).filter(~F.coalesce(pred, F.lit(False)))
             out_dir = f"{data_root}/split={s}"
             writer = rewritten.write.mode("error")
             if "shard" in rewritten.columns:
@@ -808,6 +814,7 @@ def retract_from_published(
             "schema_changed": False,
             "n_shards": doc.get("n_shards"),
             "seed": doc.get("seed"),
+            "key_col": doc.get("key_col"),
             "retraction": {
                 "predicate": predicate,
                 "rows_removed": rows_removed,
@@ -938,6 +945,27 @@ def upsert_into_published(
         raise ValueError(
             "upsert_into_published operates on parquet publishes; "
             f"this one is {doc.get('fmt')!r}"
+        )
+    # shard-hash params and the key column are PUBLISH properties —
+    # an override disagreeing with the manifest would make the
+    # directory-name pruning miss every existing row (all deltas
+    # treated as inserts: silent duplicate keys).  Explicit params
+    # are validated, not trusted; they remain only as a fallback for
+    # manifests written before these fields were recorded.
+    for pname, given, recorded in (
+        ("n_shards", n_shards, doc.get("n_shards")),
+        ("seed", seed, doc.get("seed")),
+    ):
+        if given is not None and recorded is not None and given != recorded:
+            raise ValueError(
+                f"upsert {pname}={given} disagrees with the publish "
+                f"manifest's {pname}={recorded}; the shard hash is fixed "
+                "at publish time"
+            )
+    if doc.get("key_col") is not None and key_col != doc["key_col"]:
+        raise ValueError(
+            f"upsert key_col={key_col!r} disagrees with the publish "
+            f"manifest's key_col={doc['key_col']!r}"
         )
     ns = n_shards if n_shards is not None else (doc.get("n_shards") or 32)
     sd = seed if seed is not None else (doc.get("seed") or 0)
@@ -1111,6 +1139,7 @@ def upsert_into_published(
             "schema_changed": False,
             "n_shards": ns,
             "seed": sd,
+            "key_col": doc.get("key_col") or key_col,
             "upsert": {
                 "rows_updated": rows_updated,
                 "rows_inserted": rows_inserted,
@@ -1153,6 +1182,10 @@ def compact_published(
         return None
     ns = doc.get("n_shards") or 32
     sd = doc.get("seed") or 0
+    # training order is keyed on the PUBLISH's key column (recorded in
+    # the manifest since r6); the doc_id/first-column guess is only a
+    # fallback for pre-r6 manifests
+    key_col = doc.get("key_col")
     new_version = version + 1
     vdir = f"v={new_version:06d}"
     data_root = f"{path}/{vdir}"
@@ -1164,10 +1197,11 @@ def compact_published(
         if not files:
             continue
         df = _read_split_files(spark, path, s, files)
+        kc = key_col if key_col in df.columns else (
+            "doc_id" if "doc_id" in df.columns else df.columns[0]
+        )
         ordered = df.withColumn(
-            "_order", F.xxhash64(F.lit(sd + 1), F.col(df.columns[0]))
-            if "doc_id" not in df.columns
-            else F.xxhash64(F.lit(sd + 1), F.col("doc_id"))
+            "_order", F.xxhash64(F.lit(sd + 1), F.col(kc))
         )
         (
             ordered.repartition(ns, F.col("shard"))
@@ -1189,6 +1223,7 @@ def compact_published(
             "schema_changed": False,
             "n_shards": ns,
             "seed": sd,
+            "key_col": key_col,
             "compacted_from": version,
         },
         commit_mode=commit_mode,

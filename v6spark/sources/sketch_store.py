@@ -256,18 +256,31 @@ def sketch_freq(
     items: DataFrame,
     item_col: str,
     partitions: list | None = None,
+    by_partition: bool = False,
 ) -> DataFrame:
     """Frequency estimates for ``items`` from a stored Count-Min
-    sketch (never undercounts)."""
+    sketch (never undercounts).  A spec built with ``group_cols``
+    answers PER GROUP — ``items`` must then carry those columns
+    (merging cells across groups would silently overcount, the same
+    way sketch_distinct/sketch_quantiles never do)."""
     doc = store_specs(spark, path)
     spec = doc["specs"][name]
     if spec["kind"] != "cm":
         raise ValueError(f"sketch {name!r} is {spec['kind']}, not cm")
+    groups = _estimate_groups(doc, name, by_partition)
+    missing = [g for g in groups if g not in items.columns]
+    if missing:
+        raise ValueError(
+            f"cm sketch {name!r} is grouped by {groups}; items must "
+            f"carry {missing} to probe it (per-group cells are never "
+            "merged across groups)"
+        )
     cells = read_sketch(spark, path, name, partitions)
     return _sk.cm_estimate(
         cells,
         items,
         item_col,
+        group_cols=groups,
         depth=spec.get("depth", 4),
         width=spec.get("width", 2048),
     )

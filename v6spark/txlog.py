@@ -77,7 +77,10 @@ def _jfs(spark: SparkSession, path_str: str):
 
 
 def _encode(version: int, payload: dict) -> bytes:
-    body = json.dumps({"v": version, **payload}, sort_keys=True).encode()
+    # payload last-writer-wins would let a re-spread stale "v" (e.g. a
+    # decoded manifest doc passed back through append/compact) override
+    # the true version — the filename and body must always agree.
+    body = json.dumps({**payload, "v": version}, sort_keys=True).encode()
     digest = hashlib.sha256(body).hexdigest()
     return body + b"\nsha256:" + digest.encode() + b"\n"
 
