@@ -77,7 +77,7 @@ def run(spark, n: int) -> dict:
     t0 = time.time()
     publish_corpus_committed(prepared, content, root, n_shards=N_SHARDS)
     t_publish = time.time() - t0
-    bytes_publish = _dir_bytes(f"{root}/v=000001/**/*")
+    bytes_publish = _dir_bytes(f"{root}/v=000001*/**/*")
 
     targets = [n // 3, n // 2, n - 5]
     t0 = time.time()
@@ -85,7 +85,7 @@ def run(spark, n: int) -> dict:
         spark, root, f"doc_id in ({','.join(map(str, targets))})"
     )
     t_retract = time.time() - t0
-    bytes_retract = _dir_bytes(f"{root}/v=000002/**/*")
+    bytes_retract = _dir_bytes(f"{root}/v=000002*/**/*")
     assert res_r["rows_removed"] == 3
     assert read_published_corpus(spark, root).count() == n - 3
 
@@ -97,7 +97,7 @@ def run(spark, n: int) -> dict:
     t0 = time.time()
     res_u = upsert_into_published(spark, root, updates)
     t_upsert = time.time() - t0
-    bytes_upsert = _dir_bytes(f"{root}/v=000003/**/*")
+    bytes_upsert = _dir_bytes(f"{root}/v=000003*/**/*")
     assert res_u["rows_updated"] == 3 and res_u["rows_inserted"] == 1
     out = read_published_corpus(spark, root)
     assert out.count() == n - 3 + 1

@@ -99,10 +99,10 @@ def test_retract_nothing_matches_is_a_noop(spark, tmp_path):
     publish_corpus_committed(prepared, content, root, n_shards=4)
     res = retract_from_published(spark, root, "status = 'nope'")
     assert res["_version"] == 1 and res["rows_removed"] == 0
-    # no new version dir left behind
-    assert sorted(os.path.basename(p) for p in glob.glob(f"{root}/v=*")) == [
-        "v=000001"
-    ]
+    # no new version dir left behind (publish dirs are nonce-named
+    # since the OCC multi-writer change: v=000001-<nonce>)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{root}/v=*"))
+    assert len(dirs) == 1 and dirs[0].startswith("v=000001")
 
 
 def test_chained_retractions_and_file_purge(spark, tmp_path):

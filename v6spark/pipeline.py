@@ -398,7 +398,10 @@ def publish_corpus_committed(
     compress: bool = False,
     commit_mode: str = "rename",
     allow_schema_change: bool = False,
+    sketch_specs: dict | None = None,
     _fail_after_split: str | None = None,
+    _fail_before_sketches: bool = False,
+    max_retries: int = 8,
 ) -> dict:
     """:func:`publish_corpus` wrapped in the versioned-manifest commit
     (:mod:`v6spark.txlog` — the machinery proven by the streaming
@@ -416,12 +419,19 @@ def publish_corpus_committed(
     Why: a plain :func:`publish_corpus` is rerun-byte-identical, but a
     crash mid-publish leaves PARTIAL split directories that a trainer
     listing ``{path}/split=train`` would happily read.  Here every
-    publish writes into its own version directory ``{path}/v=<n>/``
-    and becomes visible only when one manifest file commits it —
-    committed readers (:func:`read_published_corpus`,
-    :func:`published_path`) never see a partial publish, and a rerun
-    after a crash overwrites the orphaned version directory before
-    committing.
+    publish writes into its own nonce-named version directory
+    ``{path}/v=<n>-<nonce>/`` and becomes visible only when one
+    manifest file commits it — committed readers
+    (:func:`read_published_corpus`, :func:`published_path`) never see
+    a partial publish; a crashed attempt's directory is an orphan
+    that :func:`vacuum_published` sweeps.  MULTI-WRITER SAFE via the
+    :func:`_occ_dml` optimistic loop (a lost commit race recomputes
+    against the winner's state and retries).
+
+    The manifest additionally records per-file key min/max stats
+    (``file_stats``) so later retract/upsert candidate selection is
+    manifest-only — no parquet reads outside the files that actually
+    rewrite.
 
     ``commit_mode``: ``"rename"`` (HDFS/POSIX atomic rename) or
     ``"put"`` (S3 semantics — conditional put + checksum-verified
@@ -429,48 +439,51 @@ def publish_corpus_committed(
     tests: raise after the named split's data lands, leaving the
     remaining splits unwritten (the partial-publish window).
 
+    ``sketch_specs`` attaches REGISTER-LEVEL monitoring to the same
+    transaction: ``{name: {"kind": "hll"|"dds", "expr": <sql expr>,
+    ...params}}`` — per-split HLL register / DDSketch bucket tables
+    are computed from the JUST-WRITTEN bytes and land under
+    ``<version dir>/_sketch/<name>`` BEFORE the manifest commits, so
+    ONE commit covers data + sketches (a crash between them leaves
+    neither visible — ``_fail_before_sketches`` injects that window).
+    :func:`published_corpus_drift` then reports distinct/quantile
+    drift between versions from registers alone, zero corpus rescans.
+
     Returns {split: n_rows} like :func:`publish_corpus`, plus the
     committed version under key ``"_version"``.
     """
     from v6spark import txlog
 
     spark = prepared.sparkSession
-    version, _doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
     # the published rows are the content columns (split is consumed
     # into the directory layout) — that is the schema trainers see
     schema = [
         [f.name, f.dataType.simpleString()] for f in content.schema.fields
     ]
-    prev_schema = _doc.get("schema") if _doc else None
-    schema_changed = prev_schema is not None and prev_schema != schema
-    if schema_changed and not allow_schema_change:
-        raise ValueError(
-            f"publish schema drift vs version {version}: "
-            f"{prev_schema} -> {schema}; pass allow_schema_change=True "
-            "to publish anyway (recorded in the manifest)"
+
+    def _attempt(version, _doc, vdir, data_root):
+        prev_schema = _doc.get("schema") if _doc else None
+        schema_changed = prev_schema is not None and prev_schema != schema
+        if schema_changed and not allow_schema_change:
+            raise ValueError(
+                f"publish schema drift vs version {version}: "
+                f"{prev_schema} -> {schema}; pass allow_schema_change=True "
+                "to publish anyway (recorded in the manifest)"
+            )
+        # nonce-named version dir: under concurrent writers, a
+        # deterministic v=<n+1> name would let two racers write into
+        # (and orphan-clear) the same directory — the nonce makes each
+        # attempt's data private until its manifest commits
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)
+
+        counts = publish_corpus(
+            prepared, content, data_root, fmt=fmt, key_col=key_col,
+            n_shards=n_shards, seed=seed, compress=compress,
+            _fail_after_split=_fail_after_split,
         )
-    new_version = version + 1
-    vdir = f"v={new_version:06d}"
-    data_root = f"{path}/{vdir}"
-
-    # An existing target dir is an orphan of OUR OWN crashed previous
-    # attempt (the log is single-writer; committed versions are never
-    # recomputed) — clear it so the shard writers' mode="error"
-    # freshness guarantee holds on the rerun.
-    fs, jroot, _jvm = txlog._jfs(spark, data_root)
-    if fs.exists(jroot):
-        fs.delete(jroot, True)
-
-    counts = publish_corpus(
-        prepared, content, data_root, fmt=fmt, key_col=key_col,
-        n_shards=n_shards, seed=seed, compress=compress,
-        _fail_after_split=_fail_after_split,
-    )
-    txlog.publish(
-        spark,
-        f"{path}/{_COMMITS}",
-        new_version,
-        {
+        payload = {
             "live": vdir,
             "fmt": fmt,
             "splits": counts,
@@ -479,10 +492,34 @@ def publish_corpus_committed(
             "n_shards": n_shards,
             "seed": seed,
             "key_col": key_col,
-        },
-        commit_mode=commit_mode,
-    )
-    return {**counts, "_version": new_version}
+        }
+        if fmt == "parquet":
+            # per-file key stats at publish time: later retract/upsert
+            # candidate pruning becomes manifest-only (no footer reads)
+            split_files = _published_split_files(spark, path, {
+                "live": vdir, "splits": counts,
+            })
+            payload["file_stats"] = {
+                s: _collect_file_stats(spark, path, s, fl, key_col)
+                if fl else {}
+                for s, fl in split_files.items()
+            }
+        if sketch_specs:
+            if fmt != "parquet":
+                raise ValueError(
+                    "sketch_specs requires a parquet publish (registers "
+                    "are computed from the written files)"
+                )
+            if _fail_before_sketches:
+                raise RuntimeError(
+                    "injected crash between data and sketch write"
+                )
+            payload["sketches"] = _write_publish_sketches(
+                spark, data_root, vdir, sketch_specs, counts
+            )
+        return payload, dict(counts)
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
 
 
 def published_path(
@@ -548,15 +585,17 @@ def read_published_corpus(
         files = split_files.get(split, [])
         if not files:
             return None
-        return _read_split_files(spark, path, split, files)
+        return _read_split_files(
+            spark, path, split, files, schema=doc.get("schema")
+        )
     if not splits:
         # a committed EMPTY publish (every doc filtered out) is a
         # valid state distinct from "nothing committed yet"
         return None
     dfs = [
-        _read_split_files(spark, path, s, split_files[s]).withColumn(
-            "split", F.lit(s)
-        )
+        _read_split_files(
+            spark, path, s, split_files[s], schema=doc.get("schema")
+        ).withColumn("split", F.lit(s))
         for s in splits
         if split_files.get(s)
     ]
@@ -566,6 +605,151 @@ def read_published_corpus(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _write_publish_sketches(
+    spark, data_root: str, vdir: str, sketch_specs: dict, counts: dict
+) -> dict:
+    """Compute per-split register tables from the just-written version
+    directory and persist them INSIDE it (``_sketch/<name>``, skipped
+    by data readers) — same transaction as the data because the
+    manifest that names both commits last.  Registers are computed
+    from the committed BYTES (a re-read of only the sketched columns,
+    columnar), so they describe exactly what shipped, not an upstream
+    frame that might differ.  Returns the manifest ``sketches`` doc.
+    """
+    from v6spark.operators import sketches as _sk
+
+    recorded = {}
+    for name, spec in sketch_specs.items():
+        kind = spec.get("kind")
+        expr = spec.get("expr")
+        if kind not in ("hll", "dds") or not expr:
+            raise ValueError(
+                f"sketch spec {name!r} needs kind in ('hll','dds') and an "
+                f"'expr'; got {spec!r}"
+            )
+        frames = []
+        for s in sorted(counts):
+            x = F.expr(expr)
+            if kind == "hll":
+                # the portable 60-bit hash is md5-based: string input
+                x = x.cast("string")
+            df = spark.read.parquet(f"{data_root}/split={s}").select(
+                x.alias("_x")
+            )
+            if kind == "hll":
+                sk = _sk.hll_sketch(df, "_x", p=spec.get("p", 12))
+            else:
+                sk = _sk.dds_sketch(df, "_x", alpha=spec.get("alpha", 0.01))
+            frames.append(sk.withColumn("split", F.lit(s)))
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        out.write.mode("error").parquet(f"{data_root}/_sketch/{name}")
+        doc = {"kind": kind, "expr": expr, "dir": f"{vdir}/_sketch/{name}"}
+        if kind == "hll":
+            doc["p"] = spec.get("p", 12)
+        else:
+            doc["alpha"] = spec.get("alpha", 0.01)
+        recorded[name] = doc
+    return recorded
+
+
+def read_published_sketch(
+    spark, path: str, name: str, version: int | None = None
+):
+    """Register/bucket table of a publish-time sketch (columns:
+    registers..., split) — the monitoring state for ``version`` (or
+    latest), readable without touching the corpus."""
+    from v6spark import txlog
+
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+    if doc is None:
+        return None
+    spec = (doc.get("sketches") or {}).get(name)
+    if spec is None:
+        raise ValueError(
+            f"version has no sketch {name!r} (publish with sketch_specs; "
+            "file-level DML versions carry no registers — the data "
+            "changed, so pre-DML registers would lie)"
+        )
+    return spark.read.parquet(f"{path}/{spec['dir']}"), spec
+
+
+def published_corpus_drift(
+    spark,
+    path: str,
+    old_version: int,
+    new_version: int | None = None,
+    quantiles: tuple = (0.5, 0.95, 0.99),
+):
+    """Approximate drift report between two committed publishes FROM
+    REGISTERS ALONE — zero corpus rescans (the r5 sketch-store idea,
+    transactionally coupled to the publish): for every sketch both
+    versions carry, HLL → approx-distinct old/new/delta, DDSketch →
+    the requested quantiles old/new/delta.  Returns a DataFrame
+    (sketch, metric, old, new, delta) — the drift columns a release
+    gate reads next to :func:`published_corpus_diff`'s per-doc census.
+    """
+    from v6spark import txlog
+    from v6spark.operators import sketches as _sk
+
+    old_doc = txlog.read_version(spark, f"{path}/{_COMMITS}", old_version)
+    if new_version is None:
+        new_version, new_doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        new_doc = txlog.read_version(spark, f"{path}/{_COMMITS}", new_version)
+    if old_doc is None or new_doc is None:
+        raise ValueError(
+            f"published_corpus_drift needs both manifests retained "
+            f"(old={old_version}, new={new_version})"
+        )
+    old_sk = old_doc.get("sketches") or {}
+    new_sk = new_doc.get("sketches") or {}
+    common = sorted(set(old_sk) & set(new_sk))
+    if not common:
+        raise ValueError(
+            "no sketch is present in BOTH versions — publish with the "
+            "same sketch_specs to enable register-only drift"
+        )
+    rows = []
+    for name in common:
+        o_spec, n_spec = old_sk[name], new_sk[name]
+        if o_spec["kind"] != n_spec["kind"]:
+            continue
+        o_regs = spark.read.parquet(f"{path}/{o_spec['dir']}")
+        n_regs = spark.read.parquet(f"{path}/{n_spec['dir']}")
+        if o_spec["kind"] == "hll":
+            o = _sk.hll_estimate(o_regs, p=o_spec["p"]).collect()[0][0]
+            n = _sk.hll_estimate(n_regs, p=n_spec["p"]).collect()[0][0]
+            rows.append((name, "approx_distinct", float(o), float(n)))
+        else:
+            qs = list(quantiles)
+            o = {
+                r["q"]: r["value"]
+                for r in _sk.dds_quantiles(
+                    o_regs, qs, alpha=o_spec["alpha"]
+                ).collect()
+            }
+            n = {
+                r["q"]: r["value"]
+                for r in _sk.dds_quantiles(
+                    n_regs, qs, alpha=n_spec["alpha"]
+                ).collect()
+            }
+            for q in qs:
+                rows.append(
+                    (name, f"p{int(q * 100)}", float(o[q]), float(n[q]))
+                )
+    return spark.createDataFrame(
+        [(s, m, o, n, n - o) for s, m, o, n in rows],
+        "sketch string, metric string, old double, new double, "
+        "delta double",
+    )
 
 
 def published_corpus_diff(
@@ -612,6 +796,44 @@ def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
     )
 
 
+def acquire_read_lease(
+    spark, path: str, version: int | None = None,
+    ttl_seconds: float = 3600.0, owner: str = "",
+) -> tuple[str, int]:
+    """Protect a published version from vacuum while a long read runs:
+    registers a TTL'd lease in the commit log that every vacuum
+    (:func:`vacuum_published`, :func:`vacuum_published_files`) honors
+    as retained, beyond ``keep_last``.  ``version=None`` leases the
+    current latest.  Pattern::
+
+        lease, v = acquire_read_lease(spark, root, ttl_seconds=4*3600)
+        try:
+            df = read_published_corpus(spark, root, version=v)
+            ...long evaluation...
+        finally:
+            release_read_lease(spark, root, lease)
+
+    The TTL bounds a crashed reader's hold; refresh with a new lease
+    for reads longer than the ttl.  Returns (lease_id, version)."""
+    from v6spark import txlog
+
+    if version is None:
+        version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        if doc is None:
+            raise ValueError(f"{path} has no committed publish to lease")
+    lease_id = txlog.acquire_lease(
+        spark, f"{path}/{_COMMITS}", version, ttl_seconds, owner=owner
+    )
+    return lease_id, version
+
+
+def release_read_lease(spark, path: str, lease_id: str) -> bool:
+    """Release a lease from :func:`acquire_read_lease`."""
+    from v6spark import txlog
+
+    return txlog.release_lease(spark, f"{path}/{_COMMITS}", lease_id)
+
+
 def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
     """Relative data-file paths per split for a committed parquet
     publish — directory-level (recursive listing of the version dir,
@@ -637,24 +859,40 @@ def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
     return out
 
 
-def _read_split_files(spark, path: str, split: str, files: list[str]):
+def _read_split_files(
+    spark, path: str, split: str, files: list[str],
+    schema: list | None = None,
+):
     """One DataFrame over a split's file list, with the ``shard``
     partition column RECOVERED: files are grouped by the version dir
     they live in and each group reads under its own basePath (the
     split dir), so directory-derived partition values survive
     file-level reads — chained retractions span version dirs, hence
-    the grouping."""
+    the grouping.
+
+    ``schema`` (the manifest's ``[[name, type], ...]`` list) aligns
+    every group to the CURRENT published schema: files written before
+    an additive :func:`evolve_published_schema` lack the added
+    columns, which read as typed NULLs — the Iceberg/Delta
+    read-with-unified-schema contract, with zero data rewritten."""
     by_vdir: dict[str, list[str]] = {}
     for rel in files:
         by_vdir.setdefault(rel.split("/", 1)[0], []).append(rel)
     dfs = []
     for vdir, group in sorted(by_vdir.items()):
         base = f"{path}/{vdir}/split={split}"
-        dfs.append(
-            spark.read.option("basePath", base).parquet(
-                *[f"{path}/{rel}" for rel in sorted(group)]
-            )
+        df = spark.read.option("basePath", base).parquet(
+            *[f"{path}/{rel}" for rel in sorted(group)]
         )
+        if schema is not None:
+            for name, typ in schema:
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+            order = [n for n, _t in schema] + [
+                c for c in df.columns if c not in {n for n, _t in schema}
+            ]
+            df = df.select(*order)
+        dfs.append(df)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -669,12 +907,110 @@ def _rel_path(uri: str, path: str) -> str:
     return uri[idx + len(path) + 1 :]
 
 
+def _collect_file_stats(
+    spark, path: str, split: str, rels: list[str], key_col: str
+) -> dict[str, list]:
+    """``{rel_path: [min_key, max_key, n_rows]}`` for freshly written
+    data files — ONE key-column scan (columnar: only the key column's
+    pages are read), recorded in the manifest at write time so later
+    retract/upsert candidate selection is MANIFEST-ONLY (the
+    Iceberg/Delta per-file stats pattern; no parquet footer reads at
+    DML time).  Keys that don't survive JSON (binary, nested) yield
+    no stats — callers fall back to scanning, never to wrong answers.
+    """
+    import json as _json
+
+    df = _read_split_files(spark, path, split, rels)
+    rows = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        stat = [r["lo"], r["hi"], r["n"]]
+        try:
+            _json.dumps(stat)
+        except (TypeError, ValueError):
+            return {}
+        out[_rel_path(r["f"], path)] = stat
+    return out
+
+
+def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
+             max_retries: int = 8) -> dict | None:
+    """Optimistic-concurrency loop for the corpus DML verbs
+    (publish / retract / upsert / compact) — the Delta/Iceberg commit
+    protocol at manifest size, built on :func:`txlog.publish`'s
+    version-collision detection (the kernel already proven by the
+    IVF 4-writer race test).
+
+    Each attempt: read the latest committed state, let
+    ``attempt_fn(version, doc, vdir, data_root) -> (payload, result)``
+    compute AND write its data files under the ATTEMPT-UNIQUE
+    directory ``data_root`` (``v=<n+1>-<nonce>``), then try to commit
+    the manifest at ``version + 1``.  Losing the race (another writer
+    committed ``version + 1`` first) deletes this attempt's data
+    directory and re-runs ``attempt_fn`` against the fresh state —
+    full serializability: the loser's rewrite plan is recomputed over
+    the winner's file list, never over the stale one.
+
+    The unique data-directory nonce is what makes concurrent writers
+    safe below the manifest layer: with deterministic ``v=<n+1>``
+    names, two racers would write into (and orphan-clear!) the SAME
+    directory, and the commit winner could reference files the loser
+    deleted.  Readers resolve directories only through the manifest,
+    so the name is opaque to them; a lost attempt's directory is an
+    unreferenced orphan that :func:`vacuum_published` /
+    :func:`vacuum_published_files` sweeps (``grace_seconds`` spares
+    in-flight attempts, as documented on ``txlog.vacuum_versions``).
+
+    ``attempt_fn`` returns ``(None, result)`` for a no-op (nothing to
+    commit; ``result`` is returned as-is).  Put-mode caveat matches
+    ``txlog.commit_with_retry``: concurrent put-mode commits need a
+    store whose conditional put is truly atomic (S3 If-None-Match);
+    the local-FS emulation serializes same-process threads only.
+    """
+    from v6spark import txlog
+    import uuid
+
+    last_err = None
+    for _ in range(max_retries):
+        version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        new_version = version + 1
+        vdir = f"v={new_version:06d}-{uuid.uuid4().hex[:8]}"
+        data_root = f"{path}/{vdir}"
+        payload, result = attempt_fn(version, doc, vdir, data_root)
+        if payload is None:
+            return result
+        try:
+            txlog.publish(
+                spark, f"{path}/{_COMMITS}", new_version, payload,
+                commit_mode=commit_mode,
+            )
+            return {**result, "_version": new_version}
+        except IOError as exc:
+            last_err = exc
+            fs, jroot, _jvm = txlog._jfs(spark, data_root)
+            fs.delete(jroot, True)
+            continue
+    raise IOError(
+        f"corpus DML lost {max_retries} consecutive commit races under "
+        f"{path} — pathological contention, coordinate writers"
+    ) from last_err
+
+
 def retract_from_published(
     spark,
     path: str,
     predicate: str,
     commit_mode: str = "rename",
     _fail_after: str | None = None,
+    max_retries: int = 8,
 ) -> dict:
     """Row-level DELETE from a committed parquet publish as a NEW
     committed version, rewriting ONLY the files that contain matching
@@ -706,8 +1042,11 @@ def retract_from_published(
     Committed readers (:func:`read_published_corpus`) resolve either
     manifest shape transparently.  A crash before the manifest commit
     leaves the current version untouched (``_fail_after="data"``
-    injects that window); the retraction is single-writer, like
-    publishes.
+    injects that window).  MULTI-WRITER SAFE: the whole retraction
+    runs under the :func:`_occ_dml` optimistic loop — a concurrent
+    DML commit makes this writer recompute its affected-file plan
+    against the winner's file list and retry (serializable, like a
+    Delta/Iceberg commit conflict).
 
     Returns {"_version", "rows_removed", "files_rewritten",
     "files_kept", "splits"} — rows_removed == 0 commits nothing and
@@ -715,96 +1054,112 @@ def retract_from_published(
     """
     from v6spark import txlog
 
-    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
-    if doc is None:
-        raise ValueError(f"{path} has no committed publish to retract from")
-    if doc.get("fmt") != "parquet":
-        raise ValueError(
-            "retract_from_published operates on parquet publishes; "
-            f"this one is {doc.get('fmt')!r}"
-        )
-    split_files = _published_split_files(spark, path, doc)
     pred = F.expr(predicate)
 
-    new_version = version + 1
-    vdir = f"v={new_version:06d}"
-    data_root = f"{path}/{vdir}"
-    fs, jroot, _jvm = txlog._jfs(spark, data_root)
-    if fs.exists(jroot):
-        fs.delete(jroot, True)  # orphan of our own crashed attempt
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
+            raise ValueError(
+                f"{path} has no committed publish to retract from"
+            )
+        if doc.get("fmt") != "parquet":
+            raise ValueError(
+                "retract_from_published operates on parquet publishes; "
+                f"this one is {doc.get('fmt')!r}"
+            )
+        split_files = _published_split_files(spark, path, doc)
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)  # impossible (nonce name) but cheap
 
-    new_files: dict[str, list[str]] = {}
-    new_counts: dict[str, int] = {}
-    rows_removed = 0
-    files_rewritten = 0
-    files_kept = 0
-    for s, files in sorted(split_files.items()):
-        if not files:
-            new_files[s] = []
-            new_counts[s] = doc["splits"].get(s, 0)
-            continue
-        df = _read_split_files(spark, path, s, files)
-        # one pushed-down scan: affected files + their match counts
-        hits = (
-            df.filter(pred)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        new_files: dict[str, list[str]] = {}
+        new_counts: dict[str, int] = {}
+        new_stats: dict[str, dict] = {}
+        old_stats = doc.get("file_stats") or {}
+        rows_removed = 0
+        files_rewritten = 0
+        files_kept = 0
+        for s, files in sorted(split_files.items()):
+            if not files:
+                new_files[s] = []
+                new_counts[s] = doc["splits"].get(s, 0)
+                new_stats[s] = {}
+                continue
+            df = _read_split_files(
+                spark, path, s, files, schema=doc.get("schema")
+            )
+            # one pushed-down scan: affected files + their match counts
+            hits = (
+                df.filter(pred)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            affected_rel = {_rel_path(r["f"], path) for r in hits}
+            removed_s = sum(r["n"] for r in hits)
+            rows_removed += removed_s
+            kept = [rel for rel in files if rel not in affected_rel]
+            files_kept += len(kept)
+            split_stats = {
+                rel: old_stats[s][rel]
+                for rel in kept
+                if s in old_stats and rel in old_stats[s]
+            }
+            out_rel: list[str] = []
+            if affected_rel:
+                files_rewritten += len(affected_rel)
+                # basePath-grouped read keeps the shard partition column,
+                # and partitionBy writes it back — the rewritten rows stay
+                # in their shard for per-shard consumers
+                # DELETE semantics: remove only rows where the predicate is
+                # TRUE.  A bare ~pred would also drop NULL-pred rows (e.g.
+                # `text LIKE '%x%'` over a nullable column) that the hits
+                # scan above never counted — survivors must be the exact
+                # complement of the counted hits (Delta keeps non-TRUE rows).
+                rewritten = _read_split_files(
+                    spark, path, s, sorted(affected_rel),
+                    schema=doc.get("schema"),
+                ).filter(~F.coalesce(pred, F.lit(False)))
+                out_dir = f"{data_root}/split={s}"
+                writer = rewritten.write.mode("error")
+                if "shard" in rewritten.columns:
+                    writer = writer.partitionBy("shard")
+                writer.parquet(out_dir)
+                fs2, jdir2, _ = txlog._jfs(spark, out_dir)
+                it = fs2.listFiles(jdir2, True)
+                while it.hasNext():
+                    fst = it.next()
+                    name = fst.getPath().getName()
+                    if not name.startswith(("_", ".")):
+                        out_rel.append(
+                            _rel_path(fst.getPath().toString(), path)
+                        )
+                if out_rel and doc.get("key_col"):
+                    split_stats.update(
+                        _collect_file_stats(
+                            spark, path, s, sorted(out_rel),
+                            doc["key_col"],
+                        )
+                    )
+            new_files[s] = sorted(kept + out_rel)
+            new_counts[s] = doc["splits"].get(s, 0) - removed_s
+            new_stats[s] = split_stats
+
+        if rows_removed == 0:
+            fs.delete(jroot, True)
+            return None, {
+                "_version": version,
+                "rows_removed": 0,
+                "files_rewritten": 0,
+                "files_kept": files_kept,
+                "splits": dict(doc["splits"]),
+            }
+        if _fail_after == "data":
+            raise RuntimeError("injected crash after retraction data write")
+
+        live_dirs = sorted(
+            {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
         )
-        affected_rel = {_rel_path(r["f"], path) for r in hits}
-        removed_s = sum(r["n"] for r in hits)
-        rows_removed += removed_s
-        kept = [rel for rel in files if rel not in affected_rel]
-        files_kept += len(kept)
-        out_rel: list[str] = []
-        if affected_rel:
-            files_rewritten += len(affected_rel)
-            # basePath-grouped read keeps the shard partition column,
-            # and partitionBy writes it back — the rewritten rows stay
-            # in their shard for per-shard consumers
-            # DELETE semantics: remove only rows where the predicate is
-            # TRUE.  A bare ~pred would also drop NULL-pred rows (e.g.
-            # `text LIKE '%x%'` over a nullable column) that the hits
-            # scan above never counted — survivors must be the exact
-            # complement of the counted hits (Delta keeps non-TRUE rows).
-            rewritten = _read_split_files(
-                spark, path, s, sorted(affected_rel)
-            ).filter(~F.coalesce(pred, F.lit(False)))
-            out_dir = f"{data_root}/split={s}"
-            writer = rewritten.write.mode("error")
-            if "shard" in rewritten.columns:
-                writer = writer.partitionBy("shard")
-            writer.parquet(out_dir)
-            fs2, jdir2, _ = txlog._jfs(spark, out_dir)
-            it = fs2.listFiles(jdir2, True)
-            while it.hasNext():
-                fst = it.next()
-                name = fst.getPath().getName()
-                if not name.startswith(("_", ".")):
-                    out_rel.append(_rel_path(fst.getPath().toString(), path))
-        new_files[s] = sorted(kept + out_rel)
-        new_counts[s] = doc["splits"].get(s, 0) - removed_s
-
-    if rows_removed == 0:
-        fs.delete(jroot, True)
-        return {
-            "_version": version,
-            "rows_removed": 0,
-            "files_rewritten": 0,
-            "files_kept": files_kept,
-            "splits": dict(doc["splits"]),
-        }
-    if _fail_after == "data":
-        raise RuntimeError("injected crash after retraction data write")
-
-    live_dirs = sorted(
-        {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
-    )
-    txlog.publish(
-        spark,
-        f"{path}/{_COMMITS}",
-        new_version,
-        {
+        payload = {
             "live": live_dirs,
             "primary": vdir,
             "files": new_files,
@@ -822,16 +1177,17 @@ def retract_from_published(
                 "files_kept": files_kept,
                 "from_version": version,
             },
-        },
-        commit_mode=commit_mode,
-    )
-    return {
-        "_version": new_version,
-        "rows_removed": rows_removed,
-        "files_rewritten": files_rewritten,
-        "files_kept": files_kept,
-        "splits": new_counts,
-    }
+        }
+        if doc.get("key_col"):
+            payload["file_stats"] = new_stats
+        return payload, {
+            "rows_removed": rows_removed,
+            "files_rewritten": files_rewritten,
+            "files_kept": files_kept,
+            "splits": new_counts,
+        }
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
 
 
 def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
@@ -853,7 +1209,14 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
 
     removed = vacuum_published(spark, path, keep_last=keep_last)
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
-    retained = [manifests[v] for v in sorted(manifests)[-keep_last:]]
+    # retention = newest keep_last UNION read-leased versions — same
+    # rule the directory-level vacuum applies (txlog._retained_versions)
+    retained = [
+        manifests[v]
+        for v in sorted(
+            txlog._retained_versions(spark, f"{path}/{_COMMITS}", keep_last)
+        )
+    ]
     whole_dirs: set[str] = set()
     keep_files: set[str] = set()
     for d in retained:
@@ -905,6 +1268,8 @@ def upsert_into_published(
     n_shards: int | None = None,
     seed: int | None = None,
     _fail_after: str | None = None,
+    max_retries: int = 8,
+    _scan_observer=None,
 ) -> dict:
     """MERGE a delta into a committed parquet publish as a NEW
     committed version — UPDATE rows whose key is already published
@@ -931,205 +1296,268 @@ def upsert_into_published(
     trainers' per-shard reading order survives the merge.
 
     Crash before the manifest commit leaves the current version
-    untouched (``_fail_after="data"``).  Single-writer, like
-    publishes.  Returns {"_version", "rows_updated", "rows_inserted",
+    untouched (``_fail_after="data"``).  MULTI-WRITER SAFE via the
+    :func:`_occ_dml` optimistic loop: a concurrent DML commit makes
+    this writer recompute its matched-file plan against the winner's
+    file list and retry.  When the manifest carries per-file key
+    min/max stats (``file_stats``, recorded at publish/DML time),
+    candidate selection is MANIFEST-ONLY: only files whose recorded
+    key range can contain a delta key are scanned — the
+    Iceberg/Delta stats-pruning pattern (``_scan_observer``, test
+    hook, receives the per-split list of files actually scanned).
+    Returns {"_version", "rows_updated", "rows_inserted",
     "files_rewritten", "files_kept", "splits"}.
     """
     from v6spark import txlog
     from v6spark.operators.packing import assign_shards
 
-    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
-    if doc is None:
-        raise ValueError(f"{path} has no committed publish to upsert into")
-    if doc.get("fmt") != "parquet":
-        raise ValueError(
-            "upsert_into_published operates on parquet publishes; "
-            f"this one is {doc.get('fmt')!r}"
-        )
-    # shard-hash params and the key column are PUBLISH properties —
-    # an override disagreeing with the manifest would make the
-    # directory-name pruning miss every existing row (all deltas
-    # treated as inserts: silent duplicate keys).  Explicit params
-    # are validated, not trusted; they remain only as a fallback for
-    # manifests written before these fields were recorded.
-    for pname, given, recorded in (
-        ("n_shards", n_shards, doc.get("n_shards")),
-        ("seed", seed, doc.get("seed")),
-    ):
-        if given is not None and recorded is not None and given != recorded:
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
             raise ValueError(
-                f"upsert {pname}={given} disagrees with the publish "
-                f"manifest's {pname}={recorded}; the shard hash is fixed "
-                "at publish time"
+                f"{path} has no committed publish to upsert into"
             )
-    if doc.get("key_col") is not None and key_col != doc["key_col"]:
-        raise ValueError(
-            f"upsert key_col={key_col!r} disagrees with the publish "
-            f"manifest's key_col={doc['key_col']!r}"
+        if doc.get("fmt") != "parquet":
+            raise ValueError(
+                "upsert_into_published operates on parquet publishes; "
+                f"this one is {doc.get('fmt')!r}"
+            )
+        # shard-hash params and the key column are PUBLISH properties —
+        # an override disagreeing with the manifest would make the
+        # directory-name pruning miss every existing row (all deltas
+        # treated as inserts: silent duplicate keys).  Explicit params
+        # are validated, not trusted; they remain only as a fallback for
+        # manifests written before these fields were recorded.
+        for pname, given, recorded in (
+            ("n_shards", n_shards, doc.get("n_shards")),
+            ("seed", seed, doc.get("seed")),
+        ):
+            if (
+                given is not None
+                and recorded is not None
+                and given != recorded
+            ):
+                raise ValueError(
+                    f"upsert {pname}={given} disagrees with the publish "
+                    f"manifest's {pname}={recorded}; the shard hash is "
+                    "fixed at publish time"
+                )
+        if doc.get("key_col") is not None and key_col != doc["key_col"]:
+            raise ValueError(
+                f"upsert key_col={key_col!r} disagrees with the publish "
+                f"manifest's key_col={doc['key_col']!r}"
+            )
+        ns = n_shards if n_shards is not None else (doc.get("n_shards") or 32)
+        sd = seed if seed is not None else (doc.get("seed") or 0)
+        content_cols = [c for c in updates.columns if c != "split"]
+        published_cols = [name for name, _t in (doc.get("schema") or [])]
+        if published_cols and sorted(content_cols) != sorted(published_cols):
+            raise ValueError(
+                f"upsert columns {sorted(content_cols)} != published schema "
+                f"{sorted(published_cols)} (plus an optional 'split' for "
+                "inserts)"
+            )
+        if key_col not in updates.columns:
+            raise ValueError(f"updates must carry the key column {key_col!r}")
+
+        # the delta is the small side by contract: broadcast it everywhere
+        dup = (
+            updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1").limit(1).collect()
         )
-    ns = n_shards if n_shards is not None else (doc.get("n_shards") or 32)
-    sd = seed if seed is not None else (doc.get("seed") or 0)
-    content_cols = [c for c in updates.columns if c != "split"]
-    published_cols = [name for name, _t in (doc.get("schema") or [])]
-    if published_cols and sorted(content_cols) != sorted(published_cols):
-        raise ValueError(
-            f"upsert columns {sorted(content_cols)} != published schema "
-            f"{sorted(published_cols)} (plus an optional 'split' for inserts)"
-        )
-    if key_col not in updates.columns:
-        raise ValueError(f"updates must carry the key column {key_col!r}")
-
-    # the delta is the small side by contract: broadcast it everywhere
-    dup = (
-        updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-        .filter("n > 1").limit(1).collect()
-    )
-    if dup:
-        raise ValueError(
-            f"updates carry duplicate key {dup[0][key_col]!r} — an upsert "
-            "must be keyed uniquely (collapse the delta first)"
-        )
-    upd = assign_shards(updates, key_col, ns, seed=sd).drop("_order")
-    upd_keys = upd.select(key_col, "shard")
-    bounds = updates.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    touched_shards = {r["shard"] for r in upd_keys.select("shard").distinct().collect()}
-
-    split_files = _published_split_files(spark, path, doc)
-    new_version = version + 1
-    vdir = f"v={new_version:06d}"
-    data_root = f"{path}/{vdir}"
-    fs, jroot, _jvm = txlog._jfs(spark, data_root)
-    if fs.exists(jroot):
-        fs.delete(jroot, True)  # orphan of our own crashed attempt
-
-    def _shard_of(rel: str) -> int | None:
-        for part in rel.split("/"):
-            if part.startswith("shard="):
-                return int(part.split("=", 1)[1])
-        return None
-
-    new_files: dict[str, list[str]] = {}
-    new_counts: dict[str, int] = {}
-    rows_updated = 0
-    files_rewritten = 0
-    files_kept = 0
-    matched_keys_frames = []
-    rewrites: dict[str, DataFrame] = {}
-    for s, files in sorted(split_files.items()):
-        # directory-name pruning: only files in shards the delta
-        # hashes into can hold a matched key
-        candidates = [
-            rel for rel in files if _shard_of(rel) in touched_shards
-        ]
-        affected_rel: set[str] = set()
-        matched_s = 0
-        if candidates:
-            cand_df = _read_split_files(spark, path, s, candidates)
-            hits = (
-                cand_df.filter(F.col(key_col).between(bounds["lo"], bounds["hi"]))
-                .join(F.broadcast(upd_keys.select(key_col)), key_col, "left_semi")
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+        if dup:
+            raise ValueError(
+                f"updates carry duplicate key {dup[0][key_col]!r} — an "
+                "upsert must be keyed uniquely (collapse the delta first)"
             )
-            affected_rel = {_rel_path(r["f"], path) for r in hits}
-            matched_s = sum(r["n"] for r in hits)
-        rows_updated += matched_s
-        kept = [rel for rel in files if rel not in affected_rel]
-        files_kept += len(kept)
-        new_files[s] = sorted(kept)
-        new_counts[s] = doc["splits"].get(s, 0)
-        if affected_rel:
-            files_rewritten += len(affected_rel)
-            aff = _read_split_files(spark, path, s, sorted(affected_rel))
-            kept_rows = aff.join(
-                F.broadcast(upd_keys.select(key_col)), key_col, "left_anti"
-            )
-            matched = aff.select(key_col).join(
-                F.broadcast(upd_keys.select(key_col)), key_col, "left_semi"
-            )
-            matched_keys_frames.append(matched)
-            updated_rows = upd.drop("split").join(
-                matched, key_col, "left_semi"
-            )
-            rewrites[s] = kept_rows.unionByName(
-                updated_rows.select(*kept_rows.columns)
-            )
-
-    # inserts: delta keys not published anywhere
-    if matched_keys_frames:
-        all_matched = matched_keys_frames[0]
-        for m in matched_keys_frames[1:]:
-            all_matched = all_matched.unionByName(m)
-        inserts = upd.join(all_matched, key_col, "left_anti")
-    else:
-        inserts = upd
-    rows_inserted = inserts.count()
-    if rows_inserted and "split" not in updates.columns:
-        raise ValueError(
-            f"{rows_inserted} delta rows have unpublished keys; inserts "
-            "need a 'split' column naming their destination split"
-        )
-
-    if rows_updated == 0 and rows_inserted == 0:
-        fs.delete(jroot, True)
-        return {
-            "_version": version,
-            "rows_updated": 0,
-            "rows_inserted": 0,
-            "files_rewritten": 0,
-            "files_kept": files_kept,
-            "splits": dict(doc["splits"]),
+        upd = assign_shards(updates, key_col, ns, seed=sd).drop("_order")
+        upd_keys = upd.select(key_col, "shard")
+        bounds = updates.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        touched_shards = {
+            r["shard"] for r in upd_keys.select("shard").distinct().collect()
         }
+        # manifest-only candidate pruning: with per-file key stats in
+        # the manifest, a sorted delta-key probe against each file's
+        # recorded [lo, hi] decides candidacy WITHOUT opening the file
+        # — by-shard delta keys, bisect per file (the delta is the
+        # small side by contract, so driver-side keys are fine)
+        file_stats = doc.get("file_stats") or {}
+        keys_by_shard: dict[int, list] = {}
+        if file_stats:
+            import bisect
 
-    insert_splits = (
-        {r["split"] for r in inserts.select("split").distinct().collect()}
-        if rows_inserted
-        else set()
-    )
-    for s in sorted(set(rewrites) | insert_splits):
-        out_df = rewrites.get(s)
-        if s in insert_splits:
-            ins_s = inserts.filter(F.col("split") == s).drop("split")
-            new_counts[s] = new_counts.get(s, 0) + ins_s.count()
-            out_df = ins_s if out_df is None else out_df.unionByName(
-                ins_s.select(*out_df.columns)
+            for r in upd_keys.collect():
+                keys_by_shard.setdefault(r["shard"], []).append(r[key_col])
+            for ks in keys_by_shard.values():
+                ks.sort()
+
+            def _stats_can_match(s, rel, shard):
+                st = file_stats.get(s, {}).get(rel)
+                if st is None:
+                    return True  # no stats recorded: must scan
+                lo, hi = st[0], st[1]
+                ks = keys_by_shard.get(shard, [])
+                i = bisect.bisect_left(ks, lo)
+                return i < len(ks) and ks[i] <= hi
+
+        split_files = _published_split_files(spark, path, doc)
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)  # impossible (nonce name) but cheap
+
+        def _shard_of(rel: str) -> int | None:
+            for part in rel.split("/"):
+                if part.startswith("shard="):
+                    return int(part.split("=", 1)[1])
+            return None
+
+        new_files: dict[str, list[str]] = {}
+        new_counts: dict[str, int] = {}
+        new_stats: dict[str, dict] = {}
+        rows_updated = 0
+        files_rewritten = 0
+        files_kept = 0
+        matched_keys_frames = []
+        rewrites: dict[str, DataFrame] = {}
+        for s, files in sorted(split_files.items()):
+            # directory-name pruning: only files in shards the delta
+            # hashes into can hold a matched key; file-stats pruning
+            # then drops candidates whose key range holds no delta key
+            candidates = [
+                rel for rel in files if _shard_of(rel) in touched_shards
+            ]
+            if file_stats:
+                candidates = [
+                    rel for rel in candidates
+                    if _stats_can_match(s, rel, _shard_of(rel))
+                ]
+            if _scan_observer is not None:
+                _scan_observer(s, list(candidates))
+            affected_rel: set[str] = set()
+            matched_s = 0
+            if candidates:
+                cand_df = _read_split_files(
+                    spark, path, s, candidates, schema=doc.get("schema")
+                )
+                hits = (
+                    cand_df.filter(
+                        F.col(key_col).between(bounds["lo"], bounds["hi"])
+                    )
+                    .join(
+                        F.broadcast(upd_keys.select(key_col)),
+                        key_col, "left_semi",
+                    )
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                affected_rel = {_rel_path(r["f"], path) for r in hits}
+                matched_s = sum(r["n"] for r in hits)
+            rows_updated += matched_s
+            kept = [rel for rel in files if rel not in affected_rel]
+            files_kept += len(kept)
+            new_files[s] = sorted(kept)
+            new_counts[s] = doc["splits"].get(s, 0)
+            new_stats[s] = {
+                rel: file_stats[s][rel]
+                for rel in kept
+                if s in file_stats and rel in file_stats[s]
+            }
+            if affected_rel:
+                files_rewritten += len(affected_rel)
+                aff = _read_split_files(
+                    spark, path, s, sorted(affected_rel),
+                    schema=doc.get("schema"),
+                )
+                kept_rows = aff.join(
+                    F.broadcast(upd_keys.select(key_col)), key_col,
+                    "left_anti",
+                )
+                matched = aff.select(key_col).join(
+                    F.broadcast(upd_keys.select(key_col)), key_col,
+                    "left_semi",
+                )
+                matched_keys_frames.append(matched)
+                updated_rows = upd.drop("split").join(
+                    matched, key_col, "left_semi"
+                )
+                rewrites[s] = kept_rows.unionByName(
+                    updated_rows.select(*kept_rows.columns)
+                )
+
+        # inserts: delta keys not published anywhere
+        if matched_keys_frames:
+            all_matched = matched_keys_frames[0]
+            for m in matched_keys_frames[1:]:
+                all_matched = all_matched.unionByName(m)
+            inserts = upd.join(all_matched, key_col, "left_anti")
+        else:
+            inserts = upd
+        rows_inserted = inserts.count()
+        if rows_inserted and "split" not in updates.columns:
+            raise ValueError(
+                f"{rows_inserted} delta rows have unpublished keys; inserts "
+                "need a 'split' column naming their destination split"
             )
-        # deterministic per-shard training order, as at publish time
-        ordered = out_df.withColumn(
-            "_order", F.xxhash64(F.lit(sd + 1), F.col(key_col))
-        )
-        out_dir = f"{data_root}/split={s}"
-        (
-            ordered.repartition(ns, F.col("shard"))
-            .sortWithinPartitions("shard", "_order", key_col)
-            .drop("_order")
-            .write.mode("error")
-            .partitionBy("shard")
-            .parquet(out_dir)
-        )
-        fs2, jdir2, _ = txlog._jfs(spark, out_dir)
-        it = fs2.listFiles(jdir2, True)
-        added = []
-        while it.hasNext():
-            fst = it.next()
-            name = fst.getPath().getName()
-            if not name.startswith(("_", ".")):
-                added.append(_rel_path(fst.getPath().toString(), path))
-        new_files[s] = sorted(new_files.get(s, []) + added)
-    if _fail_after == "data":
-        raise RuntimeError("injected crash after upsert data write")
 
-    live_dirs = sorted(
-        {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
-    )
-    txlog.publish(
-        spark,
-        f"{path}/{_COMMITS}",
-        new_version,
-        {
+        if rows_updated == 0 and rows_inserted == 0:
+            fs.delete(jroot, True)
+            return None, {
+                "_version": version,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "files_rewritten": 0,
+                "files_kept": files_kept,
+                "splits": dict(doc["splits"]),
+            }
+
+        insert_splits = (
+            {r["split"] for r in inserts.select("split").distinct().collect()}
+            if rows_inserted
+            else set()
+        )
+        for s in sorted(set(rewrites) | insert_splits):
+            out_df = rewrites.get(s)
+            if s in insert_splits:
+                ins_s = inserts.filter(F.col("split") == s).drop("split")
+                new_counts[s] = new_counts.get(s, 0) + ins_s.count()
+                out_df = ins_s if out_df is None else out_df.unionByName(
+                    ins_s.select(*out_df.columns)
+                )
+            # deterministic per-shard training order, as at publish time
+            ordered = out_df.withColumn(
+                "_order", F.xxhash64(F.lit(sd + 1), F.col(key_col))
+            )
+            out_dir = f"{data_root}/split={s}"
+            (
+                ordered.repartition(ns, F.col("shard"))
+                .sortWithinPartitions("shard", "_order", key_col)
+                .drop("_order")
+                .write.mode("error")
+                .partitionBy("shard")
+                .parquet(out_dir)
+            )
+            fs2, jdir2, _ = txlog._jfs(spark, out_dir)
+            it = fs2.listFiles(jdir2, True)
+            added = []
+            while it.hasNext():
+                fst = it.next()
+                name = fst.getPath().getName()
+                if not name.startswith(("_", ".")):
+                    added.append(_rel_path(fst.getPath().toString(), path))
+            new_files[s] = sorted(new_files.get(s, []) + added)
+            if added:
+                new_stats.setdefault(s, {}).update(
+                    _collect_file_stats(spark, path, s, sorted(added), key_col)
+                )
+        if _fail_after == "data":
+            raise RuntimeError("injected crash after upsert data write")
+
+        live_dirs = sorted(
+            {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
+        )
+        payload = {
             "live": live_dirs,
             "primary": vdir,
             "files": new_files,
@@ -1140,6 +1568,7 @@ def upsert_into_published(
             "n_shards": ns,
             "seed": sd,
             "key_col": doc.get("key_col") or key_col,
+            "file_stats": new_stats,
             "upsert": {
                 "rows_updated": rows_updated,
                 "rows_inserted": rows_inserted,
@@ -1147,21 +1576,111 @@ def upsert_into_published(
                 "files_kept": files_kept,
                 "from_version": version,
             },
-        },
-        commit_mode=commit_mode,
-    )
-    return {
-        "_version": new_version,
-        "rows_updated": rows_updated,
-        "rows_inserted": rows_inserted,
-        "files_rewritten": files_rewritten,
-        "files_kept": files_kept,
-        "splits": new_counts,
-    }
+        }
+        return payload, {
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "files_rewritten": files_rewritten,
+            "files_kept": files_kept,
+            "splits": new_counts,
+        }
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+
+
+def evolve_published_schema(
+    spark,
+    path: str,
+    add_columns: list[tuple[str, str]],
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+    _fail_before_commit: bool = False,
+) -> dict:
+    """ADDITIVE schema evolution on a committed publish: append
+    nullable columns to the published schema as a new manifest
+    version, rewriting ZERO data files — the Iceberg/Delta
+    ADD-COLUMN path.  The r5 drift guard refuses any changed publish
+    schema (the right default); this is the sanctioned way a corpus
+    gains metadata columns over its lifetime without a full
+    republish.
+
+    Semantics after the commit:
+    - committed reads (:func:`read_published_corpus`) return the
+      UNIFIED schema — files written before the evolution read the
+      added columns as typed NULLs (``_read_split_files`` aligns each
+      version-dir group to the manifest schema);
+    - time-travel reads (``version=``) return each version's OWN
+      schema — an evaluation pinned to the pre-evolution version
+      still sees exactly the columns it trained on;
+    - subsequent :func:`upsert_into_published` deltas must carry the
+      evolved schema (the column-set validation now checks against
+      the new manifest), and their rewritten files materialize the
+      added columns;
+    - :func:`publish_corpus_committed` reruns with the evolved schema
+      pass the drift guard.
+
+    ``add_columns``: ``[(name, spark_type_simple_string), ...]`` —
+    e.g. ``[("license", "string"), ("toxicity", "double")]``.  Only
+    ADDING columns is supported; renames/drops/type changes remain a
+    guarded full republish (``allow_schema_change=True``), because
+    they change what existing bytes MEAN, not just what exists.
+
+    Manifest-only, so the only crash window is the txlog commit
+    itself (atomic); ``_fail_before_commit`` injects a crash right
+    before it for the test.  MULTI-WRITER SAFE via :func:`_occ_dml`.
+    Returns {"_version", "schema"}.
+    """
+    from v6spark import txlog
+
+    if not add_columns:
+        raise ValueError("add_columns must name at least one column")
+    for name, typ in add_columns:
+        # validate the type string eagerly — a typo must fail at the
+        # evolve call, not at the first post-evolution read
+        try:
+            F.lit(None).cast(typ)
+        except Exception as exc:
+            raise ValueError(
+                f"add_columns type {typ!r} for {name!r} is not a valid "
+                "Spark type"
+            ) from exc
+
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
+            raise ValueError(f"{path} has no committed publish to evolve")
+        if doc.get("fmt") != "parquet":
+            raise ValueError(
+                "evolve_published_schema operates on parquet publishes; "
+                f"this one is {doc.get('fmt')!r}"
+            )
+        schema = [list(c) for c in (doc.get("schema") or [])]
+        existing = {n for n, _t in schema}
+        for name, typ in add_columns:
+            if name in existing:
+                raise ValueError(
+                    f"column {name!r} already exists in the published "
+                    "schema — evolution is additive only"
+                )
+            schema.append([name, typ])
+        if _fail_before_commit:
+            raise RuntimeError("injected crash before schema-evolve commit")
+        payload = {
+            **doc,
+            "schema": schema,
+            "schema_changed": True,
+            "schema_evolution": {
+                "added": [list(c) for c in add_columns],
+                "from_version": version,
+            },
+        }
+        return payload, {"schema": schema}
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
 
 
 def compact_published(
-    spark, path: str, commit_mode: str = "rename"
+    spark, path: str, commit_mode: str = "rename",
+    max_retries: int = 8,
 ) -> int | None:
     """Fold the current (file-level, DML-accumulated) committed
     version back into one fresh DIRECTORY-level version — the
@@ -1172,50 +1691,49 @@ def compact_published(
     (returns None) when the current version is already
     directory-level.  Retired versions' bytes go when
     :func:`vacuum_published_files` runs after retention.
+    MULTI-WRITER SAFE via :func:`_occ_dml`: a DML commit racing the
+    compaction wins or loses cleanly; the loser recomputes.
     """
     from v6spark import txlog
 
-    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
-    if doc is None:
-        raise ValueError(f"{path} has no committed publish to compact")
-    if "files" not in doc:
-        return None
-    ns = doc.get("n_shards") or 32
-    sd = doc.get("seed") or 0
-    # training order is keyed on the PUBLISH's key column (recorded in
-    # the manifest since r6); the doc_id/first-column guess is only a
-    # fallback for pre-r6 manifests
-    key_col = doc.get("key_col")
-    new_version = version + 1
-    vdir = f"v={new_version:06d}"
-    data_root = f"{path}/{vdir}"
-    fs, jroot, _jvm = txlog._jfs(spark, data_root)
-    if fs.exists(jroot):
-        fs.delete(jroot, True)
-    split_files = _published_split_files(spark, path, doc)
-    for s, files in sorted(split_files.items()):
-        if not files:
-            continue
-        df = _read_split_files(spark, path, s, files)
-        kc = key_col if key_col in df.columns else (
-            "doc_id" if "doc_id" in df.columns else df.columns[0]
-        )
-        ordered = df.withColumn(
-            "_order", F.xxhash64(F.lit(sd + 1), F.col(kc))
-        )
-        (
-            ordered.repartition(ns, F.col("shard"))
-            .sortWithinPartitions("shard", "_order")
-            .drop("_order")
-            .write.mode("error")
-            .partitionBy("shard")
-            .parquet(f"{data_root}/split={s}")
-        )
-    txlog.publish(
-        spark,
-        f"{path}/{_COMMITS}",
-        new_version,
-        {
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
+            raise ValueError(f"{path} has no committed publish to compact")
+        if "files" not in doc:
+            return None, None
+        ns = doc.get("n_shards") or 32
+        sd = doc.get("seed") or 0
+        # training order is keyed on the PUBLISH's key column (recorded
+        # in the manifest since r6); the doc_id/first-column guess is
+        # only a fallback for pre-r6 manifests
+        key_col = doc.get("key_col")
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)
+        split_files = _published_split_files(spark, path, doc)
+        stats_key = None
+        for s, files in sorted(split_files.items()):
+            if not files:
+                continue
+            df = _read_split_files(
+                spark, path, s, files, schema=doc.get("schema")
+            )
+            kc = key_col if key_col in df.columns else (
+                "doc_id" if "doc_id" in df.columns else df.columns[0]
+            )
+            stats_key = kc
+            ordered = df.withColumn(
+                "_order", F.xxhash64(F.lit(sd + 1), F.col(kc))
+            )
+            (
+                ordered.repartition(ns, F.col("shard"))
+                .sortWithinPartitions("shard", "_order")
+                .drop("_order")
+                .write.mode("error")
+                .partitionBy("shard")
+                .parquet(f"{data_root}/split={s}")
+            )
+        payload = {
             "live": vdir,
             "fmt": "parquet",
             "splits": dict(doc["splits"]),
@@ -1225,7 +1743,17 @@ def compact_published(
             "seed": sd,
             "key_col": key_col,
             "compacted_from": version,
-        },
-        commit_mode=commit_mode,
-    )
-    return new_version
+        }
+        if stats_key is not None:
+            fresh = _published_split_files(
+                spark, path, {"live": vdir, "splits": doc["splits"]}
+            )
+            payload["file_stats"] = {
+                s: _collect_file_stats(spark, path, s, fl, stats_key)
+                if fl else {}
+                for s, fl in fresh.items()
+            }
+        return payload, {}
+
+    out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return out["_version"] if out else None

@@ -382,6 +382,120 @@ def commit_with_retry(
     )
 
 
+LEASE_PREFIX = "lease-"
+
+
+def acquire_lease(
+    spark: SparkSession,
+    log_dir: str,
+    version: int,
+    ttl_seconds: float,
+    owner: str = "",
+) -> str:
+    """Register a READ LEASE on manifest ``version``: until it
+    expires (or is released), every vacuum treats that version as
+    retained — its manifest AND the data files/directories it
+    references survive ``keep_last``.  This closes the r5 gap where a
+    long-running version-pinned read could lose files to a concurrent
+    ``vacuum(keep_last=1)``: the reader declares itself in the log,
+    the vacuum honors it — the same contract as Iceberg's
+    snapshot-reference retention.
+
+    The lease is a checksummed file ``lease-<id>`` beside the
+    manifests (same torn-write defence: a torn lease is ignored,
+    which fails SAFE for the vacuum only if readers re-acquire; hence
+    acquire returns only after a read-back verify).  TTL bounds the
+    damage of a crashed reader — no reader heartbeat required, just a
+    ttl comfortably above the read's duration (refresh by acquiring
+    a fresh lease for long jobs).  Returns the lease id.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    if ttl_seconds <= 0:
+        raise ValueError("ttl_seconds must be positive")
+    if read_version(spark, log_dir, version) is None:
+        raise ValueError(
+            f"cannot lease version {version}: no complete manifest under "
+            f"{log_dir} (already vacuumed, or never committed)"
+        )
+    lease_id = _uuid.uuid4().hex
+    payload = {
+        "lease": lease_id,
+        "expires_ms": (_time.time() + ttl_seconds) * 1000.0,
+        "owner": owner,
+    }
+    data = _encode(version, payload)
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    p = jvm.org.apache.hadoop.fs.Path(jdir, f"{LEASE_PREFIX}{lease_id}")
+    out = fs.create(p, False)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+    # read-back verify: the lease only protects once durably visible
+    stream = fs.open(p)
+    try:
+        readback = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    if readback != data:
+        raise IOError(f"lease {lease_id} failed read-back verify")
+    return lease_id
+
+
+def release_lease(spark: SparkSession, log_dir: str, lease_id: str) -> bool:
+    """Delete a lease (the reader finished).  True if it existed."""
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    p = jvm.org.apache.hadoop.fs.Path(jdir, f"{LEASE_PREFIX}{lease_id}")
+    return bool(fs.exists(p) and fs.delete(p, False))
+
+
+def leased_versions(
+    spark: SparkSession, log_dir: str, now_ms: float | None = None
+) -> set[int]:
+    """Versions protected by an UNEXPIRED lease.  Expired lease files
+    are swept opportunistically; torn lease files are ignored (the
+    acquire read-back means a torn lease never belonged to a live
+    reader)."""
+    import time as _time
+
+    if now_ms is None:
+        now_ms = _time.time() * 1000.0
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    if not fs.exists(jdir):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if not name.startswith(LEASE_PREFIX):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        doc = _decode(raw)
+        if doc is None:
+            continue  # torn: never a live reader's lease
+        if doc.get("expires_ms", 0) <= now_ms:
+            fs.delete(st.getPath(), False)  # expired: sweep
+            continue
+        out.add(int(doc["v"]))
+    return out
+
+
+def _retained_versions(
+    spark: SparkSession, log_dir: str, keep_last: int
+) -> set[int]:
+    """keep_last newest complete versions UNION unexpired-leased
+    versions — the single retention rule every vacuum applies."""
+    manifests = _complete_manifests(spark, log_dir)
+    retained = set(sorted(manifests)[-keep_last:])
+    retained |= leased_versions(spark, log_dir) & set(manifests)
+    return retained
+
+
 def vacuum_versions(
     spark: SparkSession,
     root: str,
@@ -412,7 +526,7 @@ def vacuum_versions(
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     manifests = _complete_manifests(spark, log_dir)
-    retained = sorted(manifests)[-keep_last:]
+    retained = sorted(_retained_versions(spark, log_dir, keep_last))
     keep: set[str] = set()
     for v in retained:
         live = manifests[v].get("live")
@@ -452,8 +566,7 @@ def vacuum_manifests(
     ``grace_seconds`` (an in-flight rename-mode commit's tmp, a
     concurrent put-mode write; see :func:`vacuum_versions`).
     Returns files removed."""
-    manifests = _complete_manifests(spark, log_dir)
-    retained = set(sorted(manifests)[-keep_last:])
+    retained = _retained_versions(spark, log_dir, keep_last)
     if not retained:
         return 0
     import time as _time
