@@ -102,8 +102,11 @@ def main() -> None:
         "committed_readback_rows": n,
         "note": (
             "identical shard writes; delta = version dir + manifest "
-            "commit.  Crash-atomicity and version-pinned reads for "
-            "this price."
+            "commit + per-file key min/max stats (pyarrow footer "
+            "metadata, no Spark job) + committed-file listing "
+            "(os.walk local fast path).  Crash-atomicity, "
+            "version-pinned reads, and manifest-only DML candidate "
+            "pruning for this price."
         ),
     }
     print(json.dumps(out))

@@ -267,3 +267,21 @@ def test_compact_after_dml_keeps_stats_and_mount(spark, tmp_path):
     _v, doc = txlog.read_latest(spark, f"{root}/{_COMMITS}")
     assert "files" not in doc and "file_stats" in doc
     assert read_published_corpus(spark, root).count() == 59
+
+
+def test_upsert_of_retracted_key_with_null_split_raises_clearly(
+    spark, tmp_path
+):
+    """A delta row meant as an UPDATE (split=NULL) whose key was
+    retracted is an insert with no destination — must fail with the
+    offending keys, not a NoneType sort crash (found by the race
+    stress: retract range overlapping an upsert key)."""
+    prepared, docs = _corpus(spark)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, docs, root, n_shards=4)
+    retract_from_published(spark, root, "doc_id = 7")
+    upd = spark.createDataFrame(
+        [(7, "rev 7", None)], "doc_id long, text string, split string"
+    )
+    with pytest.raises(ValueError, match=r"\[7\].*not published"):
+        upsert_into_published(spark, root, upd)

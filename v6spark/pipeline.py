@@ -495,7 +495,8 @@ def publish_corpus_committed(
         }
         if fmt == "parquet":
             # per-file key stats at publish time: later retract/upsert
-            # candidate pruning becomes manifest-only (no footer reads)
+            # candidate pruning becomes manifest-only (footer metadata
+            # reads, no Spark job — see _collect_file_stats)
             split_files = _published_split_files(spark, path, {
                 "live": vdir, "splits": counts,
             })
@@ -834,6 +835,44 @@ def release_read_lease(spark, path: str, lease_id: str) -> bool:
     return txlog.release_lease(spark, f"{path}/{_COMMITS}", lease_id)
 
 
+def _local_root(path: str) -> str | None:
+    """Local-filesystem root for ``path`` or None (remote store)."""
+    if path.startswith("/"):
+        return path
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return None
+
+
+def _list_data_files(spark, dir_path: str) -> list[str]:
+    """Recursive data-file listing (skips _/. names).  Local paths go
+    through os.walk — the Hadoop listFiles iterator costs ~10 ms/file
+    in py4j round-trips, which dominated ACID publish overhead at
+    small scale; remote stores use the FileSystem API as before."""
+    local = _local_root(dir_path)
+    if local is not None:
+        import os as _os
+
+        out = []
+        for base, _dirs, files in _os.walk(local):
+            for name in files:
+                if not name.startswith(("_", ".")):
+                    out.append(_os.path.join(base, name))
+        return out
+    from v6spark import txlog
+
+    fs, jdir, _jvm = txlog._jfs(spark, dir_path)
+    out = []
+    if fs.exists(jdir):
+        it = fs.listFiles(jdir, True)
+        while it.hasNext():
+            fst = it.next()
+            name = fst.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append(fst.getPath().toString())
+    return out
+
+
 def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
     """Relative data-file paths per split for a committed parquet
     publish — directory-level (recursive listing of the version dir,
@@ -846,16 +885,9 @@ def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     for s in sorted(doc["splits"]):
         split_dir = f"{path}/{doc['live']}/split={s}"
-        fs, jdir, _jvm = txlog._jfs(spark, split_dir)
-        files = []
-        if fs.exists(jdir):
-            it = fs.listFiles(jdir, True)
-            while it.hasNext():
-                fst = it.next()
-                name = fst.getPath().getName()
-                if not name.startswith(("_", ".")):
-                    files.append(_rel_path(fst.getPath().toString(), path))
-        out[s] = sorted(files)
+        out[s] = sorted(
+            _rel_path(p, path) for p in _list_data_files(spark, split_dir)
+        )
     return out
 
 
@@ -911,15 +943,73 @@ def _collect_file_stats(
     spark, path: str, split: str, rels: list[str], key_col: str
 ) -> dict[str, list]:
     """``{rel_path: [min_key, max_key, n_rows]}`` for freshly written
-    data files — ONE key-column scan (columnar: only the key column's
-    pages are read), recorded in the manifest at write time so later
+    data files, recorded in the manifest at write time so later
     retract/upsert candidate selection is MANIFEST-ONLY (the
-    Iceberg/Delta per-file stats pattern; no parquet footer reads at
-    DML time).  Keys that don't survive JSON (binary, nested) yield
-    no stats — callers fall back to scanning, never to wrong answers.
+    Iceberg/Delta per-file stats pattern; no file reads at DML time).
+
+    Sourced from the parquet FOOTERS the writers just produced — KB
+    metadata reads, NO Spark job.  Local paths read via pyarrow
+    (~1 ms/file; a py4j ParquetFileReader loop costs seconds in
+    driver round-trips, and a key-column Spark scan added ~90% to the
+    ACID publish wall — both measured and rejected).  Non-local
+    stores fall back to one Spark key-column scan per split.  A file
+    without usable key statistics is OMITTED — readers treat a
+    missing entry as "must scan": extra work, never a wrong answer.
+    String bounds compare correctly against Python keys because
+    UTF-8 byte order preserves code-point order.
     """
     import json as _json
 
+    local_root = None
+    if path.startswith("/"):
+        local_root = path
+    elif path.startswith("file:"):
+        local_root = path[len("file:"):]
+    if local_root is not None:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        out: dict[str, list] = {}
+        for rel in rels:
+            fpath = _os.path.join(local_root, rel)
+            try:
+                md = _pq.ParquetFile(fpath).metadata
+                names = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                ci = names.get(key_col)
+                if ci is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or (st.null_count or 0) != 0
+                    ):
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn, mx = mn.decode(), mx.decode()
+                    if lo is None or mn < lo:
+                        lo = mn
+                    if hi is None or mx > hi:
+                        hi = mx
+                if not ok or lo is None:
+                    continue
+                stat = [lo, hi, md.num_rows]
+                _json.dumps(stat)
+                out[rel] = stat
+            except Exception:
+                continue
+        return out
+
+    # non-local store: one columnar key-column scan for the split
     df = _read_split_files(spark, path, split, rels)
     rows = (
         df.groupBy(F.input_file_name().alias("f"))
@@ -1124,15 +1214,10 @@ def retract_from_published(
                 if "shard" in rewritten.columns:
                     writer = writer.partitionBy("shard")
                 writer.parquet(out_dir)
-                fs2, jdir2, _ = txlog._jfs(spark, out_dir)
-                it = fs2.listFiles(jdir2, True)
-                while it.hasNext():
-                    fst = it.next()
-                    name = fst.getPath().getName()
-                    if not name.startswith(("_", ".")):
-                        out_rel.append(
-                            _rel_path(fst.getPath().toString(), path)
-                        )
+                out_rel.extend(
+                    _rel_path(p, path)
+                    for p in _list_data_files(spark, out_dir)
+                )
                 if out_rel and doc.get("key_col"):
                     split_stats.update(
                         _collect_file_stats(
@@ -1500,6 +1585,23 @@ def upsert_into_published(
                 f"{rows_inserted} delta rows have unpublished keys; inserts "
                 "need a 'split' column naming their destination split"
             )
+        if rows_inserted:
+            # a delta row intended as an UPDATE (split=NULL) whose key
+            # is not published is an INSERT with no destination — e.g.
+            # the key was retracted, or never existed.  Fail with the
+            # keys, not a downstream sort crash.
+            nullsplit = (
+                inserts.filter(F.col("split").isNull())
+                .select(key_col).limit(5).collect()
+            )
+            if nullsplit:
+                ks = [r[key_col] for r in nullsplit]
+                raise ValueError(
+                    f"delta keys {ks} are not published (retracted, or "
+                    "never existed) and carry a NULL 'split' — an insert "
+                    "needs a destination split; re-key the update or set "
+                    "'split' for these rows"
+                )
 
         if rows_updated == 0 and rows_inserted == 0:
             fs.delete(jroot, True)
@@ -1538,14 +1640,10 @@ def upsert_into_published(
                 .partitionBy("shard")
                 .parquet(out_dir)
             )
-            fs2, jdir2, _ = txlog._jfs(spark, out_dir)
-            it = fs2.listFiles(jdir2, True)
-            added = []
-            while it.hasNext():
-                fst = it.next()
-                name = fst.getPath().getName()
-                if not name.startswith(("_", ".")):
-                    added.append(_rel_path(fst.getPath().toString(), path))
+            added = [
+                _rel_path(p, path)
+                for p in _list_data_files(spark, out_dir)
+            ]
             new_files[s] = sorted(new_files.get(s, []) + added)
             if added:
                 new_stats.setdefault(s, {}).update(
