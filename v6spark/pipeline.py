@@ -492,6 +492,7 @@ def publish_corpus_committed(
             "n_shards": n_shards,
             "seed": seed,
             "key_col": key_col,
+            "txn_ids": _txn_forward(_doc, None),
         }
         if fmt == "parquet":
             # per-file key stats at publish time: later retract/upsert
@@ -1031,6 +1032,48 @@ def _collect_file_stats(
     return out
 
 
+def _txn_forward(doc: dict | None, txn_id: str | None) -> list:
+    """Committed-DML transaction ids carried forward through every
+    manifest (the Delta ``txnAppId/version`` idea at txlog size):
+    ``retract_from_published`` / ``upsert_into_published`` called with
+    a ``txn_id`` already in the list SKIP as an idempotent replay —
+    the exactly-once contract a Structured Streaming ``foreachBatch``
+    sink needs under epoch replay (see :func:`upsert_foreach_batch`).
+    Ids survive republish/compact/evolve because the table identity
+    does.  Bounded at the newest ``_TXN_KEEP`` — a replay older than
+    that window re-applies, so keep the window above the streaming
+    engine's replay horizon (a handful of batches; 10k is generous).
+    """
+    ids = list((doc or {}).get("txn_ids") or [])
+    if txn_id is not None:
+        ids.append(txn_id)
+    return ids[-_TXN_KEEP:]
+
+
+_TXN_KEEP = 10_000
+
+
+def upsert_foreach_batch(
+    path: str, key_col: str = "doc_id", commit_mode: str = "rename"
+):
+    """``foreachBatch`` sink maintaining a committed publish from a
+    stream of CDC-style deltas: each micro-batch MERGEs via
+    :func:`upsert_into_published` under ``txn_id=f"stream-{batch_id}"``
+    — a crash-replayed epoch skips (the manifest's committed txn-id
+    list IS the exactly-once guarantee, the same contract the
+    streaming near-dedup and sketch-store sinks prove).  Batches must
+    carry the published content columns plus ``split`` for inserts.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_into_published(
+            batch_df.sparkSession, path, batch_df, key_col=key_col,
+            commit_mode=commit_mode, txn_id=f"stream-{batch_id}",
+        )
+
+    return fn
+
+
 def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
              max_retries: int = 8) -> dict | None:
     """Optimistic-concurrency loop for the corpus DML verbs
@@ -1101,6 +1144,7 @@ def retract_from_published(
     commit_mode: str = "rename",
     _fail_after: str | None = None,
     max_retries: int = 8,
+    txn_id: str | None = None,
 ) -> dict:
     """Row-level DELETE from a committed parquet publish as a NEW
     committed version, rewriting ONLY the files that contain matching
@@ -1156,6 +1200,16 @@ def retract_from_published(
                 "retract_from_published operates on parquet publishes; "
                 f"this one is {doc.get('fmt')!r}"
             )
+        if txn_id is not None and txn_id in (doc.get("txn_ids") or []):
+            # exactly-once replay skip (see _txn_note in the module)
+            return None, {
+                "_version": version,
+                "rows_removed": 0,
+                "files_rewritten": 0,
+                "files_kept": 0,
+                "splits": dict(doc["splits"]),
+                "replayed": True,
+            }
         split_files = _published_split_files(spark, path, doc)
         fs, jroot, _jvm = txlog._jfs(spark, data_root)
         if fs.exists(jroot):
@@ -1231,6 +1285,22 @@ def retract_from_published(
 
         if rows_removed == 0:
             fs.delete(jroot, True)
+            if txn_id is not None:
+                # a txn-id'd no-op must still RECORD its txn: if rows
+                # matching the predicate arrive later, a crash-replay
+                # of this txn would otherwise delete them — the txn
+                # "happened", the log must say so.  Metadata-only
+                # manifest: same files/splits, txn registered.
+                payload = {
+                    k: v for k, v in doc.items() if k != "v"
+                }
+                payload["txn_ids"] = _txn_forward(doc, txn_id)
+                return payload, {
+                    "rows_removed": 0,
+                    "files_rewritten": 0,
+                    "files_kept": files_kept,
+                    "splits": dict(doc["splits"]),
+                }
             return None, {
                 "_version": version,
                 "rows_removed": 0,
@@ -1255,6 +1325,7 @@ def retract_from_published(
             "n_shards": doc.get("n_shards"),
             "seed": doc.get("seed"),
             "key_col": doc.get("key_col"),
+            "txn_ids": _txn_forward(doc, txn_id),
             "retraction": {
                 "predicate": predicate,
                 "rows_removed": rows_removed,
@@ -1355,6 +1426,7 @@ def upsert_into_published(
     _fail_after: str | None = None,
     max_retries: int = 8,
     _scan_observer=None,
+    txn_id: str | None = None,
 ) -> dict:
     """MERGE a delta into a committed parquet publish as a NEW
     committed version — UPDATE rows whose key is already published
@@ -1406,6 +1478,17 @@ def upsert_into_published(
                 "upsert_into_published operates on parquet publishes; "
                 f"this one is {doc.get('fmt')!r}"
             )
+        if txn_id is not None and txn_id in (doc.get("txn_ids") or []):
+            # exactly-once replay skip (see _txn_note in the module)
+            return None, {
+                "_version": version,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "files_rewritten": 0,
+                "files_kept": 0,
+                "splits": dict(doc["splits"]),
+                "replayed": True,
+            }
         # shard-hash params and the key column are PUBLISH properties —
         # an override disagreeing with the manifest would make the
         # directory-name pruning miss every existing row (all deltas
@@ -1605,6 +1688,19 @@ def upsert_into_published(
 
         if rows_updated == 0 and rows_inserted == 0:
             fs.delete(jroot, True)
+            if txn_id is not None:
+                # record the no-op txn (see the retract twin's note)
+                payload = {
+                    k: v for k, v in doc.items() if k != "v"
+                }
+                payload["txn_ids"] = _txn_forward(doc, txn_id)
+                return payload, {
+                    "rows_updated": 0,
+                    "rows_inserted": 0,
+                    "files_rewritten": 0,
+                    "files_kept": files_kept,
+                    "splits": dict(doc["splits"]),
+                }
             return None, {
                 "_version": version,
                 "rows_updated": 0,
@@ -1667,6 +1763,7 @@ def upsert_into_published(
             "seed": sd,
             "key_col": doc.get("key_col") or key_col,
             "file_stats": new_stats,
+            "txn_ids": _txn_forward(doc, txn_id),
             "upsert": {
                 "rows_updated": rows_updated,
                 "rows_inserted": rows_inserted,
@@ -1840,6 +1937,7 @@ def compact_published(
             "n_shards": ns,
             "seed": sd,
             "key_col": key_col,
+            "txn_ids": _txn_forward(doc, None),
             "compacted_from": version,
         }
         if stats_key is not None:
