@@ -1435,6 +1435,7 @@ def retract_from_published(
                     k: v for k, v in doc.items() if k != "v"
                 }
                 payload["txn_ids"] = _txn_forward(doc, txn_id)
+                payload["noop_txn"] = txn_id
                 return payload, {
                     "rows_removed": 0,
                     "files_rewritten": 0,
@@ -1834,6 +1835,7 @@ def upsert_into_published(
                     k: v for k, v in doc.items() if k != "v"
                 }
                 payload["txn_ids"] = _txn_forward(doc, txn_id)
+                payload["noop_txn"] = txn_id
                 return payload, {
                     "rows_updated": 0,
                     "rows_inserted": 0,
