@@ -609,6 +609,112 @@ def read_published_corpus(
     return out
 
 
+def read_published_keys(
+    spark,
+    path: str,
+    keys: list,
+    version: int | None = None,
+    _scan_observer=None,
+):
+    """Point-lookup read: the published rows for ``keys`` touching
+    ONLY the files that can contain them — shard-directory pruning
+    (the manifest's recorded key hash: pmod(xxhash64(seed, key),
+    n_shards)) then per-file key [min,max] stats from the manifest,
+    no parquet footer reads.  The "serve these documents by id from a
+    100 TB corpus" path: cost scales with len(keys), never corpus
+    size.  Returns the unified-schema rows plus ``split`` (empty
+    frame when nothing matches); ``version`` pins a historical
+    publish.  ``_scan_observer(split, files)`` is the test hook
+    recording what would be opened."""
+    import bisect
+
+    from v6spark import txlog
+    from v6spark.operators.packing import assign_shards
+
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+    if doc is None:
+        raise ValueError(f"{path} has no committed publish at that version")
+    if doc.get("fmt") != "parquet":
+        raise ValueError(
+            "read_published_keys reads parquet publishes; this one is "
+            f"{doc.get('fmt')!r}"
+        )
+    key_col = doc.get("key_col")
+    if key_col is None:
+        raise ValueError(
+            "manifest records no key_col (pre-stats publish) — use "
+            "read_published_corpus().filter(...) instead"
+        )
+    ns = doc.get("n_shards") or 32
+    sd = doc.get("seed") or 0
+    schema = doc.get("schema")
+    keys = sorted(set(keys))
+    if not keys:
+        raise ValueError("keys must name at least one key")
+    # the shard hash is a Catalyst expression (xxhash64): evaluate it
+    # on a tiny literal frame — exact parity with the publish-time
+    # assignment, no reimplementation drift
+    kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    shard_of_key = {
+        r[key_col]: r["shard"]
+        for r in assign_shards(kdf, key_col, ns, seed=sd)
+        .select(key_col, "shard").collect()
+    }
+    touched = set(shard_of_key.values())
+    keys_by_shard: dict[int, list] = {}
+    for k, s in shard_of_key.items():
+        keys_by_shard.setdefault(s, []).append(k)
+    for ks in keys_by_shard.values():
+        ks.sort()
+    file_stats = doc.get("file_stats") or {}
+    split_files = _published_split_files(spark, path, doc)
+
+    def _shard_of(rel: str) -> int | None:
+        for part in rel.split("/"):
+            if part.startswith("shard="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    def _can_match(s, rel, shard):
+        st = file_stats.get(s, {}).get(rel)
+        if st is None:
+            return True  # no stats recorded: must scan
+        lo, hi = st[0], st[1]
+        ks = keys_by_shard.get(shard, [])
+        i = bisect.bisect_left(ks, lo)
+        return i < len(ks) and ks[i] <= hi
+
+    dfs = []
+    for s, files in sorted(split_files.items()):
+        candidates = [
+            rel for rel in files
+            if _shard_of(rel) in touched and _can_match(s, rel, _shard_of(rel))
+        ]
+        if _scan_observer is not None:
+            _scan_observer(s, list(candidates))
+        if not candidates:
+            continue
+        dfs.append(
+            _read_split_files(spark, path, s, candidates, schema=schema)
+            .filter(F.col(key_col).isin(keys))
+            .withColumn("split", F.lit(s))
+        )
+    if not dfs:
+        cols = (
+            ", ".join(f"`{n}` {t}" for n, t in schema) + ", split string"
+            if schema
+            else f"`{key_col}` string, split string"
+        )
+        return spark.createDataFrame([], cols)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _write_publish_sketches(
     spark, data_root: str, vdir: str, sketch_specs: dict, counts: dict
 ) -> dict:
