@@ -715,6 +715,188 @@ def read_published_keys(
     return out
 
 
+_STAGING = "_staging"
+
+
+def stage_corpus_publish(
+    prepared: DataFrame,
+    content: DataFrame,
+    path: str,
+    name: str | None = None,
+    **publish_kwargs,
+) -> str:
+    """WRITE step of write-audit-publish: commit a full corpus
+    publish under ``<path>/_staging/<name>`` — its own transaction
+    log, invisible to every reader of ``path`` — so quality gates can
+    audit the EXACT committed bytes before any consumer sees them.
+    Audit with :func:`read_staged_corpus` (plus anything else: judged
+    queries, contamination checks, sketch drift); then
+    :func:`promote_staged` makes it the corpus's next version by
+    REFERENCE (zero data movement) or :func:`drop_staged` discards
+    it.  The Iceberg WAP / Delta shallow-clone-gate pattern on the
+    txlog.  ``publish_kwargs`` pass through to
+    :func:`publish_corpus_committed` (n_shards, seed, key_col,
+    sketch_specs, commit_mode, ...).  Returns the stage name."""
+    import uuid
+
+    name = name or uuid.uuid4().hex[:12]
+    if "/" in name or name.startswith((".", "_")):
+        raise ValueError(f"invalid stage name {name!r}")
+    publish_corpus_committed(
+        prepared, content, f"{path}/{_STAGING}/{name}", **publish_kwargs
+    )
+    return name
+
+
+def read_staged_corpus(
+    spark, path: str, name: str, split: str | None = None
+):
+    """Committed view of a staged publish — the audit surface."""
+    return read_published_corpus(
+        spark, f"{path}/{_STAGING}/{name}", split=split
+    )
+
+
+def list_staged(spark, path: str) -> list[str]:
+    """Stage names currently present under ``<path>/_staging``."""
+    from v6spark import txlog
+
+    fs, jdir, _jvm = txlog._jfs(spark, f"{path}/{_STAGING}")
+    if not fs.exists(jdir):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jdir)
+        if st.isDirectory()
+    )
+
+
+def promote_staged(
+    spark,
+    path: str,
+    name: str,
+    commit_mode: str = "rename",
+    allow_schema_change: bool = False,
+    txn_id: str | None = None,
+    max_retries: int = 8,
+) -> dict:
+    """PUBLISH step of write-audit-publish: adopt the staged publish
+    as the corpus's next committed version via a FILE-LEVEL manifest
+    referencing the staged files in place — zero bytes move, so
+    promotion is O(manifest) regardless of corpus size, and the bytes
+    consumers read are bit-identical to the bytes the audit read.
+    Carries the stage's schema, shard params, and per-file key stats,
+    so post-promotion DML (retract/upsert/compact) and
+    :func:`read_published_keys` prune exactly as on a direct publish;
+    :func:`compact_published` later internalizes the files into a
+    regular version dir, after which :func:`drop_staged` can reclaim
+    the staging area.  Multi-writer safe (:func:`_occ_dml`);
+    ``txn_id`` gives exactly-once promotion under replay.  The
+    previous-publish schema drift guard applies
+    (``allow_schema_change`` overrides, recorded).  Returns
+    {"_version", "splits", "files"}."""
+    from v6spark import txlog
+
+    sroot = f"{path}/{_STAGING}/{name}"
+    _sv, sdoc = txlog.read_latest(spark, f"{sroot}/{_COMMITS}")
+    if sdoc is None:
+        raise ValueError(f"no committed staged publish named {name!r}")
+    if sdoc.get("fmt") != "parquet":
+        raise ValueError(
+            f"promote_staged requires a parquet stage; got "
+            f"{sdoc.get('fmt')!r}"
+        )
+    split_files = _published_split_files(spark, sroot, sdoc)
+    prefix = f"{_STAGING}/{name}/"
+    files = {
+        s: [prefix + rel for rel in fl] for s, fl in split_files.items()
+    }
+    stage_stats = sdoc.get("file_stats") or {}
+    file_stats = {
+        s: {prefix + rel: st for rel, st in d.items()}
+        for s, d in stage_stats.items()
+    }
+    sketches = {
+        sk_name: {**spec, "dir": f"{_STAGING}/{name}/{spec['dir']}"}
+        for sk_name, spec in (sdoc.get("sketches") or {}).items()
+    }
+
+    def _attempt(version, doc, vdir, data_root):
+        if (
+            txn_id is not None
+            and doc is not None
+            and txn_id in (doc.get("txn_ids") or [])
+        ):
+            return None, {
+                "_version": version,
+                "splits": dict(doc["splits"]),
+                "files": 0,
+                "replayed": True,
+            }
+        schema = sdoc.get("schema")
+        prev_schema = (doc or {}).get("schema")
+        if (
+            doc is not None
+            and prev_schema is not None
+            and schema != prev_schema
+            and not allow_schema_change
+        ):
+            raise ValueError(
+                f"staged schema differs from the published schema: "
+                f"{prev_schema} -> {schema}; pass "
+                "allow_schema_change=True to promote anyway"
+            )
+        payload = {
+            "fmt": "parquet",
+            "splits": dict(sdoc["splits"]),
+            "files": files,
+            "schema": schema,
+            "schema_changed": bool(
+                doc is not None
+                and prev_schema is not None
+                and schema != prev_schema
+            ),
+            "n_shards": sdoc.get("n_shards"),
+            "seed": sdoc.get("seed"),
+            "key_col": sdoc.get("key_col"),
+            "file_stats": file_stats,
+            "txn_ids": _txn_forward(doc, txn_id),
+            "promoted_from_stage": name,
+        }
+        if sketches:
+            payload["sketches"] = sketches
+        return payload, {
+            "splits": dict(sdoc["splits"]),
+            "files": sum(len(fl) for fl in files.values()),
+        }
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+
+
+def drop_staged(spark, path: str, name: str) -> bool:
+    """Discard a staged publish (failed audit, or reclaimed after
+    :func:`compact_published` internalized a promotion).  REFUSES
+    while any retained manifest of ``path`` still references files
+    under the stage — dropping then would delete committed data out
+    from under readers; compact first, or wait for retention."""
+    from v6spark import txlog
+
+    prefix = f"{_STAGING}/{name}/"
+    manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
+    for v, doc in manifests.items():
+        for fl in (doc.get("files") or {}).values():
+            if any(rel.startswith(prefix) for rel in fl):
+                raise ValueError(
+                    f"stage {name!r} is referenced by committed version "
+                    f"{v} — compact_published + vacuum first"
+                )
+    fs, jdir, _jvm = txlog._jfs(spark, f"{path}/{_STAGING}/{name}")
+    if not fs.exists(jdir):
+        return False
+    fs.delete(jdir, True)
+    return True
+
+
 def _write_publish_sketches(
     spark, data_root: str, vdir: str, sketch_specs: dict, counts: dict
 ) -> dict:
@@ -1156,7 +1338,12 @@ def _read_split_files(
     read-with-unified-schema contract, with zero data rewritten."""
     by_vdir: dict[str, list[str]] = {}
     for rel in files:
-        by_vdir.setdefault(rel.split("/", 1)[0], []).append(rel)
+        # the "version dir" is everything before /split= — one path
+        # component for in-root versions (v=000002-ab12cd34), several
+        # for promoted staging dirs (_staging/<name>/v=...)
+        idx = rel.find("/split=")
+        key = rel[:idx] if idx >= 0 else rel.split("/", 1)[0]
+        by_vdir.setdefault(key, []).append(rel)
     dfs = []
     for vdir, group in sorted(by_vdir.items()):
         base = f"{path}/{vdir}/split={split}"
