@@ -56,11 +56,13 @@ MODULES = [
     "v6spark.sources.trainshards",
     "v6spark.sources.ivf_index",
     "v6spark.sources.sketch_store",
+    "v6spark.sources.publog",
     "v6spark.streaming.events",
     "v6spark.streaming.sources",
     "v6spark.streaming.stateful",
     "v6spark.streaming.neardedup",
     "v6spark.streaming.mediadedup",
+    "v6spark.streaming.cdcagg",
     "v6spark.txlog",
     "v6spark.operators.codec_adapter",
     "v6spark.functions.determinism",
