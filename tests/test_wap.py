@@ -136,3 +136,96 @@ def test_promoted_version_survives_vacuum(spark, tmp_path):
     retract_from_published(spark, root, "doc_id = 3")
     vacuum_published_files(spark, root, keep_last=1)
     assert read_published_corpus(spark, root).count() == 24
+
+
+def test_concurrent_promotes_serialize(spark, tmp_path):
+    """Two stages promoted from two threads: both land exactly once
+    at versions 1 and 2; the corpus reads as whichever committed
+    last; neither manifest is torn."""
+    import threading
+
+    root = str(tmp_path / "corpus")
+    names = []
+    for i, body in enumerate(("alpha", "beta")):
+        prepared, docs = _frames(spark, 15, body=body)
+        names.append(
+            stage_corpus_publish(prepared, docs, root, n_shards=2)
+        )
+    errors, results = [], {}
+
+    def promoter(name):
+        try:
+            results[name] = promote_staged(spark, root, name)
+        except Exception as exc:  # pragma: no cover - fail loudly
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=promoter, args=(n,)) for n in names
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert {results[n]["_version"] for n in names} == {1, 2}
+    winner = next(n for n in names if results[n]["_version"] == 2)
+    body = "alpha" if winner == names[0] else "beta"
+    out = read_published_corpus(spark, root)
+    assert out.count() == 15
+    assert out.filter("doc_id = 1").collect()[0]["text"] == f"{body} 1"
+
+
+def test_promote_races_upsert(spark, tmp_path):
+    """A promote and an upsert race: both commit exactly once and the
+    final state is a serializable composition — either the upsert
+    applied to the old corpus then the promote replaced it, or the
+    promote landed first and the upsert merged into the staged data
+    (the OCC loop recomputes the loser against the winner's files)."""
+    import threading
+
+    root = str(tmp_path / "corpus")
+    prepared, docs = _frames(spark, 20, body="old")
+    publish_corpus_committed(prepared, docs, root, n_shards=2)
+    prepared2, docs2 = _frames(spark, 20, body="new")
+    name = stage_corpus_publish(prepared2, docs2, root, n_shards=2)
+    updates = spark.createDataFrame(
+        [(5, "revised five", None)], "doc_id long, text string, split string"
+    )
+    errors, results = [], {}
+
+    def promoter():
+        try:
+            results["promote"] = promote_staged(spark, root, name)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def upserter():
+        try:
+            results["upsert"] = upsert_into_published(
+                spark, root, updates
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=promoter),
+        threading.Thread(target=upserter),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert {results["promote"]["_version"], results["upsert"]["_version"]} \
+        == {2, 3}
+    out = read_published_corpus(spark, root)
+    assert out.count() == 20
+    text5 = out.filter("doc_id = 5").collect()[0]["text"]
+    text6 = out.filter("doc_id = 6").collect()[0]["text"]
+    if results["promote"]["_version"] == 3:
+        # promote landed last: the staged corpus IS the final state
+        assert (text5, text6) == ("new 5", "new 6")
+    else:
+        # upsert recomputed against the promoted files: staged body
+        # everywhere except the revised key
+        assert (text5, text6) == ("revised five", "new 6")
