@@ -715,6 +715,117 @@ def read_published_keys(
     return out
 
 
+def published_file_census(spark, path: str, version: int | None = None):
+    """Per-file census of a committed publish FROM THE MANIFEST ALONE
+    — (split, shard, file, rows, key_min, key_max) with zero file
+    reads (the Iceberg ``files`` metadata-table idea): the operational
+    view that drives compaction scheduling, skew checks, and DML
+    cost estimates on a 100 TB table without touching storage.  Files
+    published before stats recording carry NULL rows/bounds (readers
+    treat them as must-scan; the census shows them as unknowns).
+    Key bounds are stringified for a uniform schema across key
+    types."""
+    from v6spark import txlog
+
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+    if doc is None:
+        return None
+    split_files = _published_split_files(spark, path, doc)
+    file_stats = doc.get("file_stats") or {}
+
+    def _shard_of(rel: str) -> int | None:
+        for part in rel.split("/"):
+            if part.startswith("shard="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    rows = []
+    for s, files in sorted(split_files.items()):
+        for rel in files:
+            st = file_stats.get(s, {}).get(rel)
+            rows.append((
+                s,
+                _shard_of(rel),
+                rel,
+                int(st[2]) if st and len(st) > 2 else None,
+                str(st[0]) if st else None,
+                str(st[1]) if st else None,
+            ))
+    return spark.createDataFrame(
+        rows,
+        "split string, shard int, file string, rows long, "
+        "key_min string, key_max string",
+    )
+
+
+def compaction_advice(
+    spark,
+    path: str,
+    max_version_dirs: int = 8,
+    max_files_per_shard: int = 4,
+    min_rows_per_file: int | None = None,
+) -> dict:
+    """Manifest-only answer to "should this publish be compacted?" —
+    the OPTIMIZE scheduler's input, from :func:`published_file_census`
+    with zero file reads.  Two fragmentation axes, because file-level
+    DML fragments differently than appends: every retract/upsert
+    REPLACES the affected shard files in a fresh version directory
+    (per-shard file counts stay flat), so what accumulates is the
+    number of VERSION DIRECTORIES the live file set spans — listing
+    round-trips, vacuum pressure, and (after promotions) staged
+    directories that cannot be reclaimed.  ``max_version_dirs`` flags
+    that; ``max_files_per_shard`` / ``min_rows_per_file`` flag
+    many-small-files layouts (big publishes write several part files
+    per shard).  Returns {"needs_compaction", "version_dirs",
+    "shards_over", "files_total", "files_unknown_stats"}; act with
+    :func:`compact_published` (folds everything into one version
+    dir)."""
+    census = published_file_census(spark, path)
+    if census is None:
+        raise ValueError(f"{path} has no committed publish")
+    rows = census.collect()
+    vdirs = set()
+    for r in rows:
+        rel = r["file"]
+        idx = rel.find("/split=")
+        vdirs.add(rel[:idx] if idx >= 0 else rel.split("/", 1)[0])
+    per_shard: dict[tuple, dict] = {}
+    for r in rows:
+        d = per_shard.setdefault(
+            (r["split"], r["shard"]), {"n_files": 0, "rows": 0}
+        )
+        d["n_files"] += 1
+        if r["rows"] is not None:
+            d["rows"] += r["rows"]
+    shards_over = []
+    for (s, sh), d in per_shard.items():
+        over = d["n_files"] > max_files_per_shard
+        if (
+            not over
+            and min_rows_per_file is not None
+            and d["n_files"] > 1
+            and d["rows"] / d["n_files"] < min_rows_per_file
+        ):
+            over = True
+        if over:
+            shards_over.append({
+                "split": s, "shard": sh,
+                "n_files": d["n_files"], "rows": d["rows"],
+            })
+    return {
+        "needs_compaction": bool(shards_over) or len(vdirs) > max_version_dirs,
+        "version_dirs": len(vdirs),
+        "shards_over": sorted(
+            shards_over, key=lambda d: (d["split"], d["shard"] or 0)
+        ),
+        "files_total": len(rows),
+        "files_unknown_stats": sum(1 for r in rows if r["rows"] is None),
+    }
+
+
 _STAGING = "_staging"
 
 
