@@ -1745,7 +1745,7 @@ def retract_from_published(
                 f"this one is {doc.get('fmt')!r}"
             )
         if txn_id is not None and txn_id in (doc.get("txn_ids") or []):
-            # exactly-once replay skip (see _txn_note in the module)
+            # exactly-once replay skip (see _txn_forward)
             return None, {
                 "_version": version,
                 "rows_removed": 0,
@@ -2024,7 +2024,7 @@ def upsert_into_published(
                 f"this one is {doc.get('fmt')!r}"
             )
         if txn_id is not None and txn_id in (doc.get("txn_ids") or []):
-            # exactly-once replay skip (see _txn_note in the module)
+            # exactly-once replay skip (see _txn_forward)
             return None, {
                 "_version": version,
                 "rows_updated": 0,
