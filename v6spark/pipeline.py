@@ -1292,35 +1292,38 @@ def published_corpus_changes(
     joined = o.join(
         n, o[f"__o_{key}"] == n[f"__n_{key}"], "full_outer"
     )
-    compare = [c for c in out_cols]  # content + split: a split move counts
-    o_struct = F.struct(*[F.col(f"__o_{c}") for c in compare])
-    n_struct = F.struct(*[F.col(f"__n_{c}") for c in compare])
+    # SINGLE-PASS classification: each joined row maps to an array of
+    # 0..2 change structs, exploded once — a filter+union formulation
+    # would re-run the join per change class (4x) and again per
+    # consumer action over the returned frame
+    o_cmp = F.struct(*[F.col(f"__o_{c}") for c in out_cols])
+    n_cmp = F.struct(*[F.col(f"__n_{c}") for c in out_cols])
 
-    def _pick(prefix, ctype):
-        return [
-            F.col(f"{prefix}{c}").alias(c) for c in out_cols
-        ] + [
+    def _mk(prefix, ctype):
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in out_cols],
             F.lit(ctype).alias("_change_type"),
-            F.lit(new_version).cast("long").alias("_commit_version"),
-        ]
+        )
 
-    deletes = joined.filter(F.col(f"__n_{key}").isNull()).select(
-        *_pick("__o_", "delete")
+    # typed empty array of the same struct shape (unchanged rows
+    # explode to nothing); split is compared too: a split move counts
+    empty = F.slice(F.array(_mk("__o_", "unchanged")), 1, 0)
+    changes_arr = (
+        F.when(F.col(f"__n_{key}").isNull(), F.array(_mk("__o_", "delete")))
+        .when(F.col(f"__o_{key}").isNull(), F.array(_mk("__n_", "insert")))
+        .when(
+            ~o_cmp.eqNullSafe(n_cmp),
+            F.array(
+                _mk("__o_", "update_preimage"),
+                _mk("__n_", "update_postimage"),
+            ),
+        )
+        .otherwise(empty)
     )
-    inserts = joined.filter(F.col(f"__o_{key}").isNull()).select(
-        *_pick("__n_", "insert")
-    )
-    changed = joined.filter(
-        F.col(f"__o_{key}").isNotNull()
-        & F.col(f"__n_{key}").isNotNull()
-        & ~o_struct.eqNullSafe(n_struct)
-    )
-    pre = changed.select(*_pick("__o_", "update_preimage"))
-    post = changed.select(*_pick("__n_", "update_postimage"))
-    return (
-        deletes.unionByName(pre)
-        .unionByName(post)
-        .unionByName(inserts)
+    return joined.select(F.explode(changes_arr).alias("_c")).select(
+        *[F.col(f"_c.{c}").alias(c) for c in out_cols],
+        F.col("_c._change_type").alias("_change_type"),
+        F.lit(new_version).cast("long").alias("_commit_version"),
     )
 
 

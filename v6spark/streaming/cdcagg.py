@@ -65,17 +65,23 @@ def metrics_foreach_batch(
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), 1
         ).otherwise(-1)
-        versions = ch.agg(
-            F.min("_commit_version").alias("lo"),
-            F.max("_commit_version").alias("hi"),
-        ).collect()[0]
+        # ONE job over the change frame: the CDC plan re-executes its
+        # manifest-diff read per action, so folding the version window
+        # into the same aggregation matters
         deltas = ch.groupBy("split").agg(
             *[
                 F.sum(F.expr(expr).cast("double") * sign).alias(name)
                 for name, expr in metrics.items()
-            ]
+            ],
+            F.min("_commit_version").alias("_lo"),
+            F.max("_commit_version").alias("_hi"),
         ).collect()
-        txn = f"metrics-{batch_id}-{versions['lo']}-{versions['hi']}"
+        if not deltas:
+            return  # zero-row change window: totals unchanged,
+            # and a replay recomputes the same zero — safe to skip
+        lo = min(r["_lo"] for r in deltas)
+        hi = max(r["_hi"] for r in deltas)
+        txn = f"metrics-{batch_id}-{lo}-{hi}"
 
         def update(_version, doc):
             if doc is not None and txn in (doc.get("txn_ids") or []):
