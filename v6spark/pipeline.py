@@ -2086,24 +2086,34 @@ def upsert_into_published(
                 "upsert must be keyed uniquely (collapse the delta first)"
             )
         upd = assign_shards(updates, key_col, ns, seed=sd).drop("_order")
-        upd_keys = upd.select(key_col, "shard")
-        bounds = updates.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).collect()[0]
-        touched_shards = {
-            r["shard"] for r in upd_keys.select("shard").distinct().collect()
-        }
+        # ONE collect of (key, shard) serves the shard set, the stats
+        # bisect, AND a lineage-free local probe frame: the hits scan
+        # groups by input_file_name(), which Spark rejects when any
+        # OTHER file source appears in the same plan — a delta derived
+        # from parquet (a corrections table, a change feed) would
+        # poison it, so the broadcast probe must carry no file lineage.
+        # Driver-side keys are fine: the delta is the small side by
+        # contract (the dup check below already collects from it).
+        key_rows = upd.select(key_col, "shard").collect()
+        upd_keys = spark.createDataFrame(
+            key_rows, upd.select(key_col, "shard").schema
+        )
+        keys_all = sorted(r[key_col] for r in key_rows)
+        bounds = (
+            {"lo": keys_all[0], "hi": keys_all[-1]}
+            if keys_all else {"lo": None, "hi": None}
+        )
+        touched_shards = {r["shard"] for r in key_rows}
         # manifest-only candidate pruning: with per-file key stats in
         # the manifest, a sorted delta-key probe against each file's
         # recorded [lo, hi] decides candidacy WITHOUT opening the file
-        # — by-shard delta keys, bisect per file (the delta is the
-        # small side by contract, so driver-side keys are fine)
+        # — by-shard delta keys, bisect per file
         file_stats = doc.get("file_stats") or {}
         keys_by_shard: dict[int, list] = {}
         if file_stats:
             import bisect
 
-            for r in upd_keys.collect():
+            for r in key_rows:
                 keys_by_shard.setdefault(r["shard"], []).append(r[key_col])
             for ks in keys_by_shard.values():
                 ks.sort()

@@ -249,7 +249,10 @@ def changes_foreach_batch(path: str, handle, key_col: str | None = None):
                 return
             handle(
                 snap.select(
-                    *[c for c in snap.columns],
+                    # same shape as a real change window: the manifest
+                    # schema + split + markers (the recovered `shard`
+                    # partition column is storage layout, not content)
+                    *[c for c in snap.columns if c != "shard"],
                     F.lit("insert").alias("_change_type"),
                     F.lit(hi).cast("long").alias("_commit_version"),
                 ),

@@ -1,0 +1,118 @@
+"""Corpus replication: apply one table's change feed to another.
+
+``mirror_foreach_batch`` composes the round's pieces into the
+Delta-deep-clone-plus-CDF-apply pattern: the publish-log stream of a
+SOURCE corpus drives batched ``published_corpus_changes`` windows,
+and each window lands on the DESTINATION as at most two committed DML
+transactions — a retract of the window's net deletes and an upsert of
+its net inserts + post-images — each carrying a derived transaction
+id, so a crash anywhere (including between the two commits) replays
+to exactly the missing part.  The destination is a full committed
+publish in its own right: its own txlog, its own shard layout
+(``n_shards``/``seed`` may differ from the source), its own DML and
+time travel.
+
+Scale shape: per window, bytes moved = the source DML delta (the
+change feed reads only manifest-diffed files; the upsert rewrites
+only destination files holding affected keys).  Replicating a 100 TB
+corpus's daily takedowns costs the takedowns, not the corpus.
+
+Bootstrap: the cold-start window (the snapshot-as-inserts batch)
+publishes the destination wholesale.  ``publish_corpus_committed``
+has no replay guard, so a crash between that publish and the
+checkpoint commit republishes identical content as a burned version —
+content-idempotent, version-wasteful, bounded to the one bootstrap
+batch (stated, not hidden).
+
+Delete application uses an IN-list predicate over the window's
+deleted keys (driver-held, DML-delta-bounded — the same contract as
+the upsert delta being the small side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from v6spark.sources.publog import changes_foreach_batch
+
+
+def mirror_foreach_batch(
+    src_root: str,
+    dst_root: str,
+    key_col: str = "doc_id",
+    n_shards: int | None = None,
+    seed: int | None = None,
+    commit_mode: str = "rename",
+):
+    """``foreachBatch`` function replicating ``src_root`` into
+    ``dst_root``.  Wire to the source's publish-log stream::
+
+        q = (stream_published_log(spark, src)
+             .writeStream
+             .foreachBatch(mirror_foreach_batch(src, dst))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from v6spark.pipeline import (
+        publish_corpus_committed,
+        read_published_corpus,
+        retract_from_published,
+        upsert_into_published,
+    )
+
+    def handle(ch, batch_id: int) -> None:
+        if ch is None:
+            return  # metadata-only window
+        spark = ch.sparkSession
+        ch = ch.persist()
+        try:
+            w = ch.agg(
+                F.min("_commit_version").alias("lo"),
+                F.max("_commit_version").alias("hi"),
+            ).collect()[0]
+            if w["lo"] is None:
+                return  # empty change window (e.g. pure compaction)
+            txn = f"mirror-{batch_id}-{w['lo']}-{w['hi']}"
+            dst_exists = read_published_corpus(spark, dst_root) is not None
+            if not dst_exists:
+                # bootstrap: the window is the snapshot (all inserts)
+                snap = ch.filter(F.col("_change_type") == "insert")
+                prepared = snap.select(key_col, "split")
+                content = snap.drop(
+                    "split", "_change_type", "_commit_version"
+                )
+                kwargs = {}
+                if n_shards is not None:
+                    kwargs["n_shards"] = n_shards
+                if seed is not None:
+                    kwargs["seed"] = seed
+                publish_corpus_committed(
+                    prepared, content, dst_root, key_col=key_col,
+                    commit_mode=commit_mode, **kwargs,
+                )
+                return
+            deleted = [
+                r[key_col]
+                for r in ch.filter(F.col("_change_type") == "delete")
+                .select(key_col).collect()
+            ]
+            if deleted:
+                vals = ", ".join(
+                    repr(k) if isinstance(k, str) else str(k)
+                    for k in deleted
+                )
+                retract_from_published(
+                    spark, dst_root, f"{key_col} IN ({vals})",
+                    commit_mode=commit_mode, txn_id=f"{txn}-del",
+                )
+            delta = ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop("_change_type", "_commit_version")
+            if delta.limit(1).count():
+                upsert_into_published(
+                    spark, dst_root, delta, key_col=key_col,
+                    commit_mode=commit_mode, txn_id=f"{txn}-ups",
+                )
+        finally:
+            ch.unpersist()
+
+    return changes_foreach_batch(src_root, handle, key_col=key_col)
