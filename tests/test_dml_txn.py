@@ -145,3 +145,28 @@ def test_upsert_foreach_batch_is_exactly_once(spark, tmp_path):
     out = read_published_corpus(spark, root)
     assert out.count() == 41
     assert out.filter("text = 'stream rev 4'").count() == 1
+
+
+def test_publish_replay_skips_with_txn_id(spark, tmp_path):
+    """A txn-id'd publish replayed (the streaming-bootstrap crash
+    shape) must not burn a version or rewrite data."""
+    docs = spark.range(10).selectExpr(
+        "id as doc_id", "concat('b ', id) as text"
+    )
+    prepared = spark.range(10).selectExpr("id as doc_id", "'train' as split")
+    root = str(tmp_path / "corpus")
+    r1 = publish_corpus_committed(
+        prepared, docs, root, n_shards=2, txn_id="boot-1"
+    )
+    r2 = publish_corpus_committed(
+        prepared, docs, root, n_shards=2, txn_id="boot-1"
+    )
+    assert r2["replayed"] is True and r2["_version"] == r1["_version"] == 1
+    assert r2["train"] == 10  # the recorded split counts come back
+    v, doc = txlog.read_latest(spark, f"{root}/{_COMMITS}")
+    assert v == 1 and "boot-1" in doc["txn_ids"]
+    # a different txn id is a REAL republish (new version)
+    r3 = publish_corpus_committed(
+        prepared, docs, root, n_shards=2, txn_id="boot-2"
+    )
+    assert r3["_version"] == 2

@@ -133,3 +133,23 @@ def test_mirror_handles_string_keys(spark, tmp_path):
     assert read_published_corpus(spark, dst).filter(
         "doc_id = 'doc-4'"
     ).count() == 0
+
+
+def test_bootstrap_replay_does_not_burn_a_version(spark, tmp_path):
+    """Replaying the bootstrap epoch (crash between publish and
+    checkpoint commit) must skip via the derived txn id."""
+    from v6spark import txlog
+    from v6spark.pipeline import _COMMITS
+    from v6spark.sources.publog import register_publog_source
+
+    register_publog_source(spark)
+    src = _publish(spark, tmp_path, n=10)
+    dst = str(tmp_path / "dst")
+    fn = mirror_foreach_batch(src, dst, n_shards=2)
+    log_rows = spark.read.format("publog").load(src)
+    fn(log_rows, 0)
+    v1, _ = txlog.read_latest(spark, f"{dst}/{_COMMITS}")
+    fn(log_rows, 0)  # replayed bootstrap epoch
+    v2, _ = txlog.read_latest(spark, f"{dst}/{_COMMITS}")
+    assert v1 == v2 == 1
+    assert _content(spark, dst) == _content(spark, src)

@@ -402,6 +402,7 @@ def publish_corpus_committed(
     _fail_after_split: str | None = None,
     _fail_before_sketches: bool = False,
     max_retries: int = 8,
+    txn_id: str | None = None,
 ) -> dict:
     """:func:`publish_corpus` wrapped in the versioned-manifest commit
     (:mod:`v6spark.txlog` — the machinery proven by the streaming
@@ -462,6 +463,18 @@ def publish_corpus_committed(
     ]
 
     def _attempt(version, _doc, vdir, data_root):
+        if (
+            txn_id is not None
+            and _doc is not None
+            and txn_id in (_doc.get("txn_ids") or [])
+        ):
+            # exactly-once replay skip (see _txn_forward) — the
+            # guard that makes a streaming bootstrap publish safe
+            return None, {
+                "_version": version,
+                **{s: c for s, c in (_doc.get("splits") or {}).items()},
+                "replayed": True,
+            }
         prev_schema = _doc.get("schema") if _doc else None
         schema_changed = prev_schema is not None and prev_schema != schema
         if schema_changed and not allow_schema_change:
@@ -492,7 +505,7 @@ def publish_corpus_committed(
             "n_shards": n_shards,
             "seed": seed,
             "key_col": key_col,
-            "txn_ids": _txn_forward(_doc, None),
+            "txn_ids": _txn_forward(_doc, txn_id),
         }
         if fmt == "parquet":
             # per-file key stats at publish time: later retract/upsert

@@ -18,11 +18,9 @@ only destination files holding affected keys).  Replicating a 100 TB
 corpus's daily takedowns costs the takedowns, not the corpus.
 
 Bootstrap: the cold-start window (the snapshot-as-inserts batch)
-publishes the destination wholesale.  ``publish_corpus_committed``
-has no replay guard, so a crash between that publish and the
-checkpoint commit republishes identical content as a burned version —
-content-idempotent, version-wasteful, bounded to the one bootstrap
-batch (stated, not hidden).
+publishes the destination wholesale under the same derived
+transaction id, so a crash-replayed bootstrap epoch skips exactly
+like a DML window does.
 
 Delete application uses an IN-list predicate over the window's
 deleted keys (driver-held, DML-delta-bounded — the same contract as
@@ -54,7 +52,6 @@ def mirror_foreach_batch(
     """
     from v6spark.pipeline import (
         publish_corpus_committed,
-        read_published_corpus,
         retract_from_published,
         upsert_into_published,
     )
@@ -72,8 +69,22 @@ def mirror_foreach_batch(
             if w["lo"] is None:
                 return  # empty change window (e.g. pure compaction)
             txn = f"mirror-{batch_id}-{w['lo']}-{w['hi']}"
-            dst_exists = read_published_corpus(spark, dst_root) is not None
-            if not dst_exists:
+            from v6spark import txlog
+            from v6spark.pipeline import _COMMITS
+
+            _dv, dst_doc = txlog.read_latest(
+                spark, f"{dst_root}/{_COMMITS}"
+            )
+            if (
+                dst_doc is not None
+                and f"{txn}-boot" in (dst_doc.get("txn_ids") or [])
+            ):
+                # replayed bootstrap epoch: the destination exists
+                # BECAUSE this very window published it — without this
+                # check the replay would fall through to the DML path
+                # and re-apply the snapshot as an upsert
+                return
+            if dst_doc is None:
                 # bootstrap: the window is the snapshot (all inserts)
                 snap = ch.filter(F.col("_change_type") == "insert")
                 prepared = snap.select(key_col, "split")
@@ -87,7 +98,8 @@ def mirror_foreach_batch(
                     kwargs["seed"] = seed
                 publish_corpus_committed(
                     prepared, content, dst_root, key_col=key_col,
-                    commit_mode=commit_mode, **kwargs,
+                    commit_mode=commit_mode, txn_id=f"{txn}-boot",
+                    **kwargs,
                 )
                 return
             deleted = [
