@@ -147,3 +147,25 @@ def test_changes_foreach_batch_cdc(spark, tmp_path):
     assert by["insert"]["doc_id"] == 1002
     assert by["update_postimage"]["text"] == "rev 2"
     assert all(r["_commit_version"] == 3 for r in seen[0][1])
+
+
+def test_batch_log_reads_put_mode_lifecycle(spark, tmp_path):
+    """Put-mode manifests (checksum-footer commit) read identically
+    through the publog source — mode-portable logs."""
+    docs = spark.range(10).selectExpr(
+        "id as doc_id", "concat('b ', id) as text"
+    )
+    prepared = spark.range(10).selectExpr("id as doc_id", "'train' as split")
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(
+        prepared, docs, root, n_shards=2, commit_mode="put"
+    )
+    retract_from_published(
+        spark, root, "doc_id = 2", commit_mode="put", txn_id="t-1"
+    )
+    register_publog_source(spark)
+    log = spark.read.format("publog").load(root).orderBy("version")
+    rows = log.collect()
+    assert [r["kind"] for r in rows] == ["publish", "retract"]
+    assert rows[1]["txn_id"] == "t-1"
+    assert rows[1]["rows_total"] == 9
