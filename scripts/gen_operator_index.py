@@ -63,6 +63,7 @@ MODULES = [
     "v6spark.streaming.neardedup",
     "v6spark.streaming.mediadedup",
     "v6spark.streaming.cdcagg",
+    "v6spark.streaming.replication",
     "v6spark.txlog",
     "v6spark.operators.codec_adapter",
     "v6spark.functions.determinism",
