@@ -2525,3 +2525,85 @@ def compact_published(
 
     out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
     return out["_version"] if out else None
+
+
+def reshard_published(
+    spark,
+    path: str,
+    n_shards: int,
+    seed: int | None = None,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+) -> int:
+    """SHARD-COUNT EVOLUTION: rewrite a committed publish under a new
+    shard hash (``pmod(xxhash64(seed, key), n_shards)``) as a new
+    committed version — the partition-evolution step a growing corpus
+    needs when the shard count chosen at first publish stops matching
+    the data (too few shards → giant files and no write parallelism;
+    DML pruning fan-out stuck at the old modulus).  A full rewrite by
+    construction (every key's shard assignment changes), so schedule
+    it like a compaction, not like DML; content is bit-identical row
+    for row — :func:`published_corpus_changes` across the reshard
+    returns ZERO rows, and point lookups / upserts prune with the NEW
+    params immediately (they read the manifest).  Versioned readers
+    pinned to the old layout are untouched.  MULTI-WRITER SAFE via
+    :func:`_occ_dml`.  Returns the committed version."""
+    from v6spark import txlog
+    from v6spark.operators.packing import assign_shards
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
+            raise ValueError(f"{path} has no committed publish to reshard")
+        if doc.get("fmt") != "parquet":
+            raise ValueError(
+                "reshard_published operates on parquet publishes; this "
+                f"one is {doc.get('fmt')!r}"
+            )
+        sd = seed if seed is not None else (doc.get("seed") or 0)
+        key_col = doc.get("key_col") or "doc_id"
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)
+        split_files = _published_split_files(spark, path, doc)
+        for s, files in sorted(split_files.items()):
+            if not files:
+                continue
+            df = _read_split_files(
+                spark, path, s, files, schema=doc.get("schema")
+            ).drop("shard")
+            sharded = assign_shards(df, key_col, n_shards, seed=sd)
+            (
+                sharded.repartition(n_shards, F.col("shard"))
+                .sortWithinPartitions("shard", "_order")
+                .drop("_order")
+                .write.mode("error")
+                .partitionBy("shard")
+                .parquet(f"{data_root}/split={s}")
+            )
+        payload = {
+            "live": vdir,
+            "fmt": "parquet",
+            "splits": dict(doc["splits"]),
+            "schema": doc.get("schema"),
+            "schema_changed": False,
+            "n_shards": n_shards,
+            "seed": sd,
+            "key_col": key_col,
+            "txn_ids": _txn_forward(doc, None),
+            "resharded_from": version,
+        }
+        fresh = _published_split_files(
+            spark, path, {"live": vdir, "splits": doc["splits"]}
+        )
+        payload["file_stats"] = {
+            s: _collect_file_stats(spark, path, s, fl, key_col)
+            if fl else {}
+            for s, fl in fresh.items()
+        }
+        return payload, {}
+
+    out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return out["_version"]

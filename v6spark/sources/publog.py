@@ -72,6 +72,8 @@ def _kind_of(doc: dict) -> str:
         return "evolve"
     if "compacted_from" in doc:
         return "compact"
+    if "resharded_from" in doc:
+        return "reshard"
     if "upsert" in doc:
         return "upsert"
     if "retraction" in doc:
