@@ -600,17 +600,14 @@ def read_published_corpus(
         files = split_files.get(split, [])
         if not files:
             return None
-        return _read_split_files(
-            spark, path, split, files, schema=doc.get("schema")
-        )
+        return _read_split_mor(spark, path, split, files, doc)
     if not splits:
         # a committed EMPTY publish (every doc filtered out) is a
         # valid state distinct from "nothing committed yet"
         return None
     dfs = [
-        _read_split_files(
-            spark, path, s, split_files[s], schema=doc.get("schema")
-        ).withColumn("split", F.lit(s))
+        _read_split_mor(spark, path, s, split_files[s], doc)
+        .withColumn("split", F.lit(s))
         for s in splits
         if split_files.get(s)
     ]
@@ -711,7 +708,7 @@ def read_published_keys(
         if not candidates:
             continue
         dfs.append(
-            _read_split_files(spark, path, s, candidates, schema=schema)
+            _read_split_mor(spark, path, s, candidates, doc)
             .filter(F.col(key_col).isin(keys))
             .withColumn("split", F.lit(s))
         )
@@ -748,6 +745,7 @@ def published_file_census(spark, path: str, version: int | None = None):
         return None
     split_files = _published_split_files(spark, path, doc)
     file_stats = doc.get("file_stats") or {}
+    dv_files = (doc.get("dv") or {}).get("files") or {}
 
     def _shard_of(rel: str) -> int | None:
         for part in rel.split("/"):
@@ -766,11 +764,12 @@ def published_file_census(spark, path: str, version: int | None = None):
                 int(st[2]) if st and len(st) > 2 else None,
                 str(st[0]) if st else None,
                 str(st[1]) if st else None,
+                int(dv_files.get(s, {}).get(rel, 0)),
             ))
     return spark.createDataFrame(
         rows,
         "split string, shard int, file string, rows long, "
-        "key_min string, key_max string",
+        "key_min string, key_max string, dv_deleted long",
     )
 
 
@@ -780,6 +779,7 @@ def compaction_advice(
     max_version_dirs: int = 8,
     max_files_per_shard: int = 4,
     min_rows_per_file: int | None = None,
+    max_dv_deleted_rows: int | None = None,
 ) -> dict:
     """Manifest-only answer to "should this publish be compacted?" —
     the OPTIMIZE scheduler's input, from :func:`published_file_census`
@@ -828,14 +828,27 @@ def compaction_advice(
                 "split": s, "shard": sh,
                 "n_files": d["n_files"], "rows": d["rows"],
             })
+    # merge-on-read debt: deletion-vector'd rows cost a broadcast
+    # anti-join on every read until a rewrite materializes them —
+    # ``max_dv_deleted_rows`` turns that into a compaction trigger
+    dv_deleted = sum(r["dv_deleted"] or 0 for r in rows)
     return {
-        "needs_compaction": bool(shards_over) or len(vdirs) > max_version_dirs,
+        "needs_compaction": (
+            bool(shards_over)
+            or len(vdirs) > max_version_dirs
+            or (
+                max_dv_deleted_rows is not None
+                and dv_deleted > max_dv_deleted_rows
+            )
+        ),
         "version_dirs": len(vdirs),
         "shards_over": sorted(
             shards_over, key=lambda d: (d["split"], d["shard"] or 0)
         ),
         "files_total": len(rows),
         "files_unknown_stats": sum(1 for r in rows if r["rows"] is None),
+        "dv_deleted_rows": dv_deleted,
+        "dv_files": sum(1 for r in rows if (r["dv_deleted"] or 0) > 0),
     }
 
 
@@ -1449,7 +1462,7 @@ def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
 
 def _read_split_files(
     spark, path: str, split: str, files: list[str],
-    schema: list | None = None,
+    schema: list | None = None, with_pos: bool = False,
 ):
     """One DataFrame over a split's file list, with the ``shard``
     partition column RECOVERED: files are grouped by the version dir
@@ -1462,7 +1475,16 @@ def _read_split_files(
     every group to the CURRENT published schema: files written before
     an additive :func:`evolve_published_schema` lack the added
     columns, which read as typed NULLs — the Iceberg/Delta
-    read-with-unified-schema contract, with zero data rewritten."""
+    read-with-unified-schema contract, with zero data rewritten.
+
+    ``with_pos`` appends ``__file`` (publish-root-relative data file)
+    and ``__pos`` (row ordinal within that file, from the parquet
+    reader's ``_metadata.row_index``) — the stable row address that
+    deletion vectors (:func:`retract_from_published`
+    ``strategy="dv"``) and the merge-on-read path key on.  Unlike
+    ``input_file_name()``, these survive joins with other file
+    sources (they are materialized per-scan), so DML hits scans over
+    DV-carrying publishes group on ``__file``."""
     by_vdir: dict[str, list[str]] = {}
     for rel in files:
         # the "version dir" is everything before /split= — one path
@@ -1477,6 +1499,11 @@ def _read_split_files(
         df = spark.read.option("basePath", base).parquet(
             *[f"{path}/{rel}" for rel in sorted(group)]
         )
+        if with_pos:
+            fp = F.col("_metadata.file_path")
+            df = df.withColumn(
+                "__file", F.substring_index(fp, path + "/", -1)
+            ).withColumn("__pos", F.col("_metadata.row_index"))
         if schema is not None:
             for name, typ in schema:
                 if name not in df.columns:
@@ -1490,6 +1517,88 @@ def _read_split_files(
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _read_dv(spark, path: str, doc: dict):
+    """The committed deletion-vector frame ``(split, file, pos)`` of a
+    manifest — read from the EXPLICIT file list the manifest records
+    (``dv.data``), never a directory listing, so a torn DV write from
+    a crashed retraction is invisible.  None when the manifest carries
+    no deletion vectors."""
+    dv = doc.get("dv")
+    if not dv or not dv.get("data"):
+        return None
+    return spark.read.parquet(*[f"{path}/{rel}" for rel in dv["data"]])
+
+
+def _read_split_mor(
+    spark, path: str, split: str, files: list[str], doc: dict,
+    keep_pos: bool = False,
+):
+    """MERGE-ON-READ view of a split's file list under ``doc``: files
+    with no deletion-vector entries read plainly (zero overhead — the
+    common case stays a bare parquet scan); files the manifest marks
+    in ``dv.files[split]`` read with row positions and drop their
+    deleted rows via a BROADCAST anti-join against the (KB-scale) DV
+    frame — the Delta deletion-vector / Iceberg positional-delete
+    read path, costing one broadcast probe per row of the DIRTY files
+    only, never a shuffle.  ``keep_pos`` retains ``__file``/``__pos``
+    on the output (DML hits scans need them); None when ``files`` is
+    empty."""
+    if not files:
+        return None
+    schema = doc.get("schema")
+    dv_marked = set((doc.get("dv") or {}).get("files", {}).get(split, {}))
+    dirty = [rel for rel in files if rel in dv_marked]
+    clean = [rel for rel in files if rel not in dv_marked]
+    parts = []
+    if clean:
+        parts.append(
+            _read_split_files(
+                spark, path, split, clean, schema=schema, with_pos=keep_pos
+            )
+        )
+    if dirty:
+        d = _read_split_files(
+            spark, path, split, dirty, schema=schema, with_pos=True
+        )
+        dv_s = (
+            _read_dv(spark, path, doc)
+            .filter(F.col("split") == split)
+            .select(
+                F.col("file").alias("__file"), F.col("pos").alias("__pos")
+            )
+        )
+        d = d.join(F.broadcast(dv_s), ["__file", "__pos"], "left_anti")
+        if not keep_pos:
+            d = d.drop("__file", "__pos")
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_live_dirs(new_files: dict, dv: dict | None, extra=()) -> list[str]:
+    """``live`` directory list for a file-level manifest: every
+    version dir a referenced data file OR deletion-vector file lives
+    in (the directory-level vacuum spares exactly these), plus
+    ``extra`` (e.g. the new version dir when it hosts fresh bytes)."""
+
+    def _dir_of(rel: str) -> str:
+        idx = rel.find("/split=")
+        if idx >= 0:
+            return rel[:idx]
+        idx = rel.find("/_dv/")
+        if idx >= 0:
+            return rel[:idx]
+        return rel.split("/", 1)[0]
+
+    dirs = {_dir_of(rel) for fl in new_files.values() for rel in fl}
+    for rel in (dv or {}).get("data", []) or []:
+        dirs.add(_dir_of(rel))
+    dirs.update(extra)
+    return sorted(dirs)
 
 
 def _rel_path(uri: str, path: str) -> str:
@@ -1705,42 +1814,59 @@ def retract_from_published(
     _fail_after: str | None = None,
     max_retries: int = 8,
     txn_id: str | None = None,
+    strategy: str = "rewrite",
 ) -> dict:
     """Row-level DELETE from a committed parquet publish as a NEW
-    committed version, rewriting ONLY the files that contain matching
-    rows (file-level copy-on-write) — the takedown/right-to-be-
-    forgotten operation a 100 TB published corpus needs, where
-    "republish everything minus the rows" is a full-corpus write and
-    a full-corpus read.
+    committed version — the takedown/right-to-be-forgotten operation
+    a 100 TB published corpus needs, where "republish everything
+    minus the rows" is a full-corpus write and a full-corpus read.
+    Two strategies, the Delta/Iceberg copy-on-write vs merge-on-read
+    trade:
+
+    ``strategy="rewrite"`` (copy-on-write, the default): rewrite ONLY
+    the files that contain matching rows, minus those rows.  Read
+    cost stays zero afterwards; write cost is the affected files'
+    full size — right when deletes are rare or reads dominate.
+
+    ``strategy="dv"`` (DELETION VECTORS, merge-on-read): rewrite
+    NOTHING — record the matching rows' ``(file, position)``
+    addresses in a KB-scale parquet sidecar named by the manifest
+    (``dv``), leaving every data file byte-identical.  A takedown of
+    3 documents from a corpus of multi-GB files writes kilobytes
+    instead of re-encoding gigabytes.  Readers
+    (:func:`read_published_corpus`, point lookups, DML scans) apply
+    the vectors as a BROADCAST anti-join on the dirty files only
+    (:func:`_read_split_mor`); clean files keep their bare-scan
+    plan.  Chained DV retractions union positions; any later rewrite
+    of a file (copy-on-write retract, upsert, compact, reshard)
+    MATERIALIZES its vector and drops the entry.  Note the
+    merge-on-read caveat: the deleted bytes remain on storage until
+    a rewrite + :func:`vacuum_published_files` — a privacy-grade
+    forget should follow DV retractions with :func:`compact_published`
+    once enough accumulate (``compaction_advice`` counts them).
 
     ``predicate`` is a SQL boolean over the published columns
     selecting the rows to REMOVE; it is recorded in the manifest.
 
-    Scale shape, in order:
-    1. ONE predicate-pushdown scan per split finds the affected files
-       (``input_file_name()`` + the pushed predicate: parquet
-       row-group stats skip clean files, and only predicate columns
-       are read — ``.explain`` shows PushedFilters when the predicate
-       is stats-friendly).  With Z-ordered or key-sorted layout
-       (sources/layout.py) the affected set is a handful of files.
-    2. Only affected files are re-read and rewritten (minus matching
-       rows) into the new version directory.
-    3. The new manifest lists the surviving files EXPLICITLY (kept
-       files stay in their original version directories — zero bytes
-       copied for them); ``live`` lists every referenced version dir
-       so the directory-level vacuum spares them, and
-       :func:`vacuum_published_files` sweeps the superseded originals
-       file-granularly once retention passes (the actual "forgotten"
-       guarantee — see its docstring).
+    Scale shape (both strategies start the same): ONE
+    predicate-pushdown scan per split finds the affected rows
+    (parquet row-group stats skip clean files, and only predicate
+    columns are read).  With Z-ordered or key-sorted layout
+    (sources/layout.py) the affected set is a handful of files.
+    Rewrite then re-reads and rewrites only those files; DV writes
+    just the position sidecar.  The new manifest lists surviving
+    files EXPLICITLY; ``live`` lists every referenced version dir so
+    the directory-level vacuum spares them, and
+    :func:`vacuum_published_files` sweeps superseded originals
+    file-granularly once retention passes.
 
-    Committed readers (:func:`read_published_corpus`) resolve either
-    manifest shape transparently.  A crash before the manifest commit
-    leaves the current version untouched (``_fail_after="data"``
-    injects that window).  MULTI-WRITER SAFE: the whole retraction
-    runs under the :func:`_occ_dml` optimistic loop — a concurrent
-    DML commit makes this writer recompute its affected-file plan
-    against the winner's file list and retry (serializable, like a
-    Delta/Iceberg commit conflict).
+    Committed readers resolve every manifest shape transparently.  A
+    crash before the manifest commit leaves the current version
+    untouched (``_fail_after="data"`` injects that window).
+    MULTI-WRITER SAFE: the whole retraction runs under the
+    :func:`_occ_dml` optimistic loop — a concurrent DML commit makes
+    this writer recompute its plan against the winner's state and
+    retry (serializable, like a Delta/Iceberg commit conflict).
 
     Returns {"_version", "rows_removed", "files_rewritten",
     "files_kept", "splits"} — rows_removed == 0 commits nothing and
@@ -1748,6 +1874,11 @@ def retract_from_published(
     """
     from v6spark import txlog
 
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError(
+            f"strategy must be 'rewrite' (copy-on-write) or 'dv' "
+            f"(deletion vectors), got {strategy!r}"
+        )
     pred = F.expr(predicate)
 
     def _attempt(version, doc, vdir, data_root):
@@ -1775,9 +1906,135 @@ def retract_from_published(
         if fs.exists(jroot):
             fs.delete(jroot, True)  # impossible (nonce name) but cheap
 
+        prior_dv = doc.get("dv") or {}
+
+        if strategy == "dv":
+            # one pushed-down MOR scan per split: already-deleted rows
+            # are excluded (a predicate matching them must not re-count
+            # or double-record positions); __file/__pos address the hits
+            hit_frames = []
+            n_files_total = 0
+            for s, files in sorted(split_files.items()):
+                n_files_total += len(files)
+                mor = _read_split_mor(
+                    spark, path, s, files, doc, keep_pos=True
+                )
+                if mor is None:
+                    continue
+                hit_frames.append(
+                    mor.filter(pred).select(
+                        F.lit(s).alias("split"),
+                        F.col("__file").alias("file"),
+                        F.col("__pos").alias("pos"),
+                    )
+                )
+            rows_removed = 0
+            counts = []
+            new_hits = None
+            if hit_frames:
+                new_hits = hit_frames[0]
+                for h in hit_frames[1:]:
+                    new_hits = new_hits.unionByName(h)
+                new_hits = new_hits.persist()
+                counts = (
+                    new_hits.groupBy("split", "file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                rows_removed = sum(r["n"] for r in counts)
+            if rows_removed == 0:
+                if new_hits is not None:
+                    new_hits.unpersist()
+                fs.delete(jroot, True)
+                if txn_id is not None:
+                    payload = {k: v for k, v in doc.items() if k != "v"}
+                    payload["txn_ids"] = _txn_forward(doc, txn_id)
+                    payload["noop_txn"] = txn_id
+                    return payload, {
+                        "rows_removed": 0,
+                        "files_rewritten": 0,
+                        "files_kept": n_files_total,
+                        "splits": dict(doc["splits"]),
+                    }
+                return None, {
+                    "_version": version,
+                    "rows_removed": 0,
+                    "files_rewritten": 0,
+                    "files_kept": n_files_total,
+                    "splits": dict(doc["splits"]),
+                }
+            # the new version's DV sidecar is the COMPLETE union (prior
+            # vectors + new hits): one self-contained file set per
+            # manifest, so readers never chain across versions and
+            # vacuum can retire old sidecars with their manifests
+            prior_frame = _read_dv(spark, path, doc)
+            all_dv = (
+                new_hits if prior_frame is None
+                else prior_frame.unionByName(new_hits)
+            )
+            all_dv.write.mode("error").parquet(f"{data_root}/_dv")
+            new_hits.unpersist()
+            if _fail_after == "data":
+                raise RuntimeError(
+                    "injected crash after deletion-vector write"
+                )
+            dv_rels = sorted(
+                _rel_path(p, path)
+                for p in _list_data_files(spark, f"{data_root}/_dv")
+            )
+            merged: dict[str, dict] = {
+                s: dict(m) for s, m in (prior_dv.get("files") or {}).items()
+            }
+            removed_by_split: dict[str, int] = {}
+            for r in counts:
+                merged.setdefault(r["split"], {})
+                merged[r["split"]][r["file"]] = (
+                    merged[r["split"]].get(r["file"], 0) + r["n"]
+                )
+                removed_by_split[r["split"]] = (
+                    removed_by_split.get(r["split"], 0) + r["n"]
+                )
+            new_files = {s: sorted(fl) for s, fl in split_files.items()}
+            new_counts = {
+                s: doc["splits"].get(s, 0) - removed_by_split.get(s, 0)
+                for s in doc["splits"]
+            }
+            dv_doc = {"data": dv_rels, "files": merged}
+            payload = {
+                "live": _dv_live_dirs(new_files, dv_doc),
+                "primary": vdir,
+                "files": new_files,
+                "fmt": "parquet",
+                "splits": new_counts,
+                "schema": doc.get("schema"),
+                "schema_changed": False,
+                "n_shards": doc.get("n_shards"),
+                "seed": doc.get("seed"),
+                "key_col": doc.get("key_col"),
+                "txn_ids": _txn_forward(doc, txn_id),
+                "dv": dv_doc,
+                "retraction": {
+                    "predicate": predicate,
+                    "rows_removed": rows_removed,
+                    "files_rewritten": 0,
+                    "files_kept": n_files_total,
+                    "from_version": version,
+                    "strategy": "dv",
+                },
+            }
+            if doc.get("file_stats"):
+                payload["file_stats"] = doc["file_stats"]
+            return payload, {
+                "rows_removed": rows_removed,
+                "files_rewritten": 0,
+                "files_kept": n_files_total,
+                "splits": new_counts,
+            }
+
         new_files: dict[str, list[str]] = {}
         new_counts: dict[str, int] = {}
         new_stats: dict[str, dict] = {}
+        new_dv_files: dict[str, dict] = {}
         old_stats = doc.get("file_stats") or {}
         rows_removed = 0
         files_rewritten = 0
@@ -1788,17 +2045,18 @@ def retract_from_published(
                 new_counts[s] = doc["splits"].get(s, 0)
                 new_stats[s] = {}
                 continue
-            df = _read_split_files(
-                spark, path, s, files, schema=doc.get("schema")
-            )
-            # one pushed-down scan: affected files + their match counts
+            df = _read_split_mor(spark, path, s, files, doc, keep_pos=True)
+            # one pushed-down MOR scan: affected files + their match
+            # counts.  __file (not input_file_name()) because the MOR
+            # anti-join puts a second file source in the plan; rows
+            # already deleted by a vector are excluded from the count.
             hits = (
                 df.filter(pred)
-                .groupBy(F.input_file_name().alias("f"))
+                .groupBy(F.col("__file").alias("f"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-            affected_rel = {_rel_path(r["f"], path) for r in hits}
+            affected_rel = {r["f"] for r in hits}
             removed_s = sum(r["n"] for r in hits)
             rows_removed += removed_s
             kept = [rel for rel in files if rel not in affected_rel]
@@ -1808,6 +2066,16 @@ def retract_from_published(
                 for rel in kept
                 if s in old_stats and rel in old_stats[s]
             }
+            # deletion vectors carry forward for KEPT files only — a
+            # rewritten file materializes its vector (the MOR read
+            # below already drops those rows) and sheds the entry
+            kept_dv = {
+                rel: n
+                for rel, n in (prior_dv.get("files", {}).get(s, {})).items()
+                if rel in set(kept)
+            }
+            if kept_dv:
+                new_dv_files[s] = kept_dv
             out_rel: list[str] = []
             if affected_rel:
                 files_rewritten += len(affected_rel)
@@ -1819,9 +2087,8 @@ def retract_from_published(
                 # `text LIKE '%x%'` over a nullable column) that the hits
                 # scan above never counted — survivors must be the exact
                 # complement of the counted hits (Delta keeps non-TRUE rows).
-                rewritten = _read_split_files(
-                    spark, path, s, sorted(affected_rel),
-                    schema=doc.get("schema"),
+                rewritten = _read_split_mor(
+                    spark, path, s, sorted(affected_rel), doc,
                 ).filter(~F.coalesce(pred, F.lit(False)))
                 out_dir = f"{data_root}/split={s}"
                 writer = rewritten.write.mode("error")
@@ -1872,11 +2139,13 @@ def retract_from_published(
         if _fail_after == "data":
             raise RuntimeError("injected crash after retraction data write")
 
-        live_dirs = sorted(
-            {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
+        dv_doc = (
+            {"data": prior_dv.get("data") or [], "files": new_dv_files}
+            if new_dv_files
+            else None
         )
         payload = {
-            "live": live_dirs,
+            "live": _dv_live_dirs(new_files, dv_doc),
             "primary": vdir,
             "files": new_files,
             "fmt": "parquet",
@@ -1895,6 +2164,8 @@ def retract_from_published(
                 "from_version": version,
             },
         }
+        if dv_doc is not None:
+            payload["dv"] = dv_doc
         if doc.get("key_col"):
             payload["file_stats"] = new_stats
         return payload, {
@@ -1940,6 +2211,9 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
         if "files" in d:
             for fl in d["files"].values():
                 keep_files.update(fl)
+            # deletion-vector sidecars are data too: a retained DV
+            # manifest's reads depend on them
+            keep_files.update((d.get("dv") or {}).get("data") or [])
         else:
             live = d.get("live")
             whole_dirs.update(live if isinstance(live, list) else [live])
@@ -2151,9 +2425,11 @@ def upsert_into_published(
                     return int(part.split("=", 1)[1])
             return None
 
+        prior_dv = doc.get("dv") or {}
         new_files: dict[str, list[str]] = {}
         new_counts: dict[str, int] = {}
         new_stats: dict[str, dict] = {}
+        new_dv_files: dict[str, dict] = {}
         rows_updated = 0
         files_rewritten = 0
         files_kept = 0
@@ -2176,8 +2452,13 @@ def upsert_into_published(
             affected_rel: set[str] = set()
             matched_s = 0
             if candidates:
-                cand_df = _read_split_files(
-                    spark, path, s, candidates, schema=doc.get("schema")
+                # merge-on-read scan: rows a deletion vector already
+                # removed must not count as matches (their key would be
+                # an INSERT, not an update); __file not
+                # input_file_name() — the MOR anti-join adds a second
+                # file source to the plan
+                cand_df = _read_split_mor(
+                    spark, path, s, candidates, doc, keep_pos=True
                 )
                 hits = (
                     cand_df.filter(
@@ -2187,11 +2468,11 @@ def upsert_into_published(
                         F.broadcast(upd_keys.select(key_col)),
                         key_col, "left_semi",
                     )
-                    .groupBy(F.input_file_name().alias("f"))
+                    .groupBy(F.col("__file").alias("f"))
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 )
-                affected_rel = {_rel_path(r["f"], path) for r in hits}
+                affected_rel = {r["f"] for r in hits}
                 matched_s = sum(r["n"] for r in hits)
             rows_updated += matched_s
             kept = [rel for rel in files if rel not in affected_rel]
@@ -2203,11 +2484,20 @@ def upsert_into_published(
                 for rel in kept
                 if s in file_stats and rel in file_stats[s]
             }
+            # deletion vectors carry forward for kept files; rewritten
+            # files materialize theirs (the MOR read below drops the
+            # dv'd rows) and shed the entry
+            kept_dv = {
+                rel: n
+                for rel, n in (prior_dv.get("files", {}).get(s, {})).items()
+                if rel in set(kept)
+            }
+            if kept_dv:
+                new_dv_files[s] = kept_dv
             if affected_rel:
                 files_rewritten += len(affected_rel)
-                aff = _read_split_files(
-                    spark, path, s, sorted(affected_rel),
-                    schema=doc.get("schema"),
+                aff = _read_split_mor(
+                    spark, path, s, sorted(affected_rel), doc,
                 )
                 kept_rows = aff.join(
                     F.broadcast(upd_keys.select(key_col)), key_col,
@@ -2320,11 +2610,13 @@ def upsert_into_published(
         if _fail_after == "data":
             raise RuntimeError("injected crash after upsert data write")
 
-        live_dirs = sorted(
-            {rel.split("/", 1)[0] for fl in new_files.values() for rel in fl}
+        dv_doc = (
+            {"data": prior_dv.get("data") or [], "files": new_dv_files}
+            if new_dv_files
+            else None
         )
         payload = {
-            "live": live_dirs,
+            "live": _dv_live_dirs(new_files, dv_doc),
             "primary": vdir,
             "files": new_files,
             "fmt": "parquet",
@@ -2344,6 +2636,8 @@ def upsert_into_published(
                 "from_version": version,
             },
         }
+        if dv_doc is not None:
+            payload["dv"] = dv_doc
         return payload, {
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
@@ -2482,9 +2776,10 @@ def compact_published(
         for s, files in sorted(split_files.items()):
             if not files:
                 continue
-            df = _read_split_files(
-                spark, path, s, files, schema=doc.get("schema")
-            )
+            # merge-on-read: compaction MATERIALIZES any deletion
+            # vectors (rewritten files shed their dv'd rows; the fresh
+            # directory-level manifest carries no dv key)
+            df = _read_split_mor(spark, path, s, files, doc)
             kc = key_col if key_col in df.columns else (
                 "doc_id" if "doc_id" in df.columns else df.columns[0]
             )
@@ -2571,9 +2866,9 @@ def reshard_published(
         for s, files in sorted(split_files.items()):
             if not files:
                 continue
-            df = _read_split_files(
-                spark, path, s, files, schema=doc.get("schema")
-            ).drop("shard")
+            # merge-on-read: a reshard is a full rewrite, so it also
+            # materializes any deletion vectors
+            df = _read_split_mor(spark, path, s, files, doc).drop("shard")
             sharded = assign_shards(df, key_col, n_shards, seed=sd)
             (
                 sharded.repartition(n_shards, F.col("shard"))
