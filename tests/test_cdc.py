@@ -149,3 +149,51 @@ def test_unretained_version_raises(spark, tmp_path):
     root = _publish(spark, tmp_path, n=10)
     with pytest.raises(ValueError, match="retained"):
         published_corpus_changes(spark, root, 99)
+
+
+def test_dv_retract_changes_are_deletes(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    retract_from_published(spark, root, "doc_id in (3, 17)", strategy="dv")
+    ch = published_corpus_changes(spark, root, 1, 2)
+    by = _by_type(ch)
+    assert sorted(by) == ["delete"]
+    assert sorted(r["doc_id"] for r in by["delete"]) == [3, 17]
+    assert by["delete"][0]["_commit_version"] == 2
+
+
+def test_dv_then_reinsert_is_an_update_across_window(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    retract_from_published(spark, root, "doc_id = 3", strategy="dv")
+    delta = spark.createDataFrame(
+        [(3, "reborn 3", "train")], "doc_id long, text string, split string"
+    )
+    upsert_into_published(spark, root, delta)
+    # across the whole window the net effect on doc 3 is an update
+    ch = published_corpus_changes(spark, root, 1)
+    by = _by_type(ch)
+    assert sorted(by) == ["update_postimage", "update_preimage"]
+    assert by["update_preimage"][0]["text"] == "body 3"
+    assert by["update_postimage"][0]["text"] == "reborn 3"
+
+
+def test_compaction_of_dv_version_emits_zero_changes(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    retract_from_published(spark, root, "doc_id = 3", strategy="dv")
+    compact_published(spark, root)
+    # the dv'd row was already deleted at v2; materializing it at v3
+    # changes nothing row-wise
+    ch = published_corpus_changes(spark, root, 2, 3)
+    assert ch is None or ch.count() == 0
+
+
+def test_chained_dv_window_reports_each_delta_once(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    retract_from_published(spark, root, "doc_id = 3", strategy="dv")
+    retract_from_published(spark, root, "doc_id = 17", strategy="dv")
+    # v2 -> v3: only the second retraction's delete
+    by = _by_type(published_corpus_changes(spark, root, 2, 3))
+    assert sorted(by) == ["delete"]
+    assert [r["doc_id"] for r in by["delete"]] == [17]
+    # v1 -> v3: both
+    by = _by_type(published_corpus_changes(spark, root, 1, 3))
+    assert sorted(r["doc_id"] for r in by["delete"]) == [3, 17]

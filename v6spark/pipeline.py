@@ -1267,14 +1267,19 @@ def published_corpus_changes(
     old_files = _published_split_files(spark, path, old_doc)
     new_files = _published_split_files(spark, path, new_doc)
 
-    def _side(files_by_split, other):
+    def _side(files_by_split, other, doc):
+        # merge-on-read with the SIDE'S OWN deletion vectors (a row
+        # dv-deleted in the old version must not resurface as a
+        # pre-image; one dv-deleted before the new version must not
+        # emit as an insert), but the UNIFIED schema for both sides
         dfs = []
         for s, fl in sorted(files_by_split.items()):
             only = sorted(set(fl) - set(other.get(s, [])))
             if only:
                 dfs.append(
-                    _read_split_files(spark, path, s, only, schema=schema)
-                    .withColumn("split", F.lit(s))
+                    _read_split_mor(
+                        spark, path, s, only, {**doc, "schema": schema}
+                    ).withColumn("split", F.lit(s))
                 )
         if not dfs:
             return None
@@ -1283,10 +1288,55 @@ def published_corpus_changes(
             out = out.unionByName(d)
         return out
 
-    old_side = _side(old_files, new_files)
-    new_side = _side(new_files, old_files)
+    old_side = _side(old_files, new_files, old_doc)
+    new_side = _side(new_files, old_files, new_doc)
+
+    # DELETION-VECTOR DELTA: a DV retraction changes no file list —
+    # its deletes live in positions marked in new but not old, inside
+    # files present in BOTH versions.  Read only those files, keep
+    # only the newly-marked positions, and feed them in as old-side
+    # pre-images (the join below classifies them: delete, or update
+    # if an intervening upsert re-inserted the key elsewhere).
+    old_dvf = (old_doc.get("dv") or {}).get("files") or {}
+    new_dvf = (new_doc.get("dv") or {}).get("files") or {}
+    delta_files: dict[str, list[str]] = {}
+    for s, fl in new_files.items():
+        both = set(fl) & set(old_files.get(s, []))
+        rels = sorted(
+            rel for rel in both
+            if new_dvf.get(s, {}).get(rel, 0) > old_dvf.get(s, {}).get(rel, 0)
+        )
+        if rels:
+            delta_files[s] = rels
+    if delta_files:
+        new_dv_frame = _read_dv(spark, path, new_doc)
+        old_dv_frame = _read_dv(spark, path, old_doc)
+        delta_pos = (
+            new_dv_frame if old_dv_frame is None
+            else new_dv_frame.exceptAll(old_dv_frame)
+        )
+        pre_frames = []
+        for s, rels in sorted(delta_files.items()):
+            df = _read_split_files(
+                spark, path, s, rels, schema=schema, with_pos=True
+            )
+            dpos = delta_pos.filter(F.col("split") == s).select(
+                F.col("file").alias("__file"), F.col("pos").alias("__pos")
+            )
+            pre_frames.append(
+                df.join(F.broadcast(dpos), ["__file", "__pos"], "left_semi")
+                .drop("__file", "__pos")
+                .withColumn("split", F.lit(s))
+            )
+        dv_pre = pre_frames[0]
+        for p in pre_frames[1:]:
+            dv_pre = dv_pre.unionByName(p)
+        old_side = (
+            dv_pre if old_side is None else old_side.unionByName(dv_pre)
+        )
+
     if old_side is None and new_side is None:
-        return None  # identical file lists: metadata-only transition
+        return None  # identical file lists + vectors: metadata-only
 
     cols = (
         [n for n, _t in schema]
