@@ -120,3 +120,24 @@ def test_metadata_only_window_is_noop(spark, tmp_path):
     evolve_published_schema(spark, root, [("license", "string")])
     _run(spark, root, agg, ckpt)
     assert read_corpus_metrics(spark, agg) == before
+
+
+def test_totals_track_recompute_through_dv_retract(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    agg = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, root, agg, ckpt)
+
+    # a deletion-vector retract rewrites no files; the metric fold
+    # must still see its deletes through the change feed
+    retract_from_published(spark, root, "doc_id in (10, 11)", strategy="dv")
+    _run(spark, root, agg, ckpt)
+    assert read_corpus_metrics(spark, agg) == _recompute(spark, root)
+
+    # materializing the vectors via compaction emits zero changes:
+    # totals stay equal and stay put
+    from v6spark.pipeline import compact_published
+
+    compact_published(spark, root)
+    _run(spark, root, agg, ckpt)
+    assert read_corpus_metrics(spark, agg) == _recompute(spark, root)

@@ -309,3 +309,18 @@ def test_census_and_advice_count_dvs(spark, tmp_path):
     )
     adv = compaction_advice(spark, root)
     assert adv["dv_deleted_rows"] == 2
+
+
+def test_schema_evolution_carries_dvs(spark, tmp_path):
+    from v6spark.pipeline import evolve_published_schema
+
+    prepared, content = _corpus(spark)
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, content, root, n_shards=4)
+    retract_from_published(spark, root, "doc_id = 7", strategy="dv")
+    evolve_published_schema(spark, root, [("lang", "string")])
+
+    out = read_published_corpus(spark, root)
+    assert out.count() == 39
+    assert out.filter("doc_id = 7").count() == 0
+    assert out.filter("lang is null").count() == 39

@@ -153,3 +153,16 @@ def test_bootstrap_replay_does_not_burn_a_version(spark, tmp_path):
     v2, _ = txlog.read_latest(spark, f"{dst}/{_COMMITS}")
     assert v1 == v2 == 1
     assert _content(spark, dst) == _content(spark, src)
+
+
+def test_mirror_converges_through_dv_retract(spark, tmp_path):
+    src = _publish(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, dst, ckpt)  # bootstrap
+    assert _content(spark, dst) == _content(spark, src)
+
+    retract_from_published(spark, src, "doc_id in (7, 20)", strategy="dv")
+    _run(spark, src, dst, ckpt)
+    assert _content(spark, dst) == _content(spark, src)
+    assert len(_content(spark, dst)) == 38
