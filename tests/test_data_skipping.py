@@ -1,0 +1,298 @@
+"""Manifest-level data skipping (operators/pruning.py +
+pipeline.read_published_where): per-column min/max file stats recorded
+at publish/DML time prune a selective read down to the files whose
+ranges can match — the Delta/Iceberg skipping pattern — with results
+identical to a full scan + filter no matter what the pruner decides
+(advisory-negative: the full predicate is always re-applied).
+
+The scale story exercised here: incremental ingestion correlates a
+time-like column with files (each upsert's files span only its own
+range), so a recent-window read over a 100 TB publish opens only the
+recent files — while the hash-sharded first publish is honestly
+unprunable on that column (every file spans the full range).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from v6spark.operators.pruning import file_can_match, parse_conjuncts
+from v6spark.pipeline import (
+    _trunc_upper,
+    compact_published,
+    publish_corpus_committed,
+    read_published_corpus,
+    read_published_where,
+    retract_from_published,
+    upsert_into_published,
+)
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_simple_conjuncts():
+    assert parse_conjuncts("a = 5") == [("a", "=", 5)]
+    assert parse_conjuncts("a >= 1 AND b < 'x'") == [
+        ("a", ">=", 1),
+        ("b", "<", "x"),
+    ]
+    # flipped literal-first comparisons normalize
+    assert parse_conjuncts("5 < a") == [("a", ">", 5)]
+    assert parse_conjuncts("a BETWEEN 2 AND 7") == [("a", "between", (2, 7))]
+    assert parse_conjuncts("a IN (1, 2, 3)") == [("a", "in", [1, 2, 3])]
+    assert parse_conjuncts("s = 'it''s'") == [("s", "=", "it's")]
+
+
+def test_parse_rejects_disjunction_entirely():
+    # a top-level OR makes per-file AND-pruning unsound: prune nothing
+    assert parse_conjuncts("a = 1 OR b = 2") == []
+    assert parse_conjuncts("NOT a = 1 OR b = 2") == []
+
+
+def test_parse_skips_unprunable_conjuncts_keeps_rest():
+    # LIKE / IS NULL / != can't be refuted by a range: skipped, while
+    # the prunable conjunct still prunes
+    assert parse_conjuncts("t LIKE '%x%' AND day >= 7") == [("day", ">=", 7)]
+    assert parse_conjuncts("t IS NULL AND day = 3") == [("day", "=", 3)]
+    assert parse_conjuncts("a != 4 AND day < 2") == [("day", "<", 2)]
+
+
+def test_parse_between_and_not_split():
+    # BETWEEN's own AND must not split the conjunct
+    assert parse_conjuncts("a BETWEEN 1 AND 3 AND b = 9") == [
+        ("a", "between", (1, 3)),
+        ("b", "=", 9),
+    ]
+
+
+def test_parse_garbage_degrades_to_no_pruning():
+    assert parse_conjuncts("json_extract(a, '$.x') = 1 AND b ~ 2") == []
+    assert parse_conjuncts("a = ") == []
+    assert parse_conjuncts("((a = 1)") == []
+
+
+# ---------------------------------------------------------------- matcher
+
+
+def test_file_can_match_ranges():
+    stats = {"day": [3, 8], "name": ["alpha", "mike"]}
+    assert file_can_match([("day", "=", 5)], stats)
+    assert not file_can_match([("day", "=", 9)], stats)
+    assert file_can_match([("day", ">=", 8)], stats)
+    assert not file_can_match([("day", ">", 8)], stats)
+    assert not file_can_match([("day", "<", 3)], stats)
+    assert file_can_match([("name", "<=", "bravo")], stats)
+    assert not file_can_match([("name", ">=", "zulu")], stats)
+    assert file_can_match([("day", "in", [1, 2, 7])], stats)
+    assert not file_can_match([("day", "in", [1, 2])], stats)
+    assert file_can_match([("day", "between", (8, 20))], stats)
+    assert not file_can_match([("day", "between", (9, 20))], stats)
+
+
+def test_file_can_match_degrades_safe():
+    # no stats / unknown column / cross-type comparison: must scan
+    assert file_can_match([("day", "=", 99)], None)
+    assert file_can_match([("day", "=", 99)], {})
+    assert file_can_match([("other", "=", 99)], {"day": [1, 2]})
+    assert file_can_match([("day", "=", "str")], {"day": [1, 2]})
+    # null-bound entry (stats recorded as unknown) must scan
+    assert file_can_match([("day", "=", 99)], {"day": [None, None]})
+
+
+def test_trunc_upper_is_strict_upper_bound():
+    long = "m" * 100 + "zzz"
+    t = _trunc_upper(long)
+    assert len(t) <= 65 and t > long
+    # increment skips the surrogate gap
+    s = "a" * 63 + "퟿" + "tail-beyond-the-cap"
+    t2 = _trunc_upper(s)
+    assert t2 is not None and t2 > s and "\ud800" not in t2
+    # nothing incrementable -> None (caller omits the stat)
+    assert _trunc_upper(chr(0x10FFFF) * 80) is None
+
+
+# ------------------------------------------------------------ integration
+
+
+def _publish_batch1(spark, root, n=48, n_shards=8):
+    """First publish: days 0..5, hash-sharded (day spans every file)."""
+    prepared = spark.createDataFrame(
+        [(i, "train" if i % 4 else "valid") for i in range(n)],
+        "doc_id long, split string",
+    )
+    content = spark.createDataFrame(
+        [(i, i % 6, f"body {i:04d}") for i in range(n)],
+        "doc_id long, day long, text string",
+    )
+    return publish_corpus_committed(
+        prepared, content, root, n_shards=n_shards
+    )
+
+
+def _upsert_batch2(spark, root, n=12, base=1000):
+    """Incremental batch: days 10..11 only — its files carry tight
+    day ranges, the ingestion-time correlation skipping exploits."""
+    updates = spark.createDataFrame(
+        [(base + i, 10 + (i % 2), f"late {i:04d}", "train")
+         for i in range(n)],
+        "doc_id long, day long, text string, split string",
+    )
+    return upsert_into_published(spark, root, updates, key_col="doc_id")
+
+
+def _full(spark, root, predicate):
+    return (
+        read_published_corpus(spark, root)
+        .filter(predicate)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def _where(spark, root, predicate, observer=None, **kw):
+    return (
+        read_published_where(
+            spark, root, predicate, _scan_observer=observer, **kw
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def test_where_matches_full_scan_and_prunes_incremental_files(
+    spark, tmp_path
+):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    files_v1 = sum(len(f) for f in _observe_all(spark, root).values())
+    res = _upsert_batch2(spark, root)
+    assert res["rows_inserted"] == 12
+    total_files = sum(len(f) for f in _observe_all(spark, root).values())
+    assert total_files > files_v1  # the upsert added files
+
+    scanned: dict[str, list] = {}
+    rows = _where(
+        spark, root, "day >= 10",
+        observer=lambda s, fl: scanned.setdefault(s, fl),
+    )
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in _full(spark, root, "day >= 10")
+    ]
+    assert len(rows) == 12
+    n_scanned = sum(len(fl) for fl in scanned.values())
+    # every batch-1 file spans days 0..5 -> all pruned; exactly the
+    # upsert's freshly written files (day range [10, 11]) are opened
+    assert n_scanned == total_files - files_v1
+
+    # a batch-1-only predicate returns identical rows too (pruning the
+    # upsert files this time)
+    rows_lo = _where(spark, root, "day = 3 AND doc_id < 24")
+    assert [r["doc_id"] for r in rows_lo] == [
+        r["doc_id"] for r in _full(spark, root, "day = 3 AND doc_id < 24")
+    ]
+
+
+def _observe_all(spark, root, version=None):
+    """File lists per split via an unprunable predicate (baseline)."""
+    seen: dict[str, list] = {}
+    read_published_where(
+        spark, root, "day IS NOT NULL", version=version,
+        _scan_observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    return seen
+
+
+def test_where_or_predicate_scans_all_but_stays_correct(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    _upsert_batch2(spark, root)
+    total = sum(len(f) for f in _observe_all(spark, root).values())
+    seen: dict[str, list] = {}
+    rows = _where(
+        spark, root, "day >= 10 OR doc_id = 0",
+        observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    assert sum(len(fl) for fl in seen.values()) == total  # no pruning
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in _full(spark, root, "day >= 10 OR doc_id = 0")
+    ]
+
+
+def test_where_honors_deletion_vectors_and_versions(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    _upsert_batch2(spark, root)
+    res = retract_from_published(
+        spark, root, "day = 10", strategy="dv"
+    )
+    assert res["rows_removed"] == 6
+    rows = _where(spark, root, "day >= 10")
+    assert len(rows) == 6 and all(r["day"] == 11 for r in rows)
+    # version-pinned read still sees the retracted rows
+    rows_v2 = _where(spark, root, "day >= 10", version=2)
+    assert len(rows_v2) == 12
+
+
+def test_where_null_semantics(spark, tmp_path):
+    # rows with NULL day must not match comparisons; files whose
+    # non-null range excludes the literal still prune soundly
+    root = str(tmp_path / "corpus")
+    prepared = spark.createDataFrame(
+        [(i, "train") for i in range(16)], "doc_id long, split string"
+    )
+    content = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else i % 4, f"b{i}") for i in range(16)],
+        "doc_id long, day long, text string",
+    )
+    publish_corpus_committed(prepared, content, root, n_shards=4)
+    rows = _where(spark, root, "day = 2")
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in _full(spark, root, "day = 2")
+    ]
+    assert all(r["day"] == 2 for r in rows)
+    # pruned-to-nothing read returns an EMPTY frame with the schema
+    empty = read_published_where(spark, root, "day = 99")
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns and "split" in empty.columns
+
+
+def test_where_long_string_stats_truncate_soundly(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    prepared = spark.createDataFrame(
+        [(i, "train") for i in range(8)], "doc_id long, split string"
+    )
+    # text far beyond the 64-char stat cap; bounds truncate yet stay
+    # conservative, so equality on a long literal still answers right
+    content = spark.createDataFrame(
+        [(i, ("m" * 100) + f"tail{i:02d}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    publish_corpus_committed(prepared, content, root, n_shards=2)
+    lit = ("m" * 100) + "tail03"
+    rows = _where(spark, root, f"text = '{lit}'")
+    assert [r["doc_id"] for r in rows] == [3]
+    assert _where(spark, root, "text < 'a'") == []
+    assert len(_where(spark, root, "text >= 'm'")) == 8
+
+
+def test_col_stats_survive_compact_and_single_split(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    _upsert_batch2(spark, root)
+    assert compact_published(spark, root) is not None
+    rows = _where(spark, root, "day >= 10")
+    assert len(rows) == 12
+    # single-split read: no split column, same rows
+    train = read_published_where(
+        spark, root, "day >= 10", split="train"
+    )
+    assert "split" not in train.columns
+    assert train.count() == 12  # batch-2 docs all landed in train
+
+
+def test_where_unknown_column_predicate_errors_cleanly(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    with pytest.raises(Exception):
+        read_published_where(spark, root, "nosuch = 1").count()

@@ -1,0 +1,221 @@
+"""Manifest-level data skipping: decide from per-file column
+statistics alone whether a file can contain rows satisfying a SQL
+predicate — the Delta/Iceberg min-max skipping idea applied to the
+publish manifest's ``col_stats``, so a selective scan over a 100 TB
+published corpus opens only the files whose recorded ranges overlap
+the predicate, with ZERO footer reads at query time.
+
+Safety model: pruning is ADVISORY-NEGATIVE only.  A conjunct the
+parser cannot understand, a column without recorded stats, or a
+type-confused comparison all degrade to "must scan" — extra work,
+never a missing row.  The full predicate is re-applied by Spark on
+whatever survives pruning, so correctness never depends on this
+module; only efficiency does.
+
+Supported conjuncts (top-level AND only; a top-level OR/NOT makes the
+whole predicate unprunable): ``col <op> literal`` and
+``literal <op> col`` for ``= < <= > >=``, ``col IN (l1, l2, ...)``,
+``col BETWEEN lo AND hi``.  Literals: numbers, single-quoted strings
+(with '' escapes), TRUE/FALSE.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><=|>=|!=|<>|=|<|>)
+      | (?P<punc>[(),])
+    )""",
+    re.VERBOSE,
+)
+
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+
+def _tokenize(sql: str):
+    out, i = [], 0
+    while i < len(sql):
+        m = _TOKEN.match(sql, i)
+        if m is None:
+            if sql[i:].strip():
+                return None  # something we don't understand at all
+            break
+        if m.group("str") is not None:
+            out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            n = m.group("num")
+            out.append(("lit", float(n) if ("." in n or "e" in n.lower())
+                        else int(n)))
+        elif m.group("ident") is not None:
+            kw = m.group("ident").upper()
+            if kw in ("AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL",
+                      "LIKE"):
+                out.append((kw, kw))
+            elif kw == "TRUE":
+                out.append(("lit", True))
+            elif kw == "FALSE":
+                out.append(("lit", False))
+            else:
+                out.append(("ident", m.group("ident")))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("punc", m.group("punc")))
+        i = m.end()
+    return out
+
+
+def parse_conjuncts(sql: str) -> list[tuple]:
+    """Top-level AND conjuncts of ``sql`` as ``(col, op, value)`` /
+    ``(col, "in", [values])`` / ``(col, "between", (lo, hi))``
+    tuples, keeping only the shapes :func:`file_can_match` can use.
+    Returns ``[]`` (prune nothing) when the predicate contains a
+    top-level OR / NOT / unbalanced structure — never guesses."""
+    toks = _tokenize(sql)
+    if toks is None:
+        return []
+    # split on top-level AND (depth tracked through parens; BETWEEN's
+    # AND is consumed by the conjunct parser below, so we must split
+    # only at ANDs not inside a BETWEEN — handled by scanning each
+    # conjunct left-to-right and skipping one AND after BETWEEN)
+    groups, cur, depth, between_pending = [], [], 0, 0
+    for t in toks:
+        if t[0] == "punc" and t[1] == "(":
+            depth += 1
+        elif t[0] == "punc" and t[1] == ")":
+            depth -= 1
+            if depth < 0:
+                return []
+        if t[0] == "BETWEEN":
+            between_pending += 1
+        if t[0] == "OR" and depth == 0:
+            return []  # disjunction: per-file AND-pruning is unsound
+        if t[0] == "AND" and depth == 0:
+            if between_pending:
+                between_pending -= 1
+                cur.append(t)
+            else:
+                groups.append(cur)
+                cur = []
+            continue
+        cur.append(t)
+    if depth != 0:
+        return []
+    groups.append(cur)
+
+    out = []
+    for g in groups:
+        c = _parse_one(g)
+        if c is not None:
+            out.append(c)
+    return out
+
+
+def _parse_one(g: list[tuple]):
+    # strip one level of wrapping parens
+    while (
+        len(g) >= 2
+        and g[0] == ("punc", "(")
+        and g[-1] == ("punc", ")")
+        and _balanced(g[1:-1])
+    ):
+        g = g[1:-1]
+    if any(t[0] in ("OR", "NOT", "LIKE", "IS") for t in g):
+        return None  # not prunable with min/max
+    # ident op lit
+    if len(g) == 3 and g[0][0] == "ident" and g[1][0] == "op" \
+            and g[2][0] == "lit":
+        op = g[1][1]
+        if op in ("!=", "<>"):
+            return None  # a range almost never refutes inequality
+        return (g[0][1], op, g[2][1])
+    # lit op ident (flip)
+    if len(g) == 3 and g[0][0] == "lit" and g[1][0] == "op" \
+            and g[2][0] == "ident":
+        op = _FLIP.get(g[1][1])
+        return (g[2][1], op, g[0][1]) if op else None
+    # ident IN ( lit , lit ... )
+    if (
+        len(g) >= 4
+        and g[0][0] == "ident"
+        and g[1][0] == "IN"
+        and g[2] == ("punc", "(")
+        and g[-1] == ("punc", ")")
+    ):
+        vals = []
+        for t in g[3:-1]:
+            if t[0] == "lit":
+                vals.append(t[1])
+            elif t == ("punc", ","):
+                continue
+            else:
+                return None
+        return (g[0][1], "in", vals) if vals else None
+    # ident BETWEEN lit AND lit
+    if (
+        len(g) == 5
+        and g[0][0] == "ident"
+        and g[1][0] == "BETWEEN"
+        and g[2][0] == "lit"
+        and g[3][0] == "AND"
+        and g[4][0] == "lit"
+    ):
+        return (g[0][1], "between", (g[2][1], g[4][1]))
+    return None
+
+
+def _balanced(toks) -> bool:
+    d = 0
+    for t in toks:
+        if t == ("punc", "("):
+            d += 1
+        elif t == ("punc", ")"):
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
+def file_can_match(conjuncts: list[tuple], stats: dict | None) -> bool:
+    """Whether a file whose per-column stats are ``stats``
+    (``{col: [min, max, ...]}``) can contain a row satisfying every
+    conjunct.  Missing stats, unknown columns, or cross-type
+    comparisons answer True (must scan)."""
+    if not conjuncts or not stats:
+        return True
+    for col, op, val in conjuncts:
+        st = stats.get(col)
+        if st is None or st[0] is None:
+            continue  # no stats for this column: can't refute
+        mn, mx = st[0], st[1]
+        try:
+            if op == "=":
+                if not (mn <= val <= mx):
+                    return False
+            elif op == "<":
+                if not (mn < val):
+                    return False
+            elif op == "<=":
+                if not (mn <= val):
+                    return False
+            elif op == ">":
+                if not (mx > val):
+                    return False
+            elif op == ">=":
+                if not (mx >= val):
+                    return False
+            elif op == "in":
+                if not any(mn <= v <= mx for v in val):
+                    return False
+            elif op == "between":
+                lo, hi = val
+                if hi < mn or lo > mx:
+                    return False
+        except TypeError:
+            continue  # cross-type comparison: must scan
+    return True

@@ -519,6 +519,12 @@ def publish_corpus_committed(
                 if fl else {}
                 for s, fl in split_files.items()
             }
+            # ... and per-COLUMN min/max (same footers, one more walk)
+            # so read_published_where can skip files manifest-only
+            payload["col_stats"] = {
+                s: _collect_col_stats(spark, path, s, fl) if fl else {}
+                for s, fl in split_files.items()
+            }
         if sketch_specs:
             if fmt != "parquet":
                 raise ValueError(
@@ -718,6 +724,88 @@ def read_published_keys(
             if schema
             else f"`{key_col}` string, split string"
         )
+        return spark.createDataFrame([], cols)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def read_published_where(
+    spark,
+    path: str,
+    predicate: str,
+    split: str | None = None,
+    version: int | None = None,
+    _scan_observer=None,
+):
+    """SELECTIVE committed read: the published rows satisfying a SQL
+    ``predicate``, opening ONLY the files whose manifest-recorded
+    per-column min/max ranges (``col_stats``, written at publish/DML
+    time) can contain a matching row — Delta/Iceberg data skipping
+    from the manifest alone, ZERO footer reads at query time.  On a
+    100 TB publish a selective predicate over an ingestion-correlated
+    column (event time, crawl date, monotone ids — each incremental
+    upsert's files span only its own range) touches a handful of
+    files instead of the corpus.
+
+    Pruning is ADVISORY-NEGATIVE (:mod:`v6spark.operators.pruning`):
+    unparseable predicates, OR/NOT at the top level, columns without
+    recorded stats, files published before stats recording — all
+    degrade to scanning; the FULL predicate is re-applied by Spark on
+    whatever survives, so results NEVER depend on the pruning, only
+    the bytes read do.  Deletion vectors are honored (merge-on-read);
+    ``version`` pins a historical publish; ``_scan_observer(split,
+    files)`` is the test hook reporting which files were actually
+    scanned.  Multi-split reads carry a ``split`` column, matching
+    :func:`read_published_corpus`."""
+    from v6spark import txlog
+    from v6spark.operators.pruning import file_can_match, parse_conjuncts
+
+    if version is None:
+        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    else:
+        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+    if doc is None:
+        return None
+    if doc.get("fmt") != "parquet":
+        raise ValueError(
+            f"read_published_where reads parquet publishes; this one is "
+            f"{doc.get('fmt')!r}"
+        )
+    conjuncts = parse_conjuncts(predicate)
+    col_stats = doc.get("col_stats") or {}
+    file_stats = doc.get("file_stats") or {}
+    key_col = doc.get("key_col")
+    schema = doc.get("schema")
+    split_files = _published_split_files(spark, path, doc)
+    if split is not None:
+        split_files = {split: split_files.get(split, [])}
+    pred = F.expr(predicate)
+    single = split is not None
+    dfs = []
+    for s in sorted(split_files):
+        cs, ks = col_stats.get(s) or {}, file_stats.get(s) or {}
+        kept = []
+        for rel in split_files[s]:
+            stats = dict(cs.get(rel) or {})
+            # fold the key-column [lo, hi, n] entry in as one more range
+            if key_col and key_col not in stats and rel in ks:
+                stats[key_col] = ks[rel][:2]
+            if file_can_match(conjuncts, stats):
+                kept.append(rel)
+        if _scan_observer is not None:
+            _scan_observer(s, list(kept))
+        if not kept:
+            continue
+        d = _read_split_mor(spark, path, s, kept, doc).filter(pred)
+        if not single:
+            d = d.withColumn("split", F.lit(s))
+        dfs.append(d)
+    if not dfs:
+        cols = ", ".join(f"`{n}` {t}" for n, t in (schema or []))
+        if not single:
+            cols += ", split string"
         return spark.createDataFrame([], cols)
     out = dfs[0]
     for d in dfs[1:]:
@@ -953,6 +1041,10 @@ def promote_staged(
         s: {prefix + rel: st for rel, st in d.items()}
         for s, d in stage_stats.items()
     }
+    col_stats = {
+        s: {prefix + rel: st for rel, st in d.items()}
+        for s, d in (sdoc.get("col_stats") or {}).items()
+    }
     sketches = {
         sk_name: {**spec, "dir": f"{_STAGING}/{name}/{spec['dir']}"}
         for sk_name, spec in (sdoc.get("sketches") or {}).items()
@@ -997,6 +1089,7 @@ def promote_staged(
             "seed": sdoc.get("seed"),
             "key_col": sdoc.get("key_col"),
             "file_stats": file_stats,
+            "col_stats": col_stats,
             "txn_ids": _txn_forward(doc, txn_id),
             "promoted_from_stage": name,
         }
@@ -1751,6 +1844,161 @@ def _collect_file_stats(
     return out
 
 
+_STR_STAT_MAX = 64  # string bounds longer than this truncate (Iceberg-style)
+
+
+def _trunc_lower(s: str) -> str:
+    """Prefix-truncate a string MIN bound: a prefix is <= the original
+    in code-point order (== Spark's UTF8String byte order), so it stays
+    a valid lower bound."""
+    return s if len(s) <= _STR_STAT_MAX else s[:_STR_STAT_MAX]
+
+
+def _trunc_upper(s: str) -> str | None:
+    """Truncate a string MAX bound to a value STRICTLY ABOVE every
+    string sharing the kept prefix (the Iceberg/Delta increment-last-
+    char trick): take the first ``_STR_STAT_MAX`` chars and bump the
+    last incrementable one, skipping the surrogate gap so code-point
+    order (== UTF-8 byte order == Spark order) is preserved.  None when
+    nothing is incrementable (all chars at U+10FFFF) — caller skips the
+    stat entirely: must-scan, never a wrong bound."""
+    if len(s) <= _STR_STAT_MAX:
+        return s
+    p = s[:_STR_STAT_MAX]
+    for i in range(len(p) - 1, -1, -1):
+        o = ord(p[i])
+        if o >= 0x10FFFF:
+            continue
+        nxt = 0xE000 if 0xD7FF <= o < 0xE000 else o + 1
+        return p[:i] + chr(nxt)
+    return None
+
+
+def _collect_col_stats(
+    spark, path: str, split: str, rels: list[str]
+) -> dict[str, dict[str, list]]:
+    """``{rel_path: {column: [min, max]}}`` for freshly written data
+    files — the per-COLUMN generalization of :func:`_collect_file_stats`
+    (which records only the publish key), recorded in the manifest so
+    :func:`read_published_where` can skip files from the manifest alone
+    (Delta/Iceberg data skipping; zero footer reads at query time).
+
+    Sourced from the parquet footers the writers just produced — KB
+    metadata reads, no Spark job; non-local stores return ``{}``
+    (readers treat a missing entry as must-scan — a full-column Spark
+    scan at publish time would double the publish wall, the wrong
+    trade).  Soundness rules, each degrading to "omit the stat":
+
+    - nulls are fine (min/max over non-null values can never wrongly
+      refute a comparison — NULL rows satisfy no comparison);
+    - only JSON-safe scalar types (int/float/str/bool); date, time,
+      decimal, and binary columns are skipped — their Python/SQL
+      literal orderings don't reliably agree with the stored form;
+    - NaN bounds are skipped (unordered);
+    - long string bounds truncate via :func:`_trunc_lower` /
+      :func:`_trunc_upper`, keeping them conservative, so a wide text
+      column still prunes on its leading 64 chars.
+
+    String order soundness: parquet footer min/max for UTF8 columns are
+    byte-order bounds; UTF-8 byte order equals code-point order, which
+    is both Python's ``str`` order (used by the pruning matcher) and
+    Spark's ``UTF8String`` binary comparison order — all three agree,
+    so string pruning is exact.
+    """
+    import json as _json
+
+    local_root = _local_root(path)
+    if local_root is None:
+        return {}
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rels:
+        fpath = _os.path.join(local_root, rel)
+        try:
+            md = _pq.ParquetFile(fpath).metadata
+        except Exception:
+            continue
+        cols: dict[str, list] = {}
+        bad: set[str] = set()
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                cmeta = rg.column(i)
+                name = cmeta.path_in_schema
+                if "." in name or name in bad:
+                    continue  # nested leaf: not a top-level scalar
+                st = cmeta.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bool) != isinstance(mx, bool):
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    bad.add(name)  # NaN bound: unordered
+                    cols.pop(name, None)
+                    continue
+                if isinstance(mn, str):
+                    mn, mx = _trunc_lower(mn), _trunc_upper(mx)
+                    if mx is None:
+                        bad.add(name)
+                        cols.pop(name, None)
+                        continue
+                elif not isinstance(mn, (bool, int, float)) or not isinstance(
+                    mx, (bool, int, float)
+                ):
+                    bad.add(name)  # bytes/date/decimal/...: skip
+                    cols.pop(name, None)
+                    continue
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = [mn, mx]
+                else:
+                    try:
+                        if mn < prev[0]:
+                            prev[0] = mn
+                        if mx > prev[1]:
+                            prev[1] = mx
+                    except TypeError:
+                        bad.add(name)
+                        cols.pop(name, None)
+        if not cols:
+            continue
+        try:
+            _json.dumps(cols)
+        except (TypeError, ValueError):
+            continue
+        out[rel] = cols
+    return out
+
+
+def _carry_col_stats(
+    spark, path: str, prior_doc: dict | None, new_files: dict[str, list[str]]
+) -> dict:
+    """Column stats for a DML result's file manifest: entries for files
+    CARRIED from the prior version copy forward verbatim (a kept file's
+    bytes didn't change; a DV'd file's recorded ranges are a superset
+    of its live rows — over-wide bounds over-scan, never miss), and
+    freshly written files get a footer walk.  Missing entries stay
+    missing: must-scan, never a wrong skip."""
+    prior = (prior_doc or {}).get("col_stats") or {}
+    out: dict[str, dict] = {}
+    for s, rels in new_files.items():
+        have = prior.get(s) or {}
+        carried = {rel: have[rel] for rel in rels if rel in have}
+        fresh = [rel for rel in rels if rel not in have]
+        if fresh:
+            carried.update(_collect_col_stats(spark, path, s, sorted(fresh)))
+        out[s] = carried
+    return out
+
+
 def _txn_forward(doc: dict | None, txn_id: str | None) -> list:
     """Committed-DML transaction ids carried forward through every
     manifest (the Delta ``txnAppId/version`` idea at txlog size):
@@ -2074,6 +2322,10 @@ def retract_from_published(
             }
             if doc.get("file_stats"):
                 payload["file_stats"] = doc["file_stats"]
+            if doc.get("col_stats"):
+                # DV'd files keep their recorded ranges: a superset of
+                # the live rows — over-wide bounds over-scan, never miss
+                payload["col_stats"] = doc["col_stats"]
             return payload, {
                 "rows_removed": rows_removed,
                 "files_rewritten": 0,
@@ -2218,6 +2470,7 @@ def retract_from_published(
             payload["dv"] = dv_doc
         if doc.get("key_col"):
             payload["file_stats"] = new_stats
+        payload["col_stats"] = _carry_col_stats(spark, path, doc, new_files)
         return payload, {
             "rows_removed": rows_removed,
             "files_rewritten": files_rewritten,
@@ -2677,6 +2930,7 @@ def upsert_into_published(
             "seed": sd,
             "key_col": doc.get("key_col") or key_col,
             "file_stats": new_stats,
+            "col_stats": _carry_col_stats(spark, path, doc, new_files),
             "txn_ids": _txn_forward(doc, txn_id),
             "upsert": {
                 "rows_updated": rows_updated,
@@ -2857,15 +3111,19 @@ def compact_published(
             "txn_ids": _txn_forward(doc, None),
             "compacted_from": version,
         }
+        fresh = _published_split_files(
+            spark, path, {"live": vdir, "splits": doc["splits"]}
+        )
         if stats_key is not None:
-            fresh = _published_split_files(
-                spark, path, {"live": vdir, "splits": doc["splits"]}
-            )
             payload["file_stats"] = {
                 s: _collect_file_stats(spark, path, s, fl, stats_key)
                 if fl else {}
                 for s, fl in fresh.items()
             }
+        payload["col_stats"] = {
+            s: _collect_col_stats(spark, path, s, fl) if fl else {}
+            for s, fl in fresh.items()
+        }
         return payload, {}
 
     out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
@@ -2946,6 +3204,10 @@ def reshard_published(
         payload["file_stats"] = {
             s: _collect_file_stats(spark, path, s, fl, key_col)
             if fl else {}
+            for s, fl in fresh.items()
+        }
+        payload["col_stats"] = {
+            s: _collect_col_stats(spark, path, s, fl) if fl else {}
             for s, fl in fresh.items()
         }
         return payload, {}
