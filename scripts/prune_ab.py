@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from v6spark.pipeline import (
+    compact_published,
     publish_corpus_committed,
     read_published_corpus,
     read_published_where,
@@ -146,6 +147,22 @@ def run_scale(spark, n_base: int, n_delta: int) -> dict:
         v1_all = observe(spark, root, "day IS NOT NULL", version=1)
         v1_hit = observe(spark, root, "day >= 1", version=1)
 
+        # plain compaction re-packs by shard hash: ingestion
+        # correlation is destroyed, the same predicate stops pruning
+        compact_published(spark, root)
+        pc_all = observe(spark, root, "day IS NOT NULL")
+        pc_hit = observe(spark, root, pred)
+        # OPTIMIZE ZORDER BY (day): curve-segment files restore
+        # arbitrary-predicate skipping on the clustered column
+        compact_published(spark, root, cluster_by=["day"])
+        zc_all = observe(spark, root, "day IS NOT NULL")
+        zc_hit = observe(spark, root, pred)
+        n_zc = read_published_where(spark, root, pred).count()
+        assert n_zc == n_delta, n_zc
+        wall_zc = timed(
+            lambda: read_published_where(spark, root, pred).count()
+        )
+
         return {
             "rows_base": n_base,
             "rows_per_upsert": n_delta,
@@ -159,6 +176,11 @@ def run_scale(spark, n_base: int, n_delta: int) -> dict:
             "wall_pruned_s": wall_pruned,
             "wall_full_scan_s": wall_full,
             "v1_unclustered_files_opened": f"{len(v1_hit)}/{len(v1_all)}",
+            "after_plain_compact_files": f"{len(pc_hit)}/{len(pc_all)}",
+            "after_zorder_compact_files": f"{len(zc_hit)}/{len(zc_all)}",
+            "after_zorder_bytes_opened": live_bytes(root, zc_hit),
+            "after_zorder_bytes_total": live_bytes(root, zc_all),
+            "after_zorder_wall_s": wall_zc,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -179,8 +201,12 @@ def main():
             "files_opened ratio IS the 100 TB read ratio.  The v1 line "
             "shows the same predicate on the hash-sharded first publish "
             "prunes nothing (day spans every file): skipping needs "
-            "ingestion/layout correlation, and degrades to a plain scan "
-            "without it."
+            "ingestion/layout correlation.  The compaction lines show "
+            "the full lifecycle: a plain compact re-packs by shard hash "
+            "and destroys the correlation (pruning stops), and "
+            "compact_published(cluster_by=['day']) — OPTIMIZE ZORDER — "
+            "restores arbitrary-predicate skipping on the clustered "
+            "column, rows identical throughout."
         ),
     }
     with open(OUT, "w") as f:

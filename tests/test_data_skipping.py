@@ -291,6 +291,66 @@ def test_col_stats_survive_compact_and_single_split(spark, tmp_path):
     assert train.count() == 12  # batch-2 docs all landed in train
 
 
+def test_optimize_zorder_restores_skipping(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    _upsert_batch2(spark, root)
+    expect = [r["doc_id"] for r in _full(spark, root, "day >= 10")]
+
+    # plain compact re-packs by shard hash: day smears across files,
+    # most of the train split must scan
+    assert compact_published(spark, root) is not None
+    plain_seen: dict[str, list] = {}
+    rows = _where(
+        spark, root, "day >= 10",
+        observer=lambda s, fl: plain_seen.setdefault(s, fl),
+    )
+    assert [r["doc_id"] for r in rows] == expect
+    plain_total = sum(len(f) for f in _observe_all(spark, root).values())
+    plain_hit = sum(len(f) for f in plain_seen.values())
+
+    # OPTIMIZE ZORDER BY (day): curve-segment files carry tight day
+    # ranges again — arbitrary day predicates prune, rows identical
+    v = compact_published(spark, root, cluster_by=["day"])
+    assert v is not None  # clustering is never a no-op
+    seen: dict[str, list] = {}
+    rows = _where(
+        spark, root, "day >= 10",
+        observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    assert [r["doc_id"] for r in rows] == expect
+    total = sum(len(f) for f in _observe_all(spark, root).values())
+    hit = sum(len(f) for f in seen.values())
+    assert hit / total < plain_hit / plain_total
+    assert hit < total
+
+    # DML keeps working on the clustered layout (shard dirs survive)
+    upd = spark.createDataFrame(
+        [(1000, 10, "edited", "train")],
+        "doc_id long, day long, text string, split string",
+    )
+    res = upsert_into_published(spark, root, upd, key_col="doc_id")
+    assert res["rows_updated"] == 1
+    got = _where(spark, root, "doc_id = 1000")
+    assert len(got) == 1 and got[0]["text"] == "edited"
+
+    # a later PLAIN compact over a clustered publish is not a no-op:
+    # it restores the deterministic training order
+    assert compact_published(spark, root) is not None
+    assert [
+        r["doc_id"] for r in _full(spark, root, "day >= 10")
+    ] == expect
+
+
+def test_cluster_by_validates_columns(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    with pytest.raises(ValueError, match="not in the published schema"):
+        compact_published(spark, root, cluster_by=["nosuch"])
+    with pytest.raises(ValueError, match="numeric"):
+        compact_published(spark, root, cluster_by=["text"])
+
+
 def test_where_unknown_column_predicate_errors_cleanly(spark, tmp_path):
     root = str(tmp_path / "corpus")
     _publish_batch1(spark, root)

@@ -3045,7 +3045,8 @@ def evolve_published_schema(
 
 def compact_published(
     spark, path: str, commit_mode: str = "rename",
-    max_retries: int = 8,
+    max_retries: int = 8, cluster_by: list[str] | None = None,
+    n_cluster_files: int | None = None, zorder_bits: int = 12,
 ) -> int | None:
     """Fold the current (file-level, DML-accumulated) committed
     version back into one fresh DIRECTORY-level version — the
@@ -3054,18 +3055,56 @@ def compact_published(
     collapses cross-version file references, and re-packs each shard
     into one file in the deterministic training order.  A no-op
     (returns None) when the current version is already
-    directory-level.  Retired versions' bytes go when
-    :func:`vacuum_published_files` runs after retention.
-    MULTI-WRITER SAFE via :func:`_occ_dml`: a DML commit racing the
-    compaction wins or loses cleanly; the loser recomputes.
+    directory-level and no re-clustering was asked for.  Retired
+    versions' bytes go when :func:`vacuum_published_files` runs after
+    retention.  MULTI-WRITER SAFE via :func:`_occ_dml`: a DML commit
+    racing the compaction wins or loses cleanly; the loser recomputes.
+
+    ``cluster_by`` is the OPTIMIZE ZORDER BY option: lay the rewrite
+    out along the Z-order curve of the named NUMERIC columns
+    (:func:`v6spark.sources.layout.zorder_key`, min/max-normalized —
+    one agg, no global window), so every data file covers a tight
+    rectangle in those columns and :func:`read_published_where`
+    prunes ARBITRARY range predicates over them from the manifest's
+    ``col_stats`` — the cure for what compaction otherwise does to
+    skipping (re-packing by shard hash smears ingestion-correlated
+    ranges across every file; AB_PRUNE shows both effects).  Layout:
+    ``repartitionByRange`` into ``n_cluster_files`` curve segments
+    per split, still written ``partitionBy("shard")`` — files are
+    (curve segment × shard) so key-hash DML pruning, point lookups,
+    and resharding keep working unchanged on a clustered publish.
+    The trade, recorded in the manifest as ``clustered_by``: rows
+    inside a shard are curve-ordered, not training-ordered — a later
+    plain ``compact_published()`` restores the deterministic
+    training order.
     """
     from v6spark import txlog
+    from v6spark.sources.layout import zorder_key
 
     def _attempt(version, doc, vdir, data_root):
         if doc is None:
             raise ValueError(f"{path} has no committed publish to compact")
-        if "files" not in doc:
+        if "files" not in doc and not cluster_by and not doc.get(
+            "clustered_by"
+        ):
             return None, None
+        if cluster_by:
+            types = dict(doc.get("schema") or [])
+            numeric = {
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+            }
+            for c in cluster_by:
+                if c not in types:
+                    raise ValueError(
+                        f"cluster_by column {c!r} is not in the published "
+                        f"schema {sorted(types)}"
+                    )
+                if types[c] not in numeric:
+                    raise ValueError(
+                        f"cluster_by column {c!r} has type {types[c]!r}; "
+                        "Z-order clustering supports numeric columns "
+                        f"({sorted(numeric)})"
+                    )
         ns = doc.get("n_shards") or 32
         sd = doc.get("seed") or 0
         # training order is keyed on the PUBLISH's key column (recorded
@@ -3088,6 +3127,32 @@ def compact_published(
                 "doc_id" if "doc_id" in df.columns else df.columns[0]
             )
             stats_key = kc
+            if cluster_by:
+                # scalable bounds: ONE min/max agg per split, linear
+                # bucketing — no global window at any scale
+                aggs = []
+                for c in cluster_by:
+                    aggs += [
+                        F.min(c).alias(f"__lo_{c}"),
+                        F.max(c).alias(f"__hi_{c}"),
+                    ]
+                row = df.agg(*aggs).collect()[0]
+                bounds = {
+                    c: (row[f"__lo_{c}"] or 0, row[f"__hi_{c}"] or 0)
+                    for c in cluster_by
+                }
+                keyed = df.withColumn(
+                    "__z", zorder_key(cluster_by, zorder_bits, bounds=bounds)
+                )
+                (
+                    keyed.repartitionByRange(n_cluster_files or ns, "__z")
+                    .sortWithinPartitions("shard", "__z")
+                    .drop("__z")
+                    .write.mode("error")
+                    .partitionBy("shard")
+                    .parquet(f"{data_root}/split={s}")
+                )
+                continue
             ordered = df.withColumn(
                 "_order", F.xxhash64(F.lit(sd + 1), F.col(kc))
             )
@@ -3111,6 +3176,8 @@ def compact_published(
             "txn_ids": _txn_forward(doc, None),
             "compacted_from": version,
         }
+        if cluster_by:
+            payload["clustered_by"] = list(cluster_by)
         fresh = _published_split_files(
             spark, path, {"live": vdir, "splits": doc["splits"]}
         )
