@@ -54,8 +54,46 @@ def test_parse_skips_unprunable_conjuncts_keeps_rest():
     # LIKE / IS NULL / != can't be refuted by a range: skipped, while
     # the prunable conjunct still prunes
     assert parse_conjuncts("t LIKE '%x%' AND day >= 7") == [("day", ">=", 7)]
-    assert parse_conjuncts("t IS NULL AND day = 3") == [("day", "=", 3)]
+    assert parse_conjuncts("t IS NULL AND day = 3") == [
+        ("t", "isnull", None),
+        ("day", "=", 3),
+    ]
     assert parse_conjuncts("a != 4 AND day < 2") == [("day", "<", 2)]
+
+
+def test_parse_prefix_like_and_null_tests():
+    assert parse_conjuncts("t LIKE 'abc%'") == [("t", "prefix", "abc")]
+    # only a single trailing %: anything else is unprunable (skipped)
+    assert parse_conjuncts("t LIKE '%abc'") == []
+    assert parse_conjuncts("t LIKE 'a%c'") == []
+    assert parse_conjuncts("t LIKE 'a_c%'") == []
+    assert parse_conjuncts("t LIKE '%'") == []
+    assert parse_conjuncts("day IS NULL") == [("day", "isnull", None)]
+    assert parse_conjuncts("day IS NOT NULL") == [("day", "notnull", None)]
+    assert parse_conjuncts("day IS NULL AND t LIKE 'ab%'") == [
+        ("day", "isnull", None),
+        ("t", "prefix", "ab"),
+    ]
+
+
+def test_file_can_match_prefix_and_nulls():
+    stats = {"t": ["alpha", "mike", 0], "d": [3, 8, 5], "z": [None, None, 7]}
+    assert file_can_match([("t", "prefix", "bra")], stats)
+    assert not file_can_match([("t", "prefix", "zu")], stats)  # mx < prefix
+    assert not file_can_match([("t", "prefix", "aa")], stats)  # mn >= next
+    assert file_can_match([("t", "prefix", "al")], stats)
+    # IS NULL: refuted by a recorded zero null count, allowed by nc>0
+    assert not file_can_match([("t", "isnull", None)], stats)
+    assert file_can_match([("d", "isnull", None)], stats)
+    # 2-entry legacy stats have no null info: must scan
+    assert file_can_match([("t", "isnull", None)], {"t": ["a", "b"]})
+    # entirely-NULL column refutes everything except IS NULL
+    assert file_can_match([("z", "isnull", None)], stats)
+    assert not file_can_match([("z", "notnull", None)], stats)
+    assert not file_can_match([("z", "=", 1)], stats)
+    assert not file_can_match([("z", "prefix", "a")], stats)
+    # min/max present => non-null rows exist: NOT NULL can match
+    assert file_can_match([("d", "notnull", None)], stats)
 
 
 def test_parse_between_and_not_split():
@@ -289,6 +327,59 @@ def test_col_stats_survive_compact_and_single_split(spark, tmp_path):
     )
     assert "split" not in train.columns
     assert train.count() == 12  # batch-2 docs all landed in train
+
+
+def test_where_prefix_like_and_null_pruning_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    prepared = spark.createDataFrame(
+        [(i, "train") for i in range(24)], "doc_id long, split string"
+    )
+    # lang: entirely NULL for one third of docs; text: prefix-grouped
+    content = spark.createDataFrame(
+        [
+            (
+                i,
+                None if i < 8 else ("en" if i % 2 else "fr"),
+                ("alpha" if i < 8 else "omega") + f" body {i:02d}",
+            )
+            for i in range(24)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    publish_corpus_committed(prepared, content, root, n_shards=4)
+    # upsert writes files holding only high doc_ids -> alpha/omega and
+    # the NULL langs separate by file for the incremental batch
+    upd = spark.createDataFrame(
+        [(100 + i, None, f"alpha late {i:02d}", "train") for i in range(6)],
+        "doc_id long, lang string, text string, split string",
+    )
+    upsert_into_published(spark, root, upd, key_col="doc_id")
+
+    for predicate in (
+        "text LIKE 'alpha%'",
+        "text LIKE 'omega%'",
+        "lang IS NULL",
+        "lang IS NOT NULL",
+        "lang IS NULL AND text LIKE 'alpha l%'",
+    ):
+        got = _where(spark, root, predicate)
+        want = _full(spark, root, predicate)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], (
+            predicate
+        )
+    # the upsert's files are all-alpha: 'omega%' prunes every one
+    base: dict[str, list] = {}
+    read_published_where(
+        spark, root, "doc_id IS NOT NULL",
+        _scan_observer=lambda s, fl: base.setdefault(s, fl),
+    )
+    total = sum(len(f) for f in base.values())
+    seen: dict[str, list] = {}
+    _where(
+        spark, root, "text LIKE 'omega%'",
+        observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    assert sum(len(f) for f in seen.values()) < total
 
 
 def test_optimize_zorder_restores_skipping(spark, tmp_path):

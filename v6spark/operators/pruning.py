@@ -15,8 +15,16 @@ module; only efficiency does.
 Supported conjuncts (top-level AND only; a top-level OR/NOT makes the
 whole predicate unprunable): ``col <op> literal`` and
 ``literal <op> col`` for ``= < <= > >=``, ``col IN (l1, l2, ...)``,
-``col BETWEEN lo AND hi``.  Literals: numbers, single-quoted strings
-(with '' escapes), TRUE/FALSE.
+``col BETWEEN lo AND hi``, ``col LIKE 'prefix%'`` (one trailing ``%``,
+no other wildcards — prunes as the range ``[prefix, next(prefix))``),
+and ``col IS NULL`` (prunes files whose recorded null count is zero) /
+``col IS NOT NULL`` (prunes files recorded as entirely NULL).
+Literals: numbers, single-quoted strings (with '' escapes),
+TRUE/FALSE.
+
+Stats entry shapes (both accepted everywhere): ``[min, max]`` and
+``[min, max, null_count]``; ``[None, None, n]`` marks a column that is
+entirely NULL in the file (no comparison can match it).
 """
 
 from __future__ import annotations
@@ -125,6 +133,27 @@ def _parse_one(g: list[tuple]):
         and _balanced(g[1:-1])
     ):
         g = g[1:-1]
+    # col IS NULL / col IS NOT NULL (exact shapes only)
+    if len(g) == 3 and g[0][0] == "ident" and g[1][0] == "IS" \
+            and g[2][0] == "NULL":
+        return (g[0][1], "isnull", None)
+    if len(g) == 4 and g[0][0] == "ident" and g[1][0] == "IS" \
+            and g[2][0] == "NOT" and g[3][0] == "NULL":
+        return (g[0][1], "notnull", None)
+    # col LIKE 'prefix%' — one trailing %, no other wildcards/escapes
+    if len(g) == 3 and g[0][0] == "ident" and g[1][0] == "LIKE" \
+            and g[2][0] == "lit" and isinstance(g[2][1], str):
+        pat = g[2][1]
+        body = pat[:-1]
+        if (
+            pat.endswith("%")
+            and "%" not in body
+            and "_" not in body
+            and "\\" not in body
+            and body
+        ):
+            return (g[0][1], "prefix", body)
+        return None
     if any(t[0] in ("OR", "NOT", "LIKE", "IS") for t in g):
         return None  # not prunable with min/max
     # ident op lit
@@ -181,18 +210,55 @@ def _balanced(toks) -> bool:
     return d == 0
 
 
+def _next_prefix(p: str) -> str | None:
+    """Smallest string > every string starting with ``p`` (code-point
+    order): bump the last incrementable char, skipping the surrogate
+    gap.  None when nothing is incrementable (caller: no upper bound)."""
+    for i in range(len(p) - 1, -1, -1):
+        o = ord(p[i])
+        if o >= 0x10FFFF:
+            continue
+        nxt = 0xE000 if 0xD7FF <= o < 0xE000 else o + 1
+        return p[:i] + chr(nxt)
+    return None
+
+
 def file_can_match(conjuncts: list[tuple], stats: dict | None) -> bool:
     """Whether a file whose per-column stats are ``stats``
-    (``{col: [min, max, ...]}``) can contain a row satisfying every
-    conjunct.  Missing stats, unknown columns, or cross-type
-    comparisons answer True (must scan)."""
+    (``{col: [min, max]}`` or ``{col: [min, max, null_count]}``;
+    ``[None, None, n]`` = entirely-NULL column) can contain a row
+    satisfying every conjunct.  Missing stats, unknown columns, or
+    cross-type comparisons answer True (must scan)."""
     if not conjuncts or not stats:
         return True
     for col, op, val in conjuncts:
         st = stats.get(col)
-        if st is None or st[0] is None:
+        if st is None:
             continue  # no stats for this column: can't refute
+        if st[0] is None:
+            if len(st) > 2 and st[2]:
+                # entirely-NULL column ([None, None, nulls>0]): no
+                # comparison / prefix / NOT NULL row can exist; IS
+                # NULL trivially can
+                if op != "isnull":
+                    return False
+                continue
+            continue  # unknown-bounds entry: must scan
+        if op == "isnull":
+            nc = st[2] if len(st) > 2 else None
+            if nc == 0:
+                return False  # recorded zero nulls
+            continue
+        if op == "notnull":
+            continue  # min/max present => non-null values exist
         mn, mx = st[0], st[1]
+        if op == "prefix":
+            if not isinstance(mn, str):
+                continue  # cross-type: must scan
+            hi = _next_prefix(val)
+            if mx < val or (hi is not None and mn >= hi):
+                return False
+            continue
         try:
             if op == "=":
                 if not (mn <= val <= mx):

@@ -1921,7 +1921,11 @@ def _collect_col_stats(
             md = _pq.ParquetFile(fpath).metadata
         except Exception:
             continue
-        cols: dict[str, list] = {}
+        # per column: running [lo, hi], summed null count (None once
+        # any row group reports it unknown), and whether any non-null
+        # values were seen (an all-False column records the
+        # entirely-NULL marker [None, None, nulls])
+        acc: dict[str, dict] = {}
         bad: set[str] = set()
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
@@ -1930,44 +1934,64 @@ def _collect_col_stats(
                 name = cmeta.path_in_schema
                 if "." in name or name in bad:
                     continue  # nested leaf: not a top-level scalar
+                ent = acc.setdefault(
+                    name, {"lo": None, "hi": None, "nc": 0, "vals": False}
+                )
                 st = cmeta.statistics
+                nc = st.null_count if st is not None else None
+                if nc is None:
+                    ent["nc"] = None
+                elif ent["nc"] is not None:
+                    ent["nc"] += nc
                 if st is None or not st.has_min_max:
-                    bad.add(name)
-                    cols.pop(name, None)
+                    # an all-NULL row group has no min/max and is fine;
+                    # anything else means unusable stats for this column
+                    if st is None or nc is None or nc != rg.num_rows:
+                        bad.add(name)
+                        acc.pop(name, None)
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bool) != isinstance(mx, bool):
                     bad.add(name)
-                    cols.pop(name, None)
+                    acc.pop(name, None)
                     continue
                 if isinstance(mn, float) and (mn != mn or mx != mx):
                     bad.add(name)  # NaN bound: unordered
-                    cols.pop(name, None)
+                    acc.pop(name, None)
                     continue
                 if isinstance(mn, str):
                     mn, mx = _trunc_lower(mn), _trunc_upper(mx)
                     if mx is None:
                         bad.add(name)
-                        cols.pop(name, None)
+                        acc.pop(name, None)
                         continue
                 elif not isinstance(mn, (bool, int, float)) or not isinstance(
                     mx, (bool, int, float)
                 ):
                     bad.add(name)  # bytes/date/decimal/...: skip
-                    cols.pop(name, None)
+                    acc.pop(name, None)
                     continue
-                prev = cols.get(name)
-                if prev is None:
-                    cols[name] = [mn, mx]
-                else:
-                    try:
-                        if mn < prev[0]:
-                            prev[0] = mn
-                        if mx > prev[1]:
-                            prev[1] = mx
-                    except TypeError:
-                        bad.add(name)
-                        cols.pop(name, None)
+                try:
+                    if not ent["vals"] or mn < ent["lo"]:
+                        ent["lo"] = mn
+                    if not ent["vals"] or mx > ent["hi"]:
+                        ent["hi"] = mx
+                except TypeError:
+                    bad.add(name)
+                    acc.pop(name, None)
+                    continue
+                ent["vals"] = True
+        cols: dict[str, list] = {}
+        for name, ent in acc.items():
+            if ent["vals"]:
+                stat = [ent["lo"], ent["hi"]]
+                if ent["nc"] is not None:
+                    stat.append(ent["nc"])
+            elif ent["nc"] is not None and ent["nc"] > 0:
+                stat = [None, None, ent["nc"]]  # entirely-NULL column
+            else:
+                continue
+            cols[name] = stat
         if not cols:
             continue
         try:
