@@ -803,10 +803,12 @@ def read_published_where(
             d = d.withColumn("split", F.lit(s))
         dfs.append(d)
     if not dfs:
-        cols = ", ".join(f"`{n}` {t}" for n, t in (schema or []))
+        parts = [f"`{n}` {t}" for n, t in (schema or [])]
         if not single:
-            cols += ", split string"
-        return spark.createDataFrame([], cols)
+            parts.append("split string")
+        if not parts:  # pre-schema manifest, nothing survived pruning
+            parts = ["split string"]
+        return spark.createDataFrame([], ", ".join(parts))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
