@@ -399,6 +399,7 @@ def publish_corpus_committed(
     commit_mode: str = "rename",
     allow_schema_change: bool = False,
     sketch_specs: dict | None = None,
+    key_bloom: bool = False,
     _fail_after_split: str | None = None,
     _fail_before_sketches: bool = False,
     max_retries: int = 8,
@@ -456,6 +457,11 @@ def publish_corpus_committed(
     from v6spark import txlog
 
     spark = prepared.sparkSession
+    if key_bloom and fmt != "parquet":
+        raise ValueError(
+            "key_bloom requires a parquet publish (filters are built "
+            "from the written files' key column)"
+        )
     # the published rows are the content columns (split is consumed
     # into the directory layout) — that is the schema trainers see
     schema = [
@@ -525,6 +531,20 @@ def publish_corpus_committed(
                 s: _collect_col_stats(spark, path, s, fl) if fl else {}
                 for s, fl in split_files.items()
             }
+            if key_bloom:
+                # per-file key Bloom sidecars: point lookups probe KB
+                # filters driver-side instead of opening every file of
+                # the touched shards (hash-sharded key RANGES are
+                # near-full, so min/max stats can't refute a point key)
+                tables = _build_key_bloom_table(
+                    spark, path, vdir, split_files, key_col,
+                    _bloom_m_bits(
+                        None,
+                        sum(counts.values()),
+                        sum(len(fl) for fl in split_files.values()) or 1,
+                    ),
+                )
+                payload["key_bloom"] = _carry_key_bloom(None, tables)
         if sketch_specs:
             if fmt != "parquet":
                 raise ValueError(
@@ -703,12 +723,40 @@ def read_published_keys(
         i = bisect.bisect_left(ks, lo)
         return i < len(ks) and ks[i] <= hi
 
+    kb = doc.get("key_bloom")
+    bmap: dict[str, tuple] = {}
+    if kb:
+        # {file_rel: (bloom bytes, m_bits)} from the sidecar tables —
+        # KB reads, loaded once per lookup.  A table whose version dir
+        # fell out of retention is skipped: its files are gone from
+        # the manifest too; any file without an entry must scan.
+        for t in kb.get("tables") or []:
+            try:
+                brows = spark.read.parquet(f"{path}/{t['path']}").collect()
+            except Exception:
+                continue
+            pre = t.get("file_prefix", "")
+            for r in brows:
+                bmap[pre + r["file"]] = (bytes(r["bloom"]), t["m_bits"])
+
     dfs = []
     for s, files in sorted(split_files.items()):
         candidates = [
             rel for rel in files
             if _shard_of(rel) in touched and _can_match(s, rel, _shard_of(rel))
         ]
+        if kb and candidates:
+            from v6spark.operators.keybloom import K_HASHES, might_contain
+
+            khash = kb.get("k", K_HASHES)
+            candidates = [
+                rel for rel in candidates
+                if (ent := bmap.get(rel)) is None
+                or any(
+                    might_contain(ent[0], key, ent[1], khash)
+                    for key in keys_by_shard.get(_shard_of(rel), [])
+                )
+            ]
         if _scan_observer is not None:
             _scan_observer(s, list(candidates))
         if not candidates:
@@ -1047,6 +1095,22 @@ def promote_staged(
         s: {prefix + rel: st for rel, st in d.items()}
         for s, d in (sdoc.get("col_stats") or {}).items()
     }
+    key_bloom = sdoc.get("key_bloom")
+    if key_bloom:
+        # sidecar rows name files relative to the STAGE root;
+        # file_prefix tells the probe how to translate them into
+        # corpus-root rels (matching the prefixed manifest file lists)
+        key_bloom = {
+            **key_bloom,
+            "tables": [
+                {
+                    **t,
+                    "path": prefix + t["path"],
+                    "file_prefix": prefix + t.get("file_prefix", ""),
+                }
+                for t in (key_bloom.get("tables") or [])
+            ],
+        }
     sketches = {
         sk_name: {**spec, "dir": f"{_STAGING}/{name}/{spec['dir']}"}
         for sk_name, spec in (sdoc.get("sketches") or {}).items()
@@ -1095,6 +1159,8 @@ def promote_staged(
             "txn_ids": _txn_forward(doc, txn_id),
             "promoted_from_stage": name,
         }
+        if key_bloom:
+            payload["key_bloom"] = key_bloom
         if sketches:
             payload["sketches"] = sketches
         return payload, {
@@ -2025,6 +2091,84 @@ def _carry_col_stats(
     return out
 
 
+def _build_key_bloom_table(
+    spark,
+    path: str,
+    vdir: str,
+    fresh_files: dict[str, list[str]],
+    key_col: str,
+    m_bits: int,
+) -> list[dict]:
+    """Build + write ONE Bloom sidecar table covering every FRESH
+    file of this commit (``{split: [rels]}``), under the committing
+    version's own directory (``<vdir>/_bloom`` — wiped with the
+    attempt on OCC retry, vacuumed with the version).  The per-split
+    key frames union into a single ``mapInPandas`` job + one write —
+    the build cost is one pass over the fresh files' key column, not
+    a job per split.  Returns the manifest ``tables`` fragment
+    ``[{"path": rel, "m_bits": M}]``.  See
+    :mod:`v6spark.operators.keybloom` for the probe contract."""
+    from v6spark.operators.keybloom import build_file_blooms
+
+    parts = []
+    for s, rels in sorted(fresh_files.items()):
+        if rels:
+            parts.append(
+                _read_split_files(
+                    spark, path, s, sorted(rels), with_pos=True
+                ).select("__file", key_col)
+            )
+    if not parts:
+        return []
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    blooms = build_file_blooms(df, key_col, m_bits)
+    if not blooms:
+        return []
+    rel_dir = f"{vdir}/_bloom"
+    bdf = spark.createDataFrame(
+        [(f, bytearray(b)) for f, b in sorted(blooms.items())],
+        "file string, bloom binary",
+    )
+    bdf.coalesce(1).write.mode("error").parquet(f"{path}/{rel_dir}")
+    return [{"path": rel_dir, "m_bits": m_bits}]
+
+
+def _carry_key_bloom(
+    prior_doc: dict | None, fresh_tables: list[dict]
+) -> dict | None:
+    """Key-bloom manifest fragment for a DML result: prior sidecar
+    tables carry forward (kept files' filters stay valid; a DV'd
+    file's filter is a SUPERSET — extra candidate reads, never a
+    missed row; tables whose version dir later falls out of retention
+    are skipped by the fault-tolerant probe), fresh tables append.
+    None when the table has no bloom index."""
+    prior = (prior_doc or {}).get("key_bloom")
+    if prior is None and not fresh_tables:
+        return None
+    from v6spark.operators.keybloom import BITS_PER_KEY, K_HASHES
+
+    return {
+        "k": (prior or {}).get("k", K_HASHES),
+        "bits_per_key": (prior or {}).get("bits_per_key", BITS_PER_KEY),
+        "tables": list((prior or {}).get("tables") or []) + fresh_tables,
+    }
+
+
+def _bloom_m_bits(prior_doc: dict | None, rows: int, n_files: int) -> int:
+    """Filter size for a commit's fresh table: reuse the index's
+    existing size when one exists (sizing barely moves within one
+    table's lifetime; full rebuilds pass ``prior_doc=None`` to
+    re-derive), else size for the mean keys/file."""
+    from v6spark.operators.keybloom import BITS_PER_KEY, m_bits_for
+
+    prior = (prior_doc or {}).get("key_bloom") or {}
+    for t in prior.get("tables") or []:
+        return t["m_bits"]
+    return m_bits_for(rows, n_files, prior.get("bits_per_key", BITS_PER_KEY))
+
+
 def _txn_forward(doc: dict | None, txn_id: str | None) -> list:
     """Committed-DML transaction ids carried forward through every
     manifest (the Delta ``txnAppId/version`` idea at txlog size):
@@ -2352,6 +2496,9 @@ def retract_from_published(
                 # DV'd files keep their recorded ranges: a superset of
                 # the live rows — over-wide bounds over-scan, never miss
                 payload["col_stats"] = doc["col_stats"]
+            if doc.get("key_bloom"):
+                # same superset argument for the Bloom sidecars
+                payload["key_bloom"] = doc["key_bloom"]
             return payload, {
                 "rows_removed": rows_removed,
                 "files_rewritten": 0,
@@ -2363,6 +2510,7 @@ def retract_from_published(
         new_counts: dict[str, int] = {}
         new_stats: dict[str, dict] = {}
         new_dv_files: dict[str, dict] = {}
+        fresh_by_split: dict[str, list[str]] = {}
         old_stats = doc.get("file_stats") or {}
         rows_removed = 0
         files_rewritten = 0
@@ -2437,6 +2585,8 @@ def retract_from_published(
             new_files[s] = sorted(kept + out_rel)
             new_counts[s] = doc["splits"].get(s, 0) - removed_s
             new_stats[s] = split_stats
+            if out_rel:
+                fresh_by_split[s] = sorted(out_rel)
 
         if rows_removed == 0:
             fs.delete(jroot, True)
@@ -2497,6 +2647,16 @@ def retract_from_published(
         if doc.get("key_col"):
             payload["file_stats"] = new_stats
         payload["col_stats"] = _carry_col_stats(spark, path, doc, new_files)
+        if doc.get("key_bloom") and doc.get("key_col"):
+            tables = _build_key_bloom_table(
+                spark, path, vdir, fresh_by_split, doc["key_col"],
+                _bloom_m_bits(
+                    doc,
+                    sum(new_counts.values()),
+                    sum(len(fl) for fl in new_files.values()) or 1,
+                ),
+            )
+            payload["key_bloom"] = _carry_key_bloom(doc, tables)
         return payload, {
             "rows_removed": rows_removed,
             "files_rewritten": files_rewritten,
@@ -2759,6 +2919,7 @@ def upsert_into_published(
         new_counts: dict[str, int] = {}
         new_stats: dict[str, dict] = {}
         new_dv_files: dict[str, dict] = {}
+        fresh_by_split: dict[str, list[str]] = {}
         rows_updated = 0
         files_rewritten = 0
         files_kept = 0
@@ -2936,6 +3097,7 @@ def upsert_into_published(
                 new_stats.setdefault(s, {}).update(
                     _collect_file_stats(spark, path, s, sorted(added), key_col)
                 )
+                fresh_by_split[s] = sorted(added)
         if _fail_after == "data":
             raise RuntimeError("injected crash after upsert data write")
 
@@ -2968,6 +3130,17 @@ def upsert_into_published(
         }
         if dv_doc is not None:
             payload["dv"] = dv_doc
+        if doc.get("key_bloom"):
+            tables = _build_key_bloom_table(
+                spark, path, vdir, fresh_by_split,
+                doc.get("key_col") or key_col,
+                _bloom_m_bits(
+                    doc,
+                    sum(new_counts.values()),
+                    sum(len(fl) for fl in new_files.values()) or 1,
+                ),
+            )
+            payload["key_bloom"] = _carry_key_bloom(doc, tables)
         return payload, {
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
@@ -3217,6 +3390,18 @@ def compact_published(
             s: _collect_col_stats(spark, path, s, fl) if fl else {}
             for s, fl in fresh.items()
         }
+        if doc.get("key_bloom") and stats_key is not None:
+            # full rewrite: rebuild the bloom index from scratch (the
+            # fresh single-table state also prunes the DML-accumulated
+            # sidecar list)
+            tables = _build_key_bloom_table(
+                spark, path, vdir, fresh, stats_key,
+                _bloom_m_bits(
+                    None, sum(doc["splits"].values()),
+                    sum(len(fl) for fl in fresh.values()) or 1,
+                ),
+            )
+            payload["key_bloom"] = _carry_key_bloom(None, tables)
         return payload, {}
 
     out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
@@ -3303,6 +3488,15 @@ def reshard_published(
             s: _collect_col_stats(spark, path, s, fl) if fl else {}
             for s, fl in fresh.items()
         }
+        if doc.get("key_bloom"):
+            tables = _build_key_bloom_table(
+                spark, path, vdir, fresh, key_col,
+                _bloom_m_bits(
+                    None, sum(doc["splits"].values()),
+                    sum(len(fl) for fl in fresh.values()) or 1,
+                ),
+            )
+            payload["key_bloom"] = _carry_key_bloom(None, tables)
         return payload, {}
 
     out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
