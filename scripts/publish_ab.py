@@ -102,11 +102,14 @@ def main() -> None:
         "committed_readback_rows": n,
         "note": (
             "identical shard writes; delta = version dir + manifest "
-            "commit + per-file key min/max stats (pyarrow footer "
+            "commit + per-file key min/max stats AND per-column "
+            "min/max/null-count stats (both from pyarrow footer "
             "metadata, no Spark job) + committed-file listing "
             "(os.walk local fast path).  Crash-atomicity, "
-            "version-pinned reads, and manifest-only DML candidate "
-            "pruning for this price."
+            "version-pinned reads, manifest-only DML candidate "
+            "pruning, and read_published_where data skipping for "
+            "this price.  key_bloom=False here; the Bloom-index "
+            "build cost is measured separately in AB_KEYBLOOM."
         ),
     }
     print(json.dumps(out))

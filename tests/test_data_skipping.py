@@ -433,6 +433,24 @@ def test_optimize_zorder_restores_skipping(spark, tmp_path):
     ] == expect
 
 
+def test_where_split_predicates_prune_whole_splits(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    seen: dict[str, list] = {}
+    rows = _where(
+        spark, root, "split = 'valid' AND day <= 2",
+        observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    assert rows == [
+        r for r in _full(spark, root, "split = 'valid' AND day <= 2")
+    ]
+    assert all(r["split"] == "valid" for r in rows) and rows
+    # the train split never opens a file: the split pseudo-stat
+    # refutes it at the manifest
+    assert seen.get("train", []) == [] or "train" not in seen
+    assert len(seen.get("valid", [])) > 0
+
+
 def test_cluster_by_validates_columns(spark, tmp_path):
     root = str(tmp_path / "corpus")
     _publish_batch1(spark, root)

@@ -837,19 +837,26 @@ def read_published_where(
         kept = []
         for rel in split_files[s]:
             stats = dict(cs.get(rel) or {})
-            # fold the key-column [lo, hi, n] entry in as one more range
+            # fold the key-column [lo, hi, n] entry in as one more
+            # range, and the directory-derived split label as a
+            # constant pseudo-stat — `split = 'train'` prunes whole
+            # splits through the same matcher
             if key_col and key_col not in stats and rel in ks:
                 stats[key_col] = ks[rel][:2]
+            stats.setdefault("split", [s, s, 0])
             if file_can_match(conjuncts, stats):
                 kept.append(rel)
         if _scan_observer is not None:
             _scan_observer(s, list(kept))
         if not kept:
             continue
-        d = _read_split_mor(spark, path, s, kept, doc).filter(pred)
+        d = _read_split_mor(spark, path, s, kept, doc)
         if not single:
+            # split attaches BEFORE the filter so predicates may
+            # reference it (single-split reads have no split column —
+            # use the `split=` argument there)
             d = d.withColumn("split", F.lit(s))
-        dfs.append(d)
+        dfs.append(d.filter(pred))
     if not dfs:
         parts = [f"`{n}` {t}" for n, t in (schema or [])]
         if not single:
