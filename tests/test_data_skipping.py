@@ -102,6 +102,15 @@ def test_parse_between_and_not_split():
         ("a", "between", (1, 3)),
         ("b", "=", 9),
     ]
+    # a PARENTHESIZED BETWEEN must not swallow the real top-level AND
+    assert parse_conjuncts("(a BETWEEN 1 AND 3) AND day >= 7") == [
+        ("a", "between", (1, 3)),
+        ("day", ">=", 7),
+    ]
+    assert parse_conjuncts("day >= 7 AND (a BETWEEN 1 AND 3)") == [
+        ("day", ">=", 7),
+        ("a", "between", (1, 3)),
+    ]
 
 
 def test_parse_garbage_degrades_to_no_pruning():

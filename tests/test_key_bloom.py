@@ -195,6 +195,43 @@ def test_string_keys_bloom(spark, tmp_path):
     assert rows == [] and opened == 0
 
 
+def test_bloom_tables_survive_file_level_vacuum(spark, tmp_path):
+    from v6spark.pipeline import vacuum_published_files
+
+    root = str(tmp_path / "corpus")
+    _publish(spark, root, bloom=True)
+    upd = spark.createDataFrame(
+        [(8, "edited", None)], "doc_id long, text string, split string"
+    )
+    upsert_into_published(spark, root, upd, key_col="doc_id")
+    # retention drops v1 as a manifest, but v1's data files AND its
+    # bloom sidecar are still referenced by the retained v2 manifest
+    vacuum_published_files(spark, root, keep_last=1)
+    rows, opened = _lookup(spark, root, [8])
+    assert [r["text"] for r in rows] == ["edited"]
+    # absent key: blooms must still answer (the sweep must not have
+    # deleted the referenced sidecar tables)
+    rows, opened = _lookup(spark, root, [9])
+    assert rows == [] and opened == 0
+
+
+def test_key_bloom_validates_key_type_before_writing(spark, tmp_path):
+    prepared = spark.createDataFrame(
+        [(1.5, "train")], "doc_id double, split string"
+    )
+    content = spark.createDataFrame(
+        [(1.5, "x")], "doc_id double, text string"
+    )
+    root = str(tmp_path / "c")
+    with pytest.raises(ValueError, match="int/string key"):
+        publish_corpus_committed(
+            prepared, content, root, key_bloom=True
+        )
+    import os
+
+    assert not os.path.exists(root)  # nothing was written
+
+
 def test_key_bloom_refuses_bad_inputs(spark, tmp_path):
     prepared, content = _corpus(spark)
     with pytest.raises(ValueError, match="parquet"):

@@ -283,3 +283,25 @@ def test_zorder_minmax_bounds_mode(spark, tmp_path):
         spans.append(hi - lo)
     assert sorted(spans)[len(spans) // 2] < 60
     assert spark.read.parquet(zo).count() == n
+
+
+def test_zorder_key_clamps_bits_to_long_budget(spark):
+    # 6 columns x 16 bits would shift past bit 63 and wrap (JVM shift
+    # is mod 64), colliding bit planes; the clamp keeps every shift
+    # inside one signed long and the key strictly monotone per column
+    from v6spark.sources.layout import zorder_key
+
+    cols = [f"c{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(v) for _ in cols) for v in (0, 1, 2, 3)],
+        ", ".join(f"{c} double" for c in cols),
+    )
+    bounds = {c: (0.0, 3.0) for c in cols}
+    rows = (
+        df.withColumn("z", zorder_key(cols, bits=16, bounds=bounds))
+        .orderBy(*cols)
+        .collect()
+    )
+    zs = [r["z"] for r in rows]
+    assert all(z >= 0 for z in zs)
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)

@@ -99,7 +99,9 @@ def parse_conjuncts(sql: str) -> list[tuple]:
             depth -= 1
             if depth < 0:
                 return []
-        if t[0] == "BETWEEN":
+        if t[0] == "BETWEEN" and depth == 0:
+            # only a depth-0 BETWEEN swallows a depth-0 AND; a
+            # parenthesized BETWEEN's AND never reaches the splitter
             between_pending += 1
         if t[0] == "OR" and depth == 0:
             return []  # disjunction: per-file AND-pruning is unsound

@@ -467,6 +467,16 @@ def publish_corpus_committed(
     schema = [
         [f.name, f.dataType.simpleString()] for f in content.schema.fields
     ]
+    if key_bloom:
+        # fail BEFORE any byte is written: an un-bloomable key type
+        # would otherwise abort inside the executor-side build kernel
+        # after the whole corpus landed
+        ktype = dict(schema).get(key_col)
+        if ktype not in ("tinyint", "smallint", "int", "bigint", "string"):
+            raise ValueError(
+                f"key_bloom requires an int/string key column; "
+                f"{key_col!r} is {ktype!r}"
+            )
 
     def _attempt(version, _doc, vdir, data_root):
         if (
@@ -723,28 +733,61 @@ def read_published_keys(
         i = bisect.bisect_left(ks, lo)
         return i < len(ks) and ks[i] <= hi
 
-    kb = doc.get("key_bloom")
-    bmap: dict[str, tuple] = {}
-    if kb:
-        # {file_rel: (bloom bytes, m_bits)} from the sidecar tables —
-        # KB reads, loaded once per lookup.  A table whose version dir
-        # fell out of retention is skipped: its files are gone from
-        # the manifest too; any file without an entry must scan.
-        for t in kb.get("tables") or []:
-            try:
-                brows = spark.read.parquet(f"{path}/{t['path']}").collect()
-            except Exception:
-                continue
-            pre = t.get("file_prefix", "")
-            for r in brows:
-                bmap[pre + r["file"]] = (bytes(r["bloom"]), t["m_bits"])
-
-    dfs = []
-    for s, files in sorted(split_files.items()):
-        candidates = [
+    # phase 1: shard + key-range candidates per split (manifest-only)
+    cand_by_split = {
+        s: [
             rel for rel in files
             if _shard_of(rel) in touched and _can_match(s, rel, _shard_of(rel))
         ]
+        for s, files in sorted(split_files.items())
+    }
+
+    kb = doc.get("key_bloom")
+    bmap: dict[str, tuple] = {}
+    all_cand = [rel for fl in cand_by_split.values() for rel in fl]
+    if kb and all_cand:
+        # {file_rel: (bloom bytes, m_bits)} — loaded lazily (only when
+        # candidates exist) with the candidate file set PUSHED into the
+        # sidecar scan, and tables sharing a file_prefix read as ONE
+        # job, so lookup latency does not grow with commit history.
+        # A table whose version dir fell out of retention is skipped:
+        # its files are gone from the manifest too; any file without
+        # an entry must scan.
+        by_prefix: dict[str, list[dict]] = {}
+        for t in kb.get("tables") or []:
+            by_prefix.setdefault(t.get("file_prefix", ""), []).append(t)
+        for pre, tabs in by_prefix.items():
+            wanted = [
+                rel[len(pre):] for rel in all_cand if rel.startswith(pre)
+            ]
+            if not wanted:
+                continue
+
+            def _load(paths, m_fallback):
+                rows = (
+                    spark.read.parquet(*paths)
+                    .filter(F.col("file").isin(wanted))
+                    .collect()
+                )
+                for r in rows:
+                    m = r.asDict().get("m_bits") or m_fallback
+                    bmap[pre + r["file"]] = (bytes(r["bloom"]), m)
+
+            try:
+                _load([f"{path}/{t['path']}" for t in tabs],
+                      tabs[0]["m_bits"])
+            except Exception:
+                # a vacuumed table poisons the grouped read: retry
+                # table-by-table, skipping the dead ones
+                for t in tabs:
+                    try:
+                        _load([f"{path}/{t['path']}"], t["m_bits"])
+                    except Exception:
+                        continue
+
+    dfs = []
+    for s, files in sorted(split_files.items()):
+        candidates = cand_by_split.get(s) or []
         if kb and candidates:
             from v6spark.operators.keybloom import K_HASHES, might_contain
 
@@ -861,8 +904,12 @@ def read_published_where(
         parts = [f"`{n}` {t}" for n, t in (schema or [])]
         if not single:
             parts.append("split string")
-        if not parts:  # pre-schema manifest, nothing survived pruning
-            parts = ["split string"]
+        if not parts:
+            # pre-schema manifest, single-split, nothing survived: the
+            # result's columns are unknowable — None, like the other
+            # degenerate committed-read cases, NOT an empty frame with
+            # invented columns
+            return None
         return spark.createDataFrame([], ", ".join(parts))
     out = dfs[0]
     for d in dfs[1:]:
@@ -1920,6 +1967,9 @@ def _collect_file_stats(
 
 
 _STR_STAT_MAX = 64  # string bounds longer than this truncate (Iceberg-style)
+_MAX_STAT_COLS = 32  # stats for the first N schema columns (Delta's
+# dataSkippingNumIndexedCols default) — bounds manifest growth on very
+# wide tables; columns past the cap are simply must-scan
 
 
 def _trunc_lower(s: str) -> str:
@@ -1932,21 +1982,16 @@ def _trunc_lower(s: str) -> str:
 def _trunc_upper(s: str) -> str | None:
     """Truncate a string MAX bound to a value STRICTLY ABOVE every
     string sharing the kept prefix (the Iceberg/Delta increment-last-
-    char trick): take the first ``_STR_STAT_MAX`` chars and bump the
-    last incrementable one, skipping the surrogate gap so code-point
-    order (== UTF-8 byte order == Spark order) is preserved.  None when
-    nothing is incrementable (all chars at U+10FFFF) — caller skips the
-    stat entirely: must-scan, never a wrong bound."""
+    char trick), reusing the probe side's increment
+    (:func:`v6spark.operators.pruning._next_prefix`) so the write and
+    probe ordering rules can never drift.  None when nothing is
+    incrementable (all chars at U+10FFFF) — caller skips the stat
+    entirely: must-scan, never a wrong bound."""
     if len(s) <= _STR_STAT_MAX:
         return s
-    p = s[:_STR_STAT_MAX]
-    for i in range(len(p) - 1, -1, -1):
-        o = ord(p[i])
-        if o >= 0x10FFFF:
-            continue
-        nxt = 0xE000 if 0xD7FF <= o < 0xE000 else o + 1
-        return p[:i] + chr(nxt)
-    return None
+    from v6spark.operators.pruning import _next_prefix
+
+    return _next_prefix(s[:_STR_STAT_MAX])
 
 
 def _collect_col_stats(
@@ -2009,6 +2054,8 @@ def _collect_col_stats(
                 name = cmeta.path_in_schema
                 if "." in name or name in bad:
                     continue  # nested leaf: not a top-level scalar
+                if name not in acc and len(acc) >= _MAX_STAT_COLS:
+                    continue  # indexed-column cap: must-scan past it
                 ent = acc.setdefault(
                     name, {"lo": None, "hi": None, "nc": 0, "vals": False}
                 )
@@ -2134,9 +2181,11 @@ def _build_key_bloom_table(
     if not blooms:
         return []
     rel_dir = f"{vdir}/_bloom"
+    # m_bits rides in the rows too, so grouped probe reads spanning
+    # tables of different sizes stay a single job
     bdf = spark.createDataFrame(
-        [(f, bytearray(b)) for f, b in sorted(blooms.items())],
-        "file string, bloom binary",
+        [(f, bytearray(b), m_bits) for f, b in sorted(blooms.items())],
+        "file string, bloom binary, m_bits long",
     )
     bdf.coalesce(1).write.mode("error").parquet(f"{path}/{rel_dir}")
     return [{"path": rel_dir, "m_bits": m_bits}]
@@ -2703,7 +2752,13 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
     ]
     whole_dirs: set[str] = set()
     keep_files: set[str] = set()
+    keep_prefixes: set[str] = set()
     for d in retained:
+        # key-bloom sidecar TABLES a retained manifest references must
+        # survive regardless of manifest shape — their version dir may
+        # hold no live data file while the index still probes them
+        for t in (d.get("key_bloom") or {}).get("tables") or []:
+            keep_prefixes.add(t["path"].rstrip("/") + "/")
         if "files" in d:
             for fl in d["files"].values():
                 keep_files.update(fl)
@@ -2730,7 +2785,9 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
             if fname.startswith(("_", ".")):
                 continue
             rel = _rel_path(fst.getPath().toString(), path)
-            if rel not in keep_files:
+            if rel not in keep_files and not any(
+                rel.startswith(p) for p in keep_prefixes
+            ):
                 fs.delete(fst.getPath(), False)
                 n_files += 1
         # drop the dir if nothing referenced remains under it

@@ -90,7 +90,9 @@ def zorder_key(cols: list, bits: int = 16, bounds: dict | None = None):
     Each column is first normalized to ``bits`` levels, then the bit
     planes interleave: key = sum over bit j, column i of
     ``bucket_i[j] << (j * n_cols + i)``.  Pure Catalyst — the key is
-    computed in the scan stage.
+    computed in the scan stage.  ``bits`` is clamped so the
+    interleaved key fits one signed 64-bit long (``n_cols * bits <=
+    62``); more columns mean fewer levels each, never wrapped shifts.
 
     Normalization: with ``bounds`` = {col: (lo, hi)} the bucket is a
     linear map over the given range (the SCALABLE mode — bounds come
@@ -102,6 +104,10 @@ def zorder_key(cols: list, bits: int = 16, bounds: dict | None = None):
     from pyspark.sql import Window
 
     n = len(cols)
+    # the interleaved key lives in ONE signed 64-bit long: shifts past
+    # bit 62 would wrap (JVM shift is mod 64) and silently collide bit
+    # planes — clamp levels so n_cols * bits never exceeds the budget
+    bits = max(1, min(bits, 62 // n))
     exprs = []
     for i, c in enumerate(cols):
         if bounds is not None:
