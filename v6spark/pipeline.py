@@ -606,16 +606,19 @@ def published_path(
 
 
 def read_published_corpus(
-    spark, path: str, split: str | None = None, version: int | None = None
+    spark, path: str, split: str | None = None,
+    version: int | None = None, tag: str | None = None,
 ):
     """Committed-only DataFrame view of a parquet-format publish
     (exactly-once read: partial publishes are invisible);
     ``version`` pins a historical publish (see
-    :func:`published_path`).  Resolves directory-level publish
+    :func:`published_path`), ``tag`` a named reference
+    (:func:`tag_published`).  Resolves directory-level publish
     manifests AND file-level retraction manifests
     (:func:`retract_from_published`) transparently."""
     from v6spark import txlog
 
+    version = _resolve_version(spark, path, version, tag)
     if version is None:
         _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
     else:
@@ -660,6 +663,7 @@ def read_published_keys(
     path: str,
     keys: list,
     version: int | None = None,
+    tag: str | None = None,
     _scan_observer=None,
 ):
     """Point-lookup read: the published rows for ``keys`` touching
@@ -677,6 +681,7 @@ def read_published_keys(
     from v6spark import txlog
     from v6spark.operators.packing import assign_shards
 
+    version = _resolve_version(spark, path, version, tag)
     if version is None:
         _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
     else:
@@ -828,6 +833,7 @@ def read_published_where(
     predicate: str,
     split: str | None = None,
     version: int | None = None,
+    tag: str | None = None,
     _scan_observer=None,
 ):
     """SELECTIVE committed read: the published rows satisfying a SQL
@@ -853,6 +859,7 @@ def read_published_where(
     from v6spark import txlog
     from v6spark.operators.pruning import file_can_match, parse_conjuncts
 
+    version = _resolve_version(spark, path, version, tag)
     if version is None:
         _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
     else:
@@ -1667,6 +1674,54 @@ def release_read_lease(spark, path: str, lease_id: str) -> bool:
     from v6spark import txlog
 
     return txlog.release_lease(spark, f"{path}/{_COMMITS}", lease_id)
+
+
+def tag_published(
+    spark, path: str, name: str, version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Pin a NAMED, vacuum-proof reference to a published version —
+    the Iceberg tag on the corpus commit log.  ``tag_published(spark,
+    root, "eval-baseline")`` makes that exact snapshot reproducible
+    months later on a table with daily ``keep_last=1`` retention:
+    both vacuums treat the tagged version as retained until
+    :func:`delete_published_tag`.  Unlike a read lease, a tag has no
+    TTL — it is corpus METADATA (which bytes 'prod' means), not a
+    reader's liveness claim.  Returns the pinned version."""
+    from v6spark import txlog
+
+    return txlog.create_tag(
+        spark, f"{path}/{_COMMITS}", name, version=version, replace=replace
+    )
+
+
+def delete_published_tag(spark, path: str, name: str) -> bool:
+    """Drop a named reference; its version re-enters normal retention
+    at the next vacuum.  True if the tag existed."""
+    from v6spark import txlog
+
+    return txlog.delete_tag(spark, f"{path}/{_COMMITS}", name)
+
+
+def list_published_tags(spark, path: str) -> dict[str, int]:
+    """{tag: version} for the corpus's named references."""
+    from v6spark import txlog
+
+    return txlog.list_tags(spark, f"{path}/{_COMMITS}")
+
+
+def _resolve_version(spark, path: str, version, tag):
+    """One rule for every reader taking (version=, tag=)."""
+    if tag is None:
+        return version
+    if version is not None:
+        raise ValueError("pass version= or tag=, not both")
+    from v6spark import txlog
+
+    v = txlog.resolve_tag(spark, f"{path}/{_COMMITS}", tag)
+    if v is None:
+        raise ValueError(f"{path} has no tag {tag!r}")
+    return v
 
 
 def _local_root(path: str) -> str | None:

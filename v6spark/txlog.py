@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import threading
 
 from pyspark.sql import SparkSession
@@ -451,6 +452,101 @@ def release_lease(spark: SparkSession, log_dir: str, lease_id: str) -> bool:
     return bool(fs.exists(p) and fs.delete(p, False))
 
 
+TAG_PREFIX = "tag-"
+_TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,99}$")
+
+
+def create_tag(
+    spark: SparkSession,
+    log_dir: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Pin a NAMED REFERENCE to manifest ``version`` (default: the
+    latest) — the Iceberg tag / Delta named-snapshot idea on the
+    txlog: until deleted, every vacuum treats the tagged version as
+    retained, so its manifest AND the data it references survive
+    ``keep_last`` indefinitely.  That is what makes "eval-baseline"
+    or "prod-2026-08" reproducible months later on a table with daily
+    retention.  A lease with no expiry, keyed by name: the tag file
+    is checksummed (torn writes are ignored — and the read-back
+    verify below means a torn tag never belonged to a completed
+    create), creation is exclusive unless ``replace=True`` (retarget).
+    Returns the pinned version."""
+    if not _TAG_NAME.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r} (letters/digits/._- only, "
+            "must start alphanumeric, <=100 chars)"
+        )
+    if version is None:
+        version, doc = read_latest(spark, log_dir)
+        if doc is None:
+            raise ValueError(f"{log_dir} has no committed version to tag")
+    elif read_version(spark, log_dir, version) is None:
+        raise ValueError(
+            f"cannot tag version {version}: no complete manifest under "
+            f"{log_dir} (already vacuumed, or never committed)"
+        )
+    data = _encode(version, {"tag": name})
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    p = jvm.org.apache.hadoop.fs.Path(jdir, f"{TAG_PREFIX}{name}")
+    if not replace and fs.exists(p):
+        raise ValueError(
+            f"tag {name!r} already exists (points at version "
+            f"{resolve_tag(spark, log_dir, name)}); pass replace=True "
+            "to retarget"
+        )
+    out = fs.create(p, replace)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+    stream = fs.open(p)
+    try:
+        readback = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    if readback != data:
+        raise IOError(f"tag {name!r} failed read-back verify")
+    return version
+
+
+def delete_tag(spark: SparkSession, log_dir: str, name: str) -> bool:
+    """Remove a named reference (its version re-enters normal
+    retention at the next vacuum).  True if it existed."""
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    p = jvm.org.apache.hadoop.fs.Path(jdir, f"{TAG_PREFIX}{name}")
+    return bool(fs.exists(p) and fs.delete(p, False))
+
+
+def list_tags(spark: SparkSession, log_dir: str) -> dict[str, int]:
+    """{tag name: version} for every valid tag; torn files skipped."""
+    fs, jdir, jvm = _jfs(spark, log_dir)
+    if not fs.exists(jdir):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(jdir):
+        fname = st.getPath().getName()
+        if not fname.startswith(TAG_PREFIX):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        doc = _decode(raw)
+        if doc is None or "tag" not in doc:
+            continue
+        out[doc["tag"]] = int(doc["v"])
+    return out
+
+
+def resolve_tag(spark: SparkSession, log_dir: str, name: str) -> int | None:
+    """The version a tag points at, or None if absent/torn."""
+    return list_tags(spark, log_dir).get(name)
+
+
 def leased_versions(
     spark: SparkSession, log_dir: str, now_ms: float | None = None
 ) -> set[int]:
@@ -489,10 +585,13 @@ def _retained_versions(
     spark: SparkSession, log_dir: str, keep_last: int
 ) -> set[int]:
     """keep_last newest complete versions UNION unexpired-leased
-    versions — the single retention rule every vacuum applies."""
+    versions UNION tagged versions — the single retention rule every
+    vacuum applies (a named reference pins its snapshot for as long
+    as the tag exists)."""
     manifests = _complete_manifests(spark, log_dir)
     retained = set(sorted(manifests)[-keep_last:])
     retained |= leased_versions(spark, log_dir) & set(manifests)
+    retained |= set(list_tags(spark, log_dir).values()) & set(manifests)
     return retained
 
 
