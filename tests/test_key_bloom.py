@@ -232,6 +232,30 @@ def test_key_bloom_validates_key_type_before_writing(spark, tmp_path):
     assert not os.path.exists(root)  # nothing was written
 
 
+def test_bloom_and_sketches_share_one_transaction(spark, tmp_path):
+    # key_bloom + sketch_specs land under the SAME manifest commit: a
+    # crash between them leaves neither visible
+    from v6spark.pipeline import read_published_sketch
+
+    root = str(tmp_path / "corpus")
+    prepared, content = _corpus(spark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_corpus_committed(
+            prepared, content, root, n_shards=8, key_bloom=True,
+            sketch_specs={"docs": {"kind": "hll", "expr": "doc_id"}},
+            _fail_before_sketches=True,
+        )
+    assert read_published_corpus(spark, root) is None  # nothing visible
+
+    publish_corpus_committed(
+        prepared, content, root, n_shards=8, key_bloom=True,
+        sketch_specs={"docs": {"kind": "hll", "expr": "doc_id"}},
+    )
+    rows, opened = _lookup(spark, root, [8])
+    assert len(rows) == 1 and opened <= 2
+    assert read_published_sketch(spark, root, "docs") is not None
+
+
 def test_key_bloom_refuses_bad_inputs(spark, tmp_path):
     prepared, content = _corpus(spark)
     with pytest.raises(ValueError, match="parquet"):

@@ -26,9 +26,12 @@ Layout
   optimistic concurrency, time travel, grace-window vacuum)
 - ``v6spark.genomics``   the ``Variations`` facade — variation6's
   user-facing API (``from v6spark import Variations``)
-- ``v6spark.pipeline``   end-to-end corpus preparation + ACID
-  publishing (``prepare_training_corpus``,
-  ``publish_corpus_committed``, ``read_published_corpus``)
+- ``v6spark.pipeline``   end-to-end corpus preparation + the ACID
+  table format (``prepare_training_corpus``,
+  ``publish_corpus_committed``, ``read_published_corpus``; DML:
+  retract/upsert/compact/reshard; readers: ``read_published_where``
+  data skipping, ``read_published_keys`` Bloom-indexed point lookups;
+  time travel, named tags, change feed, WAP staging)
 """
 
 from v6spark.genomics import Variations
