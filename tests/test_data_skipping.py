@@ -469,6 +469,28 @@ def test_cluster_by_validates_columns(spark, tmp_path):
         compact_published(spark, root, cluster_by=["text"])
 
 
+def test_advice_recommends_reclustering_after_dml(spark, tmp_path):
+    from v6spark.pipeline import compaction_advice
+
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    compact_published(spark, root, cluster_by=["day"])
+    adv = compaction_advice(spark, root)
+    assert adv["clustered_by"] == ["day"] and not adv["recluster"]
+    assert adv["files_with_col_stats"] == adv["files_total"]
+
+    _upsert_batch2(spark, root)  # file-level DML on the clustered table
+    adv = compaction_advice(spark, root)
+    assert adv["clustered_by"] == ["day"]
+    assert adv["recluster"] and adv["needs_compaction"]
+
+    compact_published(spark, root, cluster_by=["day"])  # re-OPTIMIZE
+    adv = compaction_advice(spark, root)
+    assert not adv["recluster"]
+    # rows intact through the whole cycle
+    assert read_published_corpus(spark, root).count() == 48 + 12
+
+
 def test_where_unknown_column_predicate_errors_cleanly(spark, tmp_path):
     root = str(tmp_path / "corpus")
     _publish_batch1(spark, root)

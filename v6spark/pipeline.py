@@ -995,9 +995,12 @@ def compaction_advice(
     "shards_over", "files_total", "files_unknown_stats"}; act with
     :func:`compact_published` (folds everything into one version
     dir)."""
+    from v6spark import txlog
+
     census = published_file_census(spark, path)
     if census is None:
         raise ValueError(f"{path} has no committed publish")
+    _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
     rows = census.collect()
     vdirs = set()
     for r in rows:
@@ -1031,10 +1034,18 @@ def compaction_advice(
     # anti-join on every read until a rewrite materializes them —
     # ``max_dv_deleted_rows`` turns that into a compaction trigger
     dv_deleted = sum(r["dv_deleted"] or 0 for r in rows)
+    # a nominally clustered table that has accumulated file-level DML
+    # holds unclustered fresh files: advise re-running the clustered
+    # compact (OPTIMIZE ZORDER) rather than a plain one
+    clustered_by = (doc or {}).get("clustered_by")
+    recluster = bool(clustered_by) and "files" in (doc or {})
+    col_stats = (doc or {}).get("col_stats") or {}
+    with_col_stats = sum(len(d) for d in col_stats.values())
     return {
         "needs_compaction": (
             bool(shards_over)
             or len(vdirs) > max_version_dirs
+            or recluster
             or (
                 max_dv_deleted_rows is not None
                 and dv_deleted > max_dv_deleted_rows
@@ -1048,6 +1059,12 @@ def compaction_advice(
         "files_unknown_stats": sum(1 for r in rows if r["rows"] is None),
         "dv_deleted_rows": dv_deleted,
         "dv_files": sum(1 for r in rows if (r["dv_deleted"] or 0) > 0),
+        "clustered_by": clustered_by,
+        "recluster": recluster,
+        "files_with_col_stats": with_col_stats,
+        "bloom_tables": len(
+            ((doc or {}).get("key_bloom") or {}).get("tables") or []
+        ),
     }
 
 
@@ -2610,6 +2627,8 @@ def retract_from_published(
             if doc.get("key_bloom"):
                 # same superset argument for the Bloom sidecars
                 payload["key_bloom"] = doc["key_bloom"]
+            if doc.get("clustered_by"):
+                payload["clustered_by"] = doc["clustered_by"]
             return payload, {
                 "rows_removed": rows_removed,
                 "files_rewritten": 0,
@@ -2758,6 +2777,11 @@ def retract_from_published(
         if doc.get("key_col"):
             payload["file_stats"] = new_stats
         payload["col_stats"] = _carry_col_stats(spark, path, doc, new_files)
+        if doc.get("clustered_by"):
+            # the table remains NOMINALLY clustered (kept files keep
+            # their curve layout); compaction_advice uses this to
+            # recommend re-clustering once DML accumulates
+            payload["clustered_by"] = doc["clustered_by"]
         if doc.get("key_bloom") and doc.get("key_col"):
             tables = _build_key_bloom_table(
                 spark, path, vdir, fresh_by_split, doc["key_col"],
@@ -3249,6 +3273,8 @@ def upsert_into_published(
         }
         if dv_doc is not None:
             payload["dv"] = dv_doc
+        if doc.get("clustered_by"):
+            payload["clustered_by"] = doc["clustered_by"]
         if doc.get("key_bloom"):
             tables = _build_key_bloom_table(
                 spark, path, vdir, fresh_by_split,
