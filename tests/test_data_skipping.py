@@ -469,6 +469,28 @@ def test_cluster_by_validates_columns(spark, tmp_path):
         compact_published(spark, root, cluster_by=["text"])
 
 
+def test_maintain_published_recluster_cycle(spark, tmp_path):
+    from v6spark.pipeline import compaction_advice, maintain_published
+
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    compact_published(spark, root, cluster_by=["day"])
+    _upsert_batch2(spark, root)
+
+    rep = maintain_published(spark, root, keep_last=1)
+    assert rep["recluster"] and rep["compacted"] is not None
+    assert rep["vacuumed_files"] >= 0
+    # the maintenance re-ran OPTIMIZE ZORDER with the recorded
+    # columns: clustering survives, fragmentation is gone
+    after = compaction_advice(spark, root)
+    assert after["clustered_by"] == ["day"] and not after["recluster"]
+    assert not after["needs_compaction"]
+    assert read_published_corpus(spark, root).count() == 60
+    # healthy table: maintenance is a no-op
+    rep2 = maintain_published(spark, root)
+    assert rep2["compacted"] is None
+
+
 def test_advice_recommends_reclustering_after_dml(spark, tmp_path):
     from v6spark.pipeline import compaction_advice
 

@@ -1039,11 +1039,17 @@ def compaction_advice(
     # compact (OPTIMIZE ZORDER) rather than a plain one
     clustered_by = (doc or {}).get("clustered_by")
     recluster = bool(clustered_by) and "files" in (doc or {})
+    # a FRESH clustered layout legitimately holds one file per (curve
+    # segment x shard): the plain files-per-shard threshold would flag
+    # exactly what OPTIMIZE ZORDER just produced — that axis only
+    # applies to unclustered tables and to clustered ones that have
+    # since fragmented (recluster)
+    cluster_fresh = bool(clustered_by) and not recluster
     col_stats = (doc or {}).get("col_stats") or {}
     with_col_stats = sum(len(d) for d in col_stats.values())
     return {
         "needs_compaction": (
-            bool(shards_over)
+            (bool(shards_over) and not cluster_fresh)
             or len(vdirs) > max_version_dirs
             or recluster
             or (
@@ -1066,6 +1072,40 @@ def compaction_advice(
             ((doc or {}).get("key_bloom") or {}).get("tables") or []
         ),
     }
+
+
+def maintain_published(
+    spark,
+    path: str,
+    keep_last: int = 1,
+    vacuum: bool = True,
+    commit_mode: str = "rename",
+    **advice_kwargs,
+) -> dict:
+    """One-call table maintenance — the scheduled OPTIMIZE job a
+    production table runs nightly: read :func:`compaction_advice`
+    (manifest-only, zero file reads), act on it, and optionally sweep
+    retention.  A clustered table re-runs its OPTIMIZE ZORDER with
+    the recorded ``clustered_by`` columns (so incremental DML doesn't
+    silently erode data skipping); an unclustered fragmented table
+    gets a plain compact; a healthy table is a no-op beyond the
+    (cheap) advice read.  Vacuum honors tags and leases as always.
+    Multi-writer safe — compaction goes through the OCC loop; a DML
+    racing the maintenance wins or loses cleanly.  Returns the advice
+    plus {"compacted": version|None, "vacuumed_files": n}."""
+    advice = compaction_advice(spark, path, **advice_kwargs)
+    compacted = None
+    if advice["needs_compaction"]:
+        compacted = compact_published(
+            spark, path, commit_mode=commit_mode,
+            cluster_by=advice.get("clustered_by") or None,
+        )
+    removed = (
+        vacuum_published_files(spark, path, keep_last=keep_last)
+        if vacuum
+        else 0
+    )
+    return {**advice, "compacted": compacted, "vacuumed_files": removed}
 
 
 _STAGING = "_staging"
