@@ -513,6 +513,21 @@ def test_advice_recommends_reclustering_after_dml(spark, tmp_path):
     assert read_published_corpus(spark, root).count() == 48 + 12
 
 
+def test_where_predicate_pushes_into_parquet_scan(spark, tmp_path):
+    # manifest skipping decides WHICH files open; Catalyst pushdown
+    # must still carry the predicate into the surviving scans so
+    # parquet row-group stats prune WITHIN them — both layers active
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    df = read_published_where(spark, root, "day >= 3")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(day,3)" in plan.replace(" ", "")
+
+
 def test_where_unknown_column_predicate_errors_cleanly(spark, tmp_path):
     root = str(tmp_path / "corpus")
     _publish_batch1(spark, root)
