@@ -593,7 +593,7 @@ def published_path(
         doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
     if doc is None:
         return None
-    if "files" in doc:
+    if _doc_has_files(doc):
         # a retraction version spans several version directories;
         # there is no single mount root — readers must go through
         # read_published_corpus, which resolves the file list
@@ -720,7 +720,7 @@ def read_published_keys(
         keys_by_shard.setdefault(s, []).append(k)
     for ks in keys_by_shard.values():
         ks.sort()
-    file_stats = doc.get("file_stats") or {}
+    file_stats = _doc_file_stats(spark, path, doc)
     split_files = _published_split_files(spark, path, doc)
 
     def _shard_of(rel: str) -> int | None:
@@ -872,8 +872,8 @@ def read_published_where(
             f"{doc.get('fmt')!r}"
         )
     conjuncts = parse_conjuncts(predicate)
-    col_stats = doc.get("col_stats") or {}
-    file_stats = doc.get("file_stats") or {}
+    col_stats = _doc_col_stats(spark, path, doc)
+    file_stats = _doc_file_stats(spark, path, doc)
     key_col = doc.get("key_col")
     schema = doc.get("schema")
     split_files = _published_split_files(spark, path, doc)
@@ -943,7 +943,7 @@ def published_file_census(spark, path: str, version: int | None = None):
     if doc is None:
         return None
     split_files = _published_split_files(spark, path, doc)
-    file_stats = doc.get("file_stats") or {}
+    file_stats = _doc_file_stats(spark, path, doc)
     dv_files = (doc.get("dv") or {}).get("files") or {}
 
     def _shard_of(rel: str) -> int | None:
@@ -1038,14 +1038,17 @@ def compaction_advice(
     # holds unclustered fresh files: advise re-running the clustered
     # compact (OPTIMIZE ZORDER) rather than a plain one
     clustered_by = (doc or {}).get("clustered_by")
-    recluster = bool(clustered_by) and "files" in (doc or {})
+    recluster = bool(clustered_by) and doc is not None and _doc_has_files(doc)
     # a FRESH clustered layout legitimately holds one file per (curve
     # segment x shard): the plain files-per-shard threshold would flag
     # exactly what OPTIMIZE ZORDER just produced — that axis only
     # applies to unclustered tables and to clustered ones that have
     # since fragmented (recluster)
     cluster_fresh = bool(clustered_by) and not recluster
-    col_stats = (doc or {}).get("col_stats") or {}
+    # capture the ref BEFORE the stats accessor materializes (and
+    # removes) it — ops wants to see that the table runs offloaded
+    manifest_ref = (doc or {}).get("manifest_ref") or {}
+    col_stats = _doc_col_stats(spark, path, doc)
     with_col_stats = sum(len(d) for d in col_stats.values())
     return {
         "needs_compaction": (
@@ -1071,6 +1074,7 @@ def compaction_advice(
         "bloom_tables": len(
             ((doc or {}).get("key_bloom") or {}).get("tables") or []
         ),
+        "manifest_offloaded_entries": manifest_ref.get("entries") or 0,
     }
 
 
@@ -1204,14 +1208,14 @@ def promote_staged(
     files = {
         s: [prefix + rel for rel in fl] for s, fl in split_files.items()
     }
-    stage_stats = sdoc.get("file_stats") or {}
+    stage_stats = _doc_file_stats(spark, sroot, sdoc)
     file_stats = {
         s: {prefix + rel: st for rel, st in d.items()}
         for s, d in stage_stats.items()
     }
     col_stats = {
         s: {prefix + rel: st for rel, st in d.items()}
-        for s, d in (sdoc.get("col_stats") or {}).items()
+        for s, d in _doc_col_stats(spark, sroot, sdoc).items()
     }
     key_bloom = sdoc.get("key_bloom")
     if key_bloom:
@@ -1300,7 +1304,7 @@ def drop_staged(spark, path: str, name: str) -> bool:
     prefix = f"{_STAGING}/{name}/"
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     for v, doc in manifests.items():
-        for fl in (doc.get("files") or {}).values():
+        for fl in (_doc_files(spark, path, doc) or {}).values():
             if any(rel.startswith(prefix) for rel in fl):
                 raise ValueError(
                     f"stage {name!r} is referenced by committed version "
@@ -1826,8 +1830,9 @@ def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
     manifest's explicit ``files`` list)."""
     from v6spark import txlog
 
-    if "files" in doc:
-        return {s: list(fl) for s, fl in doc["files"].items()}
+    files = _doc_files(spark, path, doc)
+    if files is not None:
+        return {s: list(fl) for s, fl in files.items()}
     out: dict[str, list[str]] = {}
     for s in sorted(doc["splits"]):
         split_dir = f"{path}/{doc['live']}/split={s}"
@@ -1835,6 +1840,239 @@ def _published_split_files(spark, path: str, doc: dict) -> dict[str, list[str]]:
             _rel_path(p, path) for p in _list_data_files(spark, split_dir)
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Manifest offload — O(1) commit documents at any corpus file count.
+#
+# The commit JSON is parsed by EVERY committed read (read_latest /
+# read_version), so sections that grow with the corpus's file count
+# (the DML ``files`` lists, ``col_stats``, ``file_stats``) must not
+# live inline past a point: at ~1M data files they are hundreds of MB
+# of JSON, decoded per read.  Above ``_MANIFEST_INLINE_MAX`` total
+# entries the committing verb moves them into a parquet sidecar under
+# its own version directory (``<vdir>/_manifest``) and the doc keeps a
+# ``manifest_ref`` pointer — the Iceberg manifest-file / Delta
+# checkpoint-sidecar idea.  Readers that need per-file detail
+# (pruning, census, DML candidate selection, vacuum) materialize the
+# sections back with ONE columnar read via the ``_doc_*`` accessors;
+# plain data reads of directory-level publishes never touch it.
+# Below the threshold nothing changes — small tables stay zero-extra-
+# read, and every existing manifest remains readable (inline fields
+# always win; ``manifest_ref`` is only consulted when they are absent).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_INLINE_MAX = 4096
+_MANIFEST_DIR = "_manifest"
+_MANIFEST_SECTIONS = ("files", "col_stats", "file_stats")
+
+
+def _manifest_entry_count(payload: dict) -> int:
+    """Total per-file entries across the offloadable sections."""
+    return sum(
+        len(d)
+        for field in _MANIFEST_SECTIONS
+        for d in (payload.get(field) or {}).values()
+    )
+
+
+def _write_manifest_sidecar(spark, dest: str, rows: list[tuple]) -> None:
+    """Write sidecar rows (section, split, file, seq, doc) as parquet.
+    Local stores go through pyarrow on the driver (the rows are
+    already driver-side dicts — a Spark job would round-trip them for
+    nothing); remote stores through a 1-partition Spark write."""
+    local = _local_root(dest)
+    if local is not None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(local, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        table = _pa.table({
+            "section": _pa.array(cols[0], _pa.string()),
+            "split": _pa.array(cols[1], _pa.string()),
+            "file": _pa.array(cols[2], _pa.string()),
+            "seq": _pa.array(cols[3], _pa.int64()),
+            "doc": _pa.array(cols[4], _pa.string()),
+        })
+        _pq.write_table(table, _os.path.join(local, "stats-0.parquet"))
+        return
+    spark.createDataFrame(
+        rows,
+        "section string, split string, file string, seq long, doc string",
+    ).coalesce(1).write.mode("overwrite").parquet(dest)
+
+
+def _read_manifest_sidecar(spark, dest: str) -> tuple[list, ...]:
+    """Five parallel column lists (section, split, file, seq, doc) —
+    columnar all the way down; callers zip lazily instead of paying a
+    per-row tuple allocation at 100k+ files."""
+    local = _local_root(dest)
+    if local is not None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tabs = [
+            _pq.read_table(_os.path.join(local, name))
+            for name in sorted(_os.listdir(local))
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
+        ]
+        if not tabs:
+            return [], [], [], [], []
+        t = _pa.concat_tables(tabs)
+        return tuple(
+            t.column(c).to_pylist()
+            for c in ("section", "split", "file", "seq", "doc")
+        )
+    rows = spark.read.parquet(dest).collect()
+    return tuple(
+        [r[c] for r in rows]
+        for c in ("section", "split", "file", "seq", "doc")
+    )
+
+
+def _offload_manifest(spark, path: str, vdir: str, payload: dict) -> dict:
+    """Manifest-size governor applied to every corpus DML commit (see
+    the block comment above).  Returns the payload to commit: inline
+    and unchanged under the threshold, slimmed to a ``manifest_ref``
+    above it.  A payload copied from a prior doc may carry that doc's
+    ref (cross-version pointer, e.g. schema evolution): kept verbatim
+    when the sections are not inline — both vacuums retain referenced
+    sidecar directories — and replaced when they are (a rematerialized
+    no-op replay re-offloads under its own vdir)."""
+    import json as _json
+
+    present = [f for f in _MANIFEST_SECTIONS if f in payload]
+    if not present:
+        return payload
+    n = _manifest_entry_count(payload)
+    if n <= _MANIFEST_INLINE_MAX:
+        if "manifest_ref" in payload:
+            # inline sections supersede a copied ref only when they
+            # cover everything the ref holds; a partial overlap cannot
+            # occur (materialization is all-sections + ref removal)
+            ref_sections = set(
+                (payload["manifest_ref"] or {}).get("sections") or ()
+            )
+            if ref_sections <= set(present):
+                payload = {
+                    k: v for k, v in payload.items() if k != "manifest_ref"
+                }
+        return payload
+    rows: list[tuple] = []
+    for s, fl in (payload.get("files") or {}).items():
+        if not fl:
+            # empty-split marker: the split must survive the round
+            # trip (a retract can drain a split without dropping it)
+            rows.append(("files", s, None, -1, None))
+        rows.extend(("files", s, rel, i, None) for i, rel in enumerate(fl))
+    for field in ("col_stats", "file_stats"):
+        for s, d in (payload.get(field) or {}).items():
+            rows.extend(
+                (field, s, rel, 0, _json.dumps(st)) for rel, st in d.items()
+            )
+    rel_dir = f"{vdir}/{_MANIFEST_DIR}"
+    _write_manifest_sidecar(spark, f"{path}/{rel_dir}", rows)
+    out = {
+        k: v
+        for k, v in payload.items()
+        if k not in _MANIFEST_SECTIONS and k != "manifest_ref"
+    }
+    out["manifest_ref"] = {"dir": rel_dir, "sections": present, "entries": n}
+    return out
+
+
+def _materialize_manifest(spark, path: str, doc: dict) -> dict:
+    """Load an offloaded manifest's per-file sections back into the
+    doc IN PLACE (one sidecar read) and remove ``manifest_ref`` —
+    after this the doc is indistinguishable from an inline manifest.
+    No-op without a ref."""
+    ref = doc.get("manifest_ref")
+    if not ref:
+        return doc
+    import json as _json
+
+    try:
+        secs, spls, rels, seqs, docs = _read_manifest_sidecar(
+            spark, f"{path}/{ref['dir']}"
+        )
+    except Exception as exc:
+        raise IOError(
+            f"manifest sidecar {ref['dir']!r} under {path} is unreadable "
+            "— was it vacuumed out from under a retained manifest?"
+        ) from exc
+    forder: dict[str, list] = {}
+    loaded: dict[str, dict] = {"col_stats": {}, "file_stats": {}}
+    files: dict[str, list] = {}
+    stat_keys: list[tuple] = []
+    stat_docs: list[str] = []
+    for i, section in enumerate(secs):
+        if section == "files":
+            rel = rels[i]
+            if rel is None:
+                files.setdefault(spls[i], [])
+            else:
+                forder.setdefault(spls[i], []).append((seqs[i], rel))
+        else:
+            stat_keys.append((section, spls[i], rels[i]))
+            stat_docs.append(docs[i])
+    # ONE C-level parse for all stat entries instead of a Python-loop
+    # json.loads per file — ~3x faster at 100k+ files
+    if stat_docs:
+        for (section, s, rel), st in zip(
+            stat_keys, _json.loads("[" + ",".join(stat_docs) + "]")
+        ):
+            loaded[section].setdefault(s, {})[rel] = st
+    for s, pairs in forder.items():
+        pairs.sort()
+        files.setdefault(s, []).extend(rel for _seq, rel in pairs)
+    sections = ref.get("sections") or ()
+    if "files" in sections:
+        doc["files"] = files
+    for field in ("col_stats", "file_stats"):
+        if field in sections:
+            doc[field] = loaded[field]
+    del doc["manifest_ref"]
+    return doc
+
+
+def _doc_has_files(doc: dict) -> bool:
+    """Whether this manifest is FILE-LEVEL (explicit file list, inline
+    or offloaded) as opposed to directory-level."""
+    return "files" in doc or "files" in (
+        (doc.get("manifest_ref") or {}).get("sections") or ()
+    )
+
+
+def _doc_files(spark, path: str, doc: dict) -> dict | None:
+    """The manifest's explicit file list, materializing an offloaded
+    one; None for directory-level manifests (list the live dirs)."""
+    if "files" in doc:
+        return doc["files"]
+    if _doc_has_files(doc):
+        _materialize_manifest(spark, path, doc)
+        return doc.get("files")
+    return None
+
+
+def _doc_col_stats(spark, path: str, doc: dict | None) -> dict:
+    if not doc:
+        return {}
+    if "col_stats" not in doc and "manifest_ref" in doc:
+        _materialize_manifest(spark, path, doc)
+    return doc.get("col_stats") or {}
+
+
+def _doc_file_stats(spark, path: str, doc: dict | None) -> dict:
+    if not doc:
+        return {}
+    if "file_stats" not in doc and "manifest_ref" in doc:
+        _materialize_manifest(spark, path, doc)
+    return doc.get("file_stats") or {}
 
 
 def _read_split_files(
@@ -2245,7 +2483,7 @@ def _carry_col_stats(
     of its live rows — over-wide bounds over-scan, never miss), and
     freshly written files get a footer walk.  Missing entries stay
     missing: must-scan, never a wrong skip."""
-    prior = (prior_doc or {}).get("col_stats") or {}
+    prior = _doc_col_stats(spark, path, prior_doc)
     out: dict[str, dict] = {}
     for s, rels in new_files.items():
         have = prior.get(s) or {}
@@ -2425,6 +2663,12 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
         payload, result = attempt_fn(version, doc, vdir, data_root)
         if payload is None:
             return result
+        # manifest-size governor: per-file sections past the inline
+        # threshold move to a parquet sidecar under this attempt's own
+        # vdir (private until the commit below; orphan-swept with the
+        # directory on a lost race), so the commit JSON stays O(1) in
+        # corpus file count — see _offload_manifest
+        payload = _offload_manifest(spark, path, vdir, payload)
         try:
             txlog.publish(
                 spark, f"{path}/{_COMMITS}", new_version, payload,
@@ -2658,12 +2902,14 @@ def retract_from_published(
                     "strategy": "dv",
                 },
             }
-            if doc.get("file_stats"):
-                payload["file_stats"] = doc["file_stats"]
-            if doc.get("col_stats"):
+            fstats = _doc_file_stats(spark, path, doc)
+            if fstats:
+                payload["file_stats"] = fstats
+            cstats = _doc_col_stats(spark, path, doc)
+            if cstats:
                 # DV'd files keep their recorded ranges: a superset of
                 # the live rows — over-wide bounds over-scan, never miss
-                payload["col_stats"] = doc["col_stats"]
+                payload["col_stats"] = cstats
             if doc.get("key_bloom"):
                 # same superset argument for the Bloom sidecars
                 payload["key_bloom"] = doc["key_bloom"]
@@ -2681,7 +2927,7 @@ def retract_from_published(
         new_stats: dict[str, dict] = {}
         new_dv_files: dict[str, dict] = {}
         fresh_by_split: dict[str, list[str]] = {}
-        old_stats = doc.get("file_stats") or {}
+        old_stats = _doc_file_stats(spark, path, doc)
         rows_removed = 0
         files_rewritten = 0
         files_kept = 0
@@ -2878,8 +3124,16 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
         # hold no live data file while the index still probes them
         for t in (d.get("key_bloom") or {}).get("tables") or []:
             keep_prefixes.add(t["path"].rstrip("/") + "/")
-        if "files" in d:
-            for fl in d["files"].values():
+        # ... and so must an offloaded manifest's stats sidecar —
+        # possibly in ANOTHER version's directory (schema evolution
+        # copies the pointer).  Capture BEFORE _doc_files materializes
+        # (and removes) the ref.
+        ref = d.get("manifest_ref")
+        if ref:
+            keep_prefixes.add(str(ref.get("dir", "")).rstrip("/") + "/")
+        files = _doc_files(spark, path, d)
+        if files is not None:
+            for fl in files.values():
                 keep_files.update(fl)
             # deletion-vector sidecars are data too: a retained DV
             # manifest's reads depend on them
@@ -3067,7 +3321,7 @@ def upsert_into_published(
         # the manifest, a sorted delta-key probe against each file's
         # recorded [lo, hi] decides candidacy WITHOUT opening the file
         # — by-shard delta keys, bisect per file
-        file_stats = doc.get("file_stats") or {}
+        file_stats = _doc_file_stats(spark, path, doc)
         keys_by_shard: dict[int, list] = {}
         if file_stats:
             import bisect
@@ -3468,8 +3722,10 @@ def compact_published(
     def _attempt(version, doc, vdir, data_root):
         if doc is None:
             raise ValueError(f"{path} has no committed publish to compact")
-        if "files" not in doc and not cluster_by and not doc.get(
-            "clustered_by"
+        if (
+            not _doc_has_files(doc)
+            and not cluster_by
+            and not doc.get("clustered_by")
         ):
             return None, None
         if cluster_by:

@@ -78,7 +78,9 @@ def _kind_of(doc: dict) -> str:
         return "upsert"
     if "retraction" in doc:
         return "retract"
-    if "live" in doc or "files" in doc:
+    if "live" in doc or "files" in doc or "manifest_ref" in doc:
+        # manifest_ref: a big promotion's file list rides in the
+        # offloaded sidecar, leaving neither "live" nor "files" inline
         return "publish"
     return "unknown"
 

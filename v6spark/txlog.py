@@ -631,6 +631,14 @@ def vacuum_versions(
         live = manifests[v].get("live")
         if live:
             keep.update(live if isinstance(live, list) else [live])
+        # a retained manifest's offloaded stats sidecar
+        # (pipeline._offload_manifest) lives under a version directory
+        # that may hold no live data — keep the directory anyway, and
+        # note the ref may point into ANOTHER version's dir (a schema
+        # evolution copies the pointer verbatim)
+        ref = manifests[v].get("manifest_ref")
+        if ref and ref.get("dir"):
+            keep.add(str(ref["dir"]).split("/", 1)[0])
     import time as _time
 
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
