@@ -340,6 +340,30 @@ def test_missing_sidecar_raises_clearly(spark, tmp_path, offload_always):
         read_published_where(spark, root, "day = 0").count()
 
 
+def test_dv_map_offloads_with_files(spark, tmp_path, offload_always):
+    # deletion vectors ride the same sidecar: merge-on-read chains,
+    # census debt accounting, and the compact that materializes them
+    # all behave identically with the dv map offloaded
+    root = str(tmp_path / "corpus")
+    _publish(spark, root)
+    r1 = retract_from_published(spark, root, "day = 2", strategy="dv")
+    assert r1["rows_removed"] == 8 and r1["files_rewritten"] == 0
+    r2 = retract_from_published(spark, root, "day = 3", strategy="dv")
+    assert r2["rows_removed"] == 8
+    doc = _doc(spark, root)
+    assert "dv" not in doc and "files" not in doc
+    assert "dv" in doc["manifest_ref"]["sections"]
+    assert read_published_corpus(spark, root).count() == 48 - 16
+    adv = compaction_advice(spark, root, max_dv_deleted_rows=4)
+    assert adv["dv_deleted_rows"] == 16 and adv["needs_compaction"]
+    # point lookup on a dv-deleted key: merge-on-read must drop it
+    assert read_published_keys(spark, root, [2]).collect() == []
+    assert compact_published(spark, root) is not None
+    assert read_published_corpus(spark, root).count() == 32
+    rows = published_file_census(spark, root).collect()
+    assert sum(r["dv_deleted"] or 0 for r in rows) == 0  # materialized
+
+
 # ------------------------------------------------------------ WAP / leases
 
 

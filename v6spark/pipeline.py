@@ -1869,11 +1869,15 @@ _MANIFEST_SECTIONS = ("files", "col_stats", "file_stats")
 
 def _manifest_entry_count(payload: dict) -> int:
     """Total per-file entries across the offloadable sections."""
-    return sum(
+    n = sum(
         len(d)
         for field in _MANIFEST_SECTIONS
         for d in (payload.get(field) or {}).values()
     )
+    dv = payload.get("dv") or {}
+    n += len(dv.get("data") or [])
+    n += sum(len(m) for m in (dv.get("files") or {}).values())
+    return n
 
 
 def _write_manifest_sidecar(spark, dest: str, rows: list[tuple]) -> None:
@@ -1958,7 +1962,10 @@ def _offload_manifest(spark, path: str, vdir: str, payload: dict) -> dict:
             ref_sections = set(
                 (payload["manifest_ref"] or {}).get("sections") or ()
             )
-            if ref_sections <= set(present):
+            inline = set(present) | (
+                {"dv"} if "dv" in payload else set()
+            )
+            if ref_sections <= inline:
                 payload = {
                     k: v for k, v in payload.items() if k != "manifest_ref"
                 }
@@ -1975,12 +1982,32 @@ def _offload_manifest(spark, path: str, vdir: str, payload: dict) -> dict:
             rows.extend(
                 (field, s, rel, 0, _json.dumps(st)) for rel, st in d.items()
             )
+    # the deletion-vector map also scales with touched files (a long
+    # merge-on-read chain).  dv implies a file-level manifest, and
+    # every dv reader runs after _published_split_files has
+    # materialized the doc — so it rides the same sidecar with no
+    # reader changes.  Offloaded only alongside "files" (invariant the
+    # readers rely on); a dv without a files list stays inline.
+    dv = payload.get("dv")
+    offload_dv = bool(dv) and "files" in payload
+    if offload_dv:
+        rows.extend(
+            ("dv_data", None, rel, i, None)
+            for i, rel in enumerate(dv.get("data") or [])
+        )
+        rows.extend(
+            ("dv_files", s, rel, 0, _json.dumps(cnt))
+            for s, m in (dv.get("files") or {}).items()
+            for rel, cnt in m.items()
+        )
+        present = present + ["dv"]
     rel_dir = f"{vdir}/{_MANIFEST_DIR}"
     _write_manifest_sidecar(spark, f"{path}/{rel_dir}", rows)
     out = {
         k: v
         for k, v in payload.items()
         if k not in _MANIFEST_SECTIONS and k != "manifest_ref"
+        and not (k == "dv" and offload_dv)
     }
     out["manifest_ref"] = {"dir": rel_dir, "sections": present, "entries": n}
     return out
@@ -2006,8 +2033,11 @@ def _materialize_manifest(spark, path: str, doc: dict) -> dict:
             "— was it vacuumed out from under a retained manifest?"
         ) from exc
     forder: dict[str, list] = {}
-    loaded: dict[str, dict] = {"col_stats": {}, "file_stats": {}}
+    loaded: dict[str, dict] = {
+        "col_stats": {}, "file_stats": {}, "dv_files": {},
+    }
     files: dict[str, list] = {}
+    dv_data: list[tuple] = []
     stat_keys: list[tuple] = []
     stat_docs: list[str] = []
     for i, section in enumerate(secs):
@@ -2017,6 +2047,8 @@ def _materialize_manifest(spark, path: str, doc: dict) -> dict:
                 files.setdefault(spls[i], [])
             else:
                 forder.setdefault(spls[i], []).append((seqs[i], rel))
+        elif section == "dv_data":
+            dv_data.append((seqs[i], rels[i]))
         else:
             stat_keys.append((section, spls[i], rels[i]))
             stat_docs.append(docs[i])
@@ -2036,6 +2068,12 @@ def _materialize_manifest(spark, path: str, doc: dict) -> dict:
     for field in ("col_stats", "file_stats"):
         if field in sections:
             doc[field] = loaded[field]
+    if "dv" in sections:
+        dv_data.sort()
+        doc["dv"] = {
+            "data": [rel for _seq, rel in dv_data],
+            "files": loaded["dv_files"],
+        }
     del doc["manifest_ref"]
     return doc
 
