@@ -203,6 +203,21 @@ def main():
         "SPARK_GRAFT_CPUS", "8")))
     s1 = run_scale(spark, 40_000)
     s2 = run_scale(spark, 400_000)
+    # same lifecycle with every manifest offloaded (threshold 0): the
+    # whole consumer surface must behave identically above the
+    # manifest-offload threshold — closed-form counts equal, skipping
+    # still selective, tagged v1 still byte-exact after vacuum
+    import v6spark.pipeline as _pipeline
+
+    prev = _pipeline._MANIFEST_INLINE_MAX
+    _pipeline._MANIFEST_INLINE_MAX = 0
+    try:
+        s1_off = run_scale(spark, 40_000)
+    finally:
+        _pipeline._MANIFEST_INLINE_MAX = prev
+    for k in ("rows_base", "live_rows_final", "skipping_files",
+              "zorder_files"):
+        assert s1_off[k] == s1[k], (k, s1_off[k], s1[k])
     ratios = {
         k: (round(s2["walls_s"][k] / s1["walls_s"][k], 2)
             if s1["walls_s"][k] > 0 else None)
@@ -211,6 +226,7 @@ def main():
     out = {
         "scale_1x": s1,
         "scale_10x": s2,
+        "scale_1x_manifest_offloaded": s1_off,
         "wall_ratio_10x_over_1x": ratios,
         "note": (
             "one composed lifecycle: ACID publish (+Bloom index + HLL "
@@ -222,7 +238,10 @@ def main():
             "lookup/skipping walls are ~flat across 10x (cost tracks "
             "the answer), upsert/retract track the delta, and only the "
             "full-rewrite steps (publish, zorder compact) track the "
-            "corpus."
+            "corpus.  scale_1x_manifest_offloaded reruns the whole "
+            "lifecycle with _MANIFEST_INLINE_MAX=0 (every manifest "
+            "offloaded to its parquet sidecar): closed-form counts and "
+            "skipping selectivity asserted equal to inline mode."
         ),
     }
     with open(OUT, "w") as f:
