@@ -608,21 +608,22 @@ def published_path(
 def read_published_corpus(
     spark, path: str, split: str | None = None,
     version: int | None = None, tag: str | None = None,
+    branch: str | None = None,
 ):
     """Committed-only DataFrame view of a parquet-format publish
     (exactly-once read: partial publishes are invisible);
     ``version`` pins a historical publish (see
     :func:`published_path`), ``tag`` a named reference
-    (:func:`tag_published`).  Resolves directory-level publish
-    manifests AND file-level retraction manifests
-    (:func:`retract_from_published`) transparently."""
+    (:func:`tag_published`), ``branch`` a named branch head
+    (:func:`create_published_branch`)."""
     from v6spark import txlog
 
-    version = _resolve_version(spark, path, version, tag)
+    log = _log_dir(path, branch)
+    version = _resolve_version(spark, path, version, tag, branch)
     if version is None:
-        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        _v, doc = txlog.read_latest(spark, log)
     else:
-        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+        doc = txlog.read_version(spark, log, version)
     if doc is None:
         return None
     if doc.get("fmt") != "parquet":
@@ -664,6 +665,7 @@ def read_published_keys(
     keys: list,
     version: int | None = None,
     tag: str | None = None,
+    branch: str | None = None,
     _scan_observer=None,
 ):
     """Point-lookup read: the published rows for ``keys`` touching
@@ -681,11 +683,12 @@ def read_published_keys(
     from v6spark import txlog
     from v6spark.operators.packing import assign_shards
 
-    version = _resolve_version(spark, path, version, tag)
+    log = _log_dir(path, branch)
+    version = _resolve_version(spark, path, version, tag, branch)
     if version is None:
-        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        _v, doc = txlog.read_latest(spark, log)
     else:
-        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+        doc = txlog.read_version(spark, log, version)
     if doc is None:
         raise ValueError(f"{path} has no committed publish at that version")
     if doc.get("fmt") != "parquet":
@@ -834,6 +837,7 @@ def read_published_where(
     split: str | None = None,
     version: int | None = None,
     tag: str | None = None,
+    branch: str | None = None,
     _scan_observer=None,
 ):
     """SELECTIVE committed read: the published rows satisfying a SQL
@@ -859,11 +863,12 @@ def read_published_where(
     from v6spark import txlog
     from v6spark.operators.pruning import file_can_match, parse_conjuncts
 
-    version = _resolve_version(spark, path, version, tag)
+    log = _log_dir(path, branch)
+    version = _resolve_version(spark, path, version, tag, branch)
     if version is None:
-        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        _v, doc = txlog.read_latest(spark, log)
     else:
-        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+        doc = txlog.read_version(spark, log, version)
     if doc is None:
         return None
     if doc.get("fmt") != "parquet":
@@ -924,7 +929,10 @@ def read_published_where(
     return out
 
 
-def published_file_census(spark, path: str, version: int | None = None):
+def published_file_census(
+    spark, path: str, version: int | None = None,
+    branch: str | None = None,
+):
     """Per-file census of a committed publish FROM THE MANIFEST ALONE
     — (split, shard, file, rows, key_min, key_max) with zero file
     reads (the Iceberg ``files`` metadata-table idea): the operational
@@ -936,10 +944,11 @@ def published_file_census(spark, path: str, version: int | None = None):
     types."""
     from v6spark import txlog
 
+    log = _log_dir(path, branch)
     if version is None:
-        _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        _v, doc = txlog.read_latest(spark, log)
     else:
-        doc = txlog.read_version(spark, f"{path}/{_COMMITS}", version)
+        doc = txlog.read_version(spark, log, version)
     if doc is None:
         return None
     split_files = _published_split_files(spark, path, doc)
@@ -979,6 +988,7 @@ def compaction_advice(
     max_files_per_shard: int = 4,
     min_rows_per_file: int | None = None,
     max_dv_deleted_rows: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Manifest-only answer to "should this publish be compacted?" —
     the OPTIMIZE scheduler's input, from :func:`published_file_census`
@@ -997,10 +1007,10 @@ def compaction_advice(
     dir)."""
     from v6spark import txlog
 
-    census = published_file_census(spark, path)
+    census = published_file_census(spark, path, branch=branch)
     if census is None:
         raise ValueError(f"{path} has no committed publish")
-    _v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    _v, doc = txlog.read_latest(spark, _log_dir(path, branch))
     rows = census.collect()
     vdirs = set()
     for r in rows:
@@ -1499,6 +1509,7 @@ def published_corpus_changes(
     old_version: int,
     new_version: int | None = None,
     key_col: str | None = None,
+    branch: str | None = None,
 ):
     """Row-level CHANGE FEED between two committed corpus versions —
     the Delta CDF / Iceberg changelog-scan idea reconstructed from
@@ -1523,11 +1534,12 @@ def published_corpus_changes(
     Requires both manifests retained (``vacuum_published``)."""
     from v6spark import txlog
 
-    old_doc = txlog.read_version(spark, f"{path}/{_COMMITS}", old_version)
+    log = _log_dir(path, branch)
+    old_doc = txlog.read_version(spark, log, old_version)
     if new_version is None:
-        new_version, new_doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        new_version, new_doc = txlog.read_latest(spark, log)
     else:
-        new_doc = txlog.read_version(spark, f"{path}/{_COMMITS}", new_version)
+        new_doc = txlog.read_version(spark, log, new_version)
     if old_doc is None or new_doc is None:
         raise ValueError(
             f"published_corpus_changes needs both manifests retained "
@@ -1686,16 +1698,32 @@ def published_corpus_changes(
     )
 
 
+def _branch_log_dirs(spark, path: str) -> list[str]:
+    """Commit-log dirs of every live branch under ``path``."""
+    from v6spark import txlog
+
+    fs, jdir, _jvm = txlog._jfs(spark, f"{path}/{_BRANCHES}")
+    if not fs.exists(jdir):
+        return []
+    return sorted(
+        f"{path}/{_BRANCHES}/{st.getPath().getName()}"
+        for st in fs.listStatus(jdir)
+        if st.isDirectory()
+    )
+
+
 def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
     ``keep_last`` retains the newest N complete versions for
-    version-pinned (time-travel) readers.  Returns directories
-    removed."""
+    version-pinned (time-travel) readers; every live branch's
+    manifests are retained wholesale (branches share main's data
+    pool).  Returns directories removed."""
     from v6spark import txlog
 
     return txlog.vacuum_versions(
-        spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last
+        spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
+        extra_log_dirs=tuple(_branch_log_dirs(spark, path)),
     )
 
 
@@ -1771,10 +1799,152 @@ def list_published_tags(spark, path: str) -> dict[str, int]:
     return txlog.list_tags(spark, f"{path}/{_COMMITS}")
 
 
-def _resolve_version(spark, path: str, version, tag):
+def create_published_branch(spark, path: str, name: str) -> int:
+    """Branch the published corpus: a WRITABLE alternate manifest
+    chain over the SAME data pool (the Iceberg branch / Delta "WAP on
+    DML" idea).  The branch log starts with a verbatim copy of main's
+    current manifest, so the branch reads byte-identically to main at
+    creation; ``retract_from_published`` / ``upsert_into_published`` /
+    ``evolve_published_schema`` / ``compact_published`` then take
+    ``branch=name`` and commit to the branch chain, INVISIBLE to main
+    readers — audit a whole batch of takedowns/corrections with the
+    committed readers (``branch=`` on all of them), then
+    :func:`fast_forward_published` adopts the branch head as main's
+    next version (a manifest copy — zero bytes move, because branch
+    writes landed under ``path`` all along), or
+    :func:`drop_published_branch` discards the chain.
+
+    Scale shape: branching a 100 TB corpus writes ONE manifest (the
+    seed is a pointer copy — directory references, stats, Bloom
+    tables, even an offloaded ``manifest_ref`` stay valid verbatim
+    since branch and main share the address space).  Both vacuums
+    treat every branch manifest as retained, so branch-referenced
+    files survive main-side retention while the branch lives.
+
+    Returns the base version the branch was cut at."""
+    from v6spark import txlog
+
+    log = _log_dir(path, name)  # validates the name
+    version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if doc is None:
+        raise ValueError(f"{path} has no committed publish to branch")
+    fs, jdir, _jvm = txlog._jfs(spark, log)
+    if fs.exists(jdir):
+        raise ValueError(f"branch {name!r} already exists under {path}")
+    seed = {k: v for k, v in doc.items() if k != "v"}
+    seed["branched_from"] = version
+    txlog.publish(spark, log, version, seed)
+    return version
+
+
+def list_published_branches(spark, path: str) -> dict[str, int]:
+    """{branch: head version} for the corpus's live branches."""
+    from v6spark import txlog
+
+    fs, jdir, _jvm = txlog._jfs(spark, f"{path}/{_BRANCHES}")
+    if not fs.exists(jdir):
+        return {}
+    out = {}
+    for st in fs.listStatus(jdir):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        v, doc = txlog.read_latest(spark, _log_dir(path, name))
+        if doc is not None:
+            out[name] = v
+    return out
+
+
+def drop_published_branch(spark, path: str, name: str) -> bool:
+    """Discard a branch: delete its manifest chain.  ALWAYS safe —
+    branch data files live under ``path`` like main's, so anything
+    main adopted via fast-forward stays referenced by main's own
+    manifests, and anything main never adopted becomes an
+    unreferenced orphan the next vacuum sweeps."""
+    from v6spark import txlog
+
+    fs, jdir, _jvm = txlog._jfs(spark, _log_dir(path, name))
+    if not fs.exists(jdir):
+        return False
+    fs.delete(jdir, True)
+    return True
+
+
+def fast_forward_published(
+    spark, path: str, name: str, commit_mode: str = "rename",
+    max_retries: int = 8, drop_branch: bool = True,
+) -> dict:
+    """PUBLISH step of branch-audited DML: adopt the branch head as
+    main's next committed version.  A TRUE fast-forward — refused
+    unless main still sits at the version the branch was cut from, so
+    the adopted manifest's file list is exactly what the audit read
+    (no silent merge semantics; on refusal, re-cut the branch from
+    current main and replay).  O(manifest): the branch's data files
+    were written under ``path`` from the start.  Returns
+    {"_version", "branch_head", "base_version"}."""
+    from v6spark import txlog
+
+    blog = _log_dir(path, name)
+    head_v, head = txlog.read_latest(spark, blog)
+    if head is None:
+        raise ValueError(f"no branch {name!r} under {path}")
+    versions = txlog.list_versions(spark, blog)
+    seed = txlog.read_version(spark, blog, versions[0])
+    base = (seed or {}).get("branched_from", versions[0])
+    if head_v == versions[0]:
+        raise ValueError(
+            f"branch {name!r} has no commits beyond its base — nothing "
+            "to fast-forward"
+        )
+
+    def _attempt(version, doc, vdir, data_root):
+        if version != base:
+            raise ValueError(
+                f"main advanced to v{version} since branch {name!r} was "
+                f"cut at v{base} — fast-forward refused; re-branch from "
+                "current main and replay the DML"
+            )
+        payload = {k: v for k, v in head.items() if k != "v"}
+        payload.pop("branched_from", None)
+        payload["fast_forwarded_from"] = {
+            "branch": name, "branch_version": head_v, "base_version": base,
+        }
+        return payload, {"branch_head": head_v, "base_version": base}
+
+    out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    if drop_branch:
+        drop_published_branch(spark, path, name)
+    return out
+
+
+_BRANCHES = "_branches"
+
+
+def _log_dir(path: str, branch: str | None = None) -> str:
+    """Commit-log directory for the main table or a named branch.
+
+    A branch is an ALTERNATE MANIFEST CHAIN over the SAME data pool
+    (the Iceberg ref model): its log lives under
+    ``<path>/_branches/<name>`` while every data file, stats sidecar,
+    and Bloom table it writes or references sits under ``<path>``
+    exactly like main's — one address space, so no path rebasing
+    anywhere, ``__file`` row addresses stay valid across branches,
+    and fast-forward is a manifest copy."""
+    if branch is None:
+        return f"{path}/{_COMMITS}"
+    if "/" in branch or branch.startswith((".", "_")):
+        raise ValueError(f"invalid branch name {branch!r}")
+    return f"{path}/{_BRANCHES}/{branch}"
+
+
+def _resolve_version(spark, path: str, version, tag, branch=None):
     """One rule for every reader taking (version=, tag=)."""
     if tag is None:
         return version
+    if branch is not None:
+        raise ValueError(
+            "tags name MAIN versions; pass version= to pin a branch read"
+        )
     if version is not None:
         raise ValueError("pass version= or tag=, not both")
     from v6spark import txlog
@@ -2656,7 +2826,7 @@ def upsert_foreach_batch(
 
 
 def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
-             max_retries: int = 8) -> dict | None:
+             max_retries: int = 8, log_dir: str | None = None) -> dict | None:
     """Optimistic-concurrency loop for the corpus DML verbs
     (publish / retract / upsert / compact) — the Delta/Iceberg commit
     protocol at manifest size, built on :func:`txlog.publish`'s
@@ -2692,9 +2862,10 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
     from v6spark import txlog
     import uuid
 
+    log = log_dir or f"{path}/{_COMMITS}"
     last_err = None
     for _ in range(max_retries):
-        version, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        version, doc = txlog.read_latest(spark, log)
         new_version = version + 1
         vdir = f"v={new_version:06d}-{uuid.uuid4().hex[:8]}"
         data_root = f"{path}/{vdir}"
@@ -2709,7 +2880,7 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
         payload = _offload_manifest(spark, path, vdir, payload)
         try:
             txlog.publish(
-                spark, f"{path}/{_COMMITS}", new_version, payload,
+                spark, log, new_version, payload,
                 commit_mode=commit_mode,
             )
             return {**result, "_version": new_version}
@@ -2733,6 +2904,7 @@ def retract_from_published(
     max_retries: int = 8,
     txn_id: str | None = None,
     strategy: str = "rewrite",
+    branch: str | None = None,
 ) -> dict:
     """Row-level DELETE from a committed parquet publish as a NEW
     committed version — the takedown/right-to-be-forgotten operation
@@ -3123,7 +3295,8 @@ def retract_from_published(
             "splits": new_counts,
         }
 
-    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+        log_dir=_log_dir(path, branch))
 
 
 def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
@@ -3153,6 +3326,11 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
             txlog._retained_versions(spark, f"{path}/{_COMMITS}", keep_last)
         )
     ]
+    # ... UNION every live branch's manifests: branch file lists name
+    # files under THIS root (shared address space), so the per-file
+    # sweep must treat them as referenced while the branch lives
+    for blog in _branch_log_dirs(spark, path):
+        retained.extend(txlog._complete_manifests(spark, blog).values())
     whole_dirs: set[str] = set()
     keep_files: set[str] = set()
     keep_prefixes: set[str] = set()
@@ -3226,6 +3404,7 @@ def upsert_into_published(
     max_retries: int = 8,
     _scan_observer=None,
     txn_id: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """MERGE a delta into a committed parquet publish as a NEW
     committed version — UPDATE rows whose key is already published
@@ -3626,7 +3805,8 @@ def upsert_into_published(
             "splits": new_counts,
         }
 
-    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+        log_dir=_log_dir(path, branch))
 
 
 def evolve_published_schema(
@@ -3636,6 +3816,7 @@ def evolve_published_schema(
     commit_mode: str = "rename",
     max_retries: int = 8,
     _fail_before_commit: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """ADDITIVE schema evolution on a committed publish: append
     nullable columns to the published schema as a new manifest
@@ -3716,13 +3897,15 @@ def evolve_published_schema(
         }
         return payload, {"schema": schema}
 
-    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+        log_dir=_log_dir(path, branch))
 
 
 def compact_published(
     spark, path: str, commit_mode: str = "rename",
     max_retries: int = 8, cluster_by: list[str] | None = None,
     n_cluster_files: int | None = None, zorder_bits: int = 12,
+    branch: str | None = None,
 ) -> int | None:
     """Fold the current (file-level, DML-accumulated) committed
     version back into one fresh DIRECTORY-level version — the
@@ -3883,7 +4066,8 @@ def compact_published(
             payload["key_bloom"] = _carry_key_bloom(None, tables)
         return payload, {}
 
-    out = _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    out = _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+        log_dir=_log_dir(path, branch))
     return out["_version"] if out else None
 
 

@@ -68,6 +68,10 @@ def _kind_of(doc: dict) -> str:
     """Manifest kind from its marker keys (newest-operation wins)."""
     if "noop_txn" in doc:
         return "noop_txn"
+    if "fast_forwarded_from" in doc:
+        return "fast_forward"
+    if "branched_from" in doc:
+        return "branch_seed"
     if "schema_evolution" in doc:
         return "evolve"
     if "compacted_from" in doc:

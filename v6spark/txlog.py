@@ -602,6 +602,7 @@ def vacuum_versions(
     prefix: str,
     keep_last: int = 1,
     grace_seconds: float = 0.0,
+    extra_log_dirs: tuple = (),
 ) -> int:
     """Shared retention sweep for version-directory layouts
     (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
@@ -639,6 +640,19 @@ def vacuum_versions(
         ref = manifests[v].get("manifest_ref")
         if ref and ref.get("dir"):
             keep.add(str(ref["dir"]).split("/", 1)[0])
+    # extra logs (corpus branches): EVERY complete manifest of an
+    # alternate chain is retained — branches are short-lived working
+    # state sharing main's data pool, and a branch reader may pin any
+    # of its versions; a dropped branch's directories become ordinary
+    # orphans on the next sweep
+    for xlog in extra_log_dirs:
+        for doc in _complete_manifests(spark, xlog).values():
+            live = doc.get("live")
+            if live:
+                keep.update(live if isinstance(live, list) else [live])
+            ref = doc.get("manifest_ref")
+            if ref and ref.get("dir"):
+                keep.add(str(ref["dir"]).split("/", 1)[0])
     import time as _time
 
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
