@@ -74,6 +74,25 @@ def test_lookup_version_pinned(spark, tmp_path):
     assert pinned.collect()[0]["text"] == "body 10"
 
 
+def test_lookup_int_typed_key_column(spark, tmp_path):
+    """xxhash64 is type-sensitive: a publish whose key column is INT
+    (not bigint) must still shard-prune correctly — the probe frame's
+    inferred bigint would hash most keys to the WRONG shard and the
+    lookup would silently return empty (regression: probe cast to the
+    manifest-recorded key type)."""
+    docs = spark.range(200).selectExpr(
+        "cast(id as int) as doc_id", "concat('body ', id) as text"
+    )
+    prepared = spark.range(200).selectExpr(
+        "cast(id as int) as doc_id", "'train' as split"
+    )
+    root = str(tmp_path / "corpus_int")
+    publish_corpus_committed(prepared, docs, root, n_shards=16)
+    out = read_published_keys(spark, root, [5, 77, 180])
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows == {5: "body 5", 77: "body 77", 180: "body 180"}
+
+
 def test_lookup_no_match_is_empty_with_schema(spark, tmp_path):
     root = _publish(spark, tmp_path, n=20, n_shards=2)
     out = read_published_keys(spark, root, [999999])

@@ -710,8 +710,14 @@ def read_published_keys(
         raise ValueError("keys must name at least one key")
     # the shard hash is a Catalyst expression (xxhash64): evaluate it
     # on a tiny literal frame — exact parity with the publish-time
-    # assignment, no reimplementation drift
+    # assignment, no reimplementation drift.  xxhash64 is
+    # type-sensitive (int vs bigint hash differently), so the probe
+    # column must be cast to the manifest's RECORDED key type, not the
+    # createDataFrame-inferred one (Python int always infers bigint).
     kdf = spark.createDataFrame([(k,) for k in keys], [key_col])
+    key_type = dict(schema or {}).get(key_col)
+    if key_type:
+        kdf = kdf.withColumn(key_col, F.col(key_col).cast(key_type))
     shard_of_key = {
         r[key_col]: r["shard"]
         for r in assign_shards(kdf, key_col, ns, seed=sd)
