@@ -149,6 +149,36 @@ def test_changes_foreach_batch_cdc(spark, tmp_path):
     assert all(r["_commit_version"] == 3 for r in seen[0][1])
 
 
+def test_changes_cold_start_after_retention(spark, tmp_path):
+    """A stream starting at version 0 against a table whose early
+    versions already fell out of retention must take the SNAPSHOT
+    path (lo > 1 but manifest lo-1 is retired), not raise from
+    published_corpus_changes."""
+    from v6spark.pipeline import vacuum_published_files
+
+    root = _publish(spark, tmp_path, n=10)
+    retract_from_published(spark, root, "doc_id = 1")   # v2
+    retract_from_published(spark, root, "doc_id = 2")   # v3
+    vacuum_published_files(spark, root, keep_last=2)    # v1 retired
+    seen: list = []
+
+    def handle(df, batch_id):
+        seen.append(None if df is None else df.collect())
+
+    q = (
+        stream_published_log(spark, root)  # startingVersion=0
+        .writeStream.foreachBatch(changes_foreach_batch(root, handle))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cold"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 1 and seen[0] is not None
+    # the bootstrap snapshot: latest content as inserts
+    assert {r["_change_type"] for r in seen[0]} == {"insert"}
+    assert sorted(r["doc_id"] for r in seen[0]) == [0] + list(range(3, 10))
+
+
 def test_batch_log_reads_put_mode_lifecycle(spark, tmp_path):
     """Put-mode manifests (checksum-footer commit) read identically
     through the publog source — mode-portable logs."""

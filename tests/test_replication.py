@@ -135,6 +135,68 @@ def test_mirror_handles_string_keys(spark, tmp_path):
     ).count() == 0
 
 
+def test_mirror_applies_split_moves(spark, tmp_path):
+    """A key that nets to update_pre/postimage with a CHANGED split
+    must land in its new split on the mirror (in-place upsert would
+    pin it to the old one)."""
+    src = _publish(spark, tmp_path, n=20)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, dst, ckpt)  # bootstrap
+
+    # source moves doc 3 train -> valid (retract + re-insert); both
+    # land in one mirror window, netting to an update with split change
+    retract_from_published(spark, src, "doc_id = 3")
+    upsert_into_published(
+        spark, src,
+        spark.createDataFrame(
+            [(3, "moved three", "valid")],
+            "doc_id long, text string, split string",
+        ),
+    )
+    _run(spark, src, dst, ckpt)
+    assert _content(spark, dst) == _content(spark, src)
+    moved = read_published_corpus(spark, dst).filter("doc_id = 3")
+    row = moved.collect()[0]
+    assert row["split"] == "valid" and row["text"] == "moved three"
+
+
+def test_mirror_escapes_quoted_string_keys(spark, tmp_path):
+    """Keys containing single quotes must survive the IN-list delete
+    (repr() would emit double-quoted SQL-invalid literals)."""
+    keys = [f"it's-{i}" for i in range(6)]
+    docs = spark.createDataFrame(
+        [(k, f"body {k}") for k in keys], "doc_id string, text string"
+    )
+    prepared = spark.createDataFrame(
+        [(k, "train") for k in keys], "doc_id string, split string"
+    )
+    src = str(tmp_path / "src")
+    publish_corpus_committed(prepared, docs, src, n_shards=2)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, dst, ckpt)
+    retract_from_published(spark, src, "doc_id = \"it's-2\"")
+    _run(spark, src, dst, ckpt)
+    assert _content(spark, dst) == _content(spark, src)
+    assert read_published_corpus(spark, dst).count() == 5
+
+
+def test_sql_key_literal_rejects_unsafe():
+    import pytest
+
+    from v6spark.streaming.replication import _sql_key_literal
+
+    assert _sql_key_literal(7) == "7"
+    assert _sql_key_literal("a'b") == "'a''b'"
+    with pytest.raises(TypeError):
+        _sql_key_literal(1.5)
+    with pytest.raises(TypeError):
+        _sql_key_literal(True)
+    with pytest.raises(ValueError):
+        _sql_key_literal("back\\slash")
+
+
 def test_bootstrap_replay_does_not_burn_a_version(spark, tmp_path):
     """Replaying the bootstrap epoch (crash between publish and
     checkpoint commit) must skip via the derived txn id."""

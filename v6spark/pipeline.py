@@ -857,17 +857,18 @@ def read_published_where(
     files instead of the corpus.
 
     Pruning is ADVISORY-NEGATIVE (:mod:`v6spark.operators.pruning`):
-    unparseable predicates, OR/NOT at the top level, columns without
-    recorded stats, files published before stats recording — all
-    degrade to scanning; the FULL predicate is re-applied by Spark on
-    whatever survives, so results NEVER depend on the pruning, only
-    the bytes read do.  Deletion vectors are honored (merge-on-read);
+    unparseable predicates, NOT, columns without recorded stats,
+    files published before stats recording — all degrade to scanning;
+    a top-level OR of conjunct groups prunes per-disjunct (a file is
+    skipped only when EVERY disjunct refutes it); the FULL predicate
+    is re-applied by Spark on whatever survives, so results NEVER
+    depend on the pruning, only the bytes read do.  Deletion vectors are honored (merge-on-read);
     ``version`` pins a historical publish; ``_scan_observer(split,
     files)`` is the test hook reporting which files were actually
     scanned.  Multi-split reads carry a ``split`` column, matching
     :func:`read_published_corpus`."""
     from v6spark import txlog
-    from v6spark.operators.pruning import file_can_match, parse_conjuncts
+    from v6spark.operators.pruning import file_can_match_any, parse_disjuncts
 
     log = _log_dir(path, branch)
     version = _resolve_version(spark, path, version, tag, branch)
@@ -882,7 +883,7 @@ def read_published_where(
             f"read_published_where reads parquet publishes; this one is "
             f"{doc.get('fmt')!r}"
         )
-    conjuncts = parse_conjuncts(predicate)
+    groups = parse_disjuncts(predicate)
     col_stats = _doc_col_stats(spark, path, doc)
     file_stats = _doc_file_stats(spark, path, doc)
     key_col = doc.get("key_col")
@@ -905,7 +906,7 @@ def read_published_where(
             if key_col and key_col not in stats and rel in ks:
                 stats[key_col] = ks[rel][:2]
             stats.setdefault("split", [s, s, 0])
-            if file_can_match(conjuncts, stats):
+            if file_can_match_any(groups, stats):
                 kept.append(rel)
         if _scan_observer is not None:
             _scan_observer(s, list(kept))
@@ -1718,17 +1719,23 @@ def _branch_log_dirs(spark, path: str) -> list[str]:
     )
 
 
-def vacuum_published(spark, path: str, keep_last: int = 1) -> int:
+def vacuum_published(
+    spark, path: str, keep_last: int = 1, grace_seconds: float = 0.0
+) -> int:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
     ``keep_last`` retains the newest N complete versions for
     version-pinned (time-travel) readers; every live branch's
     manifests are retained wholesale (branches share main's data
-    pool).  Returns directories removed."""
+    pool).  ``grace_seconds`` spares recently-modified directories —
+    set it above the longest write wherever DML writers run
+    concurrently (see :func:`v6spark.txlog.vacuum_versions`).
+    Returns directories removed."""
     from v6spark import txlog
 
     return txlog.vacuum_versions(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
+        grace_seconds=grace_seconds,
         extra_log_dirs=tuple(_branch_log_dirs(spark, path)),
     )
 
@@ -3305,7 +3312,13 @@ def retract_from_published(
         log_dir=_log_dir(path, branch))
 
 
-def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
+def vacuum_published_files(
+    spark,
+    path: str,
+    keep_last: int = 1,
+    grace_seconds: float = 0.0,
+    _pause_before_sweep=None,
+) -> int:
     """File-granular retention sweep — the piece that makes a
     retraction actually FORGET: after :func:`vacuum_published`'s
     directory-level pass, version directories referenced by a
@@ -3319,10 +3332,24 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
     Run it after retention passes:
     ``retract_from_published(...); vacuum_published_files(path)``
     leaves no copy of the retracted rows on storage.
-    """
+
+    CONCURRENT-DML safety: immediately before deleting, the sweep
+    re-lists the commit log and treats every version committed since
+    the pre-scan as retained (OCC re-check — a racing upsert/retract's
+    brand-new files are never "orphans").  Files an IN-FLIGHT,
+    not-yet-committed writer has just written are protected only by
+    ``grace_seconds``: anything modified within the window is spared,
+    so set it above the longest write wherever writers run
+    concurrently (default 0 = single-writer behavior).
+    ``_pause_before_sweep`` is the race-test injection hook, called
+    between the pre-scan and the OCC re-check."""
+    import time as _time
+
     from v6spark import txlog
 
-    removed = vacuum_published(spark, path, keep_last=keep_last)
+    removed = vacuum_published(
+        spark, path, keep_last=keep_last, grace_seconds=grace_seconds
+    )
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     # retention = newest keep_last UNION read-leased versions — same
     # rule the directory-level vacuum applies (txlog._retained_versions)
@@ -3340,7 +3367,8 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
     whole_dirs: set[str] = set()
     keep_files: set[str] = set()
     keep_prefixes: set[str] = set()
-    for d in retained:
+
+    def _add_doc_keeps(d) -> None:
         # key-bloom sidecar TABLES a retained manifest references must
         # survive regardless of manifest shape — their version dir may
         # hold no live data file while the index still probes them
@@ -3363,6 +3391,20 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
         else:
             live = d.get("live")
             whole_dirs.update(live if isinstance(live, list) else [live])
+
+    for d in retained:
+        _add_doc_keeps(d)
+    if _pause_before_sweep is not None:
+        _pause_before_sweep()
+    # OCC re-check: a DML transaction that committed while the
+    # pre-scan ran references files the snapshot has never seen —
+    # every version newer than the snapshot is retained by definition
+    # (it IS the newest), so fold its file lists into the keep set
+    # before anything is deleted
+    fresh = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
+    for v in sorted(set(fresh) - set(manifests)):
+        _add_doc_keeps(fresh[v])
+    cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     n_files = 0
     fs, jroot, jvm = txlog._jfs(spark, path)
     if not fs.exists(jroot):
@@ -3379,6 +3421,8 @@ def vacuum_published_files(spark, path: str, keep_last: int = 1) -> int:
             fname = fst.getPath().getName()
             if fname.startswith(("_", ".")):
                 continue
+            if fst.getModificationTime() > cutoff_ms:
+                continue  # inside the grace window: possibly in flight
             rel = _rel_path(fst.getPath().toString(), path)
             if rel not in keep_files and not any(
                 rel.startswith(p) for p in keep_prefixes

@@ -250,6 +250,17 @@ def changes_foreach_batch(path: str, handle, key_col: str | None = None):
         if not versions:
             return
         lo, hi = min(versions), max(versions)
+        if lo > 1:
+            # a stream starting past version 1 still needs the
+            # snapshot path when the predecessor manifest already fell
+            # out of retention (e.g. startingVersion=0 against a
+            # vacuumed table whose oldest retained version is lo):
+            # published_corpus_changes(lo-1, hi) would raise
+            from v6spark import txlog
+            from v6spark.pipeline import _log_dir
+
+            if txlog.read_version(spark, _log_dir(path, None), lo - 1) is None:
+                lo = 1
         if lo <= 1:
             snap = read_published_corpus(spark, path, version=hi)
             if snap is None:

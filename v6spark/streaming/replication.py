@@ -22,9 +22,19 @@ publishes the destination wholesale under the same derived
 transaction id, so a crash-replayed bootstrap epoch skips exactly
 like a DML window does.
 
-Delete application uses an IN-list predicate over the window's
-deleted keys (driver-held, DML-delta-bounded — the same contract as
-the upsert delta being the small side).
+Delete application uses IN-list predicates over the window's deleted
+keys (driver-held, DML-delta-bounded — the same contract as the
+upsert delta being the small side), SQL-escaped and CHUNKED so a
+large takedown window becomes several bounded retract transactions
+(each idempotent under its own derived txn id) instead of one
+unbounded predicate string.
+
+A SPLIT MOVE (the source's change feed emits update_preimage /
+update_postimage with differing ``split``) cannot be applied as a
+plain upsert — ``upsert_into_published`` updates matched keys in
+place in their EXISTING split — so moved keys are applied as retract
+(old split) + insert (new split): they join the delete phase and
+their postimages flow through the upsert phase as fresh inserts.
 """
 
 from __future__ import annotations
@@ -32,6 +42,35 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from v6spark.sources.publog import changes_foreach_batch
+
+#: keys per retract IN-list — bounds the predicate string (and the
+#: manifest entry recording it) regardless of window size
+DELETE_CHUNK = 1000
+
+
+def _sql_key_literal(k) -> str:
+    """Render a key as a SQL literal usable inside an IN-list.
+
+    Strings are escaped by doubling single quotes AND refusing
+    backslashes/control chars (robust under either setting of
+    ``spark.sql.parser.escapedStringLiterals``); ints pass through.
+    Anything else raises — a silent repr() would produce invalid or,
+    worse, wrong SQL.
+    """
+    if isinstance(k, bool):  # bool is an int subclass: reject first
+        raise TypeError(f"unsupported key type for replication delete: {k!r}")
+    if isinstance(k, int):
+        return str(k)
+    if isinstance(k, str):
+        if "\\" in k or any(ord(c) < 32 for c in k):
+            raise ValueError(
+                "key contains backslash/control characters — not safely "
+                f"SQL-quotable across parser modes: {k!r}"
+            )
+        return "'" + k.replace("'", "''") + "'"
+    raise TypeError(
+        f"unsupported key type for replication delete: {type(k).__name__}"
+    )
 
 
 def mirror_foreach_batch(
@@ -107,14 +146,30 @@ def mirror_foreach_batch(
                 for r in ch.filter(F.col("_change_type") == "delete")
                 .select(key_col).collect()
             ]
-            if deleted:
-                vals = ", ".join(
-                    repr(k) if isinstance(k, str) else str(k)
-                    for k in deleted
-                )
+            # split moves: preimage.split != postimage.split — retract
+            # the old-split row so the upsert phase re-inserts the
+            # postimage into its NEW split (in-place upsert would pin
+            # the key to the destination's existing split forever)
+            pre = ch.filter(
+                F.col("_change_type") == "update_preimage"
+            ).select(key_col, F.col("split").alias("__old_split"))
+            post = ch.filter(
+                F.col("_change_type") == "update_postimage"
+            ).select(key_col, "split")
+            moved = [
+                r[key_col]
+                for r in post.join(pre, key_col)
+                .filter(F.col("split") != F.col("__old_split"))
+                .select(key_col).collect()
+            ]
+            to_retract = sorted(set(deleted) | set(moved), key=str)
+            for i in range(0, len(to_retract), DELETE_CHUNK):
+                chunk = to_retract[i:i + DELETE_CHUNK]
+                vals = ", ".join(_sql_key_literal(k) for k in chunk)
                 retract_from_published(
                     spark, dst_root, f"{key_col} IN ({vals})",
-                    commit_mode=commit_mode, txn_id=f"{txn}-del",
+                    commit_mode=commit_mode,
+                    txn_id=f"{txn}-del-{i // DELETE_CHUNK}",
                 )
             delta = ch.filter(
                 F.col("_change_type").isin("insert", "update_postimage")

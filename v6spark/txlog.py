@@ -442,6 +442,24 @@ def acquire_lease(
         stream.close()
     if readback != data:
         raise IOError(f"lease {lease_id} failed read-back verify")
+    # TOCTOU guard vs a concurrent vacuum: the version was validated
+    # BEFORE the lease write, but a vacuum that snapshotted the lease
+    # set in between may already have retired it.  Re-verify AFTER the
+    # lease is durably visible — if the manifest is gone, the lease
+    # never protected anything: clean up and fail so the reader
+    # re-targets a retained version.  Combined with the vacuum's own
+    # pre-delete re-check of the lease set this closes the practical
+    # window; the residual race (lease write + both verifies landing
+    # entirely between the vacuum's re-check and its first delete) is
+    # bounded by ``grace_seconds`` — run vacuums with a grace window
+    # above lease-acquisition latency where leased readers run
+    # concurrently.
+    if read_version(spark, log_dir, version) is None:
+        release_lease(spark, log_dir, lease_id)
+        raise ValueError(
+            f"cannot lease version {version}: vacuumed concurrently "
+            "with acquisition — retry on a retained version"
+        )
     return lease_id
 
 
@@ -654,6 +672,23 @@ def vacuum_versions(
             if ref and ref.get("dir"):
                 keep.add(str(ref["dir"]).split("/", 1)[0])
     import time as _time
+
+    # TOCTOU guard: re-read the lease/tag set NOW, immediately before
+    # deletion — a lease acquired while the pre-scan above ran (manifest
+    # listing can be slow on object stores) must still be honored.  Its
+    # manifest's live dirs join the keep set; the manifest itself is
+    # spared because vacuum_manifests below recomputes retention fresh.
+    late = (
+        leased_versions(spark, log_dir)
+        | set(list_tags(spark, log_dir).values())
+    ) & set(manifests)
+    for v in sorted(late - set(retained)):
+        live = manifests[v].get("live")
+        if live:
+            keep.update(live if isinstance(live, list) else [live])
+        ref = manifests[v].get("manifest_ref")
+        if ref and ref.get("dir"):
+            keep.add(str(ref["dir"]).split("/", 1)[0])
 
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     fs, jroot, _jvm = _jfs(spark, root)
