@@ -143,6 +143,18 @@ def run_scale(spark, n_base: int, n_delta: int) -> dict:
             lambda: read_published_corpus(spark, root).filter(pred).count()
         )
 
+        # DNF-lite: an OR of conjunct groups prunes per-disjunct — a
+        # file is opened iff SOME disjunct can match it.  Train files
+        # with old days refute both disjuncts; the valid split and the
+        # recent upserts survive one each.
+        or_pred = f"day >= {last_day} OR split = 'valid'"
+        or_hit = observe(spark, root, or_pred)
+        n_or = read_published_where(spark, root, or_pred).count()
+        n_or_full = (
+            read_published_corpus(spark, root).filter(or_pred).count()
+        )
+        assert n_or == n_or_full, (n_or, n_or_full)
+
         # the honest negative: v1 is hash-sharded, day spans every file
         v1_all = observe(spark, root, "day IS NOT NULL", version=1)
         v1_hit = observe(spark, root, "day >= 1", version=1)
@@ -175,6 +187,10 @@ def run_scale(spark, n_base: int, n_delta: int) -> dict:
             "results_identical": bool(ids_match),
             "wall_pruned_s": wall_pruned,
             "wall_full_scan_s": wall_full,
+            "or_predicate": or_pred,
+            "or_files_opened": f"{len(or_hit)}/{len(all_files)}",
+            "or_rows_returned": n_or,
+            "or_results_identical": bool(n_or == n_or_full),
             "v1_unclustered_files_opened": f"{len(v1_hit)}/{len(v1_all)}",
             "after_plain_compact_files": f"{len(pc_hit)}/{len(pc_all)}",
             "after_zorder_compact_files": f"{len(zc_hit)}/{len(zc_all)}",
@@ -198,7 +214,11 @@ def main():
             "read_published_where prunes from manifest col_stats alone "
             "(zero footer reads); each upsert's files carry a tight day "
             "range, so the recent-window read opens only them — the "
-            "files_opened ratio IS the 100 TB read ratio.  The v1 line "
+            "files_opened ratio IS the 100 TB read ratio.  The or_* "
+            "lines show DNF-lite disjunction pruning: day >= D OR "
+            "split = 'valid' opens only the recent upserts plus the "
+            "valid split — a file is skipped only when EVERY disjunct "
+            "refutes it.  The v1 line "
             "shows the same predicate on the hash-sharded first publish "
             "prunes nothing (day spans every file): skipping needs "
             "ingestion/layout correlation.  The compaction lines show "

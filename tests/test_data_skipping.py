@@ -50,6 +50,43 @@ def test_parse_rejects_disjunction_entirely():
     assert parse_conjuncts("NOT a = 1 OR b = 2") == []
 
 
+def test_parse_disjuncts_dnf_lite():
+    from v6spark.operators.pruning import parse_disjuncts
+
+    assert parse_disjuncts("a = 1 OR b = 2") == [
+        [("a", "=", 1)], [("b", "=", 2)],
+    ]
+    assert parse_disjuncts("(a = 1 AND b < 2) OR c = 3") == [
+        [("a", "=", 1), ("b", "<", 2)], [("c", "=", 3)],
+    ]
+    # pure conjunction: one group
+    assert parse_disjuncts("a = 1 AND b = 2") == [
+        [("a", "=", 1), ("b", "=", 2)],
+    ]
+    # nested/parenthesized ORs flatten
+    assert parse_disjuncts("(a = 1 OR b = 2) OR c = 3") == [
+        [("a", "=", 1)], [("b", "=", 2)], [("c", "=", 3)],
+    ]
+    # fully parenthesized forms parse like their bare forms
+    assert parse_disjuncts("(a = 1 AND b = 2)") == [
+        [("a", "=", 1), ("b", "=", 2)],
+    ]
+    # BETWEEN's AND does not confuse the OR split
+    assert parse_disjuncts("a BETWEEN 1 AND 5 OR b = 2") == [
+        [("a", "between", (1, 5))], [("b", "=", 2)],
+    ]
+    # an unparseable disjunct yields an empty (must-scan) group
+    assert parse_disjuncts("a = 1 OR t LIKE '%x%'") == [
+        [("a", "=", 1)], [],
+    ]
+    # an OR inside an AND conjunct: that conjunct drops, rest prunes
+    assert parse_disjuncts("a = 1 AND (b = 2 OR c = 3)") == [
+        [("a", "=", 1)],
+    ]
+    # garbage degrades to no pruning
+    assert parse_disjuncts("a = 1 OR (b = 2") == []
+
+
 def test_parse_skips_unprunable_conjuncts_keeps_rest():
     # LIKE / IS NULL / != can't be refuted by a range: skipped, while
     # the prunable conjunct still prunes
@@ -250,19 +287,48 @@ def _observe_all(spark, root, version=None):
     return seen
 
 
-def test_where_or_predicate_scans_all_but_stays_correct(spark, tmp_path):
+def test_where_or_predicate_prunes_per_disjunct(spark, tmp_path):
+    """DNF-lite skipping: a file is opened iff SOME disjunct can
+    match it.  `day >= 13 OR split = 'valid'` — batch-1 train files
+    (day 0..5, split train) refute both disjuncts and are skipped;
+    valid-split files survive via disjunct 2; the upsert's files
+    (day 10..11, train) refute both."""
+    root = str(tmp_path / "corpus")
+    _publish_batch1(spark, root)
+    _upsert_batch2(spark, root)
+    baseline = _observe_all(spark, root)
+    seen: dict[str, list] = {}
+    pred = "day >= 13 OR split = 'valid'"
+    rows = _where(
+        spark, root, pred, observer=lambda s, fl: seen.setdefault(s, fl),
+    )
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in _full(spark, root, pred)
+    ]
+    assert len(rows) == 12  # the valid docs (i % 4 == 0 of 48)
+    # exactly the valid split's files are opened; both train
+    # populations are pruned whole
+    assert sum(len(fl) for fl in seen.values()) == len(
+        baseline.get("valid") or []
+    )
+    assert not seen.get("train")
+
+
+def test_where_or_with_unprunable_disjunct_scans_all(spark, tmp_path):
+    """An OR whose disjunct can't be range-refuted (LIKE '%x%')
+    degrades to scanning everything — correctness never at risk."""
     root = str(tmp_path / "corpus")
     _publish_batch1(spark, root)
     _upsert_batch2(spark, root)
     total = sum(len(f) for f in _observe_all(spark, root).values())
     seen: dict[str, list] = {}
+    pred = "day >= 10 OR text LIKE '%0001%'"
     rows = _where(
-        spark, root, "day >= 10 OR doc_id = 0",
-        observer=lambda s, fl: seen.setdefault(s, fl),
+        spark, root, pred, observer=lambda s, fl: seen.setdefault(s, fl),
     )
     assert sum(len(fl) for fl in seen.values()) == total  # no pruning
     assert [r["doc_id"] for r in rows] == [
-        r["doc_id"] for r in _full(spark, root, "day >= 10 OR doc_id = 0")
+        r["doc_id"] for r in _full(spark, root, pred)
     ]
 
 

@@ -21,7 +21,9 @@ from hypothesis import strategies as st
 from v6spark.operators.pruning import (
     _next_prefix,
     file_can_match,
+    file_can_match_any,
     parse_conjuncts,
+    parse_disjuncts,
 )
 from v6spark.pipeline import _STR_STAT_MAX, _trunc_lower, _trunc_upper
 
@@ -136,9 +138,8 @@ def test_never_prunes_a_matching_file(cols, conjs):
         assert file_can_match(tuples, stats), (tuples, stats, rows)
 
 
-@settings(max_examples=300, deadline=None)
-@given(st.lists(_conjunct(), min_size=1, max_size=4))
-def test_parser_round_trip(conjs):
+def _render(conjs):
+    """(SQL fragments, expected tuples) for a conjunct list."""
     parts = []
     expect = []
     for (col, op, val), _fn in conjs:
@@ -166,9 +167,60 @@ def test_parser_round_trip(conjs):
         else:
             parts.append(f"{col} IS NOT NULL")
             expect.append((col, "notnull", None))
+    return parts, expect
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_conjunct(), min_size=1, max_size=4))
+def test_parser_round_trip(conjs):
+    parts, expect = _render(conjs)
     if not parts:
         return
     assert parse_conjuncts(" AND ".join(parts)) == expect
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(
+    st.lists(_conjunct(), min_size=1, max_size=3), min_size=1, max_size=3,
+))
+def test_disjunct_parser_round_trip(groups):
+    rendered = []
+    expect = []
+    for g in groups:
+        parts, exp = _render(g)
+        if not parts:
+            return  # a group that renders empty changes the shape
+        rendered.append("(" + " AND ".join(parts) + ")")
+        expect.append(exp)
+    got = parse_disjuncts(" OR ".join(rendered))
+    if len(groups) == 1:
+        assert got == [expect[0]]
+    else:
+        assert got == expect
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    _table(),
+    st.lists(
+        st.lists(_conjunct(), min_size=1, max_size=3),
+        min_size=1, max_size=3,
+    ),
+)
+def test_disjunction_never_prunes_a_matching_file(cols, groups):
+    """THE soundness invariant over DNF-lite: if some row satisfies
+    EVERY conjunct of ANY disjunct, file_can_match_any must be True."""
+    stats = _stats_of(cols)
+    n = len(next(iter(cols.values()))) if cols else 0
+    rows = [{c: cols[c][i] for c in cols} for i in range(n)]
+    tuple_groups = [[c for c, _fn in g] for g in groups]
+    any_match = any(
+        all(fn(r) for _c, fn in g) for g in groups for r in rows
+    )
+    if any_match:
+        assert file_can_match_any(tuple_groups, stats), (
+            tuple_groups, stats, rows
+        )
 
 
 @settings(max_examples=300, deadline=None)

@@ -12,15 +12,25 @@ never a missing row.  The full predicate is re-applied by Spark on
 whatever survives pruning, so correctness never depends on this
 module; only efficiency does.
 
-Supported conjuncts (top-level AND only; a top-level OR/NOT makes the
-whole predicate unprunable): ``col <op> literal`` and
-``literal <op> col`` for ``= < <= > >=``, ``col IN (l1, l2, ...)``,
+Supported conjuncts: ``col <op> literal`` and ``literal <op> col``
+for ``= < <= > >=``, ``col IN (l1, l2, ...)``,
 ``col BETWEEN lo AND hi``, ``col LIKE 'prefix%'`` (one trailing ``%``,
 no other wildcards — prunes as the range ``[prefix, next(prefix))``),
 and ``col IS NULL`` (prunes files whose recorded null count is zero) /
 ``col IS NOT NULL`` (prunes files recorded as entirely NULL).
 Literals: numbers, single-quoted strings (with '' escapes),
 TRUE/FALSE.
+
+Disjunctions (:func:`parse_disjuncts` + :func:`file_can_match_any`):
+a TOP-LEVEL OR of conjunct groups — DNF-lite, e.g.
+``day >= 13 OR split = 'valid'`` or ``(a = 1 AND b < 2) OR (c = 3)``
+— prunes a file only when EVERY disjunct refutes it, which is exactly
+as sound as the per-group rule (a row matching the predicate matches
+some disjunct; that disjunct did not refute the file).  Nested
+parenthesized ORs flatten; an OR *inside* an AND conjunct still makes
+that conjunct unprunable (dropped — weaker, still sound).
+:func:`parse_conjuncts` keeps its historical contract (top-level OR
+=> ``[]``).
 
 Stats entry shapes (both accepted everywhere): ``[min, max]`` and
 ``[min, max, null_count]``; ``[None, None, n]`` marks a column that is
@@ -85,8 +95,15 @@ def parse_conjuncts(sql: str) -> list[tuple]:
     Returns ``[]`` (prune nothing) when the predicate contains a
     top-level OR / NOT / unbalanced structure — never guesses."""
     toks = _tokenize(sql)
-    if toks is None:
+    if toks is None or not _balanced(toks):
         return []
+    return _conjuncts_of(toks)
+
+
+def _conjuncts_of(toks: list[tuple]) -> list[tuple]:
+    """Conjunct tuples of a balanced token list; ``[]`` on a top-level
+    OR (per-file AND-pruning over a disjunction is unsound) or when
+    nothing parses."""
     # split on top-level AND (depth tracked through parens; BETWEEN's
     # AND is consumed by the conjunct parser below, so we must split
     # only at ANDs not inside a BETWEEN — handled by scanning each
@@ -124,6 +141,81 @@ def parse_conjuncts(sql: str) -> list[tuple]:
         if c is not None:
             out.append(c)
     return out
+
+
+def parse_disjuncts(sql: str) -> list[list[tuple]]:
+    """``sql`` as a one-level OR of conjunct groups (DNF-lite):
+    ``[[conjunct, ...], ...]`` — one inner list per top-level
+    disjunct; a pure conjunction returns a single group.  Consumers
+    prune with :func:`file_can_match_any`: a file is skipped only
+    when EVERY group refutes it.  A group whose conjuncts all fail to
+    parse becomes ``[]``, which :func:`file_can_match` treats as
+    must-scan — the whole predicate then prunes nothing, preserving
+    the advisory-negative safety model.  Returns ``[]`` (prune
+    nothing) on unparseable/unbalanced input."""
+    toks = _tokenize(sql)
+    if toks is None or not _balanced(toks):
+        return []
+    return _disjuncts_of(toks)
+
+
+def _disjuncts_of(toks: list[tuple]) -> list[list[tuple]]:
+    # strip wrapping parens first so `(a AND b)` alone, or a fully
+    # parenthesized disjunction, parses the same as its bare form
+    while (
+        len(toks) >= 2
+        and toks[0] == ("punc", "(")
+        and toks[-1] == ("punc", ")")
+        and _balanced(toks[1:-1])
+    ):
+        toks = toks[1:-1]
+    # split on top-level OR; BETWEEN never swallows an OR so no
+    # pending-counter is needed here
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        if t[0] == "punc" and t[1] == "(":
+            depth += 1
+        elif t[0] == "punc" and t[1] == ")":
+            depth -= 1
+            if depth < 0:
+                return []
+        if t[0] == "OR" and depth == 0:
+            parts.append(cur)
+            cur = []
+            continue
+        cur.append(t)
+    if depth != 0:
+        return []
+    parts.append(cur)
+    if len(parts) == 1:
+        return [_conjuncts_of(toks)]
+    out: list[list[tuple]] = []
+    for p in parts:
+        # strip wrapping parens so `(a OR b) OR c` flattens through
+        # recursion and `(a AND b) OR c` parses its group
+        while (
+            len(p) >= 2
+            and p[0] == ("punc", "(")
+            and p[-1] == ("punc", ")")
+            and _balanced(p[1:-1])
+        ):
+            p = p[1:-1]
+        if any(t[0] == "OR" and _depth_at(p, i) == 0
+               for i, t in enumerate(p)):
+            out.extend(_disjuncts_of(p))
+        else:
+            out.append(_conjuncts_of(p))
+    return out
+
+
+def _depth_at(toks: list[tuple], idx: int) -> int:
+    d = 0
+    for t in toks[:idx]:
+        if t == ("punc", "("):
+            d += 1
+        elif t == ("punc", ")"):
+            d -= 1
+    return d
 
 
 def _parse_one(g: list[tuple]):
@@ -258,8 +350,14 @@ def file_can_match(conjuncts: list[tuple], stats: dict | None) -> bool:
             if not isinstance(mn, str):
                 continue  # cross-type: must scan
             hi = _next_prefix(val)
-            if mx < val or (hi is not None and mn >= hi):
-                return False
+            try:
+                # inside the same TypeError guard as every other
+                # comparison: a mixed-type stats entry (str min,
+                # non-str max) must degrade to scan, not crash
+                if mx < val or (hi is not None and mn >= hi):
+                    return False
+            except TypeError:
+                continue
             continue
         try:
             if op == "=":
@@ -287,3 +385,14 @@ def file_can_match(conjuncts: list[tuple], stats: dict | None) -> bool:
         except TypeError:
             continue  # cross-type comparison: must scan
     return True
+
+
+def file_can_match_any(
+    groups: list[list[tuple]], stats: dict | None
+) -> bool:
+    """Disjunctive matcher: can the file contain a row satisfying ANY
+    of the conjunct ``groups`` (from :func:`parse_disjuncts`)?  Empty
+    ``groups`` (unparseable predicate) answers True — must scan."""
+    if not groups:
+        return True
+    return any(file_can_match(g, stats) for g in groups)
