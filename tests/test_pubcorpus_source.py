@@ -1,0 +1,206 @@
+"""The published corpus as a Spark DataSource (format("pubcorpus")).
+
+The SQL front door must be BIT-IDENTICAL to read_published_corpus at
+every point of the table lifecycle (publish, copy-on-write retract,
+deletion-vector retract, upsert, schema evolution, compact, reshard,
+offloaded manifests), honor version/tag/branch pinning, and prune
+files from pushed filters exactly as read_published_where does on the
+same predicate — while returning every filter to Spark so correctness
+never depends on the pruning.
+"""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from v6spark.pipeline import (
+    compact_published,
+    create_published_branch,
+    evolve_published_schema,
+    publish_corpus_committed,
+    read_published_corpus,
+    read_published_where,
+    reshard_published,
+    retract_from_published,
+    tag_published,
+    upsert_into_published,
+)
+from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+
+def _publish(spark, tmp_path, n=60, n_shards=4):
+    docs = spark.range(n).selectExpr(
+        "id as doc_id", "concat('body ', id) as text",
+        "cast(id % 7 as long) as day",
+    )
+    prepared = spark.range(n).selectExpr(
+        "id as doc_id",
+        "case when id % 10 = 0 then 'valid' else 'train' end as split",
+    )
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, docs, root, n_shards=n_shards)
+    return root
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _src(spark, root, **opts):
+    register_pubcorpus_source(spark)
+    r = spark.read.format("pubcorpus")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(root)
+
+
+def test_bit_identical_through_lifecycle(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+
+    def check():
+        ref = read_published_corpus(spark, root)
+        got = _src(spark, root)
+        assert sorted(got.columns) == sorted(ref.columns)
+        assert _rows(got) == _rows(ref)
+
+    check()                                                   # v1
+    retract_from_published(spark, root, "doc_id = 7")         # v2 COW
+    check()
+    retract_from_published(
+        spark, root, "doc_id in (11, 21)", strategy="dv"      # v3 DV
+    )
+    check()
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "rev 3", 99, None), (1003, "new", 100, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                          # v4
+    check()
+    evolve_published_schema(spark, root, [("license", "string")])  # v5
+    check()
+    compact_published(spark, root)                             # v6
+    check()
+    reshard_published(spark, root, n_shards=2)                 # v7
+    check()
+
+
+def test_version_tag_and_branch_pinning(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=30)
+    tag_published(spark, root, "baseline")
+    retract_from_published(spark, root, "doc_id = 5")
+    create_published_branch(spark, root, "exp")
+    retract_from_published(spark, root, "doc_id = 6", branch="exp")
+
+    assert _rows(_src(spark, root, version=1)) == _rows(
+        read_published_corpus(spark, root, version=1)
+    )
+    assert _rows(_src(spark, root, tag="baseline")) == _rows(
+        read_published_corpus(spark, root, tag="baseline")
+    )
+    assert _rows(_src(spark, root, branch="exp")) == _rows(
+        read_published_corpus(spark, root, branch="exp")
+    )
+    # latest (main) unaffected by the branch delete
+    got = _src(spark, root)
+    assert got.filter("doc_id = 6").count() == 1
+    assert got.filter("doc_id = 5").count() == 0
+
+
+def test_pushed_filters_prune_same_files_as_where(spark, tmp_path):
+    """Incremental upserts correlate day with files; a day-range read
+    must open exactly the files read_published_where opens for the
+    same predicate — and return the same rows."""
+    root = _publish(spark, tmp_path, n=48, n_shards=8)
+    for i in range(3):
+        upsert_into_published(
+            spark, root,
+            spark.range(12).selectExpr(
+                f"id + {1000 + i * 100} as doc_id",
+                "concat('late ', id) as text",
+                f"cast({10 + i} as long) as day",
+                "'train' as split",
+            ),
+            key_col="doc_id",
+        )
+    pred = "day >= 12"
+    where_seen: dict = {}
+    ref = read_published_where(
+        spark, root, pred,
+        _scan_observer=lambda s, fl: where_seen.setdefault(s, fl),
+    )
+    obs = str(tmp_path / "obs.json")
+    got = _src(spark, root, _scanObserverPath=obs).filter(pred)
+    assert _rows(got) == _rows(ref)
+    src_seen = json.load(open(obs))
+    assert {s: sorted(fl) for s, fl in src_seen.items() if fl} == {
+        s: sorted(fl) for s, fl in where_seen.items() if fl
+    }
+    # the pruning is real: only the day>=12 upsert's files are opened
+    n_opened = sum(len(fl) for fl in src_seen.values())
+    assert 0 < n_opened <= 12
+
+
+def test_split_predicate_prunes_whole_splits(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    obs = str(tmp_path / "obs.json")
+    got = _src(spark, root, _scanObserverPath=obs).filter(
+        "split = 'valid'"
+    )
+    ref = read_published_corpus(spark, root).filter("split = 'valid'")
+    assert _rows(got) == _rows(ref)
+    seen = json.load(open(obs))
+    assert seen["train"] == []
+    assert len(seen["valid"]) > 0
+
+
+def test_fully_pruned_read_is_typed_empty(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=20)
+    got = _src(spark, root).filter("split = 'nosuch'")
+    assert got.count() == 0
+    assert "doc_id" in got.columns and "split" in got.columns
+
+
+def test_split_option_restricts(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    got = _src(spark, root, split="valid")
+    assert got.count() == 6
+    assert set(r["split"] for r in got.collect()) == {"valid"}
+
+
+def test_sql_surface(spark, tmp_path):
+    """A plain-SQL user: temp view over the source, aggregate away."""
+    root = _publish(spark, tmp_path)
+    _src(spark, root).createOrReplaceTempView("corpus_v")
+    out = spark.sql(
+        "SELECT split, count(*) AS n FROM corpus_v GROUP BY split "
+        "ORDER BY split"
+    ).collect()
+    assert [(r["split"], r["n"]) for r in out] == [
+        ("train", 54), ("valid", 6),
+    ]
+
+
+def test_offloaded_manifest_reads_identically(spark, tmp_path, monkeypatch):
+    from v6spark import pipeline
+
+    monkeypatch.setattr(pipeline, "_MANIFEST_INLINE_MAX", 0)
+    root = _publish(spark, tmp_path, n=30)
+    retract_from_published(spark, root, "doc_id = 3")
+    ref = read_published_corpus(spark, root)
+    got = _src(spark, root)
+    assert _rows(got) == _rows(ref)
+
+
+def test_errors(spark, tmp_path):
+    register_pubcorpus_source(spark)
+    with pytest.raises(Exception, match="no committed publish"):
+        spark.read.format("pubcorpus").load(
+            str(tmp_path / "nothing")
+        ).collect()
+    root = _publish(spark, tmp_path, n=10)
+    with pytest.raises(Exception, match="no tag"):
+        _src(spark, root, tag="missing").collect()

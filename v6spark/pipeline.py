@@ -2115,6 +2115,20 @@ def _read_manifest_sidecar(spark, dest: str) -> tuple[list, ...]:
             t.column(c).to_pylist()
             for c in ("section", "split", "file", "seq", "doc")
         )
+    if spark is None:
+        # JVM-free caller (the pubcorpus DataSource plans in a plain
+        # Python worker): read the sidecar through pyarrow's own
+        # filesystem layer instead of Hadoop's
+        import pyarrow.parquet as _pq
+
+        from v6spark.sources.publog import _fs_for
+
+        fs, local_dest = _fs_for(dest)
+        t = _pq.ParquetDataset(local_dest, filesystem=fs).read()
+        return tuple(
+            t.column(c).to_pylist()
+            for c in ("section", "split", "file", "seq", "doc")
+        )
     rows = spark.read.parquet(dest).collect()
     return tuple(
         [r[c] for r in rows]
@@ -3970,14 +3984,19 @@ def compact_published(
     racing the compaction wins or loses cleanly; the loser recomputes.
 
     ``cluster_by`` is the OPTIMIZE ZORDER BY option: lay the rewrite
-    out along the Z-order curve of the named NUMERIC columns
-    (:func:`v6spark.sources.layout.zorder_key`, min/max-normalized —
-    one agg, no global window), so every data file covers a tight
+    out along the Z-order curve of the named columns
+    (:func:`v6spark.sources.layout.zorder_key`) — numeric columns
+    min/max-normalized (one agg, no global window), date/timestamp
+    cast to order-preserving doubles, and STRING columns
+    dictionary-rank-normalized (sorted distinct values broadcast back
+    as dense ranks; see :func:`~v6spark.sources.layout.
+    cluster_surrogates`) — so every data file covers a tight
     rectangle in those columns and :func:`read_published_where`
-    prunes ARBITRARY range predicates over them from the manifest's
-    ``col_stats`` — the cure for what compaction otherwise does to
-    skipping (re-packing by shard hash smears ingestion-correlated
-    ranges across every file; AB_PRUNE shows both effects).  Layout:
+    prunes ARBITRARY range (and string equality/prefix) predicates
+    over them from the manifest's ``col_stats`` — the cure for what
+    compaction otherwise does to skipping (re-packing by shard hash
+    smears ingestion-correlated ranges across every file; AB_PRUNE
+    shows both effects).  Layout:
     ``repartitionByRange`` into ``n_cluster_files`` curve segments
     per split, still written ``partitionBy("shard")`` — files are
     (curve segment × shard) so key-hash DML pruning, point lookups,
@@ -3988,7 +4007,7 @@ def compact_published(
     training order.
     """
     from v6spark import txlog
-    from v6spark.sources.layout import zorder_key
+    from v6spark.sources.layout import cluster_surrogates, zorder_key
 
     def _attempt(version, doc, vdir, data_root):
         if doc is None:
@@ -4001,21 +4020,14 @@ def compact_published(
             return None, None
         if cluster_by:
             types = dict(doc.get("schema") or [])
-            numeric = {
-                "tinyint", "smallint", "int", "bigint", "float", "double",
-            }
             for c in cluster_by:
                 if c not in types:
                     raise ValueError(
                         f"cluster_by column {c!r} is not in the published "
                         f"schema {sorted(types)}"
                     )
-                if types[c] not in numeric:
-                    raise ValueError(
-                        f"cluster_by column {c!r} has type {types[c]!r}; "
-                        "Z-order clustering supports numeric columns "
-                        f"({sorted(numeric)})"
-                    )
+                # type support (numeric/string/date/timestamp) is
+                # validated by layout.cluster_surrogates below
         ns = doc.get("n_shards") or 32
         sd = doc.get("seed") or 0
         # training order is keyed on the PUBLISH's key column (recorded
@@ -4039,26 +4051,35 @@ def compact_published(
             )
             stats_key = kc
             if cluster_by:
-                # scalable bounds: ONE min/max agg per split, linear
-                # bucketing — no global window at any scale
-                aggs = []
-                for c in cluster_by:
-                    aggs += [
-                        F.min(c).alias(f"__lo_{c}"),
-                        F.max(c).alias(f"__hi_{c}"),
-                    ]
-                row = df.agg(*aggs).collect()[0]
-                bounds = {
-                    c: (row[f"__lo_{c}"] or 0, row[f"__hi_{c}"] or 0)
-                    for c in cluster_by
-                }
+                # mixed-type normalization: strings become dictionary
+                # ranks (broadcast join, bounds known), dates/
+                # timestamps become doubles — see cluster_surrogates
+                types = dict(doc.get("schema") or [])
+                df, surro, bounds, drop_cols = cluster_surrogates(
+                    df, cluster_by, types
+                )
+                # scalable bounds for the rest: ONE min/max agg per
+                # split, linear bucketing — no global window
+                need = [c for c in surro if c not in bounds]
+                if need:
+                    aggs = []
+                    for c in need:
+                        aggs += [
+                            F.min(c).alias(f"__lo_{c}"),
+                            F.max(c).alias(f"__hi_{c}"),
+                        ]
+                    row = df.agg(*aggs).collect()[0]
+                    for c in need:
+                        bounds[c] = (
+                            row[f"__lo_{c}"] or 0, row[f"__hi_{c}"] or 0
+                        )
                 keyed = df.withColumn(
-                    "__z", zorder_key(cluster_by, zorder_bits, bounds=bounds)
+                    "__z", zorder_key(surro, zorder_bits, bounds=bounds)
                 )
                 (
                     keyed.repartitionByRange(n_cluster_files or ns, "__z")
                     .sortWithinPartitions("shard", "__z")
-                    .drop("__z")
+                    .drop("__z", *drop_cols)
                     .write.mode("error")
                     .partitionBy("shard")
                     .parquet(f"{data_root}/split={s}")
