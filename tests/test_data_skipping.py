@@ -531,8 +531,87 @@ def test_cluster_by_validates_columns(spark, tmp_path):
     _publish_batch1(spark, root)
     with pytest.raises(ValueError, match="not in the published schema"):
         compact_published(spark, root, cluster_by=["nosuch"])
-    with pytest.raises(ValueError, match="numeric"):
-        compact_published(spark, root, cluster_by=["text"])
+    # unsupported type (boolean) raises honestly
+    prepared = spark.range(10).selectExpr(
+        "id as doc_id", "'train' as split"
+    )
+    content = spark.range(10).selectExpr(
+        "id as doc_id", "id % 2 = 0 as flag"
+    )
+    root2 = str(tmp_path / "corpus_bool")
+    publish_corpus_committed(prepared, content, root2, n_shards=2)
+    with pytest.raises(ValueError, match="supports numeric, string"):
+        compact_published(spark, root2, cluster_by=["flag"])
+
+
+def test_optimize_zorder_string_and_date_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (lang, day): the string column normalizes
+    via dictionary rank, so after clustering a lang-equality (and a
+    lang-range) predicate prunes files from col_stats — the likeliest
+    100 TB layout keys after time are categorical strings."""
+    langs = ["ar", "de", "en", "es", "fr", "hi", "ja", "zh"]
+    n = 400
+    prepared = spark.range(n).selectExpr(
+        "id as doc_id", "'train' as split"
+    )
+    content = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"element_at(array({', '.join(repr(x) for x in langs)}), "
+        "cast(id % 8 + 1 as int)) as lang",
+        "cast(id % 5 as long) as day",
+        "concat('body ', id) as text",
+    )
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, content, root, n_shards=8)
+
+    v = compact_published(
+        spark, root, cluster_by=["lang", "day"], n_cluster_files=16
+    )
+    assert v is not None
+
+    total = sum(len(f) for f in _observe_all(spark, root).values())
+    for pred in ("lang = 'fr'", "lang >= 'ja'", "lang LIKE 'e%'"):
+        seen: dict[str, list] = {}
+        rows = _where(
+            spark, root, pred,
+            observer=lambda s, fl: seen.setdefault(s, fl),
+        )
+        assert [r["doc_id"] for r in rows] == [
+            r["doc_id"] for r in _full(spark, root, pred)
+        ], pred
+        assert rows  # non-trivial result
+        hit = sum(len(f) for f in seen.values())
+        assert hit < total, (pred, hit, total)
+    # the numeric co-cluster still prunes too
+    seen2: dict[str, list] = {}
+    rows = _where(
+        spark, root, "day = 4 AND lang = 'en'",
+        observer=lambda s, fl: seen2.setdefault(s, fl),
+    )
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in _full(spark, root, "day = 4 AND lang = 'en'")
+    ]
+    assert sum(len(f) for f in seen2.values()) < total
+
+    # DML keeps working on the string-clustered layout
+    upd = spark.createDataFrame(
+        [(3, "fr", 2, "edited", "train")],
+        "doc_id long, lang string, day long, text string, split string",
+    )
+    res = upsert_into_published(spark, root, upd, key_col="doc_id")
+    assert res["rows_updated"] == 1
+
+
+def test_cluster_surrogates_unsupported_and_cap(spark):
+    from v6spark.sources.layout import cluster_surrogates
+
+    df = spark.range(8).selectExpr(
+        "cast(null as binary) as b", "concat('v', id) as s"
+    )
+    with pytest.raises(ValueError, match="supports numeric, string"):
+        cluster_surrogates(df, ["b"], {"b": "binary"})
+    with pytest.raises(ValueError, match="distinct values"):
+        cluster_surrogates(df, ["s"], {"s": "string"}, max_dict=4)
 
 
 def test_maintain_published_recluster_cycle(spark, tmp_path):

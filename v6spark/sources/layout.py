@@ -133,6 +133,95 @@ def zorder_key(cols: list, bits: int = 16, bounds: dict | None = None):
     return key
 
 
+#: distinct-value cap for dictionary-rank normalization of string
+#: cluster columns — 2^16 ranks, far above any categorical layout key
+#: (lang, source, host bucket); higher-cardinality strings should be
+#: clustered via a derived numeric column instead
+ZORDER_DICT_MAX = 65536
+
+_ZORDER_NUMERIC = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def cluster_surrogates(
+    df: DataFrame, cols: list, types: dict, max_dict: int = ZORDER_DICT_MAX
+):
+    """Numeric surrogate columns for Z-order clustering over MIXED
+    column types — the normalization layer that lets
+    ``compact_published(cluster_by=["lang", "day"])`` interleave a
+    string with a date with a long.
+
+    Per column type:
+
+    - numeric: used as-is (bounds from the caller's min/max agg);
+    - date / timestamp: a derived double column (days / epoch
+      seconds) — order-preserving, so range predicates prune;
+    - string: DICTIONARY RANK — the distinct values (capped at
+      ``max_dict``; beyond it raises, honestly, rather than silently
+      degrading) are sorted and broadcast-joined back as a dense rank
+      with known bounds (0, n-1).  Lexicographic rank preserves
+      order, so both ``lang = 'fr'`` and ``host >= 'm'`` prune the
+      clustered files.  Scale shape: the distinct is a shuffle whose
+      OUTPUT is the dictionary (KBs for categorical keys); the join
+      is broadcast — nothing driver-sized beyond the dictionary.
+
+    Returns ``(df, surrogate_cols, bounds, drop_cols)``: ``bounds``
+    maps each surrogate to (lo, hi) where knowable without an agg
+    (dictionary ranks); the caller aggregates min/max for the rest.
+    NULLs rank below everything (coalesced to -1 / the numeric path's
+    caller-side null handling), matching col_stats semantics where
+    NULL satisfies no comparison.
+    """
+    surrogates: list[str] = []
+    bounds: dict[str, tuple] = {}
+    drop: list[str] = []
+    for i, c in enumerate(cols):
+        t = (types.get(c) or "").lower()
+        if t in _ZORDER_NUMERIC:
+            surrogates.append(c)
+            continue
+        sc = f"__zc_{i}"
+        if t == "date":
+            df = df.withColumn(
+                sc, F.datediff(F.col(c), F.lit("1970-01-01"))
+                .cast("double")
+            )
+        elif t.startswith("timestamp"):
+            df = df.withColumn(sc, F.col(c).cast("double"))
+        elif t == "string":
+            spark = df.sparkSession
+            vals = [
+                r[0] for r in df.select(c).distinct()
+                .limit(max_dict + 1).collect()
+                if r[0] is not None
+            ]
+            if len(vals) > max_dict:
+                raise ValueError(
+                    f"cluster_by column {c!r} has more than {max_dict} "
+                    "distinct values — dictionary Z-order targets "
+                    "categorical keys (lang, source, host bucket); "
+                    "cluster on a derived numeric column instead"
+                )
+            vals.sort()
+            rank_df = spark.createDataFrame(
+                [(v, float(r)) for r, v in enumerate(vals)],
+                f"`{c}` string, `{sc}` double",
+            )
+            df = df.join(F.broadcast(rank_df), on=c, how="left")
+            df = df.withColumn(sc, F.coalesce(F.col(sc), F.lit(-1.0)))
+            bounds[sc] = (0.0, float(max(len(vals) - 1, 1)))
+        else:
+            raise ValueError(
+                f"cluster_by column {c!r} has type {t!r}; Z-order "
+                "clustering supports numeric, string, date, and "
+                "timestamp columns"
+            )
+        surrogates.append(sc)
+        drop.append(sc)
+    return df, surrogates, bounds, drop
+
+
 def write_zordered(
     df, path: str, cols: list, n_files: int = 16, bits: int = 16,
     mode: str = "error", bounds: str | dict | None = None,
