@@ -100,6 +100,49 @@ def test_drift_between_versions_from_registers_alone(spark, tmp_path):
     assert p50["delta"] == pytest.approx(p50["new"] - p50["old"])
 
 
+def test_drift_matches_exact_recompute(spark, tmp_path):
+    """The register-only drift numbers must track an EXACT recompute
+    over the version-pinned corpus reads within the sketches' error
+    bounds (HLL p=12: a few percent; DDSketch alpha=0.01: 2% relative
+    on quantile values) — the evidence that a release gate can trust
+    the zero-rescan path."""
+    prepared, docs = _frames(spark, n=300, body="w")
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(
+        prepared, docs, root, n_shards=2, sketch_specs=SPECS
+    )
+    prepared2, _ = _frames(spark, n=120)
+    docs2 = spark.range(120).selectExpr(
+        "id as doc_id",
+        "concat('a substantially longer body string here ', id) as text",
+    )
+    publish_corpus_committed(
+        prepared2, docs2, root, n_shards=2, sketch_specs=SPECS
+    )
+    drift = published_corpus_drift(spark, root, 1, 2, quantiles=(0.5, 0.9))
+    rows = {(r["sketch"], r["metric"]): r for r in drift.collect()}
+
+    def exact(version):
+        df = read_published_corpus(spark, root, version=version)
+        nd = df.selectExpr("count(distinct doc_id) as n").collect()[0]["n"]
+        qs = df.selectExpr(
+            "percentile(length(text), array(0.5, 0.9)) as q"
+        ).collect()[0]["q"]
+        return nd, {0.5: qs[0], 0.9: qs[1]}
+
+    nd1, q1 = exact(1)
+    nd2, q2 = exact(2)
+    d = rows[("distinct_docs", "approx_distinct")]
+    assert abs(d["old"] - nd1) / nd1 < 0.05
+    assert abs(d["new"] - nd2) / nd2 < 0.05
+    assert d["delta"] == pytest.approx(d["new"] - d["old"])
+    for q, label in ((0.5, "p50"), (0.9, "p90")):
+        r = rows[("text_len", label)]
+        assert abs(r["old"] - q1[q]) / q1[q] < 0.02, (label, r["old"], q1[q])
+        assert abs(r["new"] - q2[q]) / q2[q] < 0.02, (label, r["new"], q2[q])
+        assert r["delta"] == pytest.approx(r["new"] - r["old"])
+
+
 def test_drift_requires_sketches_on_both_sides(spark, tmp_path):
     prepared, docs = _frames(spark, n=20)
     root = str(tmp_path / "corpus")

@@ -149,6 +149,56 @@ def test_changes_foreach_batch_cdc(spark, tmp_path):
     assert all(r["_commit_version"] == 3 for r in seen[0][1])
 
 
+def test_version_filter_pushdown_skips_manifest_parses(spark, tmp_path):
+    """A version-range predicate must narrow the FILENAME window
+    before any manifest body is opened: commits-parsed == delta, not
+    history — the tailing-consumer cost contract."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from v6spark.sources import publog as plog
+
+    root = _lifecycle(spark, tmp_path)  # versions 1..6
+
+    parsed = []
+    real = plog._decode
+
+    def counting(raw):
+        doc = real(raw)
+        if doc is not None:
+            parsed.append(doc.get("v"))
+        return doc
+
+    plog._decode = counting
+    try:
+        r = plog.PublishLogBatchReader(root)
+        leftover = list(r.pushFilters([
+            GreaterThan(("version",), 4),
+            LessThanOrEqual(("version",), 6),
+        ]))
+        assert len(leftover) == 2  # everything re-applied by Spark
+        rows = list(r.read(None))
+        assert sorted(v for v, *_rest in rows) == [5, 6]
+        assert sorted(parsed) == [5, 6]  # versions 1-4 never opened
+
+        # streaming read(start) has the same contract
+        parsed.clear()
+        sr = plog.PublishLogStreamReader(root, 0)
+        out, end = sr.read({"version": 4})
+        assert sorted(v for v, *_r in out) == [5, 6]
+        assert end == {"version": 6}
+        assert sorted(parsed) == [5, 6]
+    finally:
+        plog._decode = real
+
+    # end-to-end through Spark the filtered frame is correct
+    register_publog_source(spark)
+    got = (
+        spark.read.format("publog").load(root)
+        .filter("version > 4").orderBy("version").collect()
+    )
+    assert [r["version"] for r in got] == [5, 6]
+
+
 def test_changes_cold_start_after_retention(spark, tmp_path):
     """A stream starting at version 0 against a table whose early
     versions already fell out of retention must take the SNAPSHOT

@@ -42,6 +42,11 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -89,9 +94,13 @@ def _kind_of(doc: dict) -> str:
     return "unknown"
 
 
-def _scan_log(path: str, after: int) -> list[tuple]:
-    """(version, row) for every COMPLETE manifest with version >
-    ``after``, sorted.  Torn manifests are skipped (same contract as
+def _scan_log(path: str, after: int, upto: int | None = None) -> list[tuple]:
+    """(version, row) for every COMPLETE manifest with ``after <
+    version [<= upto]``, sorted.  The version window is applied to the
+    FILENAME before any byte of the manifest body is opened — commit
+    docs outside it are never parsed, which is what keeps a tailing
+    consumer's per-batch cost proportional to the delta, not the
+    table's history.  Torn manifests are skipped (same contract as
     committed readers); version gaps are normal (crashed claims)."""
     from pyarrow import fs as pafs
 
@@ -112,7 +121,7 @@ def _scan_log(path: str, after: int) -> list[tuple]:
             version = int(name[len(MANIFEST_PREFIX):])
         except ValueError:
             continue
-        if version <= after:
+        if version <= after or (upto is not None and version > upto):
             continue
         with filesystem.open_input_stream(info.path) as f:
             doc = _decode(f.read())
@@ -136,11 +145,40 @@ def _scan_log(path: str, after: int) -> list[tuple]:
 class PublishLogBatchReader(DataSourceReader):
     def __init__(self, path: str):
         self.path = path
+        self.after = -1
+        self.upto: int | None = None
+
+    def pushFilters(self, filters):
+        """Version-range pushdown: ``version > / >= / < / <= / = n``
+        predicates narrow the filename window BEFORE any manifest body
+        is parsed — an audit query over a long-lived table's recent
+        commits opens exactly those commits.  Every filter is returned
+        for Spark to re-apply (advisory, like all our pruning)."""
+        for f in filters:
+            if getattr(f, "attribute", None) == ("version",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                v = f.value
+                if isinstance(f, GreaterThan):
+                    self.after = max(self.after, v)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.after = max(self.after, v - 1)
+                elif isinstance(f, LessThan):
+                    self.upto = v - 1 if self.upto is None \
+                        else min(self.upto, v - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self.upto = v if self.upto is None \
+                        else min(self.upto, v)
+                elif isinstance(f, EqualTo):
+                    self.after = max(self.after, v - 1)
+                    self.upto = v if self.upto is None \
+                        else min(self.upto, v)
+        return filters
 
     def read(self, partition):
         # the log is manifest-sized (KBs/version): one driver
         # partition is the correct plan, not a limitation
-        return iter(_scan_log(self.path, -1))
+        return iter(_scan_log(self.path, self.after, self.upto))
 
 
 class PublishLogStreamReader(SimpleDataSourceStreamReader):
@@ -197,7 +235,11 @@ class PublishLogDataSource(DataSource):
 
 
 def register_publog_source(spark) -> None:
-    """Idempotent ``spark.dataSource.register`` of ``publog``."""
+    """Idempotent ``spark.dataSource.register`` of ``publog``.  Also
+    enables Python-source filter pushdown (off by default in Spark
+    4.1): a reader implementing ``pushFilters`` is refused outright
+    without it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PublishLogDataSource)
 
 
