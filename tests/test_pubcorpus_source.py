@@ -3,10 +3,12 @@
 The SQL front door must be BIT-IDENTICAL to read_published_corpus at
 every point of the table lifecycle (publish, copy-on-write retract,
 deletion-vector retract, upsert, schema evolution, compact, reshard,
-offloaded manifests), honor version/tag/branch pinning, and prune
-files from pushed filters exactly as read_published_where does on the
-same predicate — while returning every filter to Spark so correctness
-never depends on the pruning.
+offloaded manifests), honor version/tag/branch pinning, and — via
+option("where", ...) — prune files exactly as read_published_where
+does on the same predicate while filtering rows exactly.  Pruning is
+option-keyed, never pushFilters: Spark 4.1 caches pushdown-planned
+partitions on shared relations (test_shared_frame_reuse_is_safe pins
+the hazard).
 """
 from __future__ import annotations
 
@@ -110,10 +112,11 @@ def test_version_tag_and_branch_pinning(spark, tmp_path):
     assert got.filter("doc_id = 5").count() == 0
 
 
-def test_pushed_filters_prune_same_files_as_where(spark, tmp_path):
-    """Incremental upserts correlate day with files; a day-range read
-    must open exactly the files read_published_where opens for the
-    same predicate — and return the same rows."""
+def test_where_option_prunes_same_files_as_python_reader(spark, tmp_path):
+    """Incremental upserts correlate day with files; an
+    option("where", ...) read must open exactly the files
+    read_published_where opens for the same predicate — and return
+    the same rows (the option both prunes files and filters rows)."""
     root = _publish(spark, tmp_path, n=48, n_shards=8)
     for i in range(3):
         upsert_into_published(
@@ -133,7 +136,7 @@ def test_pushed_filters_prune_same_files_as_where(spark, tmp_path):
         _scan_observer=lambda s, fl: where_seen.setdefault(s, fl),
     )
     obs = str(tmp_path / "obs.json")
-    got = _src(spark, root, _scanObserverPath=obs).filter(pred)
+    got = _src(spark, root, where=pred, _scanObserverPath=obs)
     assert _rows(got) == _rows(ref)
     src_seen = json.load(open(obs))
     assert {s: sorted(fl) for s, fl in src_seen.items() if fl} == {
@@ -147,9 +150,8 @@ def test_pushed_filters_prune_same_files_as_where(spark, tmp_path):
 def test_split_predicate_prunes_whole_splits(spark, tmp_path):
     root = _publish(spark, tmp_path)
     obs = str(tmp_path / "obs.json")
-    got = _src(spark, root, _scanObserverPath=obs).filter(
-        "split = 'valid'"
-    )
+    got = _src(spark, root, where="split = 'valid'",
+               _scanObserverPath=obs)
     ref = read_published_corpus(spark, root).filter("split = 'valid'")
     assert _rows(got) == _rows(ref)
     seen = json.load(open(obs))
@@ -159,9 +161,53 @@ def test_split_predicate_prunes_whole_splits(spark, tmp_path):
 
 def test_fully_pruned_read_is_typed_empty(spark, tmp_path):
     root = _publish(spark, tmp_path, n=20)
-    got = _src(spark, root).filter("split = 'nosuch'")
+    got = _src(spark, root, where="split = 'nosuch'")
     assert got.count() == 0
     assert "doc_id" in got.columns and "split" in got.columns
+
+
+def test_shared_frame_reuse_is_safe(spark, tmp_path):
+    """THE reason pruning is option-keyed and not pushFilters: a
+    filtered query followed by an unfiltered one on the SAME
+    DataFrame / temp view must both be correct (Spark 4.1 caches
+    pushdown-planned partitions on shared relations, which poisons a
+    pushFilters-based source)."""
+    root = _publish(spark, tmp_path, n=30)
+    df = _src(spark, root)
+    assert df.filter("text = 'no such body'").count() == 0
+    assert df.count() == 30  # NOT poisoned by the filtered planning
+    df.createOrReplaceTempView("corpus_reuse_v")
+    assert spark.sql(
+        "SELECT count(*) AS c FROM corpus_reuse_v WHERE doc_id = 3"
+    ).collect()[0]["c"] == 1
+    assert spark.sql(
+        "SELECT count(*) AS c FROM corpus_reuse_v"
+    ).collect()[0]["c"] == 30
+
+
+def test_where_option_rejects_unparsable(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=10)
+    with pytest.raises(Exception, match="prunable predicate grammar"):
+        _src(spark, root, where="text RLIKE 'x.*'").collect()
+
+
+def test_where_option_or_and_null_semantics(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=40)
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(2000, None, 99, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+    pred = "day >= 90 OR split = 'valid'"
+    got = _src(spark, root, where=pred)
+    ref = read_published_where(spark, root, pred)
+    assert _rows(got) == _rows(ref)
+    # NULL text never satisfies a comparison
+    got2 = _src(spark, root, where="text >= ''")
+    assert got2.filter("doc_id = 2000").count() == 0
+    assert got2.count() == 40
 
 
 def test_split_option_restricts(spark, tmp_path):

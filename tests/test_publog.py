@@ -149,12 +149,12 @@ def test_changes_foreach_batch_cdc(spark, tmp_path):
     assert all(r["_commit_version"] == 3 for r in seen[0][1])
 
 
-def test_version_filter_pushdown_skips_manifest_parses(spark, tmp_path):
-    """A version-range predicate must narrow the FILENAME window
-    before any manifest body is opened: commits-parsed == delta, not
-    history — the tailing-consumer cost contract."""
-    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
-
+def test_version_window_skips_manifest_parses(spark, tmp_path):
+    """minVersion/maxVersion must narrow the FILENAME window before
+    any manifest body is opened: commits-parsed == delta, not history
+    — the tailing-consumer cost contract.  (Options, not pushFilters:
+    Spark 4.1 caches pushdown plans on shared relations — see
+    sources/pubcorpus.py.)"""
     from v6spark.sources import publog as plog
 
     root = _lifecycle(spark, tmp_path)  # versions 1..6
@@ -170,12 +170,7 @@ def test_version_filter_pushdown_skips_manifest_parses(spark, tmp_path):
 
     plog._decode = counting
     try:
-        r = plog.PublishLogBatchReader(root)
-        leftover = list(r.pushFilters([
-            GreaterThan(("version",), 4),
-            LessThanOrEqual(("version",), 6),
-        ]))
-        assert len(leftover) == 2  # everything re-applied by Spark
+        r = plog.PublishLogBatchReader(root, after=4, upto=6)
         rows = list(r.read(None))
         assert sorted(v for v, *_rest in rows) == [5, 6]
         assert sorted(parsed) == [5, 6]  # versions 1-4 never opened
@@ -190,13 +185,16 @@ def test_version_filter_pushdown_skips_manifest_parses(spark, tmp_path):
     finally:
         plog._decode = real
 
-    # end-to-end through Spark the filtered frame is correct
+    # end-to-end through Spark the windowed frame is correct, and a
+    # later unwindowed read of the same root is NOT affected
     register_publog_source(spark)
     got = (
-        spark.read.format("publog").load(root)
-        .filter("version > 4").orderBy("version").collect()
+        spark.read.format("publog").option("minVersion", 5).load(root)
+        .orderBy("version").collect()
     )
     assert [r["version"] for r in got] == [5, 6]
+    full = spark.read.format("publog").load(root).count()
+    assert full == 6
 
 
 def test_changes_cold_start_after_retention(spark, tmp_path):

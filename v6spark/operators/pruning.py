@@ -100,10 +100,11 @@ def parse_conjuncts(sql: str) -> list[tuple]:
     return _conjuncts_of(toks)
 
 
-def _conjuncts_of(toks: list[tuple]) -> list[tuple]:
+def _conjuncts_of(toks: list[tuple], strict: bool = False):
     """Conjunct tuples of a balanced token list; ``[]`` on a top-level
     OR (per-file AND-pruning over a disjunction is unsound) or when
-    nothing parses."""
+    nothing parses.  ``strict=True`` returns None instead of silently
+    dropping a conjunct that fails to parse."""
     # split on top-level AND (depth tracked through parens; BETWEEN's
     # AND is consumed by the conjunct parser below, so we must split
     # only at ANDs not inside a BETWEEN — handled by scanning each
@@ -140,7 +141,24 @@ def _conjuncts_of(toks: list[tuple]) -> list[tuple]:
         c = _parse_one(g)
         if c is not None:
             out.append(c)
+        elif strict:
+            return None
     return out
+
+
+def parse_disjuncts_strict(sql: str) -> list[list[tuple]] | None:
+    """Like :func:`parse_disjuncts`, but ``None`` unless EVERY
+    conjunct of every disjunct parses into the tuple grammar — for
+    callers that will APPLY the tuples as a row filter (pubcorpus's
+    ``where`` option), where silently dropping an unparsed conjunct
+    would return extra rows instead of merely scanning extra files."""
+    toks = _tokenize(sql)
+    if toks is None or not _balanced(toks):
+        return None
+    groups = _disjuncts_of(toks, strict=True)
+    if not groups or any(g is None for g in groups):
+        return None
+    return groups
 
 
 def parse_disjuncts(sql: str) -> list[list[tuple]]:
@@ -159,7 +177,7 @@ def parse_disjuncts(sql: str) -> list[list[tuple]]:
     return _disjuncts_of(toks)
 
 
-def _disjuncts_of(toks: list[tuple]) -> list[list[tuple]]:
+def _disjuncts_of(toks: list[tuple], strict: bool = False):
     # strip wrapping parens first so `(a AND b)` alone, or a fully
     # parenthesized disjunction, parses the same as its bare form
     while (
@@ -188,7 +206,7 @@ def _disjuncts_of(toks: list[tuple]) -> list[list[tuple]]:
         return []
     parts.append(cur)
     if len(parts) == 1:
-        return [_conjuncts_of(toks)]
+        return [_conjuncts_of(toks, strict=strict)]
     out: list[list[tuple]] = []
     for p in parts:
         # strip wrapping parens so `(a OR b) OR c` flattens through
@@ -202,9 +220,12 @@ def _disjuncts_of(toks: list[tuple]) -> list[list[tuple]]:
             p = p[1:-1]
         if any(t[0] == "OR" and _depth_at(p, i) == 0
                for i, t in enumerate(p)):
-            out.extend(_disjuncts_of(p))
+            sub = _disjuncts_of(p, strict=strict)
+            if strict and (not sub or any(g is None for g in sub)):
+                return [None]
+            out.extend(sub)
         else:
-            out.append(_conjuncts_of(p))
+            out.append(_conjuncts_of(p, strict=strict))
     return out
 
 

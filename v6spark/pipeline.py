@@ -399,6 +399,7 @@ def publish_corpus_committed(
     commit_mode: str = "rename",
     allow_schema_change: bool = False,
     sketch_specs: dict | None = None,
+    _intent: str | None = None,
     key_bloom: bool = False,
     _fail_after_split: str | None = None,
     _fail_before_sketches: bool = False,
@@ -570,7 +571,8 @@ def publish_corpus_committed(
             )
         return payload, dict(counts)
 
-    return _occ_dml(spark, path, _attempt, commit_mode, max_retries)
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+                    _intent=_intent)
 
 
 def published_path(
@@ -2853,7 +2855,8 @@ def upsert_foreach_batch(
 
 
 def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
-             max_retries: int = 8, log_dir: str | None = None) -> dict | None:
+             max_retries: int = 8, log_dir: str | None = None,
+             _intent: str | None = None) -> dict | None:
     """Optimistic-concurrency loop for the corpus DML verbs
     (publish / retract / upsert / compact) — the Delta/Iceberg commit
     protocol at manifest size, built on :func:`txlog.publish`'s
@@ -2891,9 +2894,13 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
 
     log = log_dir or f"{path}/{_COMMITS}"
     last_err = None
+    claim = 0
     for _ in range(max_retries):
         version, doc = txlog.read_latest(spark, log)
-        new_version = version + 1
+        # collision bump (see txlog.commit_with_retry): an INVISIBLE
+        # pending/aborted commit_pair half occupies its version number
+        # forever — claim past it instead of re-colliding to death
+        new_version = max(claim, version + 1)
         vdir = f"v={new_version:06d}-{uuid.uuid4().hex[:8]}"
         data_root = f"{path}/{vdir}"
         payload, result = attempt_fn(version, doc, vdir, data_root)
@@ -2905,6 +2912,10 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
         # directory on a lost race), so the commit JSON stays O(1) in
         # corpus file count — see _offload_manifest
         payload = _offload_manifest(spark, path, vdir, payload)
+        if _intent is not None:
+            # one half of an atomic multi-table pair: invisible until
+            # the coordinator's intent marker lands (txlog.commit_pair)
+            payload = {**payload, "intent": _intent}
         try:
             txlog.publish(
                 spark, log, new_version, payload,
@@ -2913,6 +2924,7 @@ def _occ_dml(spark, path: str, attempt_fn, commit_mode: str,
             return {**result, "_version": new_version}
         except IOError as exc:
             last_err = exc
+            claim = new_version + 1
             fs, jroot, _jvm = txlog._jfs(spark, data_root)
             fs.delete(jroot, True)
             continue
@@ -2932,6 +2944,7 @@ def retract_from_published(
     txn_id: str | None = None,
     strategy: str = "rewrite",
     branch: str | None = None,
+    _intent: str | None = None,
 ) -> dict:
     """Row-level DELETE from a committed parquet publish as a NEW
     committed version — the takedown/right-to-be-forgotten operation
@@ -3323,7 +3336,90 @@ def retract_from_published(
         }
 
     return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
-        log_dir=_log_dir(path, branch))
+        log_dir=_log_dir(path, branch), _intent=_intent)
+
+
+def atomic_published_pair(
+    spark,
+    ops: list,
+    commit_mode: str = "rename",
+    _fail_between: int | None = None,
+    _fail_before_marker: bool = False,
+) -> list[dict]:
+    """ONE atomic commit spanning MULTIPLE published tables — the
+    data+metrics-pair / mirror-window primitive (txlog
+    ``commit_pair`` protocol: each table's manifest commits carrying a
+    shared intent pointer and stays INVISIBLE until the single
+    ``<intent>.committed`` marker lands; a crash anywhere before the
+    marker leaves EVERY table at its pre-pair version, permanently).
+
+    ``ops`` is ``[(path, spec), ...]`` over DISTINCT roots, where
+    ``spec`` is a dict naming the verb and its arguments:
+
+    - ``{"op": "publish", "prepared": df, "content": df, ...}``
+      (extra keys pass through to :func:`publish_corpus_committed`);
+    - ``{"op": "upsert", "updates": df, ...}``
+      (:func:`upsert_into_published`);
+    - ``{"op": "retract", "predicate": sql, ...}``
+      (:func:`retract_from_published`).
+
+    Returns each verb's result dict (with ``_version``).  Concurrency
+    caveat: a writer landing on one of the tables between the
+    overtake re-check and the marker write is a documented race
+    window (txlog.commit_pair) — coordinate cross-table writers as
+    you would for any multi-table transaction."""
+    import uuid as _uuid
+
+    from v6spark import txlog
+
+    roots = [p for p, _s in ops]
+    if len(ops) < 2 or len(set(roots)) != len(roots):
+        raise ValueError(
+            "atomic_published_pair spans MULTIPLE DISTINCT roots; "
+            "same-table multi-verb atomicity is not expressible here"
+        )
+    intent = (
+        f"{roots[0].rstrip('/')}/{_COMMITS}/"
+        f"{txlog.INTENT_PREFIX}{_uuid.uuid4().hex}"
+    )
+    results = []
+    committed = []
+    for i, (path, spec) in enumerate(ops):
+        kind = spec.get("op")
+        kw = {k: v for k, v in spec.items() if k != "op"}
+        kw.setdefault("commit_mode", commit_mode)
+        if kind == "publish":
+            res = publish_corpus_committed(
+                kw.pop("prepared"), kw.pop("content"), path,
+                _intent=intent, **kw,
+            )
+        elif kind == "upsert":
+            res = upsert_into_published(
+                spark, path, kw.pop("updates"), _intent=intent, **kw
+            )
+        elif kind == "retract":
+            res = retract_from_published(
+                spark, path, kw.pop("predicate"), _intent=intent, **kw
+            )
+        else:
+            raise ValueError(
+                f"unknown pair op {kind!r} (publish | upsert | retract)"
+            )
+        if not res or "_version" not in res:
+            raise IOError(
+                f"pair half {i} on {path} produced no commit — pair "
+                "aborted (nothing became visible)"
+            )
+        results.append(res)
+        committed.append((f"{path}/{_COMMITS}", res["_version"]))
+        if _fail_between is not None and i == _fail_between:
+            raise RuntimeError(
+                f"injected crash after pair half {i} committed (pending)"
+            )
+    txlog.seal_pair(
+        spark, intent, committed, _fail_before_marker=_fail_before_marker
+    )
+    return results
 
 
 def vacuum_published_files(
@@ -3469,6 +3565,7 @@ def upsert_into_published(
     _scan_observer=None,
     txn_id: str | None = None,
     branch: str | None = None,
+    _intent: str | None = None,
 ) -> dict:
     """MERGE a delta into a committed parquet publish as a NEW
     committed version — UPDATE rows whose key is already published
@@ -3870,7 +3967,7 @@ def upsert_into_published(
         }
 
     return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
-        log_dir=_log_dir(path, branch))
+        log_dir=_log_dir(path, branch), _intent=_intent)
 
 
 def evolve_published_schema(

@@ -16,13 +16,19 @@ a temp view) gets the same committed-only semantics —
   ``evolve_published_schema`` read the unified schema with typed
   NULLs for the added columns;
 - **deletion vectors**: merge-on-read — DV-marked rows never surface;
-- **manifest data skipping**: filters Spark pushes down
-  (``pushFilters``) prune FILES from the scan via the manifest's
-  ``col_stats`` / key ``file_stats`` / split pseudo-stat through
-  :func:`v6spark.operators.pruning.file_can_match` — zero parquet
-  footer reads; every filter is returned to Spark for re-application,
-  so pruning stays advisory-negative exactly like
-  ``read_published_where``;
+- **manifest data skipping**: ``option("where", <sql>)`` prunes
+  FILES from the scan via the manifest's ``col_stats`` / key
+  ``file_stats`` / split pseudo-stat through
+  :func:`v6spark.operators.pruning.file_can_match_any` — zero parquet
+  footer reads — and applies the same predicate ROW-exactly
+  (pyarrow compute), i.e. ``read_published_where`` semantics.
+  Deliberately NOT ``pushFilters``: Spark 4.1 caches pushdown-planned
+  partitions on the shared relation node, so a later query on the
+  same DataFrame/temp view WITHOUT pushable filters silently reuses a
+  previous query's pruned scan (reproduced:
+  ``df.filter(...).count(); df.count() -> 0``).  Options are part of
+  the relation identity, so option-keyed pruning can never leak
+  across queries;
 - **split as a column**: ``split`` rides every row; ``split = 'x'``
   predicates prune whole splits at plan time.
 
@@ -58,16 +64,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    EqualTo,
-    GreaterThan,
-    GreaterThanOrEqual,
-    In,
     InputPartition,
-    IsNotNull,
-    IsNull,
-    LessThan,
-    LessThanOrEqual,
-    StringStartsWith,
 )
 
 from v6spark.sources.publog import _fs_for
@@ -91,13 +88,19 @@ def _log_dir(root: str, branch: str | None) -> str:
 
 
 def _read_doc(log_dir: str, version: int) -> dict | None:
+    from v6spark.sources.publog import _intent_done
+
     fs, local = _fs_for(log_dir)
     p = f"{local}/{MANIFEST_PREFIX}{version:012d}"
     try:
         with fs.open_input_stream(p) as f:
-            return _decode(f.read())
+            doc = _decode(f.read())
     except (FileNotFoundError, OSError):
         return None
+    if doc is not None and doc.get("intent") \
+            and not _intent_done(doc["intent"]):
+        return None  # pending/aborted commit_pair half: invisible
+    return doc
 
 
 def _list_log(log_dir: str, prefix: str) -> list[str]:
@@ -193,46 +196,60 @@ def _dv_positions(root: str, doc: dict) -> dict[tuple, list]:
 
 
 # ------------------------------------------------------------------ #
-# Filter translation: Spark pushed filters -> pruning conjuncts      #
+# The `where` option: manifest pruning + exact row filtering         #
 # ------------------------------------------------------------------ #
+#
+# WHY AN OPTION AND NOT pushFilters: Spark 4.1's Python-source filter
+# pushdown caches the pushdown-planned partitions on the shared
+# relation node, and a later query on the same DataFrame / temp view
+# WITHOUT pushable filters reuses them — a plain count() after a
+# filtered count() silently returns the filtered result (reproduced:
+# df.filter(...).count(); df.count() -> 0).  Until that is fixed
+# upstream, any pushFilters-based pruning can poison shared
+# relations, so the scan restriction is an OPTION instead: options
+# are part of the relation identity, making reuse always safe.
+# option("where", sql) prunes FILES from manifest col_stats AND
+# applies the same predicate row-exactly (pyarrow compute), so its
+# semantics match read_published_where.
 
-_CMP = {
-    EqualTo: "=",
-    GreaterThan: ">",
-    GreaterThanOrEqual: ">=",
-    LessThan: "<",
-    LessThanOrEqual: "<=",
-}
 
-_PRUNABLE_VALUE = (int, float, str, bool)
+def _group_mask(batch_cols: dict, groups, n: int):
+    """Boolean numpy mask: OR over conjunct groups, AND within —
+    SQL three-valued semantics (NULL comparisons never match)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
+    def conj_mask(col, op, val):
+        arr = batch_cols.get(col)
+        if arr is None:
+            raise ValueError(f"where references unknown column {col!r}")
+        if op == "isnull":
+            return pc.is_null(arr)
+        if op == "notnull":
+            return pc.is_valid(arr)
+        if op == "prefix":
+            m = pc.starts_with(arr, pattern=val)
+        elif op == "in":
+            m = pc.is_in(arr, value_set=pa.array(val))
+        elif op == "between":
+            m = pc.and_(
+                pc.greater_equal(arr, pa.scalar(val[0])),
+                pc.less_equal(arr, pa.scalar(val[1])),
+            )
+        else:
+            fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                  ">": pc.greater, ">=": pc.greater_equal}[op]
+            m = fn(arr, pa.scalar(val))
+        return pc.fill_null(m, False)
 
-def _to_conjunct(f) -> tuple | None:
-    """Pruning tuple for a pushed Filter, or None (not prunable).
-    Spark pushes CONJUNCTS only (an OR arrives as no filters), so the
-    AND matcher is exactly right here."""
-    attr = getattr(f, "attribute", None)
-    if attr is None or len(attr) != 1:
-        return None  # nested column: no stats recorded
-    col = attr[0]
-    t = type(f)
-    if t in _CMP:
-        v = f.value
-        if isinstance(v, _PRUNABLE_VALUE) and not isinstance(v, bool):
-            return (col, _CMP[t], v)
-        return None
-    if t is In:
-        vals = [v for v in f.value if isinstance(v, _PRUNABLE_VALUE)]
-        if len(vals) == len(f.value) and vals:
-            return (col, "in", vals)
-        return None
-    if t is IsNull:
-        return (col, "isnull", None)
-    if t is IsNotNull:
-        return (col, "notnull", None)
-    if t is StringStartsWith and isinstance(f.value, str) and f.value:
-        return (col, "prefix", f.value)
-    return None
+    total = np.zeros(n, dtype=bool)
+    for g in groups:
+        gm = np.ones(n, dtype=bool)
+        for col, op, val in g:
+            gm &= conj_mask(col, op, val).to_numpy(zero_copy_only=False)
+        total |= gm
+    return total
 
 
 @dataclass
@@ -252,12 +269,25 @@ def _shard_of(rel: str) -> str | None:
 
 class PublishedCorpusReader(DataSourceReader):
     def __init__(self, root: str, doc: dict, spark_schema, split_opt,
-                 observer_path: str | None):
+                 where: str | None, observer_path: str | None):
+        from v6spark.operators.pruning import parse_disjuncts_strict
+
         self.root = root
         self.spark_schema = spark_schema
         self.split_opt = split_opt
         self.observer_path = observer_path
-        self.conjuncts: list[tuple] = []
+        if where is not None:
+            self.groups = parse_disjuncts_strict(where)
+            if self.groups is None:
+                raise ValueError(
+                    f"where option {where!r} does not parse into the "
+                    "prunable predicate grammar (comparisons, IN, "
+                    "BETWEEN, LIKE 'prefix%', IS [NOT] NULL, AND/OR) — "
+                    "apply arbitrary predicates with .filter()/SQL "
+                    "WHERE instead"
+                )
+        else:
+            self.groups = []
         # planning state, all manifest-sized
         self._files = _split_files(root, doc)
         if split_opt is not None:
@@ -269,17 +299,8 @@ class PublishedCorpusReader(DataSourceReader):
         self._key_col = doc.get("key_col")
         self._dv = _dv_positions(root, doc)
 
-    def pushFilters(self, filters):
-        for f in filters:
-            c = _to_conjunct(f)
-            if c is not None:
-                self.conjuncts.append(c)
-        # every filter is re-applied by Spark: pruning is advisory-
-        # negative, correctness never depends on the manifest stats
-        return filters
-
     def partitions(self):
-        from v6spark.operators.pruning import file_can_match
+        from v6spark.operators.pruning import file_can_match_any
 
         parts = []
         kept_log: dict[str, list] = {}
@@ -293,7 +314,7 @@ class PublishedCorpusReader(DataSourceReader):
                         and rel in ks:
                     stats[self._key_col] = ks[rel][:2]
                 stats.setdefault("split", [s, s, 0])
-                if file_can_match(self.conjuncts, stats):
+                if file_can_match_any(self.groups, stats):
                     kept.append(rel)
             kept_log[s] = kept
             for rel in kept:
@@ -358,7 +379,16 @@ class PublishedCorpusReader(DataSourceReader):
                     # pre-evolution file: the added column reads as
                     # typed NULLs, zero bytes rewritten
                     arrays.append(pa.nulls(n, field.type))
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+            out = pa.RecordBatch.from_arrays(arrays, schema=target)
+            if self.groups:
+                # the where option filters ROWS exactly (the same
+                # predicate that pruned files), SQL NULL semantics
+                cols = {f.name: out.column(i)
+                        for i, f in enumerate(target)}
+                mask = _group_mask(cols, self.groups, n)
+                if not mask.all():
+                    out = out.filter(pa.array(mask))
+            yield out
 
 
 class PublishedCorpusDataSource(DataSource):
@@ -368,6 +398,14 @@ class PublishedCorpusDataSource(DataSource):
     - ``version`` / ``tag`` / ``branch``: time travel (mutually
       exclusive the same way the Python readers enforce);
     - ``split``: restrict to one split (the column still rides);
+    - ``where``: a SQL predicate in the prunable grammar
+      (comparisons, IN, BETWEEN, LIKE 'prefix%', IS [NOT] NULL,
+      AND/OR over the published columns + split) — prunes FILES from
+      the manifest's col_stats AND filters rows exactly, i.e.
+      ``read_published_where`` semantics through spark.read.  This is
+      an OPTION rather than pushFilters because Spark 4.1 caches
+      pushdown-planned partitions on shared relations (see the module
+      section above) — options are relation identity, always safe;
     - ``_scanObserverPath``: test hook — planning writes the
       {split: [files kept]} decision as JSON to this local path.
     """
@@ -437,17 +475,14 @@ class PublishedCorpusDataSource(DataSource):
             self._doc(),
             schema,
             self.options.get("split"),
+            self.options.get("where"),
             self.options.get("_scanobserverpath")
             or self.options.get("_scanObserverPath"),
         )
 
 
 def register_pubcorpus_source(spark) -> None:
-    """Idempotent ``spark.dataSource.register`` of ``pubcorpus``.
-    Also enables Python-source filter pushdown (off by default in
-    Spark 4.1) — without it the manifest pruning in ``pushFilters``
-    never runs and Spark refuses the reader outright."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Idempotent ``spark.dataSource.register`` of ``pubcorpus``."""
     spark.dataSource.register(PublishedCorpusDataSource)
 
 

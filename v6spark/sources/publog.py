@@ -42,11 +42,6 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    EqualTo,
-    GreaterThan,
-    GreaterThanOrEqual,
-    LessThan,
-    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -67,6 +62,25 @@ def _fs_for(path: str):
     if "://" in path or path.startswith("file:"):
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
+
+
+_INTENT_OK_PA: set[str] = set()
+
+
+def _intent_done(intent_path: str) -> bool:
+    """pyarrow twin of ``txlog.intent_committed``: a manifest carrying
+    an unresolved multi-table intent is invisible (commit_pair)."""
+    if intent_path in _INTENT_OK_PA:
+        return True
+    fs, local = _fs_for(intent_path)
+    try:
+        with fs.open_input_stream(f"{local}.committed") as f:
+            ok = _decode(f.read()) is not None
+    except (FileNotFoundError, OSError):
+        return False
+    if ok:
+        _INTENT_OK_PA.add(intent_path)
+    return ok
 
 
 def _kind_of(doc: dict) -> str:
@@ -127,6 +141,8 @@ def _scan_log(path: str, after: int, upto: int | None = None) -> list[tuple]:
             doc = _decode(f.read())
         if doc is None:
             continue  # torn write: not committed
+        if doc.get("intent") and not _intent_done(doc["intent"]):
+            continue  # pending/aborted commit_pair half: invisible
         splits = doc.get("splits") or {}
         txn_ids = doc.get("txn_ids") or []
         out.append((
@@ -143,37 +159,19 @@ def _scan_log(path: str, after: int, upto: int | None = None) -> list[tuple]:
 
 
 class PublishLogBatchReader(DataSourceReader):
-    def __init__(self, path: str):
-        self.path = path
-        self.after = -1
-        self.upto: int | None = None
+    """``minVersion``/``maxVersion`` options narrow the FILENAME
+    window before any manifest body is opened — an audit query over a
+    long-lived table's recent commits parses exactly those commits.
+    Options rather than pushFilters: Spark 4.1 caches pushdown-planned
+    state on shared relations (see sources/pubcorpus.py), while
+    option-keyed windows are relation identity and can never leak
+    across queries."""
 
-    def pushFilters(self, filters):
-        """Version-range pushdown: ``version > / >= / < / <= / = n``
-        predicates narrow the filename window BEFORE any manifest body
-        is parsed — an audit query over a long-lived table's recent
-        commits opens exactly those commits.  Every filter is returned
-        for Spark to re-apply (advisory, like all our pruning)."""
-        for f in filters:
-            if getattr(f, "attribute", None) == ("version",) and isinstance(
-                getattr(f, "value", None), int
-            ):
-                v = f.value
-                if isinstance(f, GreaterThan):
-                    self.after = max(self.after, v)
-                elif isinstance(f, GreaterThanOrEqual):
-                    self.after = max(self.after, v - 1)
-                elif isinstance(f, LessThan):
-                    self.upto = v - 1 if self.upto is None \
-                        else min(self.upto, v - 1)
-                elif isinstance(f, LessThanOrEqual):
-                    self.upto = v if self.upto is None \
-                        else min(self.upto, v)
-                elif isinstance(f, EqualTo):
-                    self.after = max(self.after, v - 1)
-                    self.upto = v if self.upto is None \
-                        else min(self.upto, v)
-        return filters
+    def __init__(self, path: str, after: int = -1,
+                 upto: int | None = None):
+        self.path = path
+        self.after = after
+        self.upto = upto
 
     def read(self, partition):
         # the log is manifest-sized (KBs/version): one driver
@@ -207,7 +205,9 @@ class PublishLogStreamReader(SimpleDataSourceStreamReader):
 class PublishLogDataSource(DataSource):
     """``format("publog")`` — options: ``path`` (the publish root),
     ``startingVersion`` (stream only; default 0 = from the first
-    commit; pass the current version to tail only new commits)."""
+    commit; pass the current version to tail only new commits),
+    ``minVersion``/``maxVersion`` (batch only; filename-level window —
+    commit docs outside it are never parsed)."""
 
     @classmethod
     def name(cls) -> str:
@@ -226,7 +226,13 @@ class PublishLogDataSource(DataSource):
         return path
 
     def reader(self, schema) -> PublishLogBatchReader:
-        return PublishLogBatchReader(self._path())
+        mn = self.options.get("minversion")
+        mx = self.options.get("maxversion")
+        return PublishLogBatchReader(
+            self._path(),
+            after=int(mn) - 1 if mn is not None else -1,
+            upto=int(mx) if mx is not None else None,
+        )
 
     def simpleStreamReader(self, schema) -> PublishLogStreamReader:
         return PublishLogStreamReader(
@@ -235,11 +241,7 @@ class PublishLogDataSource(DataSource):
 
 
 def register_publog_source(spark) -> None:
-    """Idempotent ``spark.dataSource.register`` of ``publog``.  Also
-    enables Python-source filter pushdown (off by default in Spark
-    4.1): a reader implementing ``pushFilters`` is refused outright
-    without it."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Idempotent ``spark.dataSource.register`` of ``publog``."""
     spark.dataSource.register(PublishLogDataSource)
 
 

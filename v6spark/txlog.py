@@ -138,7 +138,10 @@ def read_version(
     """Payload of manifest ``version`` if present AND complete, else
     None — the time-travel primitive (a historical version is
     readable until :func:`vacuum_manifests`/``vacuum_versions``
-    retires it)."""
+    retires it).  A manifest carrying an ``intent`` pointer (one half
+    of a :func:`commit_pair`) is complete only once its intent MARKER
+    exists — until then (and forever, if the pair crashed) it is
+    invisible, exactly like a torn write."""
     fs, jdir, jvm = _jfs(spark, log_dir)
     path = jvm.org.apache.hadoop.fs.Path(
         jdir, f"{MANIFEST_PREFIX}{version:012d}"
@@ -150,7 +153,11 @@ def read_version(
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    return _decode(raw)
+    doc = _decode(raw)
+    if doc is not None and "intent" in doc:
+        if not intent_committed(spark, doc["intent"]):
+            return None
+    return doc
 
 
 def read_latest(
@@ -363,24 +370,168 @@ def commit_with_retry(
     already committed); the loop then returns the current committed
     state — no spurious duplicate manifest version.
     """
+    claim = 0
     for _ in range(max_retries):
         version, doc = read_latest(spark, log_dir)
+        # claim normally lands at latest+1; after a collision with a
+        # COMPLETE occupant it bumps past it — the occupant may be a
+        # committed version (re-read sees it; same number either way)
+        # or an INVISIBLE pending/aborted commit_pair half, which
+        # read_latest skips forever and would otherwise deadlock the
+        # log on its version number
+        claim = max(claim, version + 1)
         try:
             payload = update_fn(version, doc)
         except AbortCommit:
             return version, doc
         try:
             publish(
-                spark, log_dir, version + 1, payload,
+                spark, log_dir, claim, payload,
                 commit_mode=commit_mode,
             )
-            return version + 1, payload
+            return claim, payload
         except IOError:
+            claim += 1
             continue  # lost the race; re-read and retry
     raise IOError(
         f"commit_with_retry: lost {max_retries} consecutive races under "
         f"{log_dir} — pathological contention, coordinate writers"
     )
+
+
+INTENT_PREFIX = "intent-"
+
+#: positive cache: a committed intent marker is immutable, so one
+#: successful verification per process is enough
+_INTENT_OK: set[str] = set()
+
+
+def intent_committed(spark: SparkSession, intent_path: str) -> bool:
+    """Whether the MULTI-TABLE COMMIT MARKER for ``intent_path``
+    exists and is complete.  The marker file ``<intent>.committed`` is
+    the single commit point of a :func:`commit_pair`: manifests
+    referencing the intent are invisible until it lands (and forever,
+    if the coordinator crashed first)."""
+    if intent_path in _INTENT_OK:
+        return True
+    fs, jp, jvm = _jfs(spark, f"{intent_path}.committed")
+    if not fs.exists(jp):
+        return False
+    stream = fs.open(jp)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    if _decode(raw) is None:
+        return False  # torn marker write: the pair never committed
+    _INTENT_OK.add(intent_path)
+    return True
+
+
+def commit_pair(
+    spark: SparkSession,
+    parts: list,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+    _fail_between=None,
+    _fail_before_marker: bool = False,
+) -> list:
+    """ONE atomic commit spanning MULTIPLE txlogs (distinct tables) —
+    the mirror-window / data+metrics-pair primitive.  ``parts`` is
+    ``[(log_dir, update_fn), ...]`` with :func:`commit_with_retry`
+    semantics per log, over two or more DISTINCT log dirs.
+
+    Protocol (single-commit-point intent marker):
+
+    1. pick an intent name under the first log dir (nothing written);
+    2. commit each log's manifest normally, each carrying
+       ``{"intent": <name>}`` — these manifests are INVISIBLE to every
+       reader until the marker exists (:func:`read_version` treats an
+       unresolved intent like a torn write);
+    3. re-verify no other writer committed ABOVE any half (overtaken
+       pairs abort: completing them would let a successor manifest
+       silently drop this pair's changes);
+    4. write ``<intent>.committed`` (checksummed; a torn marker is an
+       abort) — THE commit point: both halves become visible together.
+
+    A crash anywhere before step 4 leaves every table at its
+    pre-pair version, permanently (abort semantics): the pending
+    manifests are version-number gaps that the next writers skip
+    (collision bump in :func:`commit_with_retry`) and
+    :func:`vacuum_manifests` eventually sweeps.  Concurrency caveat,
+    same class as the commit-lock notes above: a writer landing above
+    a half between step 3's check and step 4's marker write is a
+    documented race window — run pairs under the same external
+    coordination any cross-table scheduler already has.
+
+    Returns ``[(log_dir, committed_version), ...]``.
+    """
+    import uuid as _uuid
+
+    dirs = [d for d, _fn in parts]
+    if len(parts) < 2 or len(set(dirs)) != len(dirs):
+        raise ValueError(
+            "commit_pair spans MULTIPLE DISTINCT log dirs (same-table "
+            "multi-verb atomicity needs chained pending reads — compose "
+            "the verbs into one update_fn instead)"
+        )
+    intent = f"{dirs[0].rstrip('/')}/{INTENT_PREFIX}{_uuid.uuid4().hex}"
+    committed = []
+    for i, (log_dir, fn) in enumerate(parts):
+        def wrapped(version, doc, _fn=fn):
+            payload = _fn(version, doc)
+            return {**payload, "intent": intent}
+
+        v, _payload = commit_with_retry(
+            spark, log_dir, wrapped, commit_mode=commit_mode,
+            max_retries=max_retries,
+        )
+        committed.append((log_dir, v))
+        if _fail_between is not None and i == _fail_between:
+            raise RuntimeError(
+                f"injected crash after pair half {i} committed (pending)"
+            )
+    seal_pair(
+        spark, intent, committed, _fail_before_marker=_fail_before_marker
+    )
+    return committed
+
+
+def seal_pair(
+    spark: SparkSession,
+    intent: str,
+    committed: list,
+    _fail_before_marker: bool = False,
+) -> None:
+    """Steps 3+4 of the :func:`commit_pair` protocol for callers that
+    committed their pending halves through other machinery (the
+    pipeline's DML verbs): overtake re-check, then the atomic
+    ``<intent>.committed`` marker — THE commit point."""
+    for log_dir, v in committed:
+        newest = max(list_versions(spark, log_dir), default=0)
+        if newest > v:
+            raise IOError(
+                f"commit_pair overtaken under {log_dir} (version {newest} "
+                f"> our pending {v}): pair aborted, both tables remain at "
+                "their pre-pair versions — retry the pair"
+            )
+    if _fail_before_marker:
+        raise RuntimeError("injected crash before the intent marker")
+    data = _encode(0, {"intent": intent, "logs": committed})
+    fs, jp, jvm = _jfs(spark, f"{intent}.committed")
+    out = fs.create(jp, False)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+    stream = fs.open(jp)
+    try:
+        readback = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    if readback != data:
+        raise IOError(f"intent marker {intent} failed read-back verify")
+    _INTENT_OK.add(intent)
 
 
 LEASE_PREFIX = "lease-"
@@ -728,7 +879,7 @@ def vacuum_manifests(
     import time as _time
 
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
-    fs, jdir, _jvm = _jfs(spark, log_dir)
+    fs, jdir, jvm = _jfs(spark, log_dir)
     removed = 0
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
@@ -736,6 +887,32 @@ def vacuum_manifests(
             continue  # inside the grace window: possibly in flight
         if name.startswith(f".{MANIFEST_PREFIX}") and name.endswith(".tmp"):
             # orphaned tmp of a crashed rename-mode attempt
+            fs.delete(st.getPath(), False)
+            removed += 1
+            continue
+        if name.startswith(INTENT_PREFIX):
+            # a COMMITTED pair marker may be referenced by manifests
+            # in OTHER tables' logs (the marker lists them): it may be
+            # deleted only once EVERY listed half is itself gone —
+            # deleting a still-referenced marker would make that
+            # table's manifest invisible.  The reference check is
+            # deliberately circular (read_version consults the
+            # marker): while a half survives, the marker survives.
+            if name.endswith(".committed"):
+                stream = fs.open(st.getPath())
+                try:
+                    raw = bytes(
+                        jvm.org.apache.commons.io.IOUtils
+                        .toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                mdoc = _decode(raw)
+                if mdoc is not None and any(
+                    read_version(spark, ld, v) is not None
+                    for ld, v in (mdoc.get("logs") or [])
+                ):
+                    continue  # a half still lives: keep the marker
             fs.delete(st.getPath(), False)
             removed += 1
             continue
