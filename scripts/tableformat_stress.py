@@ -174,6 +174,43 @@ def run_scale(spark, n_base: int) -> dict:
         assert zc_hit < zc_total
         assert read_published_corpus(spark, root).count() == live
 
+        # 6b. the SQL front door reads the SAME bytes: pubcorpus frame
+        # content-hash-identical to read_published_corpus on the
+        # post-ZORDER state, and the where option opens the same files
+        from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+        register_pubcorpus_source(spark)
+
+        def _sig(df):
+            cols = sorted(c for c in df.columns if c != "shard")
+            # xor-fold: order-insensitive and overflow-free (a SUM of
+            # 64-bit hashes trips ANSI overflow)
+            return df.select(
+                F.expr(
+                    "bit_xor(xxhash64("
+                    + ", ".join(f"`{c}`" for c in cols)
+                    + "))"
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        with step("pubcorpus_full_read"):
+            src_sig = _sig(spark.read.format("pubcorpus").load(root))
+        ref_sig = _sig(read_published_corpus(spark, root))
+        assert (src_sig["h"], src_sig["n"]) == (ref_sig["h"], ref_sig["n"])
+        obs = os.path.join(tmp, "obs.json")
+        with step("pubcorpus_where_read"):
+            n_src_where = (
+                spark.read.format("pubcorpus")
+                .option("where", pred)
+                .option("_scanObserverPath", obs)
+                .load(root).count()
+            )
+        assert n_src_where == 2 * n_delta
+        with open(obs) as fh:
+            src_files = sum(len(v) for v in json.load(fh).values())
+        assert src_files == zc_hit, (src_files, zc_hit)
+
         # 7. vacuum: tagged v1 survives, reads back exact
         with step("vacuum"):
             vacuum_published_files(spark, root, keep_last=1)
@@ -183,6 +220,11 @@ def run_scale(spark, n_base: int) -> dict:
         assert r0["text"].startswith("v1 body 0 ")
         cur = read_published_corpus(spark, root).count()
         assert cur == live
+        tag_sig = _sig(
+            spark.read.format("pubcorpus").option("tag", "baseline")
+            .load(root)
+        )
+        assert tag_sig["n"] == n_base
 
         return {
             "rows_base": n_base,
@@ -190,6 +232,8 @@ def run_scale(spark, n_base: int) -> dict:
             "live_rows_final": live,
             "skipping_files": f"{files_hit}/{files_all}",
             "zorder_files": f"{zc_hit}/{zc_total}",
+            "pubcorpus_hash_identical": True,
+            "pubcorpus_where_files": f"{src_files}/{zc_total}",
             "absent_lookup_files_opened": absent_files,
             "walls_s": walls,
             "all_counts_exact": True,
@@ -241,7 +285,12 @@ def main():
             "corpus.  scale_1x_manifest_offloaded reruns the whole "
             "lifecycle with _MANIFEST_INLINE_MAX=0 (every manifest "
             "offloaded to its parquet sidecar): closed-form counts and "
-            "skipping selectivity asserted equal to inline mode."
+            "skipping selectivity asserted equal to inline mode.  r7: "
+            "the pubcorpus DataSource reads the post-ZORDER state "
+            "content-hash-identical to read_published_corpus, its "
+            "where option opens exactly the files read_published_where "
+            "opens (pubcorpus_where_files), and the tagged v1 reads "
+            "back through option('tag') after the vacuum."
         ),
     }
     with open(OUT, "w") as f:

@@ -184,6 +184,49 @@ def test_vacuum_sweeps_aborted_pairs_and_keeps_live_markers(
     assert [n for n in names2 if n.endswith(".committed")] == []
 
 
+def test_overtaken_pair_aborts_and_concurrent_write_survives(
+    spark, tmp_path
+):
+    """A writer landing on a participant table between the pair's
+    halves makes the pair ABORT at the overtake re-check: the racing
+    write survives, NEITHER pair half ever becomes visible, and the
+    pair is cleanly retryable."""
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+
+    def racing_writer():
+        # lands on table a AFTER the pair's a-half committed pending:
+        # reads latest = v1 (the pending half is invisible), collides
+        # with the pending version number, bumps past it, commits
+        # visibly ABOVE the pair's half
+        upsert_into_published(
+            spark, a,
+            spark.createDataFrame(
+                [(9, "racer", None)],
+                "doc_id long, text string, split string",
+            ),
+        )
+
+    with pytest.raises(IOError, match="overtaken"):
+        atomic_published_pair(spark, [
+            (a, _upsert_spec(spark, 3, "pair a")),
+            (b, _upsert_spec(spark, 4, "pair b")),
+        ], _between_hook=racing_writer)
+    rows_a = _state(spark, a)[1]
+    rows_b = _state(spark, b)[1]
+    assert all(t != "pair a" for _d, t in rows_a)
+    assert all(t != "pair b" for _d, t in rows_b)
+    assert (9, "racer") in rows_a  # the racing write is untouched
+    # the retry lands atomically on the fresh state
+    atomic_published_pair(spark, [
+        (a, _upsert_spec(spark, 3, "pair a")),
+        (b, _upsert_spec(spark, 4, "pair b")),
+    ])
+    assert (3, "pair a") in _state(spark, a)[1]
+    assert (4, "pair b") in _state(spark, b)[1]
+    assert (9, "racer") in _state(spark, a)[1]
+
+
 def test_pair_validates_distinct_roots(spark, tmp_path):
     a = _mk(spark, tmp_path, "a", n=5)
     with pytest.raises(ValueError, match="DISTINCT"):

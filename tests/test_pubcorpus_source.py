@@ -185,6 +185,79 @@ def test_shared_frame_reuse_is_safe(spark, tmp_path):
     ).collect()[0]["c"] == 30
 
 
+def test_keys_option_matches_point_lookups(spark, tmp_path):
+    """option("keys", json) = read_published_keys through spark.read:
+    same rows AND same files opened (shard pruning via the pure-Python
+    Spark-exact xxhash64 + key-range stats)."""
+    from v6spark.pipeline import read_published_keys
+
+    root = _publish(spark, tmp_path, n=80, n_shards=8)
+    want = [7, 33, 61]
+    ref_seen: dict = {}
+    ref = read_published_keys(
+        spark, root, want,
+        _scan_observer=lambda s, fl: ref_seen.setdefault(s, list(fl)),
+    )
+    obs = str(tmp_path / "obs_keys.json")
+    got = _src(spark, root, keys=json.dumps(want), _scanObserverPath=obs)
+    assert sorted(r["doc_id"] for r in got.collect()) == want
+    # same content as the python point-lookup reader
+    ref_rows = sorted(
+        (r["doc_id"], r["text"], r["split"]) for r in ref.collect()
+    )
+    got_rows = sorted(
+        (r["doc_id"], r["text"], r["split"]) for r in got.collect()
+    )
+    assert got_rows == ref_rows
+    src_seen = json.load(open(obs))
+    assert {s: sorted(f) for s, f in src_seen.items() if f} == {
+        s: sorted(f) for s, f in ref_seen.items() if f
+    }
+
+
+def test_keys_option_with_bloom_and_absent_keys(spark, tmp_path):
+    """A bloom-indexed publish: an absent key opens (near) zero files
+    through the SQL front door too."""
+    docs = spark.range(200).selectExpr(
+        "id as doc_id", "concat('b ', id) as text"
+    )
+    prepared = spark.range(200).selectExpr(
+        "id as doc_id", "'train' as split"
+    )
+    root = str(tmp_path / "bloomed")
+    publish_corpus_committed(
+        prepared, docs, root, n_shards=8, key_bloom=True
+    )
+    obs = str(tmp_path / "obs_absent.json")
+    got = _src(
+        spark, root, keys="[999999]", _scanObserverPath=obs
+    )
+    assert got.count() == 0
+    opened = sum(len(f) for f in json.load(open(obs)).values())
+    assert opened <= 1  # bloom: definitely-absent keys open ~nothing
+    # present key still found
+    got2 = _src(spark, root, keys="[42]")
+    assert [r["doc_id"] for r in got2.collect()] == [42]
+
+
+def test_keys_option_int_typed_column_and_where_compose(spark, tmp_path):
+    """int (not bigint) key column: the pure-Python hash must use the
+    int lane; keys AND where compose conjunctively."""
+    docs = spark.range(100).selectExpr(
+        "cast(id as int) as doc_id", "concat('z ', id) as text",
+        "cast(id % 4 as long) as day",
+    )
+    prepared = spark.range(100).selectExpr(
+        "cast(id as int) as doc_id", "'train' as split"
+    )
+    root = str(tmp_path / "intkeys")
+    publish_corpus_committed(prepared, docs, root, n_shards=8)
+    got = _src(spark, root, keys="[5, 50, 77]")
+    assert sorted(r["doc_id"] for r in got.collect()) == [5, 50, 77]
+    both = _src(spark, root, keys="[5, 50, 77]", where="day = 1")
+    assert sorted(r["doc_id"] for r in both.collect()) == [5, 77]
+
+
 def test_where_option_rejects_unparsable(spark, tmp_path):
     root = _publish(spark, tmp_path, n=10)
     with pytest.raises(Exception, match="prunable predicate grammar"):

@@ -3345,6 +3345,7 @@ def atomic_published_pair(
     commit_mode: str = "rename",
     _fail_between: int | None = None,
     _fail_before_marker: bool = False,
+    _between_hook=None,
 ) -> list[dict]:
     """ONE atomic commit spanning MULTIPLE published tables — the
     data+metrics-pair / mirror-window primitive (txlog
@@ -3416,6 +3417,8 @@ def atomic_published_pair(
             raise RuntimeError(
                 f"injected crash after pair half {i} committed (pending)"
             )
+        if _between_hook is not None and i == 0:
+            _between_hook()  # race-test injection: a concurrent writer
     txlog.seal_pair(
         spark, intent, committed, _fail_before_marker=_fail_before_marker
     )

@@ -269,7 +269,8 @@ def _shard_of(rel: str) -> str | None:
 
 class PublishedCorpusReader(DataSourceReader):
     def __init__(self, root: str, doc: dict, spark_schema, split_opt,
-                 where: str | None, observer_path: str | None):
+                 where: str | None, keys_json: str | None,
+                 observer_path: str | None):
         from v6spark.operators.pruning import parse_disjuncts_strict
 
         self.root = root
@@ -298,17 +299,152 @@ class PublishedCorpusReader(DataSourceReader):
         self._file_stats = _doc_file_stats(None, root, doc)
         self._key_col = doc.get("key_col")
         self._dv = _dv_positions(root, doc)
+        self._keys = None
+        self._keys_by_shard: dict[int, list] = {}
+        self._kb = None
+        if keys_json is not None:
+            if self._key_col is None:
+                raise ValueError(
+                    "keys option needs a manifest-recorded key_col "
+                    "(pre-stats publish) — use the where option instead"
+                )
+            try:
+                raw = json.loads(keys_json)
+                assert isinstance(raw, list) and raw
+            except (ValueError, AssertionError):
+                raise ValueError(
+                    'keys must be a non-empty JSON array, e.g. '
+                    'option("keys", "[1, 2, 3]")'
+                ) from None
+            from v6spark.operators.xxh64 import shard_of
+
+            ktype = dict(doc.get("schema") or {}).get(self._key_col)
+            cast = (
+                str if ktype == "string"
+                else int if ktype in ("tinyint", "smallint", "int",
+                                      "bigint")
+                else None
+            )
+            if cast is None:
+                raise ValueError(
+                    f"keys option supports int/string key columns; "
+                    f"{self._key_col!r} is {ktype!r}"
+                )
+            self._keys = sorted({cast(k) for k in raw})
+            ns = doc.get("n_shards") or 32
+            sd = doc.get("seed") or 0
+            for k in self._keys:
+                sh = shard_of(k, ktype, ns, seed=sd)
+                self._keys_by_shard.setdefault(sh, []).append(k)
+            self._kb = doc.get("key_bloom")
+            # fold the IN-restriction into the row filter: AND it onto
+            # every where-disjunct (distributing over the OR)
+            in_conj = (self._key_col, "in", list(self._keys))
+            self.groups = (
+                [g + [in_conj] for g in self.groups]
+                if self.groups else [[in_conj]]
+            )
+
+    def _bloom_map(self, candidates: list) -> dict:
+        """{rel: (bloom bytes, m_bits)} for candidate files, from the
+        manifest-referenced sidecar tables (pyarrow; a vacuumed table
+        is skipped — files without an entry must scan)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, tuple] = {}
+        if not self._kb or not candidates:
+            return out
+        fs, local = _fs_for(self.root)
+        for t in self._kb.get("tables") or []:
+            pre = t.get("file_prefix", "")
+            wanted = {
+                rel[len(pre):] for rel in candidates
+                if rel.startswith(pre)
+            }
+            if not wanted:
+                continue
+            try:
+                tab = pq.read_table(
+                    f"{local}/{t['path']}", filesystem=fs
+                )
+            except Exception:
+                continue  # vacuumed sidecar: those files must scan
+            cols = tab.column_names
+            for i in range(tab.num_rows):
+                f = tab.column("file")[i].as_py()
+                if f in wanted:
+                    m = (
+                        tab.column("m_bits")[i].as_py()
+                        if "m_bits" in cols else t["m_bits"]
+                    )
+                    out[pre + f] = (
+                        tab.column("bloom")[i].as_py(), m or t["m_bits"]
+                    )
+        return out
+
+    def _key_candidates(self, s: str, rels: list) -> list:
+        """Shard + key-range manifest pruning for the keys option —
+        the same decisions read_published_keys makes."""
+        import bisect
+
+        touched = set(self._keys_by_shard)
+        ks = self._file_stats.get(s) or {}
+        kept = []
+        for rel in rels:
+            sh = _shard_of(rel)
+            shard = int(sh) if sh is not None and sh.isdigit() else None
+            if shard not in touched:
+                continue
+            st = ks.get(rel)
+            if st is not None:
+                lo, hi = st[0], st[1]
+                kl = self._keys_by_shard.get(shard, [])
+                i = bisect.bisect_left(kl, lo)
+                if not (i < len(kl) and kl[i] <= hi):
+                    continue
+            kept.append(rel)
+        return kept
 
     def partitions(self):
         from v6spark.operators.pruning import file_can_match_any
 
         parts = []
         kept_log: dict[str, list] = {}
+        bloom_cache: dict | None = None
+        if self._keys is not None:
+            all_cand = [
+                rel
+                for s in sorted(self._files)
+                for rel in self._key_candidates(s, self._files[s])
+            ]
+            bloom_cache = self._bloom_map(all_cand)
         for s in sorted(self._files):
             cs = self._col_stats.get(s) or {}
             ks = self._file_stats.get(s) or {}
+            rels = self._files[s]
+            if self._keys is not None:
+                rels = self._key_candidates(s, rels)
+                if bloom_cache:
+                    from v6spark.operators.keybloom import (
+                        K_HASHES,
+                        might_contain,
+                    )
+
+                    khash = (self._kb or {}).get("k", K_HASHES)
+                    rels = [
+                        rel for rel in rels
+                        if (ent := bloom_cache.get(rel)) is None
+                        or any(
+                            might_contain(
+                                bytes(ent[0]), key, ent[1], khash
+                            )
+                            for key in self._keys_by_shard.get(
+                                int(_shard_of(rel) or -1), []
+                            )
+                        )
+                    ]
             kept = []
-            for rel in self._files[s]:
+            for rel in rels:
                 stats = dict(cs.get(rel) or {})
                 if self._key_col and self._key_col not in stats \
                         and rel in ks:
@@ -398,6 +534,12 @@ class PublishedCorpusDataSource(DataSource):
     - ``version`` / ``tag`` / ``branch``: time travel (mutually
       exclusive the same way the Python readers enforce);
     - ``split``: restrict to one split (the column still rides);
+    - ``keys``: a JSON array of key values — POINT LOOKUPS through
+      SQL: shard-directory pruning via a Spark-exact pure-Python
+      xxhash64 (:mod:`v6spark.operators.xxh64`), per-file key-range
+      stats, and the per-file Bloom sidecars, i.e.
+      ``read_published_keys`` semantics (rows restricted to the
+      keys); composes with ``where`` (AND);
     - ``where``: a SQL predicate in the prunable grammar
       (comparisons, IN, BETWEEN, LIKE 'prefix%', IS [NOT] NULL,
       AND/OR over the published columns + split) — prunes FILES from
@@ -476,6 +618,7 @@ class PublishedCorpusDataSource(DataSource):
             schema,
             self.options.get("split"),
             self.options.get("where"),
+            self.options.get("keys"),
             self.options.get("_scanobserverpath")
             or self.options.get("_scanObserverPath"),
         )
