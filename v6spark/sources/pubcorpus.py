@@ -254,10 +254,11 @@ def _group_mask(batch_cols: dict, groups, n: int):
 
 @dataclass
 class CorpusPartition(InputPartition):
-    rel: str | None       # publish-root-relative data file (None = empty)
-    split: str
-    shard: str | None     # directory-recovered shard=N partition value
-    dv: tuple             # sorted deleted positions within the file
+    #: (rel_path, split, shard, dv_positions) per file — one partition
+    #: covers ~maxBytesPerPartition of data (Spark's maxPartitionBytes
+    #: idea), so a 480-small-file publish doesn't pay 480 Python task
+    #: setups while a 100 TB table still fans out by bytes
+    files: tuple
 
 
 def _shard_of(rel: str) -> str | None:
@@ -270,13 +271,15 @@ def _shard_of(rel: str) -> str | None:
 class PublishedCorpusReader(DataSourceReader):
     def __init__(self, root: str, doc: dict, spark_schema, split_opt,
                  where: str | None, keys_json: str | None,
-                 observer_path: str | None):
+                 observer_path: str | None,
+                 max_partition_bytes: int = 128 * 1024 * 1024):
         from v6spark.operators.pruning import parse_disjuncts_strict
 
         self.root = root
         self.spark_schema = spark_schema
         self.split_opt = split_opt
         self.observer_path = observer_path
+        self.max_partition_bytes = max_partition_bytes
         if where is not None:
             self.groups = parse_disjuncts_strict(where)
             if self.groups is None:
@@ -453,25 +456,48 @@ class PublishedCorpusReader(DataSourceReader):
                 if file_can_match_any(self.groups, stats):
                     kept.append(rel)
             kept_log[s] = kept
-            for rel in kept:
-                parts.append(CorpusPartition(
-                    rel=rel, split=s, shard=_shard_of(rel),
-                    dv=tuple(self._dv.get((s, rel), ())),
-                ))
+            entries = [
+                (rel, s, _shard_of(rel),
+                 tuple(self._dv.get((s, rel), ())))
+                for rel in kept
+            ]
+            parts.extend(self._bin_by_bytes(entries))
         if self.observer_path:
             with open(self.observer_path, "w") as f:
                 json.dump(kept_log, f)
         if not parts:
             # one empty marker partition: a fully pruned read still
             # returns a typed empty frame
-            parts.append(
-                CorpusPartition(rel=None, split="", shard=None, dv=())
-            )
+            parts.append(CorpusPartition(files=()))
         return parts
 
+    def _bin_by_bytes(self, entries: list) -> list:
+        """First-fit file groups of ~max_partition_bytes each (sizes
+        from ONE batched filesystem stat call): a publish of many
+        small files reads in few Python tasks, a 100 TB table still
+        fans out one task per large file — Spark's maxPartitionBytes
+        posture for the Python scan path."""
+        if not entries:
+            return []
+        fs, local = _fs_for(self.root)
+        infos = fs.get_file_info(
+            [f"{local}/{rel}" for rel, _s, _sh, _dv in entries]
+        )
+        bins: list[list] = []
+        bin_bytes = 0
+        cur: list = []
+        for ent, info in zip(entries, infos):
+            size = info.size or 0
+            if cur and bin_bytes + size > self.max_partition_bytes:
+                bins.append(cur)
+                cur, bin_bytes = [], 0
+            cur.append(ent)
+            bin_bytes += size
+        if cur:
+            bins.append(cur)
+        return [CorpusPartition(files=tuple(b)) for b in bins]
+
     def read(self, part: CorpusPartition):
-        if part.rel is None:
-            return
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -479,52 +505,53 @@ class PublishedCorpusReader(DataSourceReader):
 
         target = to_arrow_schema(self.spark_schema)
         fs, local = _fs_for(self.root)
-        pf = pq.ParquetFile(fs.open_input_file(f"{local}/{part.rel}"))
-        dv = np.asarray(part.dv, dtype=np.int64)
-        offset = 0
-        for batch in pf.iter_batches():
-            n = batch.num_rows
-            if dv.size:
-                # position = row ordinal within the file (the same
-                # address _metadata.row_index gives the JVM readers)
-                mask = ~np.isin(np.arange(offset, offset + n), dv)
-                offset += n
-                if not mask.all():
-                    batch = batch.filter(pa.array(mask))
-                    n = batch.num_rows
-            else:
-                offset += n
-            arrays = []
-            names = set(batch.schema.names)
-            for field in target:
-                if field.name == "split":
-                    arrays.append(
-                        pa.array([part.split] * n).cast(field.type)
-                    )
-                elif field.name == "shard" and "shard" not in names:
-                    # the directory-recovered partition value, matching
-                    # read_published_corpus's basePath recovery
-                    arrays.append(
-                        pa.array([part.shard] * n).cast(field.type)
-                    )
-                elif field.name in names:
-                    arrays.append(
-                        batch.column(field.name).cast(field.type)
-                    )
+        for rel, split, shard, dv_tuple in part.files:
+            pf = pq.ParquetFile(fs.open_input_file(f"{local}/{rel}"))
+            dv = np.asarray(dv_tuple, dtype=np.int64)
+            offset = 0
+            for batch in pf.iter_batches():
+                n = batch.num_rows
+                if dv.size:
+                    # position = row ordinal within the file (the same
+                    # address _metadata.row_index gives JVM readers)
+                    mask = ~np.isin(np.arange(offset, offset + n), dv)
+                    offset += n
+                    if not mask.all():
+                        batch = batch.filter(pa.array(mask))
+                        n = batch.num_rows
                 else:
-                    # pre-evolution file: the added column reads as
-                    # typed NULLs, zero bytes rewritten
-                    arrays.append(pa.nulls(n, field.type))
-            out = pa.RecordBatch.from_arrays(arrays, schema=target)
-            if self.groups:
-                # the where option filters ROWS exactly (the same
-                # predicate that pruned files), SQL NULL semantics
-                cols = {f.name: out.column(i)
-                        for i, f in enumerate(target)}
-                mask = _group_mask(cols, self.groups, n)
-                if not mask.all():
-                    out = out.filter(pa.array(mask))
-            yield out
+                    offset += n
+                arrays = []
+                names = set(batch.schema.names)
+                for field in target:
+                    if field.name == "split":
+                        arrays.append(
+                            pa.array([split] * n).cast(field.type)
+                        )
+                    elif field.name == "shard" and "shard" not in names:
+                        # directory-recovered partition value, matching
+                        # read_published_corpus's basePath recovery
+                        arrays.append(
+                            pa.array([shard] * n).cast(field.type)
+                        )
+                    elif field.name in names:
+                        arrays.append(
+                            batch.column(field.name).cast(field.type)
+                        )
+                    else:
+                        # pre-evolution file: the added column reads
+                        # as typed NULLs, zero bytes rewritten
+                        arrays.append(pa.nulls(n, field.type))
+                out = pa.RecordBatch.from_arrays(arrays, schema=target)
+                if self.groups:
+                    # the where option filters ROWS exactly (the same
+                    # predicate that pruned files), SQL NULL semantics
+                    cols = {f.name: out.column(i)
+                            for i, f in enumerate(target)}
+                    mask = _group_mask(cols, self.groups, n)
+                    if not mask.all():
+                        out = out.filter(pa.array(mask))
+                yield out
 
 
 class PublishedCorpusDataSource(DataSource):
@@ -548,6 +575,9 @@ class PublishedCorpusDataSource(DataSource):
       an OPTION rather than pushFilters because Spark 4.1 caches
       pushdown-planned partitions on shared relations (see the module
       section above) — options are relation identity, always safe;
+    - ``maxBytesPerPartition`` (default 128 MB): surviving files
+      group into read tasks of about this size — many small files
+      share one Python task, large files fan out;
     - ``_scanObserverPath``: test hook — planning writes the
       {split: [files kept]} decision as JSON to this local path.
     """
@@ -621,6 +651,11 @@ class PublishedCorpusDataSource(DataSource):
             self.options.get("keys"),
             self.options.get("_scanobserverpath")
             or self.options.get("_scanObserverPath"),
+            max_partition_bytes=int(self.options.get(
+                "maxbytesperpartition",
+                self.options.get("maxBytesPerPartition",
+                                 128 * 1024 * 1024),
+            )),
         )
 
 
