@@ -227,6 +227,51 @@ def test_overtaken_pair_aborts_and_concurrent_write_survives(
     assert (9, "racer") in _state(spark, a)[1]
 
 
+def test_pair_half_on_a_branch_records_the_branch_log(spark, tmp_path):
+    """A branch-targeted half commits to the BRANCH chain; the intent
+    marker must list that chain (recording main instead would either
+    spuriously abort at seal time or let a later vacuum delete the
+    marker while the branch manifest still references it — losing the
+    branch head in any fresh process)."""
+    from v6spark.pipeline import create_published_branch
+
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    create_published_branch(spark, a, "exp")
+    # advance MAIN strictly past the branch's next version (branch
+    # will commit at v2) so a main-recorded overtake check would
+    # spuriously abort, and a main-recorded marker reference would
+    # retire before the branch manifest does
+    for i, t in ((15, "main adv"), (16, "main adv2")):
+        upsert_into_published(
+            spark, a,
+            spark.createDataFrame(
+                [(i, t, None)],
+                "doc_id long, text string, split string",
+            ),
+        )
+    res = atomic_published_pair(spark, [
+        (a, {**_upsert_spec(spark, 3, "branch rev"), "branch": "exp"}),
+        (b, _upsert_spec(spark, 4, "b rev")),
+    ])
+    assert len(res) == 2
+    br = read_published_corpus(spark, a, branch="exp")
+    assert br.filter("text = 'branch rev'").count() == 1
+    # main untouched by the branch half
+    assert read_published_corpus(spark, a).filter(
+        "text = 'branch rev'"
+    ).count() == 0
+    # vacuum both tables; the marker must survive (the BRANCH manifest
+    # references it) and the branch head must stay visible to a fresh
+    # process
+    vacuum_published_files(spark, a, keep_last=1)
+    vacuum_published_files(spark, b, keep_last=1)
+    txlog._INTENT_OK.clear()
+    br2 = read_published_corpus(spark, a, branch="exp")
+    assert br2 is not None
+    assert br2.filter("text = 'branch rev'").count() == 1
+
+
 def test_pair_validates_distinct_roots(spark, tmp_path):
     a = _mk(spark, tmp_path, "a", n=5)
     with pytest.raises(ValueError, match="DISTINCT"):

@@ -258,6 +258,19 @@ def test_keys_option_int_typed_column_and_where_compose(spark, tmp_path):
     assert sorted(r["doc_id"] for r in both.collect()) == [5, 77]
 
 
+def test_where_option_coerces_literals_like_spark(spark, tmp_path):
+    """A quoted number on a bigint column evaluates through implicit
+    casts in Spark; the pyarrow row filter must coerce the same way
+    instead of crashing the scan."""
+    root = _publish(spark, tmp_path, n=40)
+    got = _src(spark, root, where="day = '3'")
+    ref = read_published_where(spark, root, "day = '3'")
+    assert _rows(got) == _rows(ref)
+    assert got.count() > 0
+    with pytest.raises(Exception, match="not castable"):
+        _src(spark, root, where="day = 'abc'").collect()
+
+
 def test_where_option_rejects_unparsable(spark, tmp_path):
     root = _publish(spark, tmp_path, n=10)
     with pytest.raises(Exception, match="prunable predicate grammar"):

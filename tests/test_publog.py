@@ -197,6 +197,64 @@ def test_version_window_skips_manifest_parses(spark, tmp_path):
     assert full == 6
 
 
+def test_changes_window_with_gap_predecessor_still_diffs(spark, tmp_path):
+    """A permanent version GAP right below the window (an aborted
+    commit_pair half) must NOT flip an already-consuming stream to the
+    snapshot path — the diff runs from the nearest retained version
+    below, so the window's DELETIONS are applied (snapshot-as-inserts
+    would silently drop them)."""
+    import pytest
+
+    from v6spark.pipeline import atomic_published_pair
+
+    root = _publish(spark, tmp_path, n=10)   # v1
+    seen: list = []
+
+    def handle(df, batch_id):
+        seen.append(None if df is None else df.collect())
+
+    ckpt = str(tmp_path / "ckpt_gap")
+
+    def run_once():
+        q = (
+            stream_published_log(spark, root)
+            .writeStream.foreachBatch(changes_foreach_batch(root, handle))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # bootstrap at v1
+    seen.clear()
+
+    # make v2 a PERMANENT GAP: an aborted pair half on this table
+    other = str(tmp_path / "other")
+    docs = spark.range(3).selectExpr(
+        "id as doc_id", "concat('o ', id) as text"
+    )
+    prepared = spark.range(3).selectExpr("id as doc_id", "'train' as split")
+    publish_corpus_committed(prepared, docs, other, n_shards=2)
+    with pytest.raises(RuntimeError):
+        atomic_published_pair(spark, [
+            (root, {
+                "op": "upsert",
+                "updates": spark.createDataFrame(
+                    [(1, "ghost", None)],
+                    "doc_id long, text string, split string",
+                ),
+            }),
+            (other, {"op": "retract", "predicate": "doc_id = 0"}),
+        ], _fail_before_marker=True)
+
+    retract_from_published(spark, root, "doc_id = 4")  # commits ABOVE gap
+    run_once()
+    assert len(seen) == 1 and seen[0] is not None
+    types = [r["_change_type"] for r in seen[0]]
+    assert types == ["delete"]  # a DIFF window, not a snapshot
+    assert seen[0][0]["doc_id"] == 4
+
+
 def test_changes_cold_start_after_retention(spark, tmp_path):
     """A stream starting at version 0 against a table whose early
     versions already fell out of retention must take the SNAPSHOT

@@ -182,19 +182,45 @@ def test_mirror_escapes_quoted_string_keys(spark, tmp_path):
     assert read_published_corpus(spark, dst).count() == 5
 
 
-def test_sql_key_literal_rejects_unsafe():
+def test_sql_key_literal_escaping_modes():
     import pytest
 
     from v6spark.streaming.replication import _sql_key_literal
 
     assert _sql_key_literal(7) == "7"
     assert _sql_key_literal("a'b") == "'a''b'"
+    # backslashes escape per the session's parser mode — no key is a
+    # poison pill that wedges the mirror stream
+    assert _sql_key_literal("a\\b") == "'a\\\\b'"
+    assert _sql_key_literal("a\\b", escaped_literals=True) == "'a\\b'"
     with pytest.raises(TypeError):
         _sql_key_literal(1.5)
     with pytest.raises(TypeError):
         _sql_key_literal(True)
-    with pytest.raises(ValueError):
-        _sql_key_literal("back\\slash")
+
+
+def test_mirror_handles_backslash_keys(spark, tmp_path):
+    keys = ["p\\q-1", "p\\q-2", "plain-3"]
+    docs = spark.createDataFrame(
+        [(k, f"body {k}") for k in keys], "doc_id string, text string"
+    )
+    prepared = spark.createDataFrame(
+        [(k, "train") for k in keys], "doc_id string, split string"
+    )
+    src = str(tmp_path / "src")
+    publish_corpus_committed(prepared, docs, src, n_shards=2)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, dst, ckpt)
+    retract_from_published(
+        spark, src, "doc_id = 'p\\\\q-1'"
+        if spark.conf.get(
+            "spark.sql.parser.escapedStringLiterals", "false"
+        ) == "false" else "doc_id = 'p\\q-1'"
+    )
+    _run(spark, src, dst, ckpt)
+    assert _content(spark, dst) == _content(spark, src)
+    assert read_published_corpus(spark, dst).count() == 2
 
 
 def test_bootstrap_replay_does_not_burn_a_version(spark, tmp_path):

@@ -74,6 +74,39 @@ def test_vacuum_vs_concurrent_dml_keeps_every_referenced_byte(
     assert 1 not in rows
 
 
+def test_vacuum_vs_concurrent_branch_dml_keeps_referenced_bytes(
+    spark, tmp_path
+):
+    """The OCC re-check must also re-list BRANCH logs: a branch DML
+    committing mid-vacuum writes files into the shared root that the
+    pre-scan never saw."""
+    from v6spark.pipeline import create_published_branch
+
+    root = _publish(spark, tmp_path)
+    create_published_branch(spark, root, "exp")
+    retract_from_published(spark, root, "doc_id = 1")  # main v2
+
+    def racing_branch_dml():
+        upsert_into_published(
+            spark, root,
+            spark.createDataFrame(
+                [(2, "branch rev", None), (3002, "branch new", "train")],
+                "doc_id long, text string, split string",
+            ),
+            branch="exp",
+        )
+
+    vacuum_published_files(
+        spark, root, keep_last=1, _pause_before_sweep=racing_branch_dml
+    )
+    from v6spark.pipeline import read_published_corpus
+
+    br = read_published_corpus(spark, root, branch="exp")
+    rows = {r["doc_id"]: r["text"] for r in br.collect()}
+    assert rows[2] == "branch rev" and rows[3002] == "branch new"
+    assert len(rows) == 41  # branch seeded at v1 (40 docs) + 1 insert
+
+
 def test_vacuum_honors_lease_acquired_during_prescan(
     spark, tmp_path, monkeypatch
 ):

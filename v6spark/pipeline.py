@@ -3412,7 +3412,12 @@ def atomic_published_pair(
                 "aborted (nothing became visible)"
             )
         results.append(res)
-        committed.append((f"{path}/{_COMMITS}", res["_version"]))
+        # the half's ACTUAL log: a branch-targeted verb commits to the
+        # branch chain, and the marker's `logs` list + seal_pair's
+        # overtake check must reference that chain, not main's
+        committed.append(
+            (_log_dir(path, spec.get("branch")), res["_version"])
+        )
         if _fail_between is not None and i == _fail_between:
             raise RuntimeError(
                 f"injected crash after pair half {i} committed (pending)"
@@ -3513,10 +3518,18 @@ def vacuum_published_files(
     # pre-scan ran references files the snapshot has never seen —
     # every version newer than the snapshot is retained by definition
     # (it IS the newest), so fold its file lists into the keep set
-    # before anything is deleted
+    # before anything is deleted.  BRANCH chains share the same data
+    # pool, so their logs re-list too (including branches created
+    # during the pre-scan).
     fresh = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     for v in sorted(set(fresh) - set(manifests)):
         _add_doc_keeps(fresh[v])
+    for blog in _branch_log_dirs(spark, path):
+        for _v, d in sorted(
+            txlog._complete_manifests(spark, blog).items()
+        ):
+            _add_doc_keeps(d)  # idempotent set updates: re-adding the
+            # pre-scan's branch docs is free, and fresh commits join
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     n_files = 0
     fs, jroot, jvm = txlog._jfs(spark, path)

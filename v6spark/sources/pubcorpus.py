@@ -95,7 +95,10 @@ def _read_doc(log_dir: str, version: int) -> dict | None:
     try:
         with fs.open_input_stream(p) as f:
             doc = _decode(f.read())
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # ONLY not-found means "no such version"; a transient IO /
+        # permission error must raise — swallowing it would silently
+        # fall back to an OLDER committed version (stale reads)
         return None
     if doc is not None and doc.get("intent") \
             and not _intent_done(doc["intent"]):
@@ -133,7 +136,7 @@ def _resolve_tag(log_dir: str, tag: str) -> int:
     try:
         with fs.open_input_stream(f"{local}/{TAG_PREFIX}{tag}") as f:
             doc = _decode(f.read())
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         doc = None
     if doc is None or "v" not in doc:
         raise ValueError(f"no tag {tag!r} under {log_dir}")
@@ -220,6 +223,23 @@ def _group_mask(batch_cols: dict, groups, n: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    def scal(val, typ):
+        # type-coerce the literal to the COLUMN's type so predicates
+        # Spark evaluates with implicit casts (day = '3' on a bigint)
+        # behave identically here instead of crashing the kernel; an
+        # uncastable literal fails loudly, matching ANSI Spark
+        sc = pa.scalar(val)
+        if sc.type.equals(typ):
+            return sc
+        try:
+            return sc.cast(typ)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+            raise ValueError(
+                f"where literal {val!r} is not castable to the "
+                f"column type {typ} — rewrite the predicate with a "
+                "type-matching literal"
+            ) from exc
+
     def conj_mask(col, op, val):
         arr = batch_cols.get(col)
         if arr is None:
@@ -229,18 +249,25 @@ def _group_mask(batch_cols: dict, groups, n: int):
         if op == "notnull":
             return pc.is_valid(arr)
         if op == "prefix":
+            if not pa.types.is_string(arr.type) and not (
+                pa.types.is_large_string(arr.type)
+            ):
+                arr = arr.cast(pa.string())  # LIKE casts the column
             m = pc.starts_with(arr, pattern=val)
         elif op == "in":
-            m = pc.is_in(arr, value_set=pa.array(val))
+            vs = pa.array(val)
+            if not vs.type.equals(arr.type):
+                vs = vs.cast(arr.type)
+            m = pc.is_in(arr, value_set=vs)
         elif op == "between":
             m = pc.and_(
-                pc.greater_equal(arr, pa.scalar(val[0])),
-                pc.less_equal(arr, pa.scalar(val[1])),
+                pc.greater_equal(arr, scal(val[0], arr.type)),
+                pc.less_equal(arr, scal(val[1], arr.type)),
             )
         else:
             fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
                   ">": pc.greater, ">=": pc.greater_equal}[op]
-            m = fn(arr, pa.scalar(val))
+            m = fn(arr, scal(val, arr.type))
         return pc.fill_null(m, False)
 
     total = np.zeros(n, dtype=bool)
@@ -414,19 +441,21 @@ class PublishedCorpusReader(DataSourceReader):
         parts = []
         kept_log: dict[str, list] = {}
         bloom_cache: dict | None = None
+        cand_by_split: dict[str, list] = {}
         if self._keys is not None:
-            all_cand = [
-                rel
+            cand_by_split = {
+                s: self._key_candidates(s, self._files[s])
                 for s in sorted(self._files)
-                for rel in self._key_candidates(s, self._files[s])
-            ]
-            bloom_cache = self._bloom_map(all_cand)
+            }
+            bloom_cache = self._bloom_map(
+                [rel for fl in cand_by_split.values() for rel in fl]
+            )
         for s in sorted(self._files):
             cs = self._col_stats.get(s) or {}
             ks = self._file_stats.get(s) or {}
             rels = self._files[s]
             if self._keys is not None:
-                rels = self._key_candidates(s, rels)
+                rels = cand_by_split.get(s, [])
                 if bloom_cache:
                     from v6spark.operators.keybloom import (
                         K_HASHES,

@@ -76,7 +76,9 @@ def _intent_done(intent_path: str) -> bool:
     try:
         with fs.open_input_stream(f"{local}.committed") as f:
             ok = _decode(f.read()) is not None
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # only not-found means "never sealed"; a transient IO error
+        # must raise — False here would hide a COMMITTED pair
         return False
     if ok:
         _INTENT_OK_PA.add(intent_path)
@@ -294,18 +296,32 @@ def changes_foreach_batch(path: str, handle, key_col: str | None = None):
         if not versions:
             return
         lo, hi = min(versions), max(versions)
+        base = lo - 1
         if lo > 1:
-            # a stream starting past version 1 still needs the
-            # snapshot path when the predecessor manifest already fell
-            # out of retention (e.g. startingVersion=0 against a
-            # vacuumed table whose oldest retained version is lo):
-            # published_corpus_changes(lo-1, hi) would raise
+            # the predecessor manifest may be a permanent GAP (an
+            # aborted commit_pair half, a crashed claim) or retired by
+            # retention.  Diff against the NEAREST retained version
+            # BELOW lo — the wider window's net diff is identical for
+            # gaps and correctly replays a lost window's deletions (a
+            # snapshot-as-inserts fallback here would silently drop
+            # them on an already-bootstrapped consumer).  Only when
+            # NOTHING below lo survives does the bootstrap-snapshot
+            # path apply.
             from v6spark import txlog
             from v6spark.pipeline import _log_dir
 
-            if txlog.read_version(spark, _log_dir(path, None), lo - 1) is None:
-                lo = 1
-        if lo <= 1:
+            log = _log_dir(path, None)
+            if txlog.read_version(spark, log, base) is None:
+                base = 0
+                for v in sorted(
+                    (x for x in txlog.list_versions(spark, log)
+                     if x < lo),
+                    reverse=True,
+                ):
+                    if txlog.read_version(spark, log, v) is not None:
+                        base = v
+                        break
+        if lo <= 1 or base == 0:
             snap = read_published_corpus(spark, path, version=hi)
             if snap is None:
                 handle(None, batch_id)
@@ -324,7 +340,7 @@ def changes_foreach_batch(path: str, handle, key_col: str | None = None):
             return
         handle(
             published_corpus_changes(
-                spark, path, lo - 1, hi, key_col=key_col
+                spark, path, base, hi, key_col=key_col
             ),
             batch_id,
         )

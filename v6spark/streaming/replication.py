@@ -48,29 +48,37 @@ from v6spark.sources.publog import changes_foreach_batch
 DELETE_CHUNK = 1000
 
 
-def _sql_key_literal(k) -> str:
+def _sql_key_literal(k, escaped_literals: bool = False) -> str:
     """Render a key as a SQL literal usable inside an IN-list.
 
-    Strings are escaped by doubling single quotes AND refusing
-    backslashes/control chars (robust under either setting of
-    ``spark.sql.parser.escapedStringLiterals``); ints pass through.
-    Anything else raises — a silent repr() would produce invalid or,
-    worse, wrong SQL.
+    Strings escape single quotes by doubling; backslashes escape
+    according to the SESSION's parser mode (``escaped_literals`` =
+    ``spark.sql.parser.escapedStringLiterals``: True means backslash
+    is literal, False — the default — means it must double).  Reading
+    the mode at render time means NO string key is a poison pill that
+    wedges the mirror stream.  Ints pass through; other types raise —
+    a silent repr() would produce invalid or, worse, wrong SQL.
     """
     if isinstance(k, bool):  # bool is an int subclass: reject first
         raise TypeError(f"unsupported key type for replication delete: {k!r}")
     if isinstance(k, int):
         return str(k)
     if isinstance(k, str):
-        if "\\" in k or any(ord(c) < 32 for c in k):
-            raise ValueError(
-                "key contains backslash/control characters — not safely "
-                f"SQL-quotable across parser modes: {k!r}"
-            )
-        return "'" + k.replace("'", "''") + "'"
+        body = k if escaped_literals else k.replace("\\", "\\\\")
+        return "'" + body.replace("'", "''") + "'"
     raise TypeError(
         f"unsupported key type for replication delete: {type(k).__name__}"
     )
+
+
+def _escaped_literals_mode(spark) -> bool:
+    try:
+        return (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals")
+            .lower() == "true"
+        )
+    except Exception:
+        return False  # Spark default
 
 
 def mirror_foreach_batch(
@@ -163,9 +171,12 @@ def mirror_foreach_batch(
                 .select(key_col).collect()
             ]
             to_retract = sorted(set(deleted) | set(moved), key=str)
+            esc_mode = _escaped_literals_mode(spark)
             for i in range(0, len(to_retract), DELETE_CHUNK):
                 chunk = to_retract[i:i + DELETE_CHUNK]
-                vals = ", ".join(_sql_key_literal(k) for k in chunk)
+                vals = ", ".join(
+                    _sql_key_literal(k, esc_mode) for k in chunk
+                )
                 retract_from_published(
                     spark, dst_root, f"{key_col} IN ({vals})",
                     commit_mode=commit_mode,
