@@ -65,6 +65,8 @@ MODULES = [
     "v6spark.streaming.cdcagg",
     "v6spark.streaming.replication",
     "v6spark.txlog",
+    "v6spark.operators.xxh64",
+    "v6spark.sources.pubcorpus",
     "v6spark.operators.codec_adapter",
     "v6spark.functions.determinism",
     "v6spark.functions.arrays",
