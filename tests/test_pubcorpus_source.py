@@ -336,3 +336,160 @@ def test_errors(spark, tmp_path):
     root = _publish(spark, tmp_path, n=10)
     with pytest.raises(Exception, match="no tag"):
         _src(spark, root, tag="missing").collect()
+
+
+# ------------------------------------------------------------------ #
+# Round 8: option("columns") projection + row-group skipping         #
+# ------------------------------------------------------------------ #
+
+
+def _rewrite_data_files(root, rows_per_group=8, sort_by=None):
+    """Rewrite every live data file into small row groups (same rows;
+    order preserved unless sort_by) so row-group skipping has
+    something to skip — publishes at test scale land one group."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for p in Path(root).rglob("*"):
+        rel = str(p.relative_to(root))
+        if not p.is_file() or "split=" not in rel:
+            continue
+        if p.name.startswith(("_", ".")):
+            continue
+        t = pq.read_table(str(p))
+        if sort_by:
+            t = t.sort_by(sort_by)
+        pq.write_table(t, str(p), row_group_size=rows_per_group)
+        # the Hadoop local FS wrote a .crc sidecar for the original
+        # bytes; drop it or the JVM reader fails the checksum
+        crc = p.with_name(f".{p.name}.crc")
+        if crc.exists():
+            crc.unlink()
+        n += 1
+    assert n > 0
+    return n
+
+
+def _decode_recs(dec_dir):
+    return [json.load(open(p)) for p in dec_dir.iterdir()]
+
+
+def test_columns_option_projects_and_narrows_decode(spark, tmp_path):
+    """option("columns") narrows BOTH the frame and the parquet
+    decode — the round-7 weak (full-width reads through the SQL
+    front door)."""
+    root = _publish(spark, tmp_path, n=48)
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    got = _src(spark, root, columns="doc_id,text",
+               _decodeObserverDir=str(dec))
+    ref = read_published_corpus(spark, root).select("doc_id", "text")
+    assert got.columns == ["doc_id", "text"]
+    assert _rows(got) == _rows(ref)
+    recs = _decode_recs(dec)
+    assert recs
+    assert all(r["columns_read"] == ["doc_id", "text"] for r in recs)
+    assert sum(r["bytes_selected"] for r in recs) < sum(
+        r["bytes_total"] for r in recs
+    )
+
+
+def test_columns_with_filter_column_outside_projection(spark, tmp_path):
+    """where may reference columns the projection drops: they decode
+    for the mask, then vanish before yield."""
+    root = _publish(spark, tmp_path, n=48)
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    got = _src(spark, root, columns="doc_id", where="day = 3",
+               _decodeObserverDir=str(dec))
+    ref = read_published_where(spark, root, "day = 3").select("doc_id")
+    assert got.columns == ["doc_id"]
+    assert _rows(got) == _rows(ref)
+    for r in _decode_recs(dec):
+        assert r["columns_read"] == ["day", "doc_id"]
+
+
+def test_columns_projection_of_evolved_column(spark, tmp_path):
+    """Pre-evolution files read the added column as typed NULLs even
+    when it's the projection — or only the filter."""
+    root = _publish(spark, tmp_path, n=20)
+    evolve_published_schema(spark, root, [("license", "string")])
+    got = _src(spark, root, columns="doc_id,license")
+    assert got.columns == ["doc_id", "license"]
+    assert got.count() == 20
+    assert got.filter("license IS NULL").count() == 20
+    assert _src(spark, root, columns="doc_id",
+                where="license IS NULL").count() == 20
+    assert _src(spark, root, columns="doc_id",
+                where="license = 'x'").count() == 0
+
+
+def test_columns_virtual_only_and_validation(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=20)
+    got = _src(spark, root, columns="split")
+    assert got.columns == ["split"]
+    assert got.count() == 20
+    with pytest.raises(Exception, match="unknown column"):
+        _src(spark, root, columns="doc_id,nope").collect()
+    with pytest.raises(Exception, match="twice"):
+        _src(spark, root, columns="doc_id,doc_id").collect()
+    with pytest.raises(Exception, match="at least one"):
+        _src(spark, root, columns=" , ").collect()
+    with pytest.raises(Exception, match="unknown column"):
+        _src(spark, root, where="nope = 1").collect()
+
+
+def test_row_group_skipping_matches_and_skips(spark, tmp_path):
+    """Files surviving manifest pruning skip ROW GROUPS the predicate
+    refutes (footer stats through the same matcher), with identical
+    results."""
+    root = _publish(spark, tmp_path, n=64, n_shards=2)
+    _rewrite_data_files(root, rows_per_group=8, sort_by="day")
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    got = _src(spark, root, where="day = 3", _decodeObserverDir=str(dec))
+    ref = read_published_where(spark, root, "day = 3")
+    assert _rows(got) == _rows(ref)
+    assert got.count() > 0
+    recs = _decode_recs(dec)
+    assert any(r["row_groups_total"] > 1 for r in recs)
+    assert sum(r["row_groups_read"] for r in recs) < sum(
+        r["row_groups_total"] for r in recs
+    )
+
+
+def test_row_group_spans_respect_deletion_vectors(spark, tmp_path):
+    """DV positions are file row ordinals; skipped row groups must
+    not shift the mask (each kept group carries its own offset)."""
+    root = _publish(spark, tmp_path, n=64, n_shards=2)
+    _rewrite_data_files(root, rows_per_group=8, sort_by="doc_id")
+    retract_from_published(
+        spark, root, "doc_id % 5 = 0", strategy="dv"
+    )
+    got = _src(spark, root)
+    ref = read_published_corpus(spark, root)
+    assert _rows(got) == _rows(ref)
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    got2 = _src(spark, root, where="doc_id >= 32", columns="doc_id",
+                _decodeObserverDir=str(dec))
+    ref2 = read_published_where(
+        spark, root, "doc_id >= 32"
+    ).select("doc_id")
+    assert _rows(got2) == _rows(ref2)
+    recs = _decode_recs(dec)
+    assert sum(r["row_groups_read"] for r in recs) < sum(
+        r["row_groups_total"] for r in recs
+    )
+
+
+def test_keys_option_composes_with_columns(spark, tmp_path):
+    """Point lookups whose key column is outside the projection."""
+    root = _publish(spark, tmp_path, n=60)
+    got = _src(spark, root, keys="[5, 17]", columns="text")
+    assert got.columns == ["text"]
+    assert sorted(r["text"] for r in got.collect()) == [
+        "body 17", "body 5",
+    ]

@@ -20,8 +20,11 @@ a temp view) gets the same committed-only semantics —
   FILES from the scan via the manifest's ``col_stats`` / key
   ``file_stats`` / split pseudo-stat through
   :func:`v6spark.operators.pruning.file_can_match_any` — zero parquet
-  footer reads — and applies the same predicate ROW-exactly
-  (pyarrow compute), i.e. ``read_published_where`` semantics.
+  footer reads — then skips ROW GROUPS inside surviving files via the
+  same matcher against footer stats, and applies the same predicate
+  ROW-exactly (pyarrow compute), i.e. ``read_published_where``
+  semantics.  ``option("columns", "a,b")`` narrows the decode to the
+  projection (+ filter columns, dropped before yield).
   Deliberately NOT ``pushFilters``: Spark 4.1 caches pushdown-planned
   partitions on the shared relation node, so a later query on the
   same DataFrame/temp view WITHOUT pushable filters silently reuses a
@@ -244,6 +247,13 @@ def _group_mask(batch_cols: dict, groups, n: int):
         arr = batch_cols.get(col)
         if arr is None:
             raise ValueError(f"where references unknown column {col!r}")
+        if pa.types.is_null(arr.type):
+            # a pre-evolution file read with the predicate column
+            # outside the projection: every value is NULL, so only
+            # IS NULL matches (comparisons on NULL are never true)
+            if op == "isnull":
+                return pc.is_null(arr)
+            return pa.array(np.zeros(len(arr), dtype=bool))
         if op == "isnull":
             return pc.is_null(arr)
         if op == "notnull":
@@ -279,6 +289,33 @@ def _group_mask(batch_cols: dict, groups, n: int):
     return total
 
 
+def _rg_stats(md, rg_idx: int, split: str, shard) -> dict:
+    """``{col: [min, max, null_count]}`` for one parquet row group,
+    shaped for :func:`v6spark.operators.pruning.file_can_match_any`.
+    Advisory-negative by construction: columns without footer stats
+    are simply absent (the matcher can't refute → scan), truncated
+    string bounds stay valid bounds per the parquet spec, and
+    cross-type comparisons degrade to scan inside the matcher."""
+    rg = md.row_group(rg_idx)
+    stats: dict = {"split": [split, split, 0]}
+    if shard is not None:
+        stats["shard"] = [shard, shard, 0]
+    for j in range(rg.num_columns):
+        col = rg.column(j)
+        name = col.path_in_schema
+        if "." in name:
+            continue  # nested leaf: no top-level column to prune on
+        st = col.statistics
+        if st is None:
+            continue
+        nc = st.null_count if st.has_null_count else None
+        if st.has_min_max:
+            stats[name] = [st.min, st.max, nc]
+        elif nc is not None and nc == rg.num_rows:
+            stats[name] = [None, None, nc]  # entirely-NULL group
+    return stats
+
+
 @dataclass
 class CorpusPartition(InputPartition):
     #: (rel_path, split, shard, dv_positions) per file — one partition
@@ -299,7 +336,8 @@ class PublishedCorpusReader(DataSourceReader):
     def __init__(self, root: str, doc: dict, spark_schema, split_opt,
                  where: str | None, keys_json: str | None,
                  observer_path: str | None,
-                 max_partition_bytes: int = 128 * 1024 * 1024):
+                 max_partition_bytes: int = 128 * 1024 * 1024,
+                 decode_observer_dir: str | None = None):
         from v6spark.operators.pruning import parse_disjuncts_strict
 
         self.root = root
@@ -307,6 +345,7 @@ class PublishedCorpusReader(DataSourceReader):
         self.split_opt = split_opt
         self.observer_path = observer_path
         self.max_partition_bytes = max_partition_bytes
+        self._decode_dir = decode_observer_dir
         if where is not None:
             self.groups = parse_disjuncts_strict(where)
             if self.groups is None:
@@ -340,12 +379,17 @@ class PublishedCorpusReader(DataSourceReader):
                 )
             try:
                 raw = json.loads(keys_json)
-                assert isinstance(raw, list) and raw
-            except (ValueError, AssertionError):
+            except ValueError:
+                raw = None
+            # explicit check, not assert: asserts vanish under
+            # ``python -O`` and a JSON object/string would then flow
+            # into the key-set comprehension (a dict iterates its
+            # keys) — silent wrong point lookups
+            if not isinstance(raw, list) or not raw:
                 raise ValueError(
                     'keys must be a non-empty JSON array, e.g. '
                     'option("keys", "[1, 2, 3]")'
-                ) from None
+                )
             from v6spark.operators.xxh64 import shard_of
 
             ktype = dict(doc.get("schema") or {}).get(self._key_col)
@@ -373,6 +417,19 @@ class PublishedCorpusReader(DataSourceReader):
             self.groups = (
                 [g + [in_conj] for g in self.groups]
                 if self.groups else [[in_conj]]
+            )
+        # columns the row filter needs but the projection may not
+        # carry (option("columns") narrows spark_schema): validated at
+        # PLANNING time against the manifest schema, decoded alongside
+        # the projection executor-side, dropped before yield
+        self._mask_cols = sorted({c for g in self.groups for c, _o, _v in g})
+        known = {n for n, _t in (doc.get("schema") or [])}
+        known |= {"split", "shard"}
+        unknown = [c for c in self._mask_cols if c not in known]
+        if unknown:
+            raise ValueError(
+                f"where/keys reference unknown column(s) {unknown}; "
+                f"published columns are {sorted(known)}"
             )
 
     def _bloom_map(self, candidates: list) -> dict:
@@ -426,7 +483,10 @@ class PublishedCorpusReader(DataSourceReader):
             if shard not in touched:
                 continue
             st = ks.get(rel)
-            if st is not None:
+            if st is not None and st[0] is not None:
+                # unknown-bounds entries ([None, None, n]) fall through
+                # to must-scan: bisecting None against int would crash
+                # planning with TypeError instead of degrading
                 lo, hi = st[0], st[1]
                 kl = self._keys_by_shard.get(shard, [])
                 i = bisect.bisect_left(kl, lo)
@@ -526,61 +586,159 @@ class PublishedCorpusReader(DataSourceReader):
             bins.append(cur)
         return [CorpusPartition(files=tuple(b)) for b in bins]
 
+    def _log_decode(self, md, rel: str, keep: list, read_cols: list):
+        """Executor-side test/stress hook (``_decodeObserverDir``):
+        one JSON file per data file decoded, recording how much of
+        the file the projection + row-group skipping actually
+        selected.  Local-filesystem only — never on by default."""
+        import os
+        import uuid
+
+        sel = set(read_cols)
+        kept = set(keep)
+        b_sel = b_tot = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                b_tot += col.total_compressed_size
+                if i in kept and (
+                    col.path_in_schema in sel
+                    or col.path_in_schema.split(".", 1)[0] in sel
+                ):
+                    b_sel += col.total_compressed_size
+        rec = {
+            "file": rel,
+            "row_groups_total": md.num_row_groups,
+            "row_groups_read": len(keep),
+            "columns_read": sorted(read_cols),
+            "bytes_selected": b_sel,
+            "bytes_total": b_tot,
+        }
+        name = f"{os.getpid()}_{uuid.uuid4().hex}.json"
+        with open(os.path.join(self._decode_dir, name), "w") as f:
+            json.dump(rec, f)
+
     def read(self, part: CorpusPartition):
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from v6spark.operators.pruning import file_can_match_any
+
         target = to_arrow_schema(self.spark_schema)
+        proj = [f.name for f in target]
+        # decode ONLY the projection + the filter's columns: with
+        # option("columns") the SQL front door stops paying full-width
+        # decode (Spark 4.1's Python source has no column-pruning
+        # hook, so narrowing rides the declared schema)
+        want = list(dict.fromkeys(
+            proj + [c for c in self._mask_cols if c not in proj]
+        ))
         fs, local = _fs_for(self.root)
         for rel, split, shard, dv_tuple in part.files:
-            pf = pq.ParquetFile(fs.open_input_file(f"{local}/{rel}"))
-            dv = np.asarray(dv_tuple, dtype=np.int64)
-            offset = 0
-            for batch in pf.iter_batches():
-                n = batch.num_rows
+            handle = fs.open_input_file(f"{local}/{rel}")
+            try:
+                pf = pq.ParquetFile(handle)
+                phys = set(pf.schema_arrow.names)
+                read_cols = [
+                    c for c in want if c in phys and c != "split"
+                ]
+                if not read_cols:
+                    # pure-virtual projection (split/shard only): one
+                    # cheapest physical column drives the row counts
+                    read_cols = [pf.schema_arrow.names[0]]
+                md = pf.metadata
+                starts, acc = [], 0
+                for i in range(md.num_row_groups):
+                    starts.append(acc)
+                    acc += md.row_group(i).num_rows
+                keep = list(range(md.num_row_groups))
+                if self.groups and len(keep) > 1:
+                    # row-group skipping: the SAME advisory matcher
+                    # that pruned files, now against footer stats —
+                    # groups the predicate refutes never decode
+                    keep = [
+                        i for i in keep
+                        if file_can_match_any(
+                            self.groups, _rg_stats(md, i, split, shard)
+                        )
+                    ]
+                if self._decode_dir:
+                    self._log_decode(md, rel, keep, read_cols)
+                if not keep:
+                    continue
+                dv = np.asarray(dv_tuple, dtype=np.int64)
                 if dv.size:
-                    # position = row ordinal within the file (the same
-                    # address _metadata.row_index gives JVM readers)
-                    mask = ~np.isin(np.arange(offset, offset + n), dv)
-                    offset += n
-                    if not mask.all():
-                        batch = batch.filter(pa.array(mask))
-                        n = batch.num_rows
+                    # DV positions are file row ordinals, so each kept
+                    # group carries its own start offset
+                    spans = [([g], starts[g]) for g in keep]
                 else:
-                    offset += n
-                arrays = []
-                names = set(batch.schema.names)
-                for field in target:
-                    if field.name == "split":
-                        arrays.append(
-                            pa.array([split] * n).cast(field.type)
+                    spans = [(keep, 0)]
+                for row_groups, offset in spans:
+                    for batch in pf.iter_batches(
+                        row_groups=row_groups, columns=read_cols
+                    ):
+                        n = batch.num_rows
+                        if dv.size:
+                            # position = row ordinal within the file
+                            # (the address _metadata.row_index gives
+                            # JVM readers)
+                            mask = ~np.isin(
+                                np.arange(offset, offset + n), dv
+                            )
+                            offset += n
+                            if not mask.all():
+                                batch = batch.filter(pa.array(mask))
+                                n = batch.num_rows
+                        else:
+                            offset += n
+                        names = set(batch.schema.names)
+
+                        def col_for(name, n=n, batch=batch,
+                                    names=names):
+                            if name == "split":
+                                return pa.array([split] * n)
+                            if name == "shard" and name not in names:
+                                # directory-recovered partition value,
+                                # matching read_published_corpus's
+                                # basePath recovery
+                                return pa.array([shard] * n)
+                            if name in names:
+                                return batch.column(name)
+                            # pre-evolution file: the added column is
+                            # all-NULL (typed at projection time)
+                            return pa.nulls(n)
+
+                        if self.groups:
+                            # the where option filters ROWS exactly
+                            # (the same predicate that pruned files
+                            # and row groups), SQL NULL semantics —
+                            # BEFORE the cast, so dropped rows never
+                            # pay projection work
+                            mask = _group_mask(
+                                {c: col_for(c) for c in self._mask_cols},
+                                self.groups, n,
+                            )
+                            if not mask.all():
+                                batch = batch.filter(pa.array(mask))
+                                n = batch.num_rows
+                                names = set(batch.schema.names)
+                        arrays = []
+                        for field in target:
+                            col = col_for(field.name, n, batch, names)
+                            if pa.types.is_null(col.type):
+                                arrays.append(pa.nulls(n, field.type))
+                            else:
+                                arrays.append(col.cast(field.type))
+                        yield pa.RecordBatch.from_arrays(
+                            arrays, schema=target
                         )
-                    elif field.name == "shard" and "shard" not in names:
-                        # directory-recovered partition value, matching
-                        # read_published_corpus's basePath recovery
-                        arrays.append(
-                            pa.array([shard] * n).cast(field.type)
-                        )
-                    elif field.name in names:
-                        arrays.append(
-                            batch.column(field.name).cast(field.type)
-                        )
-                    else:
-                        # pre-evolution file: the added column reads
-                        # as typed NULLs, zero bytes rewritten
-                        arrays.append(pa.nulls(n, field.type))
-                out = pa.RecordBatch.from_arrays(arrays, schema=target)
-                if self.groups:
-                    # the where option filters ROWS exactly (the same
-                    # predicate that pruned files), SQL NULL semantics
-                    cols = {f.name: out.column(i)
-                            for i, f in enumerate(target)}
-                    mask = _group_mask(cols, self.groups, n)
-                    if not mask.all():
-                        out = out.filter(pa.array(mask))
-                yield out
+            finally:
+                # one leaked native handle per file per task adds up
+                # in long-running executors
+                handle.close()
 
 
 class PublishedCorpusDataSource(DataSource):
@@ -604,6 +762,12 @@ class PublishedCorpusDataSource(DataSource):
       an OPTION rather than pushFilters because Spark 4.1 caches
       pushdown-planned partitions on shared relations (see the module
       section above) — options are relation identity, always safe;
+    - ``columns``: comma-separated projection — the column pruning
+      for this source (Spark 4.1's Python DataSource has no pruning
+      hook, so ``.select()`` alone cannot narrow the decode): the
+      declared schema shrinks to these columns and the reader decodes
+      only them plus any ``where``/``keys`` filter columns (dropped
+      before yield).  ``split``/``shard`` may be projected;
     - ``maxBytesPerPartition`` (default 128 MB): surviving files
       group into read tasks of about this size — many small files
       share one Python task, large files fan out;
@@ -661,14 +825,36 @@ class PublishedCorpusDataSource(DataSource):
 
     def schema(self) -> str:
         doc = self._doc()
-        parts = [f"`{n}` {t}" for n, t in doc["schema"]]
-        # the two storage-derived columns read_published_corpus carries:
-        # shard (directory-recovered partition value; string — the
-        # project session posture pins partitionColumnTypeInference
-        # off) then split
-        parts.append("`shard` string")
-        parts.append("`split` string")
-        return ", ".join(parts)
+        # the two storage-derived columns read_published_corpus
+        # carries: shard (directory-recovered partition value; string
+        # — the project session posture pins
+        # partitionColumnTypeInference off) then split
+        known = dict(doc["schema"])
+        known["shard"] = "string"
+        known["split"] = "string"
+        cols = self.options.get("columns")
+        if cols is None:
+            return ", ".join(f"`{n}` {t}" for n, t in known.items())
+        # option("columns", "a,b") IS the column pruning for this
+        # source: Spark 4.1's Python DataSource has no pruning hook,
+        # so the projection rides the declared schema and the reader
+        # decodes only these columns (+ any filter columns, dropped
+        # before yield)
+        names = [c.strip() for c in cols.split(",") if c.strip()]
+        if not names:
+            raise ValueError(
+                'columns must name at least one column, e.g. '
+                'option("columns", "doc_id,text")'
+            )
+        if len(set(names)) != len(names):
+            raise ValueError(f"columns lists a column twice: {cols!r}")
+        unknown = [c for c in names if c not in known]
+        if unknown:
+            raise ValueError(
+                f"columns references unknown column(s) {unknown}; "
+                f"published columns are {sorted(known)}"
+            )
+        return ", ".join(f"`{n}` {known[n]}" for n in names)
 
     def reader(self, schema) -> PublishedCorpusReader:
         return PublishedCorpusReader(
@@ -685,6 +871,8 @@ class PublishedCorpusDataSource(DataSource):
                 self.options.get("maxBytesPerPartition",
                                  128 * 1024 * 1024),
             )),
+            decode_observer_dir=self.options.get("_decodeobserverdir")
+            or self.options.get("_decodeObserverDir"),
         )
 
 
