@@ -5,14 +5,21 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm
 SparkSession.
 
-Protocol (frozen r4, documented in BASELINE.md): per query, ONE
-timed COLD execution (pays the one-off JVM JIT/codegen-compile cost
-— measured 12.6 s cold vs 1.65 s warm for q_dedup_minhash), then
-``REPS`` timed WARM executions.  The headline ``queries``/``value``
-numbers are warm medians (steady-state engine throughput, comparable
-to BENCH_r03); the cold numbers are reported alongside
-(``queries_cold``/``cold_suite_seconds``) so round-over-round
-comparisons can use either population and nothing is hidden.
+Protocol (frozen r4, settle-proofed r8, documented in BASELINE.md):
+ONE timed COLD full-suite sweep (pays the one-off JVM JIT/
+codegen-compile cost — measured 12.6 s cold vs 1.65 s warm for
+q_dedup_minhash), then UNTIMED full-suite SETTLE passes repeated
+until two consecutive pass totals agree within 7% (max
+$V6SPARK_BENCH_SETTLE_MAX, default 5), then per query ``REPS`` timed
+WARM executions.  The settle passes exist because two rounds running
+the driver's first bench after its ~35-minute pytest run read ~30%
+high (page-cache/CPU settle — BASELINE.md measured the gap); the
+protocol now lives IN the tool so any caller gets quiesced numbers.
+The headline ``queries``/``value`` numbers are warm medians
+(steady-state engine throughput, comparable to BENCH_r03); the cold
+numbers are reported alongside (``queries_cold``/
+``cold_suite_seconds``) so round-over-round comparisons can use
+either population and nothing is hidden.
 
 Materialization uses the ``noop`` sink: the full result is computed
 and serialized by executors but never shipped to the driver, so the
@@ -66,19 +73,50 @@ def _pcts(values: list[float]) -> tuple[float, float]:
     )
 
 
+def run_suite_once(spark, sf_dir: str, record: dict | None = None) -> float:
+    total = 0.0
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].spark_fn
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        total += dt
+        if record is not None:
+            record[name] = round(dt, 4)
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("v6spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    warm: dict[str, float] = {}
+    # Pass 1: the timed cold sweep (JIT/codegen cost, reported).
     cold: dict[str, float] = {}
+    run_suite_once(spark, sf_dir, cold)
+
+    # Settle passes (r8): a bench started right after a long run (the
+    # driver's ~35-min pytest) reads ~30% high until the machine
+    # quiesces.  Repeat untimed full-suite passes until two
+    # consecutive WARM pass totals agree within 7%, then record.
+    settle_totals: list[float] = []
+    settle_max = int(os.environ.get("V6SPARK_BENCH_SETTLE_MAX", "5"))
+    while len(settle_totals) < settle_max:
+        t = run_suite_once(spark, sf_dir)
+        settle_totals.append(round(t, 4))
+        print(
+            f"[bench] settle pass {len(settle_totals)}: {t:.2f}s",
+            file=sys.stderr,
+        )
+        if len(settle_totals) >= 2:
+            a, b = settle_totals[-2], settle_totals[-1]
+            if abs(a - b) / min(a, b) <= 0.07:
+                break
+
+    warm: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].spark_fn
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        cold[name] = round(time.perf_counter() - t0, 4)
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -111,7 +149,9 @@ def main() -> None:
         # warm medians remain comparable to BENCH_r03's
         # one-untimed-warmup protocol because a cold run warms
         # identically either way (BASELINE.md amendment)
-        "protocol": "cold1+warm_median",
+        "protocol": "cold1+settle+warm_median",
+        "settle_passes": len(settle_totals),
+        "settle_totals": settle_totals,
         "cpus": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
@@ -138,7 +178,8 @@ def main() -> None:
         "cold_p50": cold_p50,
         "cold_p95": cold_p95,
         "cold_suite_sec": full["cold_suite_seconds"],
-        "protocol": "cold1+warm_median",
+        "protocol": "cold1+settle+warm_median",
+        "settle_passes": len(settle_totals),
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
