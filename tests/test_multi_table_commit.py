@@ -300,3 +300,42 @@ def test_commit_pair_txlog_primitive(spark, tmp_path):
         ], _fail_between=0)
     va2, da2 = txlog.read_latest(spark, la)
     assert (va2, da2["n"]) == (1, 1)  # pending half invisible
+
+
+@pytest.mark.parametrize("commit_mode", ["rename", "put"])
+@pytest.mark.parametrize("fail_after", [0, 1, None])
+def test_commit_multi_three_tables(spark, tmp_path, commit_mode, fail_after):
+    """N=3 (data + metrics + index logs) in ONE commit point: a crash
+    between halves 1/2 or 2/3 leaves all THREE tables pre-commit in
+    both commit modes; a clean run lands all three together."""
+    logs = [str(tmp_path / n) for n in ("data", "metrics", "ivf")]
+    base = txlog.commit_multi(spark, [
+        (lg, lambda v, doc, i=i: {"table": i, "gen": 1})
+        for i, lg in enumerate(logs)
+    ], commit_mode=commit_mode)
+    assert [v for _d, v in base] == [1, 1, 1]
+
+    kw = {} if fail_after is None else {"_fail_between": fail_after}
+    attempt = lambda: txlog.commit_multi(spark, [  # noqa: E731
+        (lg, lambda v, doc, i=i: {"table": i, "gen": 2})
+        for i, lg in enumerate(logs)
+    ], commit_mode=commit_mode, **kw)
+    if fail_after is None:
+        attempt()
+        want = 2
+    else:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            attempt()
+        want = 1
+    for lg in logs:
+        v, doc = txlog.read_latest(spark, lg)
+        assert doc["gen"] == want, (lg, doc)
+    # the aborted attempt never deadlocks the logs: a follow-up
+    # three-table commit succeeds (collision bump past the debris)
+    txlog.commit_multi(spark, [
+        (lg, lambda v, doc, i=i: {"table": i, "gen": 9})
+        for i, lg in enumerate(logs)
+    ], commit_mode=commit_mode)
+    for lg in logs:
+        _v, doc = txlog.read_latest(spark, lg)
+        assert doc["gen"] == 9

@@ -493,3 +493,23 @@ def test_keys_option_composes_with_columns(spark, tmp_path):
     assert sorted(r["text"] for r in got.collect()) == [
         "body 17", "body 5",
     ]
+
+
+def test_read_pubcorpus_helper_matches_manual_options(spark, tmp_path):
+    """The helper is sugar only: identical frames to hand-set
+    options, list-typed columns/keys accepted."""
+    from v6spark.sources.pubcorpus import read_pubcorpus
+
+    root = _publish(spark, tmp_path, n=48)
+    tag_published(spark, root, "t0")
+    got = read_pubcorpus(
+        spark, root, where="day = 3", columns=["doc_id", "day"]
+    )
+    ref = _src(spark, root, where="day = 3", columns="doc_id,day")
+    assert got.columns == ref.columns
+    assert _rows(got) == _rows(ref)
+    got2 = read_pubcorpus(spark, root, keys=[5, 17], columns=["text"])
+    ref2 = _src(spark, root, keys="[5, 17]", columns="text")
+    assert _rows(got2) == _rows(ref2)
+    assert read_pubcorpus(spark, root, tag="t0").count() == 48
+    assert read_pubcorpus(spark, root, split="valid").count() > 0

@@ -881,7 +881,55 @@ def register_pubcorpus_source(spark) -> None:
     spark.dataSource.register(PublishedCorpusDataSource)
 
 
+def read_pubcorpus(spark, root: str, *, where: str | None = None,
+                   columns=None, keys=None, version=None,
+                   tag: str | None = None, branch: str | None = None,
+                   split: str | None = None,
+                   max_bytes_per_partition: int | None = None):
+    """One-call front door over ``format("pubcorpus")`` so callers
+    don't hand-assemble option strings.
+
+    The pruning/projection knobs are OPTIONS rather than inferred
+    from ``.filter()``/``.select()`` because Spark 4.1's Python
+    DataSource pushdown poisons shared relations (pushFilters-planned
+    partitions are cached on the relation node and reused by
+    filterless queries — minimal repro:
+    ``scripts/spark_pushdown_bug_repro.py``) and has no
+    column-pruning hook at all.  When upstream fixes land, this
+    helper is the seam where real pushdown replaces the options
+    without touching call sites.
+
+    ``columns`` and ``keys`` accept Python lists (or the raw option
+    strings); results are identical to hand-set options — pinned by
+    ``tests/test_pubcorpus_source.py``.
+    """
+    register_pubcorpus_source(spark)
+    r = spark.read.format("pubcorpus")
+    if where is not None:
+        r = r.option("where", where)
+    if columns is not None:
+        if not isinstance(columns, str):
+            columns = ",".join(columns)
+        r = r.option("columns", columns)
+    if keys is not None:
+        if not isinstance(keys, str):
+            keys = json.dumps(list(keys))
+        r = r.option("keys", keys)
+    if version is not None:
+        r = r.option("version", int(version))
+    if tag is not None:
+        r = r.option("tag", tag)
+    if branch is not None:
+        r = r.option("branch", branch)
+    if split is not None:
+        r = r.option("split", split)
+    if max_bytes_per_partition is not None:
+        r = r.option("maxBytesPerPartition", int(max_bytes_per_partition))
+    return r.load(root)
+
+
 __all__ = [
     "PublishedCorpusDataSource",
+    "read_pubcorpus",
     "register_pubcorpus_source",
 ]

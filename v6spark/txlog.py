@@ -428,7 +428,7 @@ def intent_committed(spark: SparkSession, intent_path: str) -> bool:
     return True
 
 
-def commit_pair(
+def commit_multi(
     spark: SparkSession,
     parts: list,
     commit_mode: str = "rename",
@@ -437,9 +437,12 @@ def commit_pair(
     _fail_before_marker: bool = False,
 ) -> list:
     """ONE atomic commit spanning MULTIPLE txlogs (distinct tables) —
-    the mirror-window / data+metrics-pair primitive.  ``parts`` is
+    the mirror-window / data+metrics(+index) primitive.  ``parts`` is
     ``[(log_dir, update_fn), ...]`` with :func:`commit_with_retry`
-    semantics per log, over two or more DISTINCT log dirs.
+    semantics per log, over two or MORE distinct log dirs (N-ary:
+    three-table commits — data + metrics + IVF index — are one
+    commit point too; ``commit_pair`` remains as an alias from when
+    the name undersold it).
 
     Protocol (single-commit-point intent marker):
 
@@ -471,7 +474,7 @@ def commit_pair(
     dirs = [d for d, _fn in parts]
     if len(parts) < 2 or len(set(dirs)) != len(dirs):
         raise ValueError(
-            "commit_pair spans MULTIPLE DISTINCT log dirs (same-table "
+            "commit_multi spans MULTIPLE DISTINCT log dirs (same-table "
             "multi-verb atomicity needs chained pending reads — compose "
             "the verbs into one update_fn instead)"
         )
@@ -491,19 +494,19 @@ def commit_pair(
             raise RuntimeError(
                 f"injected crash after pair half {i} committed (pending)"
             )
-    seal_pair(
+    seal_multi(
         spark, intent, committed, _fail_before_marker=_fail_before_marker
     )
     return committed
 
 
-def seal_pair(
+def seal_multi(
     spark: SparkSession,
     intent: str,
     committed: list,
     _fail_before_marker: bool = False,
 ) -> None:
-    """Steps 3+4 of the :func:`commit_pair` protocol for callers that
+    """Steps 3+4 of the :func:`commit_multi` protocol for callers that
     committed their pending halves through other machinery (the
     pipeline's DML verbs): overtake re-check, then the atomic
     ``<intent>.committed`` marker — THE commit point."""
@@ -511,9 +514,9 @@ def seal_pair(
         newest = max(list_versions(spark, log_dir), default=0)
         if newest > v:
             raise IOError(
-                f"commit_pair overtaken under {log_dir} (version {newest} "
-                f"> our pending {v}): pair aborted, both tables remain at "
-                "their pre-pair versions — retry the pair"
+                f"commit_multi overtaken under {log_dir} (version "
+                f"{newest} > our pending {v}): commit aborted, every "
+                "table remains at its pre-commit version — retry"
             )
     if _fail_before_marker:
         raise RuntimeError("injected crash before the intent marker")
@@ -532,6 +535,11 @@ def seal_pair(
     if readback != data:
         raise IOError(f"intent marker {intent} failed read-back verify")
     _INTENT_OK.add(intent)
+
+
+#: r7 names — the protocol was N-ary from day one, the names weren't
+commit_pair = commit_multi
+seal_pair = seal_multi
 
 
 LEASE_PREFIX = "lease-"
