@@ -1,0 +1,219 @@
+"""Row-level CDC through plain readStream (format("pubcorpus")).
+
+The stream must land IDENTICAL frames to the foreachBatch composition
+(publog stream + published_corpus_changes) over a real DML lifecycle
+— publish, upsert, DV retract, compaction (zero rows), COW retract,
+reshard — with exactly-once semantics: replaying a window from a
+checkpoint regenerates byte-identical rows, and a caught-up restart
+emits nothing.
+"""
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from v6spark.pipeline import (
+    compact_published,
+    publish_corpus_committed,
+    published_corpus_changes,
+    read_published_corpus,
+    reshard_published,
+    retract_from_published,
+    upsert_into_published,
+)
+from v6spark.sources.pubcdc import stream_published_changes
+
+
+def _publish(spark, tmp_path, n=40, n_shards=4):
+    docs = spark.range(n).selectExpr(
+        "id as doc_id", "concat('body ', id) as text",
+        "cast(id % 7 as long) as day",
+    )
+    prepared = spark.range(n).selectExpr(
+        "id as doc_id",
+        "case when id % 10 = 0 then 'valid' else 'train' end as split",
+    )
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(prepared, docs, root, n_shards=n_shards)
+    return root
+
+
+def _rows(df_or_rows):
+    rows = (
+        df_or_rows.collect()
+        if hasattr(df_or_rows, "collect") else df_or_rows
+    )
+    if not rows:
+        return []
+    cols = sorted(rows[0].asDict())
+    return sorted(
+        tuple(r[c] for c in cols) for r in rows
+    )
+
+
+def _step(spark, root, ckpt, starting_version=0):
+    """One availableNow run: processes every pending version window,
+    returns exactly that run's rows (foreachBatch — the memory sink
+    cannot recover from a checkpoint)."""
+    collected: list = []
+
+    def sink(df, _bid):
+        collected.extend(df.collect())
+
+    df = stream_published_changes(
+        spark, root, starting_version=starting_version
+    )
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+def test_stream_matches_changes_foreach_batch(spark, tmp_path):
+    root = _publish(spark, tmp_path)                        # v1
+    ckpt = str(tmp_path / "ckpt")
+
+    # bootstrap (startingVersion=0): snapshot as inserts at v1
+    got = _step(spark, root, ckpt)
+    snap = read_published_corpus(spark, root)
+    assert len(got) == snap.count()
+    assert {r["_change_type"] for r in got} == {"insert"}
+    assert {r["_commit_version"] for r in got} == {1}
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in snap.collect()
+    )
+    assert "shard" not in got[0].asDict()
+
+    # upsert (v2): one revision (+split move) and one new row
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "rev 3", 99, "valid"), (1003, "new", 100, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+    got = _step(spark, root, ckpt)
+    assert _rows(got) == _rows(published_corpus_changes(spark, root, 1, 2))
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["_change_type"], []).append(r["doc_id"])
+    assert by_type["insert"] == [1003]
+    assert by_type["update_preimage"] == [3]  # split move = update
+    assert by_type["update_postimage"] == [3]
+
+    # DV retract (v3): deletes surface from the vector delta alone
+    retract_from_published(
+        spark, root, "doc_id in (11, 21)", strategy="dv"
+    )
+    got = _step(spark, root, ckpt)
+    assert _rows(got) == _rows(published_corpus_changes(spark, root, 2, 3))
+    assert sorted(r["doc_id"] for r in got) == [11, 21]
+    assert {r["_change_type"] for r in got} == {"delete"}
+
+    # compaction (v4): every file rewritten, net change ZERO rows
+    compact_published(spark, root)
+    got = _step(spark, root, ckpt)
+    assert got == []
+    assert published_corpus_changes(spark, root, 3, 4) is None or (
+        published_corpus_changes(spark, root, 3, 4).count() == 0
+    )
+
+    # COW retract (v5)
+    retract_from_published(spark, root, "doc_id = 7")
+    got = _step(spark, root, ckpt)
+    assert _rows(got) == _rows(published_corpus_changes(spark, root, 4, 5))
+    assert [r["doc_id"] for r in got] == [7]
+
+    # reshard (v6): sharding changes → single-partition fallback,
+    # identical (zero-row) net diff
+    reshard_published(spark, root, n_shards=2)
+    got = _step(spark, root, ckpt)
+    assert _rows(got) == _rows(
+        published_corpus_changes(spark, root, 5, 6) or []
+    )
+
+    # post-reshard DML keeps flowing
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(1004, "after reshard", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+    got = _step(spark, root, ckpt)
+    assert _rows(got) == _rows(published_corpus_changes(spark, root, 6, 7))
+    assert [r["doc_id"] for r in got] == [1004]
+
+
+def test_exactly_once_replay_and_caught_up_restart(spark, tmp_path):
+    root = _publish(spark, tmp_path, n=30)                  # v1
+    ckpt = str(tmp_path / "ckpt")
+    _step(spark, root, ckpt)                                # consume v1
+
+    frozen = str(tmp_path / "ckpt_frozen")
+    shutil.copytree(ckpt, frozen)
+
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(5, "rev 5", 42, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                       # v2
+    first = _step(spark, root, ckpt)
+    assert len(first) == 2  # update pre+post
+
+    # epoch replay: a restart from the PRE-WINDOW checkpoint
+    # regenerates byte-identical rows (partitions() is a pure
+    # function of the endpoint manifests)
+    replay = _step(spark, root, frozen)
+    assert _rows(replay) == _rows(first)
+
+    # caught-up restart: nothing new → zero rows, no duplicates
+    assert _step(spark, root, ckpt) == []
+
+
+def test_tail_only_and_option_validation(spark, tmp_path):
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    root = _publish(spark, tmp_path, n=20)                  # v1
+    retract_from_published(spark, root, "doc_id = 3")       # v2
+    ckpt = str(tmp_path / "ckpt")
+    # startingVersion = current: the bootstrap snapshot is skipped
+    got = _step(spark, root, ckpt, starting_version=2)
+    assert got == []
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(99, "tail", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                       # v3
+    got = _step(spark, root, ckpt, starting_version=2)
+    assert [(r["doc_id"], r["_change_type"]) for r in got] == [
+        (99, "insert"),
+    ]
+
+    register_pubcorpus_source(spark)
+    # without startingVersion the stream refuses at start (the batch
+    # schema would not match the change rows)
+    q = (
+        spark.readStream.format("pubcorpus").load(root)
+        .writeStream.foreachBatch(lambda d, b: None)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="startingVersion"):
+        q.awaitTermination()
+    with pytest.raises(Exception, match="readStream option"):
+        spark.read.format("pubcorpus").option(
+            "startingVersion", 0
+        ).load(root).collect()
+    with pytest.raises(Exception, match="does not apply"):
+        (spark.readStream.format("pubcorpus")
+         .option("startingVersion", 0)
+         .option("columns", "doc_id").load(root))

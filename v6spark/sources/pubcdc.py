@@ -1,0 +1,431 @@
+"""Row-level change-data-capture stream for the published corpus —
+``spark.readStream.format("pubcorpus").option("startingVersion", n)``.
+
+Round 6 built the change feed twice over: version-level as the
+``publog`` stream and row-level as
+:func:`v6spark.pipeline.published_corpus_changes` +
+:func:`v6spark.sources.publog.changes_foreach_batch`.  This module
+unifies them behind plain ``readStream``: a consumer subscribes once
+and receives ``insert | delete | update_preimage | update_postimage``
+rows with ``_commit_version``, with exactly-once offsets (manifest
+versions) and deterministic window replay — no ``foreachBatch``
+plumbing on the consumer side.
+
+Semantics are pinned to ``changes_foreach_batch``
+(tests/test_pubcdc_stream.py replays DML lifecycles and compares
+frames):
+
+- offsets are committed manifest VERSIONS; a micro-batch covering
+  ``(start, end]`` emits exactly ``published_corpus_changes(start,
+  end)`` — the net row diff, so a compaction (every file rewritten,
+  no row changed) emits ZERO rows;
+- ``startingVersion = 0`` bootstraps: the first batch delivers the
+  current snapshot as ``insert`` rows at the latest version;
+- a retired/aborted predecessor version diffs from the NEAREST
+  retained version below the window (identical net diff for gaps;
+  correctly replays a lost window's deletions), and only when
+  NOTHING below survives does the bootstrap-snapshot path apply —
+  the ADVICE-r6 semantics, now through SQL;
+- retention contract unchanged: versions the stream has not consumed
+  must be retained (``vacuum_published(keep_last=N)`` above the
+  consumer's max lag, or a read lease).
+
+Architecture (the 100 TB shape): planning is manifest-sized — the
+two window endpoints' file lists diff driver-side (KBs), and only
+files present in exactly ONE endpoint (plus deletion-vector deltas)
+are ever read.  Classification (insert vs delete vs update) needs an
+old-side/new-side join on the key; because the table is key-sharded
+at publish time (xxhash64 % n_shards), a key's old and new rows live
+in the SAME shard directory, so the join decomposes into per-shard
+partitions that executors classify locally — no executor talks to
+another.  A window that changes the sharding itself (reshard, or
+unsharded files) falls back to ONE partition, documented: those
+windows rewrite the table anyway and net to zero rows.  Per-partition
+memory is the window's diffed rows for one shard; the JVM
+``changes_foreach_batch`` path remains the bulk alternative for
+consumers that want Catalyst joins instead.
+
+Why the schema is keyed on ``startingVersion``: Spark's Python
+DataSource shares one ``schema()`` between batch and stream, and the
+CDC row shape (no ``shard``, plus ``_change_type`` /
+``_commit_version``) differs from the batch table.  The stream-only
+``startingVersion`` option is therefore required and doubles as the
+schema switch; a batch read passing it is rejected.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+from v6spark.sources.publog import _fs_for
+from v6spark.sources.pubcorpus import (
+    _dv_positions,
+    _list_log,
+    _log_dir,
+    _read_doc,
+    _read_latest,
+    _shard_of,
+    _split_files,
+)
+from v6spark.txlog import MANIFEST_PREFIX
+
+#: appended to the published schema (+ split) for every change row
+CHANGE_COLS = (("_change_type", "string"), ("_commit_version", "long"))
+
+
+def change_schema_ddl(doc: dict) -> str:
+    """The CDC row shape: published columns + ``split`` + markers —
+    matching ``published_corpus_changes`` (no ``shard``: storage
+    layout, not content)."""
+    parts = [f"`{n}` {t}" for n, t in doc["schema"]]
+    parts.append("`split` string")
+    parts.extend(f"`{n}` {t}" for n, t in CHANGE_COLS)
+    return ", ".join(parts)
+
+
+@dataclass
+class ChangesPartition(InputPartition):
+    #: (rel, split, dv_positions) files only in the OLD endpoint —
+    #: their surviving rows are delete/update-preimage candidates
+    old: tuple = ()
+    #: (rel, split, dv_positions) files only in the NEW endpoint
+    new: tuple = ()
+    #: (rel, split, keep_positions) files in BOTH endpoints whose
+    #: deletion vector GREW: the newly-marked positions are pre-images
+    pre: tuple = ()
+    version: int = 0
+    key: str | None = None
+    #: bootstrap: emit ``new`` rows as inserts, no join
+    snapshot: bool = False
+
+
+def _vals_eq(a, b) -> bool:
+    """Null-safe value equality matching Spark's ``eqNullSafe`` over
+    a struct (NaN equals NaN, nested arrays elementwise)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _vals_eq(x, y) for x, y in zip(a, b)
+        )
+    return a == b
+
+
+def _file_batches(fs, local: str, rel: str, split: str, data_fields,
+                  drop_positions=(), keep_positions=None):
+    """Arrow batches of one data file mapped onto the unified data
+    schema (typed NULLs for pre-evolution columns, ``split`` as a
+    constant): merge-on-read when ``drop_positions`` (the side's own
+    deletion vector), position-restricted when ``keep_positions``
+    (deletion-vector deltas — the newly deleted rows themselves)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_schema = pa.schema(list(data_fields))
+    handle = fs.open_input_file(f"{local}/{rel}")
+    try:
+        pf = pq.ParquetFile(handle)
+        phys = set(pf.schema_arrow.names)
+        want = [
+            f.name for f in data_fields
+            if f.name in phys and f.name != "split"
+        ]
+        if not want:
+            want = [pf.schema_arrow.names[0]]
+        drop = np.asarray(drop_positions, dtype=np.int64)
+        keep = (
+            None if keep_positions is None
+            else np.asarray(keep_positions, dtype=np.int64)
+        )
+        offset = 0
+        for batch in pf.iter_batches(columns=want):
+            n = batch.num_rows
+            pos = np.arange(offset, offset + n)
+            offset += n
+            if keep is not None:
+                mask = np.isin(pos, keep)
+            elif drop.size:
+                mask = ~np.isin(pos, drop)
+            else:
+                mask = None
+            if mask is not None and not mask.all():
+                batch = batch.filter(pa.array(mask))
+                n = batch.num_rows
+            names = set(batch.schema.names)
+            arrays = []
+            for f in data_fields:
+                if f.name == "split":
+                    arrays.append(pa.array([split] * n).cast(f.type))
+                elif f.name in names:
+                    arrays.append(batch.column(f.name).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+    finally:
+        handle.close()
+
+
+class PublishedChangesStreamReader(DataSourceStreamReader):
+    """Offsets are committed manifest versions:
+    ``{"version": last_emitted}``.  ``partitions(start, end)`` is a
+    pure function of the two endpoint manifests, so epoch replay
+    (Spark re-running a batch from checkpointed offsets) regenerates
+    byte-identical rows — exactly-once downstream."""
+
+    def __init__(self, root: str, spark_schema, starting_version: int,
+                 branch: str | None = None):
+        self.root = root
+        self.spark_schema = spark_schema
+        self.starting_version = int(starting_version)
+        self.branch = branch
+        self._log = _log_dir(root, branch)
+        self._last = self.starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        v, _doc = _read_latest(self._log)
+        if v > self._last:
+            self._last = v
+        return {"version": self._last}
+
+    def commit(self, end: dict) -> None:
+        # retention is the vacuum's contract (keep_last / leases),
+        # not the consumer's: nothing to release here
+        return
+
+    # ---------------- planning (driver-side, manifest-sized) ------- #
+
+    def _versions_at_most(self, v: int) -> list[int]:
+        out = []
+        for name in _list_log(self._log, MANIFEST_PREFIX):
+            try:
+                n = int(name[len(MANIFEST_PREFIX):])
+            except ValueError:
+                continue
+            if n <= v:
+                out.append(n)
+        return sorted(out, reverse=True)
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        empty = [ChangesPartition(version=e)]
+        if e <= s:
+            return empty
+        new_doc = _read_doc(self._log, e)
+        if new_doc is None:
+            raise ValueError(
+                f"pubcorpus changes: version {e} is not retained — the "
+                "stream's unconsumed versions must outlive vacuum "
+                "(keep_last above the consumer's lag, or a read lease)"
+            )
+        base = s
+        if base > 0 and _read_doc(self._log, base) is None:
+            # gap (aborted commit) or retired: diff from the nearest
+            # retained version below the window — identical net diff
+            # for gaps, correct deletion replay for lost windows
+            base = 0
+            for v in self._versions_at_most(s):
+                if _read_doc(self._log, v) is not None:
+                    base = v
+                    break
+        if base == 0:
+            parts = self._snapshot_partitions(new_doc, e)
+        else:
+            parts = self._diff_partitions(
+                _read_doc(self._log, base), new_doc, e
+            )
+        return parts or empty
+
+    def _snapshot_partitions(self, doc: dict, version: int):
+        files = _split_files(self.root, doc)
+        dv = _dv_positions(self.root, doc)
+        return [
+            ChangesPartition(
+                new=((rel, s, tuple(dv.get((s, rel), ()))),),
+                version=version, snapshot=True,
+            )
+            for s in sorted(files)
+            for rel in files[s]
+        ]
+
+    def _diff_partitions(self, old_doc: dict, new_doc: dict,
+                         version: int):
+        key = new_doc.get("key_col") or old_doc.get("key_col")
+        if key is None:
+            raise ValueError(
+                "pubcorpus changes needs a manifest-recorded key_col "
+                "to classify updates — republish with key stats or "
+                "consume the publog stream instead"
+            )
+        old_files = _split_files(self.root, old_doc)
+        new_files = _split_files(self.root, new_doc)
+        old_dv = _dv_positions(self.root, old_doc)
+        new_dv = _dv_positions(self.root, new_doc)
+
+        old_only, new_only, pre = [], [], []
+        for s in sorted(set(old_files) | set(new_files)):
+            ofl = set(old_files.get(s, ()))
+            nfl = set(new_files.get(s, ()))
+            for rel in sorted(ofl - nfl):
+                old_only.append(
+                    (rel, s, tuple(old_dv.get((s, rel), ())))
+                )
+            for rel in sorted(nfl - ofl):
+                new_only.append(
+                    (rel, s, tuple(new_dv.get((s, rel), ())))
+                )
+            for rel in sorted(ofl & nfl):
+                grew = sorted(
+                    set(new_dv.get((s, rel), ()))
+                    - set(old_dv.get((s, rel), ()))
+                )
+                if grew:
+                    pre.append((rel, s, tuple(grew)))
+        if not (old_only or new_only or pre):
+            return []  # metadata-only window (evolve, no-op txn)
+
+        # per-shard decomposition: same hash posture on both
+        # endpoints → a key's old and new rows share a shard dir
+        same_sharding = (
+            old_doc.get("n_shards"), old_doc.get("seed")
+        ) == (new_doc.get("n_shards"), new_doc.get("seed"))
+        shards = {
+            _shard_of(rel)
+            for rel, _s, _p in old_only + new_only + pre
+        }
+        if not same_sharding or None in shards:
+            # reshard window / unsharded files: one partition (these
+            # windows rewrite the table and net to ~zero rows)
+            return [ChangesPartition(
+                old=tuple(old_only), new=tuple(new_only),
+                pre=tuple(pre), version=version, key=key,
+            )]
+        by_shard: dict = {}
+        for kind, entries in (("old", old_only), ("new", new_only),
+                              ("pre", pre)):
+            for ent in entries:
+                by_shard.setdefault(
+                    _shard_of(ent[0]), {"old": [], "new": [], "pre": []}
+                )[kind].append(ent)
+        return [
+            ChangesPartition(
+                old=tuple(g["old"]), new=tuple(g["new"]),
+                pre=tuple(g["pre"]), version=version, key=key,
+            )
+            for _sh, g in sorted(by_shard.items())
+        ]
+
+    # ---------------- reading (executor-side, pyarrow) ------------- #
+
+    def read(self, part: ChangesPartition):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.spark_schema)
+        data_fields = [
+            target.field(i) for i in range(len(target))
+            if target.field(i).name not in ("_change_type",
+                                            "_commit_version")
+        ]
+        ct_type = target.field("_change_type").type
+        cv_type = target.field("_commit_version").type
+        fs, local = _fs_for(self.root)
+        ver = part.version
+
+        if part.snapshot:
+            for rel, split, dv in part.new:
+                for b in _file_batches(fs, local, rel, split,
+                                       data_fields, drop_positions=dv):
+                    n = b.num_rows
+                    yield pa.RecordBatch.from_arrays(
+                        list(b.columns)
+                        + [pa.array(["insert"] * n, type=ct_type),
+                           pa.array([ver] * n, type=cv_type)],
+                        schema=target,
+                    )
+            return
+        if not (part.old or part.new or part.pre):
+            return  # empty marker partition
+
+        names = [f.name for f in data_fields]
+        ki = names.index(part.key)
+
+        def side_rows(entries, keep_mode=False):
+            rows: dict = {}
+            for rel, split, positions in entries:
+                kw = (
+                    {"keep_positions": positions} if keep_mode
+                    else {"drop_positions": positions}
+                )
+                for b in _file_batches(fs, local, rel, split,
+                                       data_fields, **kw):
+                    cols = [c.to_pylist() for c in b.columns]
+                    for t in zip(*cols):
+                        rows[t[ki]] = t
+            return rows
+
+        old_rows = side_rows(part.old)
+        old_rows.update(side_rows(part.pre, keep_mode=True))
+        new_rows = side_rows(part.new)
+
+        changes: list = []
+        for k, nr in new_rows.items():
+            if k in old_rows:
+                orow = old_rows[k]
+                if not all(
+                    _vals_eq(a, b) for a, b in zip(orow, nr)
+                ):
+                    changes.append((orow, "update_preimage"))
+                    changes.append((nr, "update_postimage"))
+            else:
+                changes.append((nr, "insert"))
+        for k, orow in old_rows.items():
+            if k not in new_rows:
+                changes.append((orow, "delete"))
+
+        chunk_rows = 65536
+        for i in range(0, len(changes), chunk_rows):
+            chunk = changes[i:i + chunk_rows]
+            cols = list(zip(*[r for r, _c in chunk]))
+            arrays = [
+                pa.array(list(vals), type=f.type)
+                for vals, f in zip(cols, data_fields)
+            ]
+            arrays.append(
+                pa.array([c for _r, c in chunk], type=ct_type)
+            )
+            arrays.append(pa.array([ver] * len(chunk), type=cv_type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+def stream_published_changes(spark, root: str,
+                             starting_version: int = 0,
+                             branch: str | None = None):
+    """Unbounded DataFrame of row-level changes to ``root`` after
+    ``starting_version`` (0 = bootstrap snapshot first) — sugar over
+    ``readStream.format("pubcorpus")``."""
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    register_pubcorpus_source(spark)
+    r = (
+        spark.readStream.format("pubcorpus")
+        .option("startingVersion", int(starting_version))
+    )
+    if branch is not None:
+        r = r.option("branch", branch)
+    return r.load(root)
+
+
+__all__ = [
+    "PublishedChangesStreamReader",
+    "change_schema_ddl",
+    "stream_published_changes",
+]

@@ -53,10 +53,13 @@ measures); the DataSource trades that for a stable
 ``spark.read``/SQL surface that JVM-side consumers and plain-SQL
 users can target without importing v6spark.  Semantics are identical.
 
-Limits (documented, not silent): batch reads only (the publish-LOG
-stream lives in :mod:`v6spark.sources.publog`; row-level CDC in
-``changes_foreach_batch``); writes go through the DML verbs, never
-``df.write.format("pubcorpus")``.
+Streaming: ``spark.readStream.format("pubcorpus")
+.option("startingVersion", n)`` is the ROW-LEVEL change feed
+(:mod:`v6spark.sources.pubcdc`); the version-level publish-LOG stream
+lives in :mod:`v6spark.sources.publog`.
+
+Limits (documented, not silent): writes go through the DML verbs,
+never ``df.write.format("pubcorpus")``.
 """
 
 from __future__ import annotations
@@ -823,8 +826,29 @@ class PublishedCorpusDataSource(DataSource):
         self._doc_cache = doc
         return doc
 
+    def _starting_version(self):
+        return self.options.get(
+            "startingversion", self.options.get("startingVersion")
+        )
+
     def schema(self) -> str:
         doc = self._doc()
+        if self._starting_version() is not None:
+            # the stream-only option doubles as the schema switch:
+            # Spark's Python DataSource shares one schema() between
+            # batch and stream, and the CDC row shape differs (see
+            # v6spark.sources.pubcdc)
+            from v6spark.sources.pubcdc import change_schema_ddl
+
+            for opt in ("columns", "where", "keys", "split", "tag",
+                        "version"):
+                if self.options.get(opt) is not None:
+                    raise ValueError(
+                        f"{opt} does not apply to the change stream "
+                        "(startingVersion) — consume the full change "
+                        "rows and filter downstream"
+                    )
+            return change_schema_ddl(doc)
         # the two storage-derived columns read_published_corpus
         # carries: shard (directory-recovered partition value; string
         # — the project session posture pins
@@ -856,7 +880,34 @@ class PublishedCorpusDataSource(DataSource):
             )
         return ", ".join(f"`{n}` {known[n]}" for n in names)
 
+    def streamReader(self, schema):
+        """``readStream.format("pubcorpus")`` is the ROW-LEVEL change
+        feed (insert/delete/update_preimage/update_postimage rows per
+        committed version window) — see :mod:`v6spark.sources.pubcdc`.
+        Requires ``startingVersion`` (0 bootstraps with the current
+        snapshot as inserts; the current version tails new commits)."""
+        sv = self._starting_version()
+        if sv is None:
+            raise ValueError(
+                "pubcorpus streaming is the row-level change feed: "
+                "set option('startingVersion', n) — 0 replays from "
+                "the first commit (bootstrap snapshot), the current "
+                "version tails only new commits.  The option also "
+                "keys the stream's schema."
+            )
+        from v6spark.sources.pubcdc import PublishedChangesStreamReader
+
+        return PublishedChangesStreamReader(
+            self._root(), schema, int(sv), self.options.get("branch")
+        )
+
     def reader(self, schema) -> PublishedCorpusReader:
+        if self._starting_version() is not None:
+            raise ValueError(
+                "startingVersion is a readStream option (the change "
+                "feed); batch change windows: "
+                "pipeline.published_corpus_changes"
+            )
         return PublishedCorpusReader(
             self._root(),
             self._doc(),
