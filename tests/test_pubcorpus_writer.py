@@ -1,0 +1,215 @@
+"""The pubcorpus write front door (df.write.format("pubcorpus")).
+
+An append through spark.write must be indistinguishable from the DML
+verbs to every reader: same rows, same pruning behavior (file/col
+stats recorded), same point-lookup shards (the pure-Python xxhash64
+is parity-pinned), ACID (torn writes invisible in both crash
+windows), exactly-once under a replayed txn id, and composable with
+the verbs afterwards (retract/upsert/compact over appended files).
+"""
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from v6spark.pipeline import (
+    publish_corpus_committed,
+    read_published_corpus,
+    read_published_keys,
+    read_published_where,
+    retract_from_published,
+    upsert_into_published,
+)
+from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+
+def _df(spark, lo, n, day_base=0):
+    return spark.range(lo, lo + n).selectExpr(
+        "id as doc_id", "concat('body ', id) as text",
+        f"cast(id % 7 + {day_base} as long) as day",
+        "case when id % 10 = 0 then 'valid' else 'train' end as split",
+    )
+
+
+def _write(df, root, **opts):
+    register_pubcorpus_source(df.sparkSession)
+    w = df.write.format("pubcorpus").mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(root)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_initial_publish_matches_dml_verb(spark, tmp_path):
+    """write.format("pubcorpus") on an empty root == the initial
+    committed publish: same rows, same shard layout, working
+    manifest pruning and point lookups."""
+    root_w = str(tmp_path / "via_writer")
+    root_v = str(tmp_path / "via_verb")
+    df = _df(spark, 0, 60)
+    _write(df, root_w, nShards=4)
+    prepared = df.selectExpr("doc_id", "split")
+    publish_corpus_committed(
+        prepared, df.drop("split"), root_v, n_shards=4
+    )
+
+    got = read_published_corpus(spark, root_w)
+    ref = read_published_corpus(spark, root_v)
+    assert sorted(got.columns) == sorted(ref.columns)
+    assert _rows(got.drop("shard")) == _rows(ref.drop("shard"))
+    # shard parity: the writer's pure-Python xxhash64 routes every
+    # key to the verb's shard
+    assert _rows(got.select("doc_id", "shard")) == _rows(
+        ref.select("doc_id", "shard")
+    )
+    # manifest pruning works on the written stats
+    seen: dict = {}
+    where = read_published_where(
+        spark, root_w, "doc_id >= 55",
+        _scan_observer=lambda s, fl: seen.setdefault(s, list(fl)),
+    )
+    assert sorted(r["doc_id"] for r in where.collect()) == list(
+        range(55, 60)
+    )
+    # point lookups through the keys machinery
+    keys = read_published_keys(spark, root_w, [7, 41])
+    assert sorted(r["doc_id"] for r in keys.collect()) == [7, 41]
+
+
+def test_append_to_existing_and_dml_composition(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    df1 = _df(spark, 0, 40)
+    publish_corpus_committed(
+        df1.selectExpr("doc_id", "split"), df1.drop("split"), root,
+        n_shards=4,
+    )
+    _write(_df(spark, 1000, 20, day_base=50), root)
+
+    got = read_published_corpus(spark, root)
+    assert got.count() == 60
+    assert got.filter("doc_id >= 1000").count() == 20
+    # appended files prune: a day>=50 predicate opens only them
+    seen: dict = {}
+    read_published_where(
+        spark, root, "day >= 50",
+        _scan_observer=lambda s, fl: seen.setdefault(s, list(fl)),
+    ).collect()
+    opened = [f for fl in seen.values() for f in fl]
+    assert opened and all("v=000002" in f for f in opened)
+    # the SQL reader agrees
+    sql = spark.read.format("pubcorpus").load(root)
+    assert sql.count() == 60
+    # verbs compose over the appended state
+    retract_from_published(spark, root, "doc_id = 1003")
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(1004, "rev", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+    final = read_published_corpus(spark, root)
+    assert final.count() == 59
+    assert final.filter("doc_id = 1004").select("text").collect()[0][
+        "text"
+    ] == "rev"
+
+
+def test_append_feeds_change_stream_as_inserts(spark, tmp_path):
+    from v6spark.sources.pubcdc import stream_published_changes
+
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 20), root, nShards=2)
+    collected: list = []
+    _write(_df(spark, 500, 5), root)
+    q = (
+        stream_published_changes(spark, root, starting_version=1)
+        .writeStream.foreachBatch(
+            lambda d, b: collected.extend(d.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in collected) == list(
+        range(500, 505)
+    )
+    assert {r["_change_type"] for r in collected} == {"insert"}
+
+
+@pytest.mark.parametrize("window", ["before_commit", "mid_manifest"])
+def test_torn_write_is_invisible(spark, tmp_path, window):
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 30), root, nShards=2)
+    before = _rows(read_published_corpus(spark, root))
+    opt = (
+        {"_failBeforeCommit": "true"} if window == "before_commit"
+        else {"_failMidManifest": "true"}
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        _write(_df(spark, 100, 10), root, **opt)
+    # every reader still sees the pre-append table
+    assert _rows(read_published_corpus(spark, root)) == before
+    assert spark.read.format("pubcorpus").load(root).count() == 30
+    # the log is not deadlocked: the next append commits (past the
+    # torn claim, if one was made)
+    _write(_df(spark, 200, 5), root)
+    assert read_published_corpus(spark, root).count() == 35
+
+
+def test_exactly_once_txn_replay(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 20), root, nShards=2, txnId="boot-1")
+    _write(_df(spark, 100, 5), root, txnId="batch-7")
+    assert read_published_corpus(spark, root).count() == 25
+    # replaying the same txn id is a no-op, not a duplicate append
+    _write(_df(spark, 100, 5), root, txnId="batch-7")
+    assert read_published_corpus(spark, root).count() == 25
+
+
+def test_refusals(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    df = _df(spark, 0, 10)
+    register_pubcorpus_source(spark)
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("pubcorpus").mode("overwrite").save(root)
+    with pytest.raises(Exception, match="split"):
+        df.drop("split").write.format("pubcorpus").mode(
+            "append"
+        ).save(root)
+    with pytest.raises(Exception, match="key column"):
+        (df.write.format("pubcorpus").mode("append")
+         .option("keyCol", "nope").save(root))
+    _write(df, root, nShards=2)
+    with pytest.raises(Exception, match="schema drift"):
+        _write(
+            df.withColumn("extra", df.doc_id * 2), root
+        )
+
+
+def test_occ_collision_recomputes_against_winner(spark, tmp_path):
+    """A manifest claimed between task completion and commit bumps
+    the writer to the next version with the winner's state merged."""
+    import os
+
+    from v6spark.txlog import MANIFEST_PREFIX
+
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 20), root, nShards=2)
+    # squat on version 2 with a torn (incomplete) manifest: the
+    # writer must claim 3, and readers must never see the squat
+    log = f"{root}/_commits"
+    with open(os.path.join(log, f"{MANIFEST_PREFIX}{2:012d}"), "wb") as f:
+        f.write(b'{"v": 2, "torn')
+    _write(_df(spark, 100, 5), root)
+    got = read_published_corpus(spark, root)
+    assert got.count() == 25
+    from v6spark import txlog
+
+    v, doc = txlog.read_latest(spark, log)
+    assert v == 3 and doc.get("appended", {}).get("rows") == 5

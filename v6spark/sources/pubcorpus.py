@@ -56,10 +56,10 @@ users can target without importing v6spark.  Semantics are identical.
 Streaming: ``spark.readStream.format("pubcorpus")
 .option("startingVersion", n)`` is the ROW-LEVEL change feed
 (:mod:`v6spark.sources.pubcdc`); the version-level publish-LOG stream
-lives in :mod:`v6spark.sources.publog`.
-
-Limits (documented, not silent): writes go through the DML verbs,
-never ``df.write.format("pubcorpus")``.
+lives in :mod:`v6spark.sources.publog`.  Writing:
+``df.write.format("pubcorpus").mode("append")`` is the committed
+publish/append (:mod:`v6spark.sources.pubcorpus_writer`); overwrite
+and the destructive verbs stay Python-API-only, by design.
 """
 
 from __future__ import annotations
@@ -900,6 +900,20 @@ class PublishedCorpusDataSource(DataSource):
         return PublishedChangesStreamReader(
             self._root(), schema, int(sv), self.options.get("branch")
         )
+
+    def writer(self, schema, overwrite: bool):
+        """``df.write.format("pubcorpus").mode("append")`` — the
+        committed publish/append through SQL (see
+        :mod:`v6spark.sources.pubcorpus_writer`).  Overwrite is
+        refused; schema drift is refused; torn writes are invisible."""
+        from v6spark.sources.pubcorpus_writer import make_writer
+
+        if self.options.get("branch") is not None:
+            raise ValueError(
+                "the pubcorpus writer targets main — branch DML goes "
+                "through the Python verbs (branch=...)"
+            )
+        return make_writer(self._root(), schema, self.options, overwrite)
 
     def reader(self, schema) -> PublishedCorpusReader:
         if self._starting_version() is not None:
