@@ -1934,6 +1934,258 @@ def fast_forward_published(
     return out
 
 
+class _MergeRace(Exception):
+    """Internal: main advanced under a merge attempt — retry."""
+
+
+def merge_published_branch(
+    spark, path: str, name: str, on_conflict: str = "fail",
+    commit_mode: str = "rename", max_retries: int = 4,
+    drop_branch: bool = True, _fail_mid_apply: bool = False,
+    _fail_before_adopt: bool = False,
+) -> dict:
+    """TRUE MERGE of a branch into main — the case
+    :func:`fast_forward_published` refuses: main advanced since the
+    branch was cut, and the branch's audited DML must replay onto
+    CURRENT main with ONE commit point (WAP end to end).
+
+    Protocol (every step reuses audited machinery):
+
+    1. the branch's NET row changes since its base come from
+       :func:`published_corpus_changes` over the branch log — scan
+       cost is the branch's DML delta, never the corpus;
+    2. conflict check: keys changed on BOTH sides since the base.
+       ``on_conflict``: ``"fail"`` (default — raise with a sample),
+       ``"branch"`` (branch wins), ``"main"`` (conflicting branch
+       changes are skipped);
+    3. a nonce-named TEMP branch is cut from current main and the
+       branch changes apply to it through the normal verbs (chunked
+       SQL-escaped retract of deletes + split-move keys, one upsert
+       of inserts/post-images — the replication apply shape), all
+       INVISIBLE to main;
+    4. the temp head is adopted as main's next version via the OCC
+       commit, refused if main moved again (the whole merge retries
+       against the fresh state).  THE one commit point: pinned or
+       concurrent main readers see either the pre-merge version or
+       the complete merge, never a half-apply.
+
+    A crash anywhere before step 4's manifest leaves main untouched;
+    the temp branch is droppable debris (it pins vacuum retention
+    until dropped — :func:`list_published_branches` shows it as
+    ``mergetmp-*``).  Requires the base manifest retained on BOTH
+    logs and the branch schema equal to CURRENT main's (evolve main
+    first, then re-cut or merge).
+
+    Driver-held state is the two sides' changed-key sets and the
+    delete key lists — DML-delta-bounded, the same contract as
+    :mod:`v6spark.streaming.replication`.
+
+    Returns ``{"_version", "conflicts", "merged_deletes",
+    "merged_upserts", "base_version", "branch_head"}``.
+    """
+    import uuid as _uuid
+
+    from v6spark import txlog
+    from v6spark.streaming.replication import (
+        DELETE_CHUNK,
+        _escaped_literals_mode,
+        _sql_key_literal,
+    )
+
+    if on_conflict not in ("fail", "branch", "main"):
+        raise ValueError(
+            f"on_conflict must be fail/branch/main, got {on_conflict!r}"
+        )
+    blog = _log_dir(path, name)
+    head_v, head = txlog.read_latest(spark, blog)
+    if head is None:
+        raise ValueError(f"no branch {name!r} under {path}")
+    versions = txlog.list_versions(spark, blog)
+    seed_doc = txlog.read_version(spark, blog, versions[0])
+    base = (seed_doc or {}).get("branched_from", versions[0])
+    key_col = head.get("key_col") or "doc_id"
+
+    main_v, main_doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+    if main_doc is None:
+        raise ValueError(f"{path} has no committed publish to merge into")
+    if main_v == base:
+        # nothing advanced: the merge IS a fast-forward
+        out = fast_forward_published(
+            spark, path, name, commit_mode=commit_mode,
+            drop_branch=drop_branch,
+        )
+        return {**out, "conflicts": 0, "merged_deletes": 0,
+                "merged_upserts": 0}
+    if (main_doc.get("schema") or []) != (head.get("schema") or []):
+        raise ValueError(
+            f"branch {name!r} schema diverged from current main — "
+            "evolve main to match (evolve_published_schema), then merge"
+        )
+    try:
+        bch = published_corpus_changes(
+            spark, path, base, head_v, key_col=key_col, branch=name
+        )
+    except ValueError as exc:
+        raise ValueError(
+            f"merge needs the branch base manifest (v{base}) retained "
+            f"on the branch log — {exc}"
+        ) from exc
+    if bch is None:
+        if drop_branch:
+            drop_published_branch(spark, path, name)
+        return {"_version": main_v, "conflicts": 0, "merged_deletes": 0,
+                "merged_upserts": 0, "base_version": base,
+                "branch_head": head_v}
+    bch = bch.persist()
+    try:
+        ct = F.col("_change_type")
+        deleted = [
+            r[key_col]
+            for r in bch.filter(ct == "delete").select(key_col).collect()
+        ]
+        pre = bch.filter(ct == "update_preimage").select(
+            key_col, F.col("split").alias("__old_split")
+        )
+        post = bch.filter(ct == "update_postimage").select(
+            key_col, "split"
+        )
+        moved = [
+            r[key_col]
+            for r in post.join(pre, key_col)
+            .filter(F.col("split") != F.col("__old_split"))
+            .select(key_col).collect()
+        ]
+        upsert_keys = {
+            r[key_col]
+            for r in bch.filter(
+                ct.isin("insert", "update_postimage")
+            ).select(key_col).distinct().collect()
+        }
+        bkeys = set(deleted) | upsert_keys
+        last_race = None
+        for _ in range(max_retries):
+            main_v, main_doc = txlog.read_latest(
+                spark, f"{path}/{_COMMITS}"
+            )
+            try:
+                mch = published_corpus_changes(
+                    spark, path, base, main_v, key_col=key_col
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"merge needs the base manifest (v{base}) retained "
+                    f"on MAIN to detect conflicts — {exc}"
+                ) from exc
+            mkeys = (
+                set() if mch is None
+                else {
+                    r[key_col]
+                    for r in mch.select(key_col).distinct().collect()
+                }
+            )
+            conflicts = bkeys & mkeys
+            if conflicts and on_conflict == "fail":
+                sample = sorted(conflicts, key=str)[:10]
+                raise ValueError(
+                    f"merge conflict: {len(conflicts)} key(s) changed "
+                    f"on both main and branch {name!r} since v{base} "
+                    f"(sample: {sample}) — pass on_conflict='branch' "
+                    "(branch wins) or 'main' (skip them)"
+                )
+            skip = conflicts if on_conflict == "main" else set()
+            tmp = f"mergetmp-{_uuid.uuid4().hex[:8]}"
+            try:
+                cut_v = create_published_branch(spark, path, tmp)
+                if cut_v != main_v:
+                    raise _MergeRace(f"main moved to v{cut_v}")
+                to_retract = sorted(
+                    (set(deleted) | set(moved)) - skip, key=str
+                )
+                esc = _escaped_literals_mode(spark)
+                for i in range(0, len(to_retract), DELETE_CHUNK):
+                    vals = ", ".join(
+                        _sql_key_literal(k, esc)
+                        for k in to_retract[i:i + DELETE_CHUNK]
+                    )
+                    retract_from_published(
+                        spark, path, f"{key_col} IN ({vals})",
+                        branch=tmp, commit_mode=commit_mode,
+                    )
+                if _fail_mid_apply:
+                    raise RuntimeError(
+                        "injected crash mid-apply (between merge phases)"
+                    )
+                delta = bch.filter(
+                    ct.isin("insert", "update_postimage")
+                ).drop("_change_type", "_commit_version")
+                if skip:
+                    skipdf = spark.createDataFrame(
+                        [(k,) for k in sorted(skip, key=str)], [key_col]
+                    )
+                    delta = delta.join(
+                        F.broadcast(skipdf), key_col, "left_anti"
+                    )
+                if delta.limit(1).count():
+                    upsert_into_published(
+                        spark, path, delta, key_col=key_col,
+                        branch=tmp, commit_mode=commit_mode,
+                    )
+                if _fail_before_adopt:
+                    raise RuntimeError(
+                        "injected crash before merge adoption"
+                    )
+                tmp_head_v, tmp_head = txlog.read_latest(
+                    spark, _log_dir(path, tmp)
+                )
+
+                def _attempt(version, doc, vdir, data_root,
+                             _tmp_head=tmp_head, _cut=cut_v):
+                    if version != _cut:
+                        raise IOError(
+                            f"main advanced to v{version} during the "
+                            "merge apply"
+                        )
+                    payload = {
+                        k: v for k, v in _tmp_head.items() if k != "v"
+                    }
+                    payload.pop("branched_from", None)
+                    payload["merged_from"] = {
+                        "branch": name, "branch_head": head_v,
+                        "base_version": base, "applied_on": _cut,
+                    }
+                    return payload, {}
+
+                try:
+                    out = _occ_dml(
+                        spark, path, _attempt, commit_mode,
+                        max_retries=2,
+                    )
+                except IOError as exc:
+                    raise _MergeRace(str(exc)) from exc
+                drop_published_branch(spark, path, tmp)
+                if drop_branch:
+                    drop_published_branch(spark, path, name)
+                return {
+                    **out,
+                    "conflicts": len(conflicts),
+                    "merged_deletes": len(to_retract),
+                    "merged_upserts": len(upsert_keys - skip),
+                    "base_version": base,
+                    "branch_head": head_v,
+                }
+            except _MergeRace as race:
+                last_race = race
+                drop_published_branch(spark, path, tmp)
+                continue
+        raise IOError(
+            f"merge of branch {name!r} lost {max_retries} consecutive "
+            f"races against concurrent main writers — coordinate or "
+            f"retry ({last_race})"
+        )
+    finally:
+        bch.unpersist()
+
+
 _BRANCHES = "_branches"
 
 

@@ -89,6 +89,12 @@ def _kind_of(doc: dict) -> str:
     """Manifest kind from its marker keys (newest-operation wins)."""
     if "noop_txn" in doc:
         return "noop_txn"
+    if "merged_from" in doc:
+        # checked before the DML markers: the adopted temp-branch
+        # head carries its last applied verb's marker too
+        return "merge"
+    if "appended" in doc:
+        return "append"
     if "fast_forwarded_from" in doc:
         return "fast_forward"
     if "branched_from" in doc:
