@@ -211,6 +211,61 @@ def run_scale(spark, n_base: int) -> dict:
             src_files = sum(len(v) for v in json.load(fh).values())
         assert src_files == zc_hit, (src_files, zc_hit)
 
+        # 6c. r8: projected where read — option("columns") narrows
+        # the DECODE, not just the frame: with text dominating the
+        # row, a doc_id,day read decodes a small fraction of the
+        # surviving files' bytes; row groups the predicate refutes
+        # never decode (recorded; single-row-group files can't skip)
+        dec_dir = os.path.join(tmp, "dec")
+        os.makedirs(dec_dir)
+        with step("pubcorpus_projected_where_read"):
+            n_proj = (
+                spark.read.format("pubcorpus")
+                .option("where", pred)
+                .option("columns", "doc_id,day")
+                .option("_decodeObserverDir", dec_dir)
+                .load(root).count()
+            )
+        assert n_proj == 2 * n_delta
+        recs = [
+            json.load(open(os.path.join(dec_dir, f)))
+            for f in os.listdir(dec_dir)
+        ]
+        b_sel = sum(r["bytes_selected"] for r in recs)
+        b_tot = sum(r["bytes_total"] for r in recs)
+        rg_read = sum(r["row_groups_read"] for r in recs)
+        rg_tot = sum(r["row_groups_total"] for r in recs)
+        assert 0 < b_sel < b_tot, (b_sel, b_tot)
+
+        # 6d. r8: the row-level CDC stream tails the DV-retract +
+        # ZORDER window through plain readStream (per-shard Python
+        # classify): net change = exactly the day-8 deletes, the
+        # full-rewrite compaction contributes ZERO rows
+        from v6spark.sources.pubcdc import stream_published_changes
+
+        cdc_counts: list = []
+        with step("cdc_stream_window"):
+            q = (
+                stream_published_changes(
+                    spark, root, starting_version=1 + N_UPSERTS
+                )
+                .writeStream.foreachBatch(
+                    lambda d, b: cdc_counts.append((
+                        d.filter("_change_type = 'delete'").count(),
+                        d.count(),
+                    ))
+                )
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "ckpt")
+                )
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+        cdc_deletes = sum(d for d, _n in cdc_counts)
+        cdc_total = sum(n for _d, n in cdc_counts)
+        assert cdc_deletes == n_delta, (cdc_deletes, n_delta)
+        assert cdc_total == n_delta, (cdc_total, n_delta)
+
         # 7. vacuum: tagged v1 survives, reads back exact
         with step("vacuum"):
             vacuum_published_files(spark, root, keep_last=1)
@@ -234,6 +289,9 @@ def run_scale(spark, n_base: int) -> dict:
             "zorder_files": f"{zc_hit}/{zc_total}",
             "pubcorpus_hash_identical": True,
             "pubcorpus_where_files": f"{src_files}/{zc_total}",
+            "pubcorpus_projected_bytes": f"{b_sel}/{b_tot}",
+            "pubcorpus_row_groups": f"{rg_read}/{rg_tot}",
+            "cdc_stream_net_deletes": cdc_deletes,
             "absent_lookup_files_opened": absent_files,
             "walls_s": walls,
             "all_counts_exact": True,
@@ -290,7 +348,14 @@ def main():
             "content-hash-identical to read_published_corpus, its "
             "where option opens exactly the files read_published_where "
             "opens (pubcorpus_where_files), and the tagged v1 reads "
-            "back through option('tag') after the vacuum."
+            "back through option('tag') after the vacuum.  r8: the "
+            "projected where read (option('columns','doc_id,day')) "
+            "decodes pubcorpus_projected_bytes of the surviving "
+            "files' bytes (text excluded from the decode), "
+            "pubcorpus_row_groups records footer-stat row-group "
+            "skipping, and the readStream CDC feed tails the "
+            "DV-retract + ZORDER window to exactly the net deletes "
+            "(the full rewrite contributes zero rows)."
         ),
     }
     with open(OUT, "w") as f:
