@@ -67,6 +67,9 @@ MODULES = [
     "v6spark.txlog",
     "v6spark.operators.xxh64",
     "v6spark.sources.pubcorpus",
+    "v6spark.sources.pubcorpus_writer",
+    "v6spark.sources.pubcdc",
+    "v6spark.sources.ivfindex_source",
     "v6spark.operators.codec_adapter",
     "v6spark.functions.determinism",
     "v6spark.functions.arrays",
