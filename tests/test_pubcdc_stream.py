@@ -217,3 +217,46 @@ def test_tail_only_and_option_validation(spark, tmp_path):
         (spark.readStream.format("pubcorpus")
          .option("startingVersion", 0)
          .option("columns", "doc_id").load(root))
+
+
+def test_batch_change_window_matches_stream_and_python(spark, tmp_path):
+    """option("changesFrom", a)/("changesTo", b) through spark.read =
+    published_corpus_changes(a, b) = what the stream emitted for the
+    same window."""
+    from v6spark.sources.pubcdc import read_published_changes_sql
+
+    root = _publish(spark, tmp_path)                        # v1
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(5, "rev 5", 42, "train"), (900, "new", 1, "valid")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                       # v2
+    retract_from_published(spark, root, "doc_id = 11")      # v3
+
+    got = read_published_changes_sql(spark, root, 1, 3)
+    ref = published_corpus_changes(spark, root, 1, 3)
+    assert sorted(got.columns) == sorted(ref.columns)
+    assert _rows(got) == _rows(ref)
+    # changesTo defaults to latest
+    got_latest = read_published_changes_sql(spark, root, 2)
+    ref_latest = published_corpus_changes(spark, root, 2, 3)
+    assert _rows(got_latest) == _rows(ref_latest)
+    # SQL surface
+    got.createOrReplaceTempView("chg_v")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM chg_v WHERE _change_type = 'delete'"
+    ).collect()[0]["n"]
+    assert n == 1
+    # validation
+    with pytest.raises(Exception, match="below changesFrom"):
+        read_published_changes_sql(spark, root, 3, 1).collect()
+    with pytest.raises(Exception, match="exclusive"):
+        (spark.read.format("pubcorpus")
+         .option("changesFrom", 1).option("startingVersion", 1)
+         .load(root))
+    with pytest.raises(Exception, match="does not apply"):
+        (spark.read.format("pubcorpus")
+         .option("changesFrom", 1).option("columns", "doc_id")
+         .load(root))

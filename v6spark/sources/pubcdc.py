@@ -58,7 +58,11 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from v6spark.sources.publog import _fs_for
 from v6spark.sources.pubcorpus import (
@@ -406,6 +410,62 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
+class PublishedChangesBatchReader(DataSourceReader):
+    """Batch change-window read — ``spark.read.format("pubcorpus")
+    .option("changesFrom", a)[.option("changesTo", b)].load(root)``:
+    the Delta ``table_changes(a, b)`` shape over the same planner as
+    the stream (one window ``(a, b]``; ``b`` defaults to the latest
+    committed version).  Exactly the frame a stream consumer got (or
+    will get) for that window, through plain spark.read/SQL.
+
+    Composes (not subclasses) the stream reader: Spark detects
+    streaming sources by ``isinstance(reader,
+    DataSourceStreamReader)``, so the batch front must be a plain
+    ``DataSourceReader``."""
+
+    def __init__(self, root: str, spark_schema, lo: int,
+                 hi: int | None, branch: str | None = None):
+        self._inner = PublishedChangesStreamReader(
+            root, spark_schema, lo, branch
+        )
+        self._lo = int(lo)
+        self._hi = hi if hi is None else int(hi)
+
+    def partitions(self):
+        hi = self._hi
+        if hi is None:
+            hi, doc = _read_latest(self._inner._log)
+            if doc is None:
+                raise ValueError(
+                    f"{self._inner.root} has no committed publish"
+                )
+        if hi < self._lo:
+            raise ValueError(
+                f"changesTo ({hi}) is below changesFrom ({self._lo})"
+            )
+        return self._inner.partitions(
+            {"version": self._lo}, {"version": hi}
+        )
+
+    def read(self, part: ChangesPartition):
+        return self._inner.read(part)
+
+
+def read_published_changes_sql(spark, root: str, lo: int,
+                               hi: int | None = None,
+                               branch: str | None = None):
+    """One-call batch change window through the SQL source."""
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    register_pubcorpus_source(spark)
+    r = spark.read.format("pubcorpus").option("changesFrom", int(lo))
+    if hi is not None:
+        r = r.option("changesTo", int(hi))
+    if branch is not None:
+        r = r.option("branch", branch)
+    return r.load(root)
+
+
 def stream_published_changes(spark, root: str,
                              starting_version: int = 0,
                              branch: str | None = None):
@@ -425,7 +485,9 @@ def stream_published_changes(spark, root: str,
 
 
 __all__ = [
+    "PublishedChangesBatchReader",
     "PublishedChangesStreamReader",
     "change_schema_ddl",
+    "read_published_changes_sql",
     "stream_published_changes",
 ]

@@ -771,6 +771,12 @@ class PublishedCorpusDataSource(DataSource):
       declared schema shrinks to these columns and the reader decodes
       only them plus any ``where``/``keys`` filter columns (dropped
       before yield).  ``split``/``shard`` may be projected;
+    - ``changesFrom`` / ``changesTo``: a BATCH change window — the
+      rows the CDC stream emits for ``(changesFrom, changesTo]``
+      (``changesTo`` defaults to latest), i.e. Delta's
+      ``table_changes(a, b)`` through plain spark.read; switches the
+      schema to the change shape like ``startingVersion`` does for
+      streams (see :mod:`v6spark.sources.pubcdc`);
     - ``maxBytesPerPartition`` (default 128 MB): surviving files
       group into read tasks of about this size — many small files
       share one Python task, large files fan out;
@@ -831,9 +837,30 @@ class PublishedCorpusDataSource(DataSource):
             "startingversion", self.options.get("startingVersion")
         )
 
+    def _changes_from(self):
+        return self.options.get(
+            "changesfrom", self.options.get("changesFrom")
+        )
+
+    def _changes_to(self):
+        return self.options.get(
+            "changesto", self.options.get("changesTo")
+        )
+
     def schema(self) -> str:
         doc = self._doc()
-        if self._starting_version() is not None:
+        if (
+            self._starting_version() is not None
+            and self._changes_from() is not None
+        ):
+            raise ValueError(
+                "startingVersion (stream) and changesFrom (batch "
+                "window) are exclusive"
+            )
+        if (
+            self._starting_version() is not None
+            or self._changes_from() is not None
+        ):
             # the stream-only option doubles as the schema switch:
             # Spark's Python DataSource shares one schema() between
             # batch and stream, and the CDC row shape differs (see
@@ -844,9 +871,9 @@ class PublishedCorpusDataSource(DataSource):
                         "version"):
                 if self.options.get(opt) is not None:
                     raise ValueError(
-                        f"{opt} does not apply to the change stream "
-                        "(startingVersion) — consume the full change "
-                        "rows and filter downstream"
+                        f"{opt} does not apply to change reads "
+                        "(startingVersion/changesFrom) — consume the "
+                        "full change rows and filter downstream"
                     )
             return change_schema_ddl(doc)
         # the two storage-derived columns read_published_corpus
@@ -915,11 +942,25 @@ class PublishedCorpusDataSource(DataSource):
             )
         return make_writer(self._root(), schema, self.options, overwrite)
 
-    def reader(self, schema) -> PublishedCorpusReader:
+    def reader(self, schema):
+        if self._changes_from() is not None:
+            # batch change window: the Delta table_changes(a, b)
+            # shape over the stream's planner (see sources/pubcdc)
+            from v6spark.sources.pubcdc import (
+                PublishedChangesBatchReader,
+            )
+
+            hi = self._changes_to()
+            return PublishedChangesBatchReader(
+                self._root(), schema, int(self._changes_from()),
+                None if hi is None else int(hi),
+                self.options.get("branch"),
+            )
         if self._starting_version() is not None:
             raise ValueError(
                 "startingVersion is a readStream option (the change "
-                "feed); batch change windows: "
+                "feed); batch change windows: option('changesFrom', "
+                "a) [+ 'changesTo'] or "
                 "pipeline.published_corpus_changes"
             )
         return PublishedCorpusReader(
