@@ -130,3 +130,19 @@ def test_sql_surface_and_validation(spark, tmp_path):
         spark.read.format("ivfindex").option(
             "query", json.dumps(query)
         ).load(str(tmp_path / "nothing")).collect()
+
+
+def test_per_file_topk_tie_break_is_native_id_order(spark, tmp_path):
+    """All-identical embeddings: every cosine ties at 1.0, so the
+    per-file top-k cut is decided purely by the id tie-break — which
+    must use the column's NATIVE ordering (int 9 < 10), not string
+    order ('10' < '9'), to match the JVM twin."""
+    vec = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, vec) for i in range(30)]
+    path = str(tmp_path / "ivf_ties")
+    ivf.build_ivf_index(_df(spark, rows), path, n_cells=1)
+    ref = ivf.ivf_index_topk(spark, path, vec, k=12, n_probe=1)
+    got = read_ivf_index_topk(spark, path, vec, k=12, n_probe=1)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in ref.collect()
+    ] == list(range(12))

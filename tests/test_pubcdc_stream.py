@@ -260,3 +260,39 @@ def test_batch_change_window_matches_stream_and_python(spark, tmp_path):
         (spark.read.format("pubcorpus")
          .option("changesFrom", 1).option("columns", "doc_id")
          .load(root))
+
+
+def test_batch_window_pins_its_default_endpoint(spark, tmp_path):
+    """changesTo defaulted to latest is resolved at CONSTRUCTION:
+    a later commit must not change what an existing DataFrame reads
+    (relation identity, same discipline as the table reader)."""
+    root = _publish(spark, tmp_path, n=20)                  # v1
+    retract_from_published(spark, root, "doc_id = 3")       # v2
+    from v6spark.sources.pubcdc import read_published_changes_sql
+
+    df = read_published_changes_sql(spark, root, 1)         # (1, 2]
+    assert df.count() == 1
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(500, "late", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                       # v3
+    assert df.count() == 1  # still (1, 2], not (1, 3]
+    with pytest.raises(Exception, match=">= 0"):
+        read_published_changes_sql(spark, root, -1).collect()
+
+
+def test_vals_eq_struct_and_nan():
+    """Null-safe struct equality parity: NaN == NaN inside nested
+    dicts/lists (a compaction window must net to zero rows even for
+    NaN-bearing struct columns)."""
+    from v6spark.sources.pubcdc import _vals_eq
+
+    nan = float("nan")
+    assert _vals_eq({"a": nan, "b": [1, nan]}, {"a": nan, "b": [1, nan]})
+    assert not _vals_eq({"a": nan}, {"a": 1.0})
+    assert not _vals_eq({"a": 1}, {"b": 1})
+    assert _vals_eq([{"x": nan}], [{"x": nan}])
+    assert not _vals_eq({"a": 1}, None)

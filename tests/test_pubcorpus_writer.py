@@ -213,3 +213,21 @@ def test_occ_collision_recomputes_against_winner(spark, tmp_path):
 
     v, doc = txlog.read_latest(spark, log)
     assert v == 3 and doc.get("appended", {}).get("rows") == 5
+
+
+def test_vacuum_keeps_appended_files(spark, tmp_path):
+    """The append manifest must record EVERY referenced version dir
+    as live (_dv_live_dirs): with only the old doc's live carried
+    forward, a vacuum would delete the append's fresh directory out
+    from under the committed manifest."""
+    from v6spark.pipeline import vacuum_published
+
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 30), root, nShards=2)
+    _write(_df(spark, 100, 10), root)
+    vacuum_published(spark, root, keep_last=1)
+    got = read_published_corpus(spark, root)
+    assert got.count() == 40
+    assert got.filter("doc_id >= 100").count() == 10
+    # and the SQL reader agrees post-vacuum
+    assert spark.read.format("pubcorpus").load(root).count() == 40

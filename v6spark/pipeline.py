@@ -3981,8 +3981,10 @@ def upsert_into_published(
 
             def _stats_can_match(s, rel, shard):
                 st = file_stats.get(s, {}).get(rel)
-                if st is None:
-                    return True  # no stats recorded: must scan
+                if st is None or st[0] is None:
+                    # no stats / unknown-bounds ([None, None, n]):
+                    # must scan — bisecting None would crash planning
+                    return True
                 lo, hi = st[0], st[1]
                 ks = keys_by_shard.get(shard, [])
                 i = bisect.bisect_left(ks, lo)

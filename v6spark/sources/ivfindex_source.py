@@ -92,6 +92,33 @@ def _cell_files(root: str, gens: list[str], cells: set[int]) -> list:
     return out
 
 
+def _first_file(root: str, gens: list[str]) -> str | None:
+    """First data file of the index — TWO directory listings (the
+    generation dir, then its first cell dir), not O(nCells): the
+    schema only needs one footer to type the id column."""
+    from pyarrow import fs as pafs
+
+    filesystem, local = _fs_for(root)
+    for g in gens:
+        base = f"{local}/{g}".rstrip("/")
+        try:
+            entries = filesystem.get_file_info(
+                pafs.FileSelector(base, recursive=False)
+            )
+        except FileNotFoundError:
+            continue
+        for e in sorted(entries, key=lambda x: x.path):
+            if not e.base_name.startswith("cell="):
+                continue
+            sub = filesystem.get_file_info(
+                pafs.FileSelector(e.path, recursive=True)
+            )
+            for i in sorted(sub, key=lambda x: x.path):
+                if i.is_file and not i.base_name.startswith(("_", ".")):
+                    return i.path[len(local) + 1:]
+    return None
+
+
 @dataclass
 class IvfPartition(InputPartition):
     #: (rel_path, cell) — one file per partition: cells are few files
@@ -132,6 +159,16 @@ class IvfIndexReader(DataSourceReader):
     def partitions(self):
         parts = [IvfPartition(files=(ent,)) for ent in self._files]
         return parts or [IvfPartition()]
+
+    def _batch(self, rows, pa):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[1] for r in rows]),
+                pa.array([r[0] for r in rows], type=pa.float64()),
+                pa.array([r[2] for r in rows], type=pa.int32()),
+            ],
+            names=[self.id_col, "cosine", "cell"],
+        )
 
     def read(self, part: IvfPartition):
         import numpy as np
@@ -180,22 +217,29 @@ class IvfIndexReader(DataSourceReader):
                 )
                 for i, s in enumerate(sims)
             ]
+            if len(rows) <= self.k:
+                yield self._batch(rows, pa)
+                continue
             # per-file top-k by (non-null first, score desc, id asc)
+            # — the id tie-break uses the column's NATIVE ordering so
+            # score ties (incl. NULL scores) at the k boundary keep
+            # exactly the rows the JVM twin's
+            # orderBy(cosine desc nulls last, id) keeps
             rows.sort(
                 key=lambda r: (
                     r[0] is None, -(r[0] if r[0] is not None else 0.0),
-                    str(r[1]),
                 )
             )
             top = rows[: self.k]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r[1] for r in top]),
-                    pa.array([r[0] for r in top], type=pa.float64()),
-                    pa.array([r[2] for r in top], type=pa.int32()),
-                ],
-                names=[self.id_col, "cosine", "cell"],
-            )
+            if rows[self.k][0] == rows[self.k - 1][0]:
+                cut = rows[self.k - 1][0]
+                tied = sorted(
+                    (r for r in rows if r[0] == cut),
+                    key=lambda r: r[1],
+                )
+                head = [r for r in top if r[0] != cut]
+                top = head + tied[: self.k - len(head)]
+            yield self._batch(top, pa)
 
 
 class IvfIndexDataSource(DataSource):
@@ -239,13 +283,12 @@ class IvfIndexDataSource(DataSource):
 
         root = self._root()
         id_col = self._id_col()
-        gens = _live_dirs(root)
-        centroids = _read_centroids(root)
-        files = _cell_files(root, gens, set(range(len(centroids))))
-        if not files:
+        _read_centroids(root)  # fail fast on a non-index root
+        first = _first_file(root, _live_dirs(root))
+        if first is None:
             raise ValueError(f"{root} holds no index data files")
         fs, local = _fs_for(root)
-        handle = fs.open_input_file(f"{local}/{files[0][0]}")
+        handle = fs.open_input_file(f"{local}/{first}")
         try:
             sch = pq.ParquetFile(handle).schema_arrow
         finally:

@@ -56,7 +56,7 @@ schema switch; a batch read passing it is rejected.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSourceReader,
@@ -116,6 +116,13 @@ def _vals_eq(a, b) -> bool:
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(
             _vals_eq(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, dict) and isinstance(b, dict):
+        # struct values arrive as dicts from to_pylist: recurse so a
+        # nested NaN still compares equal (plain dict == would make
+        # every NaN-bearing row a spurious update)
+        return a.keys() == b.keys() and all(
+            _vals_eq(v, b[k]) for k, v in a.items()
         )
     return a == b
 
@@ -187,6 +194,12 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
         self.root = root
         self.spark_schema = spark_schema
         self.starting_version = int(starting_version)
+        if self.starting_version < 0:
+            raise ValueError(
+                "startingVersion/changesFrom must be >= 0 (0 = "
+                "bootstrap snapshot), got "
+                f"{self.starting_version}"
+            )
         self.branch = branch
         self._log = _log_dir(root, branch)
         self._last = self.starting_version
@@ -429,22 +442,25 @@ class PublishedChangesBatchReader(DataSourceReader):
             root, spark_schema, lo, branch
         )
         self._lo = int(lo)
-        self._hi = hi if hi is None else int(hi)
-
-    def partitions(self):
-        hi = self._hi
         if hi is None:
+            # pin the defaulted endpoint at CONSTRUCTION, not per
+            # plan: a second action on the same DataFrame must read
+            # the same window even if writers committed in between
+            # (the same relation-identity discipline as the batch
+            # table reader's doc cache)
             hi, doc = _read_latest(self._inner._log)
             if doc is None:
-                raise ValueError(
-                    f"{self._inner.root} has no committed publish"
-                )
-        if hi < self._lo:
+                raise ValueError(f"{root} has no committed publish")
+        self._hi = int(hi)
+        if self._hi < self._lo:
             raise ValueError(
-                f"changesTo ({hi}) is below changesFrom ({self._lo})"
+                f"changesTo ({self._hi}) is below changesFrom "
+                f"({self._lo})"
             )
+
+    def partitions(self):
         return self._inner.partitions(
-            {"version": self._lo}, {"version": hi}
+            {"version": self._lo}, {"version": self._hi}
         )
 
     def read(self, part: ChangesPartition):

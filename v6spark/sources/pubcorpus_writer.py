@@ -58,7 +58,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from v6spark.sources.pubcorpus import _read_doc, _read_latest
+from v6spark.sources.pubcorpus import _read_latest
 from v6spark.txlog import MANIFEST_PREFIX, _encode
 
 _COMMITS = "_commits"
@@ -170,6 +170,7 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
             _doc_col_stats,
             _doc_file_stats,
             _doc_files,
+            _dv_live_dirs,
             _offload_manifest,
             _txn_forward,
         )
@@ -209,7 +210,12 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 return  # idempotent replay: staged files orphan
             if doc is None:
                 payload = {
-                    "live": self.vdir,
+                    # file-level manifests record EVERY referenced
+                    # version dir: the directory vacuum spares exactly
+                    # the listed dirs (_dv_live_dirs, the DML posture)
+                    "live": _dv_live_dirs(
+                        {s: fl for s, fl in new_by_split.items()}, None
+                    ),
                     "fmt": "parquet",
                     "splits": dict(counts),
                     "schema": schema,
@@ -240,7 +246,10 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                     for s in set(old_files) | set(new_by_split)
                 }
                 payload = {
-                    "live": doc.get("live") or self.vdir,
+                    # every version dir a referenced data or DV file
+                    # lives in — the OLD doc's live alone would let a
+                    # vacuum delete THIS append's fresh directory
+                    "live": _dv_live_dirs(files, doc.get("dv")),
                     "fmt": "parquet",
                     "splits": {
                         s: (doc.get("splits") or {}).get(s, 0)
