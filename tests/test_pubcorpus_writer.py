@@ -231,3 +231,63 @@ def test_vacuum_keeps_appended_files(spark, tmp_path):
     assert got.filter("doc_id >= 100").count() == 10
     # and the SQL reader agrees post-vacuum
     assert spark.read.format("pubcorpus").load(root).count() == 40
+
+
+def test_occ_recomputes_against_complete_winner(spark, tmp_path):
+    """A REAL DML verb commits between the append's task completion
+    and its manifest commit: the writer must merge against the
+    WINNER's state (not its stale pre-read), landing both changes.
+
+    Driven at the writer-object level because Spark 4.1 Python
+    DataSources are not usable from non-main Python threads at all
+    (DATA_SOURCE_NOT_FOUND / PYTHON_DATA_SOURCE_ERROR on both read
+    and write — a platform limitation, verified, not a v6spark one),
+    so a true two-thread df.write race cannot be staged."""
+    import pyarrow as pa
+
+    from v6spark.sources.pubcorpus_writer import make_writer
+
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 20), root, nShards=2)
+    w = make_writer(root, _df(spark, 0, 1).schema, {}, False)
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([5000, 5001], type=pa.int64()),
+            pa.array(["a", "b"]),
+            pa.array([1, 2], type=pa.int64()),
+            pa.array(["train", "train"]),
+        ],
+        names=["doc_id", "text", "day", "split"],
+    )
+    msg = w.write(iter([batch]))          # tasks done, not committed
+    upsert_into_published(                # the winner lands first
+        spark, root,
+        spark.createDataFrame(
+            [(9000, "winner", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+    w.commit([msg])
+    got = read_published_corpus(spark, root)
+    assert got.count() == 23
+    assert got.filter("doc_id in (5000, 5001, 9000)").count() == 3
+    from v6spark import txlog
+
+    v, doc = txlog.read_latest(spark, f"{root}/_commits")
+    assert v == 3
+    assert doc["appended"]["from_version"] == 2  # merged vs winner
+
+
+def test_more_refusals(spark, tmp_path):
+    df = _df(spark, 0, 10)
+    register_pubcorpus_source(spark)
+    with pytest.raises(Exception, match="branch"):
+        (df.write.format("pubcorpus").mode("append")
+         .option("branch", "exp").save(str(tmp_path / "c")))
+    with pytest.raises(Exception, match="local filesystems"):
+        (df.write.format("pubcorpus").mode("append")
+         .save("s3://bucket/corpus"))
+    with pytest.raises(Exception, match="storage layout"):
+        (df.withColumn("shard", df.doc_id % 4)
+         .write.format("pubcorpus").mode("append")
+         .save(str(tmp_path / "c2")))
