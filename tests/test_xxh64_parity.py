@@ -97,3 +97,44 @@ def test_null_skips(spark):
     assert rows[0]["h"] == spark_xxhash64(
         [(1, "int"), (None, "string")]
     )
+
+
+def test_shards_of_numpy_matches_scalar():
+    """The vectorized integer lanes (the SQL writer's row routing)
+    agree with the scalar shard_of on every integer type, including
+    negatives, int32 wrap edges, and both lit-seed lanes."""
+    import numpy as np
+
+    from v6spark.operators.xxh64 import shards_of_numpy
+
+    rng = random.Random(11)
+    longs = (
+        [rng.randint(-(1 << 63), (1 << 63) - 1) for _ in range(500)]
+        + [0, -1, 1, (1 << 63) - 1, -(1 << 63)]
+    )
+    ints = (
+        [rng.randint(-(1 << 31), (1 << 31) - 1) for _ in range(500)]
+        + [0, -1, 1, (1 << 31) - 1, -(1 << 31)]
+    )
+    for seed in (0, 7, (1 << 40)):  # int lit seed AND bigint lit seed
+        got = shards_of_numpy(np.array(longs, dtype=np.int64),
+                              "bigint", 32, seed=seed)
+        assert got.tolist() == [
+            shard_of(k, "bigint", 32, seed=seed) for k in longs
+        ]
+        got_i = shards_of_numpy(np.array(ints, dtype=np.int32),
+                                "int", 7, seed=seed)
+        assert got_i.tolist() == [
+            shard_of(k, "int", 7, seed=seed) for k in ints
+        ]
+    # object arrays (to_numpy fallback) and NULL rejection
+    got_o = shards_of_numpy(longs[:10], "bigint", 4)
+    assert got_o.tolist() == [
+        shard_of(k, "bigint", 4) for k in longs[:10]
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL key"):
+        shards_of_numpy([1, None, 3], "bigint", 4)
+    with _pytest.raises(TypeError, match="integer key lanes"):
+        shards_of_numpy([1], "string", 4)

@@ -110,21 +110,38 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from v6spark.operators.xxh64 import shard_of
+        from v6spark.operators.xxh64 import shard_of, shards_of_numpy
 
         target = to_arrow_schema(self.spark_schema)
         content = pa.schema(
             [f for f in target if f.name != "split"]
         )
+        int_lane = self.key_type in (
+            "boolean", "tinyint", "smallint", "int", "bigint", "long"
+        )
         groups: dict = {}
         for batch in iterator:
             splits = batch.column("split").to_pylist()
-            keys = batch.column(self.key_col).to_pylist()
-            shards = [
-                shard_of(k, self.key_type, self.n_shards,
-                         seed=self.seed)
-                for k in keys
-            ]
+            kcol = batch.column(self.key_col)
+            if kcol.null_count:
+                raise ValueError(
+                    "pubcorpus append: the key column must be "
+                    "non-null on every row"
+                )
+            if int_lane:
+                # one vectorized numpy pass (parity-pinned) instead
+                # of a per-row Python hash — the routing touches
+                # EVERY written row
+                shards = shards_of_numpy(
+                    kcol.to_numpy(zero_copy_only=False),
+                    self.key_type, self.n_shards, seed=self.seed,
+                ).tolist()
+            else:
+                shards = [
+                    shard_of(k, self.key_type, self.n_shards,
+                             seed=self.seed)
+                    for k in kcol.to_pylist()
+                ]
             by_group: dict = {}
             for i, (s, sh) in enumerate(zip(splits, shards)):
                 if s is None:
