@@ -182,6 +182,140 @@ def _file_batches(fs, local: str, rel: str, split: str, data_fields,
         handle.close()
 
 
+def _vectorizable(data_fields, pa) -> bool:
+    """Whether every column supports the arrow/numpy classifier:
+    scalar primitives only — nested types (list/struct/map) keep the
+    exact per-row path (_vals_eq handles their NaN semantics)."""
+    preds = (
+        pa.types.is_integer, pa.types.is_floating,
+        pa.types.is_boolean, pa.types.is_string,
+        pa.types.is_large_string, pa.types.is_date,
+        pa.types.is_timestamp, pa.types.is_decimal,
+        pa.types.is_binary, pa.types.is_large_binary,
+    )
+    return all(
+        any(p(f.type) for p in preds) for f in data_fields
+    )
+
+
+def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
+                     ct_type, cv_type):
+    """Arrow/numpy change classification — the 100 TB shape for the
+    Python CDC path: key matching via one argsort + searchsorted,
+    row equality via per-column arrow kernels (null-safe, NaN==NaN
+    like eqNullSafe), emission via Table.take.  No per-row Python.
+    Assumes unique keys per side (the table's upsert contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = data_fields[ki].name
+
+    def emit(tab, idx, ctype):
+        sub = tab.take(pa.array(idx, type=pa.int64()))
+        n = len(idx)
+        arrays = [
+            sub.column(i).combine_chunks()
+            for i in range(sub.num_columns)
+        ]
+        arrays.append(pa.array([ctype] * n, type=ct_type))
+        arrays.append(pa.array([ver] * n, type=cv_type))
+        return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    ok = old_tab.column(key).to_numpy(zero_copy_only=False)
+    nk = new_tab.column(key).to_numpy(zero_copy_only=False)
+    if len(ok) == 0:
+        if len(nk):
+            yield emit(new_tab, np.arange(len(nk)), "insert")
+        return
+    if len(nk) == 0:
+        yield emit(old_tab, np.arange(len(ok)), "delete")
+        return
+    order = np.argsort(ok, kind="stable")
+    ok_sorted = ok[order]
+    pos = np.searchsorted(ok_sorted, nk)
+    pos_clip = np.minimum(pos, len(ok_sorted) - 1)
+    match = ok_sorted[pos_clip] == nk
+    new_only = np.nonzero(~match)[0]
+    pair_new = np.nonzero(match)[0]
+    pair_old = order[pos[pair_new]]
+    matched_old = np.zeros(len(ok), dtype=bool)
+    matched_old[pair_old] = True
+    old_only = np.nonzero(~matched_old)[0]
+
+    if len(pair_new):
+        eq = np.ones(len(pair_new), dtype=bool)
+        ot = old_tab.take(pa.array(pair_old, type=pa.int64()))
+        nt = new_tab.take(pa.array(pair_new, type=pa.int64()))
+        for i, f in enumerate(data_fields):
+            if not eq.any():
+                break
+            a = ot.column(i).combine_chunks()
+            b = nt.column(i).combine_chunks()
+            m = pc.or_(
+                pc.fill_null(pc.equal(a, b), False),
+                pc.and_(pc.is_null(a), pc.is_null(b)),
+            )
+            if pa.types.is_floating(f.type):
+                # NaN == NaN, matching eqNullSafe struct equality
+                m = pc.or_(m, pc.and_(
+                    pc.fill_null(pc.is_nan(a), False),
+                    pc.fill_null(pc.is_nan(b), False),
+                ))
+            eq &= m.to_numpy(zero_copy_only=False)
+        changed = np.nonzero(~eq)[0]
+        if len(changed):
+            yield emit(old_tab, pair_old[changed], "update_preimage")
+            yield emit(new_tab, pair_new[changed], "update_postimage")
+    if len(new_only):
+        yield emit(new_tab, new_only, "insert")
+    if len(old_only):
+        yield emit(old_tab, old_only, "delete")
+
+
+def _classify_rows(old_tab, new_tab, data_fields, ki, ver, target,
+                   ct_type, cv_type):
+    """Exact per-row fallback for nested column types (_vals_eq
+    null/NaN semantics at any depth)."""
+    import pyarrow as pa
+
+    def rows_of(tab):
+        rows: dict = {}
+        cols = [
+            tab.column(i).to_pylist() for i in range(tab.num_columns)
+        ]
+        for t in zip(*cols):
+            rows[t[ki]] = t
+        return rows
+
+    old_rows = rows_of(old_tab)
+    new_rows = rows_of(new_tab)
+    changes: list = []
+    for k, nr in new_rows.items():
+        if k in old_rows:
+            orow = old_rows[k]
+            if not all(_vals_eq(a, b) for a, b in zip(orow, nr)):
+                changes.append((orow, "update_preimage"))
+                changes.append((nr, "update_postimage"))
+        else:
+            changes.append((nr, "insert"))
+    for k, orow in old_rows.items():
+        if k not in new_rows:
+            changes.append((orow, "delete"))
+
+    chunk_rows = 65536
+    for i in range(0, len(changes), chunk_rows):
+        chunk = changes[i:i + chunk_rows]
+        cols = list(zip(*[r for r, _c in chunk]))
+        arrays = [
+            pa.array(list(vals), type=f.type)
+            for vals, f in zip(cols, data_fields)
+        ]
+        arrays.append(pa.array([c for _r, c in chunk], type=ct_type))
+        arrays.append(pa.array([ver] * len(chunk), type=cv_type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 class PublishedChangesStreamReader(DataSourceStreamReader):
     """Offsets are committed manifest versions:
     ``{"version": last_emitted}``.  ``partitions(start, end)`` is a
@@ -375,52 +509,36 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
         names = [f.name for f in data_fields]
         ki = names.index(part.key)
 
-        def side_rows(entries, keep_mode=False):
-            rows: dict = {}
+        def side_batches(entries, keep_mode=False):
+            out = []
             for rel, split, positions in entries:
                 kw = (
                     {"keep_positions": positions} if keep_mode
                     else {"drop_positions": positions}
                 )
-                for b in _file_batches(fs, local, rel, split,
-                                       data_fields, **kw):
-                    cols = [c.to_pylist() for c in b.columns]
-                    for t in zip(*cols):
-                        rows[t[ki]] = t
-            return rows
+                out.extend(_file_batches(fs, local, rel, split,
+                                         data_fields, **kw))
+            return out
 
-        old_rows = side_rows(part.old)
-        old_rows.update(side_rows(part.pre, keep_mode=True))
-        new_rows = side_rows(part.new)
+        old_batches = side_batches(part.old)
+        old_batches += side_batches(part.pre, keep_mode=True)
+        new_batches = side_batches(part.new)
+        data_schema = pa.schema(list(data_fields))
+        old_tab = pa.Table.from_batches(old_batches, schema=data_schema)
+        new_tab = pa.Table.from_batches(new_batches, schema=data_schema)
 
-        changes: list = []
-        for k, nr in new_rows.items():
-            if k in old_rows:
-                orow = old_rows[k]
-                if not all(
-                    _vals_eq(a, b) for a, b in zip(orow, nr)
-                ):
-                    changes.append((orow, "update_preimage"))
-                    changes.append((nr, "update_postimage"))
-            else:
-                changes.append((nr, "insert"))
-        for k, orow in old_rows.items():
-            if k not in new_rows:
-                changes.append((orow, "delete"))
-
-        chunk_rows = 65536
-        for i in range(0, len(changes), chunk_rows):
-            chunk = changes[i:i + chunk_rows]
-            cols = list(zip(*[r for r, _c in chunk]))
-            arrays = [
-                pa.array(list(vals), type=f.type)
-                for vals, f in zip(cols, data_fields)
-            ]
-            arrays.append(
-                pa.array([c for _r, c in chunk], type=ct_type)
+        if _vectorizable(data_fields, pa):
+            # the common (all-scalar-columns) shape classifies in
+            # arrow/numpy — zero per-row Python
+            yield from _classify_vector(
+                old_tab, new_tab, data_fields, ki, ver, target,
+                ct_type, cv_type,
             )
-            arrays.append(pa.array([ver] * len(chunk), type=cv_type))
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+            return
+        yield from _classify_rows(
+            old_tab, new_tab, data_fields, ki, ver, target,
+            ct_type, cv_type,
+        )
 
 
 class PublishedChangesBatchReader(DataSourceReader):
