@@ -9,8 +9,6 @@ the verbs afterwards (retract/upsert/compact over appended files).
 """
 from __future__ import annotations
 
-import json
-
 import pytest
 
 from v6spark.pipeline import (
