@@ -289,3 +289,28 @@ def test_more_refusals(spark, tmp_path):
         (df.withColumn("shard", df.doc_id % 4)
          .write.format("pubcorpus").mode("append")
          .save(str(tmp_path / "c2")))
+
+
+def test_writer_with_offloaded_manifests(spark, tmp_path, monkeypatch):
+    """Above the inline threshold the commit's per-file sections move
+    to the parquet sidecar (spark=None pyarrow path): publish +
+    append + read + pruning + vacuum must behave identically."""
+    from v6spark import pipeline
+
+    monkeypatch.setattr(pipeline, "_MANIFEST_INLINE_MAX", 0)
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 30), root, nShards=2)
+    _write(_df(spark, 1000, 10, day_base=50), root)
+    got = read_published_corpus(spark, root)
+    assert got.count() == 40
+    seen: dict = {}
+    read_published_where(
+        spark, root, "day >= 50",
+        _scan_observer=lambda s, fl: seen.setdefault(s, list(fl)),
+    ).collect()
+    opened = [f for fl in seen.values() for f in fl]
+    assert opened and all("v=000002" in f for f in opened)
+    from v6spark.pipeline import vacuum_published
+
+    vacuum_published(spark, root, keep_last=1)
+    assert spark.read.format("pubcorpus").load(root).count() == 40
