@@ -210,26 +210,29 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
     import pyarrow.compute as pc
 
     key = data_fields[ki].name
+    chunk = 65536  # bound each emitted record batch
 
     def emit(tab, idx, ctype):
-        sub = tab.take(pa.array(idx, type=pa.int64()))
-        n = len(idx)
-        arrays = [
-            sub.column(i).combine_chunks()
-            for i in range(sub.num_columns)
-        ]
-        arrays.append(pa.array([ctype] * n, type=ct_type))
-        arrays.append(pa.array([ver] * n, type=cv_type))
-        return pa.RecordBatch.from_arrays(arrays, schema=target)
+        for i in range(0, len(idx), chunk):
+            part = idx[i:i + chunk]
+            sub = tab.take(pa.array(part, type=pa.int64()))
+            n = len(part)
+            arrays = [
+                sub.column(j).combine_chunks()
+                for j in range(sub.num_columns)
+            ]
+            arrays.append(pa.array([ctype] * n, type=ct_type))
+            arrays.append(pa.array([ver] * n, type=cv_type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
     ok = old_tab.column(key).to_numpy(zero_copy_only=False)
     nk = new_tab.column(key).to_numpy(zero_copy_only=False)
     if len(ok) == 0:
         if len(nk):
-            yield emit(new_tab, np.arange(len(nk)), "insert")
+            yield from emit(new_tab, np.arange(len(nk)), "insert")
         return
     if len(nk) == 0:
-        yield emit(old_tab, np.arange(len(ok)), "delete")
+        yield from emit(old_tab, np.arange(len(ok)), "delete")
         return
     order = np.argsort(ok, kind="stable")
     ok_sorted = ok[order]
@@ -265,12 +268,14 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
             eq &= m.to_numpy(zero_copy_only=False)
         changed = np.nonzero(~eq)[0]
         if len(changed):
-            yield emit(old_tab, pair_old[changed], "update_preimage")
-            yield emit(new_tab, pair_new[changed], "update_postimage")
+            yield from emit(old_tab, pair_old[changed],
+                            "update_preimage")
+            yield from emit(new_tab, pair_new[changed],
+                            "update_postimage")
     if len(new_only):
-        yield emit(new_tab, new_only, "insert")
+        yield from emit(new_tab, new_only, "insert")
     if len(old_only):
-        yield emit(old_tab, old_only, "delete")
+        yield from emit(old_tab, old_only, "delete")
 
 
 def _classify_rows(old_tab, new_tab, data_fields, ki, ver, target,
