@@ -237,6 +237,61 @@ def run_scale(spark, n_base: int) -> dict:
         rg_tot = sum(r["row_groups_total"] for r in recs)
         assert 0 < b_sel < b_tot, (b_sel, b_tot)
 
+        # 6c-b. r8: row-group skipping demo — after ZORDER the
+        # FILE-level stats are already day-exact, so nothing is left
+        # to skip inside surviving files (pubcorpus_row_groups above
+        # reads full).  This step shows the intra-file path on the
+        # shape it exists for: files that SPAN the predicate column
+        # (day-sorted rows, many row groups per file — the pre-layout
+        # state of any freshly ingested table).  Counts stay exact.
+        rg_root = os.path.join(tmp, "rgdemo")
+        rg_n = n_base // 4
+        rg_prep = spark.range(rg_n).select(
+            F.col("id").alias("doc_id"), F.lit("train").alias("split")
+        )
+        rg_content = spark.range(rg_n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % BASE_DAYS).alias("day"),
+            F.concat(F.lit("rg body "), F.col("id")).alias("text"),
+        )
+        publish_corpus_committed(
+            rg_prep, rg_content, rg_root, n_shards=4
+        )
+        import pathlib
+
+        import pyarrow.parquet as _pq
+
+        for p in pathlib.Path(rg_root).rglob("*"):
+            rel = str(p.relative_to(rg_root))
+            if not p.is_file() or "split=" not in rel \
+                    or p.name.startswith(("_", ".")):
+                continue
+            t = _pq.read_table(str(p)).sort_by("day")
+            _pq.write_table(t, str(p), row_group_size=512)
+            crc = p.with_name(f".{p.name}.crc")
+            if crc.exists():
+                crc.unlink()
+        rg_dec = os.path.join(tmp, "rg_dec")
+        os.makedirs(rg_dec)
+        with step("rowgroup_skip_read"):
+            rg_got = (
+                spark.read.format("pubcorpus")
+                .option("where", "day = 3")
+                .option("_decodeObserverDir", rg_dec)
+                .load(rg_root).count()
+            )
+        assert rg_got == rg_n // BASE_DAYS, (rg_got, rg_n)
+        assert rg_got == read_published_where(
+            spark, rg_root, "day = 3"
+        ).count()
+        rg_recs = [
+            json.load(open(os.path.join(rg_dec, f)))
+            for f in os.listdir(rg_dec)
+        ]
+        rg_demo_read = sum(r["row_groups_read"] for r in rg_recs)
+        rg_demo_tot = sum(r["row_groups_total"] for r in rg_recs)
+        assert rg_demo_read < rg_demo_tot, (rg_demo_read, rg_demo_tot)
+
         # 6d. r8: the row-level CDC stream tails the DV-retract +
         # ZORDER window through plain readStream (per-shard Python
         # classify): net change = exactly the day-8 deletes, the
@@ -291,6 +346,7 @@ def run_scale(spark, n_base: int) -> dict:
             "pubcorpus_where_files": f"{src_files}/{zc_total}",
             "pubcorpus_projected_bytes": f"{b_sel}/{b_tot}",
             "pubcorpus_row_groups": f"{rg_read}/{rg_tot}",
+            "rowgroup_demo_groups": f"{rg_demo_read}/{rg_demo_tot}",
             "cdc_stream_net_deletes": cdc_deletes,
             "absent_lookup_files_opened": absent_files,
             "walls_s": walls,
@@ -353,7 +409,11 @@ def main():
             "decodes pubcorpus_projected_bytes of the surviving "
             "files' bytes (text excluded from the decode), "
             "pubcorpus_row_groups records footer-stat row-group "
-            "skipping, and the readStream CDC feed tails the "
+            "skipping on the ZORDERed files (full: file-level stats "
+            "are already day-exact there, nothing intra-file left), "
+            "rowgroup_demo_groups shows the intra-file path on "
+            "day-SPANNING files (the pre-layout ingest shape) with "
+            "exact counts, and the readStream CDC feed tails the "
             "DV-retract + ZORDER window to exactly the net deletes "
             "(the full rewrite contributes zero rows)."
         ),
