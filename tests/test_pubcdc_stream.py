@@ -348,3 +348,31 @@ def test_nested_columns_use_the_exact_row_path(spark, tmp_path):
     # NaN-bearing unchanged rows were suppressed (compaction + the
     # 18 untouched rows emit nothing despite NaN != NaN in plain ==)
     assert len(got) == 3
+
+
+def test_stream_on_a_branch(spark, tmp_path):
+    """option("branch") tails the branch's manifest chain: branch DML
+    flows, main stays silent (and vice versa)."""
+    from v6spark.pipeline import create_published_branch
+    from v6spark.sources.pubcdc import stream_published_changes
+
+    root = _publish(spark, tmp_path, n=20)                  # v1
+    create_published_branch(spark, root, "exp")
+    retract_from_published(spark, root, "doc_id = 3", branch="exp")
+
+    rows: list = []
+    q = (
+        stream_published_changes(
+            spark, root, starting_version=1, branch="exp"
+        )
+        .writeStream.foreachBatch(lambda d, b: rows.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_b"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert [(r["doc_id"], r["_change_type"]) for r in rows] == [
+        (3, "delete"),
+    ]
+    # main's stream from the same version sees nothing
+    assert _step(spark, root, str(tmp_path / "ckpt_m"),
+                 starting_version=1) == []
