@@ -180,3 +180,32 @@ def test_merge_falls_back_to_fast_forward(spark, tmp_path):
     assert read_published_corpus(spark, root).filter(
         "doc_id = 3"
     ).count() == 0
+
+
+def test_cleanup_merge_debris(spark, tmp_path):
+    """Stale mergetmp-* chains (crashed merges) drop after the grace
+    window; in-flight ones and user branches survive."""
+    from v6spark.pipeline import cleanup_merge_debris
+
+    root = _publish(spark, tmp_path, n=20)
+    create_published_branch(spark, root, "exp")
+    retract_from_published(spark, root, "doc_id = 7", branch="exp")
+    _up(spark, root, [(2000, "main new", 2, "train")])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_published_branch(
+            spark, root, "exp", _fail_before_adopt=True
+        )
+    leftovers = [
+        b for b in list_published_branches(spark, root)
+        if b.startswith("mergetmp-")
+    ]
+    assert len(leftovers) == 1
+    # inside the grace window: spared (an in-flight merge looks
+    # exactly like this)
+    assert cleanup_merge_debris(spark, root, grace_seconds=3600) == []
+    # past the window: swept; the user branch survives
+    dropped = cleanup_merge_debris(spark, root, grace_seconds=0.0)
+    assert dropped == leftovers
+    live = list_published_branches(spark, root)
+    assert "exp" in live
+    assert not [b for b in live if b.startswith("mergetmp-")]

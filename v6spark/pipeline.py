@@ -1934,6 +1934,38 @@ def fast_forward_published(
     return out
 
 
+def cleanup_merge_debris(
+    spark, path: str, grace_seconds: float = 86400.0
+) -> list[str]:
+    """Drop ``mergetmp-*`` branches older than ``grace_seconds`` —
+    the temp chains a CRASHED :func:`merge_published_branch` leaves
+    behind.  They are pure debris (never adopted; main never saw
+    them) but every live branch pins vacuum retention, so a leaked
+    one quietly blocks file reclamation forever.  The grace window
+    (default one day) spares merges still in flight; age is the
+    branch log's newest-manifest mtime.  Returns the dropped names.
+    Run it wherever :func:`vacuum_published` runs."""
+    import time
+
+    from v6spark import txlog
+
+    dropped = []
+    for name in list_published_branches(spark, path):
+        if not name.startswith("mergetmp-"):
+            continue
+        fs, jdir, _jvm = txlog._jfs(spark, _log_dir(path, name))
+        if not fs.exists(jdir):
+            continue
+        newest = max(
+            (st.getModificationTime() for st in fs.listStatus(jdir)),
+            default=0,
+        )
+        if newest and time.time() * 1000 - newest > grace_seconds * 1000:
+            if drop_published_branch(spark, path, name):
+                dropped.append(name)
+    return sorted(dropped)
+
+
 class _MergeRace(Exception):
     """Internal: main advanced under a merge attempt — retry."""
 
@@ -1972,7 +2004,9 @@ def merge_published_branch(
     A crash anywhere before step 4's manifest leaves main untouched;
     the temp branch is droppable debris (it pins vacuum retention
     until dropped — :func:`list_published_branches` shows it as
-    ``mergetmp-*``).  Requires the base manifest retained on BOTH
+    ``mergetmp-*``; :func:`cleanup_merge_debris` sweeps stale ones
+    wherever the vacuum runs).  Requires the base manifest retained
+    on BOTH
     logs and the branch schema equal to CURRENT main's (evolve main
     first, then re-cut or merge).
 
