@@ -177,6 +177,45 @@ def read_latest(
     return 0, None
 
 
+#: Post-commit observers: ``fn(log_dir, version)`` called on the
+#: driver after :func:`publish` returns successfully (including the
+#: idempotent-replay exits).  Observers run AFTER the commit is
+#: durable, so they must never raise to signal a commit problem —
+#: exceptions are swallowed into a warning (the commit already
+#: happened; failing the caller would misreport it).  Used by
+#: :mod:`v6spark.catalog` to refresh follow-latest session views when
+#: their table's log advances.
+_ON_COMMIT: list = []
+
+
+def add_commit_observer(fn) -> None:
+    """Register ``fn(log_dir, version)`` to run after every commit."""
+    if fn not in _ON_COMMIT:
+        _ON_COMMIT.append(fn)
+
+
+def remove_commit_observer(fn) -> None:
+    """Unregister a :func:`add_commit_observer` callback (no-op if
+    absent)."""
+    try:
+        _ON_COMMIT.remove(fn)
+    except ValueError:
+        pass
+
+
+def _notify_commit(log_dir: str, version: int) -> None:
+    import warnings
+
+    for fn in list(_ON_COMMIT):
+        try:
+            fn(log_dir, version)
+        except Exception as exc:  # pragma: no cover - observer bug
+            warnings.warn(
+                f"txlog commit observer {fn!r} raised {exc!r} for "
+                f"{log_dir} v{version} (commit already durable)"
+            )
+
+
 def publish(
     spark: SparkSession,
     log_dir: str,
@@ -193,7 +232,21 @@ def publish(
     a version collision is either an idempotent replay (identical
     bytes: success) or a concurrent writer (IOError; wrap the commit
     in :func:`commit_with_retry` to serialize optimistically).
+
+    Post-commit observers (:func:`add_commit_observer`) fire after
+    every successful return, idempotent replays included.
     """
+    _publish_inner(spark, log_dir, version, payload, commit_mode)
+    _notify_commit(log_dir, version)
+
+
+def _publish_inner(
+    spark: SparkSession,
+    log_dir: str,
+    version: int,
+    payload: dict,
+    commit_mode: str = "rename",
+) -> None:
     if commit_mode not in COMMIT_MODES:
         raise ValueError(f"commit_mode must be one of {COMMIT_MODES}")
     fs, jdir, jvm = _jfs(spark, log_dir)
