@@ -282,9 +282,9 @@ def test_more_refusals(spark, tmp_path):
     with pytest.raises(Exception, match="branch"):
         (df.write.format("pubcorpus").mode("append")
          .option("branch", "exp").save(str(tmp_path / "c")))
-    with pytest.raises(Exception, match="local filesystems"):
+    with pytest.raises(Exception, match="pyarrow-resolvable"):
         (df.write.format("pubcorpus").mode("append")
-         .save("s3://bucket/corpus"))
+         .save("notascheme://bucket/corpus"))
     with pytest.raises(Exception, match="storage layout"):
         (df.withColumn("shard", df.doc_id % 4)
          .write.format("pubcorpus").mode("append")
@@ -314,3 +314,205 @@ def test_writer_with_offloaded_manifests(spark, tmp_path, monkeypatch):
 
     vacuum_published(spark, root, keep_last=1)
     assert spark.read.format("pubcorpus").load(root).count() == 40
+
+
+# ---------------- pyarrow-fs commit path (object-store shape) -------- #
+
+
+def _write_fs(df, root, **opts):
+    """The writer matrix re-run through the pyarrow-fs branch:
+    useArrowFs forces LocalFileSystem-wrapped IO + the emulated
+    conditional-put commit instead of os-level O_EXCL."""
+    _write(df, root, useArrowFs="true", **opts)
+
+
+def test_arrow_fs_publish_append_matches_local(spark, tmp_path):
+    """Same rows, shard parity, pruning and point lookups when every
+    byte moves through pyarrow.fs instead of os.* — the object-store
+    code path, proven on a LocalFileSystem-wrapped root."""
+    root_a = str(tmp_path / "arrowfs")
+    root_l = str(tmp_path / "localfs")
+    _write_fs(_df(spark, 0, 60), root_a, nShards=4)
+    _write(_df(spark, 0, 60), root_l, nShards=4)
+    got = read_published_corpus(spark, root_a)
+    ref = read_published_corpus(spark, root_l)
+    assert _rows(got) == _rows(ref)
+
+    _write_fs(_df(spark, 1000, 15, day_base=50), root_a)
+    _write(_df(spark, 1000, 15, day_base=50), root_l)
+    assert _rows(read_published_corpus(spark, root_a)) == _rows(
+        read_published_corpus(spark, root_l)
+    )
+    # manifest pruning + point lookups work on arrow-fs-written stats
+    seen: dict = {}
+    where = read_published_where(
+        spark, root_a, "day >= 50",
+        _scan_observer=lambda s, fl: seen.setdefault(s, list(fl)),
+    )
+    assert where.count() == 15
+    opened = [f for fl in seen.values() for f in fl]
+    assert opened and all("v=000002" in f for f in opened)
+    keys = read_published_keys(spark, root_a, [7, 1003])
+    assert sorted(r["doc_id"] for r in keys.collect()) == [7, 1003]
+
+
+@pytest.mark.parametrize(
+    "window", ["_failbeforecommit", "_failmidmanifest"]
+)
+def test_arrow_fs_torn_write_is_invisible(spark, tmp_path, window):
+    root = str(tmp_path / "corpus")
+    _write_fs(_df(spark, 0, 20), root)
+    with pytest.raises(Exception):
+        _write_fs(_df(spark, 100, 5), root, **{window: "true"})
+    got = read_published_corpus(spark, root)
+    assert got.count() == 20  # pre-write version intact
+    _write_fs(_df(spark, 100, 5), root)  # rerun lands cleanly
+    assert read_published_corpus(spark, root).count() == 25
+
+
+def test_arrow_fs_exactly_once_txn_replay(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_fs(_df(spark, 0, 20), root)
+    _write_fs(_df(spark, 100, 5), root, txnId="epoch-9")
+    _write_fs(_df(spark, 100, 5), root, txnId="epoch-9")  # replay no-op
+    assert read_published_corpus(spark, root).count() == 25
+
+
+def test_arrow_fs_occ_collision_recomputes(spark, tmp_path):
+    """A manifest that lands between planning and commit (complete
+    occupant) forces the arrow-fs committer to recompute against the
+    winner and claim the next number — no lost update."""
+    import os as _os
+
+    from v6spark.sources.pubcorpus_writer import make_writer
+
+    root = str(tmp_path / "corpus")
+    _write_fs(_df(spark, 0, 20), root)
+    sdf = _df(spark, 100, 5)
+    w = make_writer(
+        root, sdf.schema, {"usearrowfs": "true"}, overwrite=False
+    )
+    batches = sdf.toArrow().to_batches()
+    msg = w.write(iter(batches))
+    # interleaved verb commit wins version 2
+    retract_from_published(spark, root, "doc_id = 3")
+    w.commit([msg])
+    got = read_published_corpus(spark, root)
+    assert got.count() == 24  # 20 - 1 retracted + 5 appended
+    names = sorted(_os.listdir(_os.path.join(root, "_commits")))
+    assert names[-1].endswith("000000000003")
+
+
+def test_relative_local_root_normalizes(tmp_path, monkeypatch):
+    """A RELATIVE local root resolves to an ABSOLUTE one (pinned to
+    the resolving process's cwd), so the pure-pyarrow stat collectors
+    always take their startswith('/') local branch instead of
+    crashing into the spark=None fallback at commit time."""
+    from v6spark.sources.pubcorpus_writer import _resolve_root
+
+    monkeypatch.chdir(tmp_path)
+    fs, base, helper = _resolve_root("rel_corpus")
+    assert fs is None
+    assert base == helper == str(tmp_path / "rel_corpus")
+    assert base.startswith("/")
+    # file: URIs peel to plain absolute paths (os-level commit)
+    for uri in ("file:/abs/x", "file:///abs/x"):
+        fs, base, helper = _resolve_root(uri)
+        assert fs is None and base == "/abs/x" == helper
+
+
+def test_streaming_flush_bounds_memory_single_file(spark, tmp_path):
+    """Past the flush threshold the writer streams row groups into ONE
+    open ParquetWriter per (split, shard) — multiple row groups, one
+    file, identical rows (the 100TB-shape fix for whole-partition
+    buffering)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from v6spark.sources.pubcorpus_writer import make_writer
+
+    root = str(tmp_path / "corpus")
+    sdf = _df(spark, 0, 2000)
+    w = make_writer(
+        root, sdf.schema,
+        {"nshards": "1", "_flushgrouprows": "100",
+         "_flushtotalrows": "400"},
+        overwrite=False,
+    )
+    # many small incoming batches, the streaming-ingest shape: the
+    # writer must flush incrementally, not buffer the whole iterator
+    batches = sdf.toArrow().to_batches(max_chunksize=100)
+    assert len(batches) >= 20
+    msg = w.write(iter(batches))
+    w.commit([msg])
+    got = read_published_corpus(spark, root)
+    assert got.count() == 2000
+    files = _glob.glob(f"{root}/v=*/split=train/shard=0/*.parquet")
+    assert len(files) == 1  # one task, one group -> ONE file
+    assert _pq.ParquetFile(files[0]).metadata.num_row_groups > 1
+    # rows survived the incremental flush byte-for-byte
+    assert sorted(
+        r.doc_id for r in got.where("split = 'train'").collect()
+    ) == [i for i in range(2000) if i % 10 != 0]
+
+
+class _FakeConditionalFs:
+    """In-memory pyarrow-fs lookalike for the _put_manifest kernel:
+    records files in a dict; can inject a racer that drops a foreign
+    manifest at a chosen moment."""
+
+    def __init__(self):
+        self.files: dict[str, bytes] = {}
+        self.race_on_write: bytes | None = None
+
+    def get_file_info(self, path):
+        from pyarrow.fs import FileInfo, FileType
+
+        t = FileType.File if path in self.files else FileType.NotFound
+        return FileInfo(path, type=t)
+
+    def open_input_stream(self, path):
+        import io
+
+        return io.BytesIO(self.files[path])
+
+    def open_output_stream(self, path):
+        import io
+
+        fs = self
+
+        class _Out(io.BytesIO):
+            def __exit__(self, *a):
+                fs.files[path] = self.getvalue()
+                if fs.race_on_write is not None:
+                    fs.files[path] = fs.race_on_write  # racer clobbers
+                return super().__exit__(*a)
+
+        return _Out()
+
+
+def test_put_manifest_fake_fs_conditional_put():
+    """The commit kernel against a fake conditional-put store: clean
+    commit, idempotent replay, complete-occupant collision, torn
+    occupant burns the number, and a clobbered write is a hard error
+    (read-back verify), never a silent loss."""
+    from v6spark.sources.pubcorpus_writer import _put_manifest
+    from v6spark.txlog import _encode
+
+    fs = _FakeConditionalFs()
+    data = _encode(1, {"fmt": "parquet"})
+    assert _put_manifest(fs, "log/manifest-1", data) == "committed"
+    assert fs.files["log/manifest-1"] == data
+    # idempotent replay
+    assert _put_manifest(fs, "log/manifest-1", data) == "committed"
+    # complete occupant with different bytes -> collision
+    other = _encode(1, {"fmt": "parquet", "other": True})
+    assert _put_manifest(fs, "log/manifest-1", other) == "collision"
+    # torn occupant (no checksum footer) -> collision (number burned)
+    fs.files["log/manifest-2"] = b'{"v": 2, "torn": '
+    assert _put_manifest(fs, "log/manifest-2", data) == "collision"
+    # racer clobbers our write between put and verify -> hard IOError
+    fs.race_on_write = other
+    with pytest.raises(IOError, match="clobbered"):
+        _put_manifest(fs, "log/manifest-3", data)

@@ -2376,6 +2376,29 @@ def _write_manifest_sidecar(spark, dest: str, rows: list[tuple]) -> None:
         })
         _pq.write_table(table, _os.path.join(local, "stats-0.parquet"))
         return
+    if spark is None:
+        # JVM-free caller (the pubcorpus SQL writer offloading a
+        # manifest on an object store): pyarrow's filesystem layer
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from v6spark.sources.publog import _fs_for
+
+        fs, local_dest = _fs_for(dest)
+        fs.create_dir(local_dest, recursive=True)
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        table = _pa.table({
+            "section": _pa.array(cols[0], _pa.string()),
+            "split": _pa.array(cols[1], _pa.string()),
+            "file": _pa.array(cols[2], _pa.string()),
+            "seq": _pa.array(cols[3], _pa.int64()),
+            "doc": _pa.array(cols[4], _pa.string()),
+        })
+        _pq.write_table(
+            table, f"{local_dest.rstrip('/')}/stats-0.parquet",
+            filesystem=fs,
+        )
+        return
     spark.createDataFrame(
         rows,
         "section string, split string, file string, seq long, doc string",
@@ -2767,14 +2790,32 @@ def _collect_file_stats(
     missing entry as "must scan": extra work, never a wrong answer.
     String bounds compare correctly against Python keys because
     UTF-8 byte order preserves code-point order.
+
+    JVM-free callers (``spark=None``, the pubcorpus SQL writer's
+    commit hook) cannot take the Spark fallback: non-local roots
+    resolve through pyarrow's own filesystem layer instead (footers
+    are KB reads on object stores too), and an unresolvable scheme
+    raises a clear error rather than crashing into the fallback.
     """
     import json as _json
 
     local_root = None
+    pa_fs = None
     if path.startswith("/"):
         local_root = path
     elif path.startswith("file:"):
         local_root = path[len("file:"):]
+    elif spark is None:
+        from v6spark.sources.publog import _fs_for
+
+        try:
+            pa_fs, local_root = _fs_for(path)
+        except Exception as exc:
+            raise ValueError(
+                f"cannot collect file stats for {path!r} without a "
+                "JVM: the scheme is not pyarrow-resolvable — publish "
+                "through the DML verbs instead"
+            ) from exc
     if local_root is not None:
         import os as _os
 
@@ -2782,9 +2823,12 @@ def _collect_file_stats(
 
         out: dict[str, list] = {}
         for rel in rels:
-            fpath = _os.path.join(local_root, rel)
+            fpath = (
+                _os.path.join(local_root, rel) if pa_fs is None
+                else f"{local_root.rstrip('/')}/{rel}"
+            )
             try:
-                md = _pq.ParquetFile(fpath).metadata
+                md = _pq.ParquetFile(fpath, filesystem=pa_fs).metadata
                 names = {
                     md.schema.column(i).name: i
                     for i in range(md.num_columns)
@@ -2902,18 +2946,32 @@ def _collect_col_stats(
     """
     import json as _json
 
+    pa_fs = None
     local_root = _local_root(path)
     if local_root is None:
-        return {}
+        if spark is not None:
+            return {}
+        # JVM-free caller (the pubcorpus SQL writer): footer reads
+        # through pyarrow's filesystem layer; an unresolvable scheme
+        # degrades to {} — readers treat missing stats as must-scan
+        from v6spark.sources.publog import _fs_for
+
+        try:
+            pa_fs, local_root = _fs_for(path)
+        except Exception:
+            return {}
     import os as _os
 
     import pyarrow.parquet as _pq
 
     out: dict[str, dict[str, list]] = {}
     for rel in rels:
-        fpath = _os.path.join(local_root, rel)
+        fpath = (
+            _os.path.join(local_root, rel) if pa_fs is None
+            else f"{local_root.rstrip('/')}/{rel}"
+        )
         try:
-            md = _pq.ParquetFile(fpath).metadata
+            md = _pq.ParquetFile(fpath, filesystem=pa_fs).metadata
         except Exception:
             continue
         # per column: running [lo, hi], summed null count (None once

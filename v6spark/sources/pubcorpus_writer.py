@@ -34,22 +34,49 @@ Semantics (documented, not inferred):
 Architecture: executor tasks receive Arrow batches, route each row
 to its ``split=<s>/shard=<k>`` directory with the SAME Spark-exact
 xxhash64 the publish verbs use (:mod:`v6spark.operators.xxh64` —
-parity property-tested), and write one parquet file per (split,
-shard) per task.  The driver-side commit then reuses the pipeline's
-own pure-pyarrow collectors (``_collect_file_stats`` /
-``_collect_col_stats`` / ``_offload_manifest`` with ``spark=None``)
-so the manifest sections are bit-compatible by construction, and
-commits put-mode style: exclusive-create (``O_EXCL``) of the final
-manifest name + the txlog checksum footer — a torn manifest fails
-the checksum and is invisible, a lost race recomputes against the
-winner's state and claims the next version (the ``_occ_dml``
-posture).  Local filesystems only (the Python DataSource commit hook
-runs without a JVM; object stores go through the DML verbs).
+parity property-tested), and stream one parquet file per (split,
+shard) per task through incremental ``ParquetWriter`` handles (rows
+flush past a buffered-row threshold, so peak task memory is the
+flush buffer, not the whole input partition).  The driver-side
+commit then reuses the pipeline's own pure-pyarrow collectors
+(``_collect_file_stats`` / ``_collect_col_stats`` /
+``_offload_manifest`` with ``spark=None``) so the manifest sections
+are bit-compatible by construction.
+
+Commit kernel, chosen by filesystem (the Python DataSource commit
+hook runs without a JVM):
+
+- plain local roots: exclusive-create (``O_EXCL``) of the final
+  manifest name + the txlog checksum footer — a torn manifest fails
+  the checksum and is invisible, a lost race recomputes against the
+  winner's state and claims the next version (the ``_occ_dml``
+  posture);
+- everything else resolves through ``pyarrow.fs`` (``s3://`` etc.,
+  or ``option("useArrowFs", "true")`` to force it on a local root)
+  and commits with the EMULATED conditional put (:func:`_put_manifest`:
+  exists-check, write, double read-back verify).  txlog's put-mode
+  caveat applies verbatim: on stores without a true atomic
+  write-if-absent, two writers racing the SAME version number have a
+  window between exists-check and write — the read-back verify turns
+  a clobber into a hard error for the loser it catches, and the
+  checksum footer keeps torn results invisible, but concurrent
+  SQL-append writers on such stores should be externally serialized
+  (single-writer streams with ``txnId`` replay are the designed use).
+
+Mixed-committer caveat (local roots): the JVM DML verbs commit via
+POSIX rename (which OVERWRITES) while this writer uses ``O_EXCL``
+create; a JVM committer that passed its exists-check before this
+writer's create can clobber the just-committed append.  The second
+read-back verify below narrows that window to microseconds but
+cannot close it — mixed JVM-verb + SQL-append writers sharing a
+LOCAL root must be externally serialized (HDFS rename and S3
+conditional put are exclusive primitives; the window is local-only).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from dataclasses import dataclass
 
@@ -59,21 +86,79 @@ from pyspark.sql.datasource import (
 )
 
 from v6spark.sources.pubcorpus import _read_latest
-from v6spark.txlog import MANIFEST_PREFIX, _encode
+from v6spark.txlog import MANIFEST_PREFIX, _decode, _encode
 
 _COMMITS = "_commits"
 
+#: per-(split,shard) buffered rows that trigger a parquet row-group
+#: flush, and the all-groups cap that bounds peak task memory even
+#: when rows spread thin across many groups
+_FLUSH_GROUP_ROWS = 65536
+_FLUSH_TOTAL_ROWS = 262144
 
-def _local_path(root: str) -> str:
+
+def _resolve_root(root: str, force_arrow: bool = False):
+    """``(fs, base, helper_root)`` for a writer target.
+
+    ``fs`` is None for plain local roots (os-level ``O_EXCL`` commit)
+    or a ``pyarrow.fs.FileSystem`` otherwise; ``base`` is the
+    fs-local path; ``helper_root`` is the string handed to the
+    pipeline collectors / manifest readers (always resolvable by
+    their own ``_fs_for``).  Relative local paths normalize to
+    absolute so the pure-pyarrow collectors always take their local
+    branch."""
     if root.startswith("file:"):
-        root = root[len("file:"):]
-    if "://" in root:
+        root = re.sub(r"^file:/*", "/", root)
+    if "://" not in root:
+        base = os.path.abspath(root)
+        if force_arrow:
+            from pyarrow import fs as pafs
+
+            return pafs.LocalFileSystem(), base, base
+        return None, base, base
+    from pyarrow import fs as pafs
+
+    try:
+        fs, base = pafs.FileSystem.from_uri(root)
+    except Exception as exc:
         raise ValueError(
-            "the pubcorpus writer commits without a JVM and supports "
-            "local filesystems only — publish to object stores through "
-            "the DML verbs (pipeline.publish_corpus_committed)"
-        )
-    return root
+            f"the pubcorpus writer commits without a JVM and {root!r} "
+            "is not pyarrow-resolvable — publish through the DML verbs "
+            "(pipeline.publish_corpus_committed)"
+        ) from exc
+    return fs, base, root
+
+
+def _put_manifest(fs, path: str, data: bytes) -> str:
+    """Emulated conditional put of a manifest through ``pyarrow.fs``:
+    returns ``"committed"`` (including byte-identical idempotent
+    replays) or ``"collision"`` (a different COMPLETE manifest, or a
+    torn occupant burning the version number — the OCC loop claims
+    past both); raises ``IOError`` when the read-back verify catches
+    a concurrent clobber of our own write."""
+    from pyarrow.fs import FileType
+
+    if fs.get_file_info(path).type != FileType.NotFound:
+        with fs.open_input_stream(path) as f:
+            existing = f.read()
+        if existing == data:
+            return "committed"  # idempotent replay
+        # complete-and-different = concurrent writer won the number;
+        # torn = some writer died mid-put (or is mid-flight on an
+        # emulated store) — either way the number is burned: claim
+        # past it rather than deleting under a possibly-live writer
+        return "collision"
+    with fs.open_output_stream(path) as f:
+        f.write(data)
+    for _ in range(2):  # double verify narrows the emulated-put window
+        with fs.open_input_stream(path) as f:
+            if f.read() != data:
+                raise IOError(
+                    f"manifest {path} clobbered by a concurrent writer "
+                    "(store without atomic conditional put — serialize "
+                    "writers externally)"
+                )
+    return "committed"
 
 
 @dataclass
@@ -87,8 +172,15 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                  n_shards: int, seed: int, vdir: str,
                  txn_id: str | None, base_version: int,
                  fail_before_commit: bool = False,
-                 fail_mid_manifest: bool = False):
-        self.root = _local_path(root)
+                 fail_mid_manifest: bool = False,
+                 use_arrow_fs: bool = False,
+                 flush_group_rows: int = _FLUSH_GROUP_ROWS,
+                 flush_total_rows: int = _FLUSH_TOTAL_ROWS):
+        self.fs, self.root, self.helper_root = _resolve_root(
+            root, force_arrow=use_arrow_fs
+        )
+        self.flush_group_rows = flush_group_rows
+        self.flush_total_rows = flush_total_rows
         self.spark_schema = spark_schema
         self.key_col = key_col
         self.n_shards = n_shards
@@ -119,7 +211,46 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
         int_lane = self.key_type in (
             "boolean", "tinyint", "smallint", "int", "bigint", "long"
         )
-        groups: dict = {}
+        # streaming sinks: one parquet file per (split, shard) for the
+        # task, written INCREMENTALLY — buffered batches flush into the
+        # open ParquetWriter past _FLUSH_GROUP_ROWS (decent row groups)
+        # and the task-wide _FLUSH_TOTAL_ROWS cap bounds peak memory at
+        # the buffer size, not the input partition size
+        groups: dict = {}          # (split, shard) -> [RecordBatch]
+        group_rows: dict = {}      # (split, shard) -> buffered rows
+        writers: dict = {}         # (split, shard) -> (ParquetWriter, rel)
+        written_rows: dict = {}    # (split, shard) -> rows flushed
+        total_buffered = 0
+
+        def _flush(key):
+            nonlocal total_buffered
+            batches = groups.pop(key, ())
+            if not batches:
+                return
+            s, sh = key
+            if key not in writers:
+                rel = (
+                    f"{self.vdir}/split={s}/shard={sh}/"
+                    f"part-{uuid.uuid4().hex}.parquet"
+                )
+                if self.fs is None:
+                    dest = os.path.join(self.root, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    w = pq.ParquetWriter(dest, content)
+                else:
+                    dest = f"{self.root.rstrip('/')}/{rel}"
+                    self.fs.create_dir(
+                        dest.rsplit("/", 1)[0], recursive=True
+                    )
+                    w = pq.ParquetWriter(
+                        dest, content, filesystem=self.fs
+                    )
+                writers[key] = (w, rel)
+            table = pa.Table.from_batches(batches, schema=content)
+            writers[key][0].write_table(table)
+            written_rows[key] = written_rows.get(key, 0) + table.num_rows
+            total_buffered -= group_rows.pop(key, 0)
+
         for batch in iterator:
             splits = batch.column("split").to_pylist()
             kcol = batch.column(self.key_col)
@@ -155,20 +286,27 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 arrays = [
                     sub.column(f.name).cast(f.type) for f in content
                 ]
-                groups.setdefault((s, sh), []).append(
-                    pa.RecordBatch.from_arrays(arrays, schema=content)
-                )
+                rb = pa.RecordBatch.from_arrays(arrays, schema=content)
+                key = (s, sh)
+                groups.setdefault(key, []).append(rb)
+                group_rows[key] = group_rows.get(key, 0) + rb.num_rows
+                total_buffered += rb.num_rows
+                if group_rows[key] >= self.flush_group_rows:
+                    _flush(key)
+            if total_buffered >= self.flush_total_rows:
+                # spread-thin pressure: flush the largest buffers first
+                for key in sorted(group_rows, key=group_rows.get,
+                                  reverse=True):
+                    _flush(key)
+                    if total_buffered < self.flush_total_rows // 2:
+                        break
+        for key in sorted(groups):
+            _flush(key)
         out = []
-        for (s, sh), batches in sorted(groups.items()):
-            rel = (
-                f"{self.vdir}/split={s}/shard={sh}/"
-                f"part-{uuid.uuid4().hex}.parquet"
-            )
-            dest = os.path.join(self.root, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            table = pa.Table.from_batches(batches, schema=content)
-            pq.write_table(table, dest)
-            out.append((s, sh, rel, table.num_rows))
+        for key in sorted(writers):
+            w, rel = writers[key]
+            w.close()
+            out.append((key[0], key[1], rel, written_rows[key]))
         return _TaskFiles(files=tuple(out))
 
     # ---------------- driver side ---------------- #
@@ -207,19 +345,25 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
             fl.sort()
         schema = self._schema_list()
         new_file_stats = {
-            s: _collect_file_stats(None, self.root, s, fl, self.key_col)
+            s: _collect_file_stats(
+                None, self.helper_root, s, fl, self.key_col
+            )
             for s, fl in new_by_split.items()
         }
         new_col_stats = {
-            s: _collect_col_stats(None, self.root, s, fl)
+            s: _collect_col_stats(None, self.helper_root, s, fl)
             for s, fl in new_by_split.items()
         }
 
         log = f"{self.root.rstrip('/')}/{_COMMITS}"
-        os.makedirs(log, exist_ok=True)
+        log_helper = f"{self.helper_root.rstrip('/')}/{_COMMITS}"
+        if self.fs is None:
+            os.makedirs(log, exist_ok=True)
+        else:
+            self.fs.create_dir(log, recursive=True)
         claim = 0
         for _attempt in range(8):
-            version, doc = _read_latest(log)
+            version, doc = _read_latest(log_helper)
             if (
                 self.txn_id is not None and doc is not None
                 and self.txn_id in (doc.get("txn_ids") or [])
@@ -250,11 +394,11 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 self._validate_against(doc)
                 # materializes offloaded sections (incl. dv) in place;
                 # directory-level manifests list through pyarrow
-                old_files = _doc_files(None, self.root, doc)
+                old_files = _doc_files(None, self.helper_root, doc)
                 if old_files is None:
-                    old_files = _split_files(self.root, doc)
-                old_fs = _doc_file_stats(None, self.root, doc)
-                old_cs = _doc_col_stats(None, self.root, doc)
+                    old_files = _split_files(self.helper_root, doc)
+                old_fs = _doc_file_stats(None, self.helper_root, doc)
+                old_cs = _doc_col_stats(None, self.helper_root, doc)
                 files = {
                     s: sorted(
                         list(old_files.get(s, []))
@@ -305,11 +449,22 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                         # files without entries simply must-scan)
                         payload[carried] = doc[carried]
             payload = _offload_manifest(
-                None, self.root, self.vdir, payload
+                None, self.helper_root, self.vdir, payload
             )
             nxt = max(claim, version + 1, self._max_claimed(log) + 1)
             data = _encode(nxt, payload)
             path = f"{log}/{MANIFEST_PREFIX}{nxt:012d}"
+            if self.fs is not None:
+                if self.fail_mid_manifest:
+                    with self.fs.open_output_stream(path) as f:
+                        f.write(data[: len(data) // 2])
+                    raise RuntimeError(
+                        "injected crash mid-manifest write"
+                    )
+                if _put_manifest(self.fs, path, data) == "collision":
+                    claim = nxt + 1  # recompute vs the winner
+                    continue
+                return
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -323,11 +478,17 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                         "injected crash mid-manifest write"
                     )
                 f.write(data)
-            with open(path, "rb") as f:
-                if f.read() != data:
-                    raise IOError(
-                        f"manifest {path} failed read-back verify"
-                    )
+            for _verify in range(2):
+                # double read-back: catches (and narrows to
+                # microseconds) the mixed JVM-rename/O_EXCL local
+                # clobber window documented in the module docstring
+                with open(path, "rb") as f:
+                    if f.read() != data:
+                        raise IOError(
+                            f"manifest {path} failed read-back verify "
+                            "(concurrent JVM rename-mode committer on "
+                            "a shared local root? serialize writers)"
+                        )
             return
         raise IOError(
             f"pubcorpus append lost 8 consecutive commit races under "
@@ -338,10 +499,23 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
         """Highest version NUMBER present (complete or torn): torn and
         pending manifests occupy their number forever — claim past."""
         out = 0
-        try:
-            names = os.listdir(log)
-        except FileNotFoundError:
-            return 0
+        if self.fs is not None:
+            from pyarrow.fs import FileSelector
+
+            try:
+                names = [
+                    i.base_name
+                    for i in self.fs.get_file_info(
+                        FileSelector(log, recursive=False)
+                    )
+                ]
+            except FileNotFoundError:
+                return 0
+        else:
+            try:
+                names = os.listdir(log)
+            except FileNotFoundError:
+                return 0
         for name in names:
             if name.startswith(MANIFEST_PREFIX):
                 try:
@@ -374,6 +548,14 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
             )
 
     def abort(self, messages) -> None:
+        if self.fs is not None:
+            try:
+                self.fs.delete_dir(
+                    f"{self.root.rstrip('/')}/{self.vdir}"
+                )
+            except FileNotFoundError:
+                pass
+            return
         import shutil
 
         shutil.rmtree(
@@ -391,7 +573,10 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
             "published table is an explicit, audited operation — "
             "retract/compact/republish through the DML verbs"
         )
-    local = _local_path(root)
+    use_arrow_fs = str(
+        options.get("usearrowfs") or options.get("useArrowFs") or ""
+    ).lower() in ("true", "1", "yes")
+    _fs, _base, helper_root = _resolve_root(root, force_arrow=use_arrow_fs)
     names = [f.name for f in spark_schema.fields]
     if "split" not in names:
         raise ValueError(
@@ -403,7 +588,7 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
             "'shard' is storage layout (derived from the key hash), "
             "not a writable column — drop it"
         )
-    version, doc = _read_latest(f"{local.rstrip('/')}/{_COMMITS}")
+    version, doc = _read_latest(f"{helper_root.rstrip('/')}/{_COMMITS}")
     key_col = options.get("keycol") or options.get("keyCol") or (
         (doc or {}).get("key_col") or "doc_id"
     )
@@ -428,6 +613,13 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
         base_version=version,
         fail_before_commit=bool(options.get("_failbeforecommit")),
         fail_mid_manifest=bool(options.get("_failmidmanifest")),
+        use_arrow_fs=use_arrow_fs,
+        flush_group_rows=int(
+            options.get("_flushgrouprows") or _FLUSH_GROUP_ROWS
+        ),
+        flush_total_rows=int(
+            options.get("_flushtotalrows") or _FLUSH_TOTAL_ROWS
+        ),
     )
     if doc is not None:
         w._validate_against(doc)  # fail fast, before any task runs
