@@ -928,6 +928,20 @@ class PublishedCorpusDataSource(DataSource):
             self._root(), schema, int(sv), self.options.get("branch")
         )
 
+    def streamWriter(self, schema, overwrite: bool):
+        """``df.writeStream.format("pubcorpus")`` — the committed
+        append as a streaming sink: one manifest commit per
+        microbatch, exactly-once under epoch replay via
+        ``option("txnPrefix", ...)`` (see
+        :class:`v6spark.sources.pubcorpus_writer.PublishedCorpusStreamWriter`)."""
+        from v6spark.sources.pubcorpus_writer import (
+            PublishedCorpusStreamWriter,
+        )
+
+        return PublishedCorpusStreamWriter(
+            self._root(), schema, self.options, overwrite
+        )
+
     def writer(self, schema, overwrite: bool):
         """``df.write.format("pubcorpus").mode("append")`` — the
         committed publish/append through SQL (see

@@ -82,6 +82,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSourceArrowWriter,
+    DataSourceStreamWriter,
     WriterCommitMessage,
 )
 
@@ -563,6 +564,128 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
         )
 
 
+class PublishedCorpusStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("pubcorpus")`` — the committed append
+    as a streaming SINK: every microbatch is ONE manifest commit with
+    a per-epoch transaction id, so epoch replays (crash between
+    Spark's checkpoint write and our manifest, query restarts from
+    the same checkpoint) are idempotent no-ops — exactly once, the
+    same contract as :func:`v6spark.pipeline.upsert_foreach_batch`
+    but without leaving Python DataFrame land.
+
+    ``option("txnPrefix", <stable id>)`` is REQUIRED: the per-epoch
+    transaction id is ``<prefix>:<batchId>``, and only a prefix that
+    survives query restarts (e.g. derived from the checkpoint
+    location) makes the replay dedupe hold across them — the Kafka
+    ``transactional.id`` posture, made explicit.
+
+    Staging: all epochs of one query run share a ``v=stream-<nonce>``
+    directory (the microbatch id is unknown on executors); each
+    manifest references only its own epoch's files, ``abort`` deletes
+    the files it staged, and a crash orphans at most one epoch's
+    unreferenced files inside a still-live directory — invisible to
+    every reader, reclaimed when the directory ages out of the live
+    set.  Appends-only: ``outputMode("complete")`` is refused, and a
+    schema/posture drift committed mid-stream fails the query at the
+    next commit rather than writing mis-shaped files (restart after
+    evolving, matching the CDC reader's fail-on-drift posture).
+
+    Blocked-upstream note: Spark 4.1 cannot resolve Python DataSource
+    BATCH writes off the main thread
+    (scripts/spark_threaded_datasource_repro.py), but the streaming
+    sink path resolves at ``start()`` on the main thread and commits
+    through the engine's own machinery — re-tested working on the
+    installed Spark this round.
+    """
+
+    def __init__(self, root: str, spark_schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pubcorpus streaming is append-only: "
+                "outputMode('complete')/truncate is refused — "
+                "retract/compact through the DML verbs"
+            )
+        if options.get("branch") is not None:
+            raise ValueError(
+                "the pubcorpus sink targets main — branch DML goes "
+                "through the Python verbs (branch=...)"
+            )
+        prefix = options.get("txnprefix") or options.get("txnPrefix")
+        if not prefix:
+            raise ValueError(
+                "pubcorpus streaming sink needs option('txnPrefix', "
+                "<id stable across restarts>): the per-epoch "
+                "transaction id <prefix>:<batchId> is what makes "
+                "epoch replays exactly-once"
+            )
+        self.txn_prefix = str(prefix)
+        opts = dict(options)
+        opts.pop("txnid", None)
+        opts.pop("txnId", None)  # per-epoch ids only, never a fixed one
+        self._writer = make_writer(root, spark_schema, opts,
+                                   overwrite=False)
+        self._writer.vdir = f"v=stream-{uuid.uuid4().hex[:12]}"
+
+    # -------------- executor side -------------- #
+
+    def write(self, iterator):
+        """Rows (the stream writer API is row-based) re-batched into
+        Arrow and fed to the batch writer's streaming-flush kernel —
+        same shard routing, same parquet layout, bounded memory."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._writer.spark_schema)
+
+        def _batches(chunk_rows=8192):
+            buf = []
+            for row in iterator:
+                buf.append(tuple(row))
+                if len(buf) >= chunk_rows:
+                    yield _rows_to_batch(buf, target, pa)
+                    buf = []
+            if buf:
+                yield _rows_to_batch(buf, target, pa)
+
+        return self._writer.write(_batches())
+
+    # -------------- driver side -------------- #
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = sum(
+            len(m.files) for m in messages if m is not None
+        )
+        if staged == 0:
+            return  # empty window: no version churn, replay-safe
+        self._writer.txn_id = f"{self.txn_prefix}:{int(batchId)}"
+        self._writer.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        """Delete the files THIS epoch staged (the run directory is
+        shared across epochs, so no rmtree)."""
+        w = self._writer
+        for m in messages:
+            for _s, _sh, rel, _n in (m.files if m else ()):
+                try:
+                    if w.fs is None:
+                        os.unlink(os.path.join(w.root, rel))
+                    else:
+                        w.fs.delete_file(f"{w.root.rstrip('/')}/{rel}")
+                except FileNotFoundError:
+                    pass
+
+
+def _rows_to_batch(rows: list, target, pa):
+    """One Arrow RecordBatch from buffered Row tuples (column order ==
+    the write schema's — Spark hands rows in plan order)."""
+    cols = list(zip(*rows)) if rows else [[] for _ in target]
+    arrays = [
+        pa.array(list(cols[i]), type=f.type)
+        for i, f in enumerate(target)
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 def make_writer(root: str, spark_schema, options, overwrite: bool):
     """Build the writer for ``PublishedCorpusDataSource.writer`` —
     validates up front (driver-side, before any task runs) and adopts
@@ -626,4 +749,8 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
     return w
 
 
-__all__ = ["PublishedCorpusWriter", "make_writer"]
+__all__ = [
+    "PublishedCorpusStreamWriter",
+    "PublishedCorpusWriter",
+    "make_writer",
+]
