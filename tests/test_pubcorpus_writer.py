@@ -516,3 +516,71 @@ def test_put_manifest_fake_fs_conditional_put():
     fs.race_on_write = other
     with pytest.raises(IOError, match="clobbered"):
         _put_manifest(fs, "log/manifest-3", data)
+
+
+def test_merge_schema_evolve_plus_append_one_commit(spark, tmp_path):
+    """option('mergeSchema','true'): an additive wider append commits
+    the evolution and the rows as ONE version — readers see the
+    unified schema, pre-evolution files serve typed NULLs, pinned
+    time travel keeps each version's own schema, and the verbs accept
+    the evolved schema afterwards."""
+    from v6spark.txlog import list_versions
+
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 20), root, nShards=2)
+
+    wide = _df(spark, 1000, 10, day_base=50).selectExpr(
+        "doc_id", "text", "day", "split",
+        "cast(doc_id % 3 as double) as toxicity",
+    )
+    _write(wide, root, mergeSchema="true")
+    # ONE commit: v2, schema_changed + appended in the same manifest
+    assert max(list_versions(spark, f"{root}/_commits")) == 2
+    got = read_published_corpus(spark, root)
+    assert "toxicity" in got.columns
+    assert got.count() == 30
+    # pre-evolution rows serve the new column as typed NULLs
+    assert got.where("toxicity IS NULL").count() == 20
+    assert got.where("toxicity IS NOT NULL").count() == 10
+    # pinned time travel: v1 keeps its own (narrow) schema
+    v1 = spark.read.format("pubcorpus").option("version", "1").load(root)
+    assert "toxicity" not in v1.columns
+    # the SQL reader serves the unified schema too
+    sql = spark.read.format("pubcorpus").load(root)
+    assert "toxicity" in sql.columns
+    assert sql.where("toxicity IS NOT NULL").count() == 10
+    # verbs compose over the evolved table
+    retract_from_published(spark, root, "doc_id = 1003")
+    assert read_published_corpus(spark, root).count() == 29
+    # a plain (non-merge) append must now carry the evolved schema
+    with pytest.raises(Exception, match="schema drift"):
+        _write(_df(spark, 2000, 5), root)
+    _write(
+        _df(spark, 2000, 5).selectExpr(
+            "doc_id", "text", "day", "split",
+            "cast(null as double) as toxicity",
+        ),
+        root,
+    )
+    assert read_published_corpus(spark, root).count() == 34
+
+
+def test_merge_schema_refuses_non_additive(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write(_df(spark, 0, 10), root, nShards=2)
+    register_pubcorpus_source(spark)
+    # dropping a committed column is refused even with mergeSchema
+    with pytest.raises(Exception, match="drops committed column"):
+        _write(
+            _df(spark, 100, 5).drop("day"), root, mergeSchema="true"
+        )
+    # type change is refused even with mergeSchema
+    with pytest.raises(Exception, match="type"):
+        _write(
+            _df(spark, 100, 5).selectExpr(
+                "doc_id", "text", "cast(day as string) as day",
+                "split",
+            ),
+            root, mergeSchema="true",
+        )
+    assert read_published_corpus(spark, root).count() == 10

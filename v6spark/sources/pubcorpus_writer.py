@@ -24,8 +24,13 @@ Semantics (documented, not inferred):
   "replace the table silently" semantics and neither does this
   writer (retract/compact/republish are explicit, audited verbs);
 - schema drift vs the current manifest is refused (evolve through
-  :func:`~v6spark.pipeline.evolve_published_schema`); shard posture
-  (n_shards/seed/key_col) is adopted from the table;
+  :func:`~v6spark.pipeline.evolve_published_schema`) — UNLESS
+  ``option("mergeSchema", "true")``, which accepts ADDITIVE drift and
+  commits the evolve and the append as ONE manifest version (Delta's
+  mergeSchema): the committed schema gains the new columns, files
+  written before it serve them as typed NULLs, and renames/drops/
+  type changes are still refused; shard posture (n_shards/seed/
+  key_col) is adopted from the table;
 - ``option("txnId", id)``: exactly-once — an id already in the
   manifest's ``txn_ids`` makes the commit an idempotent no-op
   (the staged files orphan; vacuum sweeps), the same contract as the
@@ -176,12 +181,14 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                  fail_mid_manifest: bool = False,
                  use_arrow_fs: bool = False,
                  flush_group_rows: int = _FLUSH_GROUP_ROWS,
-                 flush_total_rows: int = _FLUSH_TOTAL_ROWS):
+                 flush_total_rows: int = _FLUSH_TOTAL_ROWS,
+                 merge_schema: bool = False):
         self.fs, self.root, self.helper_root = _resolve_root(
             root, force_arrow=use_arrow_fs
         )
         self.flush_group_rows = flush_group_rows
         self.flush_total_rows = flush_total_rows
+        self.merge_schema = merge_schema
         self.spark_schema = spark_schema
         self.key_col = key_col
         self.n_shards = n_shards
@@ -393,6 +400,16 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 }
             else:
                 self._validate_against(doc)
+                schema_out, evolution = doc["schema"], None
+                if self.merge_schema and doc["schema"] != schema:
+                    # evolve+append as ONE committed version: the
+                    # merged schema lands with the new files; files
+                    # written before it serve the added columns as
+                    # typed NULLs (the evolve_published_schema read
+                    # contract, same manifest shape)
+                    schema_out, added = self._merged_schema(doc)
+                    evolution = {"added": added,
+                                 "from_version": version}
                 # materializes offloaded sections (incl. dv) in place;
                 # directory-level manifests list through pyarrow
                 old_files = _doc_files(None, self.helper_root, doc)
@@ -419,8 +436,8 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                         for s in set(doc.get("splits") or {})
                         | set(counts)
                     },
-                    "schema": doc["schema"],
-                    "schema_changed": False,
+                    "schema": schema_out,
+                    "schema_changed": evolution is not None,
                     "n_shards": self.n_shards,
                     "seed": self.seed,
                     "key_col": self.key_col,
@@ -443,6 +460,8 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                         "rows": sum(counts.values()),
                     },
                 }
+                if evolution is not None:
+                    payload["schema_evolution"] = evolution
                 for carried in ("dv", "key_bloom"):
                     if doc.get(carried):
                         # old-file sections ride verbatim: DV-marked
@@ -525,6 +544,32 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                     continue
         return out
 
+    def _merged_schema(self, doc: dict) -> tuple[list, list]:
+        """``(merged schema list, added columns)`` for a mergeSchema
+        append: the written schema must carry every committed column
+        with its exact type (evolution is ADDITIVE — renames, drops,
+        and type changes stay a guarded full republish, the
+        evolve_published_schema contract) and may append new ones."""
+        written = self._schema_list()
+        written_types = {n: t for n, t in written}
+        table = [list(c) for c in (doc.get("schema") or [])]
+        for n, t in table:
+            if n not in written_types:
+                raise ValueError(
+                    f"mergeSchema append drops committed column {n!r} "
+                    "— evolution is additive only (write every "
+                    "committed column; old readers depend on it)"
+                )
+            if written_types[n] != t:
+                raise ValueError(
+                    f"mergeSchema append changes column {n!r} type "
+                    f"{t!r} -> {written_types[n]!r} — type changes "
+                    "are a guarded full republish, not an append"
+                )
+        table_names = {n for n, _t in table}
+        added = [[n, t] for n, t in written if n not in table_names]
+        return table + added, added
+
     def _validate_against(self, doc: dict) -> None:
         if doc.get("fmt") != "parquet":
             raise ValueError(
@@ -532,11 +577,16 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 f"table is {doc.get('fmt')!r}"
             )
         if doc.get("schema") != self._schema_list():
-            raise ValueError(
-                f"append schema drift vs the committed table: "
-                f"{doc.get('schema')} != {self._schema_list()} — "
-                "evolve through evolve_published_schema, then append"
-            )
+            if self.merge_schema:
+                self._merged_schema(doc)  # raises unless additive
+            else:
+                raise ValueError(
+                    f"append schema drift vs the committed table: "
+                    f"{doc.get('schema')} != {self._schema_list()} — "
+                    "evolve through evolve_published_schema (or "
+                    "option('mergeSchema', 'true') for an additive "
+                    "evolve+append in one commit), then append"
+                )
         posture = (
             doc.get("n_shards") or 32, doc.get("seed") or 0,
             doc.get("key_col"),
@@ -699,6 +749,9 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
     use_arrow_fs = str(
         options.get("usearrowfs") or options.get("useArrowFs") or ""
     ).lower() in ("true", "1", "yes")
+    merge_schema = str(
+        options.get("mergeschema") or options.get("mergeSchema") or ""
+    ).lower() in ("true", "1", "yes")
     _fs, _base, helper_root = _resolve_root(root, force_arrow=use_arrow_fs)
     names = [f.name for f in spark_schema.fields]
     if "split" not in names:
@@ -743,6 +796,7 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
         flush_total_rows=int(
             options.get("_flushtotalrows") or _FLUSH_TOTAL_ROWS
         ),
+        merge_schema=merge_schema,
     )
     if doc is not None:
         w._validate_against(doc)  # fail fast, before any task runs
