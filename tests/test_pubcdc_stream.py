@@ -376,3 +376,110 @@ def test_stream_on_a_branch(spark, tmp_path):
     # main's stream from the same version sees nothing
     assert _step(spark, root, str(tmp_path / "ckpt_m"),
                  starting_version=1) == []
+
+
+def test_schema_drift_mid_stream_fails_loudly(spark, tmp_path):
+    """A schema evolution committed mid-stream must FAIL the next
+    window (Delta CDF fail-on-schema-change): comparing rows over the
+    pinned (old) columns would silently drop evolved-column-only
+    updates. Restarting re-pins the new schema and works."""
+    from pyspark.sql.types import StructType
+
+    from v6spark.pipeline import evolve_published_schema
+    from v6spark.sources.pubcdc import (
+        PublishedChangesStreamReader,
+        change_schema_ddl,
+    )
+    from v6spark.sources.pubcorpus import _log_dir, _read_doc
+
+    root = _publish(spark, tmp_path, n=20, n_shards=2)
+    v1_doc = _read_doc(_log_dir(root, None), 1)
+    pinned = StructType.fromDDL(change_schema_ddl(v1_doc))
+    reader = PublishedChangesStreamReader(root, pinned, 1)
+
+    evolve_published_schema(spark, root, [("lang", "string")])
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "body 3", 3, "en", "train")],
+            "doc_id long, text string, day long, lang string, "
+            "split string",
+        ),
+    )
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        reader.partitions({"version": 1}, {"version": 3})
+    # a restart pins the evolved schema and reads the window fine
+    v3_doc = _read_doc(_log_dir(root, None), 3)
+    fresh = PublishedChangesStreamReader(
+        root, StructType.fromDDL(change_schema_ddl(v3_doc)), 1
+    )
+    parts = fresh.partitions({"version": 2}, {"version": 3})
+    rows = [r for p in parts for b in fresh.read(p)
+            for r in b.to_pylist()]
+    assert {r["_change_type"] for r in rows} == {
+        "update_preimage", "update_postimage"
+    }
+    assert any(r["lang"] == "en" for r in rows)
+
+
+def test_duplicate_keys_refused_by_both_classifiers():
+    """searchsorted (vector) and the row dict pair ONE old row per
+    key: duplicate keys (possible via blind SQL appends) must raise
+    the key-uniqueness contract error, not misreport the extra copy
+    as delete/insert."""
+    import pyarrow as pa
+
+    from v6spark.sources.pubcdc import (
+        _classify_rows,
+        _classify_vector,
+    )
+
+    def tab(ids, texts):
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    target = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("_change_type", pa.string()), ("_commit_version", pa.int64()),
+    ])
+    fields = [target.field(0), target.field(1)]
+    args = (fields, 0, 7, target, pa.string(), pa.int64())
+
+    clean_old, dup_new = tab([1, 2], ["a", "b"]), tab(
+        [2, 2, 3], ["b", "B", "c"]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        list(_classify_vector(clean_old, dup_new, *args))
+    with pytest.raises(ValueError, match="duplicate"):
+        list(_classify_vector(dup_new, clean_old, *args))
+    with pytest.raises(ValueError, match="duplicate"):
+        list(_classify_rows(clean_old, dup_new, *args))
+    # unique keys still classify normally
+    out = [r for b in _classify_vector(
+        clean_old, tab([2, 3], ["B", "c"]), *args
+    ) for r in b.to_pylist()]
+    assert sorted(r["_change_type"] for r in out) == [
+        "delete", "insert", "update_postimage", "update_preimage"
+    ]
+
+
+def test_duplicate_keys_surface_through_compact_window(spark, tmp_path):
+    """End-to-end: a blind SQL append duplicates a key; the compact
+    rewrite makes both copies land in one diff window — the stream
+    must refuse, not emit a wrong classification."""
+    from v6spark.pipeline import compact_published
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    root = _publish(spark, tmp_path, n=20, n_shards=2)
+    register_pubcorpus_source(spark)
+    (spark.createDataFrame(
+        [(3, "duplicate of 3", 99, "train")],
+        "doc_id long, text string, day long, split string",
+    ).write.format("pubcorpus").mode("append").save(root))
+    compact_published(spark, root)
+    from v6spark.sources.pubcdc import read_published_changes_sql
+
+    with pytest.raises(Exception, match="duplicate"):
+        read_published_changes_sql(spark, root, 2, 3).collect()

@@ -90,6 +90,53 @@ def change_schema_ddl(doc: dict) -> str:
     return ", ".join(parts)
 
 
+def _expected_change_fields(doc: dict) -> list[tuple[str, str]]:
+    return (
+        [(n, t) for n, t in doc["schema"]]
+        + [("split", "string")]
+        + [(n, t) for n, t in CHANGE_COLS]
+    )
+
+
+#: Spark accepts several spellings per type; manifests record what
+#: the writing surface stringified, StructType.simpleString() emits
+#: the canonical one — normalize before comparing or "long" vs
+#: "bigint" would be a phantom drift
+_TYPE_ALIASES = {
+    "long": "bigint", "integer": "int", "short": "smallint",
+    "byte": "tinyint", "real": "float",
+}
+
+
+def _norm_type(t: str) -> str:
+    t = str(t).strip().lower()
+    return _TYPE_ALIASES.get(t, t)
+
+
+def _check_schema_drift(spark_schema, doc: dict, version: int) -> None:
+    """Fail the stream when the published schema evolved past the
+    schema pinned at stream start (Delta CDF's fail-on-schema-change
+    posture): comparing rows over the OLD columns only would silently
+    drop an upsert that changed just an evolved column, and emitted
+    rows would lack it.  Restarting the query re-pins the new
+    schema."""
+    fields = getattr(spark_schema, "fields", None)
+    if fields is None:
+        return  # DDL-string schema (manifest-derived: always current)
+    got = [(f.name, _norm_type(f.dataType.simpleString()))
+           for f in fields]
+    expect = [(n, _norm_type(t))
+              for n, t in _expected_change_fields(doc)]
+    if got != expect:
+        raise ValueError(
+            "pubcorpus changes: the published schema changed "
+            f"mid-stream at version {version} (stream pinned "
+            f"{got}, the manifest now says {expect}) — restart "
+            "the query to re-pin the evolved schema (Delta CDF "
+            "fail-on-schema-change posture)"
+        )
+
+
 @dataclass
 class ChangesPartition(InputPartition):
     #: (rel, split, dv_positions) files only in the OLD endpoint —
@@ -227,6 +274,18 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
 
     ok = old_tab.column(key).to_numpy(zero_copy_only=False)
     nk = new_tab.column(key).to_numpy(zero_copy_only=False)
+    # searchsorted pairs each new key with ONE old row — duplicate
+    # keys (possible via blind SQL appends) would silently misreport
+    # the extra copies as delete/insert: refuse loudly instead
+    for side, arr in (("old", ok), ("new", nk)):
+        if len(arr) and len(np.unique(arr)) != len(arr):
+            raise ValueError(
+                f"pubcorpus changes: duplicate {key!r} keys in the "
+                f"{side} endpoint — the change feed's key-uniqueness "
+                "contract is violated (blind appends duplicated a "
+                "key?); deduplicate via upsert_into_published before "
+                "consuming changes"
+            )
     if len(ok) == 0:
         if len(nk):
             yield from emit(new_tab, np.arange(len(nk)), "insert")
@@ -284,17 +343,25 @@ def _classify_rows(old_tab, new_tab, data_fields, ki, ver, target,
     null/NaN semantics at any depth)."""
     import pyarrow as pa
 
-    def rows_of(tab):
+    def rows_of(tab, side):
         rows: dict = {}
         cols = [
             tab.column(i).to_pylist() for i in range(tab.num_columns)
         ]
         for t in zip(*cols):
             rows[t[ki]] = t
+        if len(rows) != tab.num_rows:
+            raise ValueError(
+                f"pubcorpus changes: duplicate keys in the {side} "
+                "endpoint — the change feed's key-uniqueness "
+                "contract is violated (blind appends duplicated a "
+                "key?); deduplicate via upsert_into_published before "
+                "consuming changes"
+            )
         return rows
 
-    old_rows = rows_of(old_tab)
-    new_rows = rows_of(new_tab)
+    old_rows = rows_of(old_tab, "old")
+    new_rows = rows_of(new_tab, "new")
     changes: list = []
     for k, nr in new_rows.items():
         if k in old_rows:
@@ -382,6 +449,7 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
                 "stream's unconsumed versions must outlive vacuum "
                 "(keep_last above the consumer's lag, or a read lease)"
             )
+        _check_schema_drift(self.spark_schema, new_doc, e)
         base = s
         if base > 0 and _read_doc(self._log, base) is None:
             # gap (aborted commit) or retired: diff from the nearest
