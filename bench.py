@@ -86,6 +86,23 @@ def run_suite_once(spark, sf_dir: str, record: dict | None = None) -> float:
     return total
 
 
+#: settle agreement tolerance: two consecutive warm-pass totals within
+#: this fraction = the machine has quiesced (r8 protocol; guarded by
+#: tests/test_bench_line_budget.py so it cannot silently regress)
+SETTLE_TOL = 0.07
+
+
+def settled(totals: list[float], tol: float = SETTLE_TOL) -> bool:
+    """Whether the last two settle-pass totals agree within ``tol`` —
+    the r8 fix for benches started right after long runs reading ~30%
+    hot.  Warm medians are recorded only after this returns True (or
+    the pass cap empties)."""
+    if len(totals) < 2:
+        return False
+    a, b = totals[-2], totals[-1]
+    return abs(a - b) / min(a, b) <= tol
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -109,10 +126,8 @@ def main() -> None:
             f"[bench] settle pass {len(settle_totals)}: {t:.2f}s",
             file=sys.stderr,
         )
-        if len(settle_totals) >= 2:
-            a, b = settle_totals[-2], settle_totals[-1]
-            if abs(a - b) / min(a, b) <= 0.07:
-                break
+        if settled(settle_totals):
+            break
 
     warm: dict[str, float] = {}
     for name in sorted(REGISTRY):

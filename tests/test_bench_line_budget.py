@@ -43,3 +43,56 @@ def test_registry_is_exactly_fifty():
     (SURVEY.md §2.3).  Fold new coverage into existing queries or
     add it to plans/m5_extensions.py::EXTRA_QUERIES instead."""
     assert len(REGISTRY) == 50, sorted(REGISTRY)
+
+
+def test_settle_protocol_guardrail():
+    """The r8 settle protocol must not silently regress: bench.py
+    keeps the settle loop (warm medians recorded only after two
+    consecutive pass totals agree within SETTLE_TOL), and every BENCH
+    JSON records settle_passes >= 1 with its totals."""
+    import ast
+    import os
+
+    import bench
+
+    # the decision function behaves (unit): not settled until two
+    # passes agree within tolerance
+    assert bench.settled([]) is False
+    assert bench.settled([30.0]) is False
+    assert bench.settled([30.0, 40.0]) is False          # 33% apart
+    assert bench.settled([40.0, 30.0, 30.9]) is True     # 3% apart
+    assert bench.settled([30.0, 32.5], tol=0.07) is False
+    assert 0 < bench.SETTLE_TOL <= 0.10
+
+    # main() still wires the loop and reports it (source-level pin:
+    # the loop runs Spark, so execution is the driver's job)
+    src = open(os.path.join(
+        os.path.dirname(bench.__file__), "bench.py"
+    )).read()
+    tree = ast.parse(src)
+    main_src = next(
+        ast.get_source_segment(src, n) for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    assert "settled(settle_totals)" in main_src
+    assert '"settle_passes": len(settle_totals)' in main_src
+    assert '"settle_totals": settle_totals' in main_src
+    # warm timing happens AFTER the settle loop
+    assert main_src.index("settled(settle_totals)") < main_src.index(
+        "warm: dict"
+    )
+
+    # the recorded artifacts carry the protocol fields (r8 onward)
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    recent = [
+        p for p in sorted(glob.glob(f"{repo}/BENCH_r*.json"))
+        if p >= f"{repo}/BENCH_r08.json"
+    ]
+    for p in recent:
+        with open(p) as fh:
+            doc = json.load(fh)
+        if isinstance(doc, dict) and "settle_passes" in doc:
+            assert doc["settle_passes"] >= 1
