@@ -50,6 +50,61 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     )
 
 
+# --- long-split exact sums: the FAST order-independent sum -------- #
+#
+# A decimal sum whose buffer exceeds 18 digits is not UnsafeRow-
+# mutable, so Spark's hash aggregate leaves the fast fixed-width path
+# and every row pays a BigDecimal add — measured ~6x slower than a
+# long sum on the bench suite's heaviest query.  The long-split form
+# keeps EXACTLY the same value: each addend is cast to DECIMAL(18,6)
+# (the same correctly-rounded quantization dsum uses — the oracle's
+# CAST(x AS DECIMAL) per row), split into an integer part and a
+# 1e-6-scaled fraction, and both parts are summed as LONGS (codegen
+# hash path); the two exact integer sums recombine in one
+# decimal(38,6) expression per GROUP.  Associative and
+# order-independent like dsum, so the o_dsum twin is unchanged.
+#
+# Overflow bounds (raise, don't drift): per group,
+# sum(|int part|) <= 2^63-1 (~9.2e18) and rows <= 9.2e12 — far above
+# any per-group magnitude the suite's data model reaches; a column
+# whose group sums approach 1e19 needs the plain dsum.
+
+_SPLIT_SCALE = 1_000_000
+
+
+def split_cols(col: Column, tag: str) -> list[Column]:
+    """Projection ``[_h<tag>, _f<tag>]`` splitting ``col`` exactly —
+    PROJECT these once (after any window/shuffle so they don't ride
+    it), then aggregate with :func:`split_sum_exprs`; evaluating the
+    split inside the aggregate expressions instead would recompute
+    the decimal arithmetic once per aggregate function per row."""
+    dec = col.cast(DEC)
+    hi = dec.cast("long")
+    frac = (
+        (dec - hi.cast(DEC)) * F.lit(_SPLIT_SCALE).cast("decimal(7,0)")
+    ).cast("long")
+    return [hi.alias(f"_h{tag}"), frac.alias(f"_f{tag}")]
+
+
+def split_sum_exprs(tag: str) -> list[Column]:
+    """Aggregate expressions ``[sum(_h<tag>), sum(_f<tag>)]`` over a
+    :func:`split_cols` projection — pair with
+    :func:`split_sum_rejoin`."""
+    return [
+        F.sum(F.col(f"_h{tag}")).alias(f"_h{tag}"),
+        F.sum(F.col(f"_f{tag}")).alias(f"_f{tag}"),
+    ]
+
+
+def split_sum_rejoin(tag: str) -> Column:
+    """Recombine a :func:`split_sum_exprs` pair into the exact sum as
+    DOUBLE (identical to ``sum(cast(x as decimal)) :: double``)."""
+    return (
+        F.col(f"_h{tag}").cast("decimal(38,6)")
+        + F.col(f"_f{tag}").cast("decimal(38,6)") / F.lit(_SPLIT_SCALE)
+    ).cast("double")
+
+
 # --- DuckDB-side twins (string macros used by plans/*.py oracles) ---
 
 

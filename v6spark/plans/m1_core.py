@@ -239,25 +239,50 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregate buffers every group value in one buffer, an executor
       OOM at 100 TB group sizes; the window+straddling-rows form sorts,
       spills gracefully, and parallelizes across keys.
+
+    r9 plan shave (same values, PLAN_LOCK regenerated intentionally):
+    the rank and count windows share ONE ordered window spec (the
+    count takes an unbounded frame over the same ordering), so the
+    plan carries a single Window node; and the five exact sums use
+    the long-split form (functions/determinism.py::split_sum_exprs)
+    — integer/fraction long sums on the codegen hash path instead of
+    BigDecimal-buffered decimal aggregation (measured ~6x on the
+    isolated sums) — recombined exactly per group.  The split columns
+    project AFTER the window so they never ride the shuffle.
     """
     from pyspark.sql import Window
 
+    from v6spark.functions.determinism import (
+        split_cols,
+        split_sum_exprs,
+        split_sum_rejoin,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    d = "decimal(28,6)"
-    # ONE shuffle: the rank window hash-partitions on l_suppkey, and
-    # the subsequent groupBy(l_suppkey) reuses that partitioning —
-    # moments, corr sums, and percentile straddles all aggregate in
-    # the same post-window pass (no second scan, no join).
+    # ONE shuffle, ONE window node: rank + group count share the
+    # (l_suppkey, l_quantity) ordering, and the subsequent
+    # groupBy(l_suppkey) reuses the partitioning — moments, corr
+    # sums, and percentile straddles all aggregate in the same
+    # post-window pass (no second scan, no join).
     w = Window.partitionBy("l_suppkey").orderBy("l_quantity")
-    wp = Window.partitionBy("l_suppkey")
+    wn = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
     ranked = li.select(
         "l_suppkey",
         "l_quantity",
         "l_extendedprice",
         F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wp).alias("_n"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    ).select(  # split AFTER the window: never rides the shuffle/sort
+        "*",
+        *split_cols(q, "x"),
+        *split_cols(p, "y"),
+        *split_cols(q * q, "xx"),
+        *split_cols(p * p, "yy"),
+        *split_cols(q * p, "xy"),
     )
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
     n = F.count(q).cast("double")
     s, ss = F.sum(q), F.sum(q * q)
     variance = (ss - s * s / n) / (n - F.lit(1.0))
@@ -271,12 +296,18 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             value="l_quantity",
         ),
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(q.cast(d)).cast("double").alias("sx"),
-        F.sum(p.cast(d)).cast("double").alias("sy"),
-        F.sum((q * q).cast(d)).cast("double").alias("sxx"),
-        F.sum((p * p).cast(d)).cast("double").alias("syy"),
-        F.sum((q * p).cast(d)).cast("double").alias("sxy"),
-    )
+        *split_sum_exprs("x"),
+        *split_sum_exprs("y"),
+        *split_sum_exprs("xx"),
+        *split_sum_exprs("yy"),
+        *split_sum_exprs("xy"),
+    ).withColumns({
+        "sx": split_sum_rejoin("x"),
+        "sy": split_sum_rejoin("y"),
+        "sxx": split_sum_rejoin("xx"),
+        "syy": split_sum_rejoin("yy"),
+        "sxy": split_sum_rejoin("xy"),
+    })
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     corr = F.when(
