@@ -16,8 +16,17 @@ spark_threaded_datasource_repro.py pins the threaded-write bug:
    ``REFRESH TABLE t`` — reuse the cached plan, so the view freezes
    at DDL-time state.
 
+3. A sibling ``spark.newSession()`` can neither REGISTER the Python
+   source (its ``dataSource().registerPython`` raises
+   DATA_SOURCE_ALREADY_EXISTS for a name the first session
+   registered) nor RESOLVE it (``CREATE TEMPORARY VIEW ... USING``
+   fails DATA_SOURCE_NOT_FOUND) — Python DataSources are effectively
+   single-session per name on 4.1, which is why
+   v6spark.catalog keys registries per session but only the owning
+   session can serve the views.
+
 Run: python scripts/spark_catalog_table_options_repro.py
-Expected on Spark 4.1.2: both FAIL lines print (the bugs are present).
+Expected on Spark 4.1.2: all three FAIL lines print (bugs present).
 """
 import json
 import tempfile
@@ -101,6 +110,29 @@ def main():
         )
     else:
         print(f"OK(2): reader() re-planned per query ({n_readers})")
+
+    # 3: sibling sessions can neither register nor resolve the source
+    sibling = spark.newSession()
+    reg_err = resolve_err = None
+    try:
+        sibling.dataSource.register(OptsProbe)
+    except Exception as exc:
+        reg_err = str(exc)[:80]
+    try:
+        sibling.sql(
+            "CREATE TEMPORARY VIEW sib_v USING optsprobe "
+            "OPTIONS (path '/r')"
+        )
+        sibling.table("sib_v").collect()
+    except Exception as exc:
+        resolve_err = str(exc)[:80]
+    if reg_err or resolve_err:
+        print(
+            "FAIL(3): newSession cannot use the Python source "
+            f"(register: {reg_err!r}; resolve: {resolve_err!r})"
+        )
+    else:
+        print("OK(3): sibling sessions share Python sources")
     spark.stop()
 
 

@@ -230,3 +230,64 @@ def test_refresh_is_explicit_crossprocess_path(spark, tmp_path):
     with pytest.raises(ValueError, match="no pubcorpus table"):
         refresh_pubcorpus_table(spark, "never_created")
     drop_pubcorpus_table(spark, "xp_live")
+
+
+def test_new_session_registries_are_isolated(spark, tmp_path):
+    """spark.newSession() shares an applicationId but NOT temp views:
+    the catalog must key its registry per SESSION so a sibling
+    session never sees (or clobbers) another session's definitions
+    and the commit observer re-issues DDL into the OWNING session.
+
+    (Actually driving pubcorpus DDL from the sibling is blocked
+    upstream: Spark 4.1 Python DataSources registered in one session
+    raise ALREADY_EXISTS on a sibling's register call yet stay
+    unresolvable there — pinned in
+    scripts/spark_catalog_table_options_repro.py — so this test
+    checks the registry scoping, which is what the observer uses.)"""
+    from v6spark.catalog import _app_id
+
+    root = _publish(spark, tmp_path, name="sess_a")
+    other = spark.newSession()
+    assert _app_id(other) != _app_id(spark)
+    create_pubcorpus_table(spark, "iso_t", root)
+    assert list_pubcorpus_tables(spark)["iso_t"]["root"] == root
+    # the sibling's registry is EMPTY — not merged by applicationId
+    assert "iso_t" not in list_pubcorpus_tables(other)
+    # DML still refreshes A's view (keyed to A, not to the app)
+    retract_from_published(spark, root, "doc_id < 10")
+    assert spark.table("iso_t").count() == 30
+    assert list_pubcorpus_tables(spark)["iso_t"]["version"] == 2
+    # dropping via the sibling is scoped to ITS registry: A keeps its
+    # definition (the sibling's drop removes nothing it doesn't own)
+    drop_pubcorpus_table(other, "iso_t")
+    assert list_pubcorpus_tables(spark)["iso_t"]["root"] == root
+    drop_pubcorpus_table(spark, "iso_t")
+
+
+def test_tag_branch_combination_guarded(spark, tmp_path):
+    root = _publish(spark, tmp_path, name="guard")
+    tag_published(spark, root, "gold")
+    with pytest.raises(ValueError, match="tag= or branch="):
+        create_pubcorpus_table(
+            spark, "bad", root, tag="gold", branch="audit"
+        )
+
+
+def test_follow_view_advances_on_multi_table_commit(spark, tmp_path):
+    """atomic_published_pair commits land at the SEAL (intent marker):
+    the follow-latest view must advance then — the per-half publish
+    notifications fire while the manifests are still invisible."""
+    from v6spark.pipeline import atomic_published_pair
+
+    root_a = _publish(spark, tmp_path, name="pair_a")
+    root_b = _publish(spark, tmp_path, name="pair_b")
+    create_pubcorpus_table(spark, "pair_live_a", root_a)
+    create_pubcorpus_table(spark, "pair_live_b", root_b)
+    atomic_published_pair(spark, [
+        (root_a, {"op": "retract", "predicate": "doc_id < 10"}),
+        (root_b, {"op": "retract", "predicate": "doc_id >= 30"}),
+    ])
+    assert spark.table("pair_live_a").count() == 30
+    assert spark.table("pair_live_b").count() == 30
+    drop_pubcorpus_table(spark, "pair_live_a")
+    drop_pubcorpus_table(spark, "pair_live_b")

@@ -183,3 +183,41 @@ def test_mid_stream_posture_drift_fails_commit(spark, tmp_path):
         w.commit([msg], batchId=1)
     # table unharmed at the resharded 20 rows
     assert read_published_corpus(spark, root).count() == 20
+
+
+def test_offloaded_epochs_keep_prior_sidecars(spark, tmp_path, monkeypatch):
+    """Every epoch offloads its manifest sidecar under its OWN
+    directory: with a shared run-dir sidecar path, epoch N+1 would
+    overwrite the sidecar epoch N's committed manifest still
+    references — breaking time travel and emptying the CDC diff."""
+    from v6spark import pipeline
+    from v6spark.sources.pubcdc import read_published_changes_sql
+    from v6spark.sources.pubcorpus_writer import (
+        PublishedCorpusStreamWriter,
+    )
+
+    monkeypatch.setattr(pipeline, "_MANIFEST_INLINE_MAX", 0)
+    root = str(tmp_path / "corpus")
+    sdf = spark.range(0, 20).selectExpr(
+        "id as doc_id", "concat('b', id) as text",
+        "cast(id % 3 as long) as day", "'train' as split",
+    )
+    w = PublishedCorpusStreamWriter(
+        root, sdf.schema, {"txnprefix": "off", "nshards": "2"},
+        overwrite=False,
+    )
+    w.commit([w.write(iter(sdf.collect()))], batchId=0)
+    more = spark.range(100, 110).selectExpr(
+        "id as doc_id", "concat('b', id) as text",
+        "cast(id % 3 as long) as day", "'train' as split",
+    )
+    w.commit([w.write(iter(more.collect()))], batchId=1)
+
+    # v1 time travel still serves epoch-0's 20 rows, not the union
+    v1 = spark.read.format("pubcorpus").option("version", "1").load(root)
+    assert v1.count() == 20
+    assert read_published_corpus(spark, root).count() == 30
+    # the CDC window (1, 2] sees exactly epoch 1's inserts
+    changes = read_published_changes_sql(spark, root, 1, 2).collect()
+    assert sorted(r["doc_id"] for r in changes) == list(range(100, 110))
+    assert {r["_change_type"] for r in changes} == {"insert"}

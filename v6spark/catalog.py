@@ -101,7 +101,17 @@ def _q_lit(value: str) -> str:
 
 
 def _app_id(spark) -> str:
-    return spark.sparkContext.applicationId
+    """Registry key for ONE SparkSession.  Temp views are
+    session-scoped and ``spark.newSession()`` shares the
+    applicationId, so the key combines it with the JVM session
+    object's identity hash — otherwise two sessions would merge
+    registries and the observer could issue a view DDL into the
+    wrong session."""
+    app = spark.sparkContext.applicationId
+    try:
+        return f"{app}:{spark._jsparkSession.hashCode()}"
+    except Exception:  # connect-mode session: no JVM handle
+        return f"{app}:{id(spark)}"
 
 
 def _issue_view_ddl(spark, name: str, options: dict) -> None:
@@ -212,6 +222,11 @@ def create_pubcorpus_table(
     """
     if version is not None and tag is not None:
         raise ValueError("pass version= or tag=, not both")
+    if tag is not None and branch is not None:
+        raise ValueError(
+            "pass tag= or branch=, not both — tags name MAIN-log "
+            "versions (pin the branch view with version= instead)"
+        )
     tdef = {
         "root": root,
         "version": None if version is None else int(version),

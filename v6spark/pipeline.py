@@ -2353,49 +2353,50 @@ def _manifest_entry_count(payload: dict) -> int:
     return n
 
 
+def _sidecar_table(rows: list[tuple]):
+    """The sidecar's arrow table (section, split, file, seq, doc) —
+    ONE construction shared by the local and pyarrow-fs write paths
+    so a schema tweak cannot silently diverge between them."""
+    import pyarrow as _pa
+
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    return _pa.table({
+        "section": _pa.array(cols[0], _pa.string()),
+        "split": _pa.array(cols[1], _pa.string()),
+        "file": _pa.array(cols[2], _pa.string()),
+        "seq": _pa.array(cols[3], _pa.int64()),
+        "doc": _pa.array(cols[4], _pa.string()),
+    })
+
+
 def _write_manifest_sidecar(spark, dest: str, rows: list[tuple]) -> None:
     """Write sidecar rows (section, split, file, seq, doc) as parquet.
     Local stores go through pyarrow on the driver (the rows are
     already driver-side dicts — a Spark job would round-trip them for
-    nothing); remote stores through a 1-partition Spark write."""
+    nothing); JVM-free callers (the pubcorpus SQL writer on an object
+    store) through pyarrow's filesystem layer; remote stores with a
+    session through a 1-partition Spark write."""
     local = _local_root(dest)
     if local is not None:
         import os as _os
 
-        import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         _os.makedirs(local, exist_ok=True)
-        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
-        table = _pa.table({
-            "section": _pa.array(cols[0], _pa.string()),
-            "split": _pa.array(cols[1], _pa.string()),
-            "file": _pa.array(cols[2], _pa.string()),
-            "seq": _pa.array(cols[3], _pa.int64()),
-            "doc": _pa.array(cols[4], _pa.string()),
-        })
-        _pq.write_table(table, _os.path.join(local, "stats-0.parquet"))
+        _pq.write_table(
+            _sidecar_table(rows), _os.path.join(local, "stats-0.parquet")
+        )
         return
     if spark is None:
-        # JVM-free caller (the pubcorpus SQL writer offloading a
-        # manifest on an object store): pyarrow's filesystem layer
-        import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         from v6spark.sources.publog import _fs_for
 
         fs, local_dest = _fs_for(dest)
         fs.create_dir(local_dest, recursive=True)
-        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
-        table = _pa.table({
-            "section": _pa.array(cols[0], _pa.string()),
-            "split": _pa.array(cols[1], _pa.string()),
-            "file": _pa.array(cols[2], _pa.string()),
-            "seq": _pa.array(cols[3], _pa.int64()),
-            "doc": _pa.array(cols[4], _pa.string()),
-        })
         _pq.write_table(
-            table, f"{local_dest.rstrip('/')}/stats-0.parquet",
+            _sidecar_table(rows),
+            f"{local_dest.rstrip('/')}/stats-0.parquet",
             filesystem=fs,
         )
         return

@@ -330,7 +330,14 @@ class IvfIndexDataSource(DataSource):
 
 def register_ivfindex_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of ``ivfindex``."""
-    spark.dataSource.register(IvfIndexDataSource)
+    try:
+        spark.dataSource.register(IvfIndexDataSource)
+    except Exception as exc:
+        # re-registering from the SAME session replaces (a WARN);
+        # from a sibling spark.newSession() sharing the registry it
+        # raises ALREADY_EXISTS — both mean "registered": idempotent
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
 
 
 def read_ivf_index_topk(spark, root: str, query_vec, k: int = 10,

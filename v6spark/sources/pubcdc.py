@@ -274,11 +274,17 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
 
     ok = old_tab.column(key).to_numpy(zero_copy_only=False)
     nk = new_tab.column(key).to_numpy(zero_copy_only=False)
+
     # searchsorted pairs each new key with ONE old row — duplicate
     # keys (possible via blind SQL appends) would silently misreport
-    # the extra copies as delete/insert: refuse loudly instead
-    for side, arr in (("old", ok), ("new", nk)):
-        if len(arr) and len(np.unique(arr)) != len(arr):
+    # the extra copies as delete/insert: refuse loudly instead.
+    # Adjacency on a SORTED copy, not np.unique: the old side's sort
+    # is computed below anyway, so the guard costs one extra sort
+    # (new side) instead of two sort+extract passes
+    def _refuse_dups(sorted_arr, side):
+        if len(sorted_arr) > 1 and (
+            sorted_arr[1:] == sorted_arr[:-1]
+        ).any():
             raise ValueError(
                 f"pubcorpus changes: duplicate {key!r} keys in the "
                 f"{side} endpoint — the change feed's key-uniqueness "
@@ -286,15 +292,20 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
                 "key?); deduplicate via upsert_into_published before "
                 "consuming changes"
             )
+
     if len(ok) == 0:
         if len(nk):
+            _refuse_dups(np.sort(nk), "new")
             yield from emit(new_tab, np.arange(len(nk)), "insert")
         return
     if len(nk) == 0:
+        _refuse_dups(np.sort(ok), "old")
         yield from emit(old_tab, np.arange(len(ok)), "delete")
         return
     order = np.argsort(ok, kind="stable")
     ok_sorted = ok[order]
+    _refuse_dups(ok_sorted, "old")
+    _refuse_dups(np.sort(nk), "new")
     pos = np.searchsorted(ok_sorted, nk)
     pos_clip = np.minimum(pos, len(ok_sorted) - 1)
     match = ok_sorted[pos_clip] == nk

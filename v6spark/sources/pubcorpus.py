@@ -998,7 +998,14 @@ class PublishedCorpusDataSource(DataSource):
 
 def register_pubcorpus_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of ``pubcorpus``."""
-    spark.dataSource.register(PublishedCorpusDataSource)
+    try:
+        spark.dataSource.register(PublishedCorpusDataSource)
+    except Exception as exc:
+        # re-registering from the SAME session replaces (a WARN);
+        # from a sibling spark.newSession() sharing the registry it
+        # raises ALREADY_EXISTS — both mean "registered": idempotent
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
 
 
 def read_pubcorpus(spark, root: str, *, where: str | None = None,

@@ -92,7 +92,7 @@ from pyspark.sql.datasource import (
 )
 
 from v6spark.sources.pubcorpus import _read_latest
-from v6spark.txlog import MANIFEST_PREFIX, _decode, _encode
+from v6spark.txlog import MANIFEST_PREFIX, _encode
 
 _COMMITS = "_commits"
 
@@ -674,7 +674,8 @@ class PublishedCorpusStreamWriter(DataSourceStreamWriter):
         opts.pop("txnId", None)  # per-epoch ids only, never a fixed one
         self._writer = make_writer(root, spark_schema, opts,
                                    overwrite=False)
-        self._writer.vdir = f"v=stream-{uuid.uuid4().hex[:12]}"
+        self._run_vdir = f"v=stream-{uuid.uuid4().hex[:12]}"
+        self._writer.vdir = self._run_vdir
 
     # -------------- executor side -------------- #
 
@@ -708,6 +709,17 @@ class PublishedCorpusStreamWriter(DataSourceStreamWriter):
         if staged == 0:
             return  # empty window: no version churn, replay-safe
         self._writer.txn_id = f"{self.txn_prefix}:{int(batchId)}"
+        # per-EPOCH offload directory: _offload_manifest writes its
+        # sidecar under a fixed name inside vdir, and the run dir is
+        # shared across epochs — committing every epoch under the run
+        # dir itself would overwrite the sidecar a PREVIOUS committed
+        # manifest still references (breaking time travel and CDC
+        # diffs once the table crosses the offload threshold).  The
+        # data files keep their run-dir paths (recorded at write
+        # time); only the commit's sidecar moves per epoch.
+        self._writer.vdir = (
+            f"{self._run_vdir}/epoch-{int(batchId):09d}"
+        )
         self._writer.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:

@@ -588,6 +588,12 @@ def seal_multi(
     if readback != data:
         raise IOError(f"intent marker {intent} failed read-back verify")
     _INTENT_OK.add(intent)
+    # the SEAL is when the halves become visible: the per-half publish
+    # notifications fired while the manifests were still intent-hidden
+    # (observers re-reading latest saw the old version), so fire again
+    # now that readers can see them
+    for log_dir, v in committed:
+        _notify_commit(log_dir, v)
 
 
 #: r7 names — the protocol was N-ary from day one, the names weren't
