@@ -291,3 +291,41 @@ def test_follow_view_advances_on_multi_table_commit(spark, tmp_path):
     assert spark.table("pair_live_b").count() == 30
     drop_pubcorpus_table(spark, "pair_live_a")
     drop_pubcorpus_table(spark, "pair_live_b")
+
+
+def test_sibling_sources_name_through_temp_views_too(spark, tmp_path):
+    """The naming idiom covers the whole SQL surface: publog (commit
+    audit) and ivfindex (ANN) views work through the same
+    CREATE TEMPORARY VIEW DDL, joinable with catalog tables by name."""
+    import json
+
+    from v6spark.sources.publog import register_publog_source
+
+    root = _publish(spark, tmp_path, name="named_all")
+    create_pubcorpus_table(spark, "na_corpus", root)
+    register_publog_source(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW na_log USING publog "
+        f"OPTIONS (path '{root}')"
+    )
+    retract_from_published(spark, root, "doc_id = 3")
+    # the log view is planned per query (batch reader reads latest):
+    # version 2 appears without re-DDL
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW na_log USING publog "
+        f"OPTIONS (path '{root}')"
+    )
+    kinds = {
+        r["version"]: r["kind"]
+        for r in spark.sql(
+            "SELECT version, kind FROM na_log"
+        ).collect()
+    }
+    assert kinds == {1: "publish", 2: "retract"}
+    # joined by NAME: rows retracted per commit vs live view count
+    live = spark.sql(
+        "SELECT count(*) AS c FROM na_corpus"
+    ).first().c
+    assert live == 39
+    drop_pubcorpus_table(spark, "na_corpus")
+    spark.catalog.dropTempView("na_log")
