@@ -513,3 +513,52 @@ def test_read_pubcorpus_helper_matches_manual_options(spark, tmp_path):
     assert _rows(got2) == _rows(ref2)
     assert read_pubcorpus(spark, root, tag="t0").count() == 48
     assert read_pubcorpus(spark, root, split="valid").count() > 0
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """option('asOf', ts) resolves the newest committed version at or
+    before the timestamp (manifest mtimes, monotonically adjusted) —
+    Delta's TIMESTAMP AS OF through plain spark.read, composing with
+    the reader options and the catalog."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from v6spark.catalog import (
+        create_pubcorpus_table,
+        drop_pubcorpus_table,
+    )
+    from v6spark.sources.pubcorpus import read_pubcorpus
+
+    root = _publish(spark, tmp_path, n=30)
+    t_v1 = _time.time()
+    _time.sleep(0.6)
+    retract_from_published(spark, root, "doc_id < 10")       # v2
+    _time.sleep(0.6)
+    retract_from_published(spark, root, "doc_id >= 25")      # v3
+    t_latest = _time.time()
+
+    assert read_pubcorpus(spark, root, as_of=t_v1).count() == 30
+    mid = t_v1 + 0.3  # between v1 and v2
+    assert read_pubcorpus(spark, root, as_of=mid).count() == 30
+    assert read_pubcorpus(spark, root, as_of=t_latest).count() == 15
+    # ISO form through the raw option
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t_latest, tz=timezone.utc).isoformat()
+    got = (spark.read.format("pubcorpus").option("asOf", iso)
+           .load(root))
+    assert got.count() == 15
+    # before the first commit -> clear error
+    with _pytest.raises(Exception, match="asOf"):
+        read_pubcorpus(spark, root, as_of=t_v1 - 3600).count()
+    # exclusive with version
+    with _pytest.raises(Exception, match="one time-travel|asOf"):
+        (spark.read.format("pubcorpus").option("asOf", str(t_v1))
+         .option("version", "2").load(root).count())
+    # catalog: as_of pins a concrete version at create time
+    v = create_pubcorpus_table(spark, "asof_t", root, as_of=t_v1)
+    assert v == 1
+    retract_from_published(spark, root, "doc_id = 12")       # v4
+    assert spark.table("asof_t").count() == 30  # pinned, not following
+    drop_pubcorpus_table(spark, "asof_t")

@@ -202,6 +202,7 @@ def create_pubcorpus_table(
     *,
     version: int | None = None,
     tag: str | None = None,
+    as_of=None,
     branch: str | None = None,
     split: str | None = None,
     where: str | None = None,
@@ -213,19 +214,31 @@ def create_pubcorpus_table(
     """Register ``name`` as a session table over the publish at
     ``root``; returns the version the view serves.
 
-    Without ``version=``/``tag=`` the table FOLLOWS LATEST: it serves
+    Without ``version=``/``tag=``/``as_of=`` the table FOLLOWS LATEST: it serves
     the newest committed version now, and any DML verb committed from
     this process re-points it automatically (txlog post-commit hook).
-    With a pin it is a stable time-travel view.  ``catalog_path``
+    With a pin it is a stable time-travel view (``as_of`` is
+    TIMESTAMP AS OF: epoch seconds or ISO-8601, resolved to a
+    concrete version at create time).  ``catalog_path``
     additionally records the definition in a JSON catalog file that
     :func:`attach_pubcorpus_catalog` replays into future sessions.
     """
-    if version is not None and tag is not None:
-        raise ValueError("pass version= or tag=, not both")
+    if sum(x is not None for x in (version, tag, as_of)) > 1:
+        raise ValueError(
+            "pass ONE time-travel reference: version=, tag=, or as_of="
+        )
     if tag is not None and branch is not None:
         raise ValueError(
             "pass tag= or branch=, not both — tags name MAIN-log "
             "versions (pin the branch view with version= instead)"
+        )
+    if as_of is not None:
+        # TIMESTAMP AS OF resolves to a concrete version NOW and pins
+        # it (a timestamp is a stable reference by definition)
+        from v6spark.sources.pubcorpus import _parse_as_of, _resolve_as_of
+
+        version = _resolve_as_of(
+            _log_dir(root, branch), _parse_as_of(as_of)
         )
     tdef = {
         "root": root,

@@ -137,6 +137,70 @@ def _read_latest(log_dir: str) -> tuple[int, dict | None]:
     return 0, None
 
 
+def _parse_as_of(value) -> float:
+    """``asOf`` option -> epoch seconds (UTC).  Accepts epoch seconds
+    (int/float/numeric string) or an ISO-8601 timestamp; a naive ISO
+    string is taken as UTC (the engine session posture)."""
+    from datetime import datetime, timezone
+
+    s = str(value).strip()
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError as exc:
+        raise ValueError(
+            f"asOf must be epoch seconds or an ISO-8601 timestamp, "
+            f"got {value!r}"
+        ) from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _resolve_as_of(log_dir: str, ts_epoch: float) -> int:
+    """TIMESTAMP AS OF -> version: the newest COMPLETE manifest whose
+    commit time is <= the timestamp.  Commit times come from the
+    manifest files' mtimes (no format change), adjusted Delta-style to
+    be monotonically non-decreasing in version order so clock skew or
+    a log copy can never resolve an OLDER snapshot than a smaller
+    timestamp would."""
+    from pyarrow import fs as pafs
+
+    fs, local = _fs_for(log_dir)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(local, recursive=False))
+    except FileNotFoundError:
+        infos = []
+    stamped = []
+    for i in infos:
+        name = i.base_name
+        if not name.startswith(MANIFEST_PREFIX):
+            continue
+        try:
+            v = int(name[len(MANIFEST_PREFIX):])
+        except ValueError:
+            continue
+        mtime = i.mtime
+        stamped.append((v, mtime.timestamp() if mtime else 0.0))
+    stamped.sort()
+    pick = None
+    mono = 0.0
+    for v, ts in stamped:
+        mono = max(mono, ts)
+        if mono <= ts_epoch and _read_doc(log_dir, v) is not None:
+            pick = v
+    if pick is None:
+        raise ValueError(
+            f"no committed version at or before asOf={ts_epoch} under "
+            f"{log_dir} (earliest commit is newer, or the log is "
+            "empty/vacuumed)"
+        )
+    return pick
+
+
 def _resolve_tag(log_dir: str, tag: str) -> int:
     fs, local = _fs_for(log_dir)
     try:
@@ -748,7 +812,11 @@ class PublishedCorpusDataSource(DataSource):
     """``format("pubcorpus")`` — options:
 
     - ``path`` (or ``.load(root)``): the publish root;
-    - ``version`` / ``tag`` / ``branch``: time travel (mutually
+    - ``version`` / ``tag`` / ``branch`` / ``asOf``: time travel —
+      ``asOf`` is TIMESTAMP AS OF (epoch seconds or ISO-8601; naive =
+      UTC), resolved to the newest committed version whose manifest
+      commit time (file mtime, monotonically adjusted Delta-style) is
+      at or before it; composes with ``branch`` (mutually
       exclusive the same way the Python readers enforce);
     - ``split``: restrict to one split (the column still rides);
     - ``keys``: a JSON array of key values — POINT LOOKUPS through
@@ -804,12 +872,22 @@ class PublishedCorpusDataSource(DataSource):
         version = self.options.get("version")
         tag = self.options.get("tag")
         branch = self.options.get("branch")
+        as_of = self.options.get("asof", self.options.get("asOf"))
         if tag is not None and (version is not None or branch is not None):
             raise ValueError("pass version=, tag=, or branch= — tag is "
                              "exclusive with the others")
+        if as_of is not None and (version is not None or tag is not None):
+            raise ValueError(
+                "pass asOf=, version=, or tag= — one time-travel "
+                "reference at a time"
+            )
         log = _log_dir(root, branch)
         if tag is not None:
             version = _resolve_tag(_log_dir(root, None), tag)
+        if as_of is not None:
+            # TIMESTAMP AS OF (Delta parity): composes with branch=
+            # (resolved against that branch's log)
+            version = _resolve_as_of(log, _parse_as_of(as_of))
         if version is None:
             v, doc = _read_latest(log)
         else:
@@ -868,7 +946,7 @@ class PublishedCorpusDataSource(DataSource):
             from v6spark.sources.pubcdc import change_schema_ddl
 
             for opt in ("columns", "where", "keys", "split", "tag",
-                        "version"):
+                        "version", "asOf", "asof"):
                 if self.options.get(opt) is not None:
                     raise ValueError(
                         f"{opt} does not apply to change reads "
@@ -1011,7 +1089,7 @@ def register_pubcorpus_source(spark) -> None:
 def read_pubcorpus(spark, root: str, *, where: str | None = None,
                    columns=None, keys=None, version=None,
                    tag: str | None = None, branch: str | None = None,
-                   split: str | None = None,
+                   split: str | None = None, as_of=None,
                    max_bytes_per_partition: int | None = None):
     """One-call front door over ``format("pubcorpus")`` so callers
     don't hand-assemble option strings.
@@ -1046,6 +1124,8 @@ def read_pubcorpus(spark, root: str, *, where: str | None = None,
         r = r.option("version", int(version))
     if tag is not None:
         r = r.option("tag", tag)
+    if as_of is not None:
+        r = r.option("asOf", str(as_of))
     if branch is not None:
         r = r.option("branch", branch)
     if split is not None:
