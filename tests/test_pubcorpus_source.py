@@ -562,3 +562,22 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     retract_from_published(spark, root, "doc_id = 12")       # v4
     assert spark.table("asof_t").count() == 30  # pinned, not following
     drop_pubcorpus_table(spark, "asof_t")
+
+
+def test_as_of_parity_python_reader(spark, tmp_path):
+    """read_published_corpus(as_of=...) resolves exactly the version
+    the SQL reader's option('asOf') picks."""
+    import time as _time
+
+    from v6spark.sources.pubcorpus import read_pubcorpus
+
+    root = _publish(spark, tmp_path, n=20)
+    t1 = _time.time()
+    _time.sleep(0.6)
+    retract_from_published(spark, root, "doc_id < 5")
+    py = read_published_corpus(spark, root, as_of=t1)
+    sql = read_pubcorpus(spark, root, as_of=t1)
+    assert py.count() == sql.count() == 20
+    assert read_published_corpus(
+        spark, root, as_of=_time.time()
+    ).count() == 15

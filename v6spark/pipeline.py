@@ -610,18 +610,21 @@ def published_path(
 def read_published_corpus(
     spark, path: str, split: str | None = None,
     version: int | None = None, tag: str | None = None,
-    branch: str | None = None,
+    branch: str | None = None, as_of=None,
 ):
     """Committed-only DataFrame view of a parquet-format publish
     (exactly-once read: partial publishes are invisible);
     ``version`` pins a historical publish (see
     :func:`published_path`), ``tag`` a named reference
     (:func:`tag_published`), ``branch`` a named branch head
-    (:func:`create_published_branch`)."""
+    (:func:`create_published_branch`), ``as_of`` a TIMESTAMP AS OF
+    (epoch seconds or ISO-8601 — resolved against monotonically
+    adjusted manifest commit times, matching ``option("asOf")`` on
+    the SQL reader)."""
     from v6spark import txlog
 
     log = _log_dir(path, branch)
-    version = _resolve_version(spark, path, version, tag, branch)
+    version = _resolve_version(spark, path, version, tag, branch, as_of)
     if version is None:
         _v, doc = txlog.read_latest(spark, log)
     else:
@@ -2240,8 +2243,24 @@ def _log_dir(path: str, branch: str | None = None) -> str:
     return f"{path}/{_BRANCHES}/{branch}"
 
 
-def _resolve_version(spark, path: str, version, tag, branch=None):
-    """One rule for every reader taking (version=, tag=)."""
+def _resolve_version(spark, path: str, version, tag, branch=None,
+                     as_of=None):
+    """One rule for every reader taking (version=, tag= [, as_of=])."""
+    if as_of is not None:
+        if version is not None or tag is not None:
+            raise ValueError(
+                "pass ONE time-travel reference: version=, tag=, or "
+                "as_of="
+            )
+        from v6spark.sources.pubcorpus import (
+            _log_dir as _pa_log_dir,
+            _parse_as_of,
+            _resolve_as_of,
+        )
+
+        return _resolve_as_of(
+            _pa_log_dir(path, branch), _parse_as_of(as_of)
+        )
     if tag is None:
         return version
     if branch is not None:
