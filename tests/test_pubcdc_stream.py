@@ -483,3 +483,65 @@ def test_duplicate_keys_surface_through_compact_window(spark, tmp_path):
 
     with pytest.raises(Exception, match="duplicate"):
         read_published_changes_sql(spark, root, 2, 3).collect()
+
+
+def test_timestamp_change_windows_match_version_windows(spark, tmp_path):
+    """changesFromTimestamp/changesToTimestamp (and the streaming
+    startingTimestamp) resolve to exactly the version windows their
+    integer twins name — Delta CDF timestamp parity."""
+    import time as _time
+
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    root = _publish(spark, tmp_path, n=20, n_shards=2)
+    t1 = _time.time()
+    _time.sleep(0.6)
+    retract_from_published(spark, root, "doc_id < 5")        # v2
+    _time.sleep(0.6)
+    t2 = _time.time()
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(100, "new", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )                                                        # v3
+    register_pubcorpus_source(spark)
+
+    def win(**opts):
+        r = spark.read.format("pubcorpus")
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return _rows(r.load(root).collect())
+
+    # (t1, latest] == (v1, latest]
+    assert win(changesFromTimestamp=t1) == win(changesFrom=1)
+    # (t1, t2] == (v1, v2]
+    assert win(changesFromTimestamp=t1, changesToTimestamp=t2) == win(
+        changesFrom=1, changesTo=2
+    )
+    # lower bound before the log bootstraps (changesFrom=0 semantics)
+    assert win(changesFromTimestamp=t1 - 3600, changesToTimestamp=t1) \
+        == win(changesFrom=0, changesTo=1)
+    # exclusivity + bad upper bound are clear errors
+    with pytest.raises(Exception, match="exclusive"):
+        win(changesFrom=1, changesFromTimestamp=t1)
+    with pytest.raises(Exception, match="no committed version"):
+        win(changesFrom=1, changesToTimestamp=t1 - 3600)
+
+    # streaming startingTimestamp == startingVersion twin
+    collected: list = []
+    q = (
+        spark.readStream.format("pubcorpus")
+        .option("startingTimestamp", str(t2)).load(root)
+        .writeStream.foreachBatch(
+            lambda d, b: collected.extend(d.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ts"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    ref = spark.read.format("pubcorpus").option(
+        "changesFrom", "2"
+    ).load(root).collect()
+    assert _rows(collected) == _rows(ref)

@@ -844,7 +844,12 @@ class PublishedCorpusDataSource(DataSource):
       (``changesTo`` defaults to latest), i.e. Delta's
       ``table_changes(a, b)`` through plain spark.read; switches the
       schema to the change shape like ``startingVersion`` does for
-      streams (see :mod:`v6spark.sources.pubcdc`);
+      streams (see :mod:`v6spark.sources.pubcdc`).  The
+      ``changesFromTimestamp`` / ``changesToTimestamp`` twins take
+      timestamps instead (same accepted forms as ``asOf``); a lower
+      bound predating the log means "everything" (bootstrap), and
+      ``option("startingTimestamp", ts)`` is the streaming
+      equivalent (Delta CDF parity);
     - ``maxBytesPerPartition`` (default 128 MB): surviving files
       group into read tasks of about this size — many small files
       share one Python task, large files fan out;
@@ -910,20 +915,72 @@ class PublishedCorpusDataSource(DataSource):
         self._doc_cache = doc
         return doc
 
+    def _version_floor(self, ts_value, *, missing_means_zero: bool):
+        """Timestamp -> version for the change-window options: the
+        newest committed version at or before the timestamp.  As a
+        LOWER bound (changes-since semantics) a timestamp predating
+        the log floors to 0 — "everything"; as an UPPER bound that is
+        an error (the window would be vacuously empty)."""
+        ts = _parse_as_of(ts_value)  # parse errors must propagate
+        log = _log_dir(self._root(), self.options.get("branch"))
+        try:
+            return _resolve_as_of(log, ts)
+        except ValueError:
+            if missing_means_zero:
+                return 0
+            raise
+
     def _starting_version(self):
-        return self.options.get(
+        sv = self.options.get(
             "startingversion", self.options.get("startingVersion")
         )
+        st = self.options.get(
+            "startingtimestamp", self.options.get("startingTimestamp")
+        )
+        if st is not None:
+            if sv is not None:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are "
+                    "exclusive"
+                )
+            # changes committed AFTER the timestamp (Delta CDF
+            # startingTimestamp): offsets begin at the snapshot at or
+            # before it; predating the log = bootstrap from 0
+            return self._version_floor(st, missing_means_zero=True)
+        return sv
 
     def _changes_from(self):
-        return self.options.get(
+        cf = self.options.get(
             "changesfrom", self.options.get("changesFrom")
         )
+        cft = self.options.get(
+            "changesfromtimestamp",
+            self.options.get("changesFromTimestamp"),
+        )
+        if cft is not None:
+            if cf is not None:
+                raise ValueError(
+                    "changesFrom and changesFromTimestamp are "
+                    "exclusive"
+                )
+            return self._version_floor(cft, missing_means_zero=True)
+        return cf
 
     def _changes_to(self):
-        return self.options.get(
+        ct = self.options.get(
             "changesto", self.options.get("changesTo")
         )
+        ctt = self.options.get(
+            "changestotimestamp",
+            self.options.get("changesToTimestamp"),
+        )
+        if ctt is not None:
+            if ct is not None:
+                raise ValueError(
+                    "changesTo and changesToTimestamp are exclusive"
+                )
+            return self._version_floor(ctt, missing_means_zero=False)
+        return ct
 
     def schema(self) -> str:
         doc = self._doc()
