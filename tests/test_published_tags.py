@@ -92,3 +92,48 @@ def test_tag_creation_rules(spark, tmp_path):
     with pytest.raises(ValueError, match="no tag"):
         read_published_corpus(spark, root, tag="nope")
     assert not delete_published_tag(spark, root, "nope")
+
+
+def test_keep_since_time_based_retention(spark, tmp_path):
+    """vacuum(keep_since=ts) retains every version committed at or
+    after the timestamp (Delta retention-hours shape, commit times
+    from monotonically adjusted manifest mtimes) on top of
+    keep_last/leases/tags — and versions older than the window retire
+    as usual."""
+    import time as _time
+
+    from v6spark.pipeline import (
+        publish_corpus_committed,
+        read_published_corpus,
+        retract_from_published,
+        vacuum_published_files,
+    )
+
+    root = str(tmp_path / "corpus")
+    docs = spark.range(30).selectExpr(
+        "id as doc_id", "concat('b', id) as text",
+        "cast(id % 3 as long) as day",
+    )
+    prepared = spark.range(30).selectExpr(
+        "id as doc_id", "'train' as split"
+    )
+    publish_corpus_committed(prepared, docs, root, n_shards=2)  # v1
+    _time.sleep(0.6)
+    cutoff = _time.time()
+    _time.sleep(0.2)
+    retract_from_published(spark, root, "doc_id < 5")           # v2
+    retract_from_published(spark, root, "doc_id = 7")           # v3
+
+    # keep_last=1 alone would retire v2; keep_since spares it (v2, v3
+    # committed after the cutoff), while v1 (before cutoff) retires
+    vacuum_published_files(spark, root, keep_last=1,
+                           keep_since=cutoff)
+    assert read_published_corpus(spark, root, version=2).count() == 25
+    assert read_published_corpus(spark, root, version=3).count() == 24
+    assert read_published_corpus(spark, root, version=1) is None
+
+    # a cutoff in the future keeps only keep_last (nothing is newer)
+    vacuum_published_files(spark, root, keep_last=1,
+                           keep_since=_time.time() + 3600)
+    assert read_published_corpus(spark, root, version=3).count() == 24
+    assert read_published_corpus(spark, root, version=2) is None

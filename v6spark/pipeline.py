@@ -1727,7 +1727,8 @@ def _branch_log_dirs(spark, path: str) -> list[str]:
 
 
 def vacuum_published(
-    spark, path: str, keep_last: int = 1, grace_seconds: float = 0.0
+    spark, path: str, keep_last: int = 1, grace_seconds: float = 0.0,
+    keep_since=None,
 ) -> int:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
@@ -1740,10 +1741,15 @@ def vacuum_published(
     Returns directories removed."""
     from v6spark import txlog
 
+    if keep_since is not None:
+        from v6spark.sources.pubcorpus import _parse_as_of
+
+        keep_since = _parse_as_of(keep_since)
     return txlog.vacuum_versions(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
         grace_seconds=grace_seconds,
         extra_log_dirs=tuple(_branch_log_dirs(spark, path)),
+        keep_since=keep_since,
     )
 
 
@@ -3801,6 +3807,7 @@ def vacuum_published_files(
     path: str,
     keep_last: int = 1,
     grace_seconds: float = 0.0,
+    keep_since=None,
     _pause_before_sweep=None,
 ) -> int:
     """File-granular retention sweep — the piece that makes a
@@ -3831,8 +3838,13 @@ def vacuum_published_files(
 
     from v6spark import txlog
 
+    if keep_since is not None:
+        from v6spark.sources.pubcorpus import _parse_as_of
+
+        keep_since = _parse_as_of(keep_since)
     removed = vacuum_published(
-        spark, path, keep_last=keep_last, grace_seconds=grace_seconds
+        spark, path, keep_last=keep_last, grace_seconds=grace_seconds,
+        keep_since=keep_since,
     )
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     # retention = newest keep_last UNION read-leased versions — same
@@ -3840,7 +3852,10 @@ def vacuum_published_files(
     retained = [
         manifests[v]
         for v in sorted(
-            txlog._retained_versions(spark, f"{path}/{_COMMITS}", keep_last)
+            txlog._retained_versions(
+                spark, f"{path}/{_COMMITS}", keep_last,
+                keep_since=keep_since,
+            )
         )
     ]
     # ... UNION every live branch's manifests: branch file lists name

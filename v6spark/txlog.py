@@ -817,17 +817,60 @@ def leased_versions(
     return out
 
 
+def _versions_at_or_after(log_dir: str, ts_epoch: float) -> set[int]:
+    """Versions whose commit time (manifest mtime, monotonically
+    adjusted in version order like the asOf resolver) is at or after
+    ``ts_epoch`` — always a SUFFIX of the version sequence, so
+    time-based retention keeps a contiguous recent window."""
+    from pyarrow import fs as pafs
+
+    if "://" in log_dir or log_dir.startswith("file:"):
+        fs, local = pafs.FileSystem.from_uri(log_dir)
+    else:
+        fs, local = pafs.LocalFileSystem(), log_dir
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(local, recursive=False))
+    except FileNotFoundError:
+        return set()
+    stamped = []
+    for i in infos:
+        name = i.base_name
+        if not name.startswith(MANIFEST_PREFIX):
+            continue
+        try:
+            v = int(name[len(MANIFEST_PREFIX):])
+        except ValueError:
+            continue
+        stamped.append((v, i.mtime.timestamp() if i.mtime else 0.0))
+    stamped.sort()
+    out: set[int] = set()
+    mono = 0.0
+    for v, ts in stamped:
+        mono = max(mono, ts)
+        if mono >= ts_epoch:
+            out.add(v)
+    return out
+
+
 def _retained_versions(
-    spark: SparkSession, log_dir: str, keep_last: int
+    spark: SparkSession, log_dir: str, keep_last: int,
+    keep_since: float | None = None,
 ) -> set[int]:
     """keep_last newest complete versions UNION unexpired-leased
-    versions UNION tagged versions — the single retention rule every
-    vacuum applies (a named reference pins its snapshot for as long
-    as the tag exists)."""
+    versions UNION tagged versions UNION (``keep_since``) every
+    version committed at or after that epoch timestamp — the single
+    retention rule every vacuum applies (a named reference pins its
+    snapshot for as long as the tag exists; ``keep_since`` is the
+    Delta retention-hours shape: "keep everything newer than N
+    hours", commit times from monotonically adjusted manifest
+    mtimes)."""
     manifests = _complete_manifests(spark, log_dir)
     retained = set(sorted(manifests)[-keep_last:])
     retained |= leased_versions(spark, log_dir) & set(manifests)
     retained |= set(list_tags(spark, log_dir).values()) & set(manifests)
+    if keep_since is not None:
+        retained |= _versions_at_or_after(log_dir, float(keep_since)) \
+            & set(manifests)
     return retained
 
 
@@ -839,6 +882,7 @@ def vacuum_versions(
     keep_last: int = 1,
     grace_seconds: float = 0.0,
     extra_log_dirs: tuple = (),
+    keep_since: float | None = None,
 ) -> int:
     """Shared retention sweep for version-directory layouts
     (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
@@ -862,7 +906,10 @@ def vacuum_versions(
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     manifests = _complete_manifests(spark, log_dir)
-    retained = sorted(_retained_versions(spark, log_dir, keep_last))
+    retained = sorted(
+        _retained_versions(spark, log_dir, keep_last,
+                           keep_since=keep_since)
+    )
     keep: set[str] = set()
     for v in retained:
         live = manifests[v].get("live")
@@ -923,7 +970,8 @@ def vacuum_versions(
                 fs.delete(st.getPath(), True)
                 removed += 1
     vacuum_manifests(
-        spark, log_dir, keep_last=keep_last, grace_seconds=grace_seconds
+        spark, log_dir, keep_last=keep_last,
+        grace_seconds=grace_seconds, keep_since=keep_since,
     )
     return removed
 
@@ -933,6 +981,7 @@ def vacuum_manifests(
     log_dir: str,
     keep_last: int = 1,
     grace_seconds: float = 0.0,
+    keep_since: float | None = None,
 ) -> int:
     """Delete manifests of retired versions (all but the newest
     ``keep_last`` COMPLETE ones) plus torn manifests and orphaned
@@ -940,7 +989,8 @@ def vacuum_manifests(
     ``grace_seconds`` (an in-flight rename-mode commit's tmp, a
     concurrent put-mode write; see :func:`vacuum_versions`).
     Returns files removed."""
-    retained = _retained_versions(spark, log_dir, keep_last)
+    retained = _retained_versions(spark, log_dir, keep_last,
+                                   keep_since=keep_since)
     if not retained:
         return 0
     import time as _time
