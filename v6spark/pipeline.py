@@ -500,6 +500,12 @@ def publish_corpus_committed(
                 f"{prev_schema} -> {schema}; pass allow_schema_change=True "
                 "to publish anyway (recorded in the manifest)"
             )
+        cons = (_doc or {}).get("constraints") or {}
+        if cons:
+            # CHECK constraints gate the ingress BEFORE any byte is
+            # written (one pass over the input; a violation after the
+            # corpus landed would waste the whole publish)
+            _enforce_constraints(content, cons, "the publish input")
         # nonce-named version dir: under concurrent writers, a
         # deterministic v=<n+1> name would let two racers write into
         # (and orphan-clear) the same directory — the nonce makes each
@@ -524,6 +530,7 @@ def publish_corpus_committed(
             "key_col": key_col,
             "txn_ids": _txn_forward(_doc, txn_id),
         }
+        _carry_constraints(_doc, payload)
         if fmt == "parquet":
             # per-file key stats at publish time: later retract/upsert
             # candidate pruning becomes manifest-only (footer metadata
@@ -1287,6 +1294,16 @@ def promote_staged(
                 f"{prev_schema} -> {schema}; pass "
                 "allow_schema_change=True to promote anyway"
             )
+        cons = (doc or {}).get("constraints") or {}
+        if cons:
+            # promotion IS write-audit-publish's publish step: the
+            # staged bytes were never seen by a constrained ingress,
+            # so the CHECK audit runs here, on the exact files the
+            # manifest is about to reference
+            _enforce_constraints(
+                read_staged_corpus(spark, path, name).drop("split"),
+                cons, f"the staged publish {name!r}",
+            )
         payload = {
             "fmt": "parquet",
             "splits": dict(sdoc["splits"]),
@@ -1305,6 +1322,7 @@ def promote_staged(
             "txn_ids": _txn_forward(doc, txn_id),
             "promoted_from_stage": name,
         }
+        _carry_constraints(doc, payload)
         if key_bloom:
             payload["key_bloom"] = key_bloom
         if sketches:
@@ -1986,6 +2004,204 @@ def restore_published(
 
     return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
                     log_dir=log)
+
+
+# ------------------------------------------------------------------ #
+# CHECK constraints — data-quality contracts enforced at every write  #
+# ------------------------------------------------------------------ #
+#
+# Delta's ALTER TABLE ADD CONSTRAINT (CHECK ...) for the published
+# corpus: a named SQL boolean stored in the manifest that every
+# ingress surface must satisfy before its commit lands.  SQL CHECK
+# three-valued semantics: a row violates only when the expression IS
+# FALSE — NULL passes (so `day < 7` admits NULL days; spell
+# `day IS NOT NULL AND day < 7` to also ban them).
+#
+# Enforcement points (each documented at its site):
+# - publish_corpus_committed / promote_staged: the incoming frame
+# - upsert_into_published: the delta (kept files already passed)
+# - the SQL writer + streaming sink: per Arrow batch on executors,
+#   evaluated by DuckDB (no JVM in that path) — which is why
+#   set_published_constraint gates expressions on BOTH engines
+# - retract/compact/reshard/restore only remove or move rows that
+#   already passed: they carry the constraints, nothing to re-check
+
+
+def _carry_constraints(doc: dict | None, payload: dict) -> dict:
+    """Forward the table's CHECK constraints through a DML commit."""
+    if doc and doc.get("constraints") and "constraints" not in payload:
+        payload["constraints"] = doc["constraints"]
+    return payload
+
+
+def _first_constraint_violation(df, constraints: dict):
+    """``(name, row_dict)`` for the first row failing a CHECK
+    constraint, else None — ONE job over ``df`` regardless of the
+    constraint count (all flags computed in a single pass; filters
+    stay JVM-side so Catalyst pushes what it can into the scan)."""
+    if not constraints:
+        return None
+    names = sorted(constraints)
+    flags = [
+        (~F.coalesce(F.expr(constraints[n]), F.lit(True)))
+        .alias(f"__viol_{i}")
+        for i, n in enumerate(names)
+    ]
+    cond = F.lit(False)
+    for i in range(len(names)):
+        cond = cond | F.col(f"__viol_{i}")
+    rows = df.select("*", *flags).where(cond).limit(1).collect()
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    for i, n in enumerate(names):
+        if r.get(f"__viol_{i}"):
+            return n, {
+                k: v for k, v in r.items()
+                if not k.startswith("__viol_")
+            }
+    return None  # unreachable: cond selected the row
+
+
+def _enforce_constraints(df, constraints: dict, surface: str) -> None:
+    hit = _first_constraint_violation(df, constraints)
+    if hit is not None:
+        name, row = hit
+        raise ValueError(
+            f"CHECK constraint {name!r} ({constraints[name]}) "
+            f"violated by {surface} — first offending row: {row}; "
+            "nothing was committed"
+        )
+
+
+def _duckdb_constraint_gate(df, expr: str) -> None:
+    """Refuse a constraint the SQL writer could not enforce: that
+    path commits without a JVM, so expressions are evaluated by
+    DuckDB per Arrow batch — the constraint must parse and type-check
+    there too (the common SQL subset: comparisons, arithmetic,
+    length/substr/lower/upper, IN, BETWEEN, AND/OR/NOT...)."""
+    import duckdb
+
+    empty = df.limit(0).toArrow()
+    con = duckdb.connect()
+    try:
+        con.register("_published", empty)
+        con.execute(
+            "SELECT count(*) FROM _published "
+            f"WHERE NOT coalesce(({expr}), TRUE)"
+        ).fetchone()
+    except Exception as exc:
+        raise ValueError(
+            f"CHECK constraint expression {expr!r} is not in the "
+            "portable SQL subset (it must evaluate identically under "
+            "Spark SQL and DuckDB, because the pubcorpus SQL writer "
+            f"enforces it without a JVM): {exc}"
+        ) from exc
+    finally:
+        con.close()
+
+
+def set_published_constraint(
+    spark,
+    path: str,
+    name: str,
+    expr: str,
+    branch: str | None = None,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+) -> dict:
+    """Add (or replace) a named CHECK constraint on the published
+    corpus as a metadata-only commit — Delta's ``ALTER TABLE ADD
+    CONSTRAINT``.  The EXISTING rows are validated first (one scan at
+    the attempt's version, inside the OCC loop, so a concurrent
+    append of a violating row forces revalidation rather than racing
+    past the check); every later write surface then enforces the
+    constraint before its commit.  Violating rows fail with the
+    constraint name and the first offending row.  Returns
+    {"_version", "constraints"}.
+    """
+    if not name or not str(name).strip():
+        raise ValueError("constraint name must be non-empty")
+    if not expr or not isinstance(expr, str):
+        raise ValueError("constraint expression must be a SQL string")
+    log = _log_dir(path, branch)
+
+    def _attempt(cur_version, cur_doc, vdir, data_root):
+        if cur_doc is None:
+            raise ValueError(
+                f"{path} has no committed publish to constrain"
+            )
+        # constraints range over the published CONTENT columns only
+        # (split is directory layout, not data — the publish input
+        # and the SQL writer's parquet rows don't carry it)
+        table = read_published_corpus(
+            spark, path, version=cur_version, branch=branch
+        ).drop("split")
+        _enforce_constraints(
+            table, {name: expr},
+            f"existing rows of version {cur_version}",
+        )
+        _duckdb_constraint_gate(table, expr)
+        cons = dict(cur_doc.get("constraints") or {})
+        cons[str(name)] = expr
+        payload = {
+            k: v
+            for k, v in cur_doc.items()
+            if k not in ("intent", "restore_of")
+        }
+        payload["constraints"] = cons
+        payload["txn_ids"] = _txn_forward(cur_doc, None)
+        return payload, {"constraints": dict(cons)}
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+                    log_dir=log)
+
+
+def drop_published_constraint(
+    spark,
+    path: str,
+    name: str,
+    branch: str | None = None,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+) -> dict:
+    """Remove a named CHECK constraint (metadata-only commit).
+    Unknown names are refused — a typo'd drop silently succeeding
+    would leave the caller believing enforcement stopped."""
+    log = _log_dir(path, branch)
+
+    def _attempt(cur_version, cur_doc, vdir, data_root):
+        if cur_doc is None:
+            raise ValueError(f"{path} has no committed publish")
+        cons = dict(cur_doc.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"{path} has no CHECK constraint named {name!r} "
+                f"(present: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        payload = {
+            k: v
+            for k, v in cur_doc.items()
+            if k not in ("intent", "restore_of", "constraints")
+        }
+        if cons:
+            payload["constraints"] = cons
+        payload["txn_ids"] = _txn_forward(cur_doc, None)
+        return payload, {"constraints": dict(cons)}
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+                    log_dir=log)
+
+
+def list_published_constraints(
+    spark, path: str, branch: str | None = None
+) -> dict[str, str]:
+    """{name: SQL expression} for the corpus's CHECK constraints."""
+    from v6spark import txlog
+
+    _v, doc = txlog.read_latest(spark, _log_dir(path, branch))
+    return dict((doc or {}).get("constraints") or {})
 
 
 def create_published_branch(spark, path: str, name: str) -> int:
@@ -3700,6 +3916,7 @@ def retract_from_published(
                 payload["key_bloom"] = doc["key_bloom"]
             if doc.get("clustered_by"):
                 payload["clustered_by"] = doc["clustered_by"]
+            _carry_constraints(doc, payload)
             return payload, {
                 "rows_removed": rows_removed,
                 "files_rewritten": 0,
@@ -3853,6 +4070,7 @@ def retract_from_published(
             # their curve layout); compaction_advice uses this to
             # recommend re-clustering once DML accumulates
             payload["clustered_by"] = doc["clustered_by"]
+        _carry_constraints(doc, payload)
         if doc.get("key_bloom") and doc.get("key_col"):
             tables = _build_key_bloom_table(
                 spark, path, vdir, fresh_by_split, doc["key_col"],
@@ -4225,6 +4443,15 @@ def upsert_into_published(
             )
         if key_col not in updates.columns:
             raise ValueError(f"updates must carry the key column {key_col!r}")
+        cons = doc.get("constraints") or {}
+        if cons:
+            # only the DELTA needs checking: kept files' rows passed
+            # when they were committed (the Delta enforcement shape)
+            _enforce_constraints(
+                updates.drop("split") if "split" in updates.columns
+                else updates,
+                cons, "the upsert delta",
+            )
 
         # the delta is the small side by contract: broadcast it everywhere
         dup = (
@@ -4509,6 +4736,7 @@ def upsert_into_published(
             payload["dv"] = dv_doc
         if doc.get("clustered_by"):
             payload["clustered_by"] = doc["clustered_by"]
+        _carry_constraints(doc, payload)
         if doc.get("key_bloom"):
             tables = _build_key_bloom_table(
                 spark, path, vdir, fresh_by_split,
@@ -4610,7 +4838,8 @@ def evolve_published_schema(
         if _fail_before_commit:
             raise RuntimeError("injected crash before schema-evolve commit")
         payload = {
-            **doc,
+            **{k: v for k, v in doc.items()
+               if k not in ("intent", "restore_of")},
             "schema": schema,
             "schema_changed": True,
             "schema_evolution": {
@@ -4769,6 +4998,7 @@ def compact_published(
         }
         if cluster_by:
             payload["clustered_by"] = list(cluster_by)
+        _carry_constraints(doc, payload)
         fresh = _published_split_files(
             spark, path, {"live": vdir, "splits": doc["splits"]}
         )
@@ -4869,6 +5099,7 @@ def reshard_published(
             "txn_ids": _txn_forward(doc, None),
             "resharded_from": version,
         }
+        _carry_constraints(doc, payload)
         fresh = _published_split_files(
             spark, path, {"live": vdir, "splits": doc["splits"]}
         )

@@ -167,6 +167,42 @@ def _put_manifest(fs, path: str, data: bytes) -> str:
     return "committed"
 
 
+def _check_batch_constraints(con, batch, constraints: dict) -> None:
+    """Fail the task on the first Arrow batch row violating a CHECK
+    constraint — SQL three-valued semantics (violation = the
+    expression IS FALSE; NULL passes), matching the Spark-side
+    enforcement in :mod:`v6spark.pipeline`."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches([batch])
+    con.register("_pub_batch", tbl)
+    for name in sorted(constraints):
+        expr = constraints[name]
+        try:
+            bad = con.execute(
+                "SELECT count(*) FROM _pub_batch "
+                f"WHERE NOT coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+        except Exception as exc:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) could not be "
+                "evaluated on the append batch — it predates the "
+                "portable-subset gate, or the schema drifted; append "
+                "through the DML verbs instead"
+            ) from exc
+        if bad:
+            row = con.execute(
+                "SELECT * FROM _pub_batch "
+                f"WHERE NOT coalesce(({expr}), TRUE) LIMIT 1"
+            ).fetchone()
+            cols = [f.name for f in tbl.schema]
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{bad} row(s) in the append — first offending row: "
+                f"{dict(zip(cols, row))}; nothing was committed"
+            )
+
+
 @dataclass
 class _TaskFiles(WriterCommitMessage):
     #: (split, shard, rel_path, n_rows) per file this task wrote
@@ -182,13 +218,15 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                  use_arrow_fs: bool = False,
                  flush_group_rows: int = _FLUSH_GROUP_ROWS,
                  flush_total_rows: int = _FLUSH_TOTAL_ROWS,
-                 merge_schema: bool = False):
+                 merge_schema: bool = False,
+                 constraints: dict | None = None):
         self.fs, self.root, self.helper_root = _resolve_root(
             root, force_arrow=use_arrow_fs
         )
         self.flush_group_rows = flush_group_rows
         self.flush_total_rows = flush_total_rows
         self.merge_schema = merge_schema
+        self.constraints = dict(constraints or {})
         self.spark_schema = spark_schema
         self.key_col = key_col
         self.n_shards = n_shards
@@ -259,7 +297,22 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
             written_rows[key] = written_rows.get(key, 0) + table.num_rows
             total_buffered -= group_rows.pop(key, 0)
 
+        check_con = None
+        if self.constraints:
+            # CHECK constraints ride the write path (the Delta
+            # enforcement shape): each Arrow batch is validated
+            # executor-side by DuckDB — this path commits without a
+            # JVM, and set_published_constraint gated every
+            # expression on DuckDB evaluability at set time
+            import duckdb
+
+            check_con = duckdb.connect()
+
         for batch in iterator:
+            if check_con is not None:
+                _check_batch_constraints(
+                    check_con, batch, self.constraints
+                )
             splits = batch.column("split").to_pylist()
             kcol = batch.column(self.key_col)
             if kcol.null_count:
@@ -308,6 +361,8 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                     _flush(key)
                     if total_buffered < self.flush_total_rows // 2:
                         break
+        if check_con is not None:
+            check_con.close()
         for key in sorted(groups):
             _flush(key)
         out = []
@@ -462,11 +517,14 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 }
                 if evolution is not None:
                     payload["schema_evolution"] = evolution
-                for carried in ("dv", "key_bloom"):
+                for carried in ("dv", "key_bloom", "clustered_by",
+                                "constraints"):
                     if doc.get(carried):
                         # old-file sections ride verbatim: DV-marked
                         # rows stay deleted, blooms keep pruning (new
-                        # files without entries simply must-scan)
+                        # files without entries simply must-scan);
+                        # table properties (clustering hint, CHECK
+                        # constraints) persist through the append
                         payload[carried] = doc[carried]
             payload = _offload_manifest(
                 None, self.helper_root, self.vdir, payload
@@ -596,6 +654,14 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 f"table shard posture {posture} changed since this "
                 "write was planned (concurrent reshard?) — the staged "
                 "files are mis-sharded and were NOT committed; retry"
+            )
+        if (doc.get("constraints") or {}) != self.constraints:
+            raise ValueError(
+                "the table's CHECK constraints changed since this "
+                "write was planned (concurrent "
+                "set/drop_published_constraint) — the staged rows "
+                "were validated against the OLD set and were NOT "
+                "committed; retry"
             )
 
     def abort(self, messages) -> None:
@@ -809,6 +875,7 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
             options.get("_flushtotalrows") or _FLUSH_TOTAL_ROWS
         ),
         merge_schema=merge_schema,
+        constraints=(doc or {}).get("constraints"),
     )
     if doc is not None:
         w._validate_against(doc)  # fail fast, before any task runs
