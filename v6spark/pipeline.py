@@ -2204,6 +2204,311 @@ def list_published_constraints(
     return dict((doc or {}).get("constraints") or {})
 
 
+def merge_into_published(
+    spark,
+    path: str,
+    source: DataFrame,
+    key_col: str = "doc_id",
+    when_matched_update=None,
+    when_matched_delete=None,
+    when_not_matched_insert=None,
+    matched_condition: str | None = None,
+    not_matched_condition: str | None = None,
+    commit_mode: str = "rename",
+    txn_id: str | None = None,
+    max_retries: int = 4,
+) -> dict:
+    """Conditional MERGE of a source frame into the published corpus
+    as ONE committed version — Delta's ``MERGE INTO`` with
+    WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+    INSERT clauses, completing the DML verb set (plain
+    :func:`upsert_into_published` is the unconditional
+    update-or-insert special case).
+
+    Clauses (at least one; DELETE takes precedence over UPDATE on a
+    matched row, so an unconditional ``when_matched_delete=True``
+    next to an update clause is refused as unreachable):
+
+    - ``when_matched_update``: ``"*"`` (replace the row with the
+      source row) or ``{col: sql_expr}`` — a PARTIAL update: listed
+      columns take the expression, unlisted columns keep the
+      published value.  ``matched_condition`` gates it.
+    - ``when_matched_delete``: ``True`` or a SQL condition.
+    - ``when_not_matched_insert``: ``"*"`` (insert the source row —
+      the source must then carry a ``split`` column) or
+      ``{col: sql_expr}`` covering every published column plus
+      ``split``.  ``not_matched_condition`` gates it.
+
+    Conditions and expressions are SQL over two row aliases:
+    ``s.<col>`` (the source row) and ``t.<col>`` (the current
+    published row; NULL-row for not-matched).  A NULL-evaluating
+    condition selects nothing (SQL WHERE semantics).
+
+    Scale shape: the source is the SMALL side by contract (same as
+    the upsert delta).  Matched rows come from
+    :func:`read_published_keys` — shard-directory + manifest-stats
+    pruned point lookups, cost tracks ``len(source)``, never corpus
+    size.  The apply reuses the branch-merge protocol: a nonce-named
+    temp branch is cut from the pinned main head, the chunked
+    retract (deletes) and one upsert (updates + inserts) land there
+    INVISIBLY, and the temp head is adopted as main's next version
+    with an OCC commit that refuses if main moved — the whole merge
+    then re-classifies against the fresh state and retries
+    (serializable).  Readers see pre-merge or the complete merge,
+    never a half-apply; a crash leaves main untouched and the temp
+    branch as sweepable ``mergetmp-*`` debris
+    (:func:`cleanup_merge_debris`).  CHECK constraints are enforced
+    by the underlying upsert.  ``txn_id`` gives exactly-once replay.
+
+    Returns {"_version", "rows_updated", "rows_inserted",
+    "rows_deleted"}.
+    """
+    import uuid as _uuid
+
+    from v6spark import txlog
+    from v6spark.streaming.replication import (
+        DELETE_CHUNK,
+        _escaped_literals_mode,
+        _sql_key_literal,
+    )
+
+    if not any((when_matched_update, when_matched_delete,
+                when_not_matched_insert)):
+        raise ValueError(
+            "merge needs at least one clause: when_matched_update, "
+            "when_matched_delete, or when_not_matched_insert"
+        )
+    if when_matched_delete is True and when_matched_update:
+        raise ValueError(
+            "when_matched_delete=True deletes EVERY matched row — the "
+            "update clause is unreachable; give the delete a condition"
+        )
+    if matched_condition and not when_matched_update:
+        raise ValueError(
+            "matched_condition gates when_matched_update — pass both"
+        )
+    if not_matched_condition and not when_not_matched_insert:
+        raise ValueError(
+            "not_matched_condition gates when_not_matched_insert — "
+            "pass both"
+        )
+    if key_col not in source.columns:
+        raise ValueError(
+            f"source must carry the key column {key_col!r}"
+        )
+    key_rows = source.select(key_col).collect()
+    skeys = [r[key_col] for r in key_rows]
+    if len(skeys) != len(set(skeys)):
+        raise ValueError(
+            "source carries duplicate keys — a merge must be keyed "
+            "uniquely (collapse the source first)"
+        )
+    if not skeys:
+        from v6spark import txlog as _txlog
+
+        return {
+            "_version": _txlog.read_latest(
+                spark, f"{path}/{_COMMITS}"
+            )[0],
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_deleted": 0,
+            "noop": True,
+        }
+
+    def _values(df, cols, mapping, fallback, split_expr):
+        """One select building the merged row (+ its ``split``):
+        mapping exprs win, then ``fallback(col)`` for the rest
+        ('*' = every column from the source alias)."""
+        out = []
+        for c in cols:
+            if mapping == "*":
+                out.append(F.expr(f"s.{c}").alias(c))
+            elif c in mapping:
+                out.append(F.expr(mapping[c]).alias(c))
+            else:
+                out.append(fallback(c).alias(c))
+        out.append(split_expr.alias("split"))
+        return df.select(*out)
+
+    esc = _escaped_literals_mode(spark)
+    last_race = None
+    for _ in range(max_retries):
+        main_v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
+        if doc is None:
+            raise ValueError(
+                f"{path} has no committed publish to merge into"
+            )
+        if txn_id is not None and txn_id in (doc.get("txn_ids") or []):
+            return {
+                "_version": main_v,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "rows_deleted": 0,
+                "replayed": True,
+            }
+        content_cols = [n for n, _t in (doc.get("schema") or [])]
+        tgt = read_published_keys(
+            spark, path, skeys, version=main_v
+        )
+        joined = source.alias("s").join(
+            tgt.alias("t"),
+            F.expr(f"s.{key_col} = t.{key_col}"),
+            "left",
+        )
+        matched = F.expr(f"t.{key_col} IS NOT NULL")
+
+        delete_keys: list = []
+        del_cond = F.lit(False)
+        if when_matched_delete is not None:
+            del_cond = matched & (
+                F.lit(True) if when_matched_delete is True
+                else F.expr(str(when_matched_delete))
+            )
+            delete_keys = sorted(
+                (r[0] for r in joined.filter(del_cond)
+                 .select(f"s.{key_col}").collect()),
+                key=str,
+            )
+
+        parts = []
+        rows_updated = 0
+        if when_matched_update is not None:
+            upd_rows = joined.filter(
+                matched & ~del_cond
+                & (F.expr(matched_condition)
+                   if matched_condition else F.lit(True))
+            )
+            updates = _values(
+                upd_rows, content_cols, when_matched_update,
+                lambda c: F.expr(f"t.{c}"), F.expr("t.split"),
+            )
+            rows_updated = updates.count()
+            if rows_updated:
+                parts.append(updates)
+        rows_inserted = 0
+        if when_not_matched_insert is not None:
+            ins_rows = joined.filter(
+                ~matched
+                & (F.expr(not_matched_condition)
+                   if not_matched_condition else F.lit(True))
+            )
+            if when_not_matched_insert == "*":
+                if "split" not in source.columns:
+                    raise ValueError(
+                        "when_not_matched_insert='*' needs a 'split' "
+                        "column on the source (inserts need a "
+                        "destination split)"
+                    )
+                ins_map: dict | str = "*"
+                split_expr = F.expr("s.split")
+            else:
+                ins_map = dict(when_not_matched_insert)
+                if "split" not in ins_map:
+                    raise ValueError(
+                        "when_not_matched_insert must map 'split' — "
+                        "inserts need a destination split"
+                    )
+                split_expr = F.expr(ins_map.pop("split"))
+                missing = [c for c in content_cols if c not in ins_map]
+                if missing:
+                    raise ValueError(
+                        f"when_not_matched_insert must map every "
+                        f"published column; missing {missing}"
+                    )
+            inserts = _values(
+                ins_rows, content_cols, ins_map,
+                lambda c: F.lit(None), split_expr,
+            )
+            rows_inserted = inserts.count()
+            if rows_inserted:
+                parts.append(inserts)
+
+        if not delete_keys and not parts:
+            return {
+                "_version": main_v,
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "rows_deleted": 0,
+                "noop": True,
+            }
+
+        tmp = f"mergetmp-{_uuid.uuid4().hex[:8]}"
+        try:
+            cut_v = create_published_branch(spark, path, tmp)
+            if cut_v != main_v:
+                raise _MergeRace(f"main moved to v{cut_v}")
+            for i in range(0, len(delete_keys), DELETE_CHUNK):
+                vals = ", ".join(
+                    _sql_key_literal(k, esc)
+                    for k in delete_keys[i:i + DELETE_CHUNK]
+                )
+                retract_from_published(
+                    spark, path, f"{key_col} IN ({vals})",
+                    branch=tmp, commit_mode=commit_mode,
+                )
+            if parts:
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+                upsert_into_published(
+                    spark, path, delta, key_col=key_col,
+                    branch=tmp, commit_mode=commit_mode,
+                )
+            tmp_head_v, tmp_head = txlog.read_latest(
+                spark, _log_dir(path, tmp)
+            )
+
+            def _attempt(version, _doc, vdir, data_root,
+                         _tmp_head=tmp_head, _cut=cut_v):
+                if version != _cut:
+                    raise IOError(
+                        f"main advanced to v{version} during the "
+                        "merge apply"
+                    )
+                payload = {
+                    k: v for k, v in _tmp_head.items() if k != "v"
+                }
+                payload.pop("branched_from", None)
+                payload["txn_ids"] = _txn_forward(_tmp_head, txn_id)
+                payload["merged_into"] = {
+                    "applied_on": _cut,
+                    "deletes": len(delete_keys),
+                    "updates": rows_updated,
+                    "inserts": rows_inserted,
+                }
+                return payload, {}
+
+            try:
+                out = _occ_dml(
+                    spark, path, _attempt, commit_mode, max_retries=2,
+                )
+            except IOError as exc:
+                raise _MergeRace(str(exc)) from exc
+            drop_published_branch(spark, path, tmp)
+            return {
+                **out,
+                "rows_updated": rows_updated,
+                "rows_inserted": rows_inserted,
+                "rows_deleted": len(delete_keys),
+            }
+        except _MergeRace as race:
+            last_race = race
+            drop_published_branch(spark, path, tmp)
+            continue
+        except Exception:
+            # refusal inside the branch apply (CHECK constraint, bad
+            # expression): the branch DML was invisible — drop the
+            # debris, main is untouched
+            drop_published_branch(spark, path, tmp)
+            raise
+    raise IOError(
+        f"merge into {path} lost {max_retries} consecutive races "
+        f"against concurrent writers — coordinate or retry "
+        f"({last_race})"
+    )
+
+
 def create_published_branch(spark, path: str, name: str) -> int:
     """Branch the published corpus: a WRITABLE alternate manifest
     chain over the SAME data pool (the Iceberg branch / Delta "WAP on
