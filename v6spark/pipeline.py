@@ -1986,7 +1986,7 @@ def restore_published(
         payload = {
             k: v
             for k, v in tdoc.items()
-            if k not in ("txn_ids", "intent", "restore_of")
+            if k not in ("txn_ids", "intent") and k not in _OP_MARKERS
         }
         payload["txn_ids"] = _txn_forward(cur_doc, txn_id)
         payload["schema_changed"] = (
@@ -2025,6 +2025,19 @@ def restore_published(
 #   set_published_constraint gates expressions on BOTH engines
 # - retract/compact/reshard/restore only remove or move rows that
 #   already passed: they carry the constraints, nothing to re-check
+
+
+#: Per-commit OPERATION markers the verbs record (what happened at
+#: that version).  Verbs that COPY the previous doc wholesale
+#: (restore, set/drop constraint, evolve, merge adoption) strip these
+#: before adding their own, so a manifest describes ITS commit, not a
+#: stale ancestor's; published_history classifies on them.
+_OP_MARKERS = (
+    "restore_of", "merged_into", "merged_from", "fast_forwarded_from",
+    "constraint_change", "noop_txn", "appended", "upsert",
+    "retraction", "compacted_from", "resharded_from",
+    "promoted_from_stage", "schema_evolution",
+)
 
 
 def _carry_constraints(doc: dict | None, payload: dict) -> dict:
@@ -2147,9 +2160,10 @@ def set_published_constraint(
         payload = {
             k: v
             for k, v in cur_doc.items()
-            if k not in ("intent", "restore_of")
+            if k != "intent" and k not in _OP_MARKERS
         }
         payload["constraints"] = cons
+        payload["constraint_change"] = {"set": str(name), "expr": expr}
         payload["txn_ids"] = _txn_forward(cur_doc, None)
         return payload, {"constraints": dict(cons)}
 
@@ -2183,10 +2197,12 @@ def drop_published_constraint(
         payload = {
             k: v
             for k, v in cur_doc.items()
-            if k not in ("intent", "restore_of", "constraints")
+            if k not in ("intent", "constraints")
+            and k not in _OP_MARKERS
         }
         if cons:
             payload["constraints"] = cons
+        payload["constraint_change"] = {"dropped": str(name)}
         payload["txn_ids"] = _txn_forward(cur_doc, None)
         return payload, {"constraints": dict(cons)}
 
@@ -2202,6 +2218,96 @@ def list_published_constraints(
 
     _v, doc = txlog.read_latest(spark, _log_dir(path, branch))
     return dict((doc or {}).get("constraints") or {})
+
+
+def _classify_operation(doc: dict) -> tuple[str, dict]:
+    """``(operation, details)`` for one commit manifest — precedence
+    over the recorded markers (copy-doc verbs strip ancestors'
+    markers, so at most one family is present; ``noop_txn`` wins
+    because the no-op paths copy the previous doc verbatim)."""
+    order = (
+        ("noop_txn", "NOOP TXN"),
+        ("restore_of", "RESTORE"),
+        ("merged_into", "MERGE"),
+        ("merged_from", "MERGE BRANCH"),
+        ("fast_forwarded_from", "FAST-FORWARD"),
+        ("constraint_change", "ALTER CONSTRAINT"),
+        ("appended", "APPEND"),
+        ("upsert", "UPSERT"),
+        ("retraction", "DELETE"),
+        ("compacted_from", "OPTIMIZE"),
+        ("resharded_from", "RESHARD"),
+        ("promoted_from_stage", "PROMOTE"),
+        ("schema_evolution", "ADD COLUMNS"),
+        ("branched_from", "BRANCH CUT"),
+    )
+    for key, op in order:
+        if key in doc:
+            d = doc[key]
+            return op, d if isinstance(d, dict) else {key: d}
+    return "PUBLISH", {
+        "splits": dict(doc.get("splits") or {}),
+        "schema_changed": bool(doc.get("schema_changed")),
+    }
+
+
+def published_history(
+    spark, path: str, branch: str | None = None,
+    limit: int | None = None,
+):
+    """Commit history of the published corpus as a DataFrame — the
+    Delta ``DESCRIBE HISTORY`` surface, reconstructed from the
+    manifests alone (no data reads; driver work is manifest-sized):
+
+    ``version`` (bigint), ``timestamp`` (double epoch seconds —
+    manifest mtimes, monotonically adjusted exactly like the readers'
+    ``asOf`` resolution, so ``as_of=row.timestamp`` time-travels to
+    ``row.version``), ``operation`` (PUBLISH / APPEND / UPSERT /
+    DELETE / MERGE / OPTIMIZE / RESHARD / RESTORE / PROMOTE /
+    ADD COLUMNS / ALTER CONSTRAINT / MERGE BRANCH / FAST-FORWARD /
+    NOOP TXN), ``details`` (the verb's recorded metrics as a JSON
+    string: rows touched, files rewritten/kept, predicates, source
+    versions), ``schema_changed``, ``txn_id`` (the commit's replay
+    token, if one was attached).
+
+    Newest first; ``limit`` caps the rows.  Vacuumed (retired)
+    versions are absent — history is exactly what time travel can
+    still serve.  ``branch`` lists a branch's chain.
+    """
+    import json as _json
+
+    from v6spark import txlog
+    from v6spark.sources.pubcorpus import _manifest_times
+
+    log = _log_dir(path, branch)
+    times = dict(_manifest_times(log))
+    rows = []
+    for v in sorted(txlog.list_versions(spark, log), reverse=True):
+        if limit is not None and len(rows) >= limit:
+            break
+        doc = txlog.read_version(spark, log, v)
+        if doc is None:
+            continue  # torn / pending-intent: never was a commit
+        op, details = _classify_operation(doc)
+        txns = doc.get("txn_ids") or []
+        prev = txlog.read_version(spark, log, v - 1) if v > 1 else None
+        prev_txns = set((prev or {}).get("txn_ids") or [])
+        new_txn = next(
+            (t for t in txns if t not in prev_txns), None
+        )
+        rows.append((
+            v,
+            float(times.get(v, 0.0)),
+            op,
+            _json.dumps(details, default=str, sort_keys=True),
+            bool(doc.get("schema_changed")),
+            str(new_txn) if new_txn is not None else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp double, operation string, "
+        "details string, schema_changed boolean, txn_id string",
+    )
 
 
 def merge_into_published(
@@ -2467,9 +2573,10 @@ def merge_into_published(
                         "merge apply"
                     )
                 payload = {
-                    k: v for k, v in _tmp_head.items() if k != "v"
+                    k: v for k, v in _tmp_head.items()
+                    if k not in ("v", "branched_from")
+                    and k not in _OP_MARKERS
                 }
-                payload.pop("branched_from", None)
                 payload["txn_ids"] = _txn_forward(_tmp_head, txn_id)
                 payload["merged_into"] = {
                     "applied_on": _cut,
@@ -2541,7 +2648,12 @@ def create_published_branch(spark, path: str, name: str) -> int:
     fs, jdir, _jvm = txlog._jfs(spark, log)
     if fs.exists(jdir):
         raise ValueError(f"branch {name!r} already exists under {path}")
-    seed = {k: v for k, v in doc.items() if k != "v"}
+    # the seed copy describes the CUT, not main's last DML: strip
+    # main's operation markers (published_history classifies on them)
+    seed = {
+        k: v for k, v in doc.items()
+        if k != "v" and k not in _OP_MARKERS
+    }
     seed["branched_from"] = version
     txlog.publish(spark, log, version, seed)
     return version
@@ -5144,7 +5256,7 @@ def evolve_published_schema(
             raise RuntimeError("injected crash before schema-evolve commit")
         payload = {
             **{k: v for k, v in doc.items()
-               if k not in ("intent", "restore_of")},
+               if k != "intent" and k not in _OP_MARKERS},
             "schema": schema,
             "schema_changed": True,
             "schema_evolution": {

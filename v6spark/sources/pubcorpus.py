@@ -160,13 +160,11 @@ def _parse_as_of(value) -> float:
     return dt.timestamp()
 
 
-def _resolve_as_of(log_dir: str, ts_epoch: float) -> int:
-    """TIMESTAMP AS OF -> version: the newest COMPLETE manifest whose
-    commit time is <= the timestamp.  Commit times come from the
-    manifest files' mtimes (no format change), adjusted Delta-style to
-    be monotonically non-decreasing in version order so clock skew or
-    a log copy can never resolve an OLDER snapshot than a smaller
-    timestamp would."""
+def _manifest_times(log_dir: str) -> list[tuple[int, float]]:
+    """``[(version, commit_epoch)]`` sorted by version — commit times
+    from the manifest files' mtimes (no format change), adjusted
+    Delta-style to be monotonically non-decreasing in version order
+    so clock skew or a log copy can never invert history."""
     from pyarrow import fs as pafs
 
     fs, local = _fs_for(log_dir)
@@ -186,11 +184,20 @@ def _resolve_as_of(log_dir: str, ts_epoch: float) -> int:
         mtime = i.mtime
         stamped.append((v, mtime.timestamp() if mtime else 0.0))
     stamped.sort()
-    pick = None
     mono = 0.0
+    out = []
     for v, ts in stamped:
         mono = max(mono, ts)
-        if mono <= ts_epoch and _read_doc(log_dir, v) is not None:
+        out.append((v, mono))
+    return out
+
+
+def _resolve_as_of(log_dir: str, ts_epoch: float) -> int:
+    """TIMESTAMP AS OF -> version: the newest COMPLETE manifest whose
+    commit time is <= the timestamp (see :func:`_manifest_times`)."""
+    pick = None
+    for v, ts in _manifest_times(log_dir):
+        if ts <= ts_epoch and _read_doc(log_dir, v) is not None:
             pick = v
     if pick is None:
         raise ValueError(
