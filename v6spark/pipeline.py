@@ -1081,16 +1081,21 @@ def compaction_advice(
     manifest_ref = (doc or {}).get("manifest_ref") or {}
     col_stats = _doc_col_stats(spark, path, doc)
     with_col_stats = sum(len(d) for d in col_stats.values())
+    reasons = []
+    if bool(shards_over) and not cluster_fresh:
+        reasons.append("fragmented_shards")
+    if len(vdirs) > max_version_dirs:
+        reasons.append("version_dirs")
+    if recluster:
+        reasons.append("recluster")
+    if (
+        max_dv_deleted_rows is not None
+        and dv_deleted > max_dv_deleted_rows
+    ):
+        reasons.append("dv_debt")
     return {
-        "needs_compaction": (
-            (bool(shards_over) and not cluster_fresh)
-            or len(vdirs) > max_version_dirs
-            or recluster
-            or (
-                max_dv_deleted_rows is not None
-                and dv_deleted > max_dv_deleted_rows
-            )
-        ),
+        "needs_compaction": bool(reasons),
+        "reasons": reasons,
         "version_dirs": len(vdirs),
         "shards_over": sorted(
             shards_over, key=lambda d: (d["split"], d["shard"] or 0)
@@ -1115,32 +1120,48 @@ def maintain_published(
     keep_last: int = 1,
     vacuum: bool = True,
     commit_mode: str = "rename",
+    incremental: bool = True,
     **advice_kwargs,
 ) -> dict:
     """One-call table maintenance — the scheduled OPTIMIZE job a
     production table runs nightly: read :func:`compaction_advice`
     (manifest-only, zero file reads), act on it, and optionally sweep
-    retention.  A clustered table re-runs its OPTIMIZE ZORDER with
-    the recorded ``clustered_by`` columns (so incremental DML doesn't
-    silently erode data skipping); an unclustered fragmented table
-    gets a plain compact; a healthy table is a no-op beyond the
-    (cheap) advice read.  Vacuum honors tags and leases as always.
-    Multi-writer safe — compaction goes through the OCC loop; a DML
-    racing the maintenance wins or loses cleanly.  Returns the advice
-    plus {"compacted": version|None, "vacuumed_files": n}."""
+    retention.  The action matches the diagnosis (``advice["reasons"]``):
+
+    - fragmentation ALONE on an unclustered table → the INCREMENTAL
+      :func:`optimize_published` (folds only the fragmented groups —
+      write cost tracks the fragmentation, not the corpus; pass
+      ``incremental=False`` to force the full fold);
+    - re-clustering debt, version-dir sprawl, or deletion-vector
+      debt → the full :func:`compact_published` (ZORDER re-run with
+      the recorded ``clustered_by`` where applicable);
+    - healthy table → no-op beyond the (cheap) advice read.
+
+    Vacuum honors tags and leases as always.  Multi-writer safe —
+    both folds go through the OCC loop; a DML racing the maintenance
+    wins or loses cleanly.  Returns the advice plus
+    {"compacted": version|None, "optimized": result|None,
+    "vacuumed_files": n}."""
     advice = compaction_advice(spark, path, **advice_kwargs)
     compacted = None
+    optimized = None
     if advice["needs_compaction"]:
-        compacted = compact_published(
-            spark, path, commit_mode=commit_mode,
-            cluster_by=advice.get("clustered_by") or None,
-        )
+        if incremental and advice["reasons"] == ["fragmented_shards"]:
+            optimized = optimize_published(
+                spark, path, commit_mode=commit_mode,
+            )
+        else:
+            compacted = compact_published(
+                spark, path, commit_mode=commit_mode,
+                cluster_by=advice.get("clustered_by") or None,
+            )
     removed = (
         vacuum_published_files(spark, path, keep_last=keep_last)
         if vacuum
         else 0
     )
-    return {**advice, "compacted": compacted, "vacuumed_files": removed}
+    return {**advice, "compacted": compacted, "optimized": optimized,
+            "vacuumed_files": removed}
 
 
 _STAGING = "_staging"
@@ -2035,7 +2056,7 @@ def restore_published(
 _OP_MARKERS = (
     "restore_of", "merged_into", "merged_from", "fast_forwarded_from",
     "constraint_change", "noop_txn", "appended", "upsert",
-    "retraction", "compacted_from", "resharded_from",
+    "retraction", "compacted_from", "resharded_from", "optimized",
     "promoted_from_stage", "schema_evolution",
 )
 
@@ -2236,6 +2257,7 @@ def _classify_operation(doc: dict) -> tuple[str, dict]:
         ("upsert", "UPSERT"),
         ("retraction", "DELETE"),
         ("compacted_from", "OPTIMIZE"),
+        ("optimized", "OPTIMIZE"),
         ("resharded_from", "RESHARD"),
         ("promoted_from_stage", "PROMOTE"),
         ("schema_evolution", "ADD COLUMNS"),
@@ -5268,6 +5290,243 @@ def evolve_published_schema(
 
     return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
         log_dir=_log_dir(path, branch))
+
+
+def optimize_published(
+    spark, path: str,
+    min_files_per_group: int = 2,
+    max_file_rows: int | None = None,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+    branch: str | None = None,
+) -> dict:
+    """INCREMENTAL bin-packing OPTIMIZE: fold only the FRAGMENTED
+    (split, shard) groups — those holding ``min_files_per_group`` or
+    more data files — into one fresh file each, referencing every
+    other file untouched.  The Delta ``OPTIMIZE`` (without ZORDER)
+    shape, and the piece :func:`compact_published` is too big a
+    hammer for at 100 TB: after a week of small upserts a corpus has
+    a few hundred fragmented shards out of hundreds of thousands,
+    and a full re-pack rewrites the whole corpus to fix 0.1% of it.
+    This verb's write cost tracks the FRAGMENTED bytes alone.
+
+    Per fragmented group the rewrite is exactly the upsert kernel's:
+    merge-on-read scan (deletion vectors materialize and shed their
+    entries; pre-evolution files land re-encoded on the unified
+    schema), re-sorted by the publish's deterministic ``_order``
+    hash so trainers' per-shard reading order is restored, one file
+    per shard.  Kept files carry their stats/DV/Bloom entries
+    verbatim; fresh files get footer-walk stats and Bloom tables, so
+    every pruning surface stays exact.  Logical row counts are
+    unchanged (a pure layout operation).  No-op (commits nothing)
+    when nothing is fragmented.  MULTI-WRITER SAFE via
+    :func:`_occ_dml`.
+
+    ``max_file_rows`` is the Delta ``optimize.minFileSize`` dial,
+    expressed in the manifest's row counts: files at or above it are
+    ALREADY PACKED and never rewritten — only a group's small files
+    (appends, upsert slivers) fold together, so on a mature corpus
+    the write cost tracks the APPENDED bytes alone, independent of
+    how big the packed files underneath have grown (AB_OPTIMIZE
+    measures exactly this).  The trade: a group then holds the packed
+    file(s) plus one folded file, and cross-FILE training order
+    within the shard is not restored — each file stays
+    ``_order``-sorted, but only the default full-group fold
+    (``max_file_rows=None``), or :func:`compact_published`, restores
+    the exact publish reading order.  Files without recorded row
+    stats are treated as small (fold them: never strand an unknown).
+
+    Returns {"_version", "groups_rewritten", "files_folded",
+    "files_kept", "splits"} ("_version" absent on a no-op).
+    """
+    from v6spark import txlog
+
+    if min_files_per_group < 2:
+        raise ValueError(
+            "min_files_per_group must be >= 2 (a 1-file group is "
+            "already packed)"
+        )
+
+    def _shard_of(rel: str) -> int | None:
+        for part in rel.split("/"):
+            if part.startswith("shard="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    def _attempt(version, doc, vdir, data_root):
+        if doc is None:
+            raise ValueError(
+                f"{path} has no committed publish to optimize"
+            )
+        if doc.get("fmt") != "parquet":
+            raise ValueError(
+                "optimize_published operates on parquet publishes; "
+                f"this one is {doc.get('fmt')!r}"
+            )
+        ns = doc.get("n_shards") or 32
+        sd = doc.get("seed") or 0
+        key_col = doc.get("key_col") or "doc_id"
+        split_files = _published_split_files(spark, path, doc)
+        prior_dv = doc.get("dv") or {}
+        file_stats = _doc_file_stats(spark, path, doc)
+
+        def _is_small(s: str, rel: str) -> bool:
+            if max_file_rows is None:
+                return True
+            st = (file_stats.get(s) or {}).get(rel)
+            rows = st[2] if st and len(st) > 2 else None
+            return rows is None or rows < max_file_rows
+
+        plan: dict[str, list[str]] = {}   # split -> fragmented rels
+        kept_files: dict[str, list[str]] = {}
+        groups_rewritten = 0
+        for s, files in sorted(split_files.items()):
+            by_shard: dict[int | None, list[str]] = {}
+            for rel in files:
+                by_shard.setdefault(_shard_of(rel), []).append(rel)
+            frag: list[str] = []
+            kept: list[str] = []
+            for sh, rels in sorted(
+                by_shard.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                # unsharded rels (no shard= component) have no group
+                # identity to pack under: keep them; compact_published
+                # is the verb that internalizes those layouts
+                small = (
+                    [r for r in rels if _is_small(s, r)]
+                    if sh is not None else []
+                )
+                if len(small) >= min_files_per_group:
+                    frag.extend(small)
+                    kept.extend(r for r in rels if r not in set(small))
+                    groups_rewritten += 1
+                else:
+                    kept.extend(rels)
+            plan[s] = sorted(frag)
+            kept_files[s] = sorted(kept)
+
+        files_folded = sum(len(fl) for fl in plan.values())
+        if files_folded == 0:
+            return None, {
+                "_version": version,
+                "groups_rewritten": 0,
+                "files_folded": 0,
+                "files_kept": sum(len(f) for f in split_files.values()),
+                "splits": dict(doc["splits"]),
+            }
+
+        fs, jroot, _jvm = txlog._jfs(spark, data_root)
+        if fs.exists(jroot):
+            fs.delete(jroot, True)
+
+        new_files: dict[str, list[str]] = {}
+        new_stats: dict[str, dict] = {}
+        new_dv_files: dict[str, dict] = {}
+        fresh_by_split: dict[str, list[str]] = {}
+        for s, files in sorted(split_files.items()):
+            kept = kept_files[s]
+            new_files[s] = list(kept)
+            new_stats[s] = {
+                rel: file_stats[s][rel]
+                for rel in kept
+                if s in file_stats and rel in file_stats[s]
+            }
+            kept_dv = {
+                rel: n
+                for rel, n in (prior_dv.get("files", {}).get(s, {})).items()
+                if rel in set(kept)
+            }
+            if kept_dv:
+                new_dv_files[s] = kept_dv
+            frag = plan[s]
+            if not frag:
+                continue
+            # merge-on-read: rewritten groups materialize their DVs
+            # and re-encode pre-evolution files on the unified schema
+            df = _read_split_mor(spark, path, s, frag, doc)
+            kc = key_col if key_col in df.columns else df.columns[0]
+            ordered = df.withColumn(
+                "_order", F.xxhash64(F.lit(sd + 1), F.col(kc))
+            )
+            out_dir = f"{data_root}/split={s}"
+            (
+                ordered.repartition(ns, F.col("shard"))
+                .sortWithinPartitions("shard", "_order", kc)
+                .drop("_order")
+                .write.mode("error")
+                .partitionBy("shard")
+                .parquet(out_dir)
+            )
+            added = sorted(
+                _rel_path(p, path)
+                for p in _list_data_files(spark, out_dir)
+            )
+            fresh_by_split[s] = added
+            new_files[s] = sorted(new_files[s] + added)
+            if added:
+                new_stats[s].update(
+                    _collect_file_stats(spark, path, s, added, kc)
+                )
+
+        dv_doc = None
+        if new_dv_files:
+            dv_doc = {
+                "files": new_dv_files,
+                "data": [
+                    rel for rel in (prior_dv.get("data") or [])
+                ],
+            }
+        payload = {
+            "live": _dv_live_dirs(new_files, dv_doc),
+            "fmt": "parquet",
+            "splits": dict(doc["splits"]),
+            "schema": doc.get("schema"),
+            "schema_changed": False,
+            "n_shards": ns,
+            "seed": sd,
+            "key_col": doc.get("key_col"),
+            "txn_ids": _txn_forward(doc, None),
+            "files": {s: list(fl) for s, fl in sorted(new_files.items())},
+            "file_stats": new_stats,
+            "col_stats": _carry_col_stats(spark, path, doc, new_files),
+            "optimized": {
+                "from_version": version,
+                "groups_rewritten": groups_rewritten,
+                "files_folded": files_folded,
+                "files_kept": sum(len(f) for f in kept_files.values()),
+                "min_files_per_group": min_files_per_group,
+            },
+        }
+        if dv_doc is not None:
+            payload["dv"] = dv_doc
+        if doc.get("clustered_by"):
+            # nominally clustered: merged groups widen their curve
+            # rectangles (recomputed col_stats stay EXACT, pruning
+            # sound); compaction_advice still recommends a full
+            # re-cluster when DML fragmentation accumulates
+            payload["clustered_by"] = doc["clustered_by"]
+        _carry_constraints(doc, payload)
+        if doc.get("key_bloom") and doc.get("key_col") and fresh_by_split:
+            tables = _build_key_bloom_table(
+                spark, path, vdir, fresh_by_split, doc["key_col"],
+                _bloom_m_bits(
+                    doc,
+                    sum(doc["splits"].values()),
+                    sum(len(fl) for fl in new_files.values()) or 1,
+                ),
+            )
+            payload["key_bloom"] = _carry_key_bloom(doc, tables)
+        elif doc.get("key_bloom"):
+            payload["key_bloom"] = doc["key_bloom"]
+        return payload, {
+            "groups_rewritten": groups_rewritten,
+            "files_folded": files_folded,
+            "files_kept": sum(len(f) for f in kept_files.values()),
+            "splits": dict(doc["splits"]),
+        }
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+                    log_dir=_log_dir(path, branch))
 
 
 def compact_published(
