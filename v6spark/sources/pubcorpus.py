@@ -815,6 +815,107 @@ class PublishedCorpusReader(DataSourceReader):
                 handle.close()
 
 
+#: option("meta", ...) modes: the Delta DESCRIBE HISTORY / Iceberg
+#: metadata-table surfaces through plain spark.read
+_META_HISTORY_DDL = (
+    "version long, timestamp double, operation string, "
+    "details string, schema_changed boolean, txn_id string"
+)
+_META_FILES_DDL = (
+    "split string, shard int, file string, rows long, "
+    "key_min string, key_max string, dv_deleted long"
+)
+
+
+def _history_rows(root: str, branch: str | None) -> list[tuple]:
+    """JVM-free twin of :func:`v6spark.pipeline.published_history`
+    (parity-pinned in tests): newest first, manifest-sized work."""
+    from v6spark.pipeline import _classify_operation
+
+    log = _log_dir(root, branch)
+    times = dict(_manifest_times(log))
+    rows: list[tuple] = []
+    docs: dict[int, dict | None] = {}
+
+    def _doc_at(v: int):
+        if v not in docs:
+            docs[v] = _read_doc(log, v) if v >= 1 else None
+        return docs[v]
+
+    for v in sorted(times, reverse=True):
+        doc = _doc_at(v)
+        if doc is None:
+            continue  # torn / pending-intent
+        op, details = _classify_operation(doc)
+        txns = doc.get("txn_ids") or []
+        prev_txns = set((_doc_at(v - 1) or {}).get("txn_ids") or [])
+        new_txn = next((t for t in txns if t not in prev_txns), None)
+        rows.append((
+            v,
+            float(times.get(v, 0.0)),
+            op,
+            json.dumps(details, default=str, sort_keys=True),
+            bool(doc.get("schema_changed")),
+            str(new_txn) if new_txn is not None else None,
+        ))
+    return rows
+
+
+def _files_rows(root: str, doc: dict) -> list[tuple]:
+    """JVM-free twin of :func:`v6spark.pipeline.published_file_census`
+    (the Iceberg ``files`` metadata table) for a resolved manifest."""
+    from v6spark.pipeline import _doc_file_stats, _doc_files
+
+    files = _doc_files(None, root, doc)
+    if files is None:
+        files = _split_files(root, doc)
+    stats = _doc_file_stats(None, root, doc)
+    dv_files = (doc.get("dv") or {}).get("files") or {}
+
+    def _shard_of(rel: str):
+        for part in rel.split("/"):
+            if part.startswith("shard="):
+                return int(part.split("=", 1)[1])
+        return None
+
+    rows: list[tuple] = []
+    for s in sorted(files):
+        for rel in files[s]:
+            st = (stats.get(s) or {}).get(rel)
+            rows.append((
+                s,
+                _shard_of(rel),
+                rel,
+                int(st[2]) if st and len(st) > 2 and st[2] is not None
+                else None,
+                str(st[0]) if st and st[0] is not None else None,
+                str(st[1]) if st and st[1] is not None else None,
+                int((dv_files.get(s) or {}).get(rel, 0)),
+            ))
+    return rows
+
+
+@dataclass
+class _MetaPartition(InputPartition):
+    rows: tuple = ()
+
+
+class PublishedMetaReader(DataSourceReader):
+    """Reader for the ``meta`` option: the rows are derived from the
+    MANIFESTS alone at plan time (driver-side, manifest-sized — the
+    same posture as CDC window planning) and shipped in one
+    partition; no data file is touched at any corpus size."""
+
+    def __init__(self, rows: list[tuple]):
+        self._rows = tuple(rows)
+
+    def partitions(self):
+        return [_MetaPartition(rows=self._rows)]
+
+    def read(self, part):
+        yield from part.rows
+
+
 class PublishedCorpusDataSource(DataSource):
     """``format("pubcorpus")`` — options:
 
@@ -857,6 +958,13 @@ class PublishedCorpusDataSource(DataSource):
       bound predating the log means "everything" (bootstrap), and
       ``option("startingTimestamp", ts)`` is the streaming
       equivalent (Delta CDF parity);
+    - ``meta``: metadata tables through plain spark.read —
+      ``"history"`` (the commit log: DESCRIBE HISTORY; composes with
+      ``branch``) or ``"files"`` (the per-file census: the Iceberg
+      ``files`` metadata table; composes with
+      version/tag/asOf/branch).  Manifest-only: zero data reads at
+      any corpus size; parity-pinned against
+      ``pipeline.published_history`` / ``published_file_census``;
     - ``maxBytesPerPartition`` (default 128 MB): surviving files
       group into read tasks of about this size — many small files
       share one Python task, large files fan out;
@@ -989,7 +1097,41 @@ class PublishedCorpusDataSource(DataSource):
             return self._version_floor(ctt, missing_means_zero=False)
         return ct
 
+    def _meta(self) -> str | None:
+        mode = self.options.get("meta")
+        if mode is None:
+            return None
+        mode = str(mode).lower()
+        if mode not in ("history", "files"):
+            raise ValueError(
+                f"meta must be 'history' (the commit log — DESCRIBE "
+                f"HISTORY) or 'files' (the per-file census), got "
+                f"{mode!r}"
+            )
+        for opt in ("columns", "where", "keys", "split",
+                    "changesFrom", "changesfrom", "changesTo",
+                    "changesto", "startingVersion", "startingversion"):
+            if self.options.get(opt) is not None:
+                raise ValueError(
+                    f"{opt} does not apply to meta reads"
+                )
+        if mode == "history":
+            for opt in ("version", "tag", "asOf", "asof"):
+                if self.options.get(opt) is not None:
+                    raise ValueError(
+                        "history IS the whole retained log — "
+                        f"{opt} does not apply (filter on the "
+                        "version column instead)"
+                    )
+        return mode
+
     def schema(self) -> str:
+        meta = self._meta()
+        if meta == "history":
+            return _META_HISTORY_DDL
+        if meta == "files":
+            self._doc()  # existence + fmt validation, fail at plan
+            return _META_FILES_DDL
         doc = self._doc()
         if (
             self._starting_version() is not None
@@ -1055,6 +1197,11 @@ class PublishedCorpusDataSource(DataSource):
         committed version window) — see :mod:`v6spark.sources.pubcdc`.
         Requires ``startingVersion`` (0 bootstraps with the current
         snapshot as inserts; the current version tails new commits)."""
+        if self.options.get("meta") is not None:
+            raise ValueError(
+                "meta is a batch read option (metadata tables don't "
+                "stream)"
+            )
         sv = self._starting_version()
         if sv is None:
             raise ValueError(
@@ -1091,6 +1238,9 @@ class PublishedCorpusDataSource(DataSource):
         refused; schema drift is refused; torn writes are invisible."""
         from v6spark.sources.pubcorpus_writer import make_writer
 
+        if self.options.get("meta") is not None:
+            raise ValueError("meta is a read option (metadata tables "
+                             "are not writable)")
         if self.options.get("branch") is not None:
             raise ValueError(
                 "the pubcorpus writer targets main — branch DML goes "
@@ -1099,6 +1249,15 @@ class PublishedCorpusDataSource(DataSource):
         return make_writer(self._root(), schema, self.options, overwrite)
 
     def reader(self, schema):
+        meta = self._meta()
+        if meta == "history":
+            return PublishedMetaReader(
+                _history_rows(self._root(), self.options.get("branch"))
+            )
+        if meta == "files":
+            return PublishedMetaReader(
+                _files_rows(self._root(), self._doc())
+            )
         if self._changes_from() is not None:
             # batch change window: the Delta table_changes(a, b)
             # shape over the stream's planner (see sources/pubcdc)
