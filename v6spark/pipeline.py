@@ -1767,8 +1767,8 @@ def _branch_log_dirs(spark, path: str) -> list[str]:
 
 def vacuum_published(
     spark, path: str, keep_last: int = 1, grace_seconds: float = 0.0,
-    keep_since=None,
-) -> int:
+    keep_since=None, dry_run: bool = False,
+) -> int | dict:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
     ``keep_last`` retains the newest N complete versions for
@@ -1777,7 +1777,13 @@ def vacuum_published(
     pool).  ``grace_seconds`` spares recently-modified directories —
     set it above the longest write wherever DML writers run
     concurrently (see :func:`v6spark.txlog.vacuum_versions`).
-    Returns directories removed."""
+    Returns directories removed.
+
+    ``dry_run=True`` deletes NOTHING and returns the audit instead —
+    ``{"directories": [names], "manifests": [log files]}`` that the
+    same call without the flag would remove (the Delta ``VACUUM ...
+    DRY RUN`` shape: retention mistakes are found by reading the
+    plan, not by losing the data)."""
     from v6spark import txlog
 
     if keep_since is not None:
@@ -1788,7 +1794,7 @@ def vacuum_published(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
         grace_seconds=grace_seconds,
         extra_log_dirs=tuple(_branch_log_dirs(spark, path)),
-        keep_since=keep_since,
+        keep_since=keep_since, dry_run=dry_run,
     )
 
 
@@ -4629,7 +4635,8 @@ def vacuum_published_files(
     grace_seconds: float = 0.0,
     keep_since=None,
     _pause_before_sweep=None,
-) -> int:
+    dry_run: bool = False,
+) -> int | dict:
     """File-granular retention sweep — the piece that makes a
     retraction actually FORGET: after :func:`vacuum_published`'s
     directory-level pass, version directories referenced by a
@@ -4653,7 +4660,11 @@ def vacuum_published_files(
     so set it above the longest write wherever writers run
     concurrently (default 0 = single-writer behavior).
     ``_pause_before_sweep`` is the race-test injection hook, called
-    between the pre-scan and the OCC re-check."""
+    between the pre-scan and the OCC re-check.
+
+    ``dry_run=True`` deletes NOTHING and returns
+    ``{"directories", "manifests", "files"}`` — the full audit of
+    what the same call would remove (Delta ``VACUUM ... DRY RUN``)."""
     import time as _time
 
     from v6spark import txlog
@@ -4664,7 +4675,7 @@ def vacuum_published_files(
         keep_since = _parse_as_of(keep_since)
     removed = vacuum_published(
         spark, path, keep_last=keep_last, grace_seconds=grace_seconds,
-        keep_since=keep_since,
+        keep_since=keep_since, dry_run=dry_run,
     )
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     # retention = newest keep_last UNION read-leased versions — same
@@ -4733,14 +4744,18 @@ def vacuum_published_files(
             # pre-scan's branch docs is free, and fresh commits join
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     n_files = 0
+    would_files: list[str] = []
     fs, jroot, jvm = txlog._jfs(spark, path)
     if not fs.exists(jroot):
-        return removed
+        return {**removed, "files": []} if dry_run else removed
     for st in fs.listStatus(jroot):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("v=")):
             continue
         if name in whole_dirs:
+            continue
+        if dry_run and name in (removed.get("directories") or []):
+            # the directory-level pass would already have taken it
             continue
         it = fs.listFiles(st.getPath(), True)
         while it.hasNext():
@@ -4754,8 +4769,13 @@ def vacuum_published_files(
             if rel not in keep_files and not any(
                 rel.startswith(p) for p in keep_prefixes
             ):
+                if dry_run:
+                    would_files.append(rel)
+                    continue
                 fs.delete(fst.getPath(), False)
                 n_files += 1
+        if dry_run:
+            continue
         # drop the dir if nothing referenced remains under it
         still = False
         it2 = fs.listFiles(st.getPath(), True)
@@ -4766,6 +4786,8 @@ def vacuum_published_files(
                 break
         if not still:
             fs.delete(st.getPath(), True)
+    if dry_run:
+        return {**removed, "files": sorted(would_files)}
     return removed + n_files
 
 

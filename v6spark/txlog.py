@@ -883,7 +883,8 @@ def vacuum_versions(
     grace_seconds: float = 0.0,
     extra_log_dirs: tuple = (),
     keep_since: float | None = None,
-) -> int:
+    dry_run: bool = False,
+) -> int | dict:
     """Shared retention sweep for version-directory layouts
     (``v=<n>``, ``gen=<n>``): delete every ``prefix``-named directory
     under ``root`` that no RETAINED manifest's ``live`` entry
@@ -958,6 +959,7 @@ def vacuum_versions(
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     fs, jroot, _jvm = _jfs(spark, root)
     removed = 0
+    would: list[str] = []
     if fs.exists(jroot):
         for st in fs.listStatus(jroot):
             name = st.getPath().getName()
@@ -967,12 +969,18 @@ def vacuum_versions(
                 and name not in keep
                 and st.getModificationTime() <= cutoff_ms
             ):
+                if dry_run:
+                    would.append(name)
+                    continue
                 fs.delete(st.getPath(), True)
                 removed += 1
-    vacuum_manifests(
+    m = vacuum_manifests(
         spark, log_dir, keep_last=keep_last,
         grace_seconds=grace_seconds, keep_since=keep_since,
+        dry_run=dry_run,
     )
+    if dry_run:
+        return {"directories": sorted(would), "manifests": m}
     return removed
 
 
@@ -982,18 +990,28 @@ def vacuum_manifests(
     keep_last: int = 1,
     grace_seconds: float = 0.0,
     keep_since: float | None = None,
-) -> int:
+    dry_run: bool = False,
+) -> int | list:
     """Delete manifests of retired versions (all but the newest
     ``keep_last`` COMPLETE ones) plus torn manifests and orphaned
     commit tmp files — sparing anything modified within
     ``grace_seconds`` (an in-flight rename-mode commit's tmp, a
     concurrent put-mode write; see :func:`vacuum_versions`).
-    Returns files removed."""
+    Returns files removed (``dry_run=True``: the file NAMES that
+    would be removed, nothing deleted)."""
     retained = _retained_versions(spark, log_dir, keep_last,
                                    keep_since=keep_since)
     if not retained:
-        return 0
+        return [] if dry_run else 0
     import time as _time
+
+    would: list[str] = []
+
+    def _delete(fs, st, recursive=False) -> None:
+        if dry_run:
+            would.append(st.getPath().getName())
+        else:
+            fs.delete(st.getPath(), recursive)
 
     cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     fs, jdir, jvm = _jfs(spark, log_dir)
@@ -1004,7 +1022,7 @@ def vacuum_manifests(
             continue  # inside the grace window: possibly in flight
         if name.startswith(f".{MANIFEST_PREFIX}") and name.endswith(".tmp"):
             # orphaned tmp of a crashed rename-mode attempt
-            fs.delete(st.getPath(), False)
+            _delete(fs, st)
             removed += 1
             continue
         if name.startswith(INTENT_PREFIX):
@@ -1030,7 +1048,7 @@ def vacuum_manifests(
                     for ld, v in (mdoc.get("logs") or [])
                 ):
                     continue  # a half still lives: keep the marker
-            fs.delete(st.getPath(), False)
+            _delete(fs, st)
             removed += 1
             continue
         if not name.startswith(MANIFEST_PREFIX):
@@ -1040,6 +1058,6 @@ def vacuum_manifests(
         except ValueError:
             continue
         if v not in retained:
-            fs.delete(st.getPath(), False)
+            _delete(fs, st)
             removed += 1
-    return removed
+    return sorted(would) if dry_run else removed
