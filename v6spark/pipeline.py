@@ -1117,7 +1117,7 @@ def compaction_advice(
 def maintain_published(
     spark,
     path: str,
-    keep_last: int = 1,
+    keep_last: int | None = None,
     vacuum: bool = True,
     commit_mode: str = "rename",
     incremental: bool = True,
@@ -1766,7 +1766,8 @@ def _branch_log_dirs(spark, path: str) -> list[str]:
 
 
 def vacuum_published(
-    spark, path: str, keep_last: int = 1, grace_seconds: float = 0.0,
+    spark, path: str, keep_last: int | None = None,
+    grace_seconds: float = 0.0,
     keep_since=None, dry_run: bool = False,
 ) -> int | dict:
     """Delete version directories no retained manifest references
@@ -1783,13 +1784,20 @@ def vacuum_published(
     ``{"directories": [names], "manifests": [log files]}`` that the
     same call without the flag would remove (the Delta ``VACUUM ...
     DRY RUN`` shape: retention mistakes are found by reading the
-    plan, not by losing the data)."""
+    plan, not by losing the data).
+
+    ``keep_last=None`` (the default) reads the table's recorded
+    retention policy (:func:`set_published_retention`), falling back
+    to 1; an explicit argument always wins."""
     from v6spark import txlog
 
     if keep_since is not None:
         from v6spark.sources.pubcorpus import _parse_as_of
 
         keep_since = _parse_as_of(keep_since)
+    keep_last, keep_since = _resolve_retention(
+        spark, path, keep_last, keep_since
+    )
     return txlog.vacuum_versions(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
         grace_seconds=grace_seconds,
@@ -2061,16 +2069,18 @@ def restore_published(
 #: stale ancestor's; published_history classifies on them.
 _OP_MARKERS = (
     "restore_of", "merged_into", "merged_from", "fast_forwarded_from",
-    "constraint_change", "noop_txn", "appended", "upsert",
-    "retraction", "compacted_from", "resharded_from", "optimized",
-    "promoted_from_stage", "schema_evolution",
+    "constraint_change", "retention_change", "noop_txn", "appended",
+    "upsert", "retraction", "compacted_from", "resharded_from",
+    "optimized", "promoted_from_stage", "schema_evolution",
 )
 
 
 def _carry_constraints(doc: dict | None, payload: dict) -> dict:
-    """Forward the table's CHECK constraints through a DML commit."""
-    if doc and doc.get("constraints") and "constraints" not in payload:
-        payload["constraints"] = doc["constraints"]
+    """Forward the table's persistent properties (CHECK constraints,
+    retention policy) through a DML commit."""
+    for k in ("constraints", "retention"):
+        if doc and doc.get(k) and k not in payload:
+            payload[k] = doc[k]
     return payload
 
 
@@ -2247,6 +2257,74 @@ def list_published_constraints(
     return dict((doc or {}).get("constraints") or {})
 
 
+def set_published_retention(
+    spark,
+    path: str,
+    keep_last: int | None = None,
+    keep_hours: float | None = None,
+    commit_mode: str = "rename",
+    max_retries: int = 8,
+) -> dict:
+    """Attach the RETENTION POLICY to the table itself (the Delta
+    ``delta.deletedFileRetentionDuration`` table-property shape):
+    a metadata-only commit recording ``{"keep_last": n,
+    "keep_hours": h}`` that every vacuum and
+    :func:`maintain_published` uses when the caller does not pass
+    explicit retention — so the policy travels with the table, not
+    with whichever cron job happens to sweep it.  Explicit arguments
+    always win over the recorded policy; an absent policy keeps
+    today's defaults (``keep_last=1``).  Pass both None to CLEAR the
+    policy.  Returns {"_version", "retention"}.
+    """
+    if keep_last is not None and int(keep_last) < 1:
+        raise ValueError("keep_last must be >= 1")
+    if keep_hours is not None and float(keep_hours) < 0:
+        raise ValueError("keep_hours must be >= 0")
+    policy = {}
+    if keep_last is not None:
+        policy["keep_last"] = int(keep_last)
+    if keep_hours is not None:
+        policy["keep_hours"] = float(keep_hours)
+    log = _log_dir(path, None)
+
+    def _attempt(cur_version, cur_doc, vdir, data_root):
+        if cur_doc is None:
+            raise ValueError(f"{path} has no committed publish")
+        payload = {
+            k: v
+            for k, v in cur_doc.items()
+            if k not in ("intent", "retention") and k not in _OP_MARKERS
+        }
+        if policy:
+            payload["retention"] = policy
+        payload["retention_change"] = dict(policy) or {"cleared": True}
+        payload["txn_ids"] = _txn_forward(cur_doc, None)
+        return payload, {"retention": dict(policy)}
+
+    return _occ_dml(spark, path, _attempt, commit_mode, max_retries,
+                    log_dir=log)
+
+
+def _resolve_retention(
+    spark, path: str, keep_last, keep_since,
+) -> tuple[int, float | None]:
+    """(keep_last, keep_since) with the table's recorded policy
+    filling whatever the caller left as None — explicit always wins."""
+    if keep_last is not None and keep_since is not None:
+        return keep_last, keep_since
+    from v6spark import txlog
+
+    _v, doc = txlog.read_latest(spark, _log_dir(path, None))
+    policy = (doc or {}).get("retention") or {}
+    if keep_last is None:
+        keep_last = int(policy.get("keep_last", 1))
+    if keep_since is None and policy.get("keep_hours") is not None:
+        import time as _time
+
+        keep_since = _time.time() - float(policy["keep_hours"]) * 3600.0
+    return keep_last, keep_since
+
+
 def _classify_operation(doc: dict) -> tuple[str, dict]:
     """``(operation, details)`` for one commit manifest — precedence
     over the recorded markers (copy-doc verbs strip ancestors'
@@ -2259,6 +2337,7 @@ def _classify_operation(doc: dict) -> tuple[str, dict]:
         ("merged_from", "MERGE BRANCH"),
         ("fast_forwarded_from", "FAST-FORWARD"),
         ("constraint_change", "ALTER CONSTRAINT"),
+        ("retention_change", "SET RETENTION"),
         ("appended", "APPEND"),
         ("upsert", "UPSERT"),
         ("retraction", "DELETE"),
@@ -4631,7 +4710,7 @@ def atomic_published_pair(
 def vacuum_published_files(
     spark,
     path: str,
-    keep_last: int = 1,
+    keep_last: int | None = None,
     grace_seconds: float = 0.0,
     keep_since=None,
     _pause_before_sweep=None,
@@ -4673,6 +4752,9 @@ def vacuum_published_files(
         from v6spark.sources.pubcorpus import _parse_as_of
 
         keep_since = _parse_as_of(keep_since)
+    keep_last, keep_since = _resolve_retention(
+        spark, path, keep_last, keep_since
+    )
     removed = vacuum_published(
         spark, path, keep_last=keep_last, grace_seconds=grace_seconds,
         keep_since=keep_since, dry_run=dry_run,

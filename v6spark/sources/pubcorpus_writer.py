@@ -518,7 +518,7 @@ class PublishedCorpusWriter(DataSourceArrowWriter):
                 if evolution is not None:
                     payload["schema_evolution"] = evolution
                 for carried in ("dv", "key_bloom", "clustered_by",
-                                "constraints"):
+                                "constraints", "retention"):
                     if doc.get(carried):
                         # old-file sections ride verbatim: DV-marked
                         # rows stay deleted, blooms keep pruning (new
