@@ -321,15 +321,141 @@ def run_scale(spark, n_base: int) -> dict:
         assert cdc_deletes == n_delta, (cdc_deletes, n_delta)
         assert cdc_total == n_delta, (cdc_total, n_delta)
 
-        # 7. vacuum: tagged v1 survives, reads back exact
+        # 6e. r9: conditional MERGE — one committed version carrying
+        # updates + deletes + inserts (delete count == insert count,
+        # so the live total is unchanged: closed-form throughout)
+        n_m = max(n_delta // 4, 10)
+        merge_src = (
+            spark.range(n_m).select(
+                (F.col("id") * 2).alias("doc_id"),       # matched: update
+                F.lit(0).alias("day"),
+                F.lit("merged update").alias("text"),
+                F.lit("train").alias("split"),
+                F.lit("u").alias("_act"),
+            )
+            .unionByName(spark.range(n_m).select(
+                # day BASE_DAYS+2 upsert keys: SURVIVING rows (the DV
+                # retract removed day BASE_DAYS, i.e. the i=0 batch)
+                (F.col("id") * 2 + 2_000_000_000 + 2 * 10_000_000)
+                .alias("doc_id"),
+                F.lit(-1).alias("day"),                  # matched: delete
+                F.lit("x").alias("text"),
+                F.lit("train").alias("split"),
+                F.lit("d").alias("_act"),
+            ))
+            .unionByName(spark.range(n_m).select(
+                (F.col("id") * 2 + 9_000_000_000).alias("doc_id"),
+                F.lit(5).alias("day"),                   # unmatched: insert
+                F.lit("merged insert").alias("text"),
+                F.lit("train").alias("split"),
+                F.lit("i").alias("_act"),
+            ))
+        )
+        from v6spark.pipeline import merge_into_published
+
+        with step("merge_into"):
+            mres = merge_into_published(
+                spark, root, merge_src.drop("_act"),
+                key_col="doc_id",
+                when_matched_update="*",
+                matched_condition="s.day >= 0",
+                when_matched_delete="s.day < 0",
+                when_not_matched_insert="*",
+            )
+        assert mres["rows_updated"] == n_m, mres
+        assert mres["rows_deleted"] == n_m, mres
+        assert mres["rows_inserted"] == n_m, mres
+        assert read_published_corpus(spark, root).count() == live
+
+        # 6f. r9: history — the Python surface and the SQL metadata
+        # table agree row-for-row; the merge is ONE commit
+        from v6spark.pipeline import published_history
+
+        with step("history_read"):
+            hist = published_history(spark, root).collect()
+        ops = {r.version: r.operation for r in hist}
+        assert ops[mres["_version"]] == "MERGE"
+        assert ops[1] == "PUBLISH"
+        sql_hist = (
+            spark.read.format("pubcorpus").option("meta", "history")
+            .load(root).collect()
+        )
+        assert sorted(map(tuple, sql_hist)) == sorted(map(tuple, hist))
+
+        # 6g. r9: CHECK constraint — set validates the WHOLE table
+        # (one scan), then a violating merge refuses atomically
+        from v6spark.pipeline import set_published_constraint
+
+        with step("constraint_set"):
+            set_published_constraint(spark, root, "day_ok", "day >= 0")
+        bad = spark.range(1).select(
+            F.lit(4).alias("doc_id"), F.lit(-5).alias("day"),
+            F.lit("bad").alias("text"), F.lit("train").alias("split"),
+        )
+        try:
+            merge_into_published(
+                spark, root, bad, key_col="doc_id",
+                when_matched_update="*",
+            )
+            raise AssertionError("constraint must refuse the merge")
+        except ValueError as exc:
+            assert "day_ok" in str(exc)
+        assert read_published_corpus(spark, root).count() == live
+
+        # 6h. r9: small SQL appends (constraint-checked per Arrow
+        # batch, JVM-free) then INCREMENTAL optimize — only the
+        # appended slivers fold, packed files never rewrite
+        register_pubcorpus_source(spark)
+        n_app = max(n_delta // 8, 8)
+        with step("sql_appends_x2"):
+            for i in range(2):
+                spark.range(n_app).selectExpr(
+                    f"id * 2 + {11_000_000_000 + i * 1_000_000}"
+                    " as doc_id",
+                    "cast(2 as long) as day",
+                    "concat('appended ', id) as text",
+                    "'train' as split",
+                ).write.format("pubcorpus").mode("append").save(root)
+        live2 = live + 2 * n_app
+        assert read_published_corpus(spark, root).count() == live2
+        from v6spark.pipeline import optimize_published
+
+        with step("incremental_optimize"):
+            ores = optimize_published(
+                spark, root, max_file_rows=max(n_app, 64)
+            )
+        assert ores["groups_rewritten"] > 0, ores
+        assert read_published_corpus(spark, root).count() == live2
+
+        # 6i. r9: RESTORE — undo the optimize in O(manifest); the
+        # content is layout-identical, so every count holds
+        from v6spark.pipeline import restore_published
+
+        with step("restore"):
+            rres = restore_published(
+                spark, root, version=ores["_version"] - 1
+            )
+        assert rres["restored_from"] == ores["_version"] - 1
+        assert read_published_corpus(spark, root).count() == live2
+
+        # 7. vacuum (dry-run audit first, then the real sweep must
+        # match it exactly): tagged v1 survives, reads back exact
+        with step("vacuum_dry_run"):
+            audit = vacuum_published_files(
+                spark, root, keep_last=1, dry_run=True
+            )
+        assert read_published_corpus(spark, root).count() == live2
         with step("vacuum"):
-            vacuum_published_files(spark, root, keep_last=1)
+            swept = vacuum_published_files(spark, root, keep_last=1)
+        assert swept == (
+            len(audit["files"]) + len(audit["directories"])
+        ), (swept, {k: len(v) for k, v in audit.items()})
         base = read_published_corpus(spark, root, tag="baseline")
         assert base.count() == n_base
         r0 = base.filter("doc_id = 0").collect()[0]
         assert r0["text"].startswith("v1 body 0 ")
         cur = read_published_corpus(spark, root).count()
-        assert cur == live
+        assert cur == live2
         tag_sig = _sig(
             spark.read.format("pubcorpus").option("tag", "baseline")
             .load(root)
@@ -339,7 +465,13 @@ def run_scale(spark, n_base: int) -> dict:
         return {
             "rows_base": n_base,
             "rows_per_upsert": n_delta,
-            "live_rows_final": live,
+            "live_rows_final": live2,
+            "merge_rows": f"u{n_m}/d{n_m}/i{n_m}",
+            "history_sql_parity": True,
+            "constraint_refused_atomically": True,
+            "incremental_optimize_folded": ores["files_folded"],
+            "restore_version": rres["_version"],
+            "vacuum_audit_exact": True,
             "skipping_files": f"{files_hit}/{files_all}",
             "zorder_files": f"{zc_hit}/{zc_total}",
             "pubcorpus_hash_identical": True,
