@@ -2069,9 +2069,10 @@ def restore_published(
 #: stale ancestor's; published_history classifies on them.
 _OP_MARKERS = (
     "restore_of", "merged_into", "merged_from", "fast_forwarded_from",
-    "constraint_change", "retention_change", "noop_txn", "appended",
-    "upsert", "retraction", "compacted_from", "resharded_from",
-    "optimized", "promoted_from_stage", "schema_evolution",
+    "constraint_change", "retention_change", "cloned_from",
+    "noop_txn", "appended", "upsert", "retraction", "compacted_from",
+    "resharded_from", "optimized", "promoted_from_stage",
+    "schema_evolution",
 )
 
 
@@ -2257,6 +2258,151 @@ def list_published_constraints(
     return dict((doc or {}).get("constraints") or {})
 
 
+def clone_published(
+    spark,
+    src: str,
+    dest: str,
+    version: int | None = None,
+    tag: str | None = None,
+    as_of=None,
+    mode: str = "link",
+    commit_mode: str = "rename",
+) -> dict:
+    """CLONE the published corpus at a snapshot into a NEW,
+    INDEPENDENT table — Delta's ``CREATE TABLE ... CLONE``: the
+    destination gets its own commit log (starting at v1) over a
+    faithful reproduction of the snapshot's exact files, and the two
+    tables then diverge freely (DML on either never touches the
+    other; tags/branches/retention are per-table).
+
+    ``mode="link"`` (default) reproduces every referenced file as a
+    HARD LINK at the same root-relative path — ZERO data bytes move,
+    the clone costs one metadata op per file, and (unlike a
+    manifest-reference shallow clone) the SOURCE's vacuum can never
+    break the clone: a deleted original just drops one name on the
+    shared inode.  Sharing inodes is SOUND here because the table
+    format is strictly copy-on-write — no verb ever mutates a
+    committed data file in place (rewrites land in fresh version
+    dirs; deletes are manifests or DV sidecars), so a linked byte
+    can never change under either table.  ``mode="copy"`` copies
+    bytes (cross-filesystem roots, or when physical isolation is
+    wanted).  Because the rel
+    paths are preserved verbatim, the cloned manifest is the
+    snapshot's manifest copied as-is — readers, point lookups,
+    deletion vectors, Bloom sidecars, sketches, offloaded manifest
+    sections, CHECK constraints, and the retention policy all work
+    on the clone with zero special-casing.
+
+    Local-filesystem roots only (hard links are a same-filesystem
+    operation; object-store clones belong to the store's server-side
+    copy — route through ``mode="copy"`` semantics there once
+    needed).  The destination must not already hold a committed
+    table.  Scale shape: O(referenced files) driver-side metadata
+    ops (~µs each on a local FS), zero data reads.
+
+    Returns {"dest_version": 1, "cloned_from", "files_linked"}.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from v6spark import txlog
+
+    if mode not in ("link", "copy"):
+        raise ValueError(f"mode must be 'link' or 'copy', got {mode!r}")
+    src_root = _local_root(src)
+    dest_root = _local_root(dest)
+    if src_root is None or dest_root is None:
+        raise ValueError(
+            "clone_published is a local-filesystem operation (hard "
+            "links / file copies); clone object-store tables with "
+            "the store's server-side copy, then attach a fresh log"
+        )
+    target = _resolve_version(spark, src, version, tag, as_of=as_of)
+    log = _log_dir(src)
+    if target is None:
+        target, tdoc = txlog.read_latest(spark, log)
+    else:
+        target, tdoc = int(target), txlog.read_version(
+            spark, log, int(target)
+        )
+    if tdoc is None:
+        raise ValueError(
+            f"{src} has no committed publish at that reference"
+        )
+    dest_log = _log_dir(dest)
+    if txlog.read_latest(spark, dest_log)[1] is not None:
+        raise ValueError(
+            f"{dest} already holds a committed table — clone targets "
+            "a fresh root (drop or choose another path)"
+        )
+    missing = _missing_published_files(spark, src, tdoc)
+    if missing:
+        raise ValueError(
+            f"cannot clone {src}@v{target}: {len(missing)} referenced "
+            f"file(s) are gone (first: {missing[0]}) — pick a "
+            "retained snapshot"
+        )
+
+    # every root-relative path the manifest references: data files,
+    # DV sidecars, Bloom tables, sketch dirs, offloaded manifest dir
+    rels: set[str] = {
+        rel
+        for fl in _published_split_files(spark, src, tdoc).values()
+        for rel in fl
+    }
+    rels.update((tdoc.get("dv") or {}).get("data", []) or [])
+    tree_rels: set[str] = set()
+    for t in (tdoc.get("key_bloom") or {}).get("tables") or []:
+        tree_rels.add(t["path"])
+    for spec in (tdoc.get("sketches") or {}).values():
+        tree_rels.add(spec["dir"])
+    ref = tdoc.get("manifest_ref")
+    if ref and ref.get("dir"):
+        tree_rels.add(str(ref["dir"]))
+
+    def _reproduce(rel: str) -> int:
+        s = _os.path.join(src_root, rel)
+        d = _os.path.join(dest_root, rel)
+        if _os.path.isdir(s):
+            n = 0
+            for base, _dirs, files in _os.walk(s):
+                for f in files:
+                    sub = _os.path.relpath(
+                        _os.path.join(base, f), src_root
+                    )
+                    n += _reproduce(sub)
+            return n
+        _os.makedirs(_os.path.dirname(d), exist_ok=True)
+        if mode == "link":
+            try:
+                _os.link(s, d)
+                return 1
+            except OSError:
+                pass  # cross-device / FS without links: fall through
+        _shutil.copy2(s, d)
+        return 1
+
+    n_linked = 0
+    for rel in sorted(rels | tree_rels):
+        n_linked += _reproduce(rel)
+
+    payload = {
+        k: v
+        for k, v in tdoc.items()
+        if k not in ("txn_ids", "intent") and k not in _OP_MARKERS
+    }
+    payload["txn_ids"] = []
+    payload["cloned_from"] = {
+        "path": src, "version": target, "mode": mode,
+    }
+    txlog.publish(spark, dest_log, 1, payload, commit_mode=commit_mode)
+    return {
+        "dest_version": 1,
+        "cloned_from": {"path": src, "version": target},
+        "files_linked": n_linked,
+    }
+
+
 def set_published_retention(
     spark,
     path: str,
@@ -2338,6 +2484,7 @@ def _classify_operation(doc: dict) -> tuple[str, dict]:
         ("fast_forwarded_from", "FAST-FORWARD"),
         ("constraint_change", "ALTER CONSTRAINT"),
         ("retention_change", "SET RETENTION"),
+        ("cloned_from", "CLONE"),
         ("appended", "APPEND"),
         ("upsert", "UPSERT"),
         ("retraction", "DELETE"),
