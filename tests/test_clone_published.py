@@ -136,6 +136,57 @@ def test_clone_refusals(spark, tmp_path):
         )
 
 
+def test_clone_preserves_offloaded_manifest(spark, tmp_path):
+    """Above the inline threshold the snapshot's manifest keeps its
+    sidecar pointer: the clone links the sidecar dir and commits the
+    POINTER, not a re-inlined monolith (O(1)-manifest at any file
+    count)."""
+    import v6spark.pipeline as _pipeline
+
+    prev = _pipeline._MANIFEST_INLINE_MAX
+    _pipeline._MANIFEST_INLINE_MAX = 0
+    try:
+        src = _publish(spark, tmp_path)
+        retract_from_published(spark, src, "doc_id = 5")  # file-level
+        dest = str(tmp_path / "dest_off")
+        clone_published(spark, src, dest)
+    finally:
+        _pipeline._MANIFEST_INLINE_MAX = prev
+    doc = txlog.read_version(spark, f"{dest}/{_COMMITS}", 1)
+    assert doc.get("manifest_ref"), "sidecar pointer must survive"
+    assert "files" not in doc
+    assert _rows(spark, dest) == _rows(spark, src)
+
+
+def test_clone_rerun_resumes_after_crash(spark, tmp_path):
+    """Crash before the dest commit leaves linked files and an empty
+    log; rerunning the clone is the recovery path — already-linked
+    files are skipped, never silently re-copied or crashed on."""
+    import shutil
+
+    src = _publish(spark, tmp_path)
+    dest = str(tmp_path / "dest_resume")
+    clone_published(spark, src, dest)
+    shutil.rmtree(os.path.join(dest, "_commits"))  # simulate the crash
+    res = clone_published(spark, src, dest)
+    assert res["dest_version"] == 1
+    assert _rows(spark, dest) == _rows(spark, src)
+
+
+def test_clone_refuses_missing_bloom_sidecar(spark, tmp_path):
+    """The pre-commit census covers sidecar trees too: a vacuumed
+    Bloom table refuses the clone instead of committing a manifest
+    whose point lookups would crash later."""
+    import shutil
+
+    src = _publish(spark, tmp_path, key_bloom=True)
+    doc = txlog.read_version(spark, f"{src}/{_COMMITS}", 1)
+    bloom_rel = doc["key_bloom"]["tables"][0]["path"]
+    shutil.rmtree(os.path.join(src, bloom_rel))
+    with pytest.raises(ValueError, match="referenced file"):
+        clone_published(spark, src, str(tmp_path / "dest_nb"))
+
+
 def test_clone_copy_mode(spark, tmp_path):
     src = _publish(spark, tmp_path)
     dest = str(tmp_path / "dest_copy")

@@ -211,6 +211,27 @@ def test_constraint_refusal_is_atomic(spark, tmp_path):
     assert list_published_branches(spark, root) == {}
 
 
+def test_null_delete_condition_does_not_swallow_update(
+    spark, tmp_path
+):
+    """A NULL-evaluating delete condition must neither delete NOR
+    knock the row out of the update clause (matched & ~NULL is NULL
+    without the coalesce)."""
+    root = _publish(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(3, "updated anyway", None, "train")],
+        "doc_id long, text string, day long, split string",
+    )
+    res = merge_into_published(
+        spark, root, src,
+        when_matched_update={"text": "s.text"},
+        when_matched_delete="s.day < 0",   # NULL day -> NULL cond
+    )
+    assert res["rows_deleted"] == 0
+    assert res["rows_updated"] == 1
+    assert _rows(spark, root)[3] == ("updated anyway", 3)
+
+
 def test_delete_only_merge(spark, tmp_path):
     root = _publish(spark, tmp_path)
     src = _src(spark, [(0, "x", 0, "train"), (1, "x", 0, "train"),

@@ -109,6 +109,45 @@ def test_meta_history_on_branch(spark, tmp_path):
     assert ops == ["DELETE", "BRANCH CUT"]
 
 
+def test_meta_history_txn_unknowable_after_vacuum(spark, tmp_path):
+    """With the previous manifest vacuumed, the txn diff is
+    unknowable: report None, never the oldest id of the rolling
+    window (both surfaces agree)."""
+    from v6spark.pipeline import vacuum_published
+
+    root = _publish(spark, tmp_path)
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "e1", 1, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+        txn_id="s-0",
+    )
+    upsert_into_published(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "e2", 2, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+        txn_id="s-1",
+    )
+    vacuum_published(spark, root, keep_last=1)
+    py = published_history(spark, root).collect()
+    sql = _meta(spark, root, "history").collect()
+    assert len(py) == 1 and py[0].version == 3
+    assert py[0].txn_id is None          # not 's-0'
+    assert sorted(map(tuple, sql)) == sorted(map(tuple, py))
+
+
+def test_meta_history_typo_path_raises(spark, tmp_path):
+    root = _publish(spark, tmp_path)
+    register_pubcorpus_source(spark)
+    with pytest.raises(Exception, match="no committed publish"):
+        (spark.read.format("pubcorpus").option("meta", "history")
+         .load(root + "_typo").collect())
+
+
 def test_meta_option_validation(spark, tmp_path):
     root = _publish(spark, tmp_path)
     register_pubcorpus_source(spark)

@@ -1147,8 +1147,15 @@ def maintain_published(
     optimized = None
     if advice["needs_compaction"]:
         if incremental and advice["reasons"] == ["fragmented_shards"]:
+            # fold groups past the SAME threshold the advice flagged
+            # (min_files_per_group=2 would fold every multi-file
+            # group — a near-full rewrite on tables whose healthy
+            # publish wrote several part files per shard)
             optimized = optimize_published(
                 spark, path, commit_mode=commit_mode,
+                min_files_per_group=int(
+                    advice_kwargs.get("max_files_per_shard", 4)
+                ) + 1,
             )
         else:
             compacted = compact_published(
@@ -1769,6 +1776,7 @@ def vacuum_published(
     spark, path: str, keep_last: int | None = None,
     grace_seconds: float = 0.0,
     keep_since=None, dry_run: bool = False,
+    _resolved: bool = False,
 ) -> int | dict:
     """Delete version directories no retained manifest references
     (crashed orphans, superseded publishes) and retired manifests.
@@ -1791,13 +1799,14 @@ def vacuum_published(
     to 1; an explicit argument always wins."""
     from v6spark import txlog
 
-    if keep_since is not None:
-        from v6spark.sources.pubcorpus import _parse_as_of
+    if not _resolved:
+        if keep_since is not None:
+            from v6spark.sources.pubcorpus import _parse_as_of
 
-        keep_since = _parse_as_of(keep_since)
-    keep_last, keep_since = _resolve_retention(
-        spark, path, keep_last, keep_since
-    )
+            keep_since = _parse_as_of(keep_since)
+        keep_last, keep_since = _resolve_retention(
+            spark, path, keep_last, keep_since
+        )
     return txlog.vacuum_versions(
         spark, path, f"{path}/{_COMMITS}", "v=", keep_last=keep_last,
         grace_seconds=grace_seconds,
@@ -1885,6 +1894,19 @@ def _missing_published_files(spark, path: str, doc: dict) -> list[str]:
     can reference hundreds of thousands of files; per-file
     ``fs.exists`` would be the py4j round-trip wall
     :func:`_list_data_files` exists to avoid)."""
+    # capture sidecar-tree refs BEFORE the file census: materializing
+    # an offloaded manifest (inside _doc_files) removes manifest_ref
+    # from the doc in place
+    tree_rels = [
+        t["path"]
+        for t in (doc.get("key_bloom") or {}).get("tables") or []
+    ]
+    tree_rels += [
+        spec["dir"] for spec in (doc.get("sketches") or {}).values()
+    ]
+    ref = doc.get("manifest_ref")
+    if ref and ref.get("dir"):
+        tree_rels.append(str(ref["dir"]))
     referenced = {
         rel
         for fl in _published_split_files(spark, path, doc).values()
@@ -1911,6 +1933,20 @@ def _missing_published_files(spark, path: str, doc: dict) -> list[str]:
             for p in _list_data_files(spark, f"{path}/{vdir}")
         }
         missing.extend(sorted(rels - present))
+    # sidecar TREES the manifest points at (Bloom tables, sketches,
+    # an offloaded-manifest dir, captured above): a carried reference
+    # to a vacuumed sidecar would fail READERS of the committed
+    # result — the exact outcome this check exists to catch for data
+    # files.  Few entries (O(commits)), one exists-probe each
+    # (listing skips "_"-prefixed names, so probe the raw FS).
+    if tree_rels:
+        from v6spark import txlog
+
+        fs, jroot, jvm = txlog._jfs(spark, path)
+        for rel in sorted(set(tree_rels)):
+            p = jvm.org.apache.hadoop.fs.Path(jroot, rel)
+            if not fs.exists(p):
+                missing.append(rel)
     return missing
 
 
@@ -2335,6 +2371,14 @@ def clone_published(
             f"{dest} already holds a committed table — clone targets "
             "a fresh root (drop or choose another path)"
         )
+    # the missing-files check below MATERIALIZES an offloaded
+    # manifest in place (removing manifest_ref): snapshot the
+    # pristine doc first so the dest commit keeps the pointer — the
+    # sidecar dir is linked like any other rel, and the clone stays
+    # O(1)-manifest at any file count
+    import copy as _copy
+
+    pristine = _copy.deepcopy(tdoc)
     missing = _missing_published_files(spark, src, tdoc)
     if missing:
         raise ValueError(
@@ -2352,11 +2396,11 @@ def clone_published(
     }
     rels.update((tdoc.get("dv") or {}).get("data", []) or [])
     tree_rels: set[str] = set()
-    for t in (tdoc.get("key_bloom") or {}).get("tables") or []:
+    for t in (pristine.get("key_bloom") or {}).get("tables") or []:
         tree_rels.add(t["path"])
-    for spec in (tdoc.get("sketches") or {}).values():
+    for spec in (pristine.get("sketches") or {}).values():
         tree_rels.add(spec["dir"])
-    ref = tdoc.get("manifest_ref")
+    ref = pristine.get("manifest_ref")
     if ref and ref.get("dir"):
         tree_rels.add(str(ref["dir"]))
 
@@ -2372,13 +2416,31 @@ def clone_published(
                     )
                     n += _reproduce(sub)
             return n
+        if _os.path.exists(d):
+            # idempotent resume after a crash mid-clone (dest log is
+            # still empty, so rerunning is the recovery path): an
+            # already-reproduced file is done — anything else at the
+            # path is a loud error, never a silent overwrite
+            if _os.path.samefile(s, d) or (
+                mode == "copy"
+                and _os.path.getsize(d) == _os.path.getsize(s)
+            ):
+                return 1
+            raise FileExistsError(
+                f"clone destination already holds a DIFFERENT file "
+                f"at {d} — clear the partial clone and rerun"
+            )
         _os.makedirs(_os.path.dirname(d), exist_ok=True)
         if mode == "link":
             try:
                 _os.link(s, d)
                 return 1
-            except OSError:
-                pass  # cross-device / FS without links: fall through
+            except OSError as exc:
+                import errno as _errno
+
+                if exc.errno not in (_errno.EXDEV, _errno.EPERM,
+                                     _errno.EOPNOTSUPP, _errno.EMLINK):
+                    raise  # only capability errors fall back to copy
         _shutil.copy2(s, d)
         return 1
 
@@ -2388,7 +2450,7 @@ def clone_published(
 
     payload = {
         k: v
-        for k, v in tdoc.items()
+        for k, v in pristine.items()
         if k not in ("txn_ids", "intent") and k not in _OP_MARKERS
     }
     payload["txn_ids"] = []
@@ -2505,6 +2567,21 @@ def _classify_operation(doc: dict) -> tuple[str, dict]:
     }
 
 
+def _commit_txn(doc: dict, prev: dict | None, v: int) -> str | None:
+    """THIS commit's replay token for the history surface — the id
+    its ``txn_ids`` added over the previous version's.  When the
+    previous manifest is gone (vacuumed, or a burned version number)
+    the diff is unknowable for v > 1: report None rather than
+    misattribute the oldest surviving id of the rolling window; the
+    same rule reports None when several ids appear at once."""
+    txns = doc.get("txn_ids") or []
+    if v > 1 and prev is None:
+        return None
+    prev_txns = set((prev or {}).get("txn_ids") or [])
+    new = [t for t in txns if t not in prev_txns]
+    return str(new[0]) if len(new) == 1 else None
+
+
 def published_history(
     spark, path: str, branch: str | None = None,
     limit: int | None = None,
@@ -2536,26 +2613,30 @@ def published_history(
     log = _log_dir(path, branch)
     times = dict(_manifest_times(log))
     rows = []
-    for v in sorted(txlog.list_versions(spark, log), reverse=True):
+    docs: dict[int, dict | None] = {}
+
+    def _doc_at(v: int):
+        if v not in docs:
+            docs[v] = (
+                txlog.read_version(spark, log, v) if v >= 1 else None
+            )
+        return docs[v]
+
+    versions = sorted(txlog.list_versions(spark, log), reverse=True)
+    for v in versions:
         if limit is not None and len(rows) >= limit:
             break
-        doc = txlog.read_version(spark, log, v)
+        doc = _doc_at(v)
         if doc is None:
             continue  # torn / pending-intent: never was a commit
         op, details = _classify_operation(doc)
-        txns = doc.get("txn_ids") or []
-        prev = txlog.read_version(spark, log, v - 1) if v > 1 else None
-        prev_txns = set((prev or {}).get("txn_ids") or [])
-        new_txn = next(
-            (t for t in txns if t not in prev_txns), None
-        )
         rows.append((
             v,
             float(times.get(v, 0.0)),
             op,
             _json.dumps(details, default=str, sort_keys=True),
             bool(doc.get("schema_changed")),
-            str(new_txn) if new_txn is not None else None,
+            _commit_txn(doc, _doc_at(v - 1), v),
         ))
     return spark.createDataFrame(
         rows,
@@ -2721,9 +2802,15 @@ def merge_into_published(
         delete_keys: list = []
         del_cond = F.lit(False)
         if when_matched_delete is not None:
-            del_cond = matched & (
+            # coalesce(NULL, false): a NULL-evaluating delete
+            # condition must not delete (SQL WHERE semantics) AND
+            # must not poison the update clause's ~del_cond below —
+            # matched & ~NULL is NULL, which would silently drop the
+            # row from BOTH clauses
+            del_cond = matched & F.coalesce(
                 F.lit(True) if when_matched_delete is True
-                else F.expr(str(when_matched_delete))
+                else F.expr(str(when_matched_delete)),
+                F.lit(False),
             )
             delete_keys = sorted(
                 (r[0] for r in joined.filter(del_cond)
@@ -4904,7 +4991,7 @@ def vacuum_published_files(
     )
     removed = vacuum_published(
         spark, path, keep_last=keep_last, grace_seconds=grace_seconds,
-        keep_since=keep_since, dry_run=dry_run,
+        keep_since=keep_since, dry_run=dry_run, _resolved=True,
     )
     manifests = txlog._complete_manifests(spark, f"{path}/{_COMMITS}")
     # retention = newest keep_last UNION read-leased versions — same

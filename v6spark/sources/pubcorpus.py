@@ -842,21 +842,20 @@ def _history_rows(root: str, branch: str | None) -> list[tuple]:
             docs[v] = _read_doc(log, v) if v >= 1 else None
         return docs[v]
 
+    from v6spark.pipeline import _commit_txn
+
     for v in sorted(times, reverse=True):
         doc = _doc_at(v)
         if doc is None:
             continue  # torn / pending-intent
         op, details = _classify_operation(doc)
-        txns = doc.get("txn_ids") or []
-        prev_txns = set((_doc_at(v - 1) or {}).get("txn_ids") or [])
-        new_txn = next((t for t in txns if t not in prev_txns), None)
         rows.append((
             v,
             float(times.get(v, 0.0)),
             op,
             json.dumps(details, default=str, sort_keys=True),
             bool(doc.get("schema_changed")),
-            str(new_txn) if new_txn is not None else None,
+            _commit_txn(doc, _doc_at(v - 1), v),
         ))
     return rows
 
@@ -872,19 +871,14 @@ def _files_rows(root: str, doc: dict) -> list[tuple]:
     stats = _doc_file_stats(None, root, doc)
     dv_files = (doc.get("dv") or {}).get("files") or {}
 
-    def _shard_of(rel: str):
-        for part in rel.split("/"):
-            if part.startswith("shard="):
-                return int(part.split("=", 1)[1])
-        return None
-
     rows: list[tuple] = []
     for s in sorted(files):
         for rel in files[s]:
             st = (stats.get(s) or {}).get(rel)
+            sh = _shard_of(rel)
             rows.append((
                 s,
-                _shard_of(rel),
+                int(sh) if sh is not None else None,
                 rel,
                 int(st[2]) if st and len(st) > 2 and st[2] is not None
                 else None,
@@ -1128,6 +1122,16 @@ class PublishedCorpusDataSource(DataSource):
     def schema(self) -> str:
         meta = self._meta()
         if meta == "history":
+            # a typo'd path must raise like every other read surface,
+            # not return a plausible empty history
+            log = _log_dir(self._root(), self.options.get("branch"))
+            if _read_latest(log)[1] is None:
+                raise ValueError(
+                    f"{self._root()} has no committed publish "
+                    "(branch="
+                    f"{self.options.get('branch')!r}) — nothing to "
+                    "list history for"
+                )
             return _META_HISTORY_DDL
         if meta == "files":
             self._doc()  # existence + fmt validation, fail at plan
