@@ -148,6 +148,41 @@ def test_meta_history_typo_path_raises(spark, tmp_path):
          .load(root + "_typo").collect())
 
 
+def test_meta_detail_matches_python_surface(spark, tmp_path):
+    from v6spark.pipeline import (
+        describe_published,
+        set_published_constraint,
+        set_published_retention,
+    )
+
+    root = _publish(spark, tmp_path)
+    set_published_constraint(spark, root, "d", "day >= 0")
+    set_published_retention(spark, root, keep_last=5)
+    retract_from_published(spark, root, "doc_id = 5", strategy="dv")
+    py = describe_published(spark, root)
+    assert py["version"] == 4
+    assert py["rows_total"] == 39
+    assert py["constraints"] == {"d": "day >= 0"}
+    assert py["retention"] == {"keep_last": 5}
+    assert py["dv_files"] == 1 and py["dv_deleted_rows"] == 1
+    assert py["n_files"] > 0
+
+    row = _meta(spark, root, "detail").collect()[0]
+    assert row.version == py["version"]
+    assert row.rows_total == py["rows_total"]
+    assert row.n_files == py["n_files"]
+    assert row.dv_deleted_rows == py["dv_deleted_rows"]
+    assert json.loads(row.constraints) == py["constraints"]
+    assert json.loads(row.retention) == py["retention"]
+    assert json.loads(row.splits) == py["splits"]
+    assert row.committed_at == py["committed_at"]
+    # time travel composes
+    v1 = describe_published(spark, root, version=1)
+    assert v1["rows_total"] == 40 and v1["constraints"] == {}
+    r1 = _meta(spark, root, "detail", version="1").collect()[0]
+    assert r1.rows_total == 40
+
+
 def test_meta_option_validation(spark, tmp_path):
     root = _publish(spark, tmp_path)
     register_pubcorpus_source(spark)

@@ -2567,6 +2567,82 @@ def _classify_operation(doc: dict) -> tuple[str, dict]:
     }
 
 
+def describe_published(
+    spark, path: str, branch: str | None = None,
+    version: int | None = None, tag: str | None = None, as_of=None,
+) -> dict:
+    """One-shot table summary — Delta's ``DESCRIBE DETAIL`` from the
+    manifest alone (zero data reads): head version and commit time,
+    schema, splits with logical row counts, shard posture, file
+    count, live version dirs, deletion-vector debt, index/property
+    presence (Bloom, sketches, clustered_by, constraints, retention),
+    and whether the manifest runs offloaded.  Time-travel references
+    describe a historical snapshot.  SQL twin:
+    ``option("meta", "detail")`` on ``format("pubcorpus")``.
+    """
+    from v6spark import txlog
+    from v6spark.sources.pubcorpus import _manifest_times
+
+    log = _log_dir(path, branch)
+    v = _resolve_version(spark, path, version, tag, branch, as_of)
+    if v is None:
+        v, doc = txlog.read_latest(spark, log)
+    else:
+        v, doc = int(v), txlog.read_version(spark, log, int(v))
+    if doc is None:
+        raise ValueError(
+            f"{path} has no committed publish at that reference"
+        )
+    manifest_ref = doc.get("manifest_ref") or {}
+    files = _doc_files(spark, path, doc)
+    if files is None:
+        n_files = sum(
+            len(fl)
+            for fl in _published_split_files(spark, path, doc).values()
+        )
+    else:
+        n_files = sum(len(fl) for fl in files.values())
+    times = dict(_manifest_times(log))
+    return _describe_fields(v, doc, times.get(v), n_files,
+                            manifest_ref)
+
+
+def _describe_fields(v: int, doc: dict, committed_at, n_files: int,
+                     manifest_ref: dict) -> dict:
+    """Shared field assembly for :func:`describe_published` and the
+    SQL ``option("meta", "detail")`` twin (parity by construction).
+    ``manifest_ref`` is captured by the caller BEFORE any accessor
+    materializes (and removes) it."""
+    dvf = (doc.get("dv") or {}).get("files") or {}
+    live = doc.get("live")
+    live = [live] if isinstance(live, str) else list(live or [])
+    return {
+        "version": v,
+        "committed_at": committed_at,
+        "fmt": doc.get("fmt"),
+        "schema": [list(c) for c in (doc.get("schema") or [])],
+        "splits": dict(doc.get("splits") or {}),
+        "rows_total": sum((doc.get("splits") or {}).values()),
+        "n_shards": doc.get("n_shards"),
+        "seed": doc.get("seed"),
+        "key_col": doc.get("key_col"),
+        "n_files": n_files,
+        "live_version_dirs": len(live),
+        "dv_files": sum(len(d) for d in dvf.values()),
+        "dv_deleted_rows": sum(
+            (len(pos) if isinstance(pos, (list, tuple)) else int(pos))
+            for d in dvf.values()
+            for pos in d.values()
+        ),
+        "key_bloom": bool(doc.get("key_bloom")),
+        "sketches": sorted((doc.get("sketches") or {}).keys()),
+        "clustered_by": doc.get("clustered_by"),
+        "constraints": dict(doc.get("constraints") or {}),
+        "retention": dict(doc.get("retention") or {}),
+        "manifest_offloaded_entries": manifest_ref.get("entries") or 0,
+    }
+
+
 def _commit_txn(doc: dict, prev: dict | None, v: int) -> str | None:
     """THIS commit's replay token for the history surface — the id
     its ``txn_ids`` added over the previous version's.  When the

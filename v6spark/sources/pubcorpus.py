@@ -889,6 +889,60 @@ def _files_rows(root: str, doc: dict) -> list[tuple]:
     return rows
 
 
+_META_DETAIL_DDL = (
+    "version long, committed_at double, fmt string, "
+    "table_schema string, splits string, rows_total long, "
+    "n_shards int, seed long, key_col string, n_files long, "
+    "live_version_dirs int, dv_files int, dv_deleted_rows long, "
+    "key_bloom boolean, sketches string, clustered_by string, "
+    "constraints string, retention string, "
+    "manifest_offloaded_entries long"
+)
+
+
+def _detail_rows(root: str, doc: dict, version: int,
+                 branch: str | None = None) -> list[tuple]:
+    """JVM-free one-row twin of
+    :func:`v6spark.pipeline.describe_published` (shared field
+    assembly; nested values land as JSON strings for a flat SQL
+    schema)."""
+    from v6spark.pipeline import (
+        _describe_fields,
+        _doc_files,
+    )
+
+    manifest_ref = doc.get("manifest_ref") or {}
+    files = _doc_files(None, root, doc)
+    if files is None:
+        files = _split_files(root, doc)
+    n_files = sum(len(fl) for fl in files.values())
+    times = dict(_manifest_times(_log_dir(root, branch)))
+    d = _describe_fields(
+        version, doc, times.get(version), n_files, manifest_ref
+    )
+    return [(
+        d["version"],
+        d["committed_at"],
+        d["fmt"],
+        json.dumps(d["schema"]),
+        json.dumps(d["splits"], sort_keys=True),
+        d["rows_total"],
+        d["n_shards"],
+        d["seed"],
+        d["key_col"],
+        d["n_files"],
+        d["live_version_dirs"],
+        d["dv_files"],
+        d["dv_deleted_rows"],
+        d["key_bloom"],
+        json.dumps(d["sketches"]),
+        json.dumps(d["clustered_by"]),
+        json.dumps(d["constraints"], sort_keys=True),
+        json.dumps(d["retention"], sort_keys=True),
+        d["manifest_offloaded_entries"],
+    )]
+
+
 @dataclass
 class _MetaPartition(InputPartition):
     rows: tuple = ()
@@ -954,11 +1008,13 @@ class PublishedCorpusDataSource(DataSource):
       equivalent (Delta CDF parity);
     - ``meta``: metadata tables through plain spark.read —
       ``"history"`` (the commit log: DESCRIBE HISTORY; composes with
-      ``branch``) or ``"files"`` (the per-file census: the Iceberg
-      ``files`` metadata table; composes with
-      version/tag/asOf/branch).  Manifest-only: zero data reads at
+      ``branch``), ``"files"`` (the per-file census: the Iceberg
+      ``files`` metadata table), or ``"detail"`` (the one-row table
+      summary: DESCRIBE DETAIL) — the latter two compose with
+      version/tag/asOf/branch.  Manifest-only: zero data reads at
       any corpus size; parity-pinned against
-      ``pipeline.published_history`` / ``published_file_census``;
+      ``pipeline.published_history`` / ``published_file_census`` /
+      ``describe_published``;
     - ``maxBytesPerPartition`` (default 128 MB): surviving files
       group into read tasks of about this size — many small files
       share one Python task, large files fan out;
@@ -1006,6 +1062,7 @@ class PublishedCorpusDataSource(DataSource):
             v, doc = _read_latest(log)
         else:
             v, doc = int(version), _read_doc(log, int(version))
+        self._doc_version = v
         if doc is None:
             raise ValueError(
                 f"{root} has no committed publish at that reference "
@@ -1096,11 +1153,12 @@ class PublishedCorpusDataSource(DataSource):
         if mode is None:
             return None
         mode = str(mode).lower()
-        if mode not in ("history", "files"):
+        if mode not in ("history", "files", "detail"):
             raise ValueError(
                 f"meta must be 'history' (the commit log — DESCRIBE "
-                f"HISTORY) or 'files' (the per-file census), got "
-                f"{mode!r}"
+                f"HISTORY), 'files' (the per-file census), or "
+                f"'detail' (the one-row table summary — DESCRIBE "
+                f"DETAIL), got {mode!r}"
             )
         for opt in ("columns", "where", "keys", "split",
                     "changesFrom", "changesfrom", "changesTo",
@@ -1136,6 +1194,9 @@ class PublishedCorpusDataSource(DataSource):
         if meta == "files":
             self._doc()  # existence + fmt validation, fail at plan
             return _META_FILES_DDL
+        if meta == "detail":
+            self._doc()
+            return _META_DETAIL_DDL
         doc = self._doc()
         if (
             self._starting_version() is not None
@@ -1261,6 +1322,14 @@ class PublishedCorpusDataSource(DataSource):
         if meta == "files":
             return PublishedMetaReader(
                 _files_rows(self._root(), self._doc())
+            )
+        if meta == "detail":
+            doc = self._doc()
+            return PublishedMetaReader(
+                _detail_rows(
+                    self._root(), doc, self._doc_version,
+                    self.options.get("branch"),
+                )
             )
         if self._changes_from() is not None:
             # batch change window: the Delta table_changes(a, b)
