@@ -221,3 +221,54 @@ def test_offloaded_epochs_keep_prior_sidecars(spark, tmp_path, monkeypatch):
     changes = read_published_changes_sql(spark, root, 1, 2).collect()
     assert sorted(r["doc_id"] for r in changes) == list(range(100, 110))
     assert {r["_change_type"] for r in changes} == {"insert"}
+
+
+def test_sink_enforces_check_constraints(spark, tmp_path):
+    """The sink rides the batch writer's Arrow path, so CHECK
+    constraints gate every streamed batch: a violating microbatch
+    fails the query and commits nothing."""
+    from v6spark.pipeline import (
+        publish_corpus_committed,
+        set_published_constraint,
+    )
+
+    df = spark.range(20).selectExpr(
+        "id as doc_id", "concat('body ', id) as text",
+        "cast(id % 7 as long) as day",
+        "case when id % 10 = 0 then 'valid' else 'train' end as split",
+    )
+    root = str(tmp_path / "corpus")
+    publish_corpus_committed(
+        df.selectExpr("doc_id", "split"), df.drop("split"), root,
+        n_shards=4,
+    )
+    set_published_constraint(spark, root, "day_lt7", "day < 7")
+
+    src = str(tmp_path / "src")
+    spark.range(100, 110).selectExpr(
+        "id as doc_id", "'bad' as text", "cast(42 as long) as day",
+        "'train' as split",
+    ).coalesce(1).write.parquet(os.path.join(src, "p=0"))
+    with pytest.raises(Exception, match="day_lt7"):
+        _run_stream(
+            spark, src + "/p=*", root,
+            str(tmp_path / "ckpt"), txnPrefix="cstr",
+        )
+    assert read_published_corpus(spark, root).count() == 20
+
+    # compliant batches stream through, constraint carried
+    src2 = str(tmp_path / "src2")
+    spark.range(100, 110).selectExpr(
+        "id as doc_id", "'ok' as text", "cast(1 as long) as day",
+        "'train' as split",
+    ).coalesce(1).write.parquet(os.path.join(src2, "p=0"))
+    _run_stream(
+        spark, src2 + "/p=*", root,
+        str(tmp_path / "ckpt2"), txnPrefix="cstr2",
+    )
+    assert read_published_corpus(spark, root).count() == 30
+    from v6spark.pipeline import list_published_constraints
+
+    assert list_published_constraints(spark, root) == {
+        "day_lt7": "day < 7"
+    }
