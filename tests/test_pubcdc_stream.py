@@ -545,3 +545,31 @@ def test_timestamp_change_windows_match_version_windows(spark, tmp_path):
         "changesFrom", "2"
     ).load(root).collect()
     assert _rows(collected) == _rows(ref)
+
+
+def test_timestamp_lower_bound_includes_at_timestamp_commit(
+    spark, tmp_path
+):
+    """Delta CDF startingTimestamp is at-or-AFTER inclusive: a window
+    started exactly at a commit's recorded time must include that
+    commit (the floor is strictly-before, not at-or-before)."""
+    from v6spark.pipeline import published_history
+    from v6spark.sources.pubcorpus import register_pubcorpus_source
+
+    root = _publish(spark, tmp_path, n=20, n_shards=2)       # v1
+    retract_from_published(spark, root, "doc_id < 5")        # v2
+    register_pubcorpus_source(spark)
+    t_v2 = {
+        r.version: r.timestamp
+        for r in published_history(spark, root).collect()
+    }[2]
+    got = _rows(
+        spark.read.format("pubcorpus")
+        .option("changesFromTimestamp", str(t_v2))
+        .load(root).collect()
+    )
+    ref = _rows(
+        spark.read.format("pubcorpus").option("changesFrom", "1")
+        .load(root).collect()
+    )
+    assert got == ref and len(got) == 5  # v2's deletes are inside

@@ -84,9 +84,17 @@ _PASSTHROUGH_OPTS = (
 
 
 def _norm_dir(p: str) -> str:
-    """Comparable form of a log dir: local paths absolute, others
-    (scheme-qualified) taken verbatim; trailing slashes dropped."""
+    """Comparable form of a log dir: local paths absolute (with the
+    ``file:``/``file://`` spellings STRIPPED first — a DML verb
+    called with a file-scheme path must still match a table
+    registered with the bare path, or the follow-latest view silently
+    goes stale), others (scheme-qualified) taken verbatim; trailing
+    slashes dropped."""
     p = p.rstrip("/")
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
     if "://" not in p:
         p = os.path.abspath(p)
     return p
@@ -174,6 +182,11 @@ def _observer(log_dir: str, version: int) -> None:
         ref = _SESSIONS.get(app)
         spark = ref() if ref is not None else None
         if spark is None:
+            # dead session: prune its registry instead of walking its
+            # tables on every future commit forever
+            with _LOCK:
+                _REGISTRY.pop(app, None)
+                _SESSIONS.pop(app, None)
             continue
         try:
             options, v = _build_options(tdef)

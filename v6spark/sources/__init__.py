@@ -10,4 +10,19 @@ Zarr stores load directly via the distributed chunk-per-task reader
 
 from v6spark.sources.tables import TABLE_NAMES, load_table, load_tables
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables"]
+__all__ = ["TABLE_NAMES", "load_table", "load_tables",
+           "register_idempotent"]
+
+
+def register_idempotent(spark, cls) -> None:
+    """``spark.dataSource.register`` that tolerates both re-register
+    shapes: the SAME session replaces (a WARN), while a sibling
+    ``spark.newSession()`` sharing the registry raises
+    DATA_SOURCE_ALREADY_EXISTS — both mean "registered".  One shared
+    helper so the five source modules can't drift on the idempotency
+    rule."""
+    try:
+        spark.dataSource.register(cls)
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

@@ -330,14 +330,9 @@ class IvfIndexDataSource(DataSource):
 
 def register_ivfindex_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of ``ivfindex``."""
-    try:
-        spark.dataSource.register(IvfIndexDataSource)
-    except Exception as exc:
-        # re-registering from the SAME session replaces (a WARN);
-        # from a sibling spark.newSession() sharing the registry it
-        # raises ALREADY_EXISTS — both mean "registered": idempotent
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    from v6spark.sources import register_idempotent
+
+    register_idempotent(spark, IvfIndexDataSource)
 
 
 def read_ivf_index_topk(spark, root: str, query_vec, k: int = 10,

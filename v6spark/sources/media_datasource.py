@@ -198,11 +198,6 @@ class MediaDirDataSource(DataSource):
 
 
 def register_media_source(spark) -> None:
-    try:
-        spark.dataSource.register(MediaDirDataSource)
-    except Exception as exc:
-        # re-registering from the SAME session replaces (a WARN);
-        # from a sibling spark.newSession() sharing the registry it
-        # raises ALREADY_EXISTS — both mean "registered": idempotent
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    from v6spark.sources import register_idempotent
+
+    register_idempotent(spark, MediaDirDataSource)

@@ -282,6 +282,14 @@ def _classify_vector(old_tab, new_tab, data_fields, ki, ver, target,
     # is computed below anyway, so the guard costs one extra sort
     # (new side) instead of two sort+extract passes
     def _refuse_dups(sorted_arr, side):
+        # BOUNDARY: this guard sees only the files the window DIFF
+        # loads — a duplicate split between an appended file and an
+        # UNCHANGED file is invisible until some later rewrite puts
+        # both copies in one endpoint (reading unchanged files every
+        # window would cost the corpus, not the delta).  Key
+        # uniqueness is the APPEND PATH's contract; the guard is the
+        # per-window backstop that turns a violation into this error
+        # instead of a silently wrong classification.
         if len(sorted_arr) > 1 and (
             sorted_arr[1:] == sorted_arr[:-1]
         ).any():

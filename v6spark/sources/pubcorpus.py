@@ -161,44 +161,31 @@ def _parse_as_of(value) -> float:
 
 
 def _manifest_times(log_dir: str) -> list[tuple[int, float]]:
-    """``[(version, commit_epoch)]`` sorted by version — commit times
-    from the manifest files' mtimes (no format change), adjusted
-    Delta-style to be monotonically non-decreasing in version order
-    so clock skew or a log copy can never invert history."""
-    from pyarrow import fs as pafs
+    """``[(version, commit_epoch)]`` sorted by version — delegates to
+    :func:`v6spark.txlog.manifest_commit_times` (THE single
+    monotone-mtime rule shared with keep_since retention and the
+    history surfaces) on the JVM-free pyarrow path this module
+    requires."""
+    from v6spark.txlog import manifest_commit_times
 
-    fs, local = _fs_for(log_dir)
-    try:
-        infos = fs.get_file_info(pafs.FileSelector(local, recursive=False))
-    except FileNotFoundError:
-        infos = []
-    stamped = []
-    for i in infos:
-        name = i.base_name
-        if not name.startswith(MANIFEST_PREFIX):
-            continue
-        try:
-            v = int(name[len(MANIFEST_PREFIX):])
-        except ValueError:
-            continue
-        mtime = i.mtime
-        stamped.append((v, mtime.timestamp() if mtime else 0.0))
-    stamped.sort()
-    mono = 0.0
-    out = []
-    for v, ts in stamped:
-        mono = max(mono, ts)
-        out.append((v, mono))
-    return out
+    return manifest_commit_times(log_dir)
 
 
-def _resolve_as_of(log_dir: str, ts_epoch: float) -> int:
+def _resolve_as_of(log_dir: str, ts_epoch: float,
+                   strict: bool = False) -> int:
     """TIMESTAMP AS OF -> version: the newest COMPLETE manifest whose
-    commit time is <= the timestamp (see :func:`_manifest_times`)."""
+    commit time is <= the timestamp (``strict=True``: strictly
+    before — the LOWER-bound form, so a change window started AT a
+    commit's timestamp includes that commit, Delta's at-or-after
+    ``startingTimestamp``).  Scans newest-first and reads manifests
+    only until the first complete candidate — typically ONE doc read
+    regardless of log length."""
     pick = None
-    for v, ts in _manifest_times(log_dir):
-        if ts <= ts_epoch and _read_doc(log_dir, v) is not None:
+    for v, ts in reversed(_manifest_times(log_dir)):
+        if (ts < ts_epoch if strict else ts <= ts_epoch) \
+                and _read_doc(log_dir, v) is not None:
             pick = v
+            break
     if pick is None:
         raise ValueError(
             f"no committed version at or before asOf={ts_epoch} under "
@@ -1082,19 +1069,32 @@ class PublishedCorpusDataSource(DataSource):
         return doc
 
     def _version_floor(self, ts_value, *, missing_means_zero: bool):
-        """Timestamp -> version for the change-window options: the
-        newest committed version at or before the timestamp.  As a
-        LOWER bound (changes-since semantics) a timestamp predating
-        the log floors to 0 — "everything"; as an UPPER bound that is
-        an error (the window would be vacuously empty)."""
+        """Timestamp -> version for the change-window options.  As a
+        LOWER bound (changes-since semantics): the newest committed
+        version STRICTLY before the timestamp, so a commit made
+        exactly AT the timestamp is inside the window — Delta CDF's
+        at-or-after ``startingTimestamp``; predating the log floors
+        to 0 ("everything").  As an UPPER bound: at-or-before
+        inclusive, and predating the log is an error (the window
+        would be vacuously empty)."""
         ts = _parse_as_of(ts_value)  # parse errors must propagate
+        # schema() and reader() both evaluate the window options:
+        # memoize so planning lists/reads the log once per bound
+        key = (ts, missing_means_zero)
+        cache = getattr(self, "_floor_cache", None)
+        if cache is None:
+            cache = self._floor_cache = {}
+        if key in cache:
+            return cache[key]
         log = _log_dir(self._root(), self.options.get("branch"))
         try:
-            return _resolve_as_of(log, ts)
+            out = _resolve_as_of(log, ts, strict=missing_means_zero)
         except ValueError:
-            if missing_means_zero:
-                return 0
-            raise
+            if not missing_means_zero:
+                raise
+            out = 0
+        cache[key] = out
+        return out
 
     def _starting_version(self):
         sv = self.options.get(
@@ -1372,14 +1372,9 @@ class PublishedCorpusDataSource(DataSource):
 
 def register_pubcorpus_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of ``pubcorpus``."""
-    try:
-        spark.dataSource.register(PublishedCorpusDataSource)
-    except Exception as exc:
-        # re-registering from the SAME session replaces (a WARN);
-        # from a sibling spark.newSession() sharing the registry it
-        # raises ALREADY_EXISTS — both mean "registered": idempotent
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    from v6spark.sources import register_idempotent
+
+    register_idempotent(spark, PublishedCorpusDataSource)
 
 
 def read_pubcorpus(spark, root: str, *, where: str | None = None,

@@ -18,8 +18,14 @@ Semantics (documented, not inferred):
 - ``mode("append")`` on an existing table = an append-only commit:
   the new files JOIN the current file list (one manifest, one commit
   point; the change feed sees pure inserts).  Blind append, Delta
-  semantics: key uniqueness is the writer's contract — de-duplicating
-  merges are :func:`~v6spark.pipeline.upsert_into_published`'s job;
+  semantics: key uniqueness is the CALLER's contract — de-duplicating
+  merges are :func:`~v6spark.pipeline.upsert_into_published`'s job.
+  A violated contract (appending an already-published key) is NOT
+  detected here or by the CDC feed's per-window guard until a later
+  rewrite co-locates both copies in one diff endpoint (checking every
+  append against the full key set would cost a corpus scan per
+  commit) — the duplicate then fails the stream loudly rather than
+  misclassifying;
 - ``mode("overwrite")`` is REFUSED: the DML verbs have no
   "replace the table silently" semantics and neither does this
   writer (retract/compact/republish are explicit, audited verbs);
@@ -823,6 +829,14 @@ def make_writer(root: str, spark_schema, options, overwrite: bool):
             "pubcorpus refuses mode('overwrite'): replacing a "
             "published table is an explicit, audited operation — "
             "retract/compact/republish through the DML verbs"
+        )
+    if options.get("branch") is not None:
+        # the refusal must live HERE, not only on the front doors: a
+        # direct make_writer caller passing branch= would otherwise
+        # commit to MAIN silently — data on the wrong ref, no error
+        raise ValueError(
+            "the pubcorpus writer targets main — branch DML goes "
+            "through the Python verbs (branch=...)"
         )
     use_arrow_fs = str(
         options.get("usearrowfs") or options.get("useArrowFs") or ""

@@ -250,14 +250,9 @@ class PublishLogDataSource(DataSource):
 
 def register_publog_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of ``publog``."""
-    try:
-        spark.dataSource.register(PublishLogDataSource)
-    except Exception as exc:
-        # re-registering from the SAME session replaces (a WARN);
-        # from a sibling spark.newSession() sharing the registry it
-        # raises ALREADY_EXISTS — both mean "registered": idempotent
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    from v6spark.sources import register_idempotent
+
+    register_idempotent(spark, PublishLogDataSource)
 
 
 def stream_published_log(spark, path: str, starting_version: int = 0):

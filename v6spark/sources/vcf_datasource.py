@@ -260,11 +260,6 @@ def register_vcf_source(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static-conf deployment: pushdown simply stays off
-    try:
-        spark.dataSource.register(VcfDataSource)
-    except Exception as exc:
-        # re-registering from the SAME session replaces (a WARN);
-        # from a sibling spark.newSession() sharing the registry it
-        # raises ALREADY_EXISTS — both mean "registered": idempotent
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
-            raise
+    from v6spark.sources import register_idempotent
+
+    register_idempotent(spark, VcfDataSource)

@@ -817,39 +817,84 @@ def leased_versions(
     return out
 
 
-def _versions_at_or_after(log_dir: str, ts_epoch: float) -> set[int]:
-    """Versions whose commit time (manifest mtime, monotonically
-    adjusted in version order like the asOf resolver) is at or after
-    ``ts_epoch`` — always a SUFFIX of the version sequence, so
-    time-based retention keeps a contiguous recent window."""
-    from pyarrow import fs as pafs
-
-    if "://" in log_dir or log_dir.startswith("file:"):
-        fs, local = pafs.FileSystem.from_uri(log_dir)
-    else:
-        fs, local = pafs.LocalFileSystem(), log_dir
+def manifest_commit_times(
+    log_dir: str, spark: SparkSession | None = None
+) -> list[tuple[int, float]]:
+    """``[(version, commit_epoch)]`` sorted by version — manifest
+    file mtimes, monotonically adjusted in version order so clock
+    skew or a log copy can never invert history.  THE single mtime
+    rule: asOf resolution, timestamp change windows, keep_since
+    retention, and the history surfaces all consume this one scan,
+    so "keep everything a reader can still asOf" holds by
+    construction.  Resolution is pyarrow (JVM-free, for the SQL
+    source's planners); when pyarrow cannot resolve the scheme
+    (s3a://, abfs://) and a ``spark`` session is given, the listing
+    falls back to the session's Hadoop filesystem."""
+    stamped: list[tuple[int, float]] = []
     try:
-        infos = fs.get_file_info(pafs.FileSelector(local, recursive=False))
-    except FileNotFoundError:
-        return set()
-    stamped = []
-    for i in infos:
-        name = i.base_name
-        if not name.startswith(MANIFEST_PREFIX):
-            continue
+        from pyarrow import fs as pafs
+
+        if "://" in log_dir or log_dir.startswith("file:"):
+            fs, local = pafs.FileSystem.from_uri(log_dir)
+        else:
+            fs, local = pafs.LocalFileSystem(), log_dir
         try:
-            v = int(name[len(MANIFEST_PREFIX):])
-        except ValueError:
-            continue
-        stamped.append((v, i.mtime.timestamp() if i.mtime else 0.0))
+            infos = fs.get_file_info(
+                pafs.FileSelector(local, recursive=False)
+            )
+        except FileNotFoundError:
+            infos = []
+        for i in infos:
+            name = i.base_name
+            if not name.startswith(MANIFEST_PREFIX):
+                continue
+            try:
+                v = int(name[len(MANIFEST_PREFIX):])
+            except ValueError:
+                continue
+            stamped.append(
+                (v, i.mtime.timestamp() if i.mtime else 0.0)
+            )
+    except FileNotFoundError:
+        pass
+    except Exception:
+        if spark is None:
+            raise
+        # Hadoop-only scheme: list through the session's JVM fs
+        fs, jdir, _jvm = _jfs(spark, log_dir)
+        if fs.exists(jdir):
+            for st in fs.listStatus(jdir):
+                name = st.getPath().getName()
+                if not name.startswith(MANIFEST_PREFIX):
+                    continue
+                try:
+                    v = int(name[len(MANIFEST_PREFIX):])
+                except ValueError:
+                    continue
+                stamped.append(
+                    (v, st.getModificationTime() / 1000.0)
+                )
     stamped.sort()
-    out: set[int] = set()
     mono = 0.0
+    out: list[tuple[int, float]] = []
     for v, ts in stamped:
         mono = max(mono, ts)
-        if mono >= ts_epoch:
-            out.add(v)
+        out.append((v, mono))
     return out
+
+
+def _versions_at_or_after(
+    log_dir: str, ts_epoch: float,
+    spark: SparkSession | None = None,
+) -> set[int]:
+    """Versions whose commit time (see :func:`manifest_commit_times`)
+    is at or after ``ts_epoch`` — always a SUFFIX of the version
+    sequence, so time-based retention keeps a contiguous window."""
+    return {
+        v
+        for v, ts in manifest_commit_times(log_dir, spark)
+        if ts >= ts_epoch
+    }
 
 
 def _retained_versions(
@@ -869,8 +914,9 @@ def _retained_versions(
     retained |= leased_versions(spark, log_dir) & set(manifests)
     retained |= set(list_tags(spark, log_dir).values()) & set(manifests)
     if keep_since is not None:
-        retained |= _versions_at_or_after(log_dir, float(keep_since)) \
-            & set(manifests)
+        retained |= _versions_at_or_after(
+            log_dir, float(keep_since), spark
+        ) & set(manifests)
     return retained
 
 
