@@ -550,8 +550,17 @@ def main():
             "(the full rewrite contributes zero rows)."
         ),
     }
+    # Read-modify-write: other stress scripts (cdc_stream_stress.py)
+    # merge their own sections into this file; preserve any keys we
+    # did not produce ourselves instead of clobbering the whole doc.
+    try:
+        with open(OUT) as fh:
+            doc = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        doc = {}
+    doc.update(out)
     with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()
 

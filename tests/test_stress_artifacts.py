@@ -1,0 +1,50 @@
+"""Guard against stress-artifact clobbering.
+
+STRESS_TABLEFORMAT.json is a shared artifact: tableformat_stress.py
+writes the table-lifecycle sections and cdc_stream_stress.py merges a
+`cdc_stream_scale` section into the same file.  A whole-file
+`json.dump` in either script silently deletes the other's evidence
+(this happened in round 9 — the 160k-change-row CDC readStream 10x
+section survived only in git history).  Both scripts now
+read-modify-write; this test asserts the required sections coexist in
+the committed snapshot so a regression is caught immediately.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(ROOT, name)
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_tableformat_stress_sections_coexist():
+    doc = _load("STRESS_TABLEFORMAT.json")
+    # tableformat_stress.py's own sections
+    for key in ("scale_1x", "scale_10x", "wall_ratio_10x_over_1x"):
+        assert key in doc, f"tableformat section {key!r} missing"
+    # cdc_stream_stress.py's merged section must not be clobbered
+    assert "cdc_stream_scale" in doc, (
+        "cdc_stream_scale section missing — a stress rerun clobbered "
+        "the shared artifact (both scripts must read-modify-write)"
+    )
+    cdc = doc["cdc_stream_scale"]
+    assert "walls_1x" in json.dumps(cdc) or "1x" in json.dumps(cdc)
+
+
+def test_stress_scripts_read_modify_write():
+    """Source-level guard: no bare whole-file json.dump of the shared
+    artifact without first loading the existing document."""
+    for script in ("tableformat_stress.py", "cdc_stream_stress.py"):
+        src = open(os.path.join(ROOT, "scripts", script)).read()
+        assert "STRESS_TABLEFORMAT" in src
+        # both must read the existing doc before writing
+        assert "with open(OUT) as" in src or "with open(OUT, \"r\")" in src, (
+            f"{script} writes the shared artifact without reading the "
+            "existing document first"
+        )
