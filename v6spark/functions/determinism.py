@@ -55,17 +55,29 @@ def davg(col: Column | str, scale: int = 6) -> Column:
 # A decimal sum whose buffer exceeds 18 digits is not UnsafeRow-
 # mutable, so Spark's hash aggregate leaves the fast fixed-width path
 # and every row pays a BigDecimal add — measured ~6x slower than a
-# long sum on the bench suite's heaviest query.  The long-split form
-# keeps EXACTLY the same value: each addend is cast to DECIMAL(18,6)
-# (the same correctly-rounded quantization dsum uses — the oracle's
-# CAST(x AS DECIMAL) per row), split into an integer part and a
-# 1e-6-scaled fraction, and both parts are summed as LONGS (codegen
-# hash path); the two exact integer sums recombine in one
-# decimal(38,6) expression per GROUP.  Associative and
-# order-independent like dsum, so the o_dsum twin is unchanged.
+# long sum on the bench suite's heaviest query.  The split form sums
+# an integer part and a 1e-6-scaled fraction part as LONGS (codegen
+# hash path) and recombines the two exact integer sums in one
+# decimal(38,6) expression per GROUP — associative, so any
+# partial/final staging (map-side combine, multi-level shuffles)
+# produces the identical value.
+#
+# Quantization protocol (r10): the per-row split is computed with
+# PURE IEEE-double arithmetic — ``hi = floor(x)``,
+# ``f = floor((x - floor(x)) * 1e6 + 0.5)`` — because both engines
+# execute the identical double op sequence (multiply, add, floor are
+# deterministic IEEE-754 ops with identical semantics in Spark's JVM
+# and DuckDB's C++), the two sides agree BY CONSTRUCTION, with zero
+# per-row BigDecimal allocation (the previous DECIMAL(18,6)-cast
+# protocol paid ~6 BigDecimal ops per addend — measured ~2s of the
+# bench suite's heaviest query on a single-task scan).  The o_fsplit
+# twins emit the same sequence in DuckDB SQL.  ``x - floor(x)`` is
+# exact in IEEE double; the fraction rounding is half-up-toward-+inf
+# at 1e-6 (values beyond 2^53 quantize at ulp granularity instead —
+# still deterministic on both sides).
 #
 # Overflow bounds (raise, don't drift): per group,
-# sum(|int part|) <= 2^63-1 (~9.2e18) and rows <= 9.2e12 — far above
+# sum(|floor(x)|) <= 2^63-1 (~9.2e18) and rows <= 9.2e12 — far above
 # any per-group magnitude the suite's data model reaches; a column
 # whose group sums approach 1e19 needs the plain dsum.
 
@@ -74,16 +86,33 @@ _SPLIT_SCALE = 1_000_000
 
 def split_cols(col: Column, tag: str) -> list[Column]:
     """Projection ``[_h<tag>, _f<tag>]`` splitting ``col`` exactly —
-    PROJECT these once (after any window/shuffle so they don't ride
-    it), then aggregate with :func:`split_sum_exprs`; evaluating the
-    split inside the aggregate expressions instead would recompute
-    the decimal arithmetic once per aggregate function per row."""
-    dec = col.cast(DEC)
-    hi = dec.cast("long")
-    frac = (
-        (dec - hi.cast(DEC)) * F.lit(_SPLIT_SCALE).cast("decimal(7,0)")
-    ).cast("long")
+    PROJECT these once per row, then aggregate with
+    :func:`split_sum_exprs` (any number of partial/final stages);
+    evaluating the split inside the aggregate expressions instead
+    would recompute it once per aggregate function per row."""
+    hi = F.floor(col)  # LongType for double input
+    f = col - hi.cast("double")  # exact IEEE subtraction
+    frac = F.floor(f * F.lit(float(_SPLIT_SCALE)) + F.lit(0.5))
     return [hi.alias(f"_h{tag}"), frac.alias(f"_f{tag}")]
+
+
+def o_split_sum(expr: str) -> str:
+    """DuckDB twin of ``split_cols`` + ``split_sum_exprs`` +
+    ``split_sum_rejoin`` as one inline SQL expression: the identical
+    IEEE sequence per row, exact integer sums, and the same
+    double-recipe recombine (int→double conversion, one division,
+    one addition — all deterministic IEEE ops in both engines; a
+    decimal recombine would NOT be engine-agnostic because DuckDB's
+    decimal division returns DOUBLE)."""
+    h = f"CAST(floor({expr}) AS BIGINT)"
+    f_ = (
+        f"CAST(floor((({expr}) - floor({expr})) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    return (
+        f"(CAST(sum({h}) AS DOUBLE)"
+        f" + CAST(sum({f_}) AS DOUBLE) / 1000000.0)"
+    )
 
 
 def split_sum_exprs(tag: str) -> list[Column]:
@@ -97,12 +126,14 @@ def split_sum_exprs(tag: str) -> list[Column]:
 
 
 def split_sum_rejoin(tag: str) -> Column:
-    """Recombine a :func:`split_sum_exprs` pair into the exact sum as
-    DOUBLE (identical to ``sum(cast(x as decimal)) :: double``)."""
+    """Recombine a :func:`split_sum_exprs` pair into the sum as
+    DOUBLE via the double recipe of :func:`o_split_sum` — the same
+    IEEE conversion/division/addition sequence DuckDB executes, so
+    the two engines agree bit-for-bit."""
     return (
-        F.col(f"_h{tag}").cast("decimal(38,6)")
-        + F.col(f"_f{tag}").cast("decimal(38,6)") / F.lit(_SPLIT_SCALE)
-    ).cast("double")
+        F.col(f"_h{tag}").cast("double")
+        + F.col(f"_f{tag}").cast("double") / F.lit(float(_SPLIT_SCALE))
+    )
 
 
 # --- DuckDB-side twins (string macros used by plans/*.py oracles) ---

@@ -256,6 +256,42 @@ def percentile_agg_exprs(
     return aggs
 
 
+def percentile_hist_agg_exprs(
+    quantiles: Sequence[tuple[str, float]],
+    value: str,
+    cum: str = "_cum",
+    n: str = "_n",
+    scale: int = 6,
+) -> list[Column]:
+    """Aggregate expressions interpolating percentiles from a per-key
+    VALUE HISTOGRAM (one row per distinct value, columns ``cum`` =
+    running count ordered by value, ``n`` = per-key total count).
+
+    Same interpolation as :func:`percentile_agg_exprs`
+    (``pos = 1 + (n-1) q``; ``v = v_lo + frac (v_hi - v_lo)``), but
+    over distinct values instead of ranked rows: the rank-``lo``
+    element is the first histogram row whose running count reaches
+    ``lo``.  For low-cardinality value domains this shrinks the
+    windowed frame from every row to every distinct (key, value) pair
+    — the map-side partial aggregate does the heavy lifting and the
+    sort touches only the histogram (see q_measure_stats: 600k rows →
+    50k histogram rows at sf0.1; at 100 TB the reduction is the
+    difference between shuffling the fact table and shuffling a
+    per-key digest)."""
+    aggs = []
+    v, c = F.col(value), F.col(cum)
+    for name, q in quantiles:
+        pos = F.lit(1.0) + (F.col(n) - F.lit(1)).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        frac = pos - F.floor(pos)
+        v_lo = F.min(F.when(c >= lo, v))
+        v_hi = F.min(F.when(c >= hi, v))
+        f = F.max(frac)  # constant within the key group
+        aggs.append(F.round(v_lo + f * (v_hi - v_lo), scale).alias(name))
+    return aggs
+
+
 def group_mean(
     df: DataFrame,
     keys: Sequence[str],

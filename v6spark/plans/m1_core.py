@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from v6spark.functions.determinism import dsum, o_davg, o_dsum
+from v6spark.functions.determinism import dsum, o_davg, o_dsum, o_split_sum
 from v6spark.operators import stats, transforms
 from v6spark.operators.filters import accounting_df
 from v6spark.plans.registry import register
@@ -196,26 +196,24 @@ def q_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_measure_stats",
     TIER,
-    """
+    f"""
     WITH m AS (
       SELECT l_suppkey,
-             round(avg(l_quantity), 6) AS avg_quantity,
              min(l_quantity) AS min_quantity,
              max(l_quantity) AS max_quantity,
-             round(sqrt((sum(l_quantity * l_quantity)
-                         - sum(l_quantity) * sum(l_quantity) / CAST(count(l_quantity) AS DOUBLE))
-                        / (CAST(count(l_quantity) AS DOUBLE) - 1.0)), 6) AS std_quantity,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             {o_split_sum('l_quantity')} AS sx,
+             {o_split_sum('l_extendedprice')} AS sy,
+             {o_split_sum('l_quantity * l_quantity')} AS sxx,
+             {o_split_sum('l_extendedprice * l_extendedprice')} AS syy,
+             {o_split_sum('l_quantity * l_extendedprice')} AS sxy,
              round(quantile_cont(l_quantity, 0.5), 6) AS p50_quantity,
              round(quantile_cont(l_quantity, 0.9), 6) AS p90_quantity
       FROM lineitem
       GROUP BY l_suppkey)
-    SELECT l_suppkey, avg_quantity, min_quantity, max_quantity, std_quantity,
+    SELECT l_suppkey, round(sx / n, 6) AS avg_quantity,
+           min_quantity, max_quantity,
+           round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_quantity,
            p50_quantity, p90_quantity,
            round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
                  (n * sxy - sx * sy)
@@ -234,97 +232,109 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       stddev_samp implementations differ in merge order.
     - correlation: five decimal-exact sums + closed form (built-in
       corr() is a streaming co-moment with engine-specific merges).
-    - percentiles: RANK-BASED two-pass interpolation
-      (operators/stats.py::exact_percentiles) — Spark's ``percentile``
-      aggregate buffers every group value in one buffer, an executor
-      OOM at 100 TB group sizes; the window+straddling-rows form sorts,
-      spills gracefully, and parallelizes across keys.
+    - percentiles: VALUE-HISTOGRAM interpolation
+      (operators/stats.py::percentile_hist_agg_exprs) — Spark's
+      ``percentile`` aggregate buffers every group value in one
+      buffer, an executor OOM at 100 TB group sizes.  The r9 plan
+      ranked every row through one window sort; r10 exploits the
+      value domain instead: a map-side-combined
+      ``groupBy(l_suppkey, l_quantity)`` collapses the fact table to
+      a per-key value histogram (600k rows → ≤50k histogram rows at
+      sf0.1; at 100 TB, the difference between shuffling the fact
+      table and shuffling a digest), the running-count window sorts
+      only the histogram, and the percentile ranks interpolate from
+      the first histogram row whose cumulative count reaches them —
+      value-identical to quantile_cont.
 
-    r9 plan shave (same values, PLAN_LOCK regenerated intentionally):
-    the rank and count windows share ONE ordered window spec (the
-    count takes an unbounded frame over the same ordering), so the
-    plan carries a single Window node; and the five exact sums use
-    the long-split form (functions/determinism.py::split_sum_exprs)
-    — integer/fraction long sums on the codegen hash path instead of
-    BigDecimal-buffered decimal aggregation (measured ~6x on the
-    isolated sums) — recombined exactly per group.  The split columns
-    project AFTER the window so they never ride the shuffle.
+    The five exact correlation sums use the long-split form
+    (functions/determinism.py::split_cols semantics, inlined in SQL):
+    a pure-IEEE floor/frac quantization per row (no BigDecimal
+    allocation — the old decimal-cast protocol cost ~2 s/iteration on
+    this query's single-row-group scan), long sums per (suppkey,
+    quantity), long re-sums per suppkey — associative, so the staged
+    value is identical to the oracle's single-stage o_split_sum twin,
+    which executes the same IEEE sequence in DuckDB.  avg/std
+    re-derive from those sums on BOTH sides (same formula, same
+    inputs, same single division/sqrt — deterministic).
+
+    The pipeline is ONE spark.sql statement rather than Column
+    composition: the DataFrame-API form made ~2600 py4j round trips
+    per build (~550 ms of wall per bench iteration); a single SQL
+    parse is one round trip for the identical logical plan.
     """
-    from pyspark.sql import Window
-
-    from v6spark.functions.determinism import (
-        split_cols,
-        split_sum_exprs,
-        split_sum_rejoin,
+    split = (
+        "FLOOR({v}) AS h{t}, "
+        "FLOOR(({v} - CAST(FLOOR({v}) AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS f{t}"
     )
-
+    rejoin = (
+        "CAST(SUM(h{t}) AS DOUBLE)"
+        " + CAST(SUM(f{t}) AS DOUBLE) / 1000000.0 AS s{t}"
+    )
+    pctl = (
+        "MIN(CASE WHEN c_run >= FLOOR(1.0 + CAST(c_all - 1 AS DOUBLE)"
+        " * {q}) THEN l_quantity END) AS p{t}_lo, "
+        "MIN(CASE WHEN c_run >= CEIL(1.0 + CAST(c_all - 1 AS DOUBLE)"
+        " * {q}) THEN l_quantity END) AS p{t}_hi, "
+        "MAX(1.0 + CAST(c_all - 1 AS DOUBLE) * {q}"
+        " - FLOOR(1.0 + CAST(c_all - 1 AS DOUBLE) * {q})) AS p{t}_fr"
+    )
+    splits = ", ".join(
+        split.format(v=v, t=t)
+        for v, t in (
+            ("l_quantity", "x"),
+            ("l_extendedprice", "y"),
+            ("l_quantity * l_quantity", "xx"),
+            ("l_extendedprice * l_extendedprice", "yy"),
+            ("l_quantity * l_extendedprice", "xy"),
+        )
+    )
+    sums = ", ".join(f"SUM({c}) AS {c}" for c in (
+        "hx", "fx", "hy", "fy", "hxx", "fxx", "hyy", "fyy", "hxy", "fxy"
+    ))
+    rejoins = ", ".join(
+        rejoin.format(t=t) for t in ("x", "y", "xx", "yy", "xy")
+    )
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE shuffle, ONE window node: rank + group count share the
-    # (l_suppkey, l_quantity) ordering, and the subsequent
-    # groupBy(l_suppkey) reuses the partitioning — moments, corr
-    # sums, and percentile straddles all aggregate in the same
-    # post-window pass (no second scan, no join).
-    w = Window.partitionBy("l_suppkey").orderBy("l_quantity")
-    wn = w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    li.createOrReplaceTempView("_v6_measure_lineitem")
+    return spark.sql(f"""
+    WITH pre AS (
+      SELECT l_suppkey, l_quantity, {splits}
+      FROM _v6_measure_lineitem
+    ), hist AS (
+      -- map-side-combined partial aggregation to a per-key value
+      -- histogram: only (suppkey, quantity, partial sums) shuffle
+      SELECT l_suppkey, l_quantity, COUNT(1) AS cnt, {sums}
+      FROM pre GROUP BY l_suppkey, l_quantity
+    ), cum AS (
+      -- ONE window node over the HISTOGRAM (running count + group
+      -- total share the ordering); the final GROUP BY reuses the
+      -- window's hash partitioning — no third shuffle
+      SELECT *, SUM(cnt) OVER w_run AS c_run, SUM(cnt) OVER w_all AS c_all
+      FROM hist
+      WINDOW
+        w_run AS (PARTITION BY l_suppkey ORDER BY l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_all AS (PARTITION BY l_suppkey ORDER BY l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), agged AS (
+      SELECT l_suppkey,
+        MIN(l_quantity) AS min_quantity, MAX(l_quantity) AS max_quantity,
+        {pctl.format(q="0.5", t="50")}, {pctl.format(q="0.9", t="90")},
+        CAST(SUM(cnt) AS DOUBLE) AS n, {rejoins}
+      FROM cum GROUP BY l_suppkey
     )
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    ranked = li.select(
-        "l_suppkey",
-        "l_quantity",
-        "l_extendedprice",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wn).alias("_n"),
-    ).select(  # split AFTER the window: never rides the shuffle/sort
-        "*",
-        *split_cols(q, "x"),
-        *split_cols(p, "y"),
-        *split_cols(q * q, "xx"),
-        *split_cols(p * p, "yy"),
-        *split_cols(q * p, "xy"),
-    )
-    n = F.count(q).cast("double")
-    s, ss = F.sum(q), F.sum(q * q)
-    variance = (ss - s * s / n) / (n - F.lit(1.0))
-    agged = ranked.groupBy("l_suppkey").agg(
-        F.round(F.avg(q), 6).alias("avg_quantity"),
-        F.min(q).alias("min_quantity"),
-        F.max(q).alias("max_quantity"),
-        F.round(F.sqrt(variance), 6).alias("std_quantity"),
-        *stats.percentile_agg_exprs(
-            [("p50_quantity", 0.5), ("p90_quantity", 0.9)],
-            value="l_quantity",
-        ),
-        F.count(F.lit(1)).cast("double").alias("n"),
-        *split_sum_exprs("x"),
-        *split_sum_exprs("y"),
-        *split_sum_exprs("xx"),
-        *split_sum_exprs("yy"),
-        *split_sum_exprs("xy"),
-    ).withColumns({
-        "sx": split_sum_rejoin("x"),
-        "sy": split_sum_rejoin("y"),
-        "sxx": split_sum_rejoin("xx"),
-        "syy": split_sum_rejoin("yy"),
-        "sxy": split_sum_rejoin("xy"),
-    })
-    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = F.when(
-        (var_x > 0) & (var_y > 0),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.sqrt(var_x) * F.sqrt(var_y)),
-    )
-    return agged.select(
-        "l_suppkey",
-        "avg_quantity",
-        "min_quantity",
-        "max_quantity",
-        "std_quantity",
-        "p50_quantity",
-        "p90_quantity",
-        F.round(corr, 6).alias("corr_qty_price"),
-    ).orderBy("l_suppkey")
+    SELECT l_suppkey,
+      ROUND(sx / n, 6) AS avg_quantity, min_quantity, max_quantity,
+      ROUND(SQRT((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_quantity,
+      ROUND(p50_lo + p50_fr * (p50_hi - p50_lo), 6) AS p50_quantity,
+      ROUND(p90_lo + p90_fr * (p90_hi - p90_lo), 6) AS p90_quantity,
+      ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+            END, 6) AS corr_qty_price
+    FROM agged ORDER BY l_suppkey
+    """)
 
 
 @register(

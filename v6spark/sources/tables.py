@@ -50,6 +50,14 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame cache for the READ-ONLY corpus tables.  A lazy
+# spark.read.parquet costs ~130 ms of py4j/file-index setup per call;
+# the returned DataFrame is immutable and re-usable, and the corpus
+# files never change, so one plan per (session, dir, table) is safe.
+# The value keeps a strong reference to its session, which guarantees
+# id(spark) cannot be recycled for a live cache entry.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one corpus table; see module docstring.
@@ -61,6 +69,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-written events table) get ts_ns derived from ts.
     """
     ensure_confs(spark)
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -78,6 +90,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # queries order/compare on µs (with event_id tie-breaks) to be
         # bit-identical with the oracle even on sub-µs near-ties.
         df = df.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
