@@ -77,6 +77,29 @@ def source(spark, n: int):
     )
 
 
+def warmup(spark) -> None:
+    """One throwaway merge on a small corpus so the measured walls
+    don't eat session cold-start (JIT, codegen caches, first Python
+    worker forks) — the same settle idea bench.py applies.  Measured:
+    the identical 1x merge reads ~8.7 s cold vs ~7.4 s settled."""
+    root = tempfile.mkdtemp(prefix="mergeab_warm_")
+    try:
+        prepared, content = corpus(spark, 2000)
+        publish_corpus_committed(prepared, content, root, n_shards=8)
+        merge_into_published(
+            spark, root, source(spark, 2000),
+            when_matched_update="*",
+            matched_condition="s.day > t.day",
+            when_matched_delete="s.text = 'x' AND s.day = 100",
+            when_not_matched_insert="*",
+            not_matched_condition="s.day >= 0",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_scale(spark, n: int) -> dict:
     root = tempfile.mkdtemp(prefix=f"mergeab_{n}_")
     try:
@@ -124,6 +147,7 @@ def run_scale(spark, n: int) -> dict:
 
 def main():
     spark = get_spark("merge-ab")
+    warmup(spark)
     out = {
         "scale_1x": run_scale(spark, 200_000),
         "scale_10x": run_scale(spark, 2_000_000),

@@ -2765,10 +2765,12 @@ def merge_into_published(
     the upsert delta).  Matched rows come from
     :func:`read_published_keys` — shard-directory + manifest-stats
     pruned point lookups, cost tracks ``len(source)``, never corpus
-    size.  The apply reuses the branch-merge protocol: a nonce-named
-    temp branch is cut from the pinned main head, the chunked
-    retract (deletes) and one upsert (updates + inserts) land there
-    INVISIBLY, and the temp head is adopted as main's next version
+    size, and ALL clauses classify in ONE collected select over that
+    join.  The apply reuses the branch-merge protocol: a nonce-named
+    temp branch is cut from the pinned main head, deletes + updates +
+    inserts land there INVISIBLY as ONE combined transaction
+    (``upsert_into_published(delete_keys=...)`` — one hits scan, one
+    write job), and the temp head is adopted as main's next version
     with an OCC commit that refuses if main moved — the whole merge
     then re-classifies against the fresh state and retries
     (serializable).  Readers see pre-merge or the complete merge,
@@ -2783,11 +2785,6 @@ def merge_into_published(
     import uuid as _uuid
 
     from v6spark import txlog
-    from v6spark.streaming.replication import (
-        DELETE_CHUNK,
-        _escaped_literals_mode,
-        _sql_key_literal,
-    )
 
     if not any((when_matched_update, when_matched_delete,
                 when_not_matched_insert)):
@@ -2833,10 +2830,10 @@ def merge_into_published(
             "noop": True,
         }
 
-    def _values(df, cols, mapping, fallback, split_expr):
-        """One select building the merged row (+ its ``split``):
-        mapping exprs win, then ``fallback(col)`` for the rest
-        ('*' = every column from the source alias)."""
+    def _value_struct(cols, mapping, fallback, split_expr):
+        """Struct of the merged row (+ its ``split``): mapping exprs
+        win, then ``fallback(col)`` for the rest ('*' = every column
+        from the source alias)."""
         out = []
         for c in cols:
             if mapping == "*":
@@ -2846,9 +2843,8 @@ def merge_into_published(
             else:
                 out.append(fallback(c).alias(c))
         out.append(split_expr.alias("split"))
-        return df.select(*out)
+        return F.struct(*out)
 
-    esc = _escaped_literals_mode(spark)
     last_race = None
     for _ in range(max_retries):
         main_v, doc = txlog.read_latest(spark, f"{path}/{_COMMITS}")
@@ -2875,7 +2871,12 @@ def merge_into_published(
         )
         matched = F.expr(f"t.{key_col} IS NOT NULL")
 
-        delete_keys: list = []
+        # the WHOLE classification is ONE Spark job: every clause's
+        # flag and the merged row values evaluate in a single select
+        # over the (source x matched-rows) join, collected once — the
+        # result is source-sized by contract.  The r9 shape paid a
+        # separate job per clause (delete-key collect, update count,
+        # insert count), each re-running the point-lookup join.
         del_cond = F.lit(False)
         if when_matched_delete is not None:
             # coalesce(NULL, false): a NULL-evaluating delete
@@ -2888,34 +2889,23 @@ def merge_into_published(
                 else F.expr(str(when_matched_delete)),
                 F.lit(False),
             )
-            delete_keys = sorted(
-                (r[0] for r in joined.filter(del_cond)
-                 .select(f"s.{key_col}").collect()),
-                key=str,
-            )
-
-        parts = []
-        rows_updated = 0
+        sel = [
+            F.expr(f"s.{key_col}").alias("_key"),
+            del_cond.alias("_del"),
+            F.lit(False).alias("_upd"),
+            F.lit(False).alias("_ins"),
+        ]
         if when_matched_update is not None:
-            upd_rows = joined.filter(
+            sel[2] = (
                 matched & ~del_cond
                 & (F.expr(matched_condition)
                    if matched_condition else F.lit(True))
-            )
-            updates = _values(
-                upd_rows, content_cols, when_matched_update,
+            ).alias("_upd")
+            sel.append(_value_struct(
+                content_cols, when_matched_update,
                 lambda c: F.expr(f"t.{c}"), F.expr("t.split"),
-            )
-            rows_updated = updates.count()
-            if rows_updated:
-                parts.append(updates)
-        rows_inserted = 0
+            ).alias("_u"))
         if when_not_matched_insert is not None:
-            ins_rows = joined.filter(
-                ~matched
-                & (F.expr(not_matched_condition)
-                   if not_matched_condition else F.lit(True))
-            )
             if when_not_matched_insert == "*":
                 if "split" not in source.columns:
                     raise ValueError(
@@ -2939,15 +2929,26 @@ def merge_into_published(
                         f"when_not_matched_insert must map every "
                         f"published column; missing {missing}"
                     )
-            inserts = _values(
-                ins_rows, content_cols, ins_map,
+            sel[3] = (
+                ~matched
+                & (F.expr(not_matched_condition)
+                   if not_matched_condition else F.lit(True))
+            ).alias("_ins")
+            sel.append(_value_struct(
+                content_cols, ins_map,
                 lambda c: F.lit(None), split_expr,
-            )
-            rows_inserted = inserts.count()
-            if rows_inserted:
-                parts.append(inserts)
+            ).alias("_i"))
+        cls_df = joined.select(*sel).filter("_del OR _upd OR _ins")
+        cls_rows = cls_df.collect()
+        delete_keys = sorted(
+            (r["_key"] for r in cls_rows if r["_del"]), key=str
+        )
+        upd_structs = [r["_u"] for r in cls_rows if r["_upd"]]
+        ins_structs = [r["_i"] for r in cls_rows if r["_ins"]]
+        rows_updated = len(upd_structs)
+        rows_inserted = len(ins_structs)
 
-        if not delete_keys and not parts:
+        if not delete_keys and not upd_structs and not ins_structs:
             return {
                 "_version": main_v,
                 "rows_updated": 0,
@@ -2956,28 +2957,45 @@ def merge_into_published(
                 "noop": True,
             }
 
+        # the delta is LOCAL rows (source-sized): building it as
+        # createDataFrame severs the lineage back through the
+        # point-lookup join, so the apply's own actions don't re-run
+        # the classification scan
+        parts = []
+        if upd_structs:
+            parts.append(_local_df(
+                spark, upd_structs, cls_df.schema["_u"].dataType
+            ))
+        if ins_structs:
+            parts.append(_local_df(
+                spark, ins_structs, cls_df.schema["_i"].dataType
+            ))
+        if parts:
+            delta = parts[0]
+            for p in parts[1:]:
+                delta = delta.unionByName(p)
+        else:
+            # delete-only merge: the combined apply still wants a
+            # schema-true (empty) delta for its column validation
+            ddl = ", ".join(
+                f"`{n}` {t}" for n, t in (doc.get("schema") or [])
+            ) + ", `split` string"
+            delta = spark.createDataFrame([], ddl)
+
         tmp = f"mergetmp-{_uuid.uuid4().hex[:8]}"
         try:
             cut_v = create_published_branch(spark, path, tmp)
             if cut_v != main_v:
                 raise _MergeRace(f"main moved to v{cut_v}")
-            for i in range(0, len(delete_keys), DELETE_CHUNK):
-                vals = ", ".join(
-                    _sql_key_literal(k, esc)
-                    for k in delete_keys[i:i + DELETE_CHUNK]
-                )
-                retract_from_published(
-                    spark, path, f"{key_col} IN ({vals})",
-                    branch=tmp, commit_mode=commit_mode,
-                )
-            if parts:
-                delta = parts[0]
-                for p in parts[1:]:
-                    delta = delta.unionByName(p)
-                upsert_into_published(
-                    spark, path, delta, key_col=key_col,
-                    branch=tmp, commit_mode=commit_mode,
-                )
+            # ONE combined transaction on the branch: deletes,
+            # updates, and inserts land as a single commit (one hits
+            # scan, one write job) instead of chunked retracts plus a
+            # separate upsert
+            upsert_into_published(
+                spark, path, delta, key_col=key_col,
+                branch=tmp, commit_mode=commit_mode,
+                delete_keys=delete_keys,
+            )
             tmp_head_v, tmp_head = txlog.read_latest(
                 spark, _log_dir(path, tmp)
             )
@@ -3931,6 +3949,30 @@ def _read_dv(spark, path: str, doc: dict):
     if not dv or not dv.get("data"):
         return None
     return spark.read.parquet(*[f"{path}/{rel}" for rel in dv["data"]])
+
+
+def _local_df(spark, rows, schema):
+    """Driver rows → DataFrame via the Arrow LOCAL path, one
+    partition.  The default ``createDataFrame(list)`` parallelizes
+    into ``defaultParallelism`` pickled Python partitions whose
+    workers re-launch on EVERY downstream job (measured 0.39 s/job
+    for a 40-row frame — and 4.7 s/job after a ``coalesce(1)``, which
+    makes ONE task pay all 32 worker round-trips sequentially); the
+    pandas/Arrow conversion lands as a pure-JVM local table
+    (0.03 s/job) and ``coalesce(1)`` on it is free.  Falls back to
+    the pickle path when Arrow refuses the types — slower, never
+    wrong.  For the DRIVER-SIZED frames the DML verbs build (key
+    probes, merge deltas); not for data-sized input."""
+    try:
+        import pandas as pd
+
+        cols = [f.name for f in schema.fields]
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=cols, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
 
 
 def _read_split_mor(
@@ -5197,6 +5239,7 @@ def upsert_into_published(
     txn_id: str | None = None,
     branch: str | None = None,
     _intent: str | None = None,
+    delete_keys: list | None = None,
 ) -> dict:
     """MERGE a delta into a committed parquet publish as a NEW
     committed version — UPDATE rows whose key is already published
@@ -5221,6 +5264,13 @@ def upsert_into_published(
     rewrite; kept files are referenced, zero bytes copied.  Rewritten
     shards re-sort by the publish's deterministic ``_order`` hash, so
     trainers' per-shard reading order survives the merge.
+
+    ``delete_keys`` folds a key-addressed DELETE into the SAME
+    transaction (the MERGE INTO apply): the delete keys join the
+    candidate selection and the single hits scan, affected files
+    rewrite once with deleted rows dropped and updated rows replaced
+    — retract+upsert as ONE commit, one scan pass, one write job.  A
+    key may be updated or deleted, never both (refused).
 
     Crash before the manifest commit leaves the current version
     untouched (``_fail_after="data"``).  MULTI-WRITER SAFE via the
@@ -5306,35 +5356,66 @@ def upsert_into_published(
                 cons, "the upsert delta",
             )
 
-        # the delta is the small side by contract: broadcast it everywhere
-        dup = (
-            updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-            .filter("n > 1").limit(1).collect()
-        )
-        if dup:
-            raise ValueError(
-                f"updates carry duplicate key {dup[0][key_col]!r} — an "
-                "upsert must be keyed uniquely (collapse the delta first)"
-            )
         upd = assign_shards(updates, key_col, ns, seed=sd).drop("_order")
         # ONE collect of (key, shard) serves the shard set, the stats
-        # bisect, AND a lineage-free local probe frame: the hits scan
+        # bisect, the DUPLICATE-KEY check (local — no extra Spark
+        # job), AND a lineage-free local probe frame: the hits scan
         # groups by input_file_name(), which Spark rejects when any
         # OTHER file source appears in the same plan — a delta derived
         # from parquet (a corrections table, a change feed) would
         # poison it, so the broadcast probe must carry no file lineage.
         # Driver-side keys are fine: the delta is the small side by
-        # contract (the dup check below already collects from it).
+        # contract.
+        key_schema = upd.select(key_col, "shard").schema
         key_rows = upd.select(key_col, "shard").collect()
-        upd_keys = spark.createDataFrame(
-            key_rows, upd.select(key_col, "shard").schema
-        )
-        keys_all = sorted(r[key_col] for r in key_rows)
+        seen_keys = set()
+        for r in key_rows:
+            if r[key_col] in seen_keys:
+                raise ValueError(
+                    f"updates carry duplicate key {r[key_col]!r} — an "
+                    "upsert must be keyed uniquely (collapse the delta "
+                    "first)"
+                )
+            seen_keys.add(r[key_col])
+        # driver-sized frames coalesce to ONE partition: the default
+        # parallelize() slices a 40-row probe into 32 mostly-empty
+        # partitions, and every union/join over them drags the empty
+        # tasks into the write stage (measured: a 275-task write input
+        # for a 40-row merge source)
+        upd_keys = _local_df(spark, key_rows, key_schema)
+        # folded DELETEs (the MERGE INTO apply): the delete keys join
+        # the same candidate selection / scan / rewrite pass, so a
+        # retract+upsert lands as ONE commit with one hits scan and
+        # one write job instead of two full DML verbs
+        dels = list(delete_keys or [])
+        del_set = set(dels)
+        if len(dels) != len(del_set):
+            raise ValueError("delete_keys carries duplicates")
+        overlap = del_set & seen_keys
+        if overlap:
+            raise ValueError(
+                f"keys {sorted(overlap, key=str)[:5]} appear in BOTH "
+                "the delta and delete_keys — a key is updated or "
+                "deleted, never both"
+            )
+        del_rows = []
+        if dels:
+            dk_df = _local_df(
+                spark, [(k,) for k in dels],
+                updates.select(key_col).schema,
+            )
+            del_rows = (
+                assign_shards(dk_df, key_col, ns, seed=sd)
+                .select(key_col, "shard").collect()
+            )
+        probe_rows = key_rows + del_rows
+        probe_keys = _local_df(spark, probe_rows, key_schema)
+        keys_all = sorted(r[key_col] for r in probe_rows)
         bounds = (
             {"lo": keys_all[0], "hi": keys_all[-1]}
             if keys_all else {"lo": None, "hi": None}
         )
-        touched_shards = {r["shard"] for r in key_rows}
+        touched_shards = {r["shard"] for r in probe_rows}
         # manifest-only candidate pruning: with per-file key stats in
         # the manifest, a sorted delta-key probe against each file's
         # recorded [lo, hi] decides candidacy WITHOUT opening the file
@@ -5344,7 +5425,7 @@ def upsert_into_published(
         if file_stats:
             import bisect
 
-            for r in key_rows:
+            for r in probe_rows:
                 keys_by_shard.setdefault(r["shard"], []).append(r[key_col])
             for ks in keys_by_shard.values():
                 ks.sort()
@@ -5377,15 +5458,24 @@ def upsert_into_published(
         new_stats: dict[str, dict] = {}
         new_dv_files: dict[str, dict] = {}
         fresh_by_split: dict[str, list[str]] = {}
-        rows_updated = 0
         files_rewritten = 0
         files_kept = 0
-        matched_keys_frames = []
-        rewrites: dict[str, DataFrame] = {}
+        # ONE hits job across every split: each split's candidate MOR
+        # scan contributes (split, file, key) rows for probe-key
+        # matches; the union collects once (bounded by the probe size
+        # — the delta is the small side by contract), and every
+        # downstream decision (affected files, matched update keys,
+        # found delete keys, per-split delete counts, the insert key
+        # set) is derived LOCALLY.  The r9 shape paid one Spark job
+        # per split for the hits, one for the global insert count,
+        # one per split for insert counts — each ~0.5-0.9 s of job
+        # overhead on a source of 40 rows.
+        split_candidates: dict[str, list[str]] = {}
+        hit_frames = []
         for s, files in sorted(split_files.items()):
-            # directory-name pruning: only files in shards the delta
+            # directory-name pruning: only files in shards the probe
             # hashes into can hold a matched key; file-stats pruning
-            # then drops candidates whose key range holds no delta key
+            # then drops candidates whose key range holds no probe key
             candidates = [
                 rel for rel in files if _shard_of(rel) in touched_shards
             ]
@@ -5396,8 +5486,7 @@ def upsert_into_published(
                 ]
             if _scan_observer is not None:
                 _scan_observer(s, list(candidates))
-            affected_rel: set[str] = set()
-            matched_s = 0
+            split_candidates[s] = candidates
             if candidates:
                 # merge-on-read scan: rows a deletion vector already
                 # removed must not count as matches (their key would be
@@ -5407,25 +5496,53 @@ def upsert_into_published(
                 cand_df = _read_split_mor(
                     spark, path, s, candidates, doc, keep_pos=True
                 )
-                hits = (
+                hit_frames.append(
                     cand_df.filter(
                         F.col(key_col).between(bounds["lo"], bounds["hi"])
                     )
                     .join(
-                        F.broadcast(upd_keys.select(key_col)),
+                        F.broadcast(probe_keys.select(key_col)),
                         key_col, "left_semi",
                     )
-                    .groupBy(F.col("__file").alias("f"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
+                    .select(
+                        F.lit(s).alias("_split"),
+                        F.col("__file").alias("_file"),
+                        F.col(key_col).alias("_key"),
+                    )
                 )
-                affected_rel = {r["f"] for r in hits}
-                matched_s = sum(r["n"] for r in hits)
-            rows_updated += matched_s
+        hit_rows = []
+        if hit_frames:
+            hits_df = hit_frames[0]
+            for h in hit_frames[1:]:
+                hits_df = hits_df.unionByName(h)
+            hit_rows = hits_df.collect()
+
+        affected_by_split: dict[str, set] = {}
+        matched_upd_by_split: dict[str, set] = {}
+        deleted_by_split: dict[str, int] = {}
+        matched_upd_all: set = set()
+        rows_updated = 0
+        rows_deleted = 0
+        for r in hit_rows:
+            s, rel, k = r["_split"], r["_file"], r["_key"]
+            affected_by_split.setdefault(s, set()).add(rel)
+            if k in del_set:
+                deleted_by_split[s] = deleted_by_split.get(s, 0) + 1
+                rows_deleted += 1
+            else:
+                matched_upd_by_split.setdefault(s, set()).add(k)
+                matched_upd_all.add(k)
+                rows_updated += 1
+
+        rewrites: dict[str, DataFrame] = {}
+        for s, files in sorted(split_files.items()):
+            affected_rel = affected_by_split.get(s, set())
             kept = [rel for rel in files if rel not in affected_rel]
             files_kept += len(kept)
             new_files[s] = sorted(kept)
-            new_counts[s] = doc["splits"].get(s, 0)
+            new_counts[s] = (
+                doc["splits"].get(s, 0) - deleted_by_split.get(s, 0)
+            )
             new_stats[s] = {
                 rel: file_stats[s][rel]
                 for rel in kept
@@ -5446,47 +5563,61 @@ def upsert_into_published(
                 aff = _read_split_mor(
                     spark, path, s, sorted(affected_rel), doc,
                 )
+                # drop BOTH updated and deleted rows, re-add the
+                # updated ones from the delta (deletes simply vanish)
                 kept_rows = aff.join(
-                    F.broadcast(upd_keys.select(key_col)), key_col,
+                    F.broadcast(probe_keys.select(key_col)), key_col,
                     "left_anti",
                 )
-                matched = aff.select(key_col).join(
-                    F.broadcast(upd_keys.select(key_col)), key_col,
-                    "left_semi",
-                )
-                matched_keys_frames.append(matched)
-                updated_rows = upd.drop("split").join(
-                    matched, key_col, "left_semi"
-                )
-                rewrites[s] = kept_rows.unionByName(
-                    updated_rows.select(*kept_rows.columns)
-                )
+                upd_s = matched_upd_by_split.get(s, set())
+                if upd_s:
+                    matched = _local_df(
+                        spark, [(k,) for k in sorted(upd_s, key=str)],
+                        updates.select(key_col).schema,
+                    )
+                    updated_rows = upd.drop("split").join(
+                        F.broadcast(matched), key_col, "left_semi"
+                    )
+                    rewrites[s] = kept_rows.unionByName(
+                        updated_rows.select(*kept_rows.columns)
+                    )
+                else:
+                    rewrites[s] = kept_rows
 
-        # inserts: delta keys not published anywhere
-        if matched_keys_frames:
-            all_matched = matched_keys_frames[0]
-            for m in matched_keys_frames[1:]:
-                all_matched = all_matched.unionByName(m)
-            inserts = upd.join(all_matched, key_col, "left_anti")
+        # inserts: delta keys not published anywhere — derived locally
+        # from the collected hits, no Spark job
+        insert_keys = seen_keys - matched_upd_all
+        rows_inserted = len(insert_keys)
+        if insert_keys and len(insert_keys) < len(seen_keys):
+            ins_probe = _local_df(
+                spark, [(k,) for k in sorted(insert_keys, key=str)],
+                updates.select(key_col).schema,
+            )
+            inserts = upd.join(F.broadcast(ins_probe), key_col, "left_semi")
         else:
             inserts = upd
-        rows_inserted = inserts.count()
         if rows_inserted and "split" not in updates.columns:
             raise ValueError(
                 f"{rows_inserted} delta rows have unpublished keys; inserts "
                 "need a 'split' column naming their destination split"
             )
+        insert_counts: dict = {}
         if rows_inserted:
-            # a delta row intended as an UPDATE (split=NULL) whose key
-            # is not published is an INSERT with no destination — e.g.
-            # the key was retracted, or never existed.  Fail with the
-            # keys, not a downstream sort crash.
-            nullsplit = (
-                inserts.filter(F.col("split").isNull())
-                .select(key_col).limit(5).collect()
-            )
-            if nullsplit:
-                ks = [r[key_col] for r in nullsplit]
+            # ONE job: per-split insert counts (feeds new_counts AND
+            # the NULL-split refusal below — a delta row intended as
+            # an UPDATE whose key is not published is an INSERT with
+            # no destination, e.g. the key was retracted)
+            insert_counts = {
+                r["split"]: r["_n"]
+                for r in inserts.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("_n")).collect()
+            }
+            if None in insert_counts:
+                ks = [
+                    r[key_col]
+                    for r in inserts.filter(F.col("split").isNull())
+                    .select(key_col).limit(5).collect()
+                ]
                 raise ValueError(
                     f"delta keys {ks} are not published (retracted, or "
                     "never existed) and carry a NULL 'split' — an insert "
@@ -5494,7 +5625,7 @@ def upsert_into_published(
                     "'split' for these rows"
                 )
 
-        if rows_updated == 0 and rows_inserted == 0:
+        if rows_updated == 0 and rows_inserted == 0 and rows_deleted == 0:
             fs.delete(jroot, True)
             if txn_id is not None:
                 # record the no-op txn (see the retract twin's note)
@@ -5506,6 +5637,7 @@ def upsert_into_published(
                 return payload, {
                     "rows_updated": 0,
                     "rows_inserted": 0,
+                    "rows_deleted": 0,
                     "files_rewritten": 0,
                     "files_kept": files_kept,
                     "splits": dict(doc["splits"]),
@@ -5514,43 +5646,59 @@ def upsert_into_published(
                 "_version": version,
                 "rows_updated": 0,
                 "rows_inserted": 0,
+                "rows_deleted": 0,
                 "files_rewritten": 0,
                 "files_kept": files_kept,
                 "splits": dict(doc["splits"]),
             }
 
-        insert_splits = (
-            {r["split"] for r in inserts.select("split").distinct().collect()}
-            if rows_inserted
-            else set()
-        )
+        # ONE write job across every touched split: each per-split
+        # frame gains its split as a literal column and the writer
+        # partitions by (split, shard) — identical directory layout
+        # and per-file row order to the old one-job-per-split loop
+        # (rows of one (split, shard) land in one task, sorted by the
+        # publish's deterministic _order hash), at a fraction of the
+        # job-scheduling overhead
+        insert_splits = set(insert_counts)
+        out_frames = []
         for s in sorted(set(rewrites) | insert_splits):
             out_df = rewrites.get(s)
             if s in insert_splits:
                 ins_s = inserts.filter(F.col("split") == s).drop("split")
-                new_counts[s] = new_counts.get(s, 0) + ins_s.count()
+                new_counts[s] = new_counts.get(s, 0) + insert_counts[s]
                 out_df = ins_s if out_df is None else out_df.unionByName(
                     ins_s.select(*out_df.columns)
                 )
+            out_frames.append(out_df.withColumn("split", F.lit(s)))
+        if out_frames:
+            combined = out_frames[0]
+            for f in out_frames[1:]:
+                combined = combined.unionByName(f)
             # deterministic per-shard training order, as at publish time
-            ordered = out_df.withColumn(
+            ordered = combined.withColumn(
                 "_order", F.xxhash64(F.lit(sd + 1), F.col(key_col))
             )
-            out_dir = f"{data_root}/split={s}"
             (
                 ordered.repartition(ns, F.col("shard"))
-                .sortWithinPartitions("shard", "_order", key_col)
+                .sortWithinPartitions("split", "shard", "_order", key_col)
                 .drop("_order")
                 .write.mode("error")
-                .partitionBy("shard")
-                .parquet(out_dir)
+                .partitionBy("split", "shard")
+                .parquet(data_root)
             )
-            added = [
-                _rel_path(p, path)
-                for p in _list_data_files(spark, out_dir)
-            ]
-            new_files[s] = sorted(new_files.get(s, []) + added)
-            if added:
+            added_by_split: dict[str, list[str]] = {}
+            for p in _list_data_files(spark, data_root):
+                rel = _rel_path(p, path)
+                s_val = None
+                for part in rel.split("/"):
+                    if part.startswith("split="):
+                        from urllib.parse import unquote as _unquote
+
+                        s_val = _unquote(part.split("=", 1)[1])
+                        break
+                added_by_split.setdefault(s_val, []).append(rel)
+            for s, added in sorted(added_by_split.items()):
+                new_files[s] = sorted(new_files.get(s, []) + added)
                 new_stats.setdefault(s, {}).update(
                     _collect_file_stats(spark, path, s, sorted(added), key_col)
                 )
@@ -5580,6 +5728,7 @@ def upsert_into_published(
             "upsert": {
                 "rows_updated": rows_updated,
                 "rows_inserted": rows_inserted,
+                "rows_deleted": rows_deleted,
                 "files_rewritten": files_rewritten,
                 "files_kept": files_kept,
                 "from_version": version,
@@ -5604,6 +5753,7 @@ def upsert_into_published(
         return payload, {
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
+            "rows_deleted": rows_deleted,
             "files_rewritten": files_rewritten,
             "files_kept": files_kept,
             "splits": new_counts,
