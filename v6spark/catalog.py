@@ -300,6 +300,46 @@ def refresh_pubcorpus_table(spark, name: str) -> int:
     return v
 
 
+def stale_pubcorpus_tables(spark) -> dict[str, dict]:
+    """``{name: {"served": v, "latest": v'}}`` for FOLLOW-LATEST
+    tables whose served snapshot is behind the commit log — the
+    CROSS-PROCESS staleness probe.  Same-process commits auto-refresh
+    views through the commit observer, but a commit made by another
+    process touches only the log on disk, so this session's
+    baked-version views keep serving their snapshot (by design: a
+    view never moves mid-query).  Wire this before cross-process
+    reads::
+
+        for name in stale_pubcorpus_tables(spark):
+            refresh_pubcorpus_table(spark, name)
+
+    Cost: one ``read_latest`` per DISTINCT log dir (newest-manifest
+    filename + one manifest read — KB-scale, no data touched), cached
+    across tables sharing a log.  Pinned tables (version= / tag=) are
+    never stale by definition and are skipped."""
+    app = _app_id(spark)
+    with _LOCK:
+        items = {
+            name: dict(t)
+            for name, t in _REGISTRY.get(app, {}).items()
+            if not t["pinned"]
+        }
+    out: dict[str, dict] = {}
+    latest_by_log: dict[str, int] = {}
+    for name, t in sorted(items.items()):
+        log = _log_dir(t["root"], t.get("branch"))
+        key = _norm_dir(log)
+        if key not in latest_by_log:
+            v, doc = _read_latest(log)
+            if doc is None:
+                continue  # log vacuumed/unreadable: nothing to report
+            latest_by_log[key] = v
+        served = t.get("_served_version")
+        if served is None or latest_by_log[key] > served:
+            out[name] = {"served": served, "latest": latest_by_log[key]}
+    return out
+
+
 def drop_pubcorpus_table(
     spark, name: str, *, catalog_path: str | None = None
 ) -> None:

@@ -33,21 +33,67 @@ def dround(col: Column | str, scale: int = 6) -> Column:
     return F.round(c, scale)
 
 
+def _safe_double(col: Column) -> Column:
+    """NaN/±Inf → NULL, as the old DECIMAL(18,6) cast did implicitly
+    (so they're skipped by the sums on BOTH engines — DuckDB would
+    otherwise refuse CAST(floor(NaN) AS BIGINT))."""
+    c = col.cast("double")
+    return F.when(~(F.isnan(c) | (F.abs(c) == float("inf"))), c)
+
+
+def fsplit_parts(col: Column) -> tuple[Column, Column]:
+    """Per-row (hi, frac) floor-split of a double (see the long-split
+    block below) — plain IEEE ops, NaN/Inf → NULL.  Sum both as longs
+    (plain agg or window frame) and recombine with
+    :func:`fsplit_rejoin`."""
+    c = _safe_double(col)
+    hi = F.floor(c)
+    frac = F.floor(
+        (c - hi.cast("double")) * F.lit(float(_SPLIT_SCALE)) + F.lit(0.5)
+    )
+    return hi, frac
+
+
+def fsplit_rejoin(hi_sum: Column, frac_sum: Column) -> Column:
+    """Recombine summed floor-split parts as DOUBLE via the
+    engine-agnostic double recipe (same as :func:`split_sum_rejoin`)."""
+    return (
+        hi_sum.cast("double")
+        + frac_sum.cast("double") / F.lit(float(_SPLIT_SCALE))
+    )
+
+
+def _fsplit_sum(col: Column) -> Column:
+    """The floor-split exact sum as one aggregate expression: hi/frac
+    long sums recombined with the engine-agnostic double recipe.
+    Usable inline inside ``.agg()`` — no pre-projection needed, the
+    per-row ops are plain IEEE doubles."""
+    hi, frac = fsplit_parts(col)
+    return fsplit_rejoin(F.sum(hi), F.sum(frac))
+
+
 def dsum(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent sum of a double column, emitted as DOUBLE."""
+    """Order-independent sum of a double column, emitted as DOUBLE.
+
+    r10: the floor-split protocol (pure IEEE per-row ops summed as
+    longs) replaced the per-row DECIMAL(18,6) cast — same
+    associativity/order-independence, no BigDecimal allocation per
+    row (the decimal cast was measured at ~2x the whole wall of
+    scan-bound aggregate queries).  o_dsum emits the identical IEEE
+    sequence for DuckDB, so agreement holds by construction."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double"), scale)
+    return F.round(_fsplit_sum(c), scale)
 
 
 def davg(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent mean: exact decimal sum / exact int64 count.
+    """Order-independent mean: floor-split exact sum / int64 count.
 
     The division is one IEEE double op — identical in both engines.
-    """
+    The count matches the oracle's ``count(expr)`` (non-null rows,
+    NaN included), while NaN/Inf drop out of the SUM exactly as the
+    old decimal cast dropped them."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c).cast("double"), scale
-    )
+    return F.round(_fsplit_sum(c) / F.count(c).cast("double"), scale)
 
 
 # --- long-split exact sums: the FAST order-independent sum -------- #
@@ -90,8 +136,9 @@ def split_cols(col: Column, tag: str) -> list[Column]:
     :func:`split_sum_exprs` (any number of partial/final stages);
     evaluating the split inside the aggregate expressions instead
     would recompute it once per aggregate function per row."""
-    hi = F.floor(col)  # LongType for double input
-    f = col - hi.cast("double")  # exact IEEE subtraction
+    c = _safe_double(col)
+    hi = F.floor(c)  # LongType for double input
+    f = c - hi.cast("double")  # exact IEEE subtraction
     frac = F.floor(f * F.lit(float(_SPLIT_SCALE)) + F.lit(0.5))
     return [hi.alias(f"_h{tag}"), frac.alias(f"_f{tag}")]
 
@@ -104,15 +151,7 @@ def o_split_sum(expr: str) -> str:
     one addition — all deterministic IEEE ops in both engines; a
     decimal recombine would NOT be engine-agnostic because DuckDB's
     decimal division returns DOUBLE)."""
-    h = f"CAST(floor({expr}) AS BIGINT)"
-    f_ = (
-        f"CAST(floor((({expr}) - floor({expr})) * 1000000.0 + 0.5)"
-        " AS BIGINT)"
-    )
-    return (
-        f"(CAST(sum({h}) AS DOUBLE)"
-        f" + CAST(sum({f_}) AS DOUBLE) / 1000000.0)"
-    )
+    return _o_fsplit_sum(expr)
 
 
 def split_sum_exprs(tag: str) -> list[Column]:
@@ -143,12 +182,40 @@ def o_dround(expr: str, scale: int = 6) -> str:
     return f"round({expr}, {scale})"
 
 
+def _o_safe(expr: str) -> str:
+    x = f"CAST(({expr}) AS DOUBLE)"
+    return (
+        f"CASE WHEN isnan({x}) OR isinf({x}) THEN NULL ELSE {x} END"
+    )
+
+
+def o_fsplit_parts(expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`fsplit_parts`: per-row (hi, frac) SQL."""
+    x = f"({_o_safe(expr)})"
+    h = f"CAST(floor({x}) AS BIGINT)"
+    f_ = (
+        f"CAST(floor(({x} - floor({x})) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    return h, f_
+
+
+def _o_fsplit_sum(expr: str) -> str:
+    """DuckDB twin of :func:`_fsplit_sum` — the identical IEEE
+    sequence per row, exact integer sums, double-recipe recombine."""
+    h, f_ = o_fsplit_parts(expr)
+    return (
+        f"(CAST(sum({h}) AS DOUBLE)"
+        f" + CAST(sum({f_}) AS DOUBLE) / 1000000.0)"
+    )
+
+
 def o_dsum(expr: str, scale: int = 6) -> str:
-    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE), {scale})"
+    return f"round({_o_fsplit_sum(expr)}, {scale})"
 
 
 def o_davg(expr: str, scale: int = 6) -> str:
     return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f"round({_o_fsplit_sum(expr)}"
         f" / CAST(count({expr}) AS DOUBLE), {scale})"
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic affine-permutation parameters for the MinHash family:
@@ -217,12 +217,20 @@ def _guard_buckets(
 ) -> DataFrame:
     """Drop rows in buckets larger than the guard (see
     minhash_lsh_candidates docstring for why oversized buckets are
-    routed away rather than joined)."""
+    routed away rather than joined).
+
+    The count is a WINDOW over the bucket keys, not an
+    aggregate+self-join: both sides of that join are data-sized, so
+    Spark broadcasts it at toy scale and silently degrades to a
+    sort-merge join once the corpus grows (caught by the 100x plan-
+    identity stress) — the window form is one shuffle at every scale,
+    and the downstream candidate self-join needs the same bucket
+    partitioning anyway."""
     if max_bucket_size is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    w = Window.partitionBy(*[F.col(k) for k in keys])
     return (
-        banded.join(sizes, keys)
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )

@@ -262,6 +262,13 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per build (~550 ms of wall per bench iteration); a single SQL
     parse is one round trip for the identical logical plan.
     """
+    # NaN/Inf -> NULL mirrors o_split_sum's guard (DuckDB would
+    # refuse CAST(floor(NaN) AS BIGINT); Spark would produce a
+    # garbage long) — for finite doubles the CASE is the identity
+    safe = (
+        "(CASE WHEN isnan({v}) OR abs({v}) = CAST('Infinity' AS DOUBLE)"
+        " THEN NULL ELSE {v} END)"
+    )
     split = (
         "FLOOR({v}) AS h{t}, "
         "FLOOR(({v} - CAST(FLOOR({v}) AS DOUBLE)) * 1000000.0 + 0.5)"
@@ -280,7 +287,7 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - FLOOR(1.0 + CAST(c_all - 1 AS DOUBLE) * {q})) AS p{t}_fr"
     )
     splits = ", ".join(
-        split.format(v=v, t=t)
+        split.format(v=safe.format(v=f"({v})"), t=t)
         for v, t in (
             ("l_quantity", "x"),
             ("l_extendedprice", "y"),

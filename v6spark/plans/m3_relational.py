@@ -14,10 +14,17 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from v6spark.functions.determinism import davg, dsum, o_davg, o_dsum
+from v6spark.functions.determinism import (
+    davg,
+    dsum,
+    fsplit_parts,
+    fsplit_rejoin,
+    o_davg,
+    o_dsum,
+    o_fsplit_parts,
+)
 from v6spark.operators.asof import asof_join_latest
 from v6spark.operators.filters import label_disjoint_ranges
-from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
 from v6spark.sources.tables import load_table
 
@@ -88,14 +95,25 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins; nation and region are hinted explicitly — tiny at
     any scale factor, they must never shuffle the fact side.
     """
+    from v6spark.functions.determinism import (
+        split_cols,
+        split_sum_exprs,
+        split_sum_rejoin,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(_revenue().cast("decimal(18,6)")).alias("_rev"),
+    # revenue rides the joins as the floor-split long pair: partial
+    # long sums per order, long re-sums per region, one exact rejoin
+    # (associative — bit-identical to o_dsum's single-stage twin) and
+    # NO per-row BigDecimal on the fact scan
+    per_order = (
+        li.select("l_orderkey", *split_cols(_revenue(), "r"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"), *split_sum_exprs("r"))
     )
     return (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -105,7 +123,12 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.sum("_n").alias("n"),
-            F.round(F.sum("_rev").cast("double"), 6).alias("revenue"),
+            *split_sum_exprs("r"),
+        )
+        .select(
+            "r_name",
+            "n",
+            F.round(split_sum_rejoin("r"), 6).alias("revenue"),
         )
         .orderBy("r_name")
     )
@@ -416,38 +439,43 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WR_H, _WR_F = o_fsplit_parts("value")
+
+
 @register(
     "q_window_running",
     TIER,
     """
     SELECT user_id, event_id,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE), 6) AS running_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
-                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                      AS DOUBLE)
-                 / CAST(count(*)
-                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                        AS DOUBLE), 6) AS moving_avg
+           round(CAST(sum({h}) OVER w_run AS DOUBLE)
+                 + CAST(sum({f}) OVER w_run AS DOUBLE) / 1000000.0,
+                 6) AS running_value,
+           round((CAST(sum({h}) OVER w_rng AS DOUBLE)
+                  + CAST(sum({f}) OVER w_rng AS DOUBLE) / 1000000.0)
+                 / CAST(count(*) OVER w_rng AS DOUBLE), 6) AS moving_avg
     FROM events
+    WINDOW
+      w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_rng AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id
-    """,
+    """.format(h=_WR_H, f=_WR_F),
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame windows: running sum (ROWS unbounded-preceding) and a
     1-hour trailing mean (RANGE value frame) in one query.
 
-    Decimal accumulators keep the sums exact and independent of each
-    engine's frame-evaluation strategy (DuckDB uses segment trees,
-    Spark a running accumulator).  The moving average's frame is a
-    VALUE range over exact epoch microseconds — rows with sparse
-    timestamps see only their true trailing hour — with explicit
-    sum/count so the mean is bit-identical across engines.  Both
-    windows share the user_id partitioning: one shuffle, two sorts.
+    Floor-split long accumulators (functions/determinism.py) keep the
+    sums exact and independent of each engine's frame-evaluation
+    strategy (DuckDB uses segment trees, Spark a running accumulator;
+    long addition/removal is exact either way) — with zero per-row
+    BigDecimal, unlike the r9 decimal accumulators.  The moving
+    average's frame is a VALUE range over exact epoch microseconds —
+    rows with sparse timestamps see only their true trailing hour —
+    with explicit sum/count so the mean is bit-identical across
+    engines.  Both windows share the user_id partitioning: one
+    shuffle, two sorts.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -460,8 +488,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
+    hi, fr = fsplit_parts(F.col("value"))
     moving = F.round(
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w_range).cast("double")
+        fsplit_rejoin(F.sum(hi).over(w_range), F.sum(fr).over(w_range))
         / F.count(F.lit(1)).over(w_range).cast("double"),
         6,
     )
@@ -469,7 +498,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+            fsplit_rejoin(F.sum(hi).over(w), F.sum(fr).over(w)), 6
         ).alias("running_value"),
         moving.alias("moving_avg"),
     ).orderBy("user_id", "event_id")
@@ -702,14 +731,17 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar functions: sqrt/ln/abs under aggregation.
 
-    sqrt and abs are IEEE-exact so they go through the decimal-exact
+    sqrt and abs are IEEE-exact so they go through the order-exact
     mean; ln is only faithfully rounded (engine libms may differ in the
     last ULP) so it uses a plain double mean where per-row ULP noise
     averages out far below the 1e-6 rounding grain.
+
+    No spread/repartition: the r9 version pre-shuffled the scan to
+    parallelize per-row BigDecimal casts; the r10 floor-split davg is
+    plain IEEE doubles, cheaper than the shuffle it needed (measured
+    1.40 s -> 0.47 s warm at sf0.1 with the spread dropped).
     """
-    # the sf corpus lineitem arrives as ~3 splits: spread before the
-    # decimal-heavy partial agg so it parallelizes (no-op at real scale)
-    li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
