@@ -59,6 +59,25 @@ OUT = os.path.join(
 # legally differ between scales.  Anything not listed here that
 # diffs fails all_plans_identical.
 EXPLAINED_DIFFS = {
+    "q_join_multi": (
+        "the pre-aggregated-fact x orders join flips from broadcast "
+        "to sort-merge once orders outgrows autoBroadcastJoinThreshold "
+        "— orders is a FACT that scales with the corpus, and the "
+        "query's own docstring designs for exactly this ('at 100 TB, "
+        "where orders no longer broadcasts and that join becomes a "
+        "shuffle, the fact side is pre-reduced 4x first'); the "
+        "dimension chain customer -> nation -> region stays broadcast "
+        "(nation/region are hinted and must never flip)."
+    ),
+    "q_similarity_ann": (
+        "the within-cell candidate self-join (bucketed embeddings on "
+        "both sides) flips from broadcast-hash to sort-merge once the "
+        "embedding table outgrows autoBroadcastJoinThreshold — both "
+        "sides are corpus-sized, so sort-merge is the correct "
+        "cluster-scale strategy (the wall growth is a separate, "
+        "parameter-pinning effect: see ratio_note and the "
+        "scale100_ann_scaled_params section)."
+    ),
     "q_dedup_minhash": (
         "the candidate-pair enrichment joins (pairs x signatures) "
         "flip from broadcast-hash to sort-merge once documents "
@@ -67,6 +86,23 @@ EXPLAINED_DIFFS = {
         "strategy and the sf0.1 broadcast is Catalyst's small-input "
         "opportunism; the dimension-style broadcasts the suite pins "
         "(q_join_multi's dims) must NOT flip, and don't."
+    ),
+}
+
+# Super-linear wall ratios that are PROPERTIES OF THE QUERY, not
+# engine bugs — recorded next to the measurement so the number reads
+# honestly.
+RATIO_NOTES = {
+    "q_similarity_ann": (
+        "the judged query pins 6 LSH hyperplanes (64 cells) for "
+        "oracle determinism, so cell occupancy grows linearly with "
+        "the corpus and the within-cell candidate join quadratically "
+        "— the wall ratio is expected SUPER-linear at fixed planes. "
+        "The engineered scale path is (a) more planes as the corpus "
+        "grows (ann_lsh_topk takes them as input: cells x4 per 2 "
+        "planes keeps occupancy bounded) or (b) the partition-pruned "
+        "persistent IVF index (sources/ivf_index.py; STRESS_IVF "
+        "records its sub-linear probed-cells-only scaling)."
     ),
 }
 
@@ -106,20 +142,45 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         for i in range(factor):
             part = base.withColumn(key, F.col(key) + F.lit(i * KEY_SHIFT))
             if name == "documents":
-                # SALT each replica's text (every inter-word gap gains
-                # a replica tag, so every shingle differs between
-                # replicas): a 100x-bigger corpus should have the same
-                # near-duplicate DENSITY, not 100x-deeper duplicate
-                # MULTIPLICITY — with verbatim copies every document
-                # gains 99 exact twins and the near-dup PAIR LIST (the
-                # query's answer) grows quadratically, which no engine
-                # can make sub-linear.  Boilerplate-cluster defense is
-                # a separate axis, stressed by STRESS_DEDUP's
-                # max_bucket_size pathological corpus.
+                # SALT each replica's text with a per-replica letter
+                # SUBSTITUTION CIPHER: token count and lengths stay
+                # IDENTICAL to the base corpus (so per-doc work is
+                # comparable across scales), while every shingle
+                # differs between replicas — a 100x-bigger corpus
+                # should have the same near-duplicate DENSITY, not
+                # 100x-deeper duplicate MULTIPLICITY.  With verbatim
+                # copies every document gains 99 exact twins and the
+                # near-dup PAIR LIST (the query's answer) grows
+                # quadratically, which no engine can make sub-linear.
+                # (A tag-injection salt was tried first and rejected:
+                # it doubled token counts, silently doubling the
+                # per-doc work being measured.)  Boilerplate-cluster
+                # defense is a separate axis, stressed by
+                # STRESS_DEDUP's max_bucket_size pathological corpus.
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                coprimes = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+                a, b = coprimes[i % 12], i // 12
+                cipher = "".join(
+                    lo[(a * idx + b) % 26] for idx in range(26)
+                )
                 part = part.withColumn(
-                    "text",
-                    F.regexp_replace(
-                        F.col("text"), " ", f" r{i} "
+                    "text", F.translate(F.col("text"), lo, cipher)
+                )
+            if name == "embeddings" and i > 0:
+                # same reasoning in vector space: verbatim replica
+                # vectors give every embedding 99 identical twins in
+                # the same LSH cell, blowing the bucket self-join up
+                # quadratically.  Replicas i>0 get deterministic
+                # hash-noise vectors (uniform in [-1, 1), seeded by
+                # the already-shifted vec_id) so cell occupancy stays
+                # density-comparable while the engine still faces
+                # 100x the vectors.
+                part = part.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, j) -> "
+                        "cast(pmod(xxhash64(vec_id * 64 + j), 2000000)"
+                        " as double) / 1000000.0 - 1.0)"
                     ),
                 )
             scaled = part if scaled is None else scaled.unionByName(part)
@@ -144,9 +205,61 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
+    """The ANN scale story, measured: q_similarity_ann pins 6
+    hyperplanes for oracle determinism, so its wall ratio at 100x is
+    quadratic-shaped (RATIO_NOTES).  The LIBRARY operator scales when
+    its parameter scales — 13 planes at 100x gives ~the same cell
+    occupancy as 6 planes at 1x (200k/8192 ≈ 24 vs 2k/64 ≈ 31), and
+    this section records that occupancy-preserving ratio next to the
+    pinned-plane number."""
+    import time as _time
+
+    from v6spark.operators.similarity import ann_lsh_pairs
+    from v6spark.operators.transforms import spread_small_input
+
+    def wall(sf_dir, n_planes):
+        emb = spread_small_input(load_table(spark, sf_dir, "embeddings"))
+        t0 = _time.perf_counter()
+        (
+            ann_lsh_pairs(emb, n_planes=n_planes, dim=64, min_cosine=0.2)
+            .write.mode("overwrite").format("noop").save()
+        )
+        return round(_time.perf_counter() - t0, 3)
+
+    base = min(wall(src_dir, 6) for _ in range(2))
+    scaled = min(wall(out_dir, 13) for _ in range(2))
+    return {
+        "wall_base_6planes_s": base,
+        "wall_100x_13planes_s": scaled,
+        "ratio": round(scaled / base, 1) if base else None,
+        "note": (
+            "same library operator (ann_lsh_pairs), planes scaled "
+            "with the corpus to hold cell occupancy ~constant "
+            "(6 -> 13 planes: 64 -> 8192 cells for 100x vectors) — "
+            "the within-cell candidate join stays bounded, unlike "
+            "the 6-plane pin the judged query keeps for oracle "
+            "determinism (see queries.q_similarity_ann.ratio_note)."
+        ),
+    }
+
+
+def _merge_out(key: str, section: dict) -> None:
+    try:
+        with open(OUT) as fh:
+            doc = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        doc = {}
+    doc[key] = section
+    with open(OUT, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v6spark_scale100"
+    args = [a for a in sys.argv[1:] if a != "ann_scaled"]
+    ann_only = "ann_scaled" in sys.argv[1:]
+    factor = int(args[0]) if args else 100
+    out_dir = args[1] if len(args) > 1 else "/tmp/v6spark_scale100"
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "scale100", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -160,6 +273,13 @@ def main() -> None:
         build_scaled(spark, src_dir, out_dir, factor)
         print(f"[scale100] build took {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
+
+    if ann_only:
+        section = ann_scaled_params(spark, src_dir, out_dir)
+        _merge_out("scale100_ann_scaled_params", section)
+        print(json.dumps(section))
+        spark.stop()
+        return
 
     # settle: one throwaway pass so neither scale eats cold-start
     time_query(spark, "q_window_running", src_dir)
@@ -186,6 +306,8 @@ def main() -> None:
             "ratio": round(scaled / base, 1) if base else None,
             "plan_identical": not diff,
         }
+        if name in RATIO_NOTES:
+            entry["ratio_note"] = RATIO_NOTES[name]
         if diff:
             entry["plan_diff"] = diff
             if name in EXPLAINED_DIFFS:
@@ -225,14 +347,11 @@ def main() -> None:
         "STRESS_DEDUP's max_bucket_size pathological corpus)."
     )
 
-    try:
-        with open(OUT) as fh:
-            doc = json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
-        doc = {}
-    doc["scale100"] = section
-    with open(OUT, "w") as fh:
-        json.dump(doc, fh, indent=1, sort_keys=True)
+    _merge_out("scale100", section)
+    _merge_out(
+        "scale100_ann_scaled_params",
+        ann_scaled_params(spark, src_dir, out_dir),
+    )
     print(json.dumps(section))
     spark.stop()
 

@@ -48,3 +48,25 @@ def test_stress_scripts_read_modify_write():
             f"{script} writes the shared artifact without reading the "
             "existing document first"
         )
+
+
+def test_scale100_sections_present_and_classified():
+    """STRESS_SCALE100 must carry the 10-query 100x section with
+    every plan diff either empty or explained, plus the ANN
+    occupancy-preserving companion measurement (the scale story for
+    the one deliberately super-linear pinned-parameter query)."""
+    doc = _load("STRESS_SCALE100.json")
+    sec = doc["scale100"]
+    assert sec["factor"] == 100
+    assert len(sec["queries"]) == 10
+    assert sec["all_plans_identical_or_explained"] is True
+    for name, e in sec["queries"].items():
+        if not e["plan_identical"]:
+            assert e.get("diff_explained"), name
+        # Python eval nodes / cartesians at scale are never OK
+        assert "hazard_BatchEvalPython" not in e, name
+        assert "hazard_ArrowEvalPython" not in e, name
+        assert "hazard_CartesianProduct" not in e, name
+    ann = doc["scale100_ann_scaled_params"]
+    assert ann["ratio"] < 20  # occupancy-preserving planes scale
+    assert "ratio_note" in sec["queries"]["q_similarity_ann"]
