@@ -496,9 +496,10 @@ def main():
     # previously landed entirely on scale_1x and made the 10x ratios
     # read sub-1 for corpus-bound steps (r9 verdict: publish read
     # 13.0 s at 1x vs 5.2 s at 10x, ratio 0.40 — uninterpretable).
-    # A throwaway small lifecycle absorbs it so both measured scales
-    # run warm.
-    run_scale(spark, 4_000)
+    # A throwaway lifecycle at the 1x size absorbs it so both
+    # measured scales run warm (smaller sizes break the row-group
+    # skipping demo's geometry — its files must span >1 row group).
+    run_scale(spark, 40_000)
     s1 = run_scale(spark, 40_000)
     s2 = run_scale(spark, 400_000)
     # same lifecycle with every manifest offloaded (threshold 0): the
