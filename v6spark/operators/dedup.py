@@ -225,9 +225,19 @@ def _guard_buckets(
     sort-merge join once the corpus grows (caught by the 100x plan-
     identity stress) — the window form is one shuffle at every scale,
     and the downstream candidate self-join needs the same bucket
-    partitioning anyway."""
+    partitioning anyway.
+
+    NULL bucket keys (a NULL signature, e.g. from NULL text) are
+    dropped first: a NULL key means "no bucket", and the candidate
+    self-join downstream would never match it anyway (NULL never
+    equi-joins) — the pre-filter keeps the window form's semantics
+    identical to the old inner-join form, which dropped them
+    implicitly, instead of lumping every NULL-keyed row into one
+    window partition."""
     if max_bucket_size is None:
         return banded
+    for k in keys:
+        banded = banded.filter(F.col(k).isNotNull())
     w = Window.partitionBy(*[F.col(k) for k in keys])
     return (
         banded.withColumn("_bn", F.count(F.lit(1)).over(w))

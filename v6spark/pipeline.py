@@ -2979,8 +2979,16 @@ def merge_into_published(
         else:
             # delete-only merge: the combined apply still wants a
             # schema-true (empty) delta for its column validation
+            doc_schema = doc.get("schema") or []
+            if not doc_schema:
+                raise ValueError(
+                    "published manifest records no column schema — "
+                    "cannot build the empty delta for a delete-only "
+                    "MERGE (republish with a schema-bearing writer "
+                    "or pass explicit updates)"
+                )
             ddl = ", ".join(
-                f"`{n}` {t}" for n, t in (doc.get("schema") or [])
+                f"`{n}` {t}" for n, t in doc_schema
             ) + ", `split` string"
             delta = spark.createDataFrame([], ddl)
 
@@ -5191,10 +5199,19 @@ def vacuum_published_files(
     # dirs skipped, underscore/dot FILE names spared, grace-window
     # mtimes spared, emptied dirs dropped.
     local_root = None
-    if path.startswith("/"):
-        local_root = path
-    elif path.startswith("file:"):
+    if path.startswith("file:"):
         local_root = path[len("file:"):]
+    elif path.startswith("/") and "://" not in path:
+        # a scheme-less absolute path resolves against the session's
+        # Hadoop defaultFS — on an HDFS/S3 deployment the OS sweep
+        # would silently no-op (nothing at that local path) and leave
+        # orphans unreclaimed, so take the fast path only when the
+        # default filesystem really is the local one
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if default_fs.startswith("file:"):
+            local_root = path
     if local_root is not None:
         import shutil as _shutil
 
@@ -5436,12 +5453,6 @@ def upsert_into_published(
                     "first)"
                 )
             seen_keys.add(r[key_col])
-        # driver-sized frames coalesce to ONE partition: the default
-        # parallelize() slices a 40-row probe into 32 mostly-empty
-        # partitions, and every union/join over them drags the empty
-        # tasks into the write stage (measured: a 275-task write input
-        # for a 40-row merge source)
-        upd_keys = _local_df(spark, key_rows, key_schema)
         # folded DELETEs (the MERGE INTO apply): the delete keys join
         # the same candidate selection / scan / rewrite pass, so a
         # retract+upsert lands as ONE commit with one hits scan and
@@ -5468,6 +5479,11 @@ def upsert_into_published(
                 .select(key_col, "shard").collect()
             )
         probe_rows = key_rows + del_rows
+        # driver-sized frames coalesce to ONE partition: the default
+        # parallelize() slices a 40-row probe into 32 mostly-empty
+        # partitions, and every union/join over them drags the empty
+        # tasks into the write stage (measured: a 275-task write input
+        # for a 40-row merge source)
         probe_keys = _local_df(spark, probe_rows, key_schema)
         keys_all = sorted(r[key_col] for r in probe_rows)
         bounds = (

@@ -59,6 +59,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _session_stopped(s: SparkSession) -> bool:
+    """True once ``s.stop()`` ran (the underlying JVM context is
+    detached) — cached plans from a stopped session are unusable and
+    only pin dead sessions in memory."""
+    try:
+        return s._sc._jsc is None
+    except Exception:
+        return True
+
+
+def _evict_stopped_sessions() -> None:
+    """Drop cache entries whose session has been stopped.  A
+    long-lived process that stops and recreates sessions would
+    otherwise accumulate stale (session, plan) pairs forever; the
+    cache is at most #tables × #dirs entries, so a full sweep per
+    lookup is noise."""
+    dead = [k for k, v in _TABLE_CACHE.items() if _session_stopped(v[0])]
+    for k in dead:
+        _TABLE_CACHE.pop(k, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one corpus table; see module docstring.
 
@@ -69,6 +90,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-written events table) get ts_ns derived from ts.
     """
     ensure_confs(spark)
+    _evict_stopped_sessions()
     key = (id(spark), os.path.abspath(sf_dir), name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
