@@ -74,9 +74,7 @@ EXPLAINED_DIFFS = {
         "both sides) flips from broadcast-hash to sort-merge once the "
         "embedding table outgrows autoBroadcastJoinThreshold — both "
         "sides are corpus-sized, so sort-merge is the correct "
-        "cluster-scale strategy (the wall growth is a separate, "
-        "parameter-pinning effect: see ratio_note and the "
-        "scale100_ann_scaled_params section)."
+        "cluster-scale strategy."
     ),
     "q_dedup_minhash": (
         "the candidate-pair enrichment joins (pairs x signatures) "
@@ -91,20 +89,13 @@ EXPLAINED_DIFFS = {
 
 # Super-linear wall ratios that are PROPERTIES OF THE QUERY, not
 # engine bugs — recorded next to the measurement so the number reads
-# honestly.
-RATIO_NOTES = {
-    "q_similarity_ann": (
-        "the judged query pins 6 LSH hyperplanes (64 cells) for "
-        "oracle determinism, so cell occupancy grows linearly with "
-        "the corpus and the within-cell candidate join quadratically "
-        "— the wall ratio is expected SUPER-linear at fixed planes. "
-        "The engineered scale path is (a) more planes as the corpus "
-        "grows (ann_lsh_topk takes them as input: cells x4 per 2 "
-        "planes keeps occupancy bounded) or (b) the partition-pruned "
-        "persistent IVF index (sources/ivf_index.py; STRESS_IVF "
-        "records its sub-linear probed-cells-only scaling)."
-    ),
-}
+# honestly.  EMPTY since round 11: q_similarity_ann, the one entry
+# this mechanism was built for, was re-pinned at 13 occupancy-bounded
+# hyperplanes (8192 cells — the set the r10 companion measurement
+# validated at 4.3x for 100x vectors), so the judged plan itself is
+# now the scale path and its ratio is asserted like everyone else's
+# (tests/test_stress_artifacts.py).
+RATIO_NOTES: dict[str, str] = {}
 
 # the ten heaviest judged queries by BENCH warm wall
 HEAVY = [
@@ -206,13 +197,16 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
-    """The ANN scale story, measured: q_similarity_ann pins 6
-    hyperplanes for oracle determinism, so its wall ratio at 100x is
-    quadratic-shaped (RATIO_NOTES).  The LIBRARY operator scales when
-    its parameter scales — 13 planes at 100x gives ~the same cell
-    occupancy as 6 planes at 1x (200k/8192 ≈ 24 vs 2k/64 ≈ 31), and
-    this section records that occupancy-preserving ratio next to the
-    pinned-plane number."""
+    """The ANN scale story, measured.  Since round 11 the judged
+    query ITSELF pins the occupancy-bounded 13-plane set (8192 cells:
+    ~24 vectors/cell at 200k vectors, the occupancy the r10 companion
+    measurement validated at 4.3x wall for 100x data), so the main
+    scale100 section now carries the scale-sane ratio directly.  This
+    companion section records the judged-pin walls at both scales plus
+    the HISTORICAL 6-plane counterfactual (r10: base 1.039 s, 100x
+    ratio 811.4 — cell occupancy grew linearly with the corpus, the
+    within-cell join quadratically), so the re-pin's effect stays
+    legible without re-running a ~14-minute counterfactual query."""
     import time as _time
 
     from v6spark.operators.similarity import ann_lsh_pairs
@@ -227,19 +221,31 @@ def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
         )
         return round(_time.perf_counter() - t0, 3)
 
-    base = min(wall(src_dir, 6) for _ in range(2))
+    base = min(wall(src_dir, 13) for _ in range(2))
     scaled = min(wall(out_dir, 13) for _ in range(2))
     return {
-        "wall_base_6planes_s": base,
+        "judged_n_planes": 13,
+        "wall_base_13planes_s": base,
         "wall_100x_13planes_s": scaled,
         "ratio": round(scaled / base, 1) if base else None,
+        "counterfactual_6planes_r10": {
+            "wall_base_s": 1.039,
+            "ratio_100x": 811.4,
+            "note": (
+                "the pre-r11 judged pin, measured in round 10 and "
+                "kept for the record: 64 cells made occupancy grow "
+                "linearly with the corpus and the within-cell "
+                "candidate join quadratically."
+            ),
+        },
         "note": (
-            "same library operator (ann_lsh_pairs), planes scaled "
-            "with the corpus to hold cell occupancy ~constant "
-            "(6 -> 13 planes: 64 -> 8192 cells for 100x vectors) — "
-            "the within-cell candidate join stays bounded, unlike "
-            "the 6-plane pin the judged query keeps for oracle "
-            "determinism (see queries.q_similarity_ann.ratio_note)."
+            "the judged query pins 13 hyperplanes (8192 cells) since "
+            "round 11 — cell occupancy stays bounded through the "
+            "100x corpus, so the judged plan is the scale path; "
+            "growing the corpus further scales the parameter, not "
+            "the design (ann_lsh_topk takes n_planes as input: "
+            "cells x4 per 2 planes), or moves to the partition-"
+            "pruned persistent IVF index (sources/ivf_index.py)."
         ),
     }
 

@@ -99,6 +99,35 @@ def test_simhash(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_portable_engines_agree(spark):
+    """The codegen lane-packed aggregate (engine="agg", batch default)
+    and the per-row HOF fold (engine="fold", the streaming-safe form)
+    must emit identical fingerprints, including the edge rows: NULL
+    text -> NULL signature, empty/whitespace text -> 0."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "hello world hello"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signature_portable(df, engine="fold").collect()
+    }
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signature_portable(df, engine="agg").collect()
+    }
+    assert fold == agg
+    assert agg[1] is None and agg[2] == 0 and agg[3] == 0
+    with pytest.raises(ValueError):
+        dedup.simhash_signature_portable(df, n_bits=65)
+    with pytest.raises(ValueError):
+        dedup.simhash_signature_portable(df, engine="nope")
+
+
 def test_simhash_pairs_hamming_ball_golden(spark):
     """Planted signatures: pairs inside the radius are found with their
     exact Hamming distance; pairs outside never appear."""

@@ -53,8 +53,8 @@ def test_stress_scripts_read_modify_write():
 def test_scale100_sections_present_and_classified():
     """STRESS_SCALE100 must carry the 10-query 100x section with
     every plan diff either empty or explained, plus the ANN
-    occupancy-preserving companion measurement (the scale story for
-    the one deliberately super-linear pinned-parameter query)."""
+    companion section recording the judged 13-plane pin at both
+    scales (and the historical 6-plane counterfactual)."""
     doc = _load("STRESS_SCALE100.json")
     sec = doc["scale100"]
     assert sec["factor"] == 100
@@ -67,6 +67,13 @@ def test_scale100_sections_present_and_classified():
         assert "hazard_BatchEvalPython" not in e, name
         assert "hazard_ArrowEvalPython" not in e, name
         assert "hazard_CartesianProduct" not in e, name
+    # the r11 re-pin (6 -> 13 occupancy-bounded hyperplanes) makes
+    # the judged ANN query's ratio a REAL bound, not a ratio_note:
+    # ~4-5x measured for 100x data, asserted with noise headroom
+    ann_judged = sec["queries"]["q_similarity_ann"]
+    assert "ratio_note" not in ann_judged
+    assert ann_judged["ratio"] <= 12, ann_judged["ratio"]
     ann = doc["scale100_ann_scaled_params"]
-    assert ann["ratio"] < 20  # occupancy-preserving planes scale
-    assert "ratio_note" in sec["queries"]["q_similarity_ann"]
+    assert ann["judged_n_planes"] == 13
+    assert ann["ratio"] <= 12
+    assert ann["counterfactual_6planes_r10"]["ratio_100x"] > 100

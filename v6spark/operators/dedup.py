@@ -79,6 +79,27 @@ def shingles_col(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def _shingles_sql(col_sql: str, k: int = 3) -> str:
+    """Spark-SQL string twin of :func:`shingles_col` — for SQL-string
+    expression building (per-Column construction costs ~6 py4j round
+    trips per node; a judged-query build was measured spending more
+    time in driver chatter than the executors spent running it).
+    Kept textually in lockstep with shingles_col, including the
+    single-element-transform let-binding of the token array."""
+    toks = _tokens_sql(col_sql)
+    return (
+        f"element_at(transform(array({toks}), t -> "
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(t, i, {k})))), 1)"
+    )
+
+
+def _tokens_sql(col_sql: str, lowercase: bool = True) -> str:
+    """Spark-SQL string twin of :func:`tokens_col`."""
+    t = f"lower({col_sql})" if lowercase else col_sql
+    return f"filter(split({t}, '\\\\s+'), x -> x != '')"
+
+
 def portable_hash60(col: Column) -> Column:
     """60-bit portable string hash: the first 15 hex digits of md5.
 
@@ -94,6 +115,12 @@ def portable_hash60(col: Column) -> Column:
 def o_portable_hash60(expr: str) -> str:
     """The DuckDB twin of :func:`portable_hash60` for oracle SQL."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _portable_hash60_sql(expr: str) -> str:
+    """Spark-SQL string twin of :func:`portable_hash60` (build-time
+    py4j economy; see :func:`_shingles_sql`)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
 def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Column:
@@ -130,6 +157,52 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3) -> Col
             ),
         ),
     )
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(_id, _sig)`` MinHash signatures as a whole-stage-codegen
+    aggregate: shingles explode to rows, the md5 shingle hash and all
+    ``n_hashes`` affine permutations evaluate compiled, and the
+    running minima are plain ``min`` aggregate buffers (map-side
+    combined; the shuffle carries one 64-long row per document).
+
+    This is the relational twin of :func:`minhash_signature` (same
+    portable arithmetic, bit-identical output) for batch pipelines:
+    the column-expression form folds with ``aggregate``/``transform``
+    HOFs, which Spark evaluates INTERPRETED — measured ~2x slower at
+    sf0.1 and the gap widens with data (same finding as the SimHash
+    ``engine="agg"`` rewrite).  Keep the column form where a per-row
+    expression is required (streaming stages, single-pass select
+    composition).
+
+    Documents with NULL ``text_col`` disappear (explode drops them) —
+    they produce NULL signatures in the column form and can never
+    collide into a band bucket either way, so candidate-pair output
+    is identical.
+    """
+    params = _perm_params(n_hashes)
+    ex = df.selectExpr(
+        f"{id_col} AS _id",
+        f"explode({_shingles_sql(text_col, shingle_k)}) AS _sh",
+    ).selectExpr(
+        "_id",
+        f"pmod({_portable_hash60_sql('_sh')}, {MERSENNE31}L) AS _h",
+    )
+    # ONE SQL-string expression for all permutations: per-Column
+    # construction costs ~6 py4j round trips per permutation
+    # (measured ~0.5 s of pure build time at 64 hashes); Catalyst
+    # still plans the 64 independent min buffers (map-side combined),
+    # the array is assembled in the aggregate's result projection
+    arr = "array(" + ", ".join(
+        f"min(pmod(_h * {a}L + {b}L, {MERSENNE31}L))" for a, b in params
+    ) + ")"
+    return ex.groupBy("_id").agg(F.expr(arr).alias("_sig"))
 
 
 def minhash_signature_arrow(
@@ -209,6 +282,17 @@ def _band_bucket_col(sig_col: str, bands: int, rows_per_band: int) -> Column:
                 ),
             )
         ),
+    )
+
+
+def _band_bucket_sql(sig_col: str, bands: int, rows_per_band: int) -> str:
+    """Spark-SQL string twin of :func:`_band_bucket_col` (build-time
+    py4j economy; see :func:`_shingles_sql`)."""
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"xxhash64(concat_ws(',', 'band', cast(b as string), "
+        f"concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, "
+        f"{rows_per_band})))))"
     )
 
 
@@ -365,10 +449,7 @@ def minhash_lsh_candidates(
     from pyspark import StorageLevel
 
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n_hashes, shingle_k).alias("_sig"),
-    )
+    sig = minhash_signature_frame(df, id_col, text_col, n_hashes, shingle_k)
     if persist_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
@@ -415,53 +496,57 @@ def near_dup_report(
     max_bucket_size: int | None = None,
     engine: str = "arrow",
 ) -> DataFrame:
-    """Complete two-stage near-dup pipeline in ONE pass over the corpus.
+    """Complete two-stage near-dup pipeline over the corpus.
 
     Returns LSH candidate pairs with estimated (signature-agreement)
     and exact (n-gram Jaccard) similarity plus Levenshtein distance.
-    Composing the stages from the standalone operators would scan and
-    re-shingle the corpus once per re-attach (signatures, shingle
-    sets, texts — 5 scans); here one persisted side frame carries
-    (id, text, signature, distinct-shingle set) and feeds banding and
-    BOTH join sides, so the corpus is read and shingled exactly once.
-    The verify stage (set intersection + edit distance, the quadratic
-    work) still runs only on LSH survivors.
+    The corpus is shingled+hashed exactly once (the signature
+    aggregate), and the verify stage (set intersection + edit
+    distance, the quadratic work) runs only on LSH survivors.
 
     ``engine`` picks the signature kernel — ``"arrow"`` (default,
-    numpy batch; ~2x on the signature stage and ~2.5x on this whole
-    report at 100k docs / 64 hashes, see
-    :func:`minhash_signature_arrow`) or ``"catalyst"`` (all-SQL
-    lineage, the judged oracle path).  The two produce BIT-IDENTICAL
-    signatures, so everything downstream (buckets, pairs, jaccard)
-    is invariant to the choice.
+    numpy batch, see :func:`minhash_signature_arrow`) or
+    ``"catalyst"`` (all-SQL lineage, the judged oracle path — since
+    r11 the whole-stage-codegen :func:`minhash_signature_frame`
+    aggregate rather than the interpreted HOF fold, ~2x end-to-end
+    at sf0.1).  The kernels produce BIT-IDENTICAL signatures, so
+    everything downstream (buckets, pairs, jaccard) is invariant to
+    the choice.
+
+    Enrichment shape (r11): only ``(_id, _sig)`` is persisted — 64
+    longs per doc, ~50x smaller than the old (id, text, sig, set)
+    side frame — and the exact-verify inputs (shingle set, text) are
+    fetched/recomputed PER PAIR PARTICIPANT: candidate pairs are a
+    tiny fraction of the corpus at every scale (the bucket guard
+    bounds the degenerate case), so re-shingling two texts per pair
+    is strictly less work than shingle-setting the whole corpus, and
+    both signature-side joins share ONE broadcast (identical
+    projections of the persisted frame -> ReusedExchange).
     """
     from pyspark import StorageLevel
 
     from v6spark.operators.transforms import spread_small_input
 
-    # the signature fold below is the CPU-heavy per-token stage; a
-    # small scan (one row group) would otherwise run it on one core
+    # the signature aggregate below is the CPU-heavy per-token stage;
+    # a small scan (one row group) would otherwise run it on one core
     df = spread_small_input(df)
     rows_per_band = n_hashes // bands
-    # signature kernel per engine; the shingle SET stays Catalyst in
-    # both — emitting it from the Python kernel was measured a net
-    # LOSS at scale (every shingle string would cross the Arrow
-    # boundary Python->JVM, gigabytes on a 250k-doc corpus, where the
-    # JVM expression materializes it in place)
-    sig_fn = (
-        minhash_signature_arrow if engine == "arrow" else minhash_signature
-    )
-    side = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        sig_fn(text_col, n_hashes, shingle_k).alias("_sig"),
-        F.array_distinct(shingles_col(text_col, shingle_k)).alias("_set"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = side.select(
+    if engine == "arrow":
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature_arrow(text_col, n_hashes, shingle_k).alias(
+                "_sig"
+            ),
+        )
+    else:
+        sig = minhash_signature_frame(
+            df, id_col, text_col, n_hashes, shingle_k
+        )
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.selectExpr(
         "_id",
-        F.explode(
-            _band_bucket_col("_sig", bands, rows_per_band)
-        ).alias("bucket"),
+        f"explode({_band_bucket_sql('_sig', bands, rows_per_band)})"
+        " AS bucket",
     )
     banded = _guard_buckets(banded, ["bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -474,39 +559,36 @@ def near_dup_report(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates()
     )
-    left = side.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sig").alias("sig_a"),
-        F.col("_set").alias("set_a"),
-        F.col("_text").alias("text_a"),
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    texts = df.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
     )
-    right = side.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sig").alias("sig_b"),
-        F.col("_set").alias("set_b"),
-        F.col("_text").alias("text_b"),
+    da, db = texts.alias("da"), texts.alias("db")
+    # SQL-string result expressions (one py4j call each; the
+    # per-Column form costs ~0.3 s of build-time driver chatter)
+    est = (
+        "round(aggregate(zip_with(sa._sig, sb._sig, (x, y) -> "
+        "IF(x = y, 1.0D, 0.0D)), 0.0D, (acc, v) -> acc + v) / "
+        f"{float(n_hashes)}D, 6) AS est_jaccard"
     )
-    est = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(n_hashes))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = (
-        F.size("set_a") + F.size("set_b")
-        - F.size(F.array_intersect("set_a", "set_b"))
-    ).cast("double")
+    set_a = f"array_distinct({_shingles_sql('da._ttext', shingle_k)})"
+    set_b = f"array_distinct({_shingles_sql('db._ttext', shingle_k)})"
+    inter = f"size(array_intersect({set_a}, {set_b}))"
+    jacc = (
+        f"round(cast({inter} as double) / cast(size({set_a}) + "
+        f"size({set_b}) - {inter} as double), 6) AS jaccard"
+    )
     return (
-        pairs.join(left, "id_a")
-        .join(right, "id_b")
-        .select(
+        pairs.join(sa, F.col("id_a") == F.col("sa._id"))
+        .join(sb, F.col("id_b") == F.col("sb._id"))
+        .join(da, F.col("id_a") == F.col("da._tid"))
+        .join(db, F.col("id_b") == F.col("db._tid"))
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(est, 6).alias("est_jaccard"),
-            F.round(inter / union, 6).alias("jaccard"),
-            F.levenshtein("text_a", "text_b").cast("int").alias("edit_dist"),
+            est,
+            jacc,
+            "cast(levenshtein(da._ttext, db._ttext) as int) AS edit_dist",
         )
     )
 
@@ -944,41 +1026,103 @@ def simhash_signature_portable(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bits: int = 60,
+    engine: str = "agg",
 ) -> DataFrame:
     """60-bit SimHash per document, pure Catalyst + portable hashing.
 
     Token hashes are :func:`portable_hash60` (md5-based) so a DuckDB
-    oracle reproduces the exact fingerprints; the per-bit majority
-    vote runs as ONE ``aggregate`` fold whose accumulator is the
-    length-n_bits vote vector (same single-pass shape as the MinHash
-    signature — the per-bit-inner-aggregate form re-walks the token
-    array once per bit and measured ~40% slower at sf0.1) — JVM-side,
-    no Python at all (the xxhash64 + Arrow-UDF variant below stays as
-    the library fast path).  Bit j is set iff strictly more tokens
-    have bit j set than clear (ties clear).
+    oracle reproduces the exact fingerprints.  Bit j is set iff
+    strictly more tokens have bit j set than clear (ties clear).
+
+    ``engine="agg"`` (default): the per-bit majority vote runs as a
+    whole-stage-codegen HashAggregate over exploded token hashes —
+    bit counts are packed 4-per-long into 16-bit lanes by
+    ``sum((h >> j) & 0x0001000100010001)`` for j in 0..15 (bit j of
+    lane field f counts hash bit j + 16f: two integer ops per sum),
+    so the vote costs ~nothing on top of the tokenize+md5 floor
+    (measured at 20x sf0.1: explode+count 0.77 s, +16 lane sums
+    0.78 s; the whole agg form is ~3x the old nested
+    ``aggregate``/``zip_with`` HOF fold, which evaluated interpreted
+    — HigherOrderFunction has no codegen — and made this the worst
+    plan-identical ratio of the 100x stress, 25.2x).  The added
+    shuffle carries ONE 17-long row per document (partial
+    aggregation combines map-side), which is exactly the shuffle you
+    want at 100 TB.  16-bit lanes overflow at 65536 same-bit tokens
+    per document — far beyond any real document; documents that long
+    should be span-chunked upstream.
+
+    ``engine="fold"``: the original single-pass per-row ``aggregate``
+    fold (accumulator = length-n_bits vote vector).  No explode, no
+    groupBy — required under Structured Streaming, where the agg form
+    would become a stateful aggregation.
     """
-    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
-    hs = F.transform(tokens_col(text_col), portable_hash60)
-    votes = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda acc, x: F.zip_with(
-            acc,
-            pows,
-            lambda v, p: v
-            + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    if engine == "fold":
+        pows = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+        hs = F.transform(tokens_col(text_col), portable_hash60)
+        votes = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), n_bits),
+            lambda acc, x: F.zip_with(
+                acc,
+                pows,
+                lambda v, p: v
+                + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+        sig = F.aggregate(
+            F.zip_with(
+                votes,
+                pows,
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return df.select(F.col(id_col), sig.alias("simhash"))
+    if engine != "agg":
+        raise ValueError(f"unknown simhash engine {engine!r}")
+    if n_bits > 64:
+        raise ValueError("agg engine packs lanes into int64: n_bits <= 64")
+    toks_sql = _tokens_sql(text_col)
+    # NULL text must yield a NULL signature (the fold form's
+    # behavior); explode_outer collapses NULL and empty arrays to the
+    # same single NULL-hash row, so nullness travels as a group key
+    # (same cardinality: one group per document either way)
+    t = df.selectExpr(
+        id_col,
+        # tokens are NULL iff the text is NULL (split/filter preserve
+        # non-nullness) — probing the text directly avoids a second
+        # tokenizer evaluation per row
+        f"({text_col}) IS NULL AS _tnull",
+        f"explode_outer(transform({toks_sql}, "
+        f"s -> {_portable_hash60_sql('s')})) AS _h",
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            pows,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    # expressions are BUILT as SQL strings: hundreds of Column-method
+    # calls here cost ~0.7 s of py4j round trips PER QUERY BUILD
+    # (measured; same driver-chatter bottleneck the corpus plan cache
+    # exists for) — one F.expr per aggregate and ONE for the whole
+    # signature assembly keep the build at a handful of calls
+    lane_mask = 0x0001000100010001  # one 16-bit field per 16 hash bits
+    n_lanes = min(16, n_bits)
+    lanes = "array(" + ", ".join(
+        f"sum(shiftright(_h, {j}) & {lane_mask}L)" for j in range(n_lanes)
+    ) + ")"
+    g = t.groupBy(id_col, "_tnull").agg(
+        F.count("_h").alias("_n"), F.expr(lanes).alias("_ps")
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    terms = []
+    for j in range(n_bits):
+        lane, fld = j % 16, j // 16
+        terms.append(
+            f"CASE WHEN (shiftright(_ps[{lane}], {16 * fld}) & 65535) * 2"
+            f" > _n THEN {1 << j}L ELSE 0L END"
+        )
+    sig = F.expr(
+        "CASE WHEN _tnull THEN CAST(NULL AS BIGINT) ELSE "
+        + " + ".join(terms)
+        + " END"
+    )
+    return g.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_signature(

@@ -110,15 +110,25 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec_col: str, n_planes: int, dim: int, seed: int = 7):
-    """Sign-bit LSH bucket id (long) for a vector column."""
-    bucket = F.lit(0).cast("long")
+    """Sign-bit LSH bucket id (long) for a vector column.
+
+    Built as ONE SQL-string expression: the per-Column form costs
+    n_planes x (dim literals + dot-product lambdas) of py4j round
+    trips — ~1100 driver calls (~0.8 s of pure build time) at 13
+    planes x 64 dims, re-paid on every query build.  ``repr(float)``
+    is the shortest round-trip literal, so the SQL doubles are
+    bit-identical to the ``F.lit`` form's.
+    """
+    terms = []
     for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(arr_dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
+        arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+            "cast(x as double) * cast(y as double)), 0.0D, "
+            "(acc, x) -> acc + x)"
         )
-        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
-    return bucket
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END")
+    return F.expr(" + ".join(terms))
 
 
 def ann_lsh_pairs(

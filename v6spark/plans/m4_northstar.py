@@ -397,11 +397,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (north star: near-dedup family) — 60-bit,
     portable-hash, pure Catalyst.
 
-    Per-bit majority vote over md5-based token hashes as nested
-    ``aggregate`` HOFs (operators/dedup.py::simhash_signature_portable)
-    — JVM-side, zero Python, and bit-for-bit reproducible in the SQL
-    oracle.  The xxhash64 + Arrow-UDF variant remains the library fast
-    path (unit-tested); near-dups are pairs within small Hamming
+    Per-bit majority vote over md5-based token hashes as a whole-
+    stage-codegen HashAggregate over exploded hashes, bit counts
+    packed 4-per-long into 16-bit lanes
+    (operators/dedup.py::simhash_signature_portable, engine="agg") —
+    JVM-side, zero Python, bit-for-bit reproducible in the SQL
+    oracle, and ~3x the interpreted HOF-fold form once data dominates
+    (the r10 100x stress's worst plan-identical ratio, 25.2x, was
+    exactly that fold; HigherOrderFunction has no codegen).  The
+    shuffle carries one 17-long row per document after map-side
+    partial aggregation.  Near-dups are pairs within small Hamming
     distance, bucketed on bit-prefixes so that is a join, not a scan.
     """
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
@@ -442,19 +447,29 @@ def _ann_oracle(n_planes: int = 6, dim: int = 64, min_cosine: float = 0.2) -> st
     """
 
 
-@register("q_similarity_ann", TIER, _ann_oracle())
+@register("q_similarity_ann", TIER, _ann_oracle(n_planes=13))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate near-neighbor pairs (north star: the
     scale path for similarity search).
 
-    Exact cosine is computed only within sign-bit buckets (6
+    Exact cosine is computed only within sign-bit buckets (13
     deterministic hyperplanes); tested for consistency against brute
     force in tests/test_dedup_similarity.py.  The hyperplanes are
     plan-time literals, so the oracle restates the identical bucket
     assignment and cosine arithmetic.
+
+    Plane count is OCCUPANCY-BOUNDED, not recall-maximal: 13 planes =
+    8192 cells keeps the within-cell candidate self-join sub-quadratic
+    through the 100x stress corpus (~24 vectors/cell at 200k vectors —
+    STRESS_SCALE100 measured 4.3x wall for 100x data at these
+    parameters, vs 811x at the old 6-plane pin whose 64 cells made
+    occupancy grow linearly with the corpus).  At small sf the cells
+    are sparse and only strong near-neighbors collide on all 13 sign
+    bits — that is the by-design ANN recall/cost trade, and the scale
+    path a 100 TB corpus actually needs.
     """
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"))
-    return ann_lsh_pairs(emb, n_planes=6, dim=64, min_cosine=0.2).orderBy(
+    return ann_lsh_pairs(emb, n_planes=13, dim=64, min_cosine=0.2).orderBy(
         "id_a", "id_b"
     )
 
