@@ -128,8 +128,8 @@ def test_stream_matches_changes_foreach_batch(spark, tmp_path):
     assert _rows(got) == _rows(published_corpus_changes(spark, root, 4, 5))
     assert [r["doc_id"] for r in got] == [7]
 
-    # reshard (v6): sharding changes → single-partition fallback,
-    # identical (zero-row) net diff
+    # reshard (v6): sharding changes → key-space-sliced partitions
+    # (>= 8-way since r11), identical (zero-row) net diff
     reshard_published(spark, root, n_shards=2)
     got = _step(spark, root, ckpt)
     assert _rows(got) == _rows(
@@ -573,3 +573,59 @@ def test_timestamp_lower_bound_includes_at_timestamp_commit(
         .load(root).collect()
     )
     assert got == ref and len(got) == 5  # v2's deletes are inside
+
+
+def test_posture_change_window_decomposes(spark, tmp_path):
+    """A reshard (hash-posture change) window classifies across >= 8
+    key-space partitions instead of the old single-task fallback:
+    each partition owns the keys whose refined new-posture shard
+    equals its slot (operators/xxh64 parity hash), the new side is
+    directory-pruned to one shard per slot, and the union of slices
+    reproduces the single-partition classification exactly."""
+    from v6spark.sources.pubcdc import read_published_changes_sql
+
+    root = _publish(spark, tmp_path, n=40, n_shards=4)       # v1
+    reshard_published(spark, root, n_shards=6)               # v2
+    upsert_into_published(                                   # v3
+        spark, root,
+        spark.createDataFrame(
+            [(1004, "fresh", 1, "train"), (3, "edited", 3, "train")],
+            "doc_id long, text string, day long, split string",
+        ),
+    )
+
+    # pure reshard window (1, 2]: >= 8 planner partitions, zero rows
+    w = read_published_changes_sql(spark, root, 1, 2)
+    assert w.rdd.getNumPartitions() >= 8
+    assert w.count() == 0
+
+    # endpoint diff (1, 3] spans the posture change AND real DML: the
+    # decomposed classification must equal the Spark-side oracle
+    got = _rows(read_published_changes_sql(spark, root, 1, 3))
+    ref = _rows(published_corpus_changes(spark, root, 1, 3))
+    assert got == ref and len(got) >= 3  # insert + update pre/post
+
+
+def test_posture_change_slices_partition_key_space(spark, tmp_path):
+    """Every key belongs to EXACTLY one posture-change partition's
+    key slice (no lost or double-classified rows by construction)."""
+    from v6spark.operators.xxh64 import shard_of
+    from v6spark.sources.pubcdc import read_published_changes_sql
+
+    root = _publish(spark, tmp_path, n=40, n_shards=4)       # v1
+    reshard_published(spark, root, n_shards=6)               # v2
+    w = read_published_changes_sql(spark, root, 1, 2)
+    # reach the planner directly for the filter specs
+    from v6spark.sources.pubcdc import PublishedChangesBatchReader
+
+    rdr = PublishedChangesBatchReader(root, w.schema, 1, 2)
+    specs = [p.key_filter for p in rdr.partitions()]
+    assert len(specs) >= 8 and all(s is not None for s in specs)
+    modulus = specs[0][2]
+    assert sorted(s[3] for s in specs) == list(range(modulus))
+    for key in (0, 1, 7, 39, 1004):
+        owners = [
+            s for s in specs
+            if shard_of(key, s[0], s[2], s[1]) == s[3]
+        ]
+        assert len(owners) == 1, key

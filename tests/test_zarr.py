@@ -185,17 +185,17 @@ def test_zarr_honest_raises(tmp_path):
         "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<i4",
         "compressor": None, "fill_value": 0, "order": "C", "filters": None,
     }
-    # compressed (non-memcpy) blosc frame
-    vec = np.array([1, 2], dtype="<i4")
-    header = bytes([2, 1, (1 << 5), 4]) + (8).to_bytes(4, "little") \
+    # compressed blosc frame with a codec the pure-Python path does
+    # not cover (zstd = codec id 4): still an honest refusal
+    header = bytes([2, 1, (4 << 5), 4]) + (8).to_bytes(4, "little") \
         + (8).to_bytes(4, "little") + (6).to_bytes(4, "little")
     put(
-        "blosc_lz4",
-        {**base, "compressor": {"id": "blosc", "cname": "lz4"}},
+        "blosc_zstd",
+        {**base, "compressor": {"id": "blosc", "cname": "zstd"}},
         {"0": header + b"\x01\x02"},
     )
-    with pytest.raises(NotImplementedError, match="blosc"):
-        zs.read_zarr_array(store, "blosc_lz4")
+    with pytest.raises(NotImplementedError, match="codec id 4"):
+        zs.read_zarr_array(store, "blosc_zstd")
 
     put("objdt", {**base, "dtype": "|O"})
     with pytest.raises(NotImplementedError, match="object-dtype"):
@@ -231,3 +231,119 @@ def test_zarr_export_cap(spark):
             zs.write_zarr_store(variants, calls, "/tmp/never-written.zarr")
     finally:
         zs.MAX_EXPORT_VARIANTS = old
+
+
+def _lz4_all_literals(data: bytes) -> bytes:
+    """Minimal VALID LZ4 block: one all-literal sequence."""
+    out = bytearray()
+    n = len(data)
+    out.append(min(n, 15) << 4)
+    if n >= 15:
+        rem = n - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def _blosc_lz4_frame(body: bytes, typesize: int, shuffle: bool,
+                     split: bool) -> bytes:
+    """Hand-assembled compressed blosc1 frame (lz4 codec, one block)
+    matching the public c-blosc layout: 16-byte header, uint32 block
+    starts, per block one [int32 cbytes][stream] per split lane."""
+    nbytes = len(body)
+    if shuffle:
+        body = (
+            np.frombuffer(body, np.uint8)
+            .reshape(-1, typesize).T.tobytes()
+        )
+    if split:
+        per = nbytes // typesize
+        streams = [body[i * per:(i + 1) * per] for i in range(typesize)]
+    else:
+        streams = [body]
+    payload = bytearray()
+    for s in streams:
+        c = _lz4_all_literals(s)
+        payload += len(c).to_bytes(4, "little") + c
+    flags = (1 << 5) | (0x01 if shuffle else 0)
+    frame = bytearray()
+    frame += bytes([2, 1, flags, typesize])
+    frame += nbytes.to_bytes(4, "little")
+    frame += nbytes.to_bytes(4, "little")          # blocksize = nbytes
+    frame += (0).to_bytes(4, "little")             # cbytes patched below
+    frame += (20).to_bytes(4, "little")            # bstarts[0]
+    frame += payload
+    frame[12:16] = len(frame).to_bytes(4, "little")
+    return bytes(frame)
+
+
+def test_lz4_block_decoder_vectors():
+    """Hand vectors for the pure-Python LZ4 block decode: literals,
+    matches, the overlapping-offset repeat idiom, and 255-extension
+    literal lengths."""
+    # 'abc' literals + 12-byte match at offset 3 (overlap) + 'def'
+    blk = bytes([0x38]) + b"abc" + bytes([0x03, 0x00]) \
+        + bytes([0x30]) + b"def"
+    assert zs._lz4_block_decompress(blk, 18) == b"abc" * 5 + b"def"
+    # long literal run exercises the 255-extension path
+    data = bytes(range(256)) * 3
+    assert zs._lz4_block_decompress(
+        _lz4_all_literals(data), len(data)
+    ) == data
+    # wrong target length is a loud failure
+    with pytest.raises(ValueError, match="expected"):
+        zs._lz4_block_decompress(blk, 17)
+
+
+def test_zarr_blosc_lz4_roundtrip(tmp_path):
+    """Compressed blosc-lz4 chunks load bit-exact through from-scratch
+    frame assembly: unshuffled-unsplit, shuffled-split (the c-blosc
+    default for lz4), and shuffled-unsplit (post-1.11 SPLITMODE
+    writers) — plus the real scikit-allel-shaped compressor metadata."""
+    store = str(tmp_path / "s.zarr")
+
+    def put(name, meta, chunks):
+        os.makedirs(f"{store}/{name}", exist_ok=True)
+        with open(f"{store}/{name}/.zarray", "w") as fh:
+            json.dump(meta, fh)
+        for key, raw in chunks.items():
+            with open(f"{store}/{name}/{key}", "wb") as fh:
+                fh.write(raw)
+
+    vec = np.array([7, -1, 9, 1 << 20, 0, 42, -(1 << 30), 3],
+                   dtype="<i4")
+    meta = {
+        "zarr_format": 2, "shape": [8], "chunks": [8], "dtype": "<i4",
+        "fill_value": 0, "order": "C", "filters": None,
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0},
+    }
+    for name, shuffle, split in (
+        ("plain", False, False),
+        ("shuffled_split", True, True),
+        ("shuffled_unsplit", True, False),
+    ):
+        put(name, meta,
+            {"0": _blosc_lz4_frame(vec.tobytes(), 4, shuffle, split)})
+        assert np.array_equal(zs.read_zarr_array(store, name), vec), name
+
+    # multi-chunk store through the full reader (edge chunk included)
+    arr = np.arange(20, dtype="<i4")
+    put("multi", {**meta, "shape": [20], "chunks": [8]}, {
+        str(i): _blosc_lz4_frame(
+            arr[i * 8:(i + 1) * 8].tobytes(), 4, True, True
+        )
+        for i in range(2)
+    })
+    # final partial chunk stored full-size (zarr pads to chunk shape)
+    tail = np.zeros(8, dtype="<i4")
+    tail[:4] = arr[16:]
+    put("multi", {**meta, "shape": [20], "chunks": [8]}, {
+        "0": _blosc_lz4_frame(arr[0:8].tobytes(), 4, True, True),
+        "1": _blosc_lz4_frame(arr[8:16].tobytes(), 4, False, False),
+        "2": _blosc_lz4_frame(tail.tobytes(), 4, True, False),
+    })
+    assert np.array_equal(zs.read_zarr_array(store, "multi"), arr)
