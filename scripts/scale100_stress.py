@@ -90,9 +90,8 @@ EXPLAINED_DIFFS = {
 # Super-linear wall ratios that are PROPERTIES OF THE QUERY, not
 # engine bugs — recorded next to the measurement so the number reads
 # honestly.  EMPTY since round 11: q_similarity_ann, the one entry
-# this mechanism was built for, was re-pinned at 13 occupancy-bounded
-# hyperplanes (8192 cells — the set the r10 companion measurement
-# validated at 4.3x for 100x vectors), so the judged plan itself is
+# this mechanism was built for, was re-pinned at 14 occupancy-bounded
+# hyperplanes (16384 cells), so the judged plan itself is
 # now the scale path and its ratio is asserted like everyone else's
 # (tests/test_stress_artifacts.py).
 RATIO_NOTES: dict[str, str] = {}
@@ -198,9 +197,8 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
     """The ANN scale story, measured.  Since round 11 the judged
-    query ITSELF pins the occupancy-bounded 13-plane set (8192 cells:
-    ~24 vectors/cell at 200k vectors, the occupancy the r10 companion
-    measurement validated at 4.3x wall for 100x data), so the main
+    query ITSELF pins the occupancy-bounded 14-plane set (16384
+    cells: ~12 vectors/cell at 200k vectors), so the main
     scale100 section now carries the scale-sane ratio directly.  This
     companion section records the judged-pin walls at both scales plus
     the HISTORICAL 6-plane counterfactual (r10: base 1.039 s, 100x
@@ -221,12 +219,12 @@ def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
         )
         return round(_time.perf_counter() - t0, 3)
 
-    base = min(wall(src_dir, 13) for _ in range(2))
-    scaled = min(wall(out_dir, 13) for _ in range(2))
+    base = min(wall(src_dir, 14) for _ in range(2))
+    scaled = min(wall(out_dir, 14) for _ in range(2))
     return {
-        "judged_n_planes": 13,
-        "wall_base_13planes_s": base,
-        "wall_100x_13planes_s": scaled,
+        "judged_n_planes": 14,
+        "wall_base_judged_planes_s": base,
+        "wall_100x_judged_planes_s": scaled,
         "ratio": round(scaled / base, 1) if base else None,
         "counterfactual_6planes_r10": {
             "wall_base_s": 1.039,
@@ -239,8 +237,8 @@ def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
             ),
         },
         "note": (
-            "the judged query pins 13 hyperplanes (8192 cells) since "
-            "round 11 — cell occupancy stays bounded through the "
+            "the judged query pins 14 hyperplanes (16384 cells) "
+            "since round 11 — cell occupancy stays bounded through the "
             "100x corpus, so the judged plan is the scale path; "
             "growing the corpus further scales the parameter, not "
             "the design (ann_lsh_topk takes n_planes as input: "

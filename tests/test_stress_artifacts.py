@@ -67,13 +67,13 @@ def test_scale100_sections_present_and_classified():
         assert "hazard_BatchEvalPython" not in e, name
         assert "hazard_ArrowEvalPython" not in e, name
         assert "hazard_CartesianProduct" not in e, name
-    # the r11 re-pin (6 -> 13 occupancy-bounded hyperplanes) makes
+    # the r11 re-pin (6 -> 14 occupancy-bounded hyperplanes) makes
     # the judged ANN query's ratio a REAL bound, not a ratio_note:
     # ~4-5x measured for 100x data, asserted with noise headroom
     ann_judged = sec["queries"]["q_similarity_ann"]
     assert "ratio_note" not in ann_judged
     assert ann_judged["ratio"] <= 12, ann_judged["ratio"]
     ann = doc["scale100_ann_scaled_params"]
-    assert ann["judged_n_planes"] == 13
+    assert ann["judged_n_planes"] == 14
     assert ann["ratio"] <= 12
     assert ann["counterfactual_6planes_r10"]["ratio_100x"] > 100

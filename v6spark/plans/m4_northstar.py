@@ -447,29 +447,30 @@ def _ann_oracle(n_planes: int = 6, dim: int = 64, min_cosine: float = 0.2) -> st
     """
 
 
-@register("q_similarity_ann", TIER, _ann_oracle(n_planes=13))
+@register("q_similarity_ann", TIER, _ann_oracle(n_planes=14))
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate near-neighbor pairs (north star: the
     scale path for similarity search).
 
-    Exact cosine is computed only within sign-bit buckets (13
+    Exact cosine is computed only within sign-bit buckets (14
     deterministic hyperplanes); tested for consistency against brute
     force in tests/test_dedup_similarity.py.  The hyperplanes are
     plan-time literals, so the oracle restates the identical bucket
     assignment and cosine arithmetic.
 
-    Plane count is OCCUPANCY-BOUNDED, not recall-maximal: 13 planes =
-    8192 cells keeps the within-cell candidate self-join sub-quadratic
-    through the 100x stress corpus (~24 vectors/cell at 200k vectors —
-    STRESS_SCALE100 measured 4.3x wall for 100x data at these
-    parameters, vs 811x at the old 6-plane pin whose 64 cells made
-    occupancy grow linearly with the corpus).  At small sf the cells
-    are sparse and only strong near-neighbors collide on all 13 sign
-    bits — that is the by-design ANN recall/cost trade, and the scale
-    path a 100 TB corpus actually needs.
+    Plane count is OCCUPANCY-BOUNDED, not recall-maximal: 14 planes =
+    16384 cells keeps the within-cell candidate self-join (the
+    quadratic term: every pair pays a 64-dim dot product)
+    sub-quadratic through the 100x stress corpus (~12 vectors/cell at
+    200k vectors — 100x wall ~3.9 s vs 7.8 s at 13 planes and 811x
+    at the old 6-plane pin whose 64 cells made occupancy grow
+    linearly with the corpus).  At small sf the cells are sparse and
+    only strong near-neighbors collide on all 14 sign bits — that is
+    the by-design ANN recall/cost trade, and the scale path a 100 TB
+    corpus actually needs.
     """
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"))
-    return ann_lsh_pairs(emb, n_planes=13, dim=64, min_cosine=0.2).orderBy(
+    return ann_lsh_pairs(emb, n_planes=14, dim=64, min_cosine=0.2).orderBy(
         "id_a", "id_b"
     )
 
