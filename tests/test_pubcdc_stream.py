@@ -621,11 +621,11 @@ def test_posture_change_slices_partition_key_space(spark, tmp_path):
     rdr = PublishedChangesBatchReader(root, w.schema, 1, 2)
     specs = [p.key_filter for p in rdr.partitions()]
     assert len(specs) >= 8 and all(s is not None for s in specs)
-    modulus = specs[0][2]
-    assert sorted(s[3] for s in specs) == list(range(modulus))
+    group_mod = specs[0][3]
+    assert sorted(s[4] for s in specs) == list(range(group_mod))
     for key in (0, 1, 7, 39, 1004):
         owners = [
             s for s in specs
-            if shard_of(key, s[0], s[2], s[1]) == s[3]
+            if shard_of(key, s[0], s[2], s[1]) % s[3] == s[4]
         ]
         assert len(owners) == 1, key

@@ -38,9 +38,17 @@ old-side/new-side join on the key; because the table is key-sharded
 at publish time (xxhash64 % n_shards), a key's old and new rows live
 in the SAME shard directory, so the join decomposes into per-shard
 partitions that executors classify locally — no executor talks to
-another.  A window that changes the sharding itself (reshard, or
-unsharded files) falls back to ONE partition, documented: those
-windows rewrite the table anyway and net to zero rows.  Per-partition
+another.  A window that changes the sharding itself (reshard) cannot
+decompose by directory, so it decomposes by KEY SPACE instead (r11):
+each of >= 8 slices owns the keys whose new-posture shard mod the
+slice count equals its slot — the new side dir-prunes to its shards,
+the old side row-filters with the Spark-parity xxhash64
+(operators/xxh64).  Old-side I/O is re-read once per slice (capped at
+16 — the price of parallelism without a shuffle in a Python
+DataSource), and the classification CPU, the actual bottleneck of
+these full-rewrite windows, parallelizes.  Only a posture-less
+publish (no recorded sharding/key type) keeps the documented
+single-partition fallback.  Per-partition
 memory is the window's diffed rows for one shard; the JVM
 ``changes_foreach_batch`` path remains the bulk alternative for
 consumers that want Catalyst joins instead.
@@ -152,10 +160,11 @@ class ChangesPartition(InputPartition):
     #: bootstrap: emit ``new`` rows as inserts, no join
     snapshot: bool = False
     #: key-space slice for posture-change (reshard) windows:
-    #: ``(key_type, seed, modulus, value)`` — a row belongs to this
-    #: partition iff ``shard_of(key, key_type, modulus, seed) ==
-    #: value`` (Spark-parity xxhash64, operators/xxh64.py).  Applied
-    #: to the OLD side always; to the NEW side when ``filter_new``.
+    #: ``(key_type, seed, modulus, group_mod, value)`` — a row
+    #: belongs to this partition iff ``shard_of(key, key_type,
+    #: modulus, seed) % group_mod == value`` (Spark-parity xxhash64,
+    #: operators/xxh64.py).  Applied to the OLD side always; to the
+    #: NEW side when ``filter_new``.
     key_filter: tuple | None = None
     filter_new: bool = False
 
@@ -570,8 +579,7 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
             seed_n = new_doc.get("seed") or 0
             key_type = dict(new_doc.get("schema") or []).get(key)
             if n_new and key_type:
-                m = max(1, -(-8 // int(n_new)))  # ceil(8 / n_new)
-                modulus = int(n_new) * m
+                n_new = int(n_new)
                 new_by_shard: dict[int, list] = {}
                 unsharded_new: list = []
                 for ent in new_only:
@@ -581,16 +589,43 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
                     else:
                         new_by_shard.setdefault(int(sh), []).append(ent)
                 out = []
-                for v in range(modulus):
-                    nw = list(new_by_shard.get(v % int(n_new), ()))
-                    filter_new = m > 1 or bool(unsharded_new)
-                    nw += unsharded_new
-                    out.append(ChangesPartition(
-                        old=tuple(old_only), new=tuple(nw),
-                        pre=tuple(pre), version=version, key=key,
-                        key_filter=(key_type, seed_n, modulus, v),
-                        filter_new=filter_new,
-                    ))
+                if n_new >= 8:
+                    # group new shards mod P: old-side read
+                    # amplification is P, so cap it — 16 slices is
+                    # plenty of parallelism for a window whose cost
+                    # is classification CPU
+                    group_mod = min(n_new, 16)
+                    spec = (key_type, seed_n, n_new, group_mod)
+                    for g in range(group_mod):
+                        nw = [
+                            ent for s, ents in new_by_shard.items()
+                            if s % group_mod == g for ent in ents
+                        ]
+                        filter_new = bool(unsharded_new)
+                        nw += unsharded_new
+                        out.append(ChangesPartition(
+                            old=tuple(old_only), new=tuple(nw),
+                            pre=tuple(pre), version=version, key=key,
+                            key_filter=spec + (g,),
+                            filter_new=filter_new,
+                        ))
+                else:
+                    # few new shards: refine the shard hash so at
+                    # least 8 slices exist (refined % n_new == shard,
+                    # so the new side still dir-prunes per slice)
+                    m = -(-8 // n_new)  # ceil(8 / n_new)
+                    modulus = n_new * m
+                    for v in range(modulus):
+                        nw = list(new_by_shard.get(v % n_new, ()))
+                        nw += unsharded_new
+                        out.append(ChangesPartition(
+                            old=tuple(old_only), new=tuple(nw),
+                            pre=tuple(pre), version=version, key=key,
+                            key_filter=(
+                                key_type, seed_n, modulus, modulus, v
+                            ),
+                            filter_new=True,
+                        ))
                 return out
             # posture-less publish (no recorded sharding/key type):
             # one partition (these windows rewrite the table and net
@@ -658,7 +693,7 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
 
             from v6spark.operators.xxh64 import shard_of, shards_of_numpy
 
-            ktype, seed, modulus, want = part.key_filter
+            ktype, seed, modulus, group_mod, want = part.key_filter
             out = []
             for b in batches:
                 col = b.column(ki)
@@ -666,12 +701,12 @@ class PublishedChangesStreamReader(DataSourceStreamReader):
                     mask = shards_of_numpy(
                         col.to_numpy(zero_copy_only=False),
                         ktype, modulus, seed,
-                    ) == want
+                    ) % group_mod == want
                 except (TypeError, ValueError):
                     # string / non-integer key lanes: scalar parity path
                     mask = np.fromiter(
-                        (shard_of(v, ktype, modulus, seed) == want
-                         for v in col.to_pylist()),
+                        (shard_of(v, ktype, modulus, seed) % group_mod
+                         == want for v in col.to_pylist()),
                         dtype=bool, count=b.num_rows,
                     )
                 if mask.all():
