@@ -606,14 +606,17 @@ def test_posture_change_window_decomposes(spark, tmp_path):
     assert got == ref and len(got) >= 3  # insert + update pre/post
 
 
-def test_posture_change_slices_partition_key_space(spark, tmp_path):
+@pytest.mark.parametrize("n_to", [6, 12])
+def test_posture_change_slices_partition_key_space(spark, tmp_path, n_to):
     """Every key belongs to EXACTLY one posture-change partition's
-    key slice (no lost or double-classified rows by construction)."""
+    key slice (no lost or double-classified rows by construction) —
+    through BOTH slice strategies: refined-hash (n_new < 8 -> modulus
+    n_new*m) and shard-group (n_new >= 8 -> mod min(n_new, 16))."""
     from v6spark.operators.xxh64 import shard_of
     from v6spark.sources.pubcdc import read_published_changes_sql
 
     root = _publish(spark, tmp_path, n=40, n_shards=4)       # v1
-    reshard_published(spark, root, n_shards=6)               # v2
+    reshard_published(spark, root, n_shards=n_to)            # v2
     w = read_published_changes_sql(spark, root, 1, 2)
     # reach the planner directly for the filter specs
     from v6spark.sources.pubcdc import PublishedChangesBatchReader

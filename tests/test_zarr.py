@@ -212,6 +212,15 @@ def test_zarr_honest_raises(tmp_path):
     with pytest.raises(NotImplementedError, match="zstd"):
         zs._decompress(b"x", {"id": "zstd"})
 
+    # BIT-shuffle (flag 0x04) is a bit-plane transpose — decoding it
+    # as byte-shuffle would be silently WRONG, so it refuses
+    bitshuf = bytes([2, 1, (1 << 5) | 0x04, 4]) \
+        + (8).to_bytes(4, "little") + (8).to_bytes(4, "little") \
+        + (30).to_bytes(4, "little") + (20).to_bytes(4, "little") \
+        + b"\x00" * 10
+    with pytest.raises(NotImplementedError, match="bit-shuffled"):
+        zs._decompress(bitshuf, {"id": "blosc"})
+
 
 def test_zarr_export_cap(spark):
     """The interop exporter refuses corpus-scale input instead of
@@ -347,3 +356,142 @@ def test_zarr_blosc_lz4_roundtrip(tmp_path):
         "2": _blosc_lz4_frame(tail.tobytes(), 4, True, False),
     })
     assert np.array_equal(zs.read_zarr_array(store, "multi"), arr)
+
+
+def _lz4_greedy_compress(data: bytes) -> bytes:
+    """Tiny greedy LZ4 encoder for PROPERTY-TESTING the decoder: real
+    matches (hash-chain on 4-byte prefixes), proper token/extension
+    encoding, LZ4's end-of-block rules (final sequence literal-only).
+    Independent of the decoder's code paths, so a round-trip failure
+    means one of them misreads the public format."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+
+    def emit(lit: bytes, mlen: int | None, offset: int | None):
+        lit_len = len(lit)
+        token_lit = min(lit_len, 15)
+        token_m = 0 if mlen is None else min(mlen - 4, 15)
+        out.append((token_lit << 4) | token_m)
+        if token_lit == 15:
+            rem = lit_len - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(lit)
+        if mlen is None:
+            return
+        out.append(offset & 0xFF)
+        out.append(offset >> 8)
+        if token_m == 15:
+            rem = mlen - 4 - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+
+    # matches must end >= 5 bytes before the end (last literals rule)
+    while i + 4 <= n - 5:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF and data[j:j + 4] == key:
+            mlen = 4
+            while i + mlen < n - 5 and data[j + mlen] == data[i + mlen]:
+                mlen += 1
+            emit(data[anchor:i], mlen, i - j)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit(data[anchor:], None, None)
+    return bytes(out)
+
+
+def test_lz4_decoder_roundtrip_property():
+    """Property: greedy-encoded LZ4 blocks (real matches, overlaps,
+    long runs) decode back bit-exact through the pure-Python
+    decoder."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096))
+    def check(data):
+        blk = _lz4_greedy_compress(data)
+        assert zs._lz4_block_decompress(blk, len(data)) == data
+
+    check()
+    # targeted shapes: repetition (overlapping matches), periodic
+    # patterns at every small offset, and highly compressible runs
+    for data in (
+        b"a" * 1000,
+        b"ab" * 700,
+        b"abc" * 500,
+        bytes(range(7)) * 300,
+        b"x" * 14 + b"the quick brown fox " * 40 + b"y" * 6,
+    ):
+        blk = _lz4_greedy_compress(data)
+        assert len(blk) < len(data)  # matches actually fired
+        assert zs._lz4_block_decompress(blk, len(data)) == data
+
+
+def test_zarr_blosc_lz4_roundtrip_property():
+    """Property: whole blosc-lz4 frames (greedy-compressed streams,
+    shuffled/split variants, multi-block) round-trip through
+    _decompress for random int arrays."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=256),
+        st.booleans(),
+        st.booleans(),
+    )
+    def check(vals, shuffle, split):
+        body = np.array(vals, dtype="<i4").tobytes()
+        if split and len(body) % 4:
+            split = False
+        frame = _blosc_lz4_frame_greedy(body, 4, shuffle, split)
+        assert zs._decompress(
+            frame, {"id": "blosc", "cname": "lz4"}
+        ) == body
+
+    check()
+
+
+def _blosc_lz4_frame_greedy(body: bytes, typesize: int, shuffle: bool,
+                            split: bool) -> bytes:
+    """Like _blosc_lz4_frame but with the greedy encoder, so streams
+    contain real matches."""
+    nbytes = len(body)
+    if shuffle:
+        body = (
+            np.frombuffer(body, np.uint8)
+            .reshape(-1, typesize).T.tobytes()
+        )
+    if split:
+        per = nbytes // typesize
+        streams = [body[i * per:(i + 1) * per] for i in range(typesize)]
+    else:
+        streams = [body]
+    payload = bytearray()
+    for s in streams:
+        c = _lz4_greedy_compress(s)
+        if len(c) >= len(s) and len(s) > 0:
+            c = s  # store uncompressed, cbytes == stream size marker
+        payload += len(c).to_bytes(4, "little") + c
+    flags = (1 << 5) | (0x01 if shuffle else 0)
+    frame = bytearray()
+    frame += bytes([2, 1, flags, typesize])
+    frame += nbytes.to_bytes(4, "little")
+    frame += nbytes.to_bytes(4, "little")
+    frame += (0).to_bytes(4, "little")
+    frame += (20).to_bytes(4, "little")
+    frame += payload
+    frame[12:16] = len(frame).to_bytes(4, "little")
+    return bytes(frame)

@@ -97,44 +97,50 @@ def _lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
     native lz4 wheel behind this same seam."""
     out = bytearray()
     i, n = 0, len(src)
-    while i < n:
-        token = src[i]
-        i += 1
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = src[i]
-                i += 1
-                lit += b
-                if b != 255:
-                    break
-        if i + lit > n:
-            raise ValueError("corrupt LZ4 block (literal overrun)")
-        out += src[i : i + lit]
-        i += lit
-        if i >= n:
-            break  # final sequence carries literals only
-        offset = src[i] | (src[i + 1] << 8)
-        i += 2
-        mlen = token & 0x0F
-        if mlen == 15:
-            while True:
-                b = src[i]
-                i += 1
-                mlen += b
-                if b != 255:
-                    break
-        mlen += 4
-        start = len(out) - offset
-        if offset == 0 or start < 0:
-            raise ValueError("corrupt LZ4 block (bad match offset)")
-        if offset >= mlen:
-            out += out[start : start + mlen]
-        else:
-            # overlapping match: the window repeats the offset-sized
-            # pattern (LZ4's run-length idiom)
-            pattern = bytes(out[start:])
-            out += (pattern * (mlen // offset + 1))[:mlen]
+    try:
+        while i < n:
+            token = src[i]
+            i += 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    lit += b
+                    if b != 255:
+                        break
+            if i + lit > n:
+                raise ValueError("corrupt LZ4 block (literal overrun)")
+            out += src[i : i + lit]
+            i += lit
+            if i >= n:
+                break  # final sequence carries literals only
+            offset = src[i] | (src[i + 1] << 8)
+            i += 2
+            mlen = token & 0x0F
+            if mlen == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    mlen += b
+                    if b != 255:
+                        break
+            mlen += 4
+            start = len(out) - offset
+            if offset == 0 or start < 0:
+                raise ValueError("corrupt LZ4 block (bad match offset)")
+            if offset >= mlen:
+                out += out[start : start + mlen]
+            else:
+                # overlapping match: the window repeats the
+                # offset-sized pattern (LZ4's run-length idiom)
+                pattern = bytes(out[start:])
+                out += (pattern * (mlen // offset + 1))[:mlen]
+    except IndexError:
+        # a mis-guessed stream boundary reads past the end — surface
+        # it as the same ValueError class every other corruption does
+        # (the blosc split-layout fallback catches ValueError)
+        raise ValueError("corrupt LZ4 block (truncated)") from None
     if len(out) != dst_size:
         raise ValueError(
             f"LZ4 block decoded {len(out)} bytes, expected {dst_size}"
@@ -196,8 +202,12 @@ def _blosc_decompress(raw: bytes, flags: int, typesize: int,
     out = bytearray()
     for j in range(nblocks):
         neblock = min(blocksize, nbytes - j * blocksize)
+        # c-blosc splits blosclz/lz4 blocks into typesize byte-lane
+        # streams by default (FORWARD_COMPAT split mode) REGARDLESS
+        # of shuffle; try the split layout first and fall back to
+        # unsplit under the strict stream-length checks
         orders = [1]
-        if shuffled and typesize > 1 and neblock % typesize == 0:
+        if typesize > 1 and neblock % typesize == 0:
             orders = [typesize, 1]
         block = None
         err: Exception | None = None
@@ -239,6 +249,15 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         blocksize = int.from_bytes(raw[8:12], "little")
         cbytes = int.from_bytes(raw[12:16], "little")
         memcpyed = bool(flags & 0x02)
+        if flags & 0x04:
+            # BIT-shuffle (flag 0x04) is a bit-plane transpose, not
+            # the byte transpose _unshuffle inverts — decoding it as
+            # byte-shuffle would return silently WRONG values, the
+            # worst failure mode; refuse honestly instead
+            raise NotImplementedError(
+                "bit-shuffled blosc chunks need numcodecs/bitshuffle; "
+                "byte-shuffled and unshuffled frames decode for real"
+            )
         if not memcpyed:
             codec = (flags >> 5) & 0x07
             # 0=blosclz 1=lz4/lz4hc 2=snappy 3=zlib 4=zstd
