@@ -128,6 +128,31 @@ def test_simhash_portable_engines_agree(spark):
         dedup.simhash_signature_portable(df, engine="nope")
 
 
+def test_simhash_agg_long_document_no_ansi_overflow(spark):
+    """Regression: the agg engine's lane sums must survive a ~40k-token
+    document under Spark's ANSI overflow checks.  The original 16-bit
+    lane packing contributed up to ~2^48 per row per sum, overflowing
+    signed int64 (ANSI ArithmeticException) near 32k same-bit tokens;
+    32-bit lanes hold past 2^31 tokens.  The fold engine is the
+    independent definition-level witness for the same document."""
+    long_text = " ".join(["tok"] * 40_000)  # every row votes the same bits
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "tok")], "doc_id long, text string"
+    )
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signature_portable(df, engine="agg").collect()
+    }
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signature_portable(df, engine="fold").collect()
+    }
+    assert agg == fold
+    # 40k copies of one token vote exactly like one copy: a strict
+    # majority on every bit of hash("tok"), i.e. the hash itself
+    assert agg[1] == agg[2] and agg[1] is not None
+
+
 def test_simhash_pairs_hamming_ball_golden(spark):
     """Planted signatures: pairs inside the radius are found with their
     exact Hamming distance; pairs outside never appear."""

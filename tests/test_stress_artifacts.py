@@ -53,7 +53,7 @@ def test_stress_scripts_read_modify_write():
 def test_scale100_sections_present_and_classified():
     """STRESS_SCALE100 must carry the 10-query 100x section with
     every plan diff either empty or explained, plus the ANN
-    companion section recording the judged 13-plane pin at both
+    companion section recording the judged 14-plane pin at both
     scales (and the historical 6-plane counterfactual)."""
     doc = _load("STRESS_SCALE100.json")
     sec = doc["scale100"]

@@ -495,3 +495,59 @@ def _blosc_lz4_frame_greedy(body: bytes, typesize: int, shuffle: bool,
     frame += payload
     frame[12:16] = len(frame).to_bytes(4, "little")
     return bytes(frame)
+
+
+def _blosc_zlib_frame(body: bytes, typesize: int, shuffle: bool) -> bytes:
+    """Hand-assembled compressed blosc1 frame, ZLIB codec (id 3),
+    one unsplit block — c-blosc never splits zlib blocks, so unsplit
+    is the only real-writer layout."""
+    nbytes = len(body)
+    if shuffle:
+        body = (
+            np.frombuffer(body, np.uint8)
+            .reshape(-1, typesize).T.tobytes()
+        )
+    import zlib as _z
+
+    c = _z.compress(body, 5)
+    payload = len(c).to_bytes(4, "little") + c
+    flags = (3 << 5) | (0x01 if shuffle else 0)
+    frame = bytearray()
+    frame += bytes([2, 1, flags, typesize])
+    frame += nbytes.to_bytes(4, "little")
+    frame += nbytes.to_bytes(4, "little")          # blocksize = nbytes
+    frame += (0).to_bytes(4, "little")
+    frame += (20).to_bytes(4, "little")            # bstarts[0]
+    frame += payload
+    frame[12:16] = len(frame).to_bytes(4, "little")
+    return bytes(frame)
+
+
+def test_zarr_blosc_zlib_roundtrip():
+    """Compressed blosc-zlib frames decode: the split-layout trial runs
+    FIRST (typesize 4 divides the block) and must fail over to the
+    unsplit layout with a ValueError, never an escaping zlib.error —
+    c-blosc never splits zlib blocks, so every real blosc-zlib frame
+    takes this fallback path."""
+    vec = np.array([7, -1, 9, 1 << 20, 0, 42, -(1 << 30), 3], dtype="<i4")
+    for shuffle in (False, True):
+        frame = _blosc_zlib_frame(vec.tobytes(), 4, shuffle)
+        got = zs._decompress(frame, {"id": "blosc", "cname": "zlib"})
+        assert got == vec.tobytes(), f"shuffle={shuffle}"
+
+
+def test_blosc_streams_zlib_garbage_raises_valueerror():
+    """Contract regression: _blosc_streams surfaces undecodable zlib
+    bytes as ValueError (the class the split-trial fallback catches),
+    not zlib.error.  Layout: stream 1 stored-uncompressed (cbytes ==
+    per), stream 2 an in-range length over garbage — exactly the
+    mis-guessed-split shape that previously let zlib.error escape."""
+    per = 8
+    stored = bytes(range(per))
+    garbage = b"\xff\xee\xdd\xcc\xbb\xaa"  # len != per -> zlib path
+    raw = (
+        per.to_bytes(4, "little") + stored
+        + len(garbage).to_bytes(4, "little") + garbage
+    )
+    with pytest.raises(ValueError, match="zlib"):
+        zs._blosc_streams(raw, 0, 2, 2 * per, codec=3)

@@ -2,10 +2,13 @@
 
 North-star extension surface (SURVEY.md §2.2): exact dedup plus the
 near-duplicate family — MinHash+LSH, SimHash, n-gram Jaccard.  All the
-per-document signature work happens JVM-side with Catalyst
-higher-order functions (no per-row Python); the only Python stage is
-SimHash's bit-majority vote, which runs as an Arrow-vectorized pandas
-UDF over pre-hashed tokens.
+per-document signature work happens JVM-side: the batch defaults are
+whole-stage-codegen HashAggregates over exploded tokens/shingles
+(``simhash_signature_portable(engine="agg")``,
+``minhash_signature_frame``); single-pass Catalyst HOF folds remain
+for streaming micro-batches (measured faster there), and Arrow pandas
+UDF twins exist as library fast paths — every engine pair is
+bit-identical and regression-locked.  No judged path runs Python.
 
 Scale shape: every operator is signature -> explode(bands/buckets) ->
 hash-shuffle on the bucket key -> within-bucket self-join.  Candidate
@@ -185,6 +188,14 @@ def minhash_signature_frame(
     they produce NULL signatures in the column form and can never
     collide into a band bucket either way, so candidate-pair output
     is identical.
+
+    PRECONDITION: ``id_col`` values must be unique and non-NULL.  The
+    groupBy merges rows sharing an id into ONE blended min-signature
+    (and Catalyst groups all NULL ids together), whereas the per-row
+    column/arrow engines emit one signature per ROW — engine parity
+    breaks silently on duplicate ids.  Callers that cannot guarantee
+    uniqueness should ``dropDuplicates([id_col])`` first (that is what
+    :func:`near_dup_report` relies on: corpus ids are primary keys).
     """
     params = _perm_params(n_hashes)
     ex = df.selectExpr(
@@ -1036,20 +1047,22 @@ def simhash_signature_portable(
 
     ``engine="agg"`` (default): the per-bit majority vote runs as a
     whole-stage-codegen HashAggregate over exploded token hashes —
-    bit counts are packed 4-per-long into 16-bit lanes by
-    ``sum((h >> j) & 0x0001000100010001)`` for j in 0..15 (bit j of
-    lane field f counts hash bit j + 16f: two integer ops per sum),
+    bit counts are packed 2-per-long into 32-bit lanes by
+    ``sum((h >> j) & 0x0000000100000001)`` for j in 0..31 (bit j of
+    lane field f counts hash bit j + 32f: two integer ops per sum),
     so the vote costs ~nothing on top of the tokenize+md5 floor
-    (measured at 20x sf0.1: explode+count 0.77 s, +16 lane sums
+    (measured at 20x sf0.1: explode+count 0.77 s, +lane sums
     0.78 s; the whole agg form is ~3x the old nested
     ``aggregate``/``zip_with`` HOF fold, which evaluated interpreted
     — HigherOrderFunction has no codegen — and made this the worst
     plan-identical ratio of the 100x stress, 25.2x).  The added
-    shuffle carries ONE 17-long row per document (partial
+    shuffle carries ONE 33-long row per document (partial
     aggregation combines map-side), which is exactly the shuffle you
-    want at 100 TB.  16-bit lanes overflow at 65536 same-bit tokens
-    per document — far beyond any real document; documents that long
-    should be span-chunked upstream.
+    want at 100 TB.  Each row adds at most 2^32+1 to a lane sum, so
+    the int64 accumulator holds past 2^31 tokens per document —
+    unreachable — and never trips Spark's ANSI sum-overflow check
+    (16-bit lanes would: per-row contributions up to ~2^48 overflow
+    signed int64, i.e. throw under ANSI, near 32k same-bit tokens).
 
     ``engine="fold"``: the original single-pass per-row ``aggregate``
     fold (accumulator = length-n_bits vote vector).  No explode, no
@@ -1102,8 +1115,8 @@ def simhash_signature_portable(
     # (measured; same driver-chatter bottleneck the corpus plan cache
     # exists for) — one F.expr per aggregate and ONE for the whole
     # signature assembly keep the build at a handful of calls
-    lane_mask = 0x0001000100010001  # one 16-bit field per 16 hash bits
-    n_lanes = min(16, n_bits)
+    lane_mask = 0x0000000100000001  # one 32-bit field per 32 hash bits
+    n_lanes = min(32, n_bits)
     lanes = "array(" + ", ".join(
         f"sum(shiftright(_h, {j}) & {lane_mask}L)" for j in range(n_lanes)
     ) + ")"
@@ -1112,10 +1125,10 @@ def simhash_signature_portable(
     )
     terms = []
     for j in range(n_bits):
-        lane, fld = j % 16, j // 16
+        lane, fld = j % 32, j // 32
         terms.append(
-            f"CASE WHEN (shiftright(_ps[{lane}], {16 * fld}) & 65535) * 2"
-            f" > _n THEN {1 << j}L ELSE 0L END"
+            f"CASE WHEN (shiftright(_ps[{lane}], {32 * fld}) "
+            f"& 4294967295) * 2 > _n THEN {1 << j}L ELSE 0L END"
         )
     sig = F.expr(
         "CASE WHEN _tnull THEN CAST(NULL AS BIGINT) ELSE "

@@ -399,14 +399,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-bit majority vote over md5-based token hashes as a whole-
     stage-codegen HashAggregate over exploded hashes, bit counts
-    packed 4-per-long into 16-bit lanes
+    packed 2-per-long into 32-bit lanes
     (operators/dedup.py::simhash_signature_portable, engine="agg") —
     JVM-side, zero Python, bit-for-bit reproducible in the SQL
-    oracle, and ~3x the interpreted HOF-fold form once data dominates
-    (the r10 100x stress's worst plan-identical ratio, 25.2x, was
-    exactly that fold; HigherOrderFunction has no codegen).  The
-    shuffle carries one 17-long row per document after map-side
-    partial aggregation.  Near-dups are pairs within small Hamming
+    oracle, ANSI-overflow-safe for any real document length, and ~3x
+    the interpreted HOF-fold form once data dominates (the r10 100x
+    stress's worst plan-identical ratio, 25.2x, was exactly that
+    fold; HigherOrderFunction has no codegen).  The shuffle carries
+    one 33-long row per document after map-side partial aggregation.  Near-dups are pairs within small Hamming
     distance, bucketed on bit-prefixes so that is a join, not a scan.
     """
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))

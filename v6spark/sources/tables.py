@@ -62,9 +62,15 @@ _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 def _session_stopped(s: SparkSession) -> bool:
     """True once ``s.stop()`` ran (the underlying JVM context is
     detached) — cached plans from a stopped session are unusable and
-    only pin dead sessions in memory."""
+    only pin dead sessions in memory.  Only a SUCCESSFUL probe that
+    returns None classifies as stopped: on runtimes where the private
+    ``_sc._jsc`` chain does not exist at all (e.g. Spark Connect),
+    treating the AttributeError as "stopped" would evict every live
+    entry on every lookup and silently disable the plan cache."""
     try:
         return s._sc._jsc is None
+    except AttributeError:
+        return False
     except Exception:
         return True
 

@@ -174,7 +174,16 @@ def _blosc_streams(raw: bytes, pos: int, nstreams: int,
         elif codec == 1:  # lz4 / lz4hc share the block format
             out += _lz4_block_decompress(body, per)
         else:  # codec == 3: zlib
-            inflated = zlib.decompress(body)
+            try:
+                inflated = zlib.decompress(body)
+            except zlib.error as e:
+                # the split-layout trial loop's contract is ValueError
+                # for "this layout guess is wrong" — a mis-guessed
+                # stream boundary hands zlib garbage header bytes and
+                # zlib.error would escape the fallback (c-blosc never
+                # splits zlib blocks, so the unsplit retry is the one
+                # that decodes); mirror _lz4_block_decompress
+                raise ValueError(f"blosc zlib stream undecodable: {e}") from None
             if len(inflated) != per:
                 raise ValueError("blosc zlib stream length mismatch")
             out += inflated
