@@ -164,3 +164,24 @@ def test_profile_dotted_and_duplicate_columns(spark):
     rows2 = profile(joined).collect()
     assert len(rows2) == 2
     assert sorted(r["n_nulls"] for r in rows2) == [0, 1]
+
+
+def test_spread_small_input_memoized(spark):
+    """Re-spreading a frame spread_small_input already returned is a
+    zero-cost no-op (same object back, no re-probe): the normal shape
+    when a query fn and the operator it calls both defensively spread
+    the same input — the ``df.rdd`` partition-count probe is a full
+    plan analysis, ~0.2 s cold per call."""
+    from v6spark.operators.transforms import _SPREAD_DONE, spread_small_input
+
+    df = spark.range(10).toDF("x")
+    out = spread_small_input(df, min_partitions=8)
+    assert out in _SPREAD_DONE
+    assert spread_small_input(out, min_partitions=8) is out
+    # a LARGER floor than the memoized one must re-probe, not skip
+    wider = spread_small_input(out, min_partitions=64)
+    assert wider is not out
+    assert wider.rdd.getNumPartitions() == 64
+    # a no-op probe (input already wide enough) is memoized too
+    again = spread_small_input(wider, min_partitions=8)
+    assert again is wider

@@ -198,12 +198,19 @@ def minhash_signature_frame(
     :func:`near_dup_report` relies on: corpus ids are primary keys).
     """
     params = _perm_params(n_hashes)
+    # `%`, not `pmod`: every operand here is provably non-negative
+    # (the md5 hash is 60-bit unsigned; _h < 2^31 and a,b < 2^31 keep
+    # _h*a+b < 2^62), so the two agree bit-for-bit — and `%` is one
+    # IREM in codegen while pmod emits a branch + double remainder,
+    # which matters x65 inside the aggregate's update path (measured
+    # ~0.2 s off the cold first run, ~0.1 s warm at sf0.1).  The
+    # DuckDB oracle uses `%` on the same non-negative values.
     ex = df.selectExpr(
         f"{id_col} AS _id",
         f"explode({_shingles_sql(text_col, shingle_k)}) AS _sh",
     ).selectExpr(
         "_id",
-        f"pmod({_portable_hash60_sql('_sh')}, {MERSENNE31}L) AS _h",
+        f"({_portable_hash60_sql('_sh')}) % {MERSENNE31}L AS _h",
     )
     # ONE SQL-string expression for all permutations: per-Column
     # construction costs ~6 py4j round trips per permutation
@@ -211,7 +218,7 @@ def minhash_signature_frame(
     # still plans the 64 independent min buffers (map-side combined),
     # the array is assembled in the aggregate's result projection
     arr = "array(" + ", ".join(
-        f"min(pmod(_h * {a}L + {b}L, {MERSENNE31}L))" for a, b in params
+        f"min((_h * {a}L + {b}L) % {MERSENNE31}L)" for a, b in params
     ) + ")"
     return ex.groupBy("_id").agg(F.expr(arr).alias("_sig"))
 

@@ -6,6 +6,7 @@ that fuse into whole-stage codegen with the scan; zero shuffles.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -64,6 +65,16 @@ def subset_entities_df(
     return df.join(F.broadcast(keep), on=key, how=how)
 
 
+#: frames already spread (or probed as wide enough) this session,
+#: mapped to their known partition-count floor — library entry points
+#: defensively spread their input, so a plan fn that already spread
+#: passes the SAME object back in; re-probing it would re-run full
+#: plan analysis (``df.rdd`` converts the lineage, ~0.2 s cold PER
+#: CALL) for a guaranteed no-op.  Weak keys: entries die with the
+#: DataFrame, nothing pins query plans in memory.
+_SPREAD_DONE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a small-split scan before expensive
     per-row compute; no-op when the scan already has enough splits.
@@ -76,8 +87,20 @@ def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> Data
     has >= cores splits and this is a no-op, so the plan is identical
     where it matters.  Measured 4x on the sf0.1 documents table
     (one row group) for the SimHash fold on local[32].
+
+    Idempotent at zero cost: a frame this function already returned
+    (or probed) skips the ``df.rdd`` partition-count probe — that
+    probe is a full plan analysis, and double-spreading is the normal
+    shape when both a query fn and the operator it calls defensively
+    spread the same input.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if _SPREAD_DONE.get(df, 0) >= target:
+        return df
+    n = df.rdd.getNumPartitions()
+    if n < target:
+        out = df.repartition(target)
+        _SPREAD_DONE[out] = target
+        return out
+    _SPREAD_DONE[df] = n
     return df
