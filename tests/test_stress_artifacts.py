@@ -77,3 +77,33 @@ def test_scale100_sections_present_and_classified():
     assert ann["judged_n_planes"] == 14
     assert ann["ratio"] <= 12
     assert ann["counterfactual_6planes_r10"]["ratio_100x"] > 100
+
+
+def test_tableformat_scale100_section():
+    """The r12 100x table-format evidence (VERDICT r11 task 2): the
+    delta is held FIXED while the corpus grows 100x, so a flat wall
+    IS the verified design claim (lookup/DML cost tracks the delta or
+    the answer, never the corpus).  Pins the section's structure and
+    the claims that must not regress: absent lookups open zero data
+    files, DV retract rewrites nothing, the one-shard update rewrites
+    only that shard's files, and every delta/answer-bound ratio stays
+    far from corpus-bound (corpus grew 100x; generous noise headroom
+    at 3.0 for sub-second steps)."""
+    doc = _load("STRESS_TABLEFORMAT.json")
+    sec = doc["scale100"]
+    assert sec["corpus_bound_steps"] == ["publish"]
+    s1, s100 = sec["scale_1x"], sec["scale_100x"]
+    assert s100["rows_base"] == 100 * s1["rows_base"]
+    assert s1["delta_rows"] == s100["delta_rows"]
+    for s in (s1, s100):
+        assert s["all_counts_exact"] is True
+        assert s["absent_lookup_files_opened"] == 0
+        # the one-shard update's rewrite set is that shard's files,
+        # invariant to corpus size
+        assert s["one_shard_files_rewritten"] <= 4
+    assert s1["one_shard_files_rewritten"] == s100["one_shard_files_rewritten"]
+    ratios = sec["wall_ratio_100x_over_1x"]
+    for step, r in ratios.items():
+        if step in sec["corpus_bound_steps"]:
+            continue
+        assert r <= 3.0, (step, r)
