@@ -131,18 +131,20 @@ def test_zarr_chunk_codecs(tmp_path):
     )
     assert np.array_equal(zs.read_zarr_array(store, "a_gzip"), vec)
 
-    # blosc memcpy mode + byte shuffle
+    # blosc memcpy mode: stores the ORIGINAL bytes even when the
+    # shuffle flag is set — c-blosc's incompressible fallback copies
+    # the caller's buffer verbatim and leaves the filter bits in the
+    # header (they record the request); unshuffling here (the
+    # pre-r12 reader behavior) silently corrupted real stores'
+    # incompressible chunks
     body = vec.tobytes()
-    shuffled = (
-        np.frombuffer(body, dtype=np.uint8).reshape(4, 4).T.tobytes()
-    )
     header = bytes([2, 1, 0x03, 4]) + len(body).to_bytes(4, "little") \
         + len(body).to_bytes(4, "little") \
         + (len(body) + 16).to_bytes(4, "little")
     put_array(
         "a_blosc",
         {**base_meta, "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}},
-        {"0": header + shuffled},
+        {"0": header + body},
     )
     assert np.array_equal(zs.read_zarr_array(store, "a_blosc"), vec)
 
@@ -211,15 +213,6 @@ def test_zarr_honest_raises(tmp_path):
 
     with pytest.raises(NotImplementedError, match="zstd"):
         zs._decompress(b"x", {"id": "zstd"})
-
-    # BIT-shuffle (flag 0x04) is a bit-plane transpose — decoding it
-    # as byte-shuffle would be silently WRONG, so it refuses
-    bitshuf = bytes([2, 1, (1 << 5) | 0x04, 4]) \
-        + (8).to_bytes(4, "little") + (8).to_bytes(4, "little") \
-        + (30).to_bytes(4, "little") + (20).to_bytes(4, "little") \
-        + b"\x00" * 10
-    with pytest.raises(NotImplementedError, match="bit-shuffled"):
-        zs._decompress(bitshuf, {"id": "blosc"})
 
 
 def test_zarr_export_cap(spark):
