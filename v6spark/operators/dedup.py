@@ -18,6 +18,8 @@ uniform by construction, so there is no skew hot-spot at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -513,6 +515,8 @@ def near_dup_report(
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
     engine: str = "arrow",
+    include_est: bool = True,
+    include_edit: bool = True,
 ) -> DataFrame:
     """Complete two-stage near-dup pipeline over the corpus.
 
@@ -540,6 +544,15 @@ def near_dup_report(
     is strictly less work than shingle-setting the whole corpus, and
     both signature-side joins share ONE broadcast (identical
     projections of the persisted frame -> ReusedExchange).
+
+    ``include_est`` / ``include_edit`` (r12): drop the est_jaccard
+    and edit_dist report columns AND the work that computes them —
+    est needs both signature re-joins (skipped entirely when off),
+    edit_dist is a full Levenshtein per pair, quadratic in text
+    length.  :func:`near_dup_keepers` consumes only ``jaccard``; the
+    thrown-away enrichment was the single largest slice of its 50x
+    stress wall (13.45 -> 11.74 s at 368k verified pairs).
+    ``id_a``/``id_b``/``jaccard`` values are identical either way.
     """
     from pyspark import StorageLevel
 
@@ -566,29 +579,50 @@ def near_dup_report(
         f"explode({_band_bucket_sql('_sig', bands, rows_per_band)})"
         " AS bucket",
     )
-    banded = _guard_buckets(banded, ["bucket"], max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    if max_bucket_size is not None:
+        # guarded pair generation (r12): the cap bounds every
+        # bucket's membership list, so pairs expand from ONE
+        # groupBy(bucket) collect_list — same shuffle key as the old
+        # window+self-join but one shuffle instead of two, and the
+        # guard IS the size predicate instead of a separate window
+        # pass (50x dedup stress: ~2.5 s off the keeper wall).
+        # sort_array + (i, j>i) combinations reproduce the join's
+        # id_a < id_b exactly (ids unique per the signature-frame
+        # precondition); NULL buckets (NULL signature) drop first,
+        # as _guard_buckets did.  Memory bound = max_bucket_size
+        # elements per list — this path NEVER runs unguarded.
+        pairs = (
+            banded.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.expr("sort_array(collect_list(_id))").alias("_ids"))
+            .where(F.size("_ids").between(2, max_bucket_size))
+            .selectExpr(
+                "explode(flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "y -> struct(x AS a, y AS b))))) AS _p"
+            )
+            .selectExpr("_p.a AS id_a", "_p.b AS id_b")
+            .dropDuplicates()
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates()
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .dropDuplicates()
+        )
     texts = df.select(
         F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
     )
     da, db = texts.alias("da"), texts.alias("db")
     # SQL-string result expressions (one py4j call each; the
     # per-Column form costs ~0.3 s of build-time driver chatter)
-    est = (
-        "round(aggregate(zip_with(sa._sig, sb._sig, (x, y) -> "
-        "IF(x = y, 1.0D, 0.0D)), 0.0D, (acc, v) -> acc + v) / "
-        f"{float(n_hashes)}D, 6) AS est_jaccard"
-    )
     set_a = f"array_distinct({_shingles_sql('da._ttext', shingle_k)})"
     set_b = f"array_distinct({_shingles_sql('db._ttext', shingle_k)})"
     inter = f"size(array_intersect({set_a}, {set_b}))"
@@ -596,18 +630,27 @@ def near_dup_report(
         f"round(cast({inter} as double) / cast(size({set_a}) + "
         f"size({set_b}) - {inter} as double), 6) AS jaccard"
     )
-    return (
-        pairs.join(sa, F.col("id_a") == F.col("sa._id"))
-        .join(sb, F.col("id_b") == F.col("sb._id"))
-        .join(da, F.col("id_a") == F.col("da._tid"))
-        .join(db, F.col("id_b") == F.col("db._tid"))
-        .selectExpr(
-            "id_a",
-            "id_b",
-            est,
-            jacc,
-            "cast(levenshtein(da._ttext, db._ttext) as int) AS edit_dist",
+    out = pairs
+    cols = ["id_a", "id_b"]
+    if include_est:
+        sa, sb = sig.alias("sa"), sig.alias("sb")
+        out = out.join(sa, F.col("id_a") == F.col("sa._id")).join(
+            sb, F.col("id_b") == F.col("sb._id")
         )
+        cols.append(
+            "round(aggregate(zip_with(sa._sig, sb._sig, (x, y) -> "
+            "IF(x = y, 1.0D, 0.0D)), 0.0D, (acc, v) -> acc + v) / "
+            f"{float(n_hashes)}D, 6) AS est_jaccard"
+        )
+    cols.append(jacc)
+    if include_edit:
+        cols.append(
+            "cast(levenshtein(da._ttext, db._ttext) as int) AS edit_dist"
+        )
+    return (
+        out.join(da, F.col("id_a") == F.col("da._tid"))
+        .join(db, F.col("id_b") == F.col("db._tid"))
+        .selectExpr(*cols)
     )
 
 
@@ -701,6 +744,37 @@ def simhash_pairs_between(
     )
 
 
+def _scan_is_small(df: DataFrame, max_bytes: int = 32 << 20) -> bool:
+    """Whether ``df``'s backing scan is small enough that explicit
+    repartitions (not shuffle-stage parallelism) are the cheaper way
+    to spread CPU-heavy per-row work.  Sizes the scan by file bytes
+    (``inputFiles`` + stat — driver-side, milliseconds); frames the
+    probe cannot size (no backing files, exotic URIs, >1024 files)
+    default to SMALL when fileless — a createDataFrame test frame —
+    and LARGE otherwise: mis-classifying large as small costs a
+    redundant small shuffle, the reverse costs single-task compute."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return True
+    if not files:
+        return True
+    if len(files) > 1024:
+        return False
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        try:
+            p = urlparse(f).path if "://" in f or f.startswith("file:") else f
+            total += os.path.getsize(p)
+        except OSError:
+            return False
+        if total >= max_bytes:
+            return False
+    return True
+
+
 def near_dup_keepers(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -742,32 +816,39 @@ def near_dup_keepers(
     from v6spark.operators.transforms import spread_small_input
 
     # Small-corpus parallelism: the representatives frame below is
-    # SHUFFLE-derived (digest groupBy + join), so at toy scale AQE
-    # coalesces it to one partition and the signature fold inside
+    # SHUFFLE-derived (digest window), so at toy scale AQE coalesces
+    # it to one partition and the signature kernel inside
     # near_dup_report would run single-task (measured 13.5 s -> ~4 s
-    # at 5k docs).  Detect smallness on the INPUT (scan stats are
-    # accurate; join-output stats are not) and, only then, explicitly
-    # re-spread the representatives — an explicit repartition AQE
-    # respects.  At real scale the input is wide, `small` is False,
-    # and no extra shuffle exists.
-    spread_df = spread_small_input(df)
-    small = spread_df is not df
-    df = spread_df
+    # at 5k docs).  Smallness is decided by SCAN BYTES (r12), not
+    # split count: a 100-MB corpus can arrive as two splits, and the
+    # partition-count heuristic then re-shuffled the full text
+    # twice (input spread + reps repartition) for nothing — ~3 s of
+    # the 50x dedup stress wall.  Only a genuinely small corpus
+    # (< 32 MB, or one the probe cannot size) pays the explicit
+    # repartitions; a large one relies on the window shuffle for
+    # parallelism.
+    small = _scan_is_small(df)
+    if small:
+        df = spread_small_input(df)
 
     digests = df.select(
         F.col(id_col).alias("_doc"),
         F.col(text_col).alias("_text"),
         F.sha2(F.col(text_col), 256).alias("_digest"),
     )
-    exact = digests.groupBy("_digest").agg(F.min("_doc").alias("_rep"))
-    # persisted: feeds the reps selection, the LSH report (via reps)
-    # and the final keeper-map join — without the cache the caller's
-    # upstream subtree (quality scoring etc. in the pipeline) would
-    # re-execute once per consumer.  Same lifecycle convention as
-    # near_dup_report's side frame (session.clear_engine_caches).
+    # representative = min id over the digest partition: ONE shuffle
+    # (window over _digest) instead of the old groupBy + join-back —
+    # same result, same digest-hash shuffle key, one pass (r12)
     with_rep = (
-        digests.join(exact, "_digest")
+        digests.withColumn(
+            "_rep", F.min("_doc").over(Window.partitionBy("_digest"))
+        )
         .select("_doc", "_rep", "_text")
+        # persisted: feeds the reps selection, the LSH report (via
+        # reps) and the final keeper-map join — without the cache the
+        # caller's upstream subtree (quality scoring etc.) would
+        # re-execute once per consumer.  Same lifecycle convention as
+        # near_dup_report's side frame (session.clear_engine_caches).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -778,6 +859,9 @@ def near_dup_keepers(
         reps = reps.repartition(
             df.sparkSession.sparkContext.defaultParallelism
         )
+    # only `jaccard` gates keeper membership: skip the est_jaccard
+    # signature re-joins and the per-pair Levenshtein entirely (r12 —
+    # the thrown-away enrichment owned most of the 50x stress wall)
     pairs = near_dup_report(
         reps,
         id_col=id_col,
@@ -786,6 +870,8 @@ def near_dup_keepers(
         bands=bands,
         shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
+        include_est=False,
+        include_edit=False,
     ).filter(F.col("jaccard") >= min_jaccard)
     rep_keepers = connected_keepers(pairs).select(
         F.col("doc_id").alias("_rep"), F.col("keeper_id").alias("_keeper")
@@ -839,9 +925,30 @@ def _driver_union_find(edges: list[tuple], spark, dtype: str) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(
-        rows, f"doc_id {dtype}, keeper_id {dtype}"
-    )
+    if not rows:
+        return spark.createDataFrame(
+            [], f"doc_id {dtype}, keeper_id {dtype}"
+        )
+    # Arrow path: createDataFrame from a pandas frame serializes the
+    # few-hundred-k keeper map in one Arrow batch instead of
+    # row-by-row py4j pickling (~1 s saved at the 50x stress's 250k
+    # vertices); the tuple fallback keeps exotic id types working.
+    # The broadcast hint is safe BY CONSTRUCTION on this path only:
+    # the edge list was driver-bounded (<= driver_threshold), so the
+    # keeper map holds <= 2*threshold rows — downstream corpus joins
+    # (near_dup_keepers' final map-back) then broadcast instead of
+    # shuffling the corpus side.
+    try:
+        pdf = pd.DataFrame(rows, columns=["doc_id", "keeper_id"])
+        out = spark.createDataFrame(pdf).selectExpr(
+            f"cast(doc_id as {dtype}) AS doc_id",
+            f"cast(keeper_id as {dtype}) AS keeper_id",
+        )
+    except Exception:
+        out = spark.createDataFrame(
+            rows, f"doc_id {dtype}, keeper_id {dtype}"
+        )
+    return F.broadcast(out)
 
 
 def connected_keepers(
@@ -911,11 +1018,16 @@ def connected_keepers(
         # overflows, the distributed path below reads the same cache
         # instead of re-running the plan
         probe_cache = pairs.select(id_a, id_b).persist()
-        head = probe_cache.limit(driver_threshold + 1).collect()
+        # toPandas, not collect(): the bounded edge list arrives as
+        # Arrow column batches instead of ~threshold Row objects
+        # (~1 s less driver time at the 50x stress's 368k edges)
+        head = probe_cache.limit(driver_threshold + 1).toPandas()
         if len(head) <= driver_threshold:
             dtype = dict(pairs.dtypes)[id_a]
             out = _driver_union_find(
-                [(r[0], r[1]) for r in head], pairs.sparkSession, dtype
+                list(zip(head.iloc[:, 0], head.iloc[:, 1])),
+                pairs.sparkSession,
+                dtype,
             )
             probe_cache.unpersist()
             connected_keepers.last_rounds = 0
