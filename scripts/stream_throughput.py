@@ -76,8 +76,82 @@ def main() -> None:
         )
         per_batch.append(round(time.time() - t0, 2))
     total_docs = n_docs * n_batches
-    kept_n = spark.read.parquet(kept).count()
+    kept_df = spark.read.parquet(kept)
+    kept_n = kept_df.count()
     planted = (n_batches - 1) * (n_docs // 10)
+
+    # Recall decomposition (r12, VERDICT r11 task 5): name the missed
+    # fraction.  The Hamming-ball banding is pigeonhole-EXACT within
+    # `radius`, so a planted doc whose fingerprint actually lands
+    # within radius of its batch-0 target MUST be caught —
+    # missed_in_radius > 0 would be a real recall gap (asserted 0).
+    # The planted edit (one appended token over 10 distinct doubled
+    # words) flips each tied vote bit with ~50% probability, ~7.4
+    # expected bit flips at 60 bits — the fixture itself places a
+    # tail of plants BEYOND radius 6, and that tail is the entire
+    # miss: a fixture property, not an index/representative gap.
+    import pyspark.sql.functions as F
+
+    from v6spark.operators.dedup import simhash_signature_portable
+
+    RADIUS = 6
+    all_rows = []
+    for b in range(n_batches):
+        for doc_id, body in make_batch(b, n_docs):
+            i = doc_id - b * n_docs
+            if b > 0 and i % 10 == 0:
+                all_rows.append((doc_id, body, i))  # planted -> target i
+    targets = {r[2] for r in all_rows}
+    for doc_id, body in make_batch(0, n_docs):
+        if doc_id in targets:
+            all_rows.append((doc_id, body, -1))
+    corpus = spark.createDataFrame(
+        all_rows, "doc_id long, text string, target long"
+    ).repartition(32)
+    sigs = simhash_signature_portable(corpus, engine="fold").withColumnRenamed(
+        "simhash", "_sig"
+    )
+    enriched = corpus.join(sigs, "doc_id")
+    plants = enriched.filter("target >= 0").select(
+        "doc_id", F.col("target"), F.col("_sig").alias("_psig")
+    )
+    origs = enriched.filter("target < 0").select(
+        F.col("doc_id").alias("target"), F.col("_sig").alias("_osig")
+    )
+    dist = plants.join(origs, "target").select(
+        "doc_id",
+        F.bit_count(
+            F.col("_psig").bitwiseXOR(F.col("_osig"))
+        ).alias("_ham"),
+    )
+    kept_ids = kept_df.select("doc_id").withColumn("_kept", F.lit(1))
+    marked = dist.join(kept_ids, "doc_id", "left").select(
+        "_ham", F.coalesce("_kept", F.lit(0)).alias("_kept")
+    )
+    agg = marked.groupBy().agg(
+        F.sum(F.expr(f"IF(_ham <= {RADIUS} AND _kept = 0, 1, 0)")).alias("cir"),
+        F.sum(F.expr(f"IF(_ham > {RADIUS} AND _kept = 0, 1, 0)")).alias("cbr"),
+        F.sum(F.expr(f"IF(_ham > {RADIUS} AND _kept = 1, 1, 0)")).alias("mbr"),
+        F.sum(F.expr(f"IF(_ham <= {RADIUS} AND _kept = 1, 1, 0)")).alias("mir"),
+    ).collect()[0]
+    decomposition = {
+        "radius": RADIUS,
+        "caught_in_radius": agg["cir"],
+        "caught_beyond_radius": agg["cbr"],
+        "missed_beyond_radius": agg["mbr"],
+        "missed_in_radius": agg["mir"],
+        "note": (
+            "missed_in_radius MUST be 0 (the band join is pigeonhole-"
+            "exact within radius); missed_beyond_radius is the planted "
+            "edit's own bit-flip tail (one appended token flips ~7.4 "
+            "bits in expectation at 60 bits, so part of the plant "
+            "population lands outside radius 6 by construction) — a "
+            "fixture property, not a recall gap.  caught_beyond_radius "
+            "= bonus band collisions past the guarantee."
+        ),
+    }
+    assert agg["mir"] == 0, f"real recall gap: {agg['mir']} in-radius misses"
+
     doc = {
         "docs_per_batch": n_docs,
         "n_batches": n_batches,
@@ -88,6 +162,7 @@ def main() -> None:
         "dropped": total_docs - kept_n,
         "planted_near_dups": planted,
         "planted_caught_frac": round((total_docs - kept_n) / planted, 3),
+        "recall_decomposition": decomposition,
         "note": "vs-index join runs against all prior survivors; flat "
                 "per-batch wall = index growth is not the bottleneck at "
                 "this scale",

@@ -107,3 +107,22 @@ def test_tableformat_scale100_section():
         if step in sec["corpus_bound_steps"]:
             continue
         assert r <= 3.0, (step, r)
+
+
+def test_stream_recall_decomposition():
+    """The r12 recall decomposition (VERDICT r11 task 5): the
+    streaming near-dedup's sub-100% planted recall must be entirely
+    the fixture's own out-of-radius tail — an in-radius miss would be
+    a REAL gap (the Hamming band join is pigeonhole-exact within
+    radius), so it is pinned to zero, and the categories must
+    account for every plant."""
+    doc = _load("STRESS_STREAM.json")
+    dec = doc["recall_decomposition"]
+    assert dec["missed_in_radius"] == 0
+    assert (
+        dec["caught_in_radius"]
+        + dec["caught_beyond_radius"]
+        + dec["missed_beyond_radius"]
+        + dec["missed_in_radius"]
+        == doc["planted_near_dups"]
+    )
