@@ -11,9 +11,11 @@ UDF twins exist as library fast paths — every engine pair is
 bit-identical and regression-locked.  No judged path runs Python.
 
 Scale shape: every operator is signature -> explode(bands/buckets) ->
-hash-shuffle on the bucket key -> within-bucket self-join.  Candidate
-generation never compares all pairs; the shuffle key (band hash) is
-uniform by construction, so there is no skew hot-spot at 100 TB.
+hash-shuffle on the bucket key -> within-bucket pairing (a capped
+``collect_list`` combination expansion when a bucket guard bounds
+membership, a self-join when unguarded).  Candidate generation never
+compares all pairs; the shuffle key (band hash) is uniform by
+construction, so there is no skew hot-spot at 100 TB.
 """
 
 from __future__ import annotations
