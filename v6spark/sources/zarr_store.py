@@ -4,10 +4,16 @@
 (``variation6/in_out/zarr.py::load_zarr/save_zarr`` — SURVEY.md §2.1
 A1/A2); until now this engine read only its own parquet layout, so a
 reference user's existing stores needed an out-of-band conversion.
-This module reads Zarr v2 DIRECTLY, stdlib+numpy only:
+This module reads Zarr v2 AND v3 DIRECTLY, stdlib+numpy only:
 
 - ``.zarray`` JSON metadata (shape/chunks/dtype/compressor/order/
   fill_value/dimension_separator) parsed per the public v2 spec.
+- v3 ``zarr.json`` arrays (r12): regular chunk grids, default and
+  v2 chunk-key encodings, the ``bytes``/``transpose``/``vlen-utf8``
+  array codecs, and ``blosc``/``gzip``/``zstd``/``crc32c``
+  bytes->bytes codecs (decoded in reverse declaration order; crc32c
+  verified, zstd through the codec adapter).  ``sharding_indexed``
+  and other extension codecs refuse honestly.
 - Chunk decode for real: raw (compressor null), zlib, gzip, blosc
   in memcpy mode (original bytes per the c-blosc contract — filter
   flags record the request, not the payload state), and COMPRESSED
@@ -59,12 +65,131 @@ CALLS_DDL = (
 )
 
 
+#: Zarr v3 core data_type names -> numpy (endianness comes from the
+#: `bytes` codec, not the name).  Fixed-width strings are a v2-only
+#: dtype; v3 strings are a variable-length extension and refuse below.
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+    "complex64": "c8", "complex128": "c16",
+}
+
+#: v3 fill_value JSON spellings for non-finite floats
+_V3_FILLS = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}
+
+
+def _normalize_v3_meta(meta: dict) -> dict:
+    """Fold a v3 ``zarr.json`` array document into the v2-shaped meta
+    dict the rest of this reader consumes (public zarr-specs v3.0):
+    regular chunk grid -> ``chunks``, data_type -> numpy dtype with
+    endianness taken from the ``bytes`` codec, chunk_key_encoding ->
+    key prefix + separator (default encoding prefixes ``c``; the
+    ``v2`` encoding reproduces v2 keys), and the codec list split
+    into the array->bytes stage (``bytes`` endian, optional
+    ``transpose`` order) and the bytes->bytes chain (blosc / gzip /
+    zstd / crc32c — decoded in reverse declaration order).
+    ``sharding_indexed`` and unknown codecs refuse honestly."""
+    if meta.get("node_type") != "array":
+        raise ValueError(
+            f"zarr.json node_type {meta.get('node_type')!r} is not an "
+            "array"
+        )
+    dt = meta.get("data_type")
+    if dt not in _V3_DTYPES and dt != "string":
+        raise NotImplementedError(
+            f"Zarr v3 data_type {dt!r} not supported (core numeric/"
+            "bool types and vlen-utf8 strings decode for real)"
+        )
+    grid = meta.get("chunk_grid") or {}
+    if grid.get("name") != "regular":
+        raise NotImplementedError(
+            f"Zarr v3 chunk_grid {grid.get('name')!r} not supported "
+            "(regular grids decode for real)"
+        )
+    meta["chunks"] = list(grid["configuration"]["chunk_shape"])
+    cke = meta.get("chunk_key_encoding") or {"name": "default"}
+    sep = (cke.get("configuration") or {}).get("separator")
+    if cke.get("name") == "default":
+        meta["_sep"], meta["_key_prefix"] = (sep or "/"), "c"
+    elif cke.get("name") == "v2":
+        meta["_sep"], meta["_key_prefix"] = (sep or "."), ""
+    else:
+        raise NotImplementedError(
+            f"Zarr v3 chunk_key_encoding {cke.get('name')!r} not "
+            "supported"
+        )
+    endian = "little"
+    order = None
+    vlen = False
+    bb: list[dict] = []
+    seen_bytes = False
+    for codec in meta.get("codecs") or [{"name": "bytes"}]:
+        cname = codec.get("name")
+        conf = codec.get("configuration") or {}
+        if cname == "bytes":
+            endian = conf.get("endian", "little")
+            seen_bytes = True
+        elif cname == "vlen-utf8":
+            # the array->bytes codec zarr-python 3 uses for string
+            # arrays: u32 item count, then per item u32 length + utf8
+            vlen, seen_bytes = True, True
+        elif cname == "transpose" and not seen_bytes:
+            order = list(conf.get("order") or [])
+        elif cname in ("blosc", "gzip", "zstd", "crc32c") and seen_bytes:
+            bb.append({"name": cname, "configuration": conf})
+        elif cname == "sharding_indexed":
+            raise NotImplementedError(
+                "Zarr v3 sharding_indexed shards are not supported; "
+                "re-write the store unsharded (zarr-python default)"
+            )
+        else:
+            raise NotImplementedError(
+                f"Zarr v3 codec {cname!r} (at this pipeline position) "
+                "not supported; bytes/vlen-utf8/transpose + blosc/"
+                "gzip/zstd/crc32c decode for real"
+            )
+    if (dt == "string") != vlen:
+        raise NotImplementedError(
+            "Zarr v3 string arrays decode through the vlen-utf8 codec "
+            "only (and vlen-utf8 applies to string arrays only)"
+        )
+    if vlen:
+        meta["_dtype"] = np.dtype(object)
+    else:
+        code = _V3_DTYPES[dt]
+        meta["_dtype"] = np.dtype(
+            code if code in ("b1", "i1", "u1")
+            else ("<" if endian == "little" else ">") + code
+        )
+    meta["_v3_vlen"] = vlen
+    fv = meta.get("fill_value")
+    if isinstance(fv, str) and fv in _V3_FILLS:
+        meta["fill_value"] = _V3_FILLS[fv]
+    meta["_v3_bb_codecs"] = bb
+    meta["_v3_order"] = order
+    meta["order"] = "C"
+    meta["compressor"] = None
+    return meta
+
+
 def _read_zarray_meta(store: str, name: str) -> dict:
-    with open(os.path.join(store, name, ".zarray"), "r") as fh:
+    v2_path = os.path.join(store, name, ".zarray")
+    v3_path = os.path.join(store, name, "zarr.json")
+    if not os.path.exists(v2_path) and os.path.exists(v3_path):
+        with open(v3_path, "r") as fh:
+            meta = json.load(fh)
+        if meta.get("zarr_format") != 3:
+            raise NotImplementedError(
+                "zarr.json without zarr_format 3 is not a v3 array"
+            )
+        return _normalize_v3_meta(meta)
+    with open(v2_path, "r") as fh:
         meta = json.load(fh)
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(
-            f"only Zarr v2 supported (got {meta.get('zarr_format')!r})"
+            f"only Zarr v2/v3 supported (got {meta.get('zarr_format')!r})"
         )
     if meta.get("filters"):
         raise NotImplementedError(
@@ -79,7 +204,44 @@ def _read_zarray_meta(store: str, name: str) -> dict:
         )
     meta["_dtype"] = dtype
     meta["_sep"] = meta.get("dimension_separator") or "."
+    meta["_key_prefix"] = ""
     return meta
+
+
+def _chunk_key(meta: dict, idx: tuple) -> str:
+    """Chunk file key for grid index ``idx`` under the store's key
+    encoding (v2: dot/slash-joined indices; v3 default: ``c``-prefixed)."""
+    parts = [str(i) for i in idx]
+    if meta.get("_key_prefix"):
+        parts = [meta["_key_prefix"], *parts]
+    return meta["_sep"].join(parts)
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), the checksum the v3 ``crc32c`` codec
+    appends — table-driven, pure Python (chunk-level cost)."""
+    tbl = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ tbl[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC32C_TBL: list[int] | None = None
+
+
+def _crc32c_table() -> list[int]:
+    global _CRC32C_TBL
+    if _CRC32C_TBL is None:
+        poly = 0x82F63B78  # reflected Castagnoli polynomial
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TBL = tbl
+    return _CRC32C_TBL
 
 
 def _unshuffle(raw: bytes, typesize: int) -> bytes:
@@ -364,6 +526,44 @@ def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
         if fill is None and dtype.kind == "f":
             fill = np.nan
         return np.full(chunks, fill if fill is not None else 0, dtype=dtype)
+    if meta.get("_v3_bb_codecs") is not None:
+        # v3 codec pipeline: bytes->bytes codecs decode in REVERSE
+        # declaration order, then the bytes codec (dtype already
+        # carries its endianness), then the transpose inverse
+        for codec in reversed(meta["_v3_bb_codecs"]):
+            cname = codec["name"]
+            if cname == "crc32c":
+                body, tail = raw[:-4], raw[-4:]
+                if _crc32c(body) != int.from_bytes(tail, "little"):
+                    raise ValueError("Zarr v3 crc32c checksum mismatch")
+                raw = body
+            elif cname == "gzip":
+                import gzip as _gzip
+
+                raw = _gzip.decompress(raw)
+            elif cname == "blosc":
+                raw = _decompress(raw, {"id": "blosc"})
+            else:  # zstd (parser admits nothing else)
+                raw = _decompress(raw, {"id": "zstd"})
+        if meta.get("_v3_vlen"):
+            n = int.from_bytes(raw[:4], "little")
+            vals, p = [], 4
+            for _ in range(n):
+                ln = int.from_bytes(raw[p : p + 4], "little")
+                p += 4
+                vals.append(raw[p : p + ln].decode("utf-8"))
+                p += ln
+            out = np.empty(len(vals), dtype=object)
+            out[:] = vals
+            return out.reshape(chunks)
+        arr = np.frombuffer(raw, dtype=dtype)
+        order = meta.get("_v3_order")
+        if order:
+            # encode stored axes permuted by `order`; invert it
+            stored = tuple(chunks[o] for o in order)
+            inv = np.argsort(order)
+            return arr.reshape(stored).transpose(tuple(inv))
+        return arr.reshape(chunks)
     body = _decompress(raw, meta.get("compressor"))
     arr = np.frombuffer(body, dtype=dtype)
     order = meta.get("order", "C")
@@ -380,7 +580,7 @@ def read_zarr_array(store: str, name: str) -> np.ndarray:
     grid = [max(1, math.ceil(s / c)) for s, c in zip(shape, chunks)]
     out = np.zeros(shape, dtype=meta["_dtype"])
     for idx in np.ndindex(*grid):
-        key = meta["_sep"].join(str(i) for i in idx)
+        key = _chunk_key(meta, idx)
         chunk = _decode_chunk(_read_chunk_bytes(store, name, key), meta)
         slices = tuple(
             slice(i * c, min((i + 1) * c, s))
@@ -403,7 +603,7 @@ def _read_row_slab(store: str, name: str, meta: dict, row_chunk: int) -> np.ndar
     ]
     slab = np.zeros((chunks[0], *shape[1:]), dtype=meta["_dtype"])
     for idx in np.ndindex(*tail_grid) if tail_grid else [()]:
-        key = meta["_sep"].join(str(i) for i in (row_chunk, *idx))
+        key = _chunk_key(meta, (row_chunk, *idx))
         chunk = _decode_chunk(_read_chunk_bytes(store, name, key), meta)
         slices = tuple(
             slice(i * c, min((i + 1) * c, s))
@@ -432,7 +632,9 @@ def _store_layout(store: str) -> dict:
         "variants/ALT", "variants/QUAL", "variants/FILTER_PASS",
         "calldata/GT", "calldata/DP", "calldata/GQ",
     ):
-        if os.path.exists(os.path.join(store, name, ".zarray")):
+        if os.path.exists(
+            os.path.join(store, name, ".zarray")
+        ) or os.path.exists(os.path.join(store, name, "zarr.json")):
             fields[name] = _read_zarray_meta(store, name)
     for req in ("variants/CHROM", "variants/POS", "variants/REF"):
         if req not in fields:
@@ -498,6 +700,7 @@ def load_zarr(spark, store: str):
     samples = (
         zarr_samples(store)
         if os.path.exists(os.path.join(store, "samples", ".zarray"))
+        or os.path.exists(os.path.join(store, "samples", "zarr.json"))
         else []
     )
     fields = layout["fields"]
