@@ -220,6 +220,20 @@ def warm_session(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
             " AS _l",
         )
     )
+    # relational-aggregate runtime warm-up: the Expand node (grouping
+    # sets evaluate every set in one pass), the ObjectHashAggregate
+    # path TypedImperativeAggregates run on (percentile / approx
+    # sketches serialize buffers between partial and final), and the
+    # rank-window machinery — all first-touch JVM-JIT-cold like the
+    # text kernels above, on 64 synthetic rows
+    tiny.createOrReplaceTempView("_warm_rel")
+    _sink(spark.sql(
+        "SELECT _id % 4 AS k, count(*) AS n, grouping(_id % 4) AS g, "
+        "percentile(_id, array(0.25D, 0.5D, 0.75D)) AS p, "
+        "approx_count_distinct(_text) AS acd "
+        "FROM _warm_rel GROUP BY GROUPING SETS ((_id % 4), ())"
+    ))
+    spark.catalog.dropTempView("_warm_rel")
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
