@@ -603,7 +603,13 @@ def near_dup_report(
                 "transform(slice(_ids, i + 2, size(_ids)), "
                 "y -> struct(x AS a, y AS b))))) AS _p"
             )
+            # strict < mirrors the join form's a._id < b._id exactly:
+            # sorted-list (i, j>i) combinations only admit equality if
+            # an id is duplicated, which the signature frame's
+            # unique-id precondition forbids — the filter makes the
+            # guarantee structural rather than assumed
             .selectExpr("_p.a AS id_a", "_p.b AS id_b")
+            .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates()
         )
     else:
