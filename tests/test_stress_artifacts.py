@@ -68,14 +68,19 @@ def test_scale100_sections_present_and_classified():
         assert "hazard_ArrowEvalPython" not in e, name
         assert "hazard_CartesianProduct" not in e, name
     # the r11 re-pin (6 -> 14 occupancy-bounded hyperplanes) makes
-    # the judged ANN query's ratio a REAL bound, not a ratio_note:
-    # ~4-5x measured for 100x data, asserted with noise headroom
+    # the judged ANN query's scaling a REAL bound, not a ratio_note.
+    # r12 pins the ABSOLUTE 100x wall as the primary bound: the r12
+    # base-side speedups shrank every ratio's denominator (sub-second
+    # 1x walls swing +-30% run-to-run on this machine), so the ratio
+    # keeps generous noise headroom while the absolute wall — the
+    # engineered quantity — is tight (5.2-5.4 s measured for 100x
+    # data vs r10's 6-plane 811x blowup).
     ann_judged = sec["queries"]["q_similarity_ann"]
     assert "ratio_note" not in ann_judged
-    assert ann_judged["ratio"] <= 12, ann_judged["ratio"]
+    assert ann_judged["wall_100x_s"] <= 8.0, ann_judged
+    assert ann_judged["ratio"] <= 20, ann_judged["ratio"]
     ann = doc["scale100_ann_scaled_params"]
     assert ann["judged_n_planes"] == 14
-    assert ann["ratio"] <= 12
     assert ann["counterfactual_6planes_r10"]["ratio_100x"] > 100
 
 
