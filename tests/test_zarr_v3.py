@@ -134,16 +134,104 @@ def test_v3_vlen_utf8_strings(tmp_path):
     assert list(got) == vals
 
 
+def _shard_blob(inner_bodies, index_location="end", with_crc=True,
+                drop=()):
+    """Assemble a sharding_indexed blob from already-encoded inner
+    chunk bodies; ``drop`` marks inner grid slots as missing."""
+    blob = bytearray()
+    entries = []
+    for i, body in enumerate(inner_bodies):
+        if i in drop:
+            entries.append((0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF))
+            continue
+        entries.append((len(blob), len(body)))
+        blob += body
+    idx = b"".join(
+        o.to_bytes(8, "little") + n.to_bytes(8, "little")
+        for o, n in entries
+    )
+    if with_crc:
+        idx += zs._crc32c(idx).to_bytes(4, "little")
+    if index_location == "end":
+        return bytes(blob) + idx
+    # start-located index: inner offsets are absolute within the blob
+    shifted = []
+    for o, n in entries:
+        if o == 0xFFFFFFFFFFFFFFFF:
+            shifted.append((o, n))
+        else:
+            shifted.append((o + len(idx), n))
+    idx2 = b"".join(
+        o.to_bytes(8, "little") + n.to_bytes(8, "little")
+        for o, n in shifted
+    )
+    if with_crc:
+        idx2 += zs._crc32c(idx2).to_bytes(4, "little")
+    return idx2 + bytes(blob)
+
+
+def test_v3_sharding_indexed_roundtrip(tmp_path):
+    """sharding_indexed shards decode: indexed inner chunks (gzip
+    inner pipeline), a missing inner chunk -> fill, index at end with
+    crc32c (the zarr-python default) and at start without."""
+    store = str(tmp_path / "s")
+    arr = np.arange(16, dtype="<i4")
+    inner = [
+        gzip.compress(arr[i * 4 : (i + 1) * 4].tobytes())
+        for i in range(4)
+    ]
+    shard_cfg = {
+        "chunk_shape": [4],
+        "codecs": [BYTES_LE,
+                   {"name": "gzip", "configuration": {"level": 5}}],
+        "index_codecs": [BYTES_LE, {"name": "crc32c"}],
+        "index_location": "end",
+    }
+    meta = _meta(
+        [16], [16], "int32",
+        [{"name": "sharding_indexed", "configuration": shard_cfg}],
+        fill_value=-1,
+    )
+    _put_v3(store, "sh", meta, {"c/0": _shard_blob(inner)})
+    assert np.array_equal(zs.read_zarr_array(store, "sh"), arr)
+    # missing inner chunk 2 -> fill slice
+    _put_v3(store, "shm", meta, {"c/0": _shard_blob(inner, drop={2})})
+    got = zs.read_zarr_array(store, "shm")
+    want = arr.copy()
+    want[8:12] = -1
+    assert np.array_equal(got, want)
+    # index at start, no checksum
+    cfg2 = dict(shard_cfg)
+    cfg2["index_codecs"] = [BYTES_LE]
+    cfg2["index_location"] = "start"
+    meta2 = _meta(
+        [16], [16], "int32",
+        [{"name": "sharding_indexed", "configuration": cfg2}],
+    )
+    _put_v3(store, "sh2", meta2,
+            {"c/0": _shard_blob(inner, "start", with_crc=False)})
+    assert np.array_equal(zs.read_zarr_array(store, "sh2"), arr)
+    # corrupt index checksum refuses
+    blob = bytearray(_shard_blob(inner))
+    blob[-1] ^= 0xFF
+    _put_v3(store, "shc", meta, {"c/0": bytes(blob)})
+    with pytest.raises(ValueError, match="index crc32c"):
+        zs.read_zarr_array(store, "shc")
+
+
 def test_v3_honest_refusals(tmp_path):
     store = str(tmp_path / "s")
     base = _meta([4], [4], "int32", [BYTES_LE])
+    # a variable-size shard index encoding is unlocatable
     shard = _meta(
         [4], [4], "int32",
         [{"name": "sharding_indexed",
-          "configuration": {"chunk_shape": [2]}}],
+          "configuration": {"chunk_shape": [2],
+                            "index_codecs": [BYTES_LE,
+                                             {"name": "gzip"}]}}],
     )
     _put_v3(store, "sh", shard, {})
-    with pytest.raises(NotImplementedError, match="sharding_indexed"):
+    with pytest.raises(NotImplementedError, match="index_codecs"):
         zs.read_zarr_array(store, "sh")
     odd = dict(base)
     odd["data_type"] = "r16"

@@ -12,8 +12,10 @@ This module reads Zarr v2 AND v3 DIRECTLY, stdlib+numpy only:
   v2 chunk-key encodings, the ``bytes``/``transpose``/``vlen-utf8``
   array codecs, and ``blosc``/``gzip``/``zstd``/``crc32c``
   bytes->bytes codecs (decoded in reverse declaration order; crc32c
-  verified, zstd through the codec adapter).  ``sharding_indexed``
-  and other extension codecs refuse honestly.
+  verified, zstd through the codec adapter), plus
+  ``sharding_indexed`` shards (binary index located/verified, inner
+  chunks decoded through their own recursive pipeline, missing inner
+  chunks -> fill).  Other extension codecs refuse honestly.
 - Chunk decode for real: raw (compressor null), zlib, gzip, blosc
   in memcpy mode (original bytes per the c-blosc contract — filter
   flags record the request, not the payload state), and COMPRESSED
@@ -86,11 +88,10 @@ def _normalize_v3_meta(meta: dict) -> dict:
     regular chunk grid -> ``chunks``, data_type -> numpy dtype with
     endianness taken from the ``bytes`` codec, chunk_key_encoding ->
     key prefix + separator (default encoding prefixes ``c``; the
-    ``v2`` encoding reproduces v2 keys), and the codec list split
-    into the array->bytes stage (``bytes`` endian, optional
-    ``transpose`` order) and the bytes->bytes chain (blosc / gzip /
-    zstd / crc32c — decoded in reverse declaration order).
-    ``sharding_indexed`` and unknown codecs refuse honestly."""
+    ``v2`` encoding reproduces v2 keys), and the codec list parsed
+    by :func:`_parse_v3_codecs` (incl. ``sharding_indexed`` shards,
+    whose inner pipelines parse recursively).  Unknown codecs refuse
+    honestly."""
     if meta.get("node_type") != "array":
         raise ValueError(
             f"zarr.json node_type {meta.get('node_type')!r} is not an "
@@ -120,41 +121,18 @@ def _normalize_v3_meta(meta: dict) -> dict:
             f"Zarr v3 chunk_key_encoding {cke.get('name')!r} not "
             "supported"
         )
-    endian = "little"
-    order = None
-    vlen = False
-    bb: list[dict] = []
-    seen_bytes = False
-    for codec in meta.get("codecs") or [{"name": "bytes"}]:
-        cname = codec.get("name")
-        conf = codec.get("configuration") or {}
-        if cname == "bytes":
-            endian = conf.get("endian", "little")
-            seen_bytes = True
-        elif cname == "vlen-utf8":
-            # the array->bytes codec zarr-python 3 uses for string
-            # arrays: u32 item count, then per item u32 length + utf8
-            vlen, seen_bytes = True, True
-        elif cname == "transpose" and not seen_bytes:
-            order = list(conf.get("order") or [])
-        elif cname in ("blosc", "gzip", "zstd", "crc32c") and seen_bytes:
-            bb.append({"name": cname, "configuration": conf})
-        elif cname == "sharding_indexed":
-            raise NotImplementedError(
-                "Zarr v3 sharding_indexed shards are not supported; "
-                "re-write the store unsharded (zarr-python default)"
-            )
-        else:
-            raise NotImplementedError(
-                f"Zarr v3 codec {cname!r} (at this pipeline position) "
-                "not supported; bytes/vlen-utf8/transpose + blosc/"
-                "gzip/zstd/crc32c decode for real"
-            )
+    pipe = _parse_v3_codecs(meta.get("codecs"))
+    vlen = pipe["vlen"] or (
+        pipe["shard"] is not None and pipe["shard"]["codecs"]["vlen"]
+    )
     if (dt == "string") != vlen:
         raise NotImplementedError(
             "Zarr v3 string arrays decode through the vlen-utf8 codec "
             "only (and vlen-utf8 applies to string arrays only)"
         )
+    endian = (
+        pipe["shard"]["codecs"]["endian"] if pipe["shard"] else pipe["endian"]
+    )
     if vlen:
         meta["_dtype"] = np.dtype(object)
     else:
@@ -163,15 +141,74 @@ def _normalize_v3_meta(meta: dict) -> dict:
             code if code in ("b1", "i1", "u1")
             else ("<" if endian == "little" else ">") + code
         )
-    meta["_v3_vlen"] = vlen
     fv = meta.get("fill_value")
     if isinstance(fv, str) and fv in _V3_FILLS:
         meta["fill_value"] = _V3_FILLS[fv]
-    meta["_v3_bb_codecs"] = bb
-    meta["_v3_order"] = order
+    meta["_v3_pipe"] = pipe
     meta["order"] = "C"
     meta["compressor"] = None
     return meta
+
+
+def _parse_v3_codecs(codecs: list | None) -> dict:
+    """Parse a v3 codec list (encode declaration order) into the
+    decode pipeline: array codecs (``bytes`` endian, ``transpose``
+    order, ``vlen-utf8``), the bytes->bytes chain (blosc / gzip /
+    zstd / crc32c — applied reversed on decode), or a
+    ``sharding_indexed`` shard spec whose inner and index pipelines
+    parse recursively.  Unknown codecs refuse honestly."""
+    p: dict = {
+        "endian": "little", "order": None, "vlen": False,
+        "bb": [], "shard": None,
+    }
+    seen_bytes = False
+    for codec in codecs or [{"name": "bytes"}]:
+        cname = codec.get("name")
+        conf = codec.get("configuration") or {}
+        if cname == "bytes":
+            p["endian"] = conf.get("endian", "little")
+            seen_bytes = True
+        elif cname == "vlen-utf8":
+            # the array->bytes codec zarr-python 3 uses for string
+            # arrays: u32 item count, then per item u32 length + utf8
+            p["vlen"], seen_bytes = True, True
+        elif cname == "transpose" and not seen_bytes:
+            p["order"] = list(conf.get("order") or [])
+        elif cname in ("blosc", "gzip", "zstd", "crc32c") and seen_bytes:
+            p["bb"].append({"name": cname, "configuration": conf})
+        elif cname == "sharding_indexed" and not seen_bytes:
+            idx = _parse_v3_codecs(
+                conf.get("index_codecs")
+                or [{"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"}]
+            )
+            if idx["vlen"] or idx["order"] or idx["shard"] or any(
+                c["name"] != "crc32c" for c in idx["bb"]
+            ):
+                raise NotImplementedError(
+                    "Zarr v3 shard index_codecs must be bytes "
+                    "(+ optional crc32c): a variable-size index "
+                    "encoding is unlocatable"
+                )
+            p["shard"] = {
+                "inner": list(conf["chunk_shape"]),
+                "codecs": _parse_v3_codecs(conf.get("codecs")),
+                "index_endian": idx["endian"],
+                "index_crc": any(
+                    c["name"] == "crc32c" for c in idx["bb"]
+                ),
+                "index_location": conf.get("index_location", "end"),
+            }
+            seen_bytes = True
+        else:
+            raise NotImplementedError(
+                f"Zarr v3 codec {cname!r} (at this pipeline position) "
+                "not supported; bytes/vlen-utf8/transpose/"
+                "sharding_indexed + blosc/gzip/zstd/crc32c decode "
+                "for real"
+            )
+    return p
 
 
 def _read_zarray_meta(store: str, name: str) -> dict:
@@ -526,48 +563,117 @@ def _decode_chunk(raw: bytes | None, meta: dict) -> np.ndarray:
         if fill is None and dtype.kind == "f":
             fill = np.nan
         return np.full(chunks, fill if fill is not None else 0, dtype=dtype)
-    if meta.get("_v3_bb_codecs") is not None:
-        # v3 codec pipeline: bytes->bytes codecs decode in REVERSE
-        # declaration order, then the bytes codec (dtype already
-        # carries its endianness), then the transpose inverse
-        for codec in reversed(meta["_v3_bb_codecs"]):
-            cname = codec["name"]
-            if cname == "crc32c":
-                body, tail = raw[:-4], raw[-4:]
-                if _crc32c(body) != int.from_bytes(tail, "little"):
-                    raise ValueError("Zarr v3 crc32c checksum mismatch")
-                raw = body
-            elif cname == "gzip":
-                import gzip as _gzip
-
-                raw = _gzip.decompress(raw)
-            elif cname == "blosc":
-                raw = _decompress(raw, {"id": "blosc"})
-            else:  # zstd (parser admits nothing else)
-                raw = _decompress(raw, {"id": "zstd"})
-        if meta.get("_v3_vlen"):
-            n = int.from_bytes(raw[:4], "little")
-            vals, p = [], 4
-            for _ in range(n):
-                ln = int.from_bytes(raw[p : p + 4], "little")
-                p += 4
-                vals.append(raw[p : p + ln].decode("utf-8"))
-                p += ln
-            out = np.empty(len(vals), dtype=object)
-            out[:] = vals
-            return out.reshape(chunks)
-        arr = np.frombuffer(raw, dtype=dtype)
-        order = meta.get("_v3_order")
-        if order:
-            # encode stored axes permuted by `order`; invert it
-            stored = tuple(chunks[o] for o in order)
-            inv = np.argsort(order)
-            return arr.reshape(stored).transpose(tuple(inv))
-        return arr.reshape(chunks)
+    pipe = meta.get("_v3_pipe")
+    if pipe is not None:
+        if pipe["shard"] is not None:
+            return _decode_v3_shard(
+                raw, pipe["shard"], chunks, dtype, meta.get("fill_value")
+            )
+        return _decode_v3_bytes(raw, pipe, chunks, dtype)
     body = _decompress(raw, meta.get("compressor"))
     arr = np.frombuffer(body, dtype=dtype)
     order = meta.get("order", "C")
     return arr.reshape(chunks, order="F" if order == "F" else "C")
+
+
+def _decode_v3_bytes(
+    raw: bytes, pipe: dict, shape: tuple, dtype: np.dtype
+) -> np.ndarray:
+    """One encoded v3 chunk body -> array: bytes->bytes codecs decode
+    in REVERSE declaration order, then the array codec (vlen-utf8 or
+    bytes — dtype already carries its endianness), then the transpose
+    inverse."""
+    for codec in reversed(pipe["bb"]):
+        cname = codec["name"]
+        if cname == "crc32c":
+            body, tail = raw[:-4], raw[-4:]
+            if _crc32c(body) != int.from_bytes(tail, "little"):
+                raise ValueError("Zarr v3 crc32c checksum mismatch")
+            raw = body
+        elif cname == "gzip":
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+        elif cname == "blosc":
+            raw = _decompress(raw, {"id": "blosc"})
+        else:  # zstd (parser admits nothing else)
+            raw = _decompress(raw, {"id": "zstd"})
+    if pipe["vlen"]:
+        n = int.from_bytes(raw[:4], "little")
+        vals, p = [], 4
+        for _ in range(n):
+            ln = int.from_bytes(raw[p : p + 4], "little")
+            p += 4
+            vals.append(raw[p : p + ln].decode("utf-8"))
+            p += ln
+        out = np.empty(len(vals), dtype=object)
+        out[:] = vals
+        return out.reshape(shape)
+    arr = np.frombuffer(raw, dtype=dtype)
+    order = pipe["order"]
+    if order:
+        # encode stored axes permuted by `order`; invert it
+        stored = tuple(shape[o] for o in order)
+        inv = np.argsort(order)
+        return arr.reshape(stored).transpose(tuple(inv))
+    return arr.reshape(shape)
+
+
+def _decode_v3_shard(
+    raw: bytes, shard: dict, chunks: tuple, dtype: np.dtype, fill
+) -> np.ndarray:
+    """``sharding_indexed`` shard -> full chunk array: the binary
+    index ((offset, nbytes) uint64 pairs per inner chunk, missing =
+    all-ones, optional crc32c) locates inner chunks inside the shard
+    blob; each decodes through the inner codec pipeline; absent inner
+    chunks take the fill value — the v3 layout that keeps object-store
+    request counts sane for 100 TB arrays (few big objects, many
+    independently readable inner chunks)."""
+    inner = shard["inner"]
+    if len(inner) != len(chunks) or any(
+        c % i for c, i in zip(chunks, inner)
+    ):
+        raise ValueError(
+            f"shard chunk_shape {inner} does not divide the outer "
+            f"chunk shape {list(chunks)}"
+        )
+    cps = [c // i for c, i in zip(chunks, inner)]
+    n = int(np.prod(cps))
+    idx_len = n * 16 + (4 if shard["index_crc"] else 0)
+    if len(raw) < idx_len:
+        raise ValueError("truncated shard (index does not fit)")
+    idx_raw = (
+        raw[-idx_len:] if shard["index_location"] == "end"
+        else raw[:idx_len]
+    )
+    if shard["index_crc"]:
+        body, tail = idx_raw[:-4], idx_raw[-4:]
+        if _crc32c(body) != int.from_bytes(tail, "little"):
+            raise ValueError("Zarr v3 shard index crc32c mismatch")
+        idx_raw = body
+    end = "<" if shard["index_endian"] == "little" else ">"
+    offsets = np.frombuffer(idx_raw, dtype=f"{end}u8").reshape(*cps, 2)
+    if fill is None and dtype.kind == "f":
+        fill = np.nan
+    out = np.full(chunks, fill if fill is not None else 0, dtype=dtype)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for nd in np.ndindex(*cps):
+        off, nb = offsets[nd]
+        if off == missing and nb == missing:
+            continue
+        if int(off) + int(nb) > len(raw):
+            raise ValueError("shard inner chunk overruns the blob")
+        arr = _decode_v3_bytes(
+            raw[int(off) : int(off) + int(nb)],
+            shard["codecs"],
+            tuple(inner),
+            dtype,
+        )
+        sl = tuple(
+            slice(g * i, (g + 1) * i) for g, i in zip(nd, inner)
+        )
+        out[sl] = arr
+    return out
 
 
 def read_zarr_array(store: str, name: str) -> np.ndarray:
