@@ -660,3 +660,34 @@ def test_semantic_cell_pairs_guard(spark):
         emb, centroids, min_cosine=0.999, persist_cells=False
     ).count()
     assert unguarded == 40 * 39 // 2 + 1
+
+
+def test_near_dup_keepers_null_text_docs_keep_themselves(spark):
+    """NULL-text docs must each appear in the keeper map as their own
+    keeper: no content means nothing to near-duplicate.  (The r12
+    window rewrite initially lumped every NULL digest into one
+    partition and collapsed distinct NULL-text docs into one
+    'exact-dup' group; the pre-r12 inner join instead DROPPED them
+    from the output entirely — both wrong.)"""
+    from v6spark.operators.dedup import near_dup_keepers
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None),
+         (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keeper_id"]
+           for r in near_dup_keepers(df, max_bucket_size=8).collect()}
+    assert got[2] == 2 and got[3] == 3
+    assert got[1] == 1 and got[4] == 1
+
+
+def test_scan_is_small_unsizable_returns_none(spark):
+    """Fileless frames are UNSIZABLE (None), not assumed small or
+    large — the caller falls back to the partition-count probe."""
+    from v6spark.operators.dedup import _scan_is_small
+
+    mem = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert _scan_is_small(mem) is None
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _scan_is_small(scan) is True

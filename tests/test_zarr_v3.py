@@ -306,3 +306,53 @@ def test_v3_genomics_store_loads_end_to_end(spark, tmp_path):
         (r["variant_id"], r["sample_id"]): tuple(r["gt"]) for r in cr
     }
     assert got_gt[("chr1:100:A:", "NA1")] == (0, 1)
+
+
+def test_v3_transpose_vlen_refuses(tmp_path):
+    """transpose + vlen-utf8 would need an object-array inverse
+    permutation the decode path does not implement — refuse at parse
+    time rather than silently mis-place elements."""
+    store = str(tmp_path / "s")
+    meta = _meta(
+        [2, 2], [2, 2], "string",
+        [{"name": "transpose", "configuration": {"order": [1, 0]}},
+         {"name": "vlen-utf8"}],
+    )
+    _put_v3(store, "tv", meta, {})
+    with pytest.raises(NotImplementedError, match="transpose"):
+        zs.read_zarr_array(store, "tv")
+
+
+def test_v3_nested_sharding_recurses(tmp_path):
+    """A shard whose inner codec pipeline is itself sharding_indexed
+    (legal per the spec) decodes recursively."""
+    store = str(tmp_path / "s")
+    arr = np.arange(16, dtype="<i4")
+    # inner shards: each holds 2 chunks of 4 elements, raw bytes
+    inner_shards = []
+    for si in range(2):
+        bodies = [
+            arr[si * 8 + ci * 4 : si * 8 + (ci + 1) * 4].tobytes()
+            for ci in range(2)
+        ]
+        inner_shards.append(_shard_blob(bodies))
+    outer = _shard_blob(inner_shards)
+    inner_cfg = {
+        "chunk_shape": [4],
+        "codecs": [BYTES_LE],
+        "index_codecs": [BYTES_LE, {"name": "crc32c"}],
+        "index_location": "end",
+    }
+    outer_cfg = {
+        "chunk_shape": [8],
+        "codecs": [{"name": "sharding_indexed",
+                    "configuration": inner_cfg}],
+        "index_codecs": [BYTES_LE, {"name": "crc32c"}],
+        "index_location": "end",
+    }
+    meta = _meta(
+        [16], [16], "int32",
+        [{"name": "sharding_indexed", "configuration": outer_cfg}],
+    )
+    _put_v3(store, "nest", meta, {"c/0": outer})
+    assert np.array_equal(zs.read_zarr_array(store, "nest"), arr)

@@ -262,7 +262,16 @@ def minhash_signature_arrow(
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for txt in texts:
-            toks = [x for x in ws.split((txt or "").lower()) if x]
+            if txt is None:
+                # engine parity: the Catalyst column form yields a
+                # NULL signature for NULL text (NULL never enters a
+                # band bucket); mapping NULL to "" here instead gave
+                # every NULL-text doc the SAME empty-shingle
+                # signature — they all near-dup-paired each other
+                # (caught by the r12 NULL-keeper regression test)
+                out.append(None)
+                continue
+            toks = [x for x in ws.split(txt.lower()) if x]
             # short docs yield their single full-token shingle, like
             # the Catalyst sequence(1, greatest(size-k+1, 1)) form
             nw = max(len(toks) - k + 1, 1)
@@ -290,31 +299,45 @@ def minhash_signature_arrow(
 
 def _band_bucket_col(sig_col: str, bands: int, rows_per_band: int) -> Column:
     """Band-bucket hashes (array<long>) for a MinHash signature column:
-    bucket i = xxhash64("band", i, signature rows of band i)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.lit("band"),
-                b.cast("string"),
+    bucket i = xxhash64("band", i, signature rows of band i).
+
+    A NULL signature yields a NULL ARRAY — no bands at all
+    (``explode`` emits nothing for NULL).  Without the guard,
+    ``concat_ws`` SKIPS the NULL slice, so every NULL-signature doc
+    hashed to the same per-band bucket values and spuriously
+    near-dup-paired every other contentless doc (r12 regression
+    test)."""
+    return F.when(
+        F.col(sig_col).isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
                 F.concat_ws(
                     ",",
-                    F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
-                ),
-            )
+                    F.lit("band"),
+                    b.cast("string"),
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            sig_col, b * rows_per_band + 1, rows_per_band
+                        ),
+                    ),
+                )
+            ),
         ),
     )
 
 
 def _band_bucket_sql(sig_col: str, bands: int, rows_per_band: int) -> str:
     """Spark-SQL string twin of :func:`_band_bucket_col` (build-time
-    py4j economy; see :func:`_shingles_sql`)."""
+    py4j economy; see :func:`_shingles_sql`), incl. its NULL-signature
+    -> NULL-array guard."""
     return (
+        f"CASE WHEN {sig_col} IS NULL THEN NULL ELSE "
         f"transform(sequence(0, {bands - 1}), b -> "
         f"xxhash64(concat_ws(',', 'band', cast(b as string), "
         f"concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, "
-        f"{rows_per_band})))))"
+        f"{rows_per_band}))))) END"
     )
 
 
@@ -582,22 +605,27 @@ def near_dup_report(
         " AS bucket",
     )
     if max_bucket_size is not None:
-        # guarded pair generation (r12): the cap bounds every
-        # bucket's membership list, so pairs expand from ONE
-        # groupBy(bucket) collect_list — same shuffle key as the old
-        # window+self-join but one shuffle instead of two, and the
-        # guard IS the size predicate instead of a separate window
-        # pass (50x dedup stress: ~2.5 s off the keeper wall).
+        # guarded pair generation (r12): pairs expand from a
+        # groupBy(bucket) collect_list combination explode instead of
+        # the bucket self-join (50x dedup stress: ~2 s off the keeper
+        # wall).  The spillable window guard stays IN FRONT of the
+        # collect: WindowExec buffers its partition in a spillable
+        # row buffer, so a degenerate million-member bucket degrades
+        # to disk there and is dropped BEFORE any collect_list buffer
+        # exists — collecting first and size-filtering after would
+        # materialize the whole pathological bucket in one in-memory
+        # aggregation buffer, exactly the OOM the guard exists to
+        # prevent.  The collect's buffers are therefore provably
+        # <= max_bucket_size elements, and the groupBy reuses the
+        # window's hash(bucket) partitioning (no extra shuffle).
         # sort_array + (i, j>i) combinations reproduce the join's
         # id_a < id_b exactly (ids unique per the signature-frame
-        # precondition); NULL buckets (NULL signature) drop first,
-        # as _guard_buckets did.  Memory bound = max_bucket_size
-        # elements per list — this path NEVER runs unguarded.
+        # precondition).
+        guarded = _guard_buckets(banded, ["bucket"], max_bucket_size)
         pairs = (
-            banded.filter(F.col("bucket").isNotNull())
-            .groupBy("bucket")
+            guarded.groupBy("bucket")
             .agg(F.expr("sort_array(collect_list(_id))").alias("_ids"))
-            .where(F.size("_ids").between(2, max_bucket_size))
+            .where(F.size("_ids") >= 2)
             .selectExpr(
                 "explode(flatten(transform(_ids, (x, i) -> "
                 "transform(slice(_ids, i + 2, size(_ids)), "
@@ -752,21 +780,23 @@ def simhash_pairs_between(
     )
 
 
-def _scan_is_small(df: DataFrame, max_bytes: int = 32 << 20) -> bool:
+def _scan_is_small(df: DataFrame, max_bytes: int = 32 << 20) -> bool | None:
     """Whether ``df``'s backing scan is small enough that explicit
     repartitions (not shuffle-stage parallelism) are the cheaper way
     to spread CPU-heavy per-row work.  Sizes the scan by file bytes
-    (``inputFiles`` + stat — driver-side, milliseconds); frames the
-    probe cannot size (no backing files, exotic URIs, >1024 files)
-    default to SMALL when fileless — a createDataFrame test frame —
-    and LARGE otherwise: mis-classifying large as small costs a
-    redundant small shuffle, the reverse costs single-task compute."""
+    (``inputFiles`` + stat — driver-side, milliseconds).  Returns
+    ``None`` when the probe cannot size the frame (no backing files
+    — a createDataFrame frame; non-local URIs such as s3:// whose
+    stat fails; >1024 files): the CALLER then falls back to the
+    partition-count heuristic, so an unsizable-but-small remote
+    corpus keeps the explicit-spread fix instead of silently running
+    its signature kernel single-task."""
     try:
         files = df.inputFiles()
     except Exception:
-        return True
+        return None
     if not files:
-        return True
+        return None
     if len(files) > 1024:
         return False
     from urllib.parse import urlparse
@@ -777,7 +807,7 @@ def _scan_is_small(df: DataFrame, max_bytes: int = 32 << 20) -> bool:
             p = urlparse(f).path if "://" in f or f.startswith("file:") else f
             total += os.path.getsize(p)
         except OSError:
-            return False
+            return None
         if total >= max_bytes:
             return False
     return True
@@ -831,12 +861,15 @@ def near_dup_keepers(
     # split count: a 100-MB corpus can arrive as two splits, and the
     # partition-count heuristic then re-shuffled the full text
     # twice (input spread + reps repartition) for nothing — ~3 s of
-    # the 50x dedup stress wall.  Only a genuinely small corpus
-    # (< 32 MB, or one the probe cannot size) pays the explicit
-    # repartitions; a large one relies on the window shuffle for
-    # parallelism.
+    # the 50x dedup stress wall.  An unsizable scan (fileless or
+    # remote-URI frames) falls back to the partition-count probe —
+    # the pre-r12 behavior — rather than guessing either way.
     small = _scan_is_small(df)
-    if small:
+    if small is None:
+        spread_df = spread_small_input(df)
+        small = spread_df is not df
+        df = spread_df
+    elif small:
         df = spread_small_input(df)
 
     digests = df.select(
@@ -845,11 +878,21 @@ def near_dup_keepers(
         F.sha2(F.col(text_col), 256).alias("_digest"),
     )
     # representative = min id over the digest partition: ONE shuffle
-    # (window over _digest) instead of the old groupBy + join-back —
-    # same result, same digest-hash shuffle key, one pass (r12)
+    # (window over _digest) instead of the old groupBy + join-back,
+    # same digest-hash shuffle key, one pass (r12).  NULL text (NULL
+    # digest) docs are their OWN representative: no content means
+    # nothing to near-duplicate, and the window would otherwise lump
+    # every NULL digest into one partition and silently collapse
+    # distinct NULL-text docs into one "exact-dup" group (the old
+    # inner-join form instead DROPPED them from the output entirely,
+    # violating the every-input-doc contract — both wrong, both
+    # regression-tested now).
     with_rep = (
         digests.withColumn(
-            "_rep", F.min("_doc").over(Window.partitionBy("_digest"))
+            "_rep",
+            F.when(F.col("_digest").isNull(), F.col("_doc")).otherwise(
+                F.min("_doc").over(Window.partitionBy("_digest"))
+            ),
         )
         .select("_doc", "_rep", "_text")
         # persisted: feeds the reps selection, the LSH report (via
@@ -941,11 +984,6 @@ def _driver_union_find(edges: list[tuple], spark, dtype: str) -> DataFrame:
     # few-hundred-k keeper map in one Arrow batch instead of
     # row-by-row py4j pickling (~1 s saved at the 50x stress's 250k
     # vertices); the tuple fallback keeps exotic id types working.
-    # The broadcast hint is safe BY CONSTRUCTION on this path only:
-    # the edge list was driver-bounded (<= driver_threshold), so the
-    # keeper map holds <= 2*threshold rows — downstream corpus joins
-    # (near_dup_keepers' final map-back) then broadcast instead of
-    # shuffling the corpus side.
     try:
         pdf = pd.DataFrame(rows, columns=["doc_id", "keeper_id"])
         out = spark.createDataFrame(pdf).selectExpr(
@@ -956,7 +994,20 @@ def _driver_union_find(edges: list[tuple], spark, dtype: str) -> DataFrame:
         out = spark.createDataFrame(
             rows, f"doc_id {dtype}, keeper_id {dtype}"
         )
-    return F.broadcast(out)
+    # broadcast hint, SIZE-GATED: the driver already holds the rows,
+    # so the estimate is exact-enough — a forced hint must not depend
+    # on the caller-tunable driver_threshold (a raised threshold or
+    # long string ids could otherwise force a multi-hundred-MB
+    # broadcast past AQE's sizing).  Under the cap, downstream
+    # corpus map-backs broadcast instead of shuffling the corpus.
+    approx = sum(
+        2 * (len(a) + len(b)) if isinstance(a, str) else 16
+        for a, b in rows[:50_000]
+    )
+    approx = approx * (len(rows) / max(len(rows[:50_000]), 1))
+    if approx <= 64 << 20:
+        out = F.broadcast(out)
+    return out
 
 
 def connected_keepers(

@@ -171,6 +171,14 @@ def _parse_v3_codecs(codecs: list | None) -> dict:
         elif cname == "vlen-utf8":
             # the array->bytes codec zarr-python 3 uses for string
             # arrays: u32 item count, then per item u32 length + utf8
+            if p["order"]:
+                # the decode path would have to invert the transpose
+                # on an object array; nothing emits this combination
+                # today — refuse rather than silently mis-place
+                # elements
+                raise NotImplementedError(
+                    "Zarr v3 transpose + vlen-utf8 is not supported"
+                )
             p["vlen"], seen_bytes = True, True
         elif cname == "transpose" and not seen_bytes:
             p["order"] = list(conf.get("order") or [])
@@ -657,18 +665,24 @@ def _decode_v3_shard(
         fill = np.nan
     out = np.full(chunks, fill if fill is not None else 0, dtype=dtype)
     missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    inner_pipe = shard["codecs"]
     for nd in np.ndindex(*cps):
         off, nb = offsets[nd]
         if off == missing and nb == missing:
             continue
         if int(off) + int(nb) > len(raw):
             raise ValueError("shard inner chunk overruns the blob")
-        arr = _decode_v3_bytes(
-            raw[int(off) : int(off) + int(nb)],
-            shard["codecs"],
-            tuple(inner),
-            dtype,
-        )
+        body = raw[int(off) : int(off) + int(nb)]
+        if inner_pipe["shard"] is not None:
+            # nested shards are legal per the spec: recurse — the
+            # inner blob is itself a shard with its own index
+            arr = _decode_v3_shard(
+                body, inner_pipe["shard"], tuple(inner), dtype, fill
+            )
+        else:
+            arr = _decode_v3_bytes(
+                body, inner_pipe, tuple(inner), dtype
+            )
         sl = tuple(
             slice(g * i, (g + 1) * i) for g, i in zip(nd, inner)
         )
