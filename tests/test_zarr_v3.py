@@ -356,3 +356,71 @@ def test_v3_nested_sharding_recurses(tmp_path):
     )
     _put_v3(store, "nest", meta, {"c/0": outer})
     assert np.array_equal(zs.read_zarr_array(store, "nest"), arr)
+
+
+def test_v3_shard_roundtrip_property(tmp_path):
+    """Property: random 1-D/2-D shard geometries (outer chunk shape,
+    inner chunk shape, random missing inner chunks, gzip or raw inner
+    pipelines, both index locations) round-trip bit-exact with fill
+    in the missing slots."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(counter[0])
+        counter[0] += 1
+        ndim = data.draw(st.integers(1, 2))
+        inner = [data.draw(st.integers(1, 4)) for _ in range(ndim)]
+        mults = [data.draw(st.integers(1, 3)) for _ in range(ndim)]
+        chunk = [i * m for i, m in zip(inner, mults)]
+        arr = rng.integers(-1000, 1000, chunk, dtype=np.int64)
+        n_inner = int(np.prod(mults))
+        drop = {
+            i for i in range(n_inner)
+            if data.draw(st.booleans(), label=f"drop{i}")
+        }
+        use_gzip = data.draw(st.booleans())
+        loc = data.draw(st.sampled_from(["end", "start"]))
+        bodies = []
+        for nd in np.ndindex(*mults):
+            sl = tuple(
+                slice(g * i, (g + 1) * i) for g, i in zip(nd, inner)
+            )
+            raw = np.ascontiguousarray(arr[sl]).tobytes()
+            bodies.append(gzip.compress(raw) if use_gzip else raw)
+        blob = _shard_blob(bodies, loc, with_crc=(loc == "end"),
+                           drop=drop)
+        cfg = {
+            "chunk_shape": inner,
+            "codecs": [BYTES_LE] + (
+                [{"name": "gzip", "configuration": {"level": 1}}]
+                if use_gzip else []
+            ),
+            "index_codecs": [BYTES_LE] + (
+                [{"name": "crc32c"}] if loc == "end" else []
+            ),
+            "index_location": loc,
+        }
+        meta = _meta(
+            chunk, chunk, "int64",
+            [{"name": "sharding_indexed", "configuration": cfg}],
+            fill_value=-7,
+        )
+        store = str(tmp_path / f"p{counter[0]}")
+        _put_v3(store, "x", meta, {"c/" + "/".join("0" * ndim): blob})
+        got = zs.read_zarr_array(store, "x")
+        want = arr.copy()
+        for flat, nd in enumerate(np.ndindex(*mults)):
+            if flat in drop:
+                sl = tuple(
+                    slice(g * i, (g + 1) * i)
+                    for g, i in zip(nd, inner)
+                )
+                want[sl] = -7
+        assert np.array_equal(got, want)
+
+    check()

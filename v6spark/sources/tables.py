@@ -194,6 +194,8 @@ def warm_session(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     )
     bufs = ", ".join(
         f"min((_h * 7L + {j}L) % 2147483629L)" for j in range(48)
+    ) + ", " + ", ".join(
+        f"sum(shiftright(_h, {j}) & 257L)" for j in range(24)
     )
     _sink(
         tiny.selectExpr(
