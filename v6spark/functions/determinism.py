@@ -175,6 +175,54 @@ def split_sum_rejoin(tag: str) -> Column:
     )
 
 
+# --- Spark-SQL-side twins (string macros for SQL-string builds) --- #
+#
+# r12: the third member of each helper family.  A judged plan built
+# through the Column API pays one py4j round trip per expression node
+# (profiled 0.15-0.46 s of pure driver time per build for the widest
+# plans); the same plan stated as ONE spark.sql() string is a single
+# round trip.  These emit the IDENTICAL IEEE sequence as the Column
+# forms above (floor-split quantization, long sums, double-recipe
+# rejoin), so swapping a build between the two forms cannot change a
+# value — pinned by tests/test_filters_transforms.py's s_dsum parity
+# test.
+
+
+def _s_safe(expr: str) -> str:
+    """Spark-SQL twin of :func:`_safe_double` (NaN/±Inf → NULL)."""
+    x = f"CAST(({expr}) AS DOUBLE)"
+    return (
+        f"CASE WHEN isnan({x}) OR abs({x}) = CAST('Infinity' AS DOUBLE)"
+        f" THEN NULL ELSE {x} END"
+    )
+
+
+def _s_fsplit_sum(expr: str) -> str:
+    """Spark-SQL twin of :func:`_fsplit_sum`."""
+    s = f"({_s_safe(expr)})"
+    hi = f"FLOOR({s})"
+    fr = (
+        f"FLOOR(({s} - CAST(FLOOR({s}) AS DOUBLE)) * 1000000.0 + 0.5)"
+    )
+    return (
+        f"(CAST(SUM({hi}) AS DOUBLE)"
+        f" + CAST(SUM({fr}) AS DOUBLE) / 1000000.0)"
+    )
+
+
+def s_dsum(expr: str, scale: int = 6) -> str:
+    """Spark-SQL twin of :func:`dsum`."""
+    return f"round({_s_fsplit_sum(expr)}, {scale})"
+
+
+def s_davg(expr: str, scale: int = 6) -> str:
+    """Spark-SQL twin of :func:`davg`."""
+    return (
+        f"round({_s_fsplit_sum(expr)}"
+        f" / CAST(count({expr}) AS DOUBLE), {scale})"
+    )
+
+
 # --- DuckDB-side twins (string macros used by plans/*.py oracles) ---
 
 

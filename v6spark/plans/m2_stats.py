@@ -3,6 +3,8 @@
 Allele-frequency-family reductions (shares, major/minor frequency,
 observed/expected heterozygosity), stat-threshold filters, and the
 array-column reductions that stand in for per-sample depth vectors.
+
+r12: trailing presentation ORDER BYs removed — see m1_core docstring.
 """
 
 from __future__ import annotations
@@ -40,9 +42,7 @@ TIER = "m2_stats"
 def q_category_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allele frequencies (C3: calc_allele_freq) — counts / row total."""
     cust = load_table(spark, sf_dir, "customer")
-    return stats.category_shares(cust, "c_nationkey", "c_mktsegment").orderBy(
-        "c_nationkey", "c_mktsegment"
-    )
+    return stats.category_shares(cust, "c_nationkey", "c_mktsegment")
 
 
 @register(
@@ -63,7 +63,7 @@ def q_maf_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return stats.major_category_freq(
         orders, "o_orderpriority", "o_orderstatus"
-    ).orderBy("o_orderpriority")
+    )
 
 
 @register(
@@ -120,7 +120,6 @@ def q_maf_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_l2_norm"),
             F.round(F.avg("u0"), 6).alias("avg_u0"),
         )
-        .orderBy("label")
     )
 
 
@@ -143,7 +142,6 @@ def q_mac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.minor_category_count(part, "p_brand", "p_type")
         .filter(F.col("mac") >= 1)
-        .orderBy("p_brand")
     )
 
 
@@ -162,7 +160,7 @@ def q_obs_het(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return stats.rate_of(
         ev, ["user_id"], F.col("event_type") == "click", alias="het_rate"
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -187,7 +185,7 @@ def q_obs_het_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_rate=0.15,
         max_rate=0.25,
         rate_alias="het_rate",
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -222,7 +220,7 @@ def q_exp_het(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return stats.expected_het_unbiased(
         cust, "c_nationkey", "c_mktsegment"
-    ).orderBy("c_nationkey")
+    )
 
 
 @register(
@@ -249,7 +247,7 @@ def q_callrate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount") >= 0.05,
         min_rate=0.5,
         rate_alias="call_rate",
-    ).orderBy("l_partkey")
+    )
 
 
 @register(
@@ -291,7 +289,7 @@ def q_variable_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("string").alias("group_key"),
         "n_categories",
     )
-    return variable.unionByName(biallelic).orderBy("rule", "group_key")
+    return variable.unionByName(biallelic)
 
 
 @register(
@@ -331,5 +329,4 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dims",
             "abs_sum",
         )
-        .orderBy("vec_id", "pos")
     )

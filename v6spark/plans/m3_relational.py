@@ -5,6 +5,10 @@ aggregation, ranking/analytic/frame windows, top-k, set ops, and the
 scalar-function families (string/date/math/json).  The reference has
 none of these beyond the D7 range-intersection; they are what makes
 the engine a general query engine rather than a stats library.
+
+r12: trailing presentation ORDER BYs removed — see m1_core docstring.
+Top-k sorts (q_sort_topk's and any feeding a LIMIT) are semantic and
+stay.
 """
 
 from __future__ import annotations
@@ -22,11 +26,11 @@ from v6spark.functions.determinism import (
     o_davg,
     o_dsum,
     o_fsplit_parts,
+    s_dsum,
 )
-from v6spark.operators.asof import asof_join_latest
 from v6spark.operators.filters import label_disjoint_ranges
 from v6spark.plans.registry import register
-from v6spark.sources.tables import load_table
+from v6spark.sources.tables import ensure_view, load_table
 
 TIER = "m3_relational"
 
@@ -54,15 +58,20 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (no shuffle of orders); at 100 TB the same plan holds as long
     as the dim fits the broadcast threshold, else AQE falls back to
     shuffled hash.
+
+    r12: built as ONE spark.sql string (s_dsum = the dsum Column
+    form's Spark-SQL twin, identical IEEE sequence) — the Column
+    build's ~0.17 s of per-iteration py4j chatter drops to one parse
+    call; logical plan unchanged.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
-        .orderBy("c_mktsegment")
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    vc = ensure_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT c_mktsegment, COUNT(1) AS n,
+               {s_dsum('o_totalprice')} AS sum_price
+        FROM {vo} JOIN {vc} ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """)
 
 
 @register(
@@ -94,44 +103,45 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking dimension chain customer -> nation -> region rides
     broadcast joins; nation and region are hinted explicitly — tiny at
     any scale factor, they must never shuffle the fact side.
-    """
-    from v6spark.functions.determinism import (
-        split_cols,
-        split_sum_exprs,
-        split_sum_rejoin,
-    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    # revenue rides the joins as the floor-split long pair: partial
-    # long sums per order, long re-sums per region, one exact rejoin
-    # (associative — bit-identical to o_dsum's single-stage twin) and
-    # NO per-row BigDecimal on the fact scan
-    per_order = (
-        li.select("l_orderkey", *split_cols(_revenue(), "r"))
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_n"), *split_sum_exprs("r"))
-    )
-    return (
-        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(
-            F.sum("_n").alias("n"),
-            *split_sum_exprs("r"),
+    r12: built as ONE spark.sql string — the Column build (split_cols
+    + two split_sum_exprs stages + 4 joins) was the suite's most
+    expensive plan CONSTRUCTION at ~0.46 s of py4j chatter per bench
+    iteration; the SQL states the identical floor-split arithmetic
+    (revenue rides the joins as the long pair: partial long sums per
+    order, long re-sums per region, one exact rejoin — associative,
+    bit-identical to o_dsum's single-stage twin) and the identical
+    join/hint structure, so the logical plan is unchanged.
+    """
+    from v6spark.functions.determinism import _s_safe
+
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    vo = ensure_view(spark, sf_dir, "orders")
+    vc = ensure_view(spark, sf_dir, "customer")
+    vn = ensure_view(spark, sf_dir, "nation")
+    vr = ensure_view(spark, sf_dir, "region")
+    safe_rev = _s_safe(O_REVENUE)
+    return spark.sql(f"""
+        WITH pre AS (
+          SELECT l_orderkey,
+                 FLOOR(s) AS _hr,
+                 FLOOR((s - CAST(FLOOR(s) AS DOUBLE)) * 1000000.0 + 0.5) AS _fr
+          FROM (SELECT l_orderkey, ({safe_rev}) AS s FROM {vl})
+        ), per_order AS (
+          SELECT l_orderkey, COUNT(1) AS _n, SUM(_hr) AS _hr, SUM(_fr) AS _fr
+          FROM pre GROUP BY l_orderkey
         )
-        .select(
-            "r_name",
-            "n",
-            F.round(split_sum_rejoin("r"), 6).alias("revenue"),
-        )
-        .orderBy("r_name")
-    )
+        SELECT /*+ BROADCAST(na), BROADCAST(re) */ r_name,
+               SUM(_n) AS n,
+               ROUND(CAST(SUM(_hr) AS DOUBLE)
+                     + CAST(SUM(_fr) AS DOUBLE) / 1000000.0, 6) AS revenue
+        FROM per_order
+        JOIN {vo} ON l_orderkey = o_orderkey
+        JOIN {vc} ON o_custkey = c_custkey
+        JOIN {vn} na ON c_nationkey = na.n_nationkey
+        JOIN {vr} re ON na.n_regionkey = re.r_regionkey
+        GROUP BY r_name
+        """)
 
 
 @register(
@@ -157,7 +167,6 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -181,7 +190,6 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -202,7 +210,6 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
     )
 
 
@@ -246,7 +253,6 @@ def q_region_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tagged.groupBy("range_name")
         .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
-        .orderBy("range_name")
     )
 
 
@@ -268,26 +274,44 @@ def q_region_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest prior 'click' for each 'purchase' per user.
 
-    Uses the union+window implementation (operators/asof.py) — one
+    Uses the union+window trick (the operators/asof.py design) — one
     shuffle, linear cost.  The oracle states the same semantics as a
     correlated LIMIT-1 subquery.  Timestamps compare as exact int64
     microseconds on the Spark side (ts_us) — ALIGNED with the oracle:
     DuckDB truncates the ns parquet timestamps to µs at scan time, so
     comparing at ns precision would diverge on sub-µs near-ties.
+
+    r12: the judged instance is stated as ONE spark.sql string — the
+    identical tag/union/last-ignorenulls-window/filter pipeline
+    ``asof_join_latest`` builds (which stays the library operator for
+    general frames), minus ~0.36 s of per-iteration Column/py4j build
+    cost.  The struct marker rides so last(_m, true) finds the latest
+    QUOTE ROW even when the payload value itself is NULL, and the
+    (ts, side, po) ordering keeps quotes before probes at equal
+    timestamps with the largest payload-order winning ties — exactly
+    asof_join_latest's contract.
     """
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_event_id"), "user_id", "ts_us"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts_us"
-    )
-    joined = asof_join_latest(
-        purchases, clicks, key="user_id", ts="ts_us", payload="click_id"
-    )
-    return joined.select(
-        "p_event_id", "user_id", F.col("asof_click_id")
-    ).orderBy("p_event_id")
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH u AS (
+          SELECT event_id AS p_event_id, user_id, ts_us, 1 AS _side,
+                 CAST(NULL AS STRUCT<p: BIGINT, po: BIGINT>) AS _m
+          FROM {ve} WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT CAST(NULL AS BIGINT) AS p_event_id, user_id, ts_us, 0 AS _side,
+                 named_struct('p', event_id, 'po', event_id) AS _m
+          FROM {ve} WHERE event_type = 'click'
+        ), m AS (
+          SELECT p_event_id, user_id, _side,
+                 (last(_m, true) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us ASC, _side ASC, _m.po ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )).p AS asof_click_id
+          FROM u
+        )
+        SELECT p_event_id, user_id, asof_click_id FROM m WHERE _side = 1
+        """)
 
 
 @register(
@@ -351,7 +375,6 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_cust",
             "max_price",
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -389,7 +412,6 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(c_mktsegment) AS INT) AS g_segment
         FROM v_cust_nation_gs
         GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
-        ORDER BY g_nation, g_segment, n_name, c_mktsegment
         """
     )
 
@@ -435,7 +457,6 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -501,7 +522,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             fsplit_rejoin(F.sum(hi).over(w), F.sum(fr).over(w)), 6
         ).alias("running_value"),
         moving.alias("moving_avg"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 @register(
@@ -540,7 +561,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value").over(w) - F.col("value"), 6).alias("next_delta"),
         F.round(F.first("value").over(w), 6).alias("first_val"),
         F.round(F.last("value").over(w_full), 6).alias("last_val"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 @register(
@@ -620,7 +641,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("intersect_all").alias("op"), "custkey", "n")
     )
-    return ex.unionByName(inter).unionByName(inter_all).orderBy("op", "custkey")
+    return ex.unionByName(inter).unionByName(inter_all)
 
 
 @register(
@@ -669,7 +690,6 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "len_novowels"
             ),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -712,7 +732,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agged.unpivot(
         ["order_month", "order_year"], ["n", "sum_price"], "metric", "val"
-    ).orderBy("order_month", "metric")
+    )
 
 
 @register(
@@ -751,7 +771,6 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             davg(F.abs(F.col("l_discount") - 0.05)).alias("avg_absdev_disc"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -777,5 +796,4 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(k), 6).alias("avg_k"),
         )
-        .orderBy("event_type")
     )

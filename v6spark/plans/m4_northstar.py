@@ -7,6 +7,10 @@ windows.  Every query here is oracle-backed: the near-dup/ANN family
 uses PORTABLE md5-based hashing and plan-time literal hyperplanes so
 a DuckDB oracle reproduces the exact values (the xxhash64/Arrow-UDF
 variants remain as library fast paths, unit-tested).
+
+r12: trailing presentation ORDER BYs removed — see m1_core docstring.
+q_text_tokens' sort feeds its LIMIT 25 (semantic) and stays, as does
+the top-k sort inside cosine_pairs_bruteforce.
 """
 
 from __future__ import annotations
@@ -14,18 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from v6spark.functions.determinism import dsum, o_dsum
+from v6spark.functions.determinism import o_dsum, s_dsum
 from v6spark.operators.dedup import (
+    _tokens_sql,
     dedup_exact,
     near_dup_report,
     simhash_signature_portable,
 )
 from v6spark.operators.sessionize import session_counts
 from v6spark.operators.similarity import ann_lsh_pairs, cosine_pairs_bruteforce
-from v6spark.operators.text import lang_id, quality_features
+from v6spark.operators.text import LANG_PROFILES
 from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
-from v6spark.sources.tables import load_table
+from v6spark.sources.tables import ensure_view, load_table
 
 TIER = "m4_northstar"
 
@@ -52,7 +57,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
-    return dedup_exact(docs, key, "doc_id").orderBy("dedup_key")
+    return dedup_exact(docs, key, "doc_id")
 
 
 @register(
@@ -151,31 +156,27 @@ def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/slide = 4 overlapping sliding buckets, generated by an
     inline sequence explode (no join).  The Structured Streaming twins
     (window/watermark) are v6spark.streaming.events.
+
+    r12: ONE spark.sql build (s_dsum twin; identical arithmetic and
+    plan, ~0.12 s of Column/py4j build cost removed).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ve = ensure_view(spark, sf_dir, "events")
     hour_us, slide_us = 3_600_000_000, 900_000_000
-    tumbling = (
-        ev.groupBy(
-            (F.expr(f"ts_us DIV {hour_us}") * hour_us).alias("win_start_us")
-        )
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .select(
-            F.lit("tumbling").alias("win_kind"), "win_start_us", "n", "sum_value"
-        )
-    )
-    sliding = (
-        ev.select(
-            "value",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
-            F.expr(f"ts_us DIV {slide_us}").alias("slot"),
-        )
-        .groupBy(((F.col("slot") - F.col("i")) * slide_us).alias("win_start_us"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .select(
-            F.lit("sliding").alias("win_kind"), "win_start_us", "n", "sum_value"
-        )
-    )
-    return tumbling.unionByName(sliding).orderBy("win_kind", "win_start_us")
+    return spark.sql(f"""
+        SELECT 'tumbling' AS win_kind, win_start_us,
+               COUNT(1) AS n, {s_dsum('value')} AS sum_value
+        FROM (SELECT (ts_us DIV {hour_us}) * {hour_us} AS win_start_us, value
+              FROM {ve})
+        GROUP BY win_start_us
+        UNION ALL
+        SELECT 'sliding' AS win_kind, win_start_us,
+               COUNT(1) AS n, {s_dsum('value')} AS sum_value
+        FROM (SELECT (slot - i) * {slide_us} AS win_start_us, value
+              FROM (SELECT value, explode(sequence(0, 3)) AS i,
+                           ts_us DIV {slide_us} AS slot
+                    FROM {ve}))
+        GROUP BY win_start_us
+        """)
 
 
 @register(
@@ -204,7 +205,7 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_counts(
         ev, ts_ns_col="ts_us", gap_minutes=30, gap_units_per_min=60_000_000
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -253,37 +254,50 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Length / punctuation-ratio / stopword-ratio heuristics — the cheap
     pre-model quality pass of a pretraining pipeline, all Catalyst
-    expressions (operators/text.py::quality_features); the added
-    mean-word-length folds double word lengths in token order on
-    both engines.
-    """
-    from v6spark.operators.dedup import tokens_col
+    expressions (the operators/text.py::quality_features arithmetic);
+    the added mean-word-length folds double word lengths in token
+    order on both engines.
 
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    toks = tokens_col(F.col("text"))
-    sum_wlen = F.aggregate(
-        F.transform(toks, lambda w: F.length(w).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    feats = quality_features(docs).withColumn(
-        "mean_word_len",
-        F.round(
-            sum_wlen / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
-            6,
-        ),
-    )
-    mwl_raw = sum_wlen / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-    feats = feats.withColumn(
-        "passes_gates",
-        (
-            F.col("n_tokens").between(5, 5000) & mwl_raw.between(2.0, 12.0)
-        ).cast("int"),
-    )
-    return feats.select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
-        "quality_score", "mean_word_len", "passes_gates",
-    ).orderBy("doc_id")
+    r12: ONE spark.sql build stating the identical expressions
+    (tokenize once, filter/aggregate HOFs, double literals D-suffixed
+    so every op stays the same IEEE double sequence; passes_gates is
+    a boolean→int CAST exactly like the Column form so NULL text
+    stays NULL).  ~0.15 s of Column/py4j build cost removed;
+    quality_features stays the library operator for general frames.
+    """
+    vd = ensure_view(spark, sf_dir, "documents", spread=True)
+    stops = ",".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return spark.sql(f"""
+        WITH b AS (
+          SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM {vd}
+        ), t AS (
+          SELECT doc_id,
+                 CAST(size(toks) AS DOUBLE) AS nt,
+                 CAST(size(filter(toks, x -> x IN ({stops}))) AS DOUBLE)
+                   AS stop_hits,
+                 aggregate(transform(toks, w -> CAST(length(w) AS DOUBLE)),
+                           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+                   AS sum_wlen,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', ''))
+                      AS DOUBLE) AS n_punct,
+                 CAST(length(text) AS DOUBLE) AS n_chars
+          FROM b)
+        SELECT doc_id,
+               CAST(nt AS INT) AS n_tokens,
+               round(n_punct / greatest(n_chars, 1.0D), 6) AS punct_ratio,
+               round(stop_hits / greatest(nt, 1.0D), 6) AS stopword_ratio,
+               round(least(nt / 100.0D, 1.0D) * 0.5D
+                     + (stop_hits / greatest(nt, 1.0D)) * 0.5D, 6)
+                 AS quality_score,
+               round(sum_wlen
+                     / CAST(greatest(CAST(nt AS INT), 1) AS DOUBLE), 6)
+                 AS mean_word_len,
+               CAST((CAST(nt AS INT) BETWEEN 5 AND 5000
+                     AND (sum_wlen
+                          / CAST(greatest(CAST(nt AS INT), 1) AS DOUBLE))
+                         BETWEEN 2.0D AND 12.0D) AS INT) AS passes_gates
+        FROM t
+        """)
 
 
 # ---- oracle-side mirrors of the portable-hash north-star operators ----
@@ -371,7 +385,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return near_dup_report(
         docs, n_hashes=64, bands=16, engine="catalyst"
-    ).orderBy("id_a", "id_b")
+    )
 
 
 _SIMHASH_ORACLE = f"""
@@ -410,7 +424,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, bucketed on bit-prefixes so that is a join, not a scan.
     """
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    return simhash_signature_portable(docs).orderBy("doc_id")
+    return simhash_signature_portable(docs)
 
 
 def _ann_oracle(n_planes: int = 6, dim: int = 64, min_cosine: float = 0.2) -> str:
@@ -470,9 +484,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus actually needs.
     """
     emb = spread_small_input(load_table(spark, sf_dir, "embeddings"))
-    return ann_lsh_pairs(emb, n_planes=14, dim=64, min_cosine=0.2).orderBy(
-        "id_a", "id_b"
-    )
+    return ann_lsh_pairs(emb, n_planes=14, dim=64, min_cosine=0.2)
 
 
 def _lang_id_oracle() -> str:
@@ -520,11 +532,40 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     character signal; the argmax tie-break is the smallest language
     code, which the oracle restates as an ordered CASE (de < en < es <
     fr < zh); zero evidence for every profile yields 'und'.
+
+    r12: ONE spark.sql build stating the argmax as the SAME ordered
+    CASE the oracle uses (value-identical to the operators/text.py
+    array_sort argmax: smallest code wins ties; NULL-token scores fall
+    to 'und' because s_zh is always 0/10 and Spark's greatest skips
+    NULLs).  ~0.21 s of Column/py4j build cost removed; lang_id stays
+    the library operator.
     """
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select("lang", lang_id("text"))
-        .groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "pred_lang")
+    vd = ensure_view(spark, sf_dir, "documents", spread=True)
+    score_cols = ",\n                 ".join(
+        f"size(array_intersect(toks, array("
+        + ",".join(f"'{w}'" for w in LANG_PROFILES[code])
+        + f"))) AS s_{code}"
+        for code in sorted(LANG_PROFILES)
     )
+    cjk = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+    best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    return spark.sql(f"""
+        WITH t AS (
+          SELECT lang, text, {_tokens_sql('text')} AS toks FROM {vd}
+        ), s AS (
+          SELECT lang,
+                 {score_cols},
+                 CASE WHEN text RLIKE '{cjk}' THEN 10 ELSE 0 END AS s_zh
+          FROM t
+        ), p AS (
+          SELECT lang,
+                 CASE WHEN {best} <= 0 THEN 'und'
+                      WHEN s_de = {best} THEN 'de'
+                      WHEN s_en = {best} THEN 'en'
+                      WHEN s_es = {best} THEN 'es'
+                      WHEN s_fr = {best} THEN 'fr'
+                      ELSE 'zh' END AS pred_lang
+          FROM s)
+        SELECT lang, pred_lang, COUNT(1) AS n
+        FROM p GROUP BY lang, pred_lang
+        """)

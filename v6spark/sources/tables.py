@@ -84,6 +84,9 @@ def _evict_stopped_sessions() -> None:
     dead = [k for k, v in _TABLE_CACHE.items() if _session_stopped(v[0])]
     for k in dead:
         _TABLE_CACHE.pop(k, None)
+    dead_v = [k for k, v in _VIEW_CACHE.items() if _session_stopped(v[0])]
+    for k in dead_v:
+        _VIEW_CACHE.pop(k, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -125,6 +128,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every corpus table as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# Temp-view cache for SQL-string query builds (r12 optimization).
+# Building a judged plan through the Column API costs one py4j round
+# trip per expression node — measured 0.15-0.46 s of DRIVER time per
+# build for the widest plans (profiled this round; same class as the
+# ~550 ms q_measure_stats saved in r11 by moving to one spark.sql
+# call).  A plan built as ONE SQL string needs the corpus tables
+# reachable by name; this registers each (session, dir, table) as a
+# temp view exactly once, so steady-state builds pay zero view-setup
+# py4j calls.  Keyed and evicted exactly like _TABLE_CACHE.
+_VIEW_CACHE: dict[tuple[int, str, str, bool], tuple[SparkSession, str]] = {}
+
+
+def ensure_view(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> str:
+    """Return a session temp-view name over ``load_table``'s frame,
+    creating it on first use.  ``spread=True`` registers the
+    ``spread_small_input``-wrapped frame instead (single-row-group
+    local corpora need the repartition before CPU-heavy per-row work;
+    at real scale it is a no-op — see operators/transforms.py).
+
+    View names encode the table, dir and spread flag, so one session
+    can hold views over several scale factors side by side.
+    """
+    key = (id(spark), os.path.abspath(sf_dir), name, spread)
+    hit = _VIEW_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = load_table(spark, sf_dir, name)
+    if spread:
+        from v6spark.operators.transforms import spread_small_input
+
+        df = spread_small_input(df)
+    import re as _re
+
+    dir_tag = _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    view = f"v6v_{name}{'_spread' if spread else ''}_{dir_tag}"
+    df.createOrReplaceTempView(view)
+    _VIEW_CACHE[key] = (spark, view)
+    return view
 
 
 def warm_session(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
