@@ -65,7 +65,10 @@ def test_forced_smj_parity_declared_joins(spark, sf_dir):
     saved = {k: conf.get(k, None) for k in keys}
     for name in ("q_join_multi", "q_join_left"):
         fn = REGISTRY[name].spark_fn
-        want = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        # r12: declared queries no longer carry a presentation ORDER BY
+        # (the driver comparison is an order-insensitive multiset), so
+        # parity here is row-multiset parity too
+        want = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         try:
             conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -79,7 +82,7 @@ def test_forced_smj_parity_declared_joins(spark, sf_dir):
                 # the two fact-side joins are merge joins; the hinted
                 # nation/region chain stays broadcast
                 assert plan.count("SortMergeJoin") >= 2
-            got = [tuple(r) for r in forced.collect()]
+            got = sorted(tuple(r) for r in forced.collect())
         finally:
             for k, v in saved.items():
                 conf.set(k, v) if v is not None else conf.unset(k)
