@@ -262,6 +262,40 @@ def test_cosine_bruteforce_known_vectors(spark):
     assert got[(1, 3)] == pytest.approx(0.707107, abs=1e-6)
 
 
+def test_arr_sql_twins_bitwise_equal(spark):
+    """arr_dot_sql / arr_norm_sq_sql (r12 build-time twins used by
+    ann_lsh_pairs) state the IDENTICAL fold as the Column forms —
+    same cast, same init, same fold direction — so the doubles they
+    produce are bitwise-equal, for double AND float inputs."""
+    import struct
+
+    from v6spark.functions.arrays import (
+        arr_dot,
+        arr_dot_sql,
+        arr_norm_sq,
+        arr_norm_sq_sql,
+    )
+
+    for atype in ("double", "float"):
+        df = spark.createDataFrame(
+            [
+                ([0.1, 0.2, -0.3, 1.5e30], [1.5, -2.5, 0.125, 1.0e-30]),
+                ([0.0, 0.0], [0.0, 0.0]),
+                ([1.000000001, -7.25e8], [3.0, 0.3333333333]),
+            ],
+            f"a array<{atype}>, b array<{atype}>",
+        )
+        rows = df.select(
+            arr_dot("a", "b").alias("cd"),
+            F.expr(arr_dot_sql("a", "b")).alias("sd"),
+            arr_norm_sq("a").alias("cn"),
+            F.expr(arr_norm_sq_sql("a")).alias("sn"),
+        ).collect()
+        for r in rows:
+            assert struct.pack("<d", r.cd) == struct.pack("<d", r.sd)
+            assert struct.pack("<d", r.cn) == struct.pack("<d", r.sn)
+
+
 def test_cosine_topk_query(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],

@@ -55,6 +55,30 @@ def arr_norm_sq(col: Column | str) -> Column:
     )
 
 
+def arr_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`arr_dot` — for SQL-string
+    expression building (each Column node costs a py4j round trip;
+    a lambda-bearing HOF costs ~25 — the r12 build profile measured
+    ~0.27 s of pure driver chatter per ``ann_lsh_pairs`` plan build).
+    Kept textually in lockstep with arr_dot: same fold direction, same
+    DOUBLE casts, same 0.0 DOUBLE init, so the IEEE operation sequence
+    is identical (asserted in tests/test_dedup_similarity.py)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def arr_norm_sq_sql(col: str) -> str:
+    """Spark-SQL string twin of :func:`arr_norm_sq` (see
+    :func:`arr_dot_sql` for why the twins exist)."""
+    return (
+        f"aggregate({col}, 0.0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+
+
 def arr_norm(col: Column | str) -> Column:
     """L2 norm of a numeric array, as DOUBLE."""
     return F.sqrt(arr_norm_sq(col))

@@ -109,15 +109,14 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(vec_col: str, n_planes: int, dim: int, seed: int = 7):
-    """Sign-bit LSH bucket id (long) for a vector column.
-
-    Built as ONE SQL-string expression: the per-Column form costs
-    n_planes x (dim literals + dot-product lambdas) of py4j round
-    trips — ~1100 driver calls (~0.8 s of pure build time) at 13
-    planes x 64 dims, re-paid on every query build.  ``repr(float)``
-    is the shortest round-trip literal, so the SQL doubles are
-    bit-identical to the ``F.lit`` form's.
+def lsh_bucket_sql(vec_col: str, n_planes: int, dim: int, seed: int = 7) -> str:
+    """Sign-bit LSH bucket id (long) for a vector column, as ONE
+    Spark-SQL string expression: the per-Column form costs n_planes x
+    (dim literals + dot-product lambdas) of py4j round trips — ~1100
+    driver calls (~0.8 s of pure build time) at 13 planes x 64 dims,
+    re-paid on every query build.  ``repr(float)`` is the shortest
+    round-trip literal, so the SQL doubles are bit-identical to the
+    ``F.lit`` form's.
     """
     terms = []
     for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
@@ -128,7 +127,12 @@ def lsh_bucket_col(vec_col: str, n_planes: int, dim: int, seed: int = 7):
             "(acc, x) -> acc + x)"
         )
         terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END")
-    return F.expr(" + ".join(terms))
+    return " + ".join(terms)
+
+
+def lsh_bucket_col(vec_col: str, n_planes: int, dim: int, seed: int = 7):
+    """Column form of :func:`lsh_bucket_sql` (same expression)."""
+    return F.expr(lsh_bucket_sql(vec_col, n_planes, dim, seed))
 
 
 def ann_lsh_pairs(
@@ -164,33 +168,36 @@ def ann_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from v6spark.functions.arrays import arr_dot_sql, arr_norm_sq_sql
     from v6spark.operators.dedup import _guard_buckets
 
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        arr_norm_sq(vec_col).alias("_n2"),
-        lsh_bucket_col(vec_col, n_planes, dim).alias("_bucket"),
+    # SQL-string build (r12): the Column form of this body cost ~0.27 s
+    # of pure py4j chatter per plan build (~580 driver round trips,
+    # mostly the HOF lambdas in arr_dot/arr_norm_sq); the selectExpr
+    # strings state the IDENTICAL expressions (twins kept in lockstep,
+    # asserted in tests) in a handful of round trips.
+    bucketed = df.selectExpr(
+        f"{id_col} AS _id",
+        f"{vec_col} AS _v",
+        f"{arr_norm_sq_sql(vec_col)} AS _n2",
+        f"{lsh_bucket_sql(vec_col, n_planes, dim)} AS _bucket",
     )
     bucketed = _guard_buckets(bucketed, ["_bucket"], max_bucket_size)
     if persist_buckets:
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = _safe_cosine(
-        arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")
+    cos = (
+        "CASE WHEN a._n2 > 0 AND b._n2 > 0 "
+        f"THEN {arr_dot_sql('a._v', 'b._v')} / (SQRT(a._n2) * SQRT(b._n2)) END"
     )
     return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+        a.join(b, F.expr("a._bucket = b._bucket AND a._id < b._id"))
+        .selectExpr(
+            "a._id AS id_a",
+            "b._id AS id_b",
+            f"round({cos}, 6) AS cosine",
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= min_cosine)
+        .filter(f"cosine >= {min_cosine!r}D")
     )
 
 

@@ -157,15 +157,32 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join — customers without orders still counted."""
+    """Left outer join — customers without orders still counted.
+
+    r12: orders is pre-aggregated to per-customer counts BEFORE the
+    join (guide §2.3 "aggregate before you shuffle" / §3 pre-reduce).
+    The naive form broadcast the 1.5M-row fact side and ran the
+    count(DISTINCT) Expand over every joined row; here the fact table
+    collapses map-side to one (custkey, n) row per customer, the
+    broadcast shrinks ~10x, and the distinct count becomes a plain
+    count because c_custkey is the customer table's primary key (one
+    row per key, so each key appears exactly once post-join).  At
+    100 TB the naive plan must shuffle the whole fact table; this one
+    shuffles only map-combined per-customer partial counts.  sum of
+    per-customer counts == count of joined non-null o_orderkey
+    (LEFT-join customers without orders contribute coalesce(NULL,0)).
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n_ord")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .groupBy("c_nationkey")
         .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
-            F.count("o_orderkey").alias("n_orders"),
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(F.coalesce("_n_ord", F.lit(0))).alias("n_orders"),
         )
     )
 
@@ -615,33 +632,66 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(left, right), which the DISTINCT forms don't exercise).
     ``n`` carries the multiplicity; 1 by construction for the
     distinct branches.
+
+    r12 (guide §2.3/§2.4): the literal set-operator form scanned
+    orders FOUR times (once per distinct branch, twice for INTERSECT
+    ALL) and customer twice.  All three branches are functions of ONE
+    per-custkey aggregate of orders — f = multiplicity under
+    o_orderstatus='F', b = multiplicity under o_totalprice>=100000 —
+    left-joined to the (primary-key-unique) negative-balance customer
+    keys: EXCEPT = unmatched keys, INTERSECT = matched keys, and
+    INTERSECT ALL's count(*) per key is exactly least(f, b) on keys
+    where both are positive.  The shared aggregate subtree is planned
+    once (ReusedExchange across the union branches); orders and
+    customer are each scanned once.  Key equality is the plain
+    equi-join: o_custkey/c_custkey are non-null key columns, so the
+    set operators' null-safe equality never diverges on this schema.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("_f"),
+        F.sum(
+            F.when(F.col("o_totalprice") >= 100000, 1).otherwise(0)
+        ).alias("_b"),
+    )
     negative = cust.filter(F.col("c_acctbal") < 0).select(
-        F.col("c_custkey").alias("custkey")
+        F.col("c_custkey").alias("custkey"), F.lit(1).alias("_m")
     )
-    one = F.lit(1).cast("long").alias("n")
-    ex = with_orders.subtract(negative).select(
-        F.lit("except").alias("op"), "custkey", one
+    # no broadcast hint: at bench scale the planner broadcasts the
+    # filtered customer side on its own; at 100 TB that side is ~half
+    # the customer table and must be allowed to fall back to a
+    # shuffle join rather than die on a forced broadcast
+    marked = per.join(negative, "custkey", "left")
+    # Both output row families come out of ONE Generate over the
+    # joined row (a union of two projections of `marked` would plan
+    # the whole orders-aggregate subtree TWICE — column pruning makes
+    # the branch subtrees non-identical, so exchange reuse cannot
+    # deduplicate them; measured 2x the scans).
+    distinct_row = F.struct(
+        F.when(F.col("_m").isNull(), F.lit("except"))
+        .otherwise(F.lit("intersect"))
+        .alias("op"),
+        F.col("custkey"),
+        F.lit(1).cast("long").alias("n"),
     )
-    inter = with_orders.intersect(negative).select(
-        F.lit("intersect").alias("op"), "custkey", one
+    inter_all_row = F.when(
+        (F.col("_f") > 0) & (F.col("_b") > 0),
+        F.struct(
+            F.lit("intersect_all").alias("op"),
+            F.col("custkey"),
+            F.least("_f", "_b").alias("n"),
+        ),
     )
-    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("custkey")
+    return (
+        marked.select(
+            F.explode(F.array(distinct_row, inter_all_row)).alias("_r")
+        )
+        .filter(F.col("_r").isNotNull())
+        .select("_r.op", "_r.custkey", "_r.n")
     )
-    big = orders.filter(F.col("o_totalprice") >= 100000).select(
-        F.col("o_custkey").alias("custkey")
-    )
-    inter_all = (
-        f_orders.intersectAll(big)
-        .groupBy("custkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
-    )
-    return ex.unionByName(inter).unionByName(inter_all)
 
 
 @register(
