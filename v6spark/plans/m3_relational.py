@@ -15,14 +15,12 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import (
     davg,
     dsum,
-    fsplit_parts,
-    fsplit_rejoin,
     o_davg,
     o_dsum,
     o_fsplit_parts,
@@ -459,22 +457,24 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's position, deterministic given the total order (price desc,
     key asc tie-break).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.ntile(4).over(w).cast("int").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    # r12: ONE spark.sql build (the Column form cost ~0.055 s of py4j
+    # chatter per bench iteration); same window spec, same functions,
+    # identical logical plan.
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rn, quartile, pct_rank, cume
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER w AS rn,
+                 CAST(ntile(4) OVER w AS INT) AS quartile,
+                 round(percent_rank() OVER w, 6) AS pct_rank,
+                 round(cume_dist() OVER w, 6) AS cume
+          FROM {vo}
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC))
+        WHERE rn <= 3
+        """)
 
 
 _WR_H, _WR_F = o_fsplit_parts("value")
@@ -515,31 +515,34 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  Both windows share the user_id partitioning: one
     shuffle, two sorts.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_range = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(-3_600_000_000, Window.currentRow)
-    )
-    hi, fr = fsplit_parts(F.col("value"))
-    moving = F.round(
-        fsplit_rejoin(F.sum(hi).over(w_range), F.sum(fr).over(w_range))
-        / F.count(F.lit(1)).over(w_range).cast("double"),
-        6,
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(
-            fsplit_rejoin(F.sum(hi).over(w), F.sum(fr).over(w)), 6
-        ).alias("running_value"),
-        moving.alias("moving_avg"),
-    )
+    from v6spark.functions.determinism import _s_safe
+
+    ve = ensure_view(spark, sf_dir, "events")
+    # r12: ONE spark.sql build; the floor-split quantization is the
+    # _s_safe/fsplit twin stated inline (same IEEE sequence), windows
+    # share the user_id partitioning exactly as the Column form did.
+    s = f"({_s_safe('value')})"
+    return spark.sql(f"""
+        WITH p AS (
+          SELECT user_id, event_id, ts_us,
+                 FLOOR({s}) AS _h,
+                 FLOOR(({s} - CAST(FLOOR({s}) AS DOUBLE)) * 1000000.0
+                       + 0.5) AS _f
+          FROM {ve})
+        SELECT user_id, event_id,
+               round(CAST(sum(_h) OVER w_run AS DOUBLE)
+                     + CAST(sum(_f) OVER w_run AS DOUBLE) / 1000000.0,
+                     6) AS running_value,
+               round((CAST(sum(_h) OVER w_rng AS DOUBLE)
+                      + CAST(sum(_f) OVER w_rng AS DOUBLE) / 1000000.0)
+                     / CAST(count(1) OVER w_rng AS DOUBLE), 6) AS moving_avg
+        FROM p
+        WINDOW
+          w_run AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_rng AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """)
 
 
 @register(
@@ -568,17 +571,22 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha, stated identically in both engines.  One shared partition
     ordering: one shuffle + sort.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
-        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("next_delta"),
-        F.round(F.first("value").over(w), 6).alias("first_val"),
-        F.round(F.last("value").over(w_full), 6).alias("last_val"),
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    # r12: ONE spark.sql build; same shared window ordering (one
+    # shuffle + sort), same default frame for first/last semantics.
+    return spark.sql(f"""
+        SELECT user_id, event_id,
+               round(value - (lag(value) OVER w), 6) AS delta,
+               round((lead(value) OVER w) - value, 6) AS next_delta,
+               round(first(value) OVER w, 6) AS first_val,
+               round(last(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING),
+                     6) AS last_val
+        FROM {ve}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        """)
 
 
 @register(
