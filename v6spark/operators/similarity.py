@@ -46,20 +46,26 @@ def cosine_pairs_bruteforce(
     Pre-computes each vector's squared norm once before the join so
     the pair loop does one dot product, not three reductions.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        arr_norm_sq(vec_col).alias("_n2"),
+    from v6spark.functions.arrays import arr_dot_sql, arr_norm_sq_sql
+
+    # SQL-string build (r12, same rationale as ann_lsh_pairs): the
+    # twins state the identical expressions in a handful of py4j
+    # round trips.
+    base = df.selectExpr(
+        f"{id_col} AS _id",
+        f"{vec_col} AS _v",
+        f"{arr_norm_sq_sql(vec_col)} AS _n2",
     )
     a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(b, F.col("a._id") < F.col("b._id"))
-    sim = _safe_cosine(
-        arr_dot(F.col("a._v"), F.col("b._v")), F.col("a._n2"), F.col("b._n2")
+    pairs = a.join(b, F.expr("a._id < b._id"))
+    cos = (
+        "CASE WHEN a._n2 > 0 AND b._n2 > 0 "
+        f"THEN {arr_dot_sql('a._v', 'b._v')} / (SQRT(a._n2) * SQRT(b._n2)) END"
     )
-    out = pairs.select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.round(sim, 6).alias("cosine"),
+    out = pairs.selectExpr(
+        "a._id AS id_a",
+        "b._id AS id_b",
+        f"round({cos}, 6) AS cosine",
     )
     if top_k is not None:
         out = out.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(top_k)

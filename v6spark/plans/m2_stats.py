@@ -314,19 +314,25 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-format pivot of the array via ONE Generate (posexplode) node;
     the oracle states the same relation as a range lateral join.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 25)
-    return (
-        emb.select(
-            "vec_id",
-            F.size("embedding").alias("n_dims"),
-            F.round(arr_abs_sum("embedding"), 6).alias("abs_sum"),
-            F.posexplode("embedding").alias("pos", "v"),
-        )
-        .select(
-            "vec_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("v").cast("double"), 6).alias("val"),
-            "n_dims",
-            "abs_sum",
-        )
-    )
+    from v6spark.sources.tables import ensure_view
+
+    ve = ensure_view(spark, sf_dir, "embeddings")
+    # r12: ONE spark.sql build (the Column form's abs-sum lambda +
+    # posexplode cost ~0.12 s of py4j chatter per bench iteration);
+    # aggregate lambda is the textual twin of arrays.arr_abs_sum.
+    return spark.sql(f"""
+        SELECT vec_id,
+               CAST(pos AS BIGINT) AS pos,
+               round(CAST(v AS DOUBLE), 6) AS val,
+               n_dims,
+               abs_sum
+        FROM (
+          SELECT vec_id,
+                 size(embedding) AS n_dims,
+                 round(aggregate(embedding, 0.0D,
+                                 (acc, x) -> acc + abs(cast(x as double))),
+                       6) AS abs_sum,
+                 posexplode(embedding) AS (pos, v)
+          FROM {ve}
+          WHERE vec_id < 25)
+        """)
