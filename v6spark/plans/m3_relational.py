@@ -219,9 +219,19 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (NOT EXISTS) — parts never shipped."""
+    """Anti join (NOT EXISTS) — parts never shipped.
+
+    r12 (guide §2.3): the anti join only consumes the KEY SET of
+    lineitem, so the fact side is reduced to distinct l_partkey before
+    the join — the map-side partial distinct collapses the ~30
+    lineitems per part inside each scan task, shrinking the broadcast
+    (and, at 100 TB where this side exceeds any broadcast threshold,
+    the shuffle) by the per-key multiplicity.  Anti-join semantics are
+    invariant to right-side duplicates.  Interleaved A/B at sf0.1:
+    0.258 -> 0.159 s median of 7.
+    """
     part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
