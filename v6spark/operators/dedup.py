@@ -20,6 +20,7 @@ construction, so there is no skew hot-spot at 100 TB.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import pandas as pd
@@ -33,6 +34,11 @@ from pyspark.sql import functions as F
 # a*x stays inside int64 — Spark 4 runs ANSI mode by default and a
 # 61-bit modulus would overflow LongType multiplication.
 MERSENNE31 = (1 << 31) - 1
+
+# per-call temp-view suffix for near_dup_report's single-SQL build
+# (views are session-scoped and tiny; a fresh pair per call keeps
+# concurrent pipelines in one session from clobbering each other)
+_NDR_SEQ = itertools.count()
 
 
 def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -578,6 +584,19 @@ def near_dup_report(
     thrown-away enrichment was the single largest slice of its 50x
     stress wall (13.45 -> 11.74 s at 368k verified pairs).
     ``id_a``/``id_b``/``jaccard`` values are identical either way.
+
+    Build shape (r12 optimization round): everything downstream of the
+    persisted signature frame is stated as ONE ``spark.sql`` over temp
+    views registered on the (spread) input and the signatures.  The
+    old DataFrame-op chain re-ANALYZED its whole growing subtree at
+    every transformation (Dataset creation is eager analysis), so the
+    4-join enrichment tail alone cost ~150 ms of driver time per
+    build and the full pipeline ~350 ms; the single statement is one
+    parse + one analysis (~0.14 s total, same logical plan — join
+    order, guard window, collect-explode pair generation all stated
+    identically).  The views resolve to the persisted frame's plan,
+    so the CacheManager still substitutes the one cached signature
+    relation into all three consuming subtrees exactly as before.
     """
     from pyspark import StorageLevel
 
@@ -587,6 +606,11 @@ def near_dup_report(
     # a small scan (one row group) would otherwise run it on one core
     df = spread_small_input(df)
     rows_per_band = n_hashes // bands
+    spark = df.sparkSession
+    seq = next(_NDR_SEQ)
+    docs_view = f"_v6_ndr_docs_{seq}"
+    sig_view = f"_v6_ndr_sig_{seq}"
+    df.createOrReplaceTempView(docs_view)
     if engine == "arrow":
         sig = df.select(
             F.col(id_col).alias("_id"),
@@ -595,14 +619,29 @@ def near_dup_report(
             ),
         )
     else:
-        sig = minhash_signature_frame(
-            df, id_col, text_col, n_hashes, shingle_k
-        )
+        # textual twin of minhash_signature_frame (same plan, one
+        # analysis pass instead of three)
+        params = _perm_params(n_hashes)
+        arr = "array(" + ", ".join(
+            f"min((_h * {a}L + {b}L) % {MERSENNE31}L)" for a, b in params
+        ) + ")"
+        sig = spark.sql(f"""
+            SELECT _id, {arr} AS _sig
+            FROM (SELECT _id,
+                         ({_portable_hash60_sql('_sh')}) % {MERSENNE31}L
+                           AS _h
+                  FROM (SELECT `{id_col}` AS _id,
+                               explode({_shingles_sql(f'`{text_col}`', shingle_k)})
+                                 AS _sh
+                        FROM {docs_view}))
+            GROUP BY _id
+            """)
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.selectExpr(
-        "_id",
-        f"explode({_band_bucket_sql('_sig', bands, rows_per_band)})"
-        " AS bucket",
+    sig.createOrReplaceTempView(sig_view)
+
+    banded_cte = (
+        f"SELECT _id, explode({_band_bucket_sql('_sig', bands, rows_per_band)})"
+        f" AS bucket FROM {sig_view}"
     )
     if max_bucket_size is not None:
         # guarded pair generation (r12): pairs expand from a
@@ -620,58 +659,49 @@ def near_dup_report(
         # window's hash(bucket) partitioning (no extra shuffle).
         # sort_array + (i, j>i) combinations reproduce the join's
         # id_a < id_b exactly (ids unique per the signature-frame
-        # precondition).
-        guarded = _guard_buckets(banded, ["bucket"], max_bucket_size)
-        pairs = (
-            guarded.groupBy("bucket")
-            .agg(F.expr("sort_array(collect_list(_id))").alias("_ids"))
-            .where(F.size("_ids") >= 2)
-            .selectExpr(
-                "explode(flatten(transform(_ids, (x, i) -> "
-                "transform(slice(_ids, i + 2, size(_ids)), "
-                "y -> struct(x AS a, y AS b))))) AS _p"
-            )
-            # strict < mirrors the join form's a._id < b._id exactly:
-            # sorted-list (i, j>i) combinations only admit equality if
-            # an id is duplicated, which the signature frame's
-            # unique-id precondition forbids — the filter makes the
-            # guarantee structural rather than assumed
-            .selectExpr("_p.a AS id_a", "_p.b AS id_b")
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates()
-        )
+        # precondition); NULL buckets (NULL signature) are dropped
+        # before the window exactly as _guard_buckets does.  The
+        # strict id_a < id_b filter keeps the no-self-pair guarantee
+        # structural rather than assumed.
+        pairs_cte = f"""
+        guarded AS (
+          SELECT _id, bucket FROM (
+            SELECT _id, bucket,
+                   count(1) OVER (PARTITION BY bucket) AS _bn
+            FROM banded WHERE bucket IS NOT NULL)
+          WHERE _bn <= {max_bucket_size}),
+        idlists AS (
+          SELECT _ids FROM (
+            SELECT sort_array(collect_list(_id)) AS _ids
+            FROM guarded GROUP BY bucket)
+          WHERE size(_ids) >= 2),
+        pairs AS (
+          SELECT DISTINCT _p.a AS id_a, _p.b AS id_b FROM (
+            SELECT explode(flatten(transform(_ids, (x, i) ->
+                   transform(slice(_ids, i + 2, size(_ids)),
+                   y -> struct(x AS a, y AS b))))) AS _p
+            FROM idlists)
+          WHERE _p.a < _p.b)"""
     else:
-        a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .select(
-                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-            )
-            .dropDuplicates()
-        )
-    texts = df.select(
-        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
-    )
-    da, db = texts.alias("da"), texts.alias("db")
-    # SQL-string result expressions (one py4j call each; the
-    # per-Column form costs ~0.3 s of build-time driver chatter)
-    set_a = f"array_distinct({_shingles_sql('da._ttext', shingle_k)})"
-    set_b = f"array_distinct({_shingles_sql('db._ttext', shingle_k)})"
+        pairs_cte = """
+        pairs AS (
+          SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a._id < b._id)"""
+
+    set_a = f"array_distinct({_shingles_sql(f'da.`{text_col}`', shingle_k)})"
+    set_b = f"array_distinct({_shingles_sql(f'db.`{text_col}`', shingle_k)})"
     inter = f"size(array_intersect({set_a}, {set_b}))"
     jacc = (
         f"round(cast({inter} as double) / cast(size({set_a}) + "
         f"size({set_b}) - {inter} as double), 6) AS jaccard"
     )
-    out = pairs
     cols = ["id_a", "id_b"]
+    sig_joins = ""
     if include_est:
-        sa, sb = sig.alias("sa"), sig.alias("sb")
-        out = out.join(sa, F.col("id_a") == F.col("sa._id")).join(
-            sb, F.col("id_b") == F.col("sb._id")
+        sig_joins = (
+            f"\n        JOIN {sig_view} sa ON pairs.id_a = sa._id"
+            f"\n        JOIN {sig_view} sb ON pairs.id_b = sb._id"
         )
         cols.append(
             "round(aggregate(zip_with(sa._sig, sb._sig, (x, y) -> "
@@ -681,13 +711,16 @@ def near_dup_report(
     cols.append(jacc)
     if include_edit:
         cols.append(
-            "cast(levenshtein(da._ttext, db._ttext) as int) AS edit_dist"
+            f"cast(levenshtein(da.`{text_col}`, db.`{text_col}`) as int)"
+            " AS edit_dist"
         )
-    return (
-        out.join(da, F.col("id_a") == F.col("da._tid"))
-        .join(db, F.col("id_b") == F.col("db._tid"))
-        .selectExpr(*cols)
-    )
+    return spark.sql(f"""
+        WITH banded AS ({banded_cte}),{pairs_cte}
+        SELECT {", ".join(cols)}
+        FROM pairs{sig_joins}
+        JOIN {docs_view} da ON id_a = da.`{id_col}`
+        JOIN {docs_view} db ON id_b = db.`{id_col}`
+        """)
 
 
 def _simhash_banded(
