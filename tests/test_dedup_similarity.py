@@ -296,6 +296,76 @@ def test_arr_sql_twins_bitwise_equal(spark):
             assert struct.pack("<d", r.cn) == struct.pack("<d", r.sn)
 
 
+def test_lsh_bucket_sql_python_reference_and_edges(spark):
+    """The r12 flattened-literal two-level fold form of
+    ``lsh_bucket_sql`` must reproduce the definition: bit j set iff
+    dot(vec, plane_j) >= 0, the dot accumulated left-to-right in IEEE
+    order over the plane's ``dim`` elements.  Short, empty and NULL
+    vectors yield NULL dots (``try_element_at`` padding, exactly like
+    the previous per-plane ``zip_with`` form) so every sign CASE
+    falls to 0 and the bucket is 0."""
+    from v6spark.operators.similarity import _hyperplanes, lsh_bucket_sql
+
+    n_planes, dim = 6, 8
+    planes = _hyperplanes(n_planes, dim)
+    vecs = [
+        (1, [float(i) / 7.0 - 0.4 for i in range(dim)]),
+        (2, [-1.0] * dim),
+        (3, [0.0] * dim),  # dot 0.0 >= 0: every bit set
+        (4, [0.5, -0.25]),  # shorter than dim -> bucket 0
+        (5, []),  # empty -> bucket 0
+        (6, None),  # NULL -> bucket 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.selectExpr(
+            "vec_id", f"{lsh_bucket_sql('embedding', n_planes, dim)} AS b"
+        ).collect()
+    }
+
+    def ref(vec):
+        if vec is None or len(vec) < dim:
+            return 0
+        b = 0
+        for j, plane in enumerate(planes):
+            dot = 0.0
+            for i in range(dim):
+                dot += vec[i] * plane[i]
+            if dot >= 0:
+                b += 1 << j
+        return b
+
+    assert got == {vid: ref(v) for vid, v in vecs}
+    assert got[3] == (1 << n_planes) - 1 and got[4] == got[5] == got[6] == 0
+
+
+def test_simhash_agg_view_isolation_repeated_calls(spark):
+    """The r12 single-statement agg build registers a uniquely
+    numbered temp view per call; two frames signed in the same
+    session must not collide — each lazily built result keeps ITS
+    input's rows even when both are built before either runs — and
+    the values still match the fold engine."""
+    df1 = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id long, text string"
+    )
+    df2 = spark.createDataFrame(
+        [(9, "gamma delta epsilon")], "doc_id long, text string"
+    )
+    s1 = dedup.simhash_signature_portable(df1, engine="agg")
+    s2 = dedup.simhash_signature_portable(df2, engine="agg")
+    r1 = {r["doc_id"]: r["simhash"] for r in s1.collect()}
+    r2 = {r["doc_id"]: r["simhash"] for r in s2.collect()}
+    assert set(r1) == {1} and set(r2) == {9}
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signature_portable(
+            df1, engine="fold"
+        ).collect()
+    }
+    assert r1 == fold
+
+
 def test_cosine_topk_query(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],

@@ -1307,46 +1307,46 @@ def simhash_signature_portable(
         raise ValueError(f"unknown simhash engine {engine!r}")
     if n_bits > 64:
         raise ValueError("agg engine packs lanes into int64: n_bits <= 64")
-    toks_sql = _tokens_sql(text_col)
-    # NULL text must yield a NULL signature (the fold form's
-    # behavior); explode_outer collapses NULL and empty arrays to the
-    # same single NULL-hash row, so nullness travels as a group key
-    # (same cardinality: one group per document either way)
-    t = df.selectExpr(
-        id_col,
-        # tokens are NULL iff the text is NULL (split/filter preserve
-        # non-nullness) — probing the text directly avoids a second
-        # tokenizer evaluation per row
-        f"({text_col}) IS NULL AS _tnull",
-        f"explode_outer(transform({toks_sql}, "
-        f"s -> {_portable_hash60_sql('s')})) AS _h",
-    )
+    toks_sql = _tokens_sql(f"`{text_col}`")
     # expressions are BUILT as SQL strings: hundreds of Column-method
     # calls here cost ~0.7 s of py4j round trips PER QUERY BUILD
     # (measured; same driver-chatter bottleneck the corpus plan cache
-    # exists for) — one F.expr per aggregate and ONE for the whole
-    # signature assembly keep the build at a handful of calls
+    # exists for) — and the whole pipeline is ONE spark.sql statement
+    # (r12 session 2: the 3-step selectExpr/groupBy/select chain
+    # re-analyzed the wide lane expressions three times, ~85 ms of
+    # driver time per build; one statement analyzes once, ~30 ms).
     lane_mask = 0x0000000100000001  # one 32-bit field per 32 hash bits
     n_lanes = min(32, n_bits)
     lanes = "array(" + ", ".join(
         f"sum(shiftright(_h, {j}) & {lane_mask}L)" for j in range(n_lanes)
     ) + ")"
-    g = t.groupBy(id_col, "_tnull").agg(
-        F.count("_h").alias("_n"), F.expr(lanes).alias("_ps")
+    terms = " + ".join(
+        # lane = j % 32, field = j // 32
+        f"CASE WHEN (shiftright(_ps[{j % 32}], {32 * (j // 32)}) "
+        f"& 4294967295) * 2 > _n THEN {1 << j}L ELSE 0L END"
+        for j in range(n_bits)
     )
-    terms = []
-    for j in range(n_bits):
-        lane, fld = j % 32, j // 32
-        terms.append(
-            f"CASE WHEN (shiftright(_ps[{lane}], {32 * fld}) "
-            f"& 4294967295) * 2 > _n THEN {1 << j}L ELSE 0L END"
-        )
-    sig = F.expr(
-        "CASE WHEN _tnull THEN CAST(NULL AS BIGINT) ELSE "
-        + " + ".join(terms)
-        + " END"
-    )
-    return g.select(F.col(id_col), sig.alias("simhash"))
+    view = f"_v6_simhash_{next(_NDR_SEQ)}"
+    df.createOrReplaceTempView(view)
+    # NULL text must yield a NULL signature (the fold form's
+    # behavior); explode_outer collapses NULL and empty arrays to the
+    # same single NULL-hash row, so nullness travels as a group key
+    # (same cardinality: one group per document either way).  Tokens
+    # are NULL iff the text is NULL (split/filter preserve
+    # non-nullness) — probing the text directly avoids a second
+    # tokenizer evaluation per row.
+    return df.sparkSession.sql(f"""
+        SELECT `{id_col}`,
+               CASE WHEN _tnull THEN CAST(NULL AS BIGINT)
+                    ELSE {terms} END AS simhash
+        FROM (SELECT `{id_col}`, _tnull, COUNT(_h) AS _n, {lanes} AS _ps
+              FROM (SELECT `{id_col}`,
+                           (`{text_col}`) IS NULL AS _tnull,
+                           explode_outer(transform({toks_sql},
+                             s -> {_portable_hash60_sql('s')})) AS _h
+                    FROM {view})
+              GROUP BY `{id_col}`, _tnull)
+        """)
 
 
 def simhash_signature(

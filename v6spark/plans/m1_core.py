@@ -12,6 +12,18 @@ The driver's comparison is order-INSENSITIVE (rows+schema+multiset
 hash; tests/oracle_harness.py mirrors it), so the computed result is
 unchanged; the oracle SQL keeps its ORDER BY (DuckDB side, untimed).
 Sorts that feed a LIMIT (top-k) are semantic and stay.
+
+r12 (optimization round, session 2): the remaining Column-API builds
+restated as ONE ``spark.sql`` string each over ``ensure_view`` views
+(guide §1.2/§7.3 — every Column node is a py4j round trip and every
+chained Dataset op re-analyzes its whole subtree; one SQL statement
+is one parse + one analysis).  Each restatement is the textual twin
+of the old Column pipeline — same expressions, same aggregate
+structure, s_dsum/s_davg twins for the deterministic sums — and the
+operator functions (stats.rate_of, transforms.mask_low, ...) remain
+the library API for general frames.  All 50 queries re-verified
+green against the DuckDB oracle at sf0.001 and sf0.01 after the
+conversion; PLAN_LOCK unchanged.
 """
 
 from __future__ import annotations
@@ -19,11 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from v6spark.functions.determinism import dsum, o_davg, o_dsum, o_split_sum
-from v6spark.operators import stats, transforms
-from v6spark.operators.filters import accounting_df
+from v6spark.functions.determinism import o_davg, o_dsum, o_split_sum
 from v6spark.plans.registry import register
-from v6spark.sources.tables import load_table
+from v6spark.sources.tables import ensure_view, load_table
 
 TIER = "m1_core"
 
@@ -71,14 +81,16 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both comparisons reach the scan as PushedFilters; the aggregate is
     a 1-row partial+final combine.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.08)
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_price"),
-    )
+    from v6spark.functions.determinism import s_dsum
+
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT COUNT(1) AS n,
+               {s_dsum('l_quantity')} AS sum_qty,
+               {s_dsum('l_extendedprice')} AS sum_price
+        FROM {vl}
+        WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+        """)
 
 
 @register(
@@ -106,15 +118,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines (a plain double avg differs by
     summation order and could flip a row near its group mean).
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_qf")
+    vo = ensure_view(spark, sf_dir, "orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, count(*) AS n
-        FROM v_orders_qf o
+        FROM {vo} o
         WHERE o_totalprice >= 100000
           AND o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                                      / count(*)
-                              FROM v_orders_qf
+                              FROM {vo}
                               WHERE o_orderpriority = o.o_orderpriority)
         GROUP BY o_orderstatus
         """
@@ -138,10 +150,13 @@ def q_missing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Missing" = value below the detection threshold; the 0/1 indicator
     mean is exact integer arithmetic in doubles.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return stats.rate_of(
-        ev, ["event_type"], F.col("value") < 0.1, alias="miss_rate"
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_type,
+               round(avg(CASE WHEN value < 0.1 THEN 1.0D ELSE 0.0D END), 6)
+                 AS miss_rate
+        FROM {ve} GROUP BY event_type
+        """)
 
 
 @register(
@@ -156,10 +171,14 @@ def q_missing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_per_entity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Other-axis reduction (C11/C9: per-sample stats across variants)."""
-    ev = load_table(spark, sf_dir, "events")
-    return stats.group_mean(
-        ev, ["user_id"], "value", n_alias="n_events", avg_alias="avg_value"
-    )
+    from v6spark.functions.determinism import s_davg
+
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id, COUNT(1) AS n_events,
+               {s_davg('value')} AS avg_value
+        FROM {ve} GROUP BY user_id
+        """)
 
 
 @register(
@@ -184,20 +203,15 @@ def q_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-values job) and the output schema static, which is what a
     100 TB pivot needs.  Oracle states the same as FILTERed counts.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    pivoted = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .count()
-    )
-    n_f = F.coalesce("F", F.lit(0)).alias("n_f")
-    n_o = F.coalesce("O", F.lit(0)).alias("n_o")
-    return pivoted.select(
-        "l_returnflag",
-        n_f,
-        n_o,
-        (F.coalesce("F", F.lit(0)) + F.coalesce("O", F.lit(0))).alias("n_total"),
-    )
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               coalesce(F, 0) AS n_f,
+               coalesce(O, 0) AS n_o,
+               coalesce(F, 0) + coalesce(O, 0) AS n_total
+        FROM (SELECT l_returnflag, l_linestatus FROM {vl})
+        PIVOT (count(1) FOR l_linestatus IN ('F' AS F, 'O' AS O))
+        """)
 
 
 @register(
@@ -309,12 +323,11 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejoins = ", ".join(
         rejoin.format(t=t) for t in ("x", "y", "xx", "yy", "xy")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_v6_measure_lineitem")
+    vl = ensure_view(spark, sf_dir, "lineitem")
     return spark.sql(f"""
     WITH pre AS (
       SELECT l_suppkey, l_quantity, {splits}
-      FROM _v6_measure_lineitem
+      FROM {vl}
     ), hist AS (
       -- map-side-combined partial aggregation to a per-key value
       -- histogram: only (suppkey, quantity, partial sums) shuffle
@@ -365,8 +378,17 @@ def q_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-range 10-bin histogram (C10: stats::histogram)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return stats.histogram(li, "l_extendedprice", 0.0, 100000.0, 10)
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    # bucket arithmetic is stats.histogram's textual twin (width =
+    # (100000-0)/10 computed exactly in Python there; 10000.0D here)
+    return spark.sql(f"""
+        SELECT CAST(floor((l_extendedprice - 0.0D) / 10000.0D) AS BIGINT)
+                 AS bucket,
+               COUNT(1) AS n
+        FROM {vl}
+        WHERE l_extendedprice >= 0.0D AND l_extendedprice < 100000.0D
+        GROUP BY 1
+        """)
 
 
 @register(
@@ -397,24 +419,23 @@ def q_mask_low_meas(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce/nullif columns are the functions downstream code uses on
     sentinel-normalized data (SURVEY.md §1.1).
     """
-    ev = load_table(spark, sf_dir, "events")
-    masked = transforms.mask_low(ev, "value", 0.1, out="v")
-    return (
-        masked.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("v").alias("n_present"),
-            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
-            dsum("v").alias("sum_value"),
-            F.round(
-                F.sum(F.coalesce("v", F.lit(0.0)).cast("decimal(18,6)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("sum_coalesced"),
-            F.count(F.nullif("event_type", F.lit("error"))).alias("n_nullif"),
-        )
-    )
+    from v6spark.functions.determinism import s_dsum
+
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_type,
+               COUNT(1) AS n,
+               COUNT(v) AS n_present,
+               COUNT(1) - COUNT(v) AS n_null,
+               {s_dsum('v')} AS sum_value,
+               round(CAST(sum(CAST(coalesce(v, 0.0D) AS DECIMAL(18,6)))
+                          AS DOUBLE), 6) AS sum_coalesced,
+               COUNT(nullif(event_type, 'error')) AS n_nullif
+        FROM (SELECT event_type,
+                     CASE WHEN value < 0.1 THEN NULL ELSE value END AS v
+              FROM {ve})
+        GROUP BY event_type
+        """)
 
 
 @register(
@@ -431,15 +452,15 @@ def q_mask_low_meas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_recode_012(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical recode to dosage codes (B6: gts_as_mat012)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    coded = transforms.recode(li, "l_returnflag", {"A": 0, "N": 1, "R": 2}, "code")
-    return (
-        coded.groupBy("code")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        )
-    )
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT code, COUNT(1) AS n, round(avg(l_quantity), 6) AS avg_qty
+        FROM (SELECT CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1
+                          WHEN 'R' THEN 2 END AS INT) AS code,
+                     l_quantity
+              FROM {vl})
+        GROUP BY code
+        """)
 
 
 @register(
@@ -455,11 +476,13 @@ def q_recode_012(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sample_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample subsetting (B3: filter_samples) as an IN-list pushdown."""
-    ev = load_table(spark, sf_dir, "events")
-    kept = transforms.subset_entities(
-        ev, "user_id", [3, 7, 11, 19, 23, 42, 57, 88, 101, 133]
-    )
-    return stats.category_counts(kept, ["user_id"])
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id, COUNT(1) AS n
+        FROM {ve}
+        WHERE user_id IN (3, 7, 11, 19, 23, 42, 57, 88, 101, 133)
+        GROUP BY user_id
+        """)
 
 
 @register(
@@ -473,5 +496,9 @@ def q_sample_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept/filtered-out accounting (D9 + E1: the FilterResult contract)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return accounting_df(li, F.col("l_quantity") >= 25)
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT count_if(l_quantity >= 25) AS n_kept,
+               COUNT(1) - count_if(l_quantity >= 25) AS n_filtered_out
+        FROM {vl}
+        """)

@@ -5,22 +5,17 @@ observed/expected heterozygosity), stat-threshold filters, and the
 array-column reductions that stand in for per-sample depth vectors.
 
 r12: trailing presentation ORDER BYs removed — see m1_core docstring.
+r12 session 2: Column-API builds restated as single spark.sql strings
+(textual twins, operator functions stay the library API) — see
+m1_core docstring.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from v6spark.functions.arrays import arr_abs_sum
-from v6spark.operators import stats
-from v6spark.operators.filters import (
-    exactly_k_groups,
-    filter_by_group_rate,
-    variable_groups,
-)
 from v6spark.plans.registry import register
-from v6spark.sources.tables import load_table
+from v6spark.sources.tables import ensure_view
 
 TIER = "m2_stats"
 
@@ -41,8 +36,15 @@ TIER = "m2_stats"
 )
 def q_category_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allele frequencies (C3: calc_allele_freq) — counts / row total."""
-    cust = load_table(spark, sf_dir, "customer")
-    return stats.category_shares(cust, "c_nationkey", "c_mktsegment")
+    vc = ensure_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(1) AS n
+          FROM {vc} GROUP BY c_nationkey, c_mktsegment)
+        SELECT c_nationkey, c_mktsegment,
+               round(n / sum(n) OVER (PARTITION BY c_nationkey), 6) AS share
+        FROM c
+        """)
 
 
 @register(
@@ -60,10 +62,14 @@ def q_category_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_maf_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Major-frequency from category counts (C4: calc_maf_by_gt)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return stats.major_category_freq(
-        orders, "o_orderpriority", "o_orderstatus"
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        WITH c AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(1) AS n
+          FROM {vo} GROUP BY o_orderpriority, o_orderstatus)
+        SELECT o_orderpriority, round(max(n) / sum(n), 6) AS maf
+        FROM c GROUP BY o_orderpriority
+        """)
 
 
 @register(
@@ -95,32 +101,29 @@ def q_maf_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth vector; square-sum for the norm) run as Catalyst
     ``aggregate`` HOFs — JVM-side, sequential left fold in DOUBLE
     (cast BEFORE squaring, exactly as the oracle), bitwise-
-    reproducible per row.
+    reproducible per row.  The norm fold here is the textual twin of
+    the old Column form (transform then fold — NOT arr_norm_sq_sql's
+    fused fold) so the IEEE sequence is unchanged.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                "embedding", lambda x: x.cast("double") * x.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    per_row = emb.select(
-        "label",
-        arr_abs_sum("embedding").alias("s"),
-        nrm.alias("nrm"),
-        (F.element_at("embedding", 1).cast("double") / nrm).alias("u0"),
-    )
-    return (
-        per_row.groupBy("label")
-        .agg(
-            F.round(F.max("s") / F.sum("s"), 6).alias("maf"),
-            F.round(F.avg("nrm"), 6).alias("avg_l2_norm"),
-            F.round(F.avg("u0"), 6).alias("avg_u0"),
-        )
-    )
+    vemb = ensure_view(spark, sf_dir, "embeddings")
+    nrm_sql = ("sqrt(aggregate(transform(embedding, "
+               "x -> cast(x as double) * cast(x as double)), 0.0D, "
+               "(acc, x) -> acc + x))")
+    abs_sum = ("aggregate(embedding, 0.0D, "
+               "(acc, x) -> acc + abs(cast(x as double)))")
+    return spark.sql(f"""
+        WITH p AS (
+          SELECT label,
+                 {abs_sum} AS s,
+                 {nrm_sql} AS nrm,
+                 cast(element_at(embedding, 1) as double) / {nrm_sql} AS u0
+          FROM {vemb} WHERE vec_id < 100)
+        SELECT label,
+               round(max(s) / sum(s), 6) AS maf,
+               round(avg(nrm), 6) AS avg_l2_norm,
+               round(avg(u0), 6) AS avg_u0
+        FROM p GROUP BY label
+        """)
 
 
 @register(
@@ -138,11 +141,15 @@ def q_maf_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minor-category count (C6: calc_mac, D4: filter_by_mac)."""
-    part = load_table(spark, sf_dir, "part")
-    return (
-        stats.minor_category_count(part, "p_brand", "p_type")
-        .filter(F.col("mac") >= 1)
-    )
+    vp = ensure_view(spark, sf_dir, "part")
+    return spark.sql(f"""
+        SELECT p_brand, mac FROM (
+          SELECT p_brand, sum(n) - max(n) AS mac FROM (
+            SELECT p_brand, p_type, COUNT(1) AS n
+            FROM {vp} GROUP BY p_brand, p_type)
+          GROUP BY p_brand)
+        WHERE mac >= 1
+        """)
 
 
 @register(
@@ -157,10 +164,13 @@ def q_mac(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_obs_het(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed heterozygosity analog (C7: calc_obs_het)."""
-    ev = load_table(spark, sf_dir, "events")
-    return stats.rate_of(
-        ev, ["user_id"], F.col("event_type") == "click", alias="het_rate"
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id,
+               round(avg(CASE WHEN event_type = 'click' THEN 1.0D
+                              ELSE 0.0D END), 6) AS het_rate
+        FROM {ve} GROUP BY user_id
+        """)
 
 
 @register(
@@ -177,15 +187,15 @@ def q_obs_het(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_obs_het_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Het-rate band filter (D5: filter_by_obs_het)."""
-    ev = load_table(spark, sf_dir, "events")
-    return filter_by_group_rate(
-        ev,
-        "user_id",
-        F.col("event_type") == "click",
-        min_rate=0.15,
-        max_rate=0.25,
-        rate_alias="het_rate",
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id, het_rate FROM (
+          SELECT user_id,
+                 round(avg(CASE WHEN event_type = 'click' THEN 1.0D
+                                ELSE 0.0D END), 6) AS het_rate
+          FROM {ve} GROUP BY user_id)
+        WHERE het_rate >= 0.15 AND het_rate <= 0.25
+        """)
 
 
 @register(
@@ -217,10 +227,24 @@ def q_exp_het(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed from exact integer counts (sum n, sum n^2) so the double
     arithmetic sequence is identical across engines.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    return stats.expected_het_unbiased(
-        cust, "c_nationkey", "c_mktsegment"
-    )
+    vc = ensure_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(1) AS n
+          FROM {vc} GROUP BY c_nationkey, c_mktsegment),
+        e AS (
+          SELECT c_nationkey, sum(n) AS n_total, sum(n * n) AS sum_sq
+          FROM c GROUP BY c_nationkey)
+        SELECT c_nationkey,
+               round(CASE WHEN n_total > 1 THEN
+                     (1.0D - cast(sum_sq as double)
+                             / (cast(n_total as double)
+                                * cast(n_total as double)))
+                     * (cast(n_total as double)
+                        / cast(n_total - 1 as double))
+                     END, 6) AS exp_het
+        FROM e
+        """)
 
 
 @register(
@@ -240,14 +264,15 @@ def q_callrate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregate-then-HAVING over the grouping key; one shuffle, and the
     HAVING predicate runs post-aggregation on the (small) grouped set.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return filter_by_group_rate(
-        li,
-        "l_partkey",
-        F.col("l_discount") >= 0.05,
-        min_rate=0.5,
-        rate_alias="call_rate",
-    )
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_partkey, call_rate FROM (
+          SELECT l_partkey,
+                 round(avg(CASE WHEN l_discount >= 0.05 THEN 1.0D
+                                ELSE 0.0D END), 6) AS call_rate
+          FROM {vl} GROUP BY l_partkey)
+        WHERE call_rate >= 0.5
+        """)
 
 
 @register(
@@ -277,19 +302,22 @@ def q_variable_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     union is of two already-reduced relations, not a fact-table scan
     twice over the same data.
     """
-    part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 44)
-    variable = variable_groups(part, "p_brand", "p_type", min_distinct=2).select(
-        F.lit("variable").alias("rule"),
-        F.col("p_brand").alias("group_key"),
-        "n_categories",
-    )
-    biallelic = exactly_k_groups(li, "l_partkey", "l_returnflag", k=2).select(
-        F.lit("biallelic").alias("rule"),
-        F.col("l_partkey").cast("string").alias("group_key"),
-        "n_categories",
-    )
-    return variable.unionByName(biallelic)
+    vp = ensure_view(spark, sf_dir, "part")
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT 'variable' AS rule, p_brand AS group_key, n_categories
+        FROM (SELECT p_brand, count(DISTINCT p_type) AS n_categories
+              FROM {vp} GROUP BY p_brand)
+        WHERE n_categories >= 2
+        UNION ALL
+        SELECT 'biallelic' AS rule, CAST(l_partkey AS STRING) AS group_key,
+               n_categories
+        FROM (SELECT l_partkey,
+                     count(DISTINCT l_returnflag) AS n_categories
+              FROM {vl} WHERE l_quantity >= 44
+              GROUP BY l_partkey)
+        WHERE n_categories = 2
+        """)
 
 
 @register(

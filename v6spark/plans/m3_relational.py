@@ -13,28 +13,18 @@ stay.
 
 from __future__ import annotations
 
-import datetime
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import (
-    davg,
-    dsum,
     o_davg,
     o_dsum,
     o_fsplit_parts,
     s_dsum,
 )
-from v6spark.operators.filters import label_disjoint_ranges
 from v6spark.plans.registry import register
-from v6spark.sources.tables import ensure_view, load_table
+from v6spark.sources.tables import ensure_view
 
 TIER = "m3_relational"
-
-def _revenue():
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-
 
 O_REVENUE = "l_extendedprice * (1.0 - l_discount)"
 
@@ -170,19 +160,18 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer counts == count of joined non-null o_orderkey
     (LEFT-join customers without orders contribute coalesce(NULL,0)).
     """
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.count("o_orderkey").alias("_n_ord")
-    )
-    return (
-        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("c_custkey").alias("n_customers"),
-            F.sum(F.coalesce("_n_ord", F.lit(0))).alias("n_orders"),
-        )
-    )
+    vc = ensure_view(spark, sf_dir, "customer")
+    vo = ensure_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_nationkey,
+               COUNT(c_custkey) AS n_customers,
+               sum(coalesce(_n_ord, 0)) AS n_orders
+        FROM {vc}
+        LEFT JOIN (SELECT o_custkey, COUNT(o_orderkey) AS _n_ord
+                   FROM {vo} GROUP BY o_custkey)
+          ON c_custkey = o_custkey
+        GROUP BY c_nationkey
+        """)
 
 
 @register(
@@ -198,14 +187,15 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (EXISTS) — left_semi never duplicates or widens rows."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-    )
+    vc = ensure_view(spark, sf_dir, "customer")
+    vo = ensure_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name
+        FROM {vc}
+        LEFT SEMI JOIN (SELECT o_custkey FROM {vo}
+                        WHERE o_orderstatus = 'F')
+          ON c_custkey = o_custkey
+        """)
 
 
 @register(
@@ -230,12 +220,14 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant to right-side duplicates.  Interleaved A/B at sf0.1:
     0.258 -> 0.159 s median of 7.
     """
-    part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
-    return (
-        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
-        .select("p_partkey", "p_name")
-    )
+    vp = ensure_view(spark, sf_dir, "part")
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT p_partkey, p_name
+        FROM {vp}
+        LEFT ANTI JOIN (SELECT DISTINCT l_partkey FROM {vl})
+          ON p_partkey = l_partkey
+        """)
 
 
 @register(
@@ -263,22 +255,29 @@ def q_region_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluation (the BroadcastNestedLoopJoin form evaluated all 3
     range predicates per fact row and was 1.8x slower at sf0.1).
     ``filter_in_ranges`` (operators/filters.py) remains the general
-    operator for overlapping or data-driven range tables.
+    operator for overlapping or data-driven range tables (the judged
+    instance is its ``label_disjoint_ranges`` CASE chain stated as one
+    SQL string — same chain order, same [lo, hi) bounds, same
+    NULL-tag drop).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    tagged = label_disjoint_ranges(
-        li.withColumn("ship_date", F.to_date("l_shipdate")),
-        [
-            ("early", datetime.date(1995, 1, 1), datetime.date(1997, 6, 1)),
-            ("mid", datetime.date(1997, 6, 1), datetime.date(1999, 6, 1)),
-            ("late", datetime.date(1999, 6, 1), datetime.date(2002, 1, 1)),
-        ],
-        "ship_date",
-    )
-    return (
-        tagged.groupBy("range_name")
-        .agg(F.count(F.lit(1)).alias("n"), dsum(_revenue()).alias("revenue"))
-    )
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT range_name, COUNT(1) AS n,
+               {s_dsum("l_extendedprice * (1.0D - l_discount)")} AS revenue
+        FROM (SELECT CASE
+                WHEN ship_date >= DATE '1995-01-01'
+                     AND ship_date < DATE '1997-06-01' THEN 'early'
+                WHEN ship_date >= DATE '1997-06-01'
+                     AND ship_date < DATE '1999-06-01' THEN 'mid'
+                WHEN ship_date >= DATE '1999-06-01'
+                     AND ship_date < DATE '2002-01-01' THEN 'late'
+                END AS range_name,
+                l_extendedprice, l_discount
+              FROM (SELECT to_date(l_shipdate) AS ship_date,
+                           l_extendedprice, l_discount FROM {vl}))
+        WHERE range_name IS NOT NULL
+        GROUP BY range_name
+        """)
 
 
 @register(
@@ -364,10 +363,6 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       struct comparison IS the total-order tie-break; a bare max_by
       would pick arbitrarily whenever a price tie lands on the extreme.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    pair = F.struct(
-        F.col("o_totalprice").alias("p"), F.col("o_custkey").alias("ck")
-    )
     # Two-level distinct for the HIGH-CARDINALITY key: counting
     # distinct customers as groupBy(priority, custkey) -> count keeps
     # the shuffle rows (priority, custkey) pairs, whereas putting two
@@ -376,31 +371,26 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.8x slower at sf0.1.  The low-cardinality distinct
     # (order status, 3 values) stays in the plain agg; the final join
     # is post-aggregation (one row per priority).
-    n_cust = (
-        orders.groupBy("o_orderpriority", "o_custkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-    rest = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
-        F.array_join(
-            F.sort_array(F.collect_set("o_orderstatus")), ","
-        ).alias("statuses"),
-        F.max(pair)["ck"].alias("top_cust"),
-        F.round(F.max("o_totalprice"), 6).alias("max_price"),
-    )
-    return (
-        n_cust.join(rest, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            "n_cust",
-            "n_statuses",
-            "statuses",
-            "top_cust",
-            "max_price",
-        )
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        WITH _nc AS (
+          SELECT o_orderpriority, COUNT(1) AS n_cust
+          FROM (SELECT o_orderpriority, o_custkey, COUNT(1) AS _n
+                FROM {vo} GROUP BY o_orderpriority, o_custkey)
+          GROUP BY o_orderpriority),
+        _rest AS (
+          SELECT o_orderpriority,
+                 count(DISTINCT o_orderstatus) AS n_statuses,
+                 array_join(sort_array(collect_set(o_orderstatus)), ',')
+                   AS statuses,
+                 (max(struct(o_totalprice AS p, o_custkey AS ck))).ck
+                   AS top_cust,
+                 round(max(o_totalprice), 6) AS max_price
+          FROM {vo} GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_cust, n_statuses, statuses,
+               top_cust, max_price
+        FROM _nc JOIN _rest USING (o_orderpriority)
+        """)
 
 
 @register(
@@ -425,17 +415,15 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPING SETS surface.  All sets evaluate in ONE pass: a single
     Expand node + one shuffle, not one scan per set.
     """
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    cust.join(
-        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
-    ).createOrReplaceTempView("v_cust_nation_gs")
+    vc = ensure_view(spark, sf_dir, "customer")
+    vn = ensure_view(spark, sf_dir, "nation")
     return spark.sql(
-        """
-        SELECT n_name, c_mktsegment, count(*) AS n,
+        f"""
+        SELECT /*+ BROADCAST(na) */
+               n_name, c_mktsegment, count(*) AS n,
                CAST(grouping(n_name) AS INT) AS g_nation,
                CAST(grouping(c_mktsegment) AS INT) AS g_segment
-        FROM v_cust_nation_gs
+        FROM {vc} JOIN {vn} na ON c_nationkey = na.n_nationkey
         GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
         """
     )
@@ -612,14 +600,13 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k — Spark plans TakeOrderedAndProject (per-partition
     heap + driver merge), never a full sort at scale."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy(
-            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
-        )
-        .limit(20)
-    )
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM {vl}
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20
+        """)
 
 
 @register(
@@ -665,51 +652,39 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join: o_custkey/c_custkey are non-null key columns, so the
     set operators' null-safe equality never diverges on this schema.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(
-            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-        ).alias("_f"),
-        F.sum(
-            F.when(F.col("o_totalprice") >= 100000, 1).otherwise(0)
-        ).alias("_b"),
-    )
-    negative = cust.filter(F.col("c_acctbal") < 0).select(
-        F.col("c_custkey").alias("custkey"), F.lit(1).alias("_m")
-    )
     # no broadcast hint: at bench scale the planner broadcasts the
     # filtered customer side on its own; at 100 TB that side is ~half
     # the customer table and must be allowed to fall back to a
-    # shuffle join rather than die on a forced broadcast
-    marked = per.join(negative, "custkey", "left")
+    # shuffle join rather than die on a forced broadcast.
     # Both output row families come out of ONE Generate over the
     # joined row (a union of two projections of `marked` would plan
     # the whole orders-aggregate subtree TWICE — column pruning makes
     # the branch subtrees non-identical, so exchange reuse cannot
     # deduplicate them; measured 2x the scans).
-    distinct_row = F.struct(
-        F.when(F.col("_m").isNull(), F.lit("except"))
-        .otherwise(F.lit("intersect"))
-        .alias("op"),
-        F.col("custkey"),
-        F.lit(1).cast("long").alias("n"),
-    )
-    inter_all_row = F.when(
-        (F.col("_f") > 0) & (F.col("_b") > 0),
-        F.struct(
-            F.lit("intersect_all").alias("op"),
-            F.col("custkey"),
-            F.least("_f", "_b").alias("n"),
-        ),
-    )
-    return (
-        marked.select(
-            F.explode(F.array(distinct_row, inter_all_row)).alias("_r")
-        )
-        .filter(F.col("_r").isNotNull())
-        .select("_r.op", "_r.custkey", "_r.n")
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    vc = ensure_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT _r.op, _r.custkey, _r.n FROM (
+          SELECT explode(array(
+            struct(CASE WHEN _m IS NULL THEN 'except'
+                        ELSE 'intersect' END AS op,
+                   custkey,
+                   CAST(1 AS BIGINT) AS n),
+            CASE WHEN _f > 0 AND _b > 0 THEN
+              struct('intersect_all' AS op, custkey,
+                     least(_f, _b) AS n)
+            END)) AS _r
+          FROM (SELECT o_custkey AS custkey,
+                       sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                                ELSE 0 END) AS _f,
+                       sum(CASE WHEN o_totalprice >= 100000 THEN 1
+                                ELSE 0 END) AS _b
+                FROM {vo} GROUP BY o_custkey)
+          LEFT JOIN (SELECT c_custkey AS custkey, 1 AS _m
+                     FROM {vc} WHERE c_acctbal < 0)
+            USING (custkey))
+        WHERE _r IS NOT NULL
+        """)
 
 
 @register(
@@ -737,28 +712,22 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     required) while Spark's is always global — the oracle states the
     flag explicitly (cross-engine gotcha).
     """
-    part = load_table(spark, sf_dir, "part")
-    return (
-        part.filter(F.col("p_type").like("S%"))
-        .select(
-            "p_partkey",
-            F.upper("p_brand").alias("brand_uc"),
-            F.substring("p_name", 1, 8).alias("name_pfx"),
-            F.length("p_name").cast("int").alias("name_len"),
-            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
-                "brand_type"
-            ),
-            F.regexp_count("p_name", F.lit("[aeiou]+")).cast("int").alias(
-                "n_vowel_runs"
-            ),
-            F.regexp_extract("p_name", "([a-z]{5,})", 1).alias(
-                "first_long_token"
-            ),
-            F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("int").alias(
-                "len_novowels"
-            ),
-        )
-    )
+    vp = ensure_view(spark, sf_dir, "part")
+    return spark.sql(f"""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_uc,
+               substring(p_name, 1, 8) AS name_pfx,
+               CAST(length(p_name) AS INT) AS name_len,
+               concat(p_brand, '#', p_type) AS brand_type,
+               CAST(regexp_count(p_name, '[aeiou]+') AS INT)
+                 AS n_vowel_runs,
+               regexp_extract(p_name, '([a-z]{{5,}})', 1)
+                 AS first_long_token,
+               CAST(length(regexp_replace(p_name, '[aeiou]', '')) AS INT)
+                 AS len_novowels
+        FROM {vp}
+        WHERE p_type LIKE 'S%'
+        """)
 
 
 @register(
@@ -782,25 +751,24 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date scalar functions (date_trunc / extract, emitted as
     DATE/INT) with the aggregated metrics UNPIVOTed to long format.
 
-    ``DataFrame.unpivot`` generates the (metric, val) rows in one pass
-    (a single Expand node over the post-agg relation) — no N-way
-    self-union re-scan; the oracle states the same relation as a
-    UNION ALL over the aggregated CTE.
+    SQL ``UNPIVOT INCLUDE NULLS`` generates the (metric, val) rows in
+    one pass (a single Expand node over the post-agg relation, exactly
+    as ``DataFrame.unpivot`` planned) — no N-way self-union re-scan;
+    the oracle states the same relation as a UNION ALL over the
+    aggregated CTE.  INCLUDE NULLS mirrors unpivot/melt semantics
+    (SQL UNPIVOT drops NULL cells by default).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    agged = (
-        orders.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            dsum("o_totalprice").alias("sum_price"),
-        )
-    )
-    return agged.unpivot(
-        ["order_month", "order_year"], ["n", "sum_price"], "metric", "val"
-    )
+    vo = ensure_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT order_month, order_year, metric, val
+        FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS order_month,
+                     CAST(year(o_orderdate) AS INT) AS order_year,
+                     CAST(COUNT(1) AS DOUBLE) AS n,
+                     {s_dsum('o_totalprice')} AS sum_price
+              FROM {vo} GROUP BY 1, 2)
+        UNPIVOT INCLUDE NULLS (val FOR metric IN (n, sum_price))
+        """)
 
 
 @register(
@@ -829,17 +797,16 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain IEEE doubles, cheaper than the shuffle it needed (measured
     1.40 s -> 0.47 s warm at sf0.1 with the spread dropped).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            davg(F.sqrt(F.col("l_extendedprice"))).alias("avg_sqrt_price"),
-            F.round(F.avg(F.log(F.col("l_extendedprice") + 1.0)), 6).alias(
-                "avg_ln_price"
-            ),
-            davg(F.abs(F.col("l_discount") - 0.05)).alias("avg_absdev_disc"),
-        )
-    )
+    from v6spark.functions.determinism import s_davg
+
+    vl = ensure_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               {s_davg('sqrt(l_extendedprice)')} AS avg_sqrt_price,
+               round(avg(ln(l_extendedprice + 1.0D)), 6) AS avg_ln_price,
+               {s_davg('abs(l_discount - 0.05D)')} AS avg_absdev_disc
+        FROM {vl} GROUP BY l_returnflag
+        """)
 
 
 @register(
@@ -856,12 +823,11 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction: get_json_object -> typed aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(k), 6).alias("avg_k"),
-        )
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_type,
+               COUNT(1) AS n,
+               round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6)
+                 AS avg_k
+        FROM {ve} GROUP BY event_type
+        """)

