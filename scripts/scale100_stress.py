@@ -49,6 +49,14 @@ from v6spark.plans import REGISTRY
 from v6spark.session import get_spark
 from v6spark.sources.tables import TABLE_NAMES, load_table
 
+# Wall numbers are min-of-REPS: the sandbox host shows intermittent
+# multi-second stalls that rove across queries (r12 session 3 measured
+# the same tree reading 11.4-17.2 s for q_dedup_minhash at 100x within
+# one hour); the minimum over repeated warm runs is the robust
+# estimator under one-sided noise, and two reps dodge a stall too
+# rarely.
+REPS = int(os.environ.get("V6SPARK_SCALE_REPS", "3"))
+
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "STRESS_SCALE100.json",
@@ -219,8 +227,8 @@ def ann_scaled_params(spark, src_dir: str, out_dir: str) -> dict:
         )
         return round(_time.perf_counter() - t0, 3)
 
-    base = min(wall(src_dir, 14) for _ in range(2))
-    scaled = min(wall(out_dir, 14) for _ in range(2))
+    base = min(wall(src_dir, 14) for _ in range(REPS))
+    scaled = min(wall(out_dir, 14) for _ in range(REPS))
     return {
         "judged_n_planes": 14,
         "wall_base_judged_planes_s": base,
@@ -291,8 +299,8 @@ def main() -> None:
     section: dict = {"factor": factor, "queries": {}}
     plan_ok = True
     for name in HEAVY:
-        base = min(time_query(spark, name, src_dir) for _ in range(2))
-        scaled = min(time_query(spark, name, out_dir) for _ in range(2))
+        base = min(time_query(spark, name, src_dir) for _ in range(REPS))
+        scaled = min(time_query(spark, name, out_dir) for _ in range(REPS))
         fp_base = fingerprint(
             explain_formatted(spark, REGISTRY[name].spark_fn(spark, src_dir))
         )
