@@ -180,6 +180,15 @@ def main() -> None:
         "settle_passes": len(settle_totals),
         "settle_totals": settle_totals,
         "cpus": cpus,
+        # r13 (r12 verdict item 1): record the ACTUAL master and
+        # parallelism the session ran with, not just the env-var
+        # request — the r12 driver's 8-core run read identical to its
+        # 32-core run and nobody could adjudicate whether
+        # SPARK_GRAFT_CPUS was lost in the invocation path or the
+        # warm sf0.1 suite is fixed-overhead-bound.  These two fields
+        # (also on the compact stdout line) make it checkable.
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "notes": [
             # r10 verdict watch item, resolved r11: q_lang_id's bench
@@ -226,6 +235,9 @@ def main() -> None:
         "cold_suite_sec": full["cold_suite_seconds"],
         "protocol": "cold1+settle+warm_median",
         "settle_passes": len(settle_totals),
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

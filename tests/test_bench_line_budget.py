@@ -26,7 +26,12 @@ def test_compact_bench_line_fits_tail_capture():
         "cold_p50": 99.9999,
         "cold_p95": 99.9999,
         "cold_suite_sec": 9999.9999,
-        "protocol": "cold1+warm_median",
+        "protocol": "cold1+settle+warm_median",
+        "settle_passes": 99,
+        # r13: actual-master observability fields (r12 verdict item 1)
+        "cpus": 32,
+        "master": "local[32]",
+        "parallelism": 32,
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -77,6 +82,15 @@ def test_settle_protocol_guardrail():
     assert "settled(settle_totals)" in main_src
     assert '"settle_passes": len(settle_totals)' in main_src
     assert '"settle_totals": settle_totals' in main_src
+    # r13 (r12 verdict item 1): the COMPACT stdout line must carry the
+    # actual master + defaultParallelism so the driver's low-core run
+    # is adjudicable; both dicts in main() build them identically, so
+    # two occurrences of each accessor pin compact AND full.
+    assert main_src.count('"master": spark.sparkContext.master') == 2
+    assert (
+        main_src.count('"parallelism": spark.sparkContext.defaultParallelism')
+        == 2
+    )
     # warm timing happens AFTER the settle loop
     assert main_src.index("settled(settle_totals)") < main_src.index(
         "warm: dict"

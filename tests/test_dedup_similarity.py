@@ -315,6 +315,11 @@ def test_lsh_bucket_sql_python_reference_and_edges(spark):
         (4, [0.5, -0.25]),  # shorter than dim -> bucket 0
         (5, []),  # empty -> bucket 0
         (6, None),  # NULL -> bucket 0
+        # LONGER than dim (r13, advisor finding): truncated to the
+        # first dim elements — the old zip_with form collapsed these
+        # into bucket 0 (a degenerate shared bucket); the fold form
+        # deliberately buckets them by their dim-prefix instead.
+        (7, [float(i) / 7.0 - 0.4 for i in range(dim)] + [99.0, -99.0]),
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     got = {
@@ -331,13 +336,16 @@ def test_lsh_bucket_sql_python_reference_and_edges(spark):
         for j, plane in enumerate(planes):
             dot = 0.0
             for i in range(dim):
-                dot += vec[i] * plane[i]
+                dot += vec[i] * plane[i]  # overlong vecs: dim-prefix
             if dot >= 0:
                 b += 1 << j
         return b
 
     assert got == {vid: ref(v) for vid, v in vecs}
     assert got[3] == (1 << n_planes) - 1 and got[4] == got[5] == got[6] == 0
+    # truncation semantics: the overlong vector buckets exactly like
+    # its dim-prefix (vector 1), not into the degenerate bucket 0
+    assert got[7] == got[1]
 
 
 def test_simhash_agg_view_isolation_repeated_calls(spark):
@@ -364,6 +372,39 @@ def test_simhash_agg_view_isolation_repeated_calls(spark):
         ).collect()
     }
     assert r1 == fold
+
+
+def test_near_dup_temp_views_dropped_and_names_collision_proof(spark):
+    """r13 advisor fixes: (a) near_dup_report / the simhash agg build
+    drop their per-call temp views once the statement is analyzed, so
+    a long-lived session's catalog does not grow without bound;
+    (b) the report's outer query qualifies every docs-view reference,
+    so an input frame that ALREADY has ``id_a``/``id_b`` columns
+    analyzes fine (the view carries the caller's columns verbatim)."""
+    def temp_views():
+        return {t.name for t in spark.catalog.listTables() if t.isTemporary}
+
+    before = temp_views()
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", 7),
+            (2, "the quick brown fox jumps over the lazy dogs", 7),
+            (3, "completely unrelated text about spark shuffles", 7),
+        ],
+        "doc_id long, text string, id_a int",  # id_a collides on purpose
+    )
+    rep = dedup.near_dup_report(docs, n_hashes=32, bands=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rep} == {(1, 2)}
+    sig = dedup.simhash_signature_portable(
+        docs.select("doc_id", "text"), engine="agg"
+    )
+    assert sig.count() == 3
+    after = temp_views()
+    leaked = {
+        n for n in after - before
+        if n.startswith("_v6_ndr_") or n.startswith("_v6_simhash_")
+    }
+    assert leaked == set()
 
 
 def test_cosine_topk_query(spark):

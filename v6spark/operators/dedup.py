@@ -696,7 +696,12 @@ def near_dup_report(
         f"round(cast({inter} as double) / cast(size({set_a}) + "
         f"size({set_b}) - {inter} as double), 6) AS jaccard"
     )
-    cols = ["id_a", "id_b"]
+    # every outer-query reference is qualified with its CTE/view alias
+    # (r13, advisor finding): the docs view carries the CALLER's
+    # columns, so an input frame that already has an ``id_a``/``id_b``
+    # column would otherwise make the bare names ambiguous and fail
+    # analysis.
+    cols = ["pairs.id_a AS id_a", "pairs.id_b AS id_b"]
     sig_joins = ""
     if include_est:
         sig_joins = (
@@ -714,13 +719,22 @@ def near_dup_report(
             f"cast(levenshtein(da.`{text_col}`, db.`{text_col}`) as int)"
             " AS edit_dist"
         )
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH banded AS ({banded_cte}),{pairs_cte}
         SELECT {", ".join(cols)}
         FROM pairs{sig_joins}
-        JOIN {docs_view} da ON id_a = da.`{id_col}`
-        JOIN {docs_view} db ON id_b = db.`{id_col}`
+        JOIN {docs_view} da ON pairs.id_a = da.`{id_col}`
+        JOIN {docs_view} db ON pairs.id_b = db.`{id_col}`
         """)
+    # the statement above is already analyzed (Dataset creation is
+    # eager analysis) and the plan holds direct references to the
+    # resolved relations, so the views are no longer needed: drop them
+    # (r13, advisor finding — a long-lived session otherwise
+    # accumulates one catalog entry pair per call, pinning the
+    # registered plans without bound).
+    spark.catalog.dropTempView(docs_view)
+    spark.catalog.dropTempView(sig_view)
+    return out
 
 
 def _simhash_banded(
@@ -1335,7 +1349,7 @@ def simhash_signature_portable(
     # are NULL iff the text is NULL (split/filter preserve
     # non-nullness) — probing the text directly avoids a second
     # tokenizer evaluation per row.
-    return df.sparkSession.sql(f"""
+    out = df.sparkSession.sql(f"""
         SELECT `{id_col}`,
                CASE WHEN _tnull THEN CAST(NULL AS BIGINT)
                     ELSE {terms} END AS simhash
@@ -1347,6 +1361,10 @@ def simhash_signature_portable(
                     FROM {view})
               GROUP BY `{id_col}`, _tnull)
         """)
+    # analyzed plan no longer needs the view — drop it so repeated
+    # calls don't grow the catalog (r13, advisor finding)
+    df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def simhash_signature(

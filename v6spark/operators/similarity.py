@@ -128,11 +128,19 @@ def lsh_bucket_sql(vec_col: str, n_planes: int, dim: int, seed: int = 7) -> str:
     array and the bucket is a single fold over plane indices, with the
     per-plane dot an inner fold over element indices — replacing the
     old 14-term sum of per-plane ``zip_with``+``aggregate`` pairs.
-    Value-identical (same IEEE multiply/add sequence per plane — the
-    inner fold reads elements in the same order the zip_with fold did;
-    sign test and power-of-two bit weights unchanged; short/NULL
-    vectors yield NULL dots via ``try_element_at`` exactly as
-    ``zip_with``'s NULL padding did) but ~25% cheaper to
+    Value-identical for vectors of size <= ``dim`` (same IEEE
+    multiply/add sequence per plane — the inner fold reads elements in
+    the same order the zip_with fold did; sign test and power-of-two
+    bit weights unchanged; short/NULL vectors yield NULL dots via
+    ``try_element_at`` exactly as ``zip_with``'s NULL padding did).
+    Vectors LONGER than ``dim`` are truncated to their first ``dim``
+    elements (r13, advisor finding): the old zip_with form NULL-padded
+    the PLANE side instead, so every overlong vector collapsed into
+    bucket 0 — a degenerate shared bucket that makes the downstream
+    within-bucket join quadratic in the overlong population.
+    Truncation keeps such vectors spread across buckets; callers that
+    need strict dimensional hygiene should validate ``size(vec)``
+    upstream.  The fold is also ~25% cheaper to
     parse+analyze (one array literal and 2 lambdas instead of
     ``n_planes`` of each) and ~1.8x faster to EXECUTE at 14x64: the
     old form materialized an intermediate 64-element array per plane
