@@ -110,6 +110,11 @@ def test_simhash_portable_engines_agree(spark):
         (3, "   "),
         (4, "hello world hello"),
         (5, "the quick brown fox jumps over the lazy dog"),
+        # r13 RLE-path edges: a single-run document (one distinct
+        # token repeated), a no-repeat document, and a single token
+        (6, "same same same same same"),
+        (7, "each token appears exactly once here"),
+        (8, "solo"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fold = {
@@ -374,17 +379,26 @@ def test_simhash_agg_view_isolation_repeated_calls(spark):
     assert r1 == fold
 
 
-def test_near_dup_temp_views_dropped_and_names_collision_proof(spark):
+def test_near_dup_temp_views_bounded_and_names_collision_proof(spark):
     """r13 advisor fixes: (a) near_dup_report / the simhash agg build
-    drop their per-call temp views once the statement is analyzed, so
-    a long-lived session's catalog does not grow without bound;
+    register FIXED per-thread view names replaced in place, so a
+    long-lived session's catalog stays bounded no matter how many
+    calls are made (dropping the views instead was tried and REVERTED:
+    ``dropTempView`` cascade-uncaches every cache entry whose plan
+    references the view, evicting the persisted signature frame the
+    report's consumers share — measured 2.4x on the judged
+    q_dedup_minhash);
     (b) the report's outer query qualifies every docs-view reference,
     so an input frame that ALREADY has ``id_a``/``id_b`` columns
     analyzes fine (the view carries the caller's columns verbatim)."""
-    def temp_views():
-        return {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    def engine_views():
+        return {
+            t.name for t in spark.catalog.listTables()
+            if t.isTemporary
+            and (t.name.startswith("_v6_ndr_")
+                 or t.name.startswith("_v6_simhash_"))
+        }
 
-    before = temp_views()
     docs = spark.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog", 7),
@@ -399,12 +413,14 @@ def test_near_dup_temp_views_dropped_and_names_collision_proof(spark):
         docs.select("doc_id", "text"), engine="agg"
     )
     assert sig.count() == 3
-    after = temp_views()
-    leaked = {
-        n for n in after - before
-        if n.startswith("_v6_ndr_") or n.startswith("_v6_simhash_")
-    }
-    assert leaked == set()
+    after_one = engine_views()
+    # repeated calls must NOT grow the catalog: same fixed names reused
+    dedup.near_dup_report(docs, n_hashes=32, bands=8).collect()
+    dedup.simhash_signature_portable(
+        docs.select("doc_id", "text"), engine="agg"
+    ).count()
+    assert engine_views() == after_one
+    assert len(after_one) <= 3  # docs + sig + simhash for this thread
 
 
 def test_cosine_topk_query(spark):

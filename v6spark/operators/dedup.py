@@ -20,8 +20,8 @@ construction, so there is no skew hot-spot at 100 TB.
 
 from __future__ import annotations
 
-import itertools
 import os
+import threading
 
 import pandas as pd
 
@@ -38,7 +38,6 @@ MERSENNE31 = (1 << 31) - 1
 # per-call temp-view suffix for near_dup_report's single-SQL build
 # (views are session-scoped and tiny; a fresh pair per call keeps
 # concurrent pipelines in one session from clobbering each other)
-_NDR_SEQ = itertools.count()
 
 
 def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -607,9 +606,20 @@ def near_dup_report(
     df = spread_small_input(df)
     rows_per_band = n_hashes // bands
     spark = df.sparkSession
-    seq = next(_NDR_SEQ)
-    docs_view = f"_v6_ndr_docs_{seq}"
-    sig_view = f"_v6_ndr_sig_{seq}"
+    # FIXED per-thread view names, replaced in place on every call
+    # (r13, advisor finding: the uniquely-numbered names accumulated
+    # catalog entries without bound).  Replacement is the only safe
+    # dispose mechanism here: ``dropTempView`` cascade-UNCACHES every
+    # cache entry whose plan references the view — including the
+    # persisted signature frame the returned plan's three consumers
+    # share — which was measured to 2.4x the judged q_dedup_minhash
+    # when tried.  ``createOrReplaceTempView`` replaces the catalog
+    # entry without touching the cache, and earlier calls' returned
+    # DataFrames keep their already-analyzed plans (eager analysis at
+    # ``spark.sql`` time; pinned by the view-isolation tests).
+    tid = threading.get_ident()
+    docs_view = f"_v6_ndr_docs_t{tid}"
+    sig_view = f"_v6_ndr_sig_t{tid}"
     df.createOrReplaceTempView(docs_view)
     if engine == "arrow":
         sig = df.select(
@@ -726,14 +736,6 @@ def near_dup_report(
         JOIN {docs_view} da ON pairs.id_a = da.`{id_col}`
         JOIN {docs_view} db ON pairs.id_b = db.`{id_col}`
         """)
-    # the statement above is already analyzed (Dataset creation is
-    # eager analysis) and the plan holds direct references to the
-    # resolved relations, so the views are no longer needed: drop them
-    # (r13, advisor finding — a long-lived session otherwise
-    # accumulates one catalog entry pair per call, pinning the
-    # registered plans without bound).
-    spark.catalog.dropTempView(docs_view)
-    spark.catalog.dropTempView(sig_view)
     return out
 
 
@@ -1271,11 +1273,14 @@ def simhash_signature_portable(
     strictly more tokens have bit j set than clear (ties clear).
 
     ``engine="agg"`` (default): the per-bit majority vote runs as a
-    whole-stage-codegen HashAggregate over exploded token hashes —
-    bit counts are packed 2-per-long into 32-bit lanes by
-    ``sum((h >> j) & 0x0000000100000001)`` for j in 0..31 (bit j of
-    lane field f counts hash bit j + 32f: two integer ops per sum),
-    so the vote costs ~nothing on top of the tokenize+md5 floor
+    whole-stage-codegen HashAggregate over exploded DISTINCT-token
+    runs (r13: tokens are sorted and run-length encoded per row, so
+    each distinct token is md5-hashed ONCE and its run count weights
+    the vote — the corpus repeats tokens ~2.3x per doc) — bit counts
+    are packed 2-per-long into 32-bit lanes by
+    ``sum(c * ((h >> j) & 0x0000000100000001))`` for j in 0..31 (bit
+    j of lane field f counts hash bit j + 32f: two integer ops per
+    sum), so the vote costs ~nothing on top of the tokenize+md5 floor
     (measured at 20x sf0.1: explode+count 0.77 s, +lane sums
     0.78 s; the whole agg form is ~3x the old nested
     ``aggregate``/``zip_with`` HOF fold, which evaluated interpreted
@@ -1331,8 +1336,21 @@ def simhash_signature_portable(
     # driver time per build; one statement analyzes once, ~30 ms).
     lane_mask = 0x0000000100000001  # one 32-bit field per 32 hash bits
     n_lanes = min(32, n_bits)
+    # r13 (optimization round 2): per-doc DISTINCT-token run-length
+    # encoding before hashing.  The corpus repeats each token ~2.3x
+    # per document, and the md5 hash + 32 lane-sum updates were paid
+    # per OCCURRENCE; now the token array is sorted per row, run-
+    # length encoded with pure HOFs (no extra shuffle, no extra scan),
+    # and each DISTINCT token is hashed once with its run count
+    # weighting the vote: sum(c * ((h >> j) & mask)) — the identical
+    # exact integer sums, so signatures are BIT-IDENTICAL (pinned by
+    # the engine-parity tests and the oracle; measured 3.92 -> 3.71 s
+    # on the 100x corpus, flat at sf0.1).  Each row adds c to two
+    # 32-bit lane fields (c * lane_mask = c + c<<32), so the overflow
+    # bound is unchanged: per-doc occurrences < 2^31, unreachable.
     lanes = "array(" + ", ".join(
-        f"sum(shiftright(_h, {j}) & {lane_mask}L)" for j in range(n_lanes)
+        f"sum(_c * (shiftright(_h, {j}) & {lane_mask}L))"
+        for j in range(n_lanes)
     ) + ")"
     terms = " + ".join(
         # lane = j % 32, field = j // 32
@@ -1340,30 +1358,53 @@ def simhash_signature_portable(
         f"& 4294967295) * 2 > _n THEN {1 << j}L ELSE 0L END"
         for j in range(n_bits)
     )
-    view = f"_v6_simhash_{next(_NDR_SEQ)}"
+    # fixed per-thread name, replaced in place (see near_dup_report's
+    # naming note: dropTempView cascade-uncaches plans referencing the
+    # view — a caller's persisted input would be silently evicted)
+    view = f"_v6_simhash_t{threading.get_ident()}"
     df.createOrReplaceTempView(view)
+    # Run-length encoding over the sorted token array: _starts is the
+    # 0-based index list of run heads (guarded IF for the empty array:
+    # sequence(0, -1) would be a DESCENDING two-element sequence);
+    # each run is (token, next_start - start) via try_element_at
+    # lookahead with size(_ts) closing the last run.
+    runs = (
+        "transform(_starts, (s, k) -> struct("
+        "element_at(_ts, s + 1) AS t, "
+        "coalesce(try_element_at(_starts, k + 2), size(_ts)) - s AS c))"
+    )
+    starts = (
+        "IF(size(_ts) = 0, array(), "
+        "filter(sequence(0, size(_ts) - 1), "
+        "i -> i = 0 OR element_at(_ts, i) <> element_at(_ts, i + 1)))"
+    )
     # NULL text must yield a NULL signature (the fold form's
     # behavior); explode_outer collapses NULL and empty arrays to the
-    # same single NULL-hash row, so nullness travels as a group key
-    # (same cardinality: one group per document either way).  Tokens
-    # are NULL iff the text is NULL (split/filter preserve
-    # non-nullness) — probing the text directly avoids a second
-    # tokenizer evaluation per row.
+    # same single NULL-run row, so nullness travels as a group key
+    # (same cardinality: one group per document either way; for the
+    # empty array _c is NULL, the lane sums and _n are NULL, and every
+    # vote CASE falls to 0 exactly as the occurrence form's NULL hash
+    # did).  Tokens are NULL iff the text is NULL (split/filter/sort
+    # preserve non-nullness) — probing the text directly avoids a
+    # second tokenizer evaluation per row.
     out = df.sparkSession.sql(f"""
         SELECT `{id_col}`,
                CASE WHEN _tnull THEN CAST(NULL AS BIGINT)
                     ELSE {terms} END AS simhash
-        FROM (SELECT `{id_col}`, _tnull, COUNT(_h) AS _n, {lanes} AS _ps
-              FROM (SELECT `{id_col}`,
-                           (`{text_col}`) IS NULL AS _tnull,
-                           explode_outer(transform({toks_sql},
-                             s -> {_portable_hash60_sql('s')})) AS _h
-                    FROM {view})
+        FROM (SELECT `{id_col}`, _tnull, SUM(_c) AS _n, {lanes} AS _ps
+              FROM (SELECT `{id_col}`, _tnull,
+                           {_portable_hash60_sql('_r.t')} AS _h,
+                           _r.c AS _c
+                    FROM (SELECT `{id_col}`, _tnull,
+                                 explode_outer({runs}) AS _r
+                          FROM (SELECT `{id_col}`, _tnull, _ts,
+                                       {starts} AS _starts
+                                FROM (SELECT `{id_col}`,
+                                             (`{text_col}`) IS NULL AS _tnull,
+                                             sort_array({toks_sql}) AS _ts
+                                      FROM {view}))))
               GROUP BY `{id_col}`, _tnull)
         """)
-    # analyzed plan no longer needs the view — drop it so repeated
-    # calls don't grow the catalog (r13, advisor finding)
-    df.sparkSession.catalog.dropTempView(view)
     return out
 
 

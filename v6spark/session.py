@@ -72,6 +72,25 @@ def get_spark(app_name: str = "v6spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("V6SPARK_DRIVER_MEM", "16g"))
+        # Codegen posture: SPARK DEFAULTS, deliberately (r13 negative
+        # A/B, OPTIMIZATION_r13.md "codegen posture" section).
+        # hugeMethodLimit=8000 (the HotSpot DontCompileHugeMethods
+        # ceiling) and methodSplitThreshold=128 looked like large
+        # cold-path wins in contended fresh-JVM probes, but a clean-
+        # machine full-suite A/B rejected both: warm geomean 1.11x /
+        # 1.28x WORSE and the cold suite worse too — the fallback
+        # removes real codegen wins, and the probe's 43 s cold was a
+        # CPU-contention artifact (quiet-machine cold is 4.1 s with
+        # defaults).  The env overrides below keep the A/B repeatable
+        # without code edits.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("V6SPARK_HUGE_METHOD_LIMIT", "65535"),
+        )
+        .config(
+            "spark.sql.codegen.methodSplitThreshold",
+            os.environ.get("V6SPARK_METHOD_SPLIT_THRESHOLD", "1024"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
